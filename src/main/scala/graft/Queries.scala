@@ -1,0 +1,263 @@
+package graft
+
+import graft.combinators._
+import graft.core._
+import graft.sources.Tables
+import graft.stages._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The declared oracle query inventory (`SURVEY.md §2.4`): every operator is
+  * exercised through the engine's stage machinery and must hash-match the
+  * DuckDB oracle SQL in [[Oracle]] on the same parquet tables.
+  *
+  * Determinism conventions (`SURVEY.md §2.5`): money cast to DECIMAL before
+  * arithmetic/aggregation (exact across engines), every result totally
+  * ordered (all columns, NULLS FIRST), column names aliased identically on
+  * both sides.
+  */
+object Queries {
+
+  /** Money cast — DECIMAL(12,2) holds every monetary column in the data
+    * (max ~1e6) while keeping products inside both engines' DECIMAL(38)
+    * cap even for price*(1-disc)*(1+tax).
+    */
+  private def dec(c: String): Column = col(c).cast(DecimalType(12, 2))
+  /** Rate cast (discount/tax, in [0,1)). */
+  private def rate(c: String): Column = col(c).cast(DecimalType(4, 2))
+  private def bd(s: String): Column = lit(new java.math.BigDecimal(s))
+
+  /** Total order over the projected columns, NULLS FIRST (§2.5.3). */
+  private def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- P1–P5
+
+  /** Q-P1 Transform — pure projection through the P1 stage. */
+  val qp1Transform: Q = (s, dir) => {
+    val pipe = Sequence("qp1")(
+      Transform("net")("net" ->
+        round(dec("l_extendedprice") * (lit(1) - rate("l_discount")), 2).cast(DecimalType(12, 2))),
+      Project("proj")(col("l_orderkey"), col("l_linenumber"), col("net"))
+    )
+    ordered(pipe(t(s, dir, "lineitem")))
+  }
+
+  /** Q-P2 Apply — fallible JSON parse; good rows surface, failures go to
+    * the `_err` dead-letter channel.
+    */
+  private def qp2Stage: Apply =
+    Apply("parse_k",
+      errWhen = get_json_object(col("props"), "$.k").isNull,
+      msg = "props.k missing or not JSON")(
+      "k" -> get_json_object(col("props"), "$.k").cast("int"))
+
+  val qp2Apply: Q = (s, dir) => {
+    val out = qp2Stage(t(s, dir, "events"))
+    ordered(ErrorChannel.good(out).select(col("event_id"), col("k")))
+  }
+
+  /** Q-P2b — the dead-letter count (the paired sub-check). */
+  val qp2ApplyDead: Q = (s, dir) => {
+    val out = qp2Stage(t(s, dir, "events"))
+    ErrorChannel.dead(out).agg(count(lit(1)).as("n_dead"))
+  }
+
+  /** Q-P3 Effect — passthrough with an attached Observation; the data is
+    * untouched (`effect.go:42`).
+    */
+  val qp3Effect: Q = (s, dir) => {
+    val eff = Effect("audit")(count(lit(1)).as("cnt"),
+      round(sum(dec("value")), 2).as("sum_value"))
+    val out = eff(t(s, dir, "events"))
+    ordered(out.select(col("event_id"), col("event_type")))
+  }
+
+  /** Q-P3b — the observed metric as a first-class result. */
+  val qp3EffectMetrics: Q = (s, dir) =>
+    t(s, dir, "events").agg(
+      count(lit(1)).as("cnt"),
+      round(sum(dec("value")), 2).cast(DecimalType(12, 2)).as("sum_value"))
+
+  /** Q-P4 Mutate — conditional transform via the P4 stage. */
+  val qp4Mutate: Q = (s, dir) => {
+    val pipe = Sequence("qp4")(
+      Transform("to_dec")("adj" -> dec("o_totalprice")),
+      Mutate("discount_big", col("o_totalprice") > 200000)(
+        "adj" -> round(dec("o_totalprice") * bd("0.9"), 2)),
+      Transform("norm")("adj" -> col("adj").cast(DecimalType(12, 2))),
+      Project("proj")(col("o_orderkey"), col("adj"))
+    )
+    ordered(pipe(t(s, dir, "orders")))
+  }
+
+  /** Q-P5 Enrich — best-effort broadcast lookup with fallback. */
+  val qp5Enrich: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val pipe = Sequence("qp5")(
+      Enrich.lookup("nation_lookup", nation,
+        col("c_nationkey") === nation("n_nationkey"))(
+        "nation" -> coalesce(nation("n_name"), lit("UNKNOWN"))),
+      Project("proj")(col("c_custkey"), col("nation"))
+    )
+    ordered(pipe(t(s, dir, "customer")))
+  }
+
+  // ---------------------------------------------------------------- C1–C7
+
+  /** Q-C1 Sequence — 3-stage chain, one lazy Catalyst plan. */
+  val qc1Sequence: Q = (s, dir) => {
+    val pipe = Sequence("qc1")(
+      Where("recent", col("l_shipdate") >= lit("1995-01-01").cast("timestamp")),
+      Transform("charge")("chg" ->
+        round(dec("l_extendedprice") * (lit(1) - rate("l_discount")) * (lit(1) + rate("l_tax")), 2).cast(DecimalType(12, 2))),
+      Project("proj")(col("l_orderkey"), col("chg"))
+    )
+    ordered(pipe(t(s, dir, "lineitem")))
+  }
+
+  /** Q-C2 Concurrent + reducer — two branch aggs over one persisted input,
+    * merged by key join (reducer stays in Catalyst; no driver collect).
+    */
+  val qc2Concurrent: Q = (s, dir) => {
+    val sumBranch = Stage(StageId("sum_spend")) { df =>
+      df.groupBy(col("o_custkey")).agg(round(sum(dec("o_totalprice")), 2).cast(DecimalType(12, 2)).as("spend"))
+    }
+    val cntBranch = Stage(StageId("count_orders")) { df =>
+      df.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    }
+    val fanout = Concurrent.reduced("qc2", (_, outs) =>
+      outs.head.join(outs(1), Seq("o_custkey")))(sumBranch, cntBranch)
+    val out = fanout(t(s, dir, "orders")).select(col("o_custkey"), col("spend"), col("cnt"))
+    ordered(out)
+  }
+
+  /** Q-C3 Race — row-level first-success analog: ordered coalesce over
+    * fallible alternatives (`SURVEY.md §2.2 C3`); branch1 parses, branch2 is
+    * the constant fallback.
+    */
+  val qc3Race: Q = (s, dir) => {
+    val pipe = Sequence("qc3")(
+      Fallback("first_success", "k")(
+        get_json_object(col("props"), "$.k").cast("int"),
+        lit(-1)),
+      Project("proj")(col("event_id"), col("k"))
+    )
+    ordered(ErrorChannel.good(pipe(t(s, dir, "events"))))
+  }
+
+  /** Q-C4 Contest — "first (lowest key) result meeting the condition" per
+    * group: filter on the winner predicate, take MIN over the contest order.
+    */
+  val qc4Contest: Q = (s, dir) => {
+    val pipe = Sequence("qc4")(
+      Where("big_orders", col("o_totalprice") > 100000),
+      Stage(StageId("first_big")) { df =>
+        df.groupBy(col("o_custkey")).agg(min(col("o_orderkey")).as("first_big"))
+      }
+    )
+    ordered(pipe(t(s, dir, "orders")))
+  }
+
+  /** Q-C5 Switch — 3 routes + passthrough; unmatched rows keep their
+    * original value (`switch.go:104-107`).
+    */
+  val qc5Switch: Q = (s, dir) => {
+    def route(v: String) = Transform(s"route_$v")("routed" -> lit(v))
+    val pipe = Sequence("qc5")(
+      Switch("by_status", col("o_orderstatus"))(
+        "F" -> route("done"), "O" -> route("open"), "P" -> route("pending")),
+      Transform("passthrough")("routed" -> coalesce(col("routed"), col("o_orderstatus"))),
+      Project("proj")(col("o_orderkey"), col("routed"))
+    )
+    ordered(pipe(t(s, dir, "orders")))
+  }
+
+  /** Q-C6 Filter — run the uppercase stage only on `lang='en'` rows; the
+    * rest pass through unchanged.
+    */
+  val qc6Filter: Q = (s, dir) => {
+    val pipe = Sequence("qc6")(
+      Filter("only_en", col("lang") === "en", Transform("upper")("t" -> upper(col("text")))),
+      Transform("keep")("t" -> coalesce(col("t"), col("text"))),
+      Project("proj")(col("doc_id"), col("t"))
+    )
+    ordered(pipe(t(s, dir, "documents")))
+  }
+
+  /** Q-C7 Fallback — ordered alternatives, first non-null wins. */
+  val qc7Fallback: Q = (s, dir) => {
+    val pipe = Sequence("qc7")(
+      Fallback("brand_or_type", "b")(
+        when(col("p_brand") =!= "", col("p_brand")), // NULLIF(p_brand,'')
+        col("p_type"),
+        lit("NA")),
+      Project("proj")(col("p_partkey"), col("b"))
+    )
+    ordered(ErrorChannel.good(pipe(t(s, dir, "part"))))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "qp1_transform" -> qp1Transform,
+    "qp2_apply" -> qp2Apply,
+    "qp2_apply_dead" -> qp2ApplyDead,
+    "qp3_effect" -> qp3Effect,
+    "qp3_effect_metrics" -> qp3EffectMetrics,
+    "qp4_mutate" -> qp4Mutate,
+    "qp5_enrich" -> qp5Enrich,
+    "qc1_sequence" -> qc1Sequence,
+    "qc2_concurrent" -> qc2Concurrent,
+    "qc3_race" -> qc3Race,
+    "qc4_contest" -> qc4Contest,
+    "qc5_switch" -> qc5Switch,
+    "qc6_filter" -> qc6Filter,
+    "qc7_fallback" -> qc7Fallback
+  )
+}
+
+/** DuckDB-dialect oracle SQL, one entry per [[Queries.all]] key. Aliases and
+  * ordering match the engine side exactly (§2.5).
+  */
+object Oracle {
+  private val D = "DECIMAL(12,2)"
+  private val R = "DECIMAL(4,2)"
+
+  val all: Map[String, String] = Map(
+    "qp1_transform" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qp2_apply" ->
+      """SELECT event_id, CAST(json_extract(props,'$.k') AS INT) AS k FROM events WHERE json_extract(props,'$.k') IS NOT NULL ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qp2_apply_dead" ->
+      """SELECT COUNT(*) AS n_dead FROM events WHERE json_extract(props,'$.k') IS NULL""",
+    "qp3_effect" ->
+      """SELECT event_id, event_type FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qp3_effect_metrics" ->
+      s"""SELECT COUNT(*) AS cnt, CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS sum_value FROM events""",
+    "qp4_mutate" ->
+      s"""SELECT o_orderkey, CAST(CASE WHEN o_totalprice > 200000 THEN ROUND(CAST(o_totalprice AS $D)*0.9,2) ELSE CAST(o_totalprice AS $D) END AS $D) AS adj FROM orders ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qp5_enrich" ->
+      """SELECT c.c_custkey, COALESCE(n.n_name,'UNKNOWN') AS nation FROM customer c LEFT JOIN nation n ON c.c_nationkey=n.n_nationkey ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc1_sequence" ->
+      s"""SELECT l_orderkey, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc2_concurrent" ->
+      s"""SELECT o_custkey, CAST(ROUND(SUM(CAST(o_totalprice AS $D)),2) AS $D) AS spend, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qc3_race" ->
+      """SELECT event_id, COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS INT), -1) AS k FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc4_contest" ->
+      """SELECT o_custkey, MIN(o_orderkey) AS first_big FROM orders WHERE o_totalprice > 100000 GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc5_switch" ->
+      """SELECT o_orderkey, CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open' WHEN 'P' THEN 'pending' ELSE o_orderstatus END AS routed FROM orders ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc6_filter" ->
+      """SELECT doc_id, CASE WHEN lang='en' THEN UPPER(text) ELSE text END AS t FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc7_fallback" ->
+      """SELECT p_partkey, COALESCE(NULLIF(p_brand,''), p_type, 'NA') AS b FROM part ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+  )
+}

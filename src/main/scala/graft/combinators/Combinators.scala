@@ -1,0 +1,136 @@
+package graft.combinators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C1 Sequence — ordered fail-fast chain (`sequence.go:113-172`).
+  *
+  * Composition is a pure fold over lazy plans: N stages produce ONE Catalyst
+  * query, preserving the reference's constant-overhead-per-pipeline shape
+  * (`performance.md:28-34`). Fail-fast per row comes from the error channel
+  * (dead rows skip later stages); fail-fast per job from
+  * `PipelineRunner.failFast`. Combinator identity is prepended to failing
+  * rows' paths (`sequence.go:146-150`).
+  *
+  * The reference's runtime-mutation API (`sequence.go:182-303`) maps to
+  * plain immutable copies: plans are cheap values here, so `push/remove/...`
+  * return a new Sequence instead of locking a shared one.
+  */
+final case class Sequence(id: StageId, stages: Seq[Stage]) extends Stage {
+  def apply(df: DataFrame): DataFrame = {
+    val out = stages.foldLeft(df)((d, s) => s(d))
+    SignalBus.global.emit(Signals.SequenceCompleted, id, "steps" -> stages.size.toString)
+    ErrorChannel.prependPath(out, id)
+  }
+
+  override def plan: PlanNode = PlanNode("Sequence", id, stages.map(_.plan))
+  override def close(): Unit = stages.reverse.foreach(_.close()) // LIFO, sequence.go:332-347
+
+  // Runtime-mutation analog (immutable): sequence.go:87-91, 182-303.
+  def push(s: Stage*): Sequence = copy(stages = stages ++ s)
+  def unshift(s: Stage*): Sequence = copy(stages = s ++ stages)
+  def pop: Sequence = copy(stages = stages.dropRight(1))
+  def shift: Sequence = copy(stages = stages.drop(1))
+  def remove(name: String): Sequence = copy(stages = stages.filterNot(_.id.name == name))
+  def replaceStage(name: String, s: Stage): Sequence =
+    copy(stages = stages.map(x => if (x.id.name == name) s else x))
+  def after(name: String, s: Stage*): Sequence = {
+    val i = stages.indexWhere(_.id.name == name)
+    if (i < 0) this else copy(stages = stages.patch(i + 1, s, 0))
+  }
+  def before(name: String, s: Stage*): Sequence = {
+    val i = stages.indexWhere(_.id.name == name)
+    if (i < 0) this else copy(stages = stages.patch(i, s, 0))
+  }
+  def clear: Sequence = copy(stages = Nil)
+  def names: Seq[String] = stages.map(_.id.name)
+}
+
+object Sequence {
+  def apply(name: String)(stages: Stage*): Sequence = Sequence(StageId(name), stages)
+}
+
+/** C6 Filter — predicate gate: rows satisfying `cond` run through the
+  * wrapped stage; others pass through unchanged (`filter.go:76-118`).
+  *
+  * When the wrapped stage is schema-preserving this is the two-way
+  * split-and-union; Catalyst collapses the trivial cases. The wrapped stage
+  * may add columns — passthrough rows get NULLs there (unionByName with
+  * allowMissingColumns).
+  */
+final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
+  def apply(df: DataFrame): DataFrame = {
+    val processed = stage(df.filter(cond))
+    val passthrough = df.filter(!coalesce(cond, lit(false)))
+    val out = processed.unionByName(passthrough, allowMissingColumns = true)
+    ErrorChannel.prependPath(out, id)
+  }
+  override def plan: PlanNode = PlanNode("Filter", id, Seq(stage.plan))
+  override def close(): Unit = stage.close()
+}
+
+object Filter {
+  def apply(name: String, cond: Column, stage: Stage): Filter =
+    Filter(StageId(name), cond, stage)
+}
+
+/** C5 Switch — route each row by a key expression to a per-route sub-stage;
+  * unmatched rows pass through unchanged (`switch.go:86-127`, no-route
+  * passthrough at `switch.go:104-107`).
+  *
+  * Single-column routes collapse (by Catalyst) to a CASE WHEN; structural
+  * routes become filter→stage→unionByName branches. Routes are an immutable
+  * map; `addRoute`/`removeRoute` return copies (`switch.go:130-190` analog).
+  */
+final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) extends Stage {
+  def apply(df: DataFrame): DataFrame = {
+    if (routes.isEmpty) return df
+    val keys = routes.map(_._1)
+    val branches = routes.map { case (k, s) => s(df.filter(key === lit(k))) }
+    val passthrough = df.filter(!coalesce(key.isin(keys.map(lit): _*), lit(false)))
+    val out = (branches :+ passthrough).reduce(_.unionByName(_, allowMissingColumns = true))
+    ErrorChannel.prependPath(out, id)
+  }
+  override def plan: PlanNode =
+    PlanNode("Switch", id, routes.map { case (k, s) =>
+      PlanNode("Route", StageId(k), Seq(s.plan))
+    })
+  override def close(): Unit = routes.foreach(_._2.close())
+
+  def addRoute(k: String, s: Stage): Switch = copy(routes = routes :+ (k -> s))
+  def removeRoute(k: String): Switch = copy(routes = routes.filterNot(_._1 == k))
+  def hasRoute(k: String): Boolean = routes.exists(_._1 == k)
+}
+
+object Switch {
+  def apply(name: String, key: Column)(routes: (String, Stage)*): Switch =
+    Switch(StageId(name), key, routes)
+}
+
+/** C7 Fallback — try alternatives in order; first success wins
+  * (`fallback.go:68-144`). Row-level: each alternative computes a value and
+  * an error predicate; the row takes the first non-erroring alternative,
+  * i.e. an ordered `coalesce` over guarded expressions. All-fail rows get a
+  * dead letter with this stage's path (`fallback.go:122-142`).
+  */
+final case class Fallback(
+    id: StageId,
+    out: String,
+    alternatives: Seq[Column]
+) extends Stage {
+  def apply(df: DataFrame): DataFrame = {
+    val value = coalesce(alternatives: _*)
+    val base = if (ErrorChannel.hasChannel(df)) ErrorChannel.onGood(df)(out, value)
+               else df.withColumn(out, value)
+    ErrorChannel.markWhere(
+      base, id, col(out).isNull,
+      lit(s"all ${alternatives.size} alternatives failed")
+    )
+  }
+}
+
+object Fallback {
+  def apply(name: String, out: String)(alternatives: Column*): Fallback =
+    Fallback(StageId(name), out, alternatives)
+}
