@@ -1,5 +1,6 @@
 package graft
 
+import graft.analytics._
 import graft.combinators._
 import graft.core._
 import graft.sources.Tables
@@ -203,6 +204,172 @@ object Queries {
     ordered(ErrorChannel.good(pipe(t(s, dir, "part"))))
   }
 
+  // ------------------------------------------- analytics (Q-J*, Q-A*, …)
+
+  /** Q-J1 — inner equi join, broadcast dimension. */
+  val qj1JoinBroadcast: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val pipe = Sequence("qj1")(
+      Joins.join("x_nation", nation, col("c_nationkey") === nation("n_nationkey"),
+        broadcastRight = true),
+      Aggs.agg("bal_by_nation", Seq(col("n_name")),
+        Seq(round(sum(dec("c_acctbal")), 2).cast(DecimalType(12, 2)).as("bal")))
+    )
+    ordered(pipe(t(s, dir, "customer")))
+  }
+
+  /** Q-J2 — 3-way join (SMJ/shuffle-hash path on the fact side). */
+  val qj2ThreeWayJoin: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val pipe = Sequence("qj2")(
+      Joins.join("x_orders", orders, col("c_custkey") === orders("o_custkey")),
+      Joins.join("x_lineitem", lineitem, col("o_orderkey") === lineitem("l_orderkey")),
+      Aggs.agg("by_segment", Seq(col("c_mktsegment")), Seq(count(lit(1)).as("cnt")))
+    )
+    ordered(pipe(t(s, dir, "customer")))
+  }
+
+  /** Q-J3a — left semi (EXISTS). */
+  val qj3Semi: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val pipe = Sequence("qj3s")(
+      Joins.semi("has_orders", orders, col("c_custkey") === orders("o_custkey")),
+      Aggs.agg("cnt", Nil, Seq(count(lit(1)).as("n")))
+    )
+    pipe(t(s, dir, "customer"))
+  }
+
+  /** Q-J3b — left anti (NOT EXISTS, null-safe). */
+  val qj3Anti: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val pipe = Sequence("qj3a")(
+      Joins.anti("no_orders", orders, col("c_custkey") === orders("o_custkey")),
+      Aggs.agg("cnt", Nil, Seq(count(lit(1)).as("n")))
+    )
+    pipe(t(s, dir, "customer"))
+  }
+
+  /** Q-J4 — equi join with additional range (theta) predicate. */
+  val qj4RangeJoin: Q = (s, dir) => {
+    val lineitem = t(s, dir, "lineitem")
+    val pipe = Sequence("qj4")(
+      Joins.join("qty_gt_size", lineitem,
+        lineitem("l_partkey") === col("p_partkey") && lineitem("l_quantity") > col("p_size")),
+      Aggs.agg("per_part", Seq(col("p_partkey")), Seq(count(lit(1)).as("cnt")))
+    )
+    ordered(pipe(t(s, dir, "part")))
+  }
+
+  /** Q-A1 — TPC-H Q1 shape: multi-aggregate grouped scan. */
+  val qa1GroupedAgg: Q = (s, dir) => {
+    val pipe = Sequence("qa1")(
+      Where("shipped", col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
+      Aggs.agg("q1", Seq(col("l_returnflag"), col("l_linestatus")), Seq(
+        round(sum(dec("l_quantity")), 2).cast(DecimalType(12, 2)).as("sum_qty"),
+        round(sum(dec("l_extendedprice")), 2).cast(DecimalType(14, 2)).as("sum_base"),
+        round(sum(dec("l_extendedprice") * (lit(1) - rate("l_discount"))), 2)
+          .cast(DecimalType(14, 2)).as("sum_disc_price"),
+        count(lit(1)).as("cnt")))
+    )
+    ordered(pipe(t(s, dir, "lineitem")))
+  }
+
+  /** Q-A2 — exact distinct count. */
+  val qa2CountDistinct: Q = (s, dir) =>
+    t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n"))
+
+  /** Q-A3 — rollup over a 3-way join. */
+  val qa3Rollup: Q = (s, dir) => {
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    val pipe = Sequence("qa3")(
+      Joins.join("x_cust", customer, col("o_custkey") === customer("c_custkey")),
+      Joins.join("x_nation", nation, col("c_nationkey") === nation("n_nationkey"),
+        broadcastRight = true),
+      Aggs.rollup("roll", Seq(col("n_name"), col("o_orderpriority")),
+        Seq(count(lit(1)).as("cnt")))
+    )
+    ordered(pipe(t(s, dir, "orders")))
+  }
+
+  /** Q-W1 — ranking window: top-3 orders per customer. */
+  val qw1RankWindow: Q = (s, dir) => {
+    val pipe = Sequence("qw1")(
+      Windows.topKPerGroup("top3", Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3),
+      Project("proj")(col("o_custkey"), col("o_orderkey"), col("rn"))
+    )
+    ordered(pipe(t(s, dir, "orders")))
+  }
+
+  /** Q-W2 — analytic window with running frame. */
+  val qw2RunningSum: Q = (s, dir) => {
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data; the
+    // summed column itself joins the sort key so the running sum is
+    // deterministic under ties (§2.5).
+    val spec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_extendedprice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pipe = Sequence("qw2")(
+      Windows.over("running", spec,
+        "run" -> (w => round(sum(dec("l_extendedprice")).over(w), 2).cast(DecimalType(14, 2)))),
+      Project("proj")(col("l_orderkey"), col("l_linenumber"), col("run"))
+    )
+    ordered(pipe(t(s, dir, "lineitem")))
+  }
+
+  /** Q-S1 — global top-k (TakeOrderedAndProject, not a full sort). */
+  val qs1TopK: Q = (s, dir) => {
+    val pipe = Sequence("qs1")(
+      Project("proj")(col("o_orderkey"), col("o_totalprice")),
+      Sorts.topK("top100", 100, col("o_totalprice").desc, col("o_orderkey").asc)
+    )
+    pipe(t(s, dir, "orders"))
+  }
+
+  /** Q-U1a — INTERSECT (distinct set op). */
+  val qu1Intersect: Q = (s, dir) => {
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+    val pipe = Sequence("qu1i")(
+      Project("proj")(col("c_nationkey").as("k")),
+      SetOps.intersect("common_nations", sup)
+    )
+    ordered(pipe(t(s, dir, "customer")))
+  }
+
+  /** Q-U1b — EXCEPT variant. */
+  val qu1Except: Q = (s, dir) => {
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+    val pipe = Sequence("qu1e")(
+      Project("proj")(col("c_nationkey").as("k")),
+      SetOps.except("cust_only_nations", sup)
+    )
+    ordered(pipe(t(s, dir, "customer")))
+  }
+
+  /** Q-F1 — scalar function battery (string/math/cast/concat). */
+  val qf1Scalars: Q = (s, dir) => {
+    val pipe = Sequence("qf1")(
+      Transform("fns")(
+        "u" -> upper(substring(col("text"), 1, 10)),
+        "len" -> length(col("text")),
+        "m7" -> (col("n_chars") % 7),
+        "tag" -> concat(col("doc_id").cast("string"), lit("-"), col("lang"))),
+      Project("proj")(col("doc_id"), col("u"), col("len"), col("m7"), col("tag"))
+    )
+    ordered(pipe(t(s, dir, "documents")))
+  }
+
+  /** Q-F2 — date functions: month truncation + count. */
+  val qf2Dates: Q = (s, dir) => {
+    val pipe = Sequence("qf2")(
+      Transform("trunc")("m" -> date_trunc("month", col("o_orderdate"))),
+      Aggs.agg("per_month", Seq(col("m")), Seq(count(lit(1)).as("cnt")))
+    )
+    ordered(pipe(t(s, dir, "orders")))
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -219,7 +386,22 @@ object Queries {
     "qc4_contest" -> qc4Contest,
     "qc5_switch" -> qc5Switch,
     "qc6_filter" -> qc6Filter,
-    "qc7_fallback" -> qc7Fallback
+    "qc7_fallback" -> qc7Fallback,
+    "qj1_join_broadcast" -> qj1JoinBroadcast,
+    "qj2_join_3way" -> qj2ThreeWayJoin,
+    "qj3_semi" -> qj3Semi,
+    "qj3_anti" -> qj3Anti,
+    "qj4_range_join" -> qj4RangeJoin,
+    "qa1_grouped_agg" -> qa1GroupedAgg,
+    "qa2_count_distinct" -> qa2CountDistinct,
+    "qa3_rollup" -> qa3Rollup,
+    "qw1_rank_window" -> qw1RankWindow,
+    "qw2_running_sum" -> qw2RunningSum,
+    "qs1_topk" -> qs1TopK,
+    "qu1_intersect" -> qu1Intersect,
+    "qu1_except" -> qu1Except,
+    "qf1_scalars" -> qf1Scalars,
+    "qf2_dates" -> qf2Dates
   )
 }
 
@@ -258,6 +440,36 @@ object Oracle {
     "qc6_filter" ->
       """SELECT doc_id, CASE WHEN lang='en' THEN UPPER(text) ELSE text END AS t FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc7_fallback" ->
-      """SELECT p_partkey, COALESCE(NULLIF(p_brand,''), p_type, 'NA') AS b FROM part ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+      """SELECT p_partkey, COALESCE(NULLIF(p_brand,''), p_type, 'NA') AS b FROM part ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qj1_join_broadcast" ->
+      s"""SELECT n.n_name, CAST(ROUND(SUM(CAST(c.c_acctbal AS $D)),2) AS $D) AS bal FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qj2_join_3way" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS cnt FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey JOIN lineitem l ON o.o_orderkey=l.l_orderkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qj3_semi" ->
+      """SELECT COUNT(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "qj3_anti" ->
+      """SELECT COUNT(*) AS n FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "qj4_range_join" ->
+      """SELECT p.p_partkey, COUNT(*) AS cnt FROM part p JOIN lineitem l ON l.l_partkey=p.p_partkey AND l.l_quantity > p.p_size GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qa1_grouped_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS sum_qty, CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS sum_base, CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
+    "qa2_count_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n FROM orders""",
+    "qa3_rollup" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS cnt FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qw1_rank_window" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qw2_running_sum" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(SUM(CAST(l_extendedprice AS $D)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DECIMAL(14,2)) AS run FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qs1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "qu1_intersect" ->
+      """SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1 NULLS FIRST""",
+    "qu1_except" ->
+      """SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1 NULLS FIRST""",
+    "qf1_scalars" ->
+      """SELECT doc_id, UPPER(SUBSTR(text,1,10)) AS u, LENGTH(text) AS len, n_chars % 7 AS m7, CAST(doc_id AS VARCHAR) || '-' || lang AS tag FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
+    "qf2_dates" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
   )
 }
