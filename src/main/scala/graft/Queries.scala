@@ -204,6 +204,109 @@ object Queries {
     ordered(ErrorChannel.good(pipe(t(s, dir, "part"))))
   }
 
+  // ------------------------------- resilience wrappers (Q-C8..C15):
+  // wrapped success must equal the unwrapped run — the semantic
+  // transparency the reference guarantees (retry.go:85-89,
+  // timeout.go:128-130, ratelimiter.go:180-196, circuitbreaker.go:184-215).
+
+  private def qc1Stage: Stage = Sequence("qc1")(
+    Where("recent", col("l_shipdate") >= lit("1995-01-01").cast("timestamp")),
+    Transform("charge")("chg" ->
+      round(dec("l_extendedprice") * (lit(1) - rate("l_discount")) * (lit(1) + rate("l_tax")), 2)
+        .cast(DecimalType(12, 2))),
+    Project("proj")(col("l_orderkey"), col("chg"))
+  )
+
+  private def qp1Stage: Stage = Sequence("qp1")(
+    Transform("net")("net" ->
+      round(dec("l_extendedprice") * (lit(1) - rate("l_discount")), 2).cast(DecimalType(12, 2))),
+    Project("proj")(col("l_orderkey"), col("l_linenumber"), col("net"))
+  )
+
+  /** Q-C8 Retry — chaos stage fails the first 2 attempts (seed fixture);
+    * the retried run must equal plain Q-C1.
+    */
+  val qc8Retry: Q = (s, dir) => {
+    val chaotic = graft.testkit.ChaosStage.transient("flaky_qc1", qc1Stage, failFirstN = 2)
+    val out = Retry("qc8", maxAttempts = 3).run(chaotic(t(s, dir, "lineitem")))
+    ordered(out)
+  }
+
+  /** Q-C9 Backoff — exponential delays on a fake clock (no real sleeping);
+    * result equals plain Q-C1.
+    */
+  val qc9Backoff: Q = (s, dir) => {
+    val chaotic = graft.testkit.ChaosStage.transient("flaky_qc1b", qc1Stage, failFirstN = 2)
+    val backoff = Backoff(StageId("qc9"), maxAttempts = 3,
+      baseDelay = scala.concurrent.duration.Duration(10, "ms"), clock = new Clock.Fake)
+    ordered(backoff.run(chaotic(t(s, dir, "lineitem"))))
+  }
+
+  /** Q-C10 Timeout — completes under the deadline ⇒ equals unwrapped Q-P1. */
+  val qc10Timeout: Q = (s, dir) => {
+    val out = Timeout("qc10", scala.concurrent.duration.Duration(60, "s"))
+      .run(s)(qp1Stage(t(s, dir, "lineitem")))
+    ordered(out)
+  }
+
+  /** Q-C11 Handle — the dead-letter handler pipeline over Q-P2 failures
+    * (empty set at this SF; the mechanics are what's pinned).
+    */
+  val qc11Handle: Q = (s, dir) => {
+    val handler = Sequence("dead_letter_handler")(
+      Transform("label")("reason" -> lit("parse_error")),
+      Project("proj")(col("event_id"), col("reason"))
+    )
+    val h = Handle("qc11", qp2Stage, handler)
+    ordered(h.handled(t(s, dir, "events")).drop(ErrorChannel.ColName))
+  }
+
+  /** Q-C12 RateLimiter — wait-mode limiter gates submission; values
+    * identical to the unthrottled Q-P3 passthrough.
+    */
+  val qc12RateLimiter: Q = (s, dir) => {
+    val limiter = RateLimiter("qc12", ratePerSec = 1000, burst = 10)
+    val out = limiter.run(t(s, dir, "events").select(col("event_id"), col("event_type")))
+    ordered(out)
+  }
+
+  /** Q-C13 CircuitBreaker — closed-state passthrough equals Q-P1. */
+  val qc13Breaker: Q = (s, dir) => {
+    val breaker = CircuitBreaker("qc13", failureThreshold = 5,
+      resetTimeout = scala.concurrent.duration.Duration(30, "s"))
+    ordered(breaker.run(qp1Stage(t(s, dir, "lineitem"))))
+  }
+
+  /** Q-C14 WorkerPool — Q-C2's branches executed under a 2-slot pool;
+    * reduced result identical to Q-C2.
+    */
+  val qc14WorkerPool: Q = (s, dir) => {
+    val sumBranch = Stage(StageId("sum_spend")) { df =>
+      df.groupBy(col("o_custkey")).agg(round(sum(dec("o_totalprice")), 2)
+        .cast(DecimalType(12, 2)).as("spend"))
+    }
+    val cntBranch = Stage(StageId("count_orders")) { df =>
+      df.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    }
+    val shared = WorkerPool("qc14", workers = 2)(sumBranch, cntBranch)
+      .run(t(s, dir, "orders"), action = _.count(): Unit)
+    val out = sumBranch(shared).join(cntBranch(shared), Seq("o_custkey"))
+      .select(col("o_custkey"), col("spend"), col("cnt"))
+    ordered(out)
+  }
+
+  /** Q-C15 Scaffold — fire-and-forget side sink attached; main output
+    * unchanged (equals Q-P1).
+    */
+  val qc15Scaffold: Q = (s, dir) => {
+    val side = Stage(StageId("side_audit"))(df =>
+      df.select(col("l_orderkey")).limit(10))
+    val scaffold = Scaffold("qc15")(side)
+    val input = scaffold.run(t(s, dir, "lineitem"))
+    scaffold.awaitQuiescence()
+    ordered(qp1Stage(input))
+  }
+
   // ------------------------------------------- analytics (Q-J*, Q-A*, …)
 
   /** Q-J1 — inner equi join, broadcast dimension. */
@@ -387,6 +490,14 @@ object Queries {
     "qc5_switch" -> qc5Switch,
     "qc6_filter" -> qc6Filter,
     "qc7_fallback" -> qc7Fallback,
+    "qc8_retry" -> qc8Retry,
+    "qc9_backoff" -> qc9Backoff,
+    "qc10_timeout" -> qc10Timeout,
+    "qc11_handle" -> qc11Handle,
+    "qc12_ratelimiter" -> qc12RateLimiter,
+    "qc13_breaker" -> qc13Breaker,
+    "qc14_workerpool" -> qc14WorkerPool,
+    "qc15_scaffold" -> qc15Scaffold,
     "qj1_join_broadcast" -> qj1JoinBroadcast,
     "qj2_join_3way" -> qj2ThreeWayJoin,
     "qj3_semi" -> qj3Semi,
@@ -441,6 +552,22 @@ object Oracle {
       """SELECT doc_id, CASE WHEN lang='en' THEN UPPER(text) ELSE text END AS t FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc7_fallback" ->
       """SELECT p_partkey, COALESCE(NULLIF(p_brand,''), p_type, 'NA') AS b FROM part ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc8_retry" ->
+      s"""SELECT l_orderkey, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc9_backoff" ->
+      s"""SELECT l_orderkey, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc10_timeout" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qc11_handle" ->
+      """SELECT event_id, 'parse_error' AS reason FROM events WHERE json_extract(props,'$.k') IS NULL ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc12_ratelimiter" ->
+      """SELECT event_id, event_type FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qc13_breaker" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qc14_workerpool" ->
+      s"""SELECT o_custkey, CAST(ROUND(SUM(CAST(o_totalprice AS $D)),2) AS $D) AS spend, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qc15_scaffold" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qj1_join_broadcast" ->
       s"""SELECT n.n_name, CAST(ROUND(SUM(CAST(c.c_acctbal AS $D)),2) AS $D) AS bal FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qj2_join_3way" ->

@@ -1,0 +1,85 @@
+package graft.combinators
+
+import graft.SparkSpec
+import graft.core._
+import graft.testkit.MockStage
+import org.apache.spark.sql.functions._
+
+class ParallelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "g")
+
+  test("Concurrent with reducer merges branch plans in Catalyst") {
+    val sums = Stage(StageId("sums"))(_.groupBy("g").agg(sum("id").as("s")))
+    val counts = Stage(StageId("counts"))(_.groupBy("g").agg(count(lit(1)).as("c")))
+    val con = Concurrent.reduced("con", (_, outs) => outs.head.join(outs(1), Seq("g")))(sums, counts)
+    val out = con(df)
+    assert(out.count() == 5)
+    assert(out.filter(col("g") === 0).head().getAs[Long]("c") == 20)
+  }
+
+  test("Concurrent without branches is identity (concurrent.go:137-139)") {
+    val con = Concurrent(StageId("empty"), Nil)
+    assert(rowsOf(con(df)) == rowsOf(df))
+  }
+
+  test("Concurrent.runEffects runs every branch even when one fails") {
+    val good = MockStage.passthrough("good")
+    val bad = MockStage.failing("bad")
+    val good2 = MockStage.passthrough("good2")
+    val results = Concurrent(StageId("c"), Seq(good, bad, good2)).runEffects(df)
+    assert(results.count(_.isSuccess) == 2)
+    assert(results.count(_.isFailure) == 1)
+    good.assertCalled(1); bad.assertCalled(1); good2.assertCalled(1)
+  }
+
+  test("Race.run returns the first succeeding branch and records a winner") {
+    SignalBus.global.clear()
+    val fast = Stage(StageId("fast"))(_.select(lit("fast").as("who")).limit(1))
+    val race = Race("race")(fast, fast)
+    val out = race.run(df.limit(5))
+    assert(out.head().getString(0) == "fast")
+    assert(SignalBus.global.emitted(Signals.RaceWinner).nonEmpty)
+  }
+
+  test("Race.run fails only when every branch fails (race.go:143-157)") {
+    val bad1 = MockStage.failing("b1")
+    val bad2 = MockStage.failing("b2")
+    val e = intercept[RuntimeException](Race(StageId("race"), Seq(bad1, bad2)).run(df))
+    assert(e.getMessage.contains("all 2 branches failed"))
+  }
+
+  test("Contest picks the first branch whose result meets the condition") {
+    val empty = Stage(StageId("empty"))(_.limit(0))
+    val nonEmpty = Stage(StageId("nonempty"))(_.limit(3))
+    val contest = Contest("contest", _.count() > 0)(empty, nonEmpty)
+    assert(contest.run(df).count() == 3)
+  }
+
+  test("Contest with no qualifying branch raises (contest.go:174-189)") {
+    val empty = Stage(StageId("empty"))(_.limit(0))
+    val e = intercept[RuntimeException](Contest("c", _.count() > 0)(empty, empty).run(df))
+    assert(e.getMessage.contains("no branch met the condition"))
+  }
+
+  test("WorkerPool runs all branches, first error wins (workerpool.go:178-188)") {
+    val m1 = MockStage.passthrough("m1")
+    val m2 = MockStage.failing("m2", "pool-branch-failed")
+    val m3 = MockStage.passthrough("m3")
+    val e = intercept[RuntimeException] {
+      WorkerPool("wp", workers = 2)(m1, m2, m3).run(df)
+    }
+    assert(e.getMessage.contains("pool-branch-failed"))
+    m1.assertCalled(1); m2.assertCalled(1); m3.assertCalled(1)
+  }
+
+  test("Scaffold returns immediately and branch errors are swallowed (scaffold.go:91-94)") {
+    val bad = MockStage.failing("side")
+    val sc = Scaffold("sc")(bad)
+    val out = sc.run(df)
+    sc.awaitQuiescence()
+    assert(out.count() == 100) // input unchanged
+    bad.assertCalled(1)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ErrorChannelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1, "a"), (2, ""), (3, "c")).toDF("id", "v")
+
+  test("ensure attaches a null _err column once") {
+    val e = ErrorChannel.ensure(df)
+    assert(e.columns.contains("_err"))
+    assert(ErrorChannel.ensure(e).columns.count(_ == "_err") == 1)
+    assert(e.filter(col("_err").isNotNull).count() == 0)
+  }
+
+  test("markWhere marks matching rows and leaves the rest healthy") {
+    val m = ErrorChannel.markWhere(df, StageId("validate"), col("v") === "", lit("empty v"))
+    assert(ErrorChannel.dead(m).count() == 1)
+    assert(ErrorChannel.good(m).count() == 2)
+    val err = ErrorChannel.dead(m).select(col("_err.path"), col("_err.msg")).head()
+    assert(err.getSeq[String](0) == Seq("validate"))
+    assert(err.getString(1) == "empty v")
+  }
+
+  test("prependPath builds outermost-first paths (sequence.go:146-150)") {
+    val m = ErrorChannel.markWhere(df, StageId("inner"), col("id") === 2, lit("boom"))
+    val p = ErrorChannel.prependPath(m, StageId("outer"))
+    val path = ErrorChannel.dead(p).select(col("_err.path")).head().getSeq[String](0)
+    assert(path == Seq("outer", "inner"))
+  }
+
+  test("dead rows are skipped by onGood transforms") {
+    val m = ErrorChannel.markWhere(df, StageId("x"), col("id") === 2, lit("boom"))
+    val t = ErrorChannel.onGood(m)("v", upper(col("v")))
+    val vals = t.orderBy("id").select("v").as[String].collect().toSeq
+    assert(vals == Seq("A", "", "C")) // row 2 untouched
+  }
+}
