@@ -473,6 +473,45 @@ object Queries {
     ordered(pipe(t(s, dir, "orders")))
   }
 
+  // ------------------------------------------- streaming (Q-T1..T3)
+  // Batch run of the same window stages the streaming tests replay through
+  // MemoryStream; after the final watermark flush both must equal the
+  // oracle (`SURVEY.md §5.2`).
+
+  /** Q-T1 — tumbling 1-hour window. */
+  val qt1Tumbling: Q = (s, dir) => {
+    val pipe = graft.streaming.Windowed.tumbling("qt1", col("ts"), "1 hour",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("cnt"),
+        round(sum(dec("value")), 2).cast(DecimalType(12, 2)).as("sv")))
+    val out = pipe(t(s, dir, "events"))
+      .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sv"))
+    ordered(out)
+  }
+
+  /** Q-T2 — session window, 30-minute gap. */
+  val qt2Session: Q = (s, dir) => {
+    val pipe = graft.streaming.Windowed.session("qt2", col("ts"), "30 minutes",
+      Seq(col("user_id")), Seq(count(lit(1)).as("cnt")))
+    // epoch-ms output: DuckDB *rounds* ns→µs on CAST while our loader
+    // *floors*, so raw timestamps can disagree by 1µs at the ms boundary;
+    // floor-to-ms on both sides is exact (min() commutes with floor).
+    val out = pipe(t(s, dir, "events"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start) div 1000").as("session_start_ms"),
+        col("cnt"))
+    ordered(out)
+  }
+
+  /** Q-T3 — sliding 1-hour window, 30-minute slide. */
+  val qt3Sliding: Q = (s, dir) => {
+    val pipe = graft.streaming.Windowed.sliding("qt3", col("ts"), "1 hour", "30 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("cnt")))
+    val out = pipe(t(s, dir, "events"))
+      .select(col("window.start").as("w"), col("event_type"), col("cnt"))
+    ordered(out)
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -512,7 +551,10 @@ object Queries {
     "qu1_intersect" -> qu1Intersect,
     "qu1_except" -> qu1Except,
     "qf1_scalars" -> qf1Scalars,
-    "qf2_dates" -> qf2Dates
+    "qf2_dates" -> qf2Dates,
+    "qt1_tumbling" -> qt1Tumbling,
+    "qt2_session" -> qt2Session,
+    "qt3_sliding" -> qt3Sliding
   )
 }
 
@@ -597,6 +639,12 @@ object Oracle {
     "qf1_scalars" ->
       """SELECT doc_id, UPPER(SUBSTR(text,1,10)) AS u, LENGTH(text) AS len, n_chars % 7 AS m7, CAST(doc_id AS VARCHAR) || '-' || lang AS tag FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     "qf2_dates" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qt1_tumbling" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt, CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS sv FROM events GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    "qt2_session" ->
+      """WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) SELECT user_id, epoch_ns(MIN(ts))//1000000 AS session_start_ms, COUNT(*) AS cnt FROM s GROUP BY user_id, sid ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qt3_sliding" ->
+      """WITH g AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b, event_type FROM events) SELECT w, event_type, COUNT(*) AS cnt FROM (SELECT b AS w, event_type FROM g UNION ALL SELECT b - INTERVAL 30 MINUTE AS w, event_type FROM g) GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
   )
 }

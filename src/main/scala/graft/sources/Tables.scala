@@ -28,7 +28,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+      // integer division: `/` would go through Double and ns-epoch values
+      // (~1.7e18) exceed Double's 2^53 exact-integer range
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }
 

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Replay sf0.001 events through a MemoryStream in two chunks; after
+    * processAllAvailable the complete-mode result must equal the batch run
+    * of the same stage (`SURVEY.md §5.2` streaming contract).
+    */
+  private def replayEquals(stageOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                           queryName: String): Unit = {
+    val events = Tables.load(spark, sf, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val data = events.collect().map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val streamed = stageOf(stream.toDF())
+    val q = streamed.writeStream
+      .format("memory").queryName(queryName).outputMode("complete").start()
+    try {
+      val (a, b) = data.splitAt(data.length / 2)
+      stream.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      val streamedOut = spark.table(queryName)
+      val batchOut = stageOf(events)
+      assert(rowsOf(streamedOut) == rowsOf(batchOut),
+        s"$queryName: streaming result after flush != batch result")
+    } finally q.stop()
+  }
+
+  test("tumbling window: streaming replay equals batch (Q-T1)") {
+    replayEquals(df =>
+      Windowed.tumbling("t", col("ts"), "1 hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("cnt")))(df)
+        .select(col("window.start").as("w"), col("event_type"), col("cnt")),
+      "qt1_stream")
+  }
+
+  test("sliding window: streaming replay equals batch (Q-T3)") {
+    replayEquals(df =>
+      Windowed.sliding("t", col("ts"), "1 hour", "30 minutes", Seq(col("event_type")),
+        Seq(count(lit(1)).as("cnt")))(df)
+        .select(col("window.start").as("w"), col("event_type"), col("cnt")),
+      "qt3_stream")
+  }
+
+  test("session window: streaming replay equals batch (Q-T2)") {
+    replayEquals(df =>
+      Windowed.session("t", col("ts"), "30 minutes", Seq(col("user_id")),
+        Seq(count(lit(1)).as("cnt")))(df)
+        .select(col("user_id"), col("session_window.start").as("s"), col("cnt")),
+      "qt2_stream")
+  }
+
+  test("watermark stage is streaming-only passthrough in batch") {
+    val events = Tables.load(spark, sf, "events")
+    val out = Windowed.watermark("wm", "ts", "10 minutes")(events)
+    assert(out.count() == events.count())
+  }
+}
