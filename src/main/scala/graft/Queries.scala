@@ -512,6 +512,113 @@ object Queries {
     ordered(out)
   }
 
+  // ------------------------------------------- LLM / training-data ops
+
+  /** Q-L1 — exact dedup then distribution by (lang, source). */
+  val ql1ExactDedup: Q = (s, dir) => {
+    val pipe = Sequence("ql1")(
+      graft.llm.Dedup.exact("dedup", "text", "lang", "source"),
+      Aggs.agg("dist", Seq(col("lang"), col("source")), Seq(count(lit(1)).as("cnt")))
+    )
+    ordered(pipe(t(s, dir, "documents")))
+  }
+
+  /** Q-L2 — text stats; averages ×100 as exact integers (DuckDB AVG on
+    * DECIMAL returns DOUBLE, so decimal averaging can't hash-match — floor
+    * integer math is exact on both engines).
+    */
+  val ql2TextStats: Q = (s, dir) => {
+    val out = t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text"))).as("sl"),
+        sum(col("n_chars")).as("sc"))
+      .select(col("lang"), col("cnt"),
+        expr("sl*100 div cnt").as("avg_len_c100"),
+        expr("sc*100 div cnt").as("avg_chars_c100"))
+    ordered(out)
+  }
+
+  /** Q-L3 — tokenize + top-50 terms (deterministic by (count desc, term)). */
+  val ql3TopTerms: Q = (s, dir) => {
+    val out = t(s, dir, "documents")
+      .select(explode(graft.llm.Dedup.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(50)
+    out
+  }
+
+  /** Q-L4 — cosine top-3 neighbors for vec_id < 10 (float64 fold, ties →
+    * lower neighbor id; IDs only in the hashed output).
+    */
+  val ql4CosineTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val out = graft.llm.Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    ordered(out)
+  }
+
+  /** Q-L5 — exact-token-set duplicate pairs (signature equality join). */
+  val ql5TokenSetDups: Q = (s, dir) => {
+    ordered(graft.llm.Dedup.exactTokenSetPairs(t(s, dir, "documents"), "doc_id", "text"))
+  }
+
+  /** MinHash-LSH near-dup candidates — no SQL oracle (rows-only check);
+    * the superset-of-exact-pairs contract is unit-tested.
+    */
+  val qlMinhashCandidates: Q = (s, dir) => {
+    val out = graft.llm.Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    ordered(out)
+  }
+
+  /** Token counting (whitespace tokenizer; the BPE-ish variant is not
+    * RE2-expressible so it's unit-tested instead).
+    */
+  val qlTokenCount: Q = (s, dir) => {
+    val out = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+    ordered(out)
+  }
+
+  /** Quality scoring over documents. */
+  val qlQuality: Q = (s, dir) => {
+    val out = t(s, dir, "documents")
+      .select(col("doc_id"), graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))
+    ordered(out)
+  }
+
+  /** Content fingerprint (md5). */
+  val qlFingerprint: Q = (s, dir) => {
+    val out = t(s, dir, "documents")
+      .select(col("doc_id"), graft.llm.TextAnalysis.contentFingerprint(col("text")).as("fp"))
+    ordered(out)
+  }
+
+  /** Language-ID heuristic distribution — no SQL oracle (rows-only). */
+  val qlLangId: Q = (s, dir) => {
+    val out = t(s, dir, "documents")
+      .select(graft.llm.TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))
+    ordered(out)
+  }
+
+  /** Approximate (LSH multi-probe) top-k — no SQL oracle (rows-only);
+    * recall vs brute force is unit-tested.
+    */
+  val qlAnnTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val out = graft.llm.Similarity.lshTopK(queries, corpus, k = 3, planes = 8, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    ordered(out)
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -554,7 +661,18 @@ object Queries {
     "qf2_dates" -> qf2Dates,
     "qt1_tumbling" -> qt1Tumbling,
     "qt2_session" -> qt2Session,
-    "qt3_sliding" -> qt3Sliding
+    "qt3_sliding" -> qt3Sliding,
+    "ql1_exact_dedup" -> ql1ExactDedup,
+    "ql2_text_stats" -> ql2TextStats,
+    "ql3_top_terms" -> ql3TopTerms,
+    "ql4_cosine_topk" -> ql4CosineTopK,
+    "ql5_token_set_dups" -> ql5TokenSetDups,
+    "ql6_minhash_candidates" -> qlMinhashCandidates,
+    "ql7_token_count" -> qlTokenCount,
+    "ql8_quality" -> qlQuality,
+    "ql9_fingerprint" -> qlFingerprint,
+    "ql10_langid" -> qlLangId,
+    "ql11_ann_topk" -> qlAnnTopK
   )
 }
 
@@ -645,6 +763,22 @@ object Oracle {
     "qt2_session" ->
       """WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) SELECT user_id, epoch_ns(MIN(ts))//1000000 AS session_start_ms, COUNT(*) AS cnt FROM s GROUP BY user_id, sid ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qt3_sliding" ->
-      """WITH g AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b, event_type FROM events) SELECT w, event_type, COUNT(*) AS cnt FROM (SELECT b AS w, event_type FROM g UNION ALL SELECT b - INTERVAL 30 MINUTE AS w, event_type FROM g) GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+      """WITH g AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b, event_type FROM events) SELECT w, event_type, COUNT(*) AS cnt FROM (SELECT b AS w, event_type FROM g UNION ALL SELECT b - INTERVAL 30 MINUTE AS w, event_type FROM g) GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql1_exact_dedup" ->
+      """SELECT lang, source, COUNT(*) AS cnt FROM (SELECT DISTINCT text, lang, source FROM documents) GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql2_text_stats" ->
+      """SELECT lang, COUNT(*) AS cnt, CAST((SUM(LENGTH(text))*100)//COUNT(*) AS BIGINT) AS avg_len_c100, CAST((SUM(n_chars)*100)//COUNT(*) AS BIGINT) AS avg_chars_c100 FROM documents GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    "ql3_top_terms" ->
+      """SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(string_split(text,' ')) AS w FROM documents) WHERE w <> '' GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50""",
+    "ql4_cosine_topk" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 10), j AS (SELECT q.qid, e.vec_id nid, list_cosine_similarity(q.qe, e.embedding) sim FROM q, embeddings e WHERE e.vec_id <> q.qid), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM j) SELECT qid AS query_id, rn AS rank, nid AS neighbor_id FROM r WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql5_token_set_dups" ->
+      """WITH n AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))), ' ') AS sig FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM n a JOIN n b ON a.sig=b.sig AND a.doc_id<b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql7_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql8_quality" ->
+      """SELECT doc_id, ROUND((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 WHEN ntok >= 3 THEN 0.5 ELSE 0.0 END)*0.4 + (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)*0.3 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END)*0.3, 4) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS ntok, CAST(LENGTH(text) AS DOUBLE) AS len, CAST(LENGTH(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha, CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0 THEN (CAST(LENGTH(text) AS DOUBLE) - (len(list_filter(string_split(text,' '), x -> x <> '')) - 1)) / len(list_filter(string_split(text,' '), x -> x <> '')) ELSE 0.0 END AS mwl FROM documents) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql9_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
   )
 }

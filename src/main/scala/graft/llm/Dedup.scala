@@ -1,0 +1,161 @@
+package graft.llm
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star ops
+  * beyond the reference inventory — `SURVEY.md §2.3` LLM rows).
+  *
+  * Scale design: every variant is *candidate generation by key equality*
+  * (exact hash, MinHash band, SimHash band) so the only shuffle is a
+  * groupBy/join on a short key — never an O(n²) cross join. All hashing is
+  * seeded & deterministic (`xxhash64`), expressed in Catalyst higher-order
+  * functions (codegen'd, no UDFs).
+  */
+object Dedup {
+
+  /** Exact dedup on a column set — hash-partitioned `dropDuplicates`. */
+  def exact(name: String, cols: String*): Stage =
+    Stage(StageId(name))(_.dropDuplicates(cols))
+
+  /** Normalized token array of a text column. */
+  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  /** Canonical token-set signature: sorted distinct tokens joined — two
+    * docs share it iff their token *sets* are identical (Q-L5 exact layer).
+    */
+  def tokenSetSignature(text: Column): Column =
+    array_join(array_sort(array_distinct(tokens(text))), " ")
+
+  /** All pairs (a.id < b.id) with identical token sets: signature
+    * equality join — one shuffle on the signature, blowup bounded by
+    * duplicate-group sizes.
+    */
+  def exactTokenSetPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), tokenSetSignature(col(textCol)).as("sig"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+  }
+
+  /** MinHash signature: `numHashes` independent permutations simulated by
+    * seeded xxhash64; entry i = min over tokens of h_i(token).
+    */
+  def minHash(tokensCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(tokensCol, t => xxhash64(i, t))))
+
+  /** Estimated Jaccard similarity from two MinHash signatures. */
+  def minHashSimilarity(mhA: Column, mhB: Column, numHashes: Int): Column =
+    aggregate(zip_with(mhA, mhB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / numHashes
+
+  /** MinHash + LSH banding candidate pairs: signatures are cut into
+    * `bands` bands of `numHashes/bands` rows; docs colliding in ANY band
+    * become a candidate pair. Probability of collision ≈ 1-(1-j^r)^b — the
+    * standard S-curve; with (64, 16) the knee sits near j≈0.5.
+    *
+    * Returns (doc_a, doc_b, est_jaccard ≥ `minJaccard`). Guaranteed to
+    * contain every identical-token-set pair (identical signatures collide
+    * in every band) — the Q-L5 superset contract.
+    */
+  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 64, bands: Int = 16,
+                           minJaccard: Double = 0.0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("mh", minHash(col("toks"), numHashes))
+    val banded = withSig.select(
+      col("id"), col("mh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("mh"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** SimHash (64-bit, Charikar): per token hash, each bit votes ±1; the
+    * sign vector packs into a bit array. Near-dup candidates collide on a
+    * 16-bit band (≈ Hamming distance ≤ 3 across 4 bands guarantee).
+    * Pure higher-order-function expression — no UDF.
+    */
+  def simHashBits(tokensCol: Column): Column = {
+    // votes[i] = sum over tokens of (bit i of xxhash64(token) ? +1 : -1);
+    // bit masks are Scala-level literals so everything stays codegen'd
+    val votes = aggregate(
+      tokensCol,
+      array((0 until 64).map(_ => lit(0L)): _*),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(i =>
+          when(xxhash64(t).bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)): _*),
+        (a, b) => a + b))
+    transform(votes, v => when(v > 0, 1).otherwise(0))
+  }
+
+  /** SimHash band candidates: 4 bands × 16 bits. */
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withBits = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("bits", simHashBits(col("toks")))
+    val banded = withBits.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => xxhash64(slice(col("bits"), b * 16 + 1, lit(16))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Character n-gram (shingle) set of a text column. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+        i => text.substr(i, lit(n))))
+
+  /** Exact n-gram Jaccard similarity between two token arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** N-gram Jaccard near-dup: MinHash-LSH candidates re-scored with exact
+    * word-shingle Jaccard — candidates by banding, exactness by re-check;
+    * the scale-safe shape (no cross join).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("sh"))
+    val cands = minHashLshCandidates(df, idCol, textCol)
+    cands
+      .join(shingled.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(shingled.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Word n-gram (shingle) array. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`).
+  *
+  * Float64 accumulation in index order (the Q-L4 determinism contract):
+  * `aggregate(zip_with(...))` folds sequentially left-to-right, unlike
+  * SIMD/pairwise BLAS summation — deterministic across partitionings.
+  *
+  * Scale path: brute force is the exactness baseline (broadcast the query
+  * set, never the corpus); the LSH variant buckets by random-hyperplane
+  * signature so the per-bucket search is local to a shuffle partition.
+  */
+object Similarity {
+
+  /** Float64 dot product, sequential in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors of each query row against the corpus.
+    *
+    * `queries` must be small (it is broadcast); the corpus streams —
+    * cost O(|corpus|·|queries|·dim) with no shuffle of the corpus until
+    * the final per-query top-k (a window over k·|queries| rows after a
+    * partial per-partition filter would be the next optimization).
+    * Ties break toward the lower corpus id (deterministic).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     queryId: String = "query_id", corpusId: String = "neighbor_id",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queryId), col("embedding").as("q_emb")))
+    val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
+    val joined = c.crossJoin(q)
+    val filtered = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    val scored = filtered.withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("sim"))
+  }
+
+  /** Random-hyperplane LSH signature (`planes` bits): bit p is the sign of
+    * dot(v, r_p) where r_p is a deterministic pseudo-random unit-free
+    * direction derived from xxhash64(p, i) — no stored model, identical
+    * across runs/engines.
+    */
+  def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val contribs = (0 until dim).map { i =>
+        // pseudo-random coefficient in [-0.5, 0.5) from (plane, index)
+        val coeff = (pmod(xxhash64(lit(p), lit(i)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+        element_at(emb, i + 1).cast("double") * coeff
+      }
+      val d = contribs.reduce(_ + _)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates limited to query's LSH bucket (and its
+    * single-bit-flip neighbor buckets for recall), then exact cosine + rank.
+    * Trades recall for pruning the corpus scan to matching buckets — the
+    * 100 TB path where brute force is impossible.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
+              queryId: String = "query_id", corpusId: String = "neighbor_id",
+              multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
+      .withColumn("bucket", hyperplaneSignature(col("c_emb"), planes, dim))
+    val qSig = queries.select(col(queryId), col("embedding").as("q_emb"))
+      .withColumn("sig", hyperplaneSignature(col("q_emb"), planes, dim))
+    // multi-probe: the query probes its own bucket plus each 1-bit flip
+    val probes =
+      if (!multiProbe) qSig.withColumn("bucket", col("sig"))
+      else qSig.withColumn("bucket",
+        explode(array((col("sig") +: (0 until planes)
+          .map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*)))
+    val q = broadcast(probes)
+    val joined = c.join(q, Seq("bucket")).filter(col(queryId) =!= col(corpusId))
+    val scored = joined.withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .dropDuplicates(queryId, corpusId)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket by LSH signature, score
+    * only within buckets (+ optional probe), keep pairs ≥ threshold.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, threshold: Double,
+                         planes: Int, dim: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col("embedding"))
+      .withColumn("bucket", hyperplaneSignature(col("embedding"), planes, dim))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("sim"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * expressions (codegen'd, pushdown-friendly).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(Dedup.tokens(text))
+
+  /** BPE-ish subword-boundary token count: splits on whitespace AND
+    * letter/digit/punctuation boundaries, the usual pre-tokenizer shape.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(text, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\\s])"),
+      t => t =!= ""))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+    * Deterministic and self-contained (no model files).
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这")
+  )
+
+  /** Language-ID heuristic: argmax over per-language stopword hit counts;
+    * `und` when nothing matches. Ties break by language code (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(lower(text))
+    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blended length band, alphabetic ratio,
+    * mean-word-length band and stopword presence — the classic cheap
+    * pre-filter for web-scale corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("double")
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L} ]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(0.0)
+    val meanWordLen = when(nTok > 0, (len - (nTok - 1)) / nTok).otherwise(0.0)
+    val lenBand = when(nTok >= 10 && nTok <= 100000, 1.0)
+      .when(nTok >= 3, 0.5).otherwise(0.0)
+    val wordBand = when(meanWordLen >= 2 && meanWordLen <= 12, 1.0).otherwise(0.3)
+    round((lenBand * 0.4) + (alphaRatio * 0.3) + (wordBand * 0.3), 4)
+  }
+
+  /** Content fingerprint (md5 of the raw text). */
+  def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Rolling hash over the token stream (order-sensitive, unlike the
+    * token-set signature): left fold chaining xxhash64(acc, token) — a
+    * cheap document-identity fingerprint robust to whitespace
+    * normalization. Chained hashing instead of polynomial multiply keeps
+    * ANSI mode happy (no Long overflow) with the same mixing quality.
+    */
+  def rollingTokenHash(text: Column): Column =
+    aggregate(Dedup.tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Stage bundle: attach all standard text-analysis columns. */
+  def analyze(name: String, textCol: String): Stage =
+    Stage(StageId(name)) { df =>
+      df.withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+        .withColumn("n_tokens_bpe", tokenCountBpe(col(textCol)))
+        .withColumn("pred_lang", langId(col(textCol)))
+        .withColumn("quality", qualityScore(col(textCol)))
+        .withColumn("fingerprint", contentFingerprint(col(textCol)))
+    }
+}

@@ -1,0 +1,132 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("minhash-LSH candidates are a superset of exact token-set pairs (Q-L5 contract)") {
+    val exact = rowsOf(Dedup.exactTokenSetPairs(docs, "doc_id", "text"))
+    val cands = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b"))
+    assert(exact.subsetOf(cands),
+      s"missing ${exact.diff(cands).size} exact pairs from ${cands.size} candidates")
+    assert(exact.nonEmpty, "fixture should contain at least one exact dup pair")
+  }
+
+  test("minhash similarity estimates true jaccard within tolerance") {
+    val pairs = Seq(
+      ("a b c d e f g h", "a b c d e f g h", 1.0), // identical
+      ("a b c d", "e f g h", 0.0) // disjoint
+    ).toDF("t1", "t2", "truth")
+    val est = pairs.select(
+      Dedup.minHashSimilarity(
+        Dedup.minHash(Dedup.tokens(col("t1")), 64),
+        Dedup.minHash(Dedup.tokens(col("t2")), 64), 64).as("est"),
+      col("truth"))
+    est.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.2)
+    }
+  }
+
+  test("simhash: identical docs collide, dissimilar docs differ") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words about spark engines and pipelines qq ww ee rr tt yy")
+    ).toDF("doc_id", "text")
+    val cands = rowsOf(Dedup.simHashCandidates(df, "doc_id", "text"))
+    assert(cands.contains(Seq(1L, 2L)))
+    assert(!cands.contains(Seq(1L, 3L)) || !cands.contains(Seq(2L, 3L)))
+  }
+
+  test("word/char ngrams and jaccard") {
+    val df = Seq(Tuple1("a b c d")).toDF("t")
+    val grams = df.select(Dedup.wordNgrams(col("t"), 2).as("g")).head().getSeq[String](0)
+    assert(grams == Seq("a b", "b c", "c d"))
+    val ch = df.select(Dedup.charNgrams(col("t"), 3).as("g")).head().getSeq[String](0)
+    assert(ch.contains("a b") && ch.size == 5)
+    val j = Seq(("a b c", "b c d")).toDF("x", "y")
+      .select(Dedup.jaccard(Dedup.tokens(col("x")), Dedup.tokens(col("y"))))
+      .head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-9) // {b,c} / {a,b,c,d}
+  }
+
+  test("ngram jaccard pairs finds real near-dups only") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")
+    ).toDF("doc_id", "text")
+    val pairs = rowsOf(Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.8)
+      .select("doc_a", "doc_b"))
+    assert(pairs == Set(Seq(1L, 2L)))
+  }
+
+  test("cosine is 1 for identical and 0 for orthogonal vectors (float64)") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-12 && math.abs(sims(1)) < 1e-12)
+  }
+
+  test("lsh topk self-bucket recall vs brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val exact = rowsOf(Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("query_id", "neighbor_id"))
+    // random (unclustered) embeddings are LSH's worst case; 4 planes with
+    // multi-probe scans ~5/16 of the corpus — recall well above that floor
+    // indicates the bucketing is actually informative
+    val approx = rowsOf(Similarity.lshTopK(queries, corpus, 3, planes = 4, dim = 64)
+      .select("query_id", "neighbor_id"))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low for 4-plane multi-probe LSH")
+  }
+
+  test("language id classifies stopword-bearing text, und otherwise") {
+    val df = Seq(
+      ("the cat and the dog was in the house", "en"),
+      ("el perro y la casa de los gatos", "es"),
+      ("der hund und die katze ist von den", "de"),
+      ("zz yy xx ww vv", "und")
+    ).toDF("text", "expected")
+    val out = df.select(TextAnalysis.langId(col("text")).as("got"), col("expected"))
+    out.collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq(Tuple1("hello world42 foo-bar")).toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("t")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("t")).as("bpe")).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) >= 5) // hello, world, 42, foo, -, bar
+  }
+
+  test("rolling token hash is whitespace-normalization invariant") {
+    val df = Seq(("a  b   c", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextAnalysis.rollingTokenHash(col("x")),
+      TextAnalysis.rollingTokenHash(col("y"))).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("quality score is bounded and favors normal text") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog again and again today ok", "good"),
+      ("x", "bad")
+    ).toDF("text", "kind")
+    val scores = df.select(col("kind"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("good") > scores("bad"))
+    assert(scores.values.forall(v => v >= 0 && v <= 1))
+  }
+}
