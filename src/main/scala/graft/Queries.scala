@@ -473,6 +473,76 @@ object Queries {
     ordered(pipe(t(s, dir, "orders")))
   }
 
+  // ------------------------------------------- extended analytics
+
+  /** As-of join (backward): for each event, the latest order of the same
+    * customer at-or-before the event time; ties on the date break to the
+    * max order key (deterministic). One shuffle per side (§2.3 as-of row).
+    */
+  val qx1AsofJoin: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val stage = Joins.asOfBackward("asof", orders,
+      leftKey = col("user_id"), rightKey = orders("o_custkey"),
+      leftTime = col("ts"), rightTime = orders("o_orderdate"),
+      leftPk = Seq("event_id"), rightTieBreak = orders("o_orderkey"))
+    val out = stage(t(s, dir, "events"))
+      .select(col("event_id"), col("o_orderkey").as("match_key"))
+    ordered(out)
+  }
+
+  /** CUBE aggregation. */
+  val qx2Cube: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val pipe = Sequence("qx2")(
+      Joins.join("x_nation", nation, col("c_nationkey") === nation("n_nationkey"),
+        broadcastRight = true),
+      Aggs.cube("cube", Seq(col("c_mktsegment"), col("n_name")),
+        Seq(count(lit(1)).as("cnt")))
+    )
+    ordered(pipe(t(s, dir, "customer")))
+  }
+
+  /** LAG/LEAD analytic window. */
+  val qx3LagLead: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val out = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"))
+    ordered(out)
+  }
+
+  /** UNION ALL + aggregate. */
+  val qx4UnionAll: Q = (s, dir) => {
+    val pipe = Sequence("qx4")(
+      Project("k")(col("c_nationkey").as("k")),
+      SetOps.union("with_suppliers", t(s, dir, "supplier").select(col("s_nationkey").as("k"))),
+      Aggs.agg("cnt", Seq(col("k")), Seq(count(lit(1)).as("c")))
+    )
+    ordered(pipe(t(s, dir, "customer")))
+  }
+
+  /** GROUPING SETS. */
+  val qx5GroupingSets: Q = (s, dir) => {
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    val joined = t(s, dir, "orders")
+      .join(customer, col("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+    val out = joined
+      .groupingSets(Seq(Seq(col("n_name")), Seq(col("o_orderpriority"))),
+        col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    ordered(out)
+  }
+
+  /** approx_count_distinct (HLL++) — no SQL oracle (estimator differs per
+    * engine); the within-5%-of-exact contract is unit-tested.
+    */
+  val qx6ApproxDistinct: Q = (s, dir) =>
+    t(s, dir, "orders").agg(approx_count_distinct(col("o_custkey")).as("n_approx"))
+
   // ------------------------------------------- streaming (Q-T1..T3)
   // Batch run of the same window stages the streaming tests replay through
   // MemoryStream; after the final watermark flush both must equal the
@@ -672,7 +742,13 @@ object Queries {
     "ql8_quality" -> qlQuality,
     "ql9_fingerprint" -> qlFingerprint,
     "ql10_langid" -> qlLangId,
-    "ql11_ann_topk" -> qlAnnTopK
+    "ql11_ann_topk" -> qlAnnTopK,
+    "qx1_asof_join" -> qx1AsofJoin,
+    "qx2_cube" -> qx2Cube,
+    "qx3_lag_lead" -> qx3LagLead,
+    "qx4_union_all" -> qx4UnionAll,
+    "qx5_grouping_sets" -> qx5GroupingSets,
+    "qx6_approx_distinct" -> qx6ApproxDistinct
   )
 }
 
@@ -779,6 +855,16 @@ object Oracle {
     "ql8_quality" ->
       """SELECT doc_id, ROUND((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 WHEN ntok >= 3 THEN 0.5 ELSE 0.0 END)*0.4 + (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)*0.3 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END)*0.3, 4) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS ntok, CAST(LENGTH(text) AS DOUBLE) AS len, CAST(LENGTH(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha, CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0 THEN (CAST(LENGTH(text) AS DOUBLE) - (len(list_filter(string_split(text,' '), x -> x <> '')) - 1)) / len(list_filter(string_split(text,' '), x -> x <> '')) ELSE 0.0 END AS mwl FROM documents) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql9_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qx1_asof_join" ->
+      """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qx2_cube" ->
+      """SELECT c_mktsegment, n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY CUBE(c_mktsegment, n_name) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qx3_lag_lead" ->
+      """SELECT o_orderkey, LAG(o_orderkey) OVER w AS prev_key, LEAD(o_orderkey) OVER w AS next_key FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qx4_union_all" ->
+      """SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qx5_grouping_sets" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS cnt FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY GROUPING SETS ((n_name),(o_orderpriority)) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
   )
 }

@@ -24,7 +24,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Reference (HOF) form — interpreted per element; kept for doc/tests. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Default cosine: the fused native codegen expression
+    * ([[graft.functions.Native]]) — identical float64 index-order
+    * semantics, ~10x less per-row overhead than the interpreted HOF chain.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Native.cosineSimilarity(a, b)
 
   /** Exact top-k neighbors of each query row against the corpus.
     *
