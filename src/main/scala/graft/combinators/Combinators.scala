@@ -60,11 +60,24 @@ object Sequence {
   * allowMissingColumns).
   */
 final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
-  def apply(df: DataFrame): DataFrame = {
-    val processed = stage(df.filter(cond))
-    val passthrough = df.filter(!coalesce(cond, lit(false)))
-    val out = processed.unionByName(passthrough, allowMissingColumns = true)
-    ErrorChannel.prependPath(out, id)
+  def apply(df: DataFrame): DataFrame = stage match {
+    // Single-pass fast path: a pure projection route compiles to
+    // `when(cond, expr)` per column — ONE scan instead of two (the
+    // split-union form re-reads the source per branch, which at 100 TB
+    // doubles the scan).
+    case t: graft.stages.Transform =>
+      val out = t.outs.foldLeft(df) { case (d, (name, value)) =>
+        val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
+        val guarded = when(coalesce(cond, lit(false)), value).otherwise(base)
+        if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, guarded)
+        else d.withColumn(name, guarded)
+      }
+      ErrorChannel.prependPath(out, id)
+    case _ =>
+      val processed = stage(df.filter(cond))
+      val passthrough = df.filter(!coalesce(cond, lit(false)))
+      val out = processed.unionByName(passthrough, allowMissingColumns = true)
+      ErrorChannel.prependPath(out, id)
   }
   override def plan: PlanNode = PlanNode("Filter", id, Seq(stage.plan))
   override def close(): Unit = stage.close()
@@ -86,11 +99,37 @@ object Filter {
 final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) extends Stage {
   def apply(df: DataFrame): DataFrame = {
     if (routes.isEmpty) return df
+    val out =
+      if (routes.forall(_._2.isInstanceOf[graft.stages.Transform]))
+        singlePass(df) // one scan: routes compile to a CASE WHEN chain
+      else splitUnion(df)
+    ErrorChannel.prependPath(out, id)
+  }
+
+  /** Pure-projection routes become one `CASE key WHEN … THEN expr` chain
+    * per produced column — ONE scan of the input instead of one per route
+    * plus passthrough (the split-union form costs routes+1 source scans,
+    * which is the difference between 1× and 4× IO at 100 TB).
+    */
+  private def singlePass(df: DataFrame): DataFrame = {
+    val outNames = routes.flatMap(_._2.asInstanceOf[graft.stages.Transform].outs.map(_._1)).distinct
+    outNames.foldLeft(df) { (d, name) =>
+      val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
+      val cased = routes.foldRight(base) { case ((k, s), acc) =>
+        s.asInstanceOf[graft.stages.Transform].outs.collectFirst {
+          case (`name`, value) => when(key === lit(k), value).otherwise(acc)
+        }.getOrElse(acc)
+      }
+      if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, cased)
+      else d.withColumn(name, cased)
+    }
+  }
+
+  private def splitUnion(df: DataFrame): DataFrame = {
     val keys = routes.map(_._1)
     val branches = routes.map { case (k, s) => s(df.filter(key === lit(k))) }
     val passthrough = df.filter(!coalesce(key.isin(keys.map(lit): _*), lit(false)))
-    val out = (branches :+ passthrough).reduce(_.unionByName(_, allowMissingColumns = true))
-    ErrorChannel.prependPath(out, id)
+    (branches :+ passthrough).reduce(_.unionByName(_, allowMissingColumns = true))
   }
   override def plan: PlanNode =
     PlanNode("Switch", id, routes.map { case (k, s) =>
