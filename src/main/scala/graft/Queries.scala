@@ -481,13 +481,14 @@ object Queries {
     */
   val qx1AsofJoin: Q = (s, dir) => {
     val orders = t(s, dir, "orders")
-    val stage = Joins.asOfBackward("asof", orders,
+    // aggregation form: max_by combines map-side before the shuffle —
+    // the window form would shuffle every joined candidate row
+    val stage = Joins.asOfBackwardAgg("asof", orders,
       leftKey = col("user_id"), rightKey = orders("o_custkey"),
       leftTime = col("ts"), rightTime = orders("o_orderdate"),
-      leftPk = Seq("event_id"), rightTieBreak = orders("o_orderkey"))
-    val out = stage(t(s, dir, "events"))
-      .select(col("event_id"), col("o_orderkey").as("match_key"))
-    ordered(out)
+      leftPk = Seq("event_id"), rightTieBreak = orders("o_orderkey"),
+      "match_key" -> orders("o_orderkey"))
+    ordered(stage(t(s, dir, "events")))
   }
 
   /** CUBE aggregation. */

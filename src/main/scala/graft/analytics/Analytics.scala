@@ -57,6 +57,28 @@ object Joins {
       }
       override protected def kind: String = "AsOfJoin"
     }
+
+  /** As-of join, aggregation form: when only specific right-side values are
+    * needed, `max_by(payload, struct(time, tiebreak))` replaces the window
+    * — partial aggregation combines map-side BEFORE the shuffle, so the
+    * post-join shuffle carries one row per (left-pk, partial) instead of
+    * every joined candidate. Prefer this at scale; the window form when the
+    * whole right row must survive.
+    */
+  def asOfBackwardAgg(name: String, right: DataFrame, leftKey: Column, rightKey: Column,
+                      leftTime: Column, rightTime: Column, leftPk: Seq[String],
+                      rightTieBreak: Column, payload: (String, Column)*): Stage =
+    new Stage {
+      val id: StageId = StageId(name)
+      def apply(df: DataFrame): DataFrame = {
+        val joined = df.join(right, leftKey === rightKey && rightTime <= leftTime, "inner")
+        val ord = struct(rightTime, rightTieBreak)
+        joined.groupBy(leftPk.map(col): _*)
+          .agg(max_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
+          .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
+      }
+      override protected def kind: String = "AsOfJoinAgg"
+    }
 }
 
 object Aggs {

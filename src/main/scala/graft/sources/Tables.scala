@@ -48,3 +48,52 @@ final case class ParquetSink(id: StageId, path: String, mode: String = "overwrit
     extends Stage {
   def apply(df: DataFrame): DataFrame = { df.write.mode(mode).parquet(path); df }
 }
+
+/** CSV source with explicit schema (schema inference is a full extra scan —
+  * never at 100 TB).
+  */
+final case class CsvSource(id: StageId, path: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           header: Boolean = true) extends Stage {
+  def apply(df: DataFrame): DataFrame =
+    df.sparkSession.read.schema(schema).option("header", header.toString).csv(path)
+}
+
+/** JSON-lines source with explicit schema. */
+final case class JsonSource(id: StageId, path: String,
+                            schema: org.apache.spark.sql.types.StructType) extends Stage {
+  def apply(df: DataFrame): DataFrame =
+    df.sparkSession.read.schema(schema).json(path)
+}
+
+object StreamSources {
+  /** Synthetic rate source (rowsPerSecond ticks) — load/chaos testing. */
+  def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+
+  /** File stream source with mandatory schema + per-trigger admission cap —
+    * the C12 RateLimiter analog at the source (`SURVEY.md §2.2`).
+    */
+  def files(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType,
+            format: String = "parquet", maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema).format(format)
+    (if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r)
+      .load(path)
+  }
+}
+
+object Sinks {
+  /** In-memory sink (tests / small previews): returns the started query;
+    * read results from `spark.table(name)`.
+    */
+  def memory(df: DataFrame, name: String,
+             outputMode: String = "append"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Foreach-partition sink for batch frames: executor-side handler, no
+    * driver collect (the Effect sink shape, `effect.go:36` analog).
+    */
+  def foreachPartitionSink(id: StageId)(handler: Iterator[org.apache.spark.sql.Row] => Unit): Stage =
+    Stage(id) { df => df.foreachPartition(handler); df }
+}

@@ -1,0 +1,24 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WeightedMean distributes (partial+final) and matches the closed form") {
+    val ds = Seq((10.0, 1.0), (20.0, 3.0), (40.0, 1.0)).toDS()
+    val wm = udaf(new Aggregators.WeightedMean())
+    val got = ds.toDF("x", "w").agg(wm(col("x"), col("w"))).head().getDouble(0)
+    assert(math.abs(got - (10 * 1 + 20 * 3 + 40 * 1) / 5.0) < 1e-12)
+  }
+
+  test("TopKMin keeps bounded state across partitions") {
+    val ds = spark.range(1000).map(i => (i % 7, (1000 - i))).toDF("g", "v")
+    val topk = udaf(new Aggregators.TopKMin(3))
+    val got = ds.repartition(8).groupBy("g").agg(topk(col("v")).as("top"))
+      .filter(col("g") === 0).head().getSeq[Long](1)
+    // group 0: v = 1000-i for i % 7 == 0 → min three are 6, 13, 20
+    assert(got == Seq(6L, 13L, 20L))
+  }
+}
