@@ -22,15 +22,18 @@ object Dedup {
   /** Normalized token array of a text column. */
   def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
 
-  /** Canonical token-set signature: sorted distinct tokens joined — two
-    * docs share it iff their token *sets* are identical (Q-L5 exact layer).
+  /** Canonical token-set signature: md5 of the sorted distinct tokens
+    * joined — two docs share it iff their token *sets* are identical
+    * (Q-L5's declared `sig = md5(sorted distinct tokens)`). Hashing before
+    * the join means the shuffle key is 16 bytes instead of a
+    * document-sized string — at 100 TB that is most of the shuffle volume.
     */
   def tokenSetSignature(text: Column): Column =
-    array_join(array_sort(array_distinct(tokens(text))), " ")
+    md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
 
   /** All pairs (a.id < b.id) with identical token sets: signature
-    * equality join — one shuffle on the signature, blowup bounded by
-    * duplicate-group sizes.
+    * equality join — one shuffle on the 16-byte signature, blowup bounded
+    * by duplicate-group sizes.
     */
   def exactTokenSetPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), tokenSetSignature(col(textCol)).as("sig"))
