@@ -154,6 +154,56 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
+    * assign every doc the minimum id reachable through the pair graph
+    * (connected components by iterative label propagation) — the survivor
+    * selection step a real dedup pipeline needs after candidate
+    * generation.
+    *
+    * Each iteration is one join + one min-agg (both shuffles on doc id);
+    * labels converge in O(diameter) iterations — near-dup graphs are
+    * star-shaped in practice, so `maxIters` ~8 covers 2^8-long chains
+    * (label propagation halves path lengths each round). Returns
+    * (id, cluster) for every id appearing in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 8): DataFrame = {
+    // undirected edge list, both directions
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
+      .select(col("id"), least(col("cluster"), col("id")).as("cluster"))
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      // each iteration: my new label = min(my label, labels of my neighbors)
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "ncluster"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("ncluster")).as("ncluster"))
+      val next = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // fixpoint check: one action per iteration (count of changed labels)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Keep one survivor per duplicate cluster: the minimum doc id. Docs not
+    * in any pair survive untouched.
+    */
+  def dedupKeepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram (shingle) array. */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateClusters labels chains and stars with the component minimum") {
+    // components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (star on 21)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (21L, 20L), (21L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedupKeepFirst keeps the min doc per cluster and all unpaired docs") {
+    val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupKeepFirst(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L)) // 5 and 7 lose to 2
+  }
+
+  test("end-to-end: token-set dups collapse to one survivor per group") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "c b a"), (3L, "a b c a"), // same token set
+      (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.exactTokenSetPairs(docs, "doc_id", "text")
+    val kept = Dedup.dedupKeepFirst(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+}
