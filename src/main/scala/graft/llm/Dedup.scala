@@ -125,11 +125,15 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Character n-gram (shingle) set of a text column. */
+  /** Character n-gram (shingle) set of a text column. Guarded for short
+    * inputs: Spark's `sequence(1, 0)` counts DOWN, so an unguarded range
+    * would emit index 0 and crash `substr`/`slice`.
+    */
   def charNgrams(text: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-        i => text.substr(i, lit(n))))
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
 
   /** Exact n-gram Jaccard similarity between two token arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -204,11 +208,12 @@ object Dedup {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
-  /** Word n-gram (shingle) array. */
+  /** Word n-gram (shingle) array (same short-input guard as charNgrams). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " ")))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
   }
 }

@@ -73,6 +73,22 @@ object TextAnalysis {
   def rollingTokenHash(text: Column): Column =
     aggregate(Dedup.tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash every k-gram,
+    * keep each sliding window's minimum — a position-robust document
+    * sketch whose overlap estimates shared content even under edits.
+    * Pure higher-order functions: k-gram hashes via chained xxhash64 over
+    * word k-grams, per-window minima via transform+slice, distinct to the
+    * final sketch set.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val grams = Dedup.wordNgrams(text, k) // distinct word k-grams in doc order
+    val hashes = transform(grams, g => xxhash64(g))
+    val nWin = greatest(size(hashes) - (window - 1), lit(1))
+    when(size(hashes) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), nWin),
+        i => array_min(slice(hashes, i, lit(window))))))
+  }
+
   /** Stage bundle: attach all standard text-analysis columns. */
   def analyze(name: String, textCol: String): Stage =
     Stage(StageId(name)) { df =>
