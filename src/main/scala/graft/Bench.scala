@@ -20,8 +20,9 @@ object Bench {
     "qu1_intersect", "qu1_except", "qf1_scalars", "qf2_dates",
     "qt1_tumbling", "qt2_session", "qt3_sliding",
     "ql1_exact_dedup", "ql2_text_stats", "ql3_top_terms",
-    "ql4_cosine_topk", "ql5_token_set_dups", "ql7_token_count",
-    "ql8_quality", "ql9_fingerprint"
+    "ql4_cosine_topk", "ql5_token_set_dups", "ql6_minhash_candidates",
+    "ql7_token_count", "ql8_quality", "ql9_fingerprint",
+    "qx1_asof_join", "qx2_cube", "qx5_grouping_sets"
   )
 
   def main(args: Array[String]): Unit = {

