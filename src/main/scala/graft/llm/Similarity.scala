@@ -102,6 +102,103 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("sim"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained on a
+    * BOUNDED deterministic sample (first `sampleSize` by id — never the
+    * full corpus on the driver), Lloyd iterations in plain Scala, float64.
+    * Assignment/probing run distributed against broadcast centroid
+    * literals through the native cosine expression.
+    *
+    * The IVF contract at 100 TB: corpus is bucketed once (one shuffle /
+    * write), queries probe `nprobe` of `k` buckets — a k/nprobe-fold scan
+    * reduction with recall controlled by nprobe.
+    */
+  final case class IvfIndex(centroids: Seq[Array[Float]]) {
+    def k: Int = centroids.size
+
+    /** Column: index of the nearest centroid (deterministic ties → lower). */
+    def assignment(emb: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(emb, typedlit(c)).as("sim"), lit(-i).as("negidx"))
+      }
+      // greatest(struct) = max by (sim, -idx): ties pick the LOWER index
+      (-greatest(scored: _*).getField("negidx")).cast("int")
+    }
+
+    /** Columns: the `nprobe` nearest centroid ids for a query vector. */
+    def probes(emb: Column, nprobe: Int): Column = {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(emb, typedlit(c)).as("sim"), lit(-i).as("negidx"))
+      }: _*)
+      transform(slice(reverse(array_sort(scored)), lit(1), lit(nprobe)),
+        s => (-s.getField("negidx")).cast("int"))
+    }
+  }
+
+  object IvfIndex {
+    /** Deterministic training: sample = first `sampleSize` rows by id;
+      * init = first k sample vectors; fixed Lloyd iterations, float64.
+      */
+    def train(corpus: DataFrame, idCol: String, k: Int,
+              sampleSize: Int = 2048, iters: Int = 8): IvfIndex = {
+      val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(sample.length >= k, s"need >= $k sample vectors")
+      var cents = sample.take(k).map(_.map(_.toDouble))
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](cents(0).length))
+        val counts = new Array[Int](k)
+        sample.foreach { v =>
+          var best = 0
+          var bestSim = Double.MinValue
+          var i = 0
+          while (i < k) {
+            val s = cosineScalar(v, cents(i))
+            if (s > bestSim) { bestSim = s; best = i }
+            i += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (c, i) =>
+          if (counts(i) == 0) c else sums(i).map(_ / counts(i))
+        }
+      }
+      IvfIndex(cents.map(_.map(_.toFloat)))
+    }
+
+    private def cosineScalar(a: Array[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i).toDouble * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  /** IVF approximate top-k: corpus bucketed by nearest centroid; each query
+    * probes its `nprobe` closest buckets; exact cosine + rank within the
+    * probed subset. Scan cost ≈ (nprobe/k) × brute force.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,
+              topK: Int, nprobe: Int,
+              queryId: String = "query_id", corpusId: String = "neighbor_id"): DataFrame = {
+    val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
+      .withColumn("bucket", index.assignment(col("c_emb")))
+    val q = broadcast(
+      queries.select(col(queryId), col("embedding").as("q_emb"))
+        .withColumn("bucket", explode(index.probes(col("q_emb"), nprobe))))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .dropDuplicates(queryId, corpusId)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(queryId), col("rank"), col(corpusId), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by LSH signature, score
     * only within buckets (+ optional probe), keep pairs ≥ threshold.
     */

@@ -1,0 +1,38 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+  private lazy val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+
+  test("IVF training is deterministic and buckets are non-degenerate") {
+    val i1 = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
+    val i2 = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
+    assert(i1.centroids.zip(i2.centroids).forall { case (a, b) => a.sameElements(b) })
+    val buckets = corpus.select(i1.assignment(col("embedding")).as("b"))
+      .groupBy("b").count().collect()
+    assert(buckets.length >= 4, s"expected spread over buckets, got ${buckets.length}")
+  }
+
+  test("IVF probes scan a fraction of the corpus yet keep useful recall") {
+    val index = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
+    val exact = rowsOf(Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("query_id", "neighbor_id"))
+    val approx = rowsOf(Similarity.ivfTopK(queries, corpus, index, topK = 3, nprobe = 3)
+      .select("query_id", "neighbor_id"))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // random embeddings are the worst case; probing 3/8 buckets must beat
+    // the 3/8 random floor to show the quantizer is informative
+    assert(recall >= 0.375, s"recall $recall at nprobe=3/8")
+    // full probe = exact search (every bucket scanned)
+    val full = rowsOf(Similarity.ivfTopK(queries, corpus, index, topK = 3, nprobe = 8)
+      .select("query_id", "neighbor_id"))
+    assert(full == exact)
+  }
+}
