@@ -473,6 +473,20 @@ object Queries {
     ordered(pipe(t(s, dir, "orders")))
   }
 
+  /** IVF approximate top-k — no SQL oracle (rows-only); full-probe ==
+    * exact is unit-tested (`IvfSpec`).
+    */
+  val qlIvfTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val index = graft.llm.Similarity.IvfIndex.train(emb, "vec_id", k = 8,
+      sampleSize = 256, iters = 4)
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val out = graft.llm.Similarity.ivfTopK(queries, corpus, index, topK = 3, nprobe = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    ordered(out)
+  }
+
   // ------------------------------------------- extended analytics
 
   /** As-of join (backward): for each event, the latest order of the same
@@ -748,6 +762,7 @@ object Queries {
     "ql9_fingerprint" -> qlFingerprint,
     "ql10_langid" -> qlLangId,
     "ql11_ann_topk" -> qlAnnTopK,
+    "ql12_ivf_topk" -> qlIvfTopK,
     "qx1_asof_join" -> qx1AsofJoin,
     "qx2_cube" -> qx2Cube,
     "qx3_lag_lead" -> qx3LagLead,
