@@ -29,6 +29,15 @@ object Queries {
   private def rate(c: String): Column = col(c).cast(DecimalType(4, 2))
   private def bd(s: String): Column = lit(new java.math.BigDecimal(s))
 
+  /** Driver-facing emit for money columns: arithmetic stays DECIMAL-exact,
+    * but the surfaced value is DOUBLE. The driver's DuckDB fetch path
+    * canonicalizes decimals through float64 ("33329.5"), while Spark
+    * decimals print at scale ("33329.50") — same value, different hash.
+    * decimal(≤15 digits, 2)→double is lossless (well under 2^53), and the
+    * oracle SQL applies the same outermost CAST(... AS DOUBLE).
+    */
+  private def emit(c: Column): Column = c.cast("double")
+
   /** Total order over the projected columns, NULLS FIRST (§2.5.3). */
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
@@ -44,7 +53,7 @@ object Queries {
   val qp1Transform: Q = (s, dir) => {
     val pipe = Sequence("qp1")(
       Transform("net")("net" ->
-        round(dec("l_extendedprice") * (lit(1) - rate("l_discount")), 2).cast(DecimalType(12, 2))),
+        emit(round(dec("l_extendedprice") * (lit(1) - rate("l_discount")), 2).cast(DecimalType(12, 2)))),
       Project("proj")(col("l_orderkey"), col("l_linenumber"), col("net"))
     )
     ordered(pipe(t(s, dir, "lineitem")))
@@ -84,7 +93,7 @@ object Queries {
   val qp3EffectMetrics: Q = (s, dir) =>
     t(s, dir, "events").agg(
       count(lit(1)).as("cnt"),
-      round(sum(dec("value")), 2).cast(DecimalType(12, 2)).as("sum_value"))
+      emit(round(sum(dec("value")), 2).cast(DecimalType(12, 2))).as("sum_value"))
 
   /** Q-P4 Mutate — conditional transform via the P4 stage. */
   val qp4Mutate: Q = (s, dir) => {
@@ -92,7 +101,7 @@ object Queries {
       Transform("to_dec")("adj" -> dec("o_totalprice")),
       Mutate("discount_big", col("o_totalprice") > 200000)(
         "adj" -> round(dec("o_totalprice") * bd("0.9"), 2)),
-      Transform("norm")("adj" -> col("adj").cast(DecimalType(12, 2))),
+      Transform("norm")("adj" -> emit(col("adj").cast(DecimalType(12, 2)))),
       Project("proj")(col("o_orderkey"), col("adj"))
     )
     ordered(pipe(t(s, dir, "orders")))
@@ -117,7 +126,7 @@ object Queries {
     val pipe = Sequence("qc1")(
       Where("recent", col("l_shipdate") >= lit("1995-01-01").cast("timestamp")),
       Transform("charge")("chg" ->
-        round(dec("l_extendedprice") * (lit(1) - rate("l_discount")) * (lit(1) + rate("l_tax")), 2).cast(DecimalType(12, 2))),
+        emit(round(dec("l_extendedprice") * (lit(1) - rate("l_discount")) * (lit(1) + rate("l_tax")), 2).cast(DecimalType(12, 2)))),
       Project("proj")(col("l_orderkey"), col("chg"))
     )
     ordered(pipe(t(s, dir, "lineitem")))
@@ -128,7 +137,7 @@ object Queries {
     */
   val qc2Concurrent: Q = (s, dir) => {
     val sumBranch = Stage(StageId("sum_spend")) { df =>
-      df.groupBy(col("o_custkey")).agg(round(sum(dec("o_totalprice")), 2).cast(DecimalType(12, 2)).as("spend"))
+      df.groupBy(col("o_custkey")).agg(emit(round(sum(dec("o_totalprice")), 2).cast(DecimalType(12, 2))).as("spend"))
     }
     val cntBranch = Stage(StageId("count_orders")) { df =>
       df.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
@@ -212,14 +221,14 @@ object Queries {
   private def qc1Stage: Stage = Sequence("qc1")(
     Where("recent", col("l_shipdate") >= lit("1995-01-01").cast("timestamp")),
     Transform("charge")("chg" ->
-      round(dec("l_extendedprice") * (lit(1) - rate("l_discount")) * (lit(1) + rate("l_tax")), 2)
-        .cast(DecimalType(12, 2))),
+      emit(round(dec("l_extendedprice") * (lit(1) - rate("l_discount")) * (lit(1) + rate("l_tax")), 2)
+        .cast(DecimalType(12, 2)))),
     Project("proj")(col("l_orderkey"), col("chg"))
   )
 
   private def qp1Stage: Stage = Sequence("qp1")(
     Transform("net")("net" ->
-      round(dec("l_extendedprice") * (lit(1) - rate("l_discount")), 2).cast(DecimalType(12, 2))),
+      emit(round(dec("l_extendedprice") * (lit(1) - rate("l_discount")), 2).cast(DecimalType(12, 2)))),
     Project("proj")(col("l_orderkey"), col("l_linenumber"), col("net"))
   )
 
@@ -282,8 +291,8 @@ object Queries {
     */
   val qc14WorkerPool: Q = (s, dir) => {
     val sumBranch = Stage(StageId("sum_spend")) { df =>
-      df.groupBy(col("o_custkey")).agg(round(sum(dec("o_totalprice")), 2)
-        .cast(DecimalType(12, 2)).as("spend"))
+      df.groupBy(col("o_custkey")).agg(emit(round(sum(dec("o_totalprice")), 2)
+        .cast(DecimalType(12, 2))).as("spend"))
     }
     val cntBranch = Stage(StageId("count_orders")) { df =>
       df.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
@@ -316,7 +325,7 @@ object Queries {
       Joins.join("x_nation", nation, col("c_nationkey") === nation("n_nationkey"),
         broadcastRight = true),
       Aggs.agg("bal_by_nation", Seq(col("n_name")),
-        Seq(round(sum(dec("c_acctbal")), 2).cast(DecimalType(12, 2)).as("bal")))
+        Seq(emit(round(sum(dec("c_acctbal")), 2).cast(DecimalType(12, 2))).as("bal")))
     )
     ordered(pipe(t(s, dir, "customer")))
   }
@@ -369,10 +378,10 @@ object Queries {
     val pipe = Sequence("qa1")(
       Where("shipped", col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
       Aggs.agg("q1", Seq(col("l_returnflag"), col("l_linestatus")), Seq(
-        round(sum(dec("l_quantity")), 2).cast(DecimalType(12, 2)).as("sum_qty"),
-        round(sum(dec("l_extendedprice")), 2).cast(DecimalType(14, 2)).as("sum_base"),
-        round(sum(dec("l_extendedprice") * (lit(1) - rate("l_discount"))), 2)
-          .cast(DecimalType(14, 2)).as("sum_disc_price"),
+        emit(round(sum(dec("l_quantity")), 2).cast(DecimalType(12, 2))).as("sum_qty"),
+        emit(round(sum(dec("l_extendedprice")), 2).cast(DecimalType(14, 2))).as("sum_base"),
+        emit(round(sum(dec("l_extendedprice") * (lit(1) - rate("l_discount"))), 2)
+          .cast(DecimalType(14, 2))).as("sum_disc_price"),
         count(lit(1)).as("cnt")))
     )
     ordered(pipe(t(s, dir, "lineitem")))
@@ -416,7 +425,7 @@ object Queries {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val pipe = Sequence("qw2")(
       Windows.over("running", spec,
-        "run" -> (w => round(sum(dec("l_extendedprice")).over(w), 2).cast(DecimalType(14, 2)))),
+        "run" -> (w => emit(round(sum(dec("l_extendedprice")).over(w), 2).cast(DecimalType(14, 2))))),
       Project("proj")(col("l_orderkey"), col("l_linenumber"), col("run"))
     )
     ordered(pipe(t(s, dir, "lineitem")))
@@ -568,7 +577,7 @@ object Queries {
     val pipe = graft.streaming.Windowed.tumbling("qt1", col("ts"), "1 hour",
       Seq(col("event_type")),
       Seq(count(lit(1)).as("cnt"),
-        round(sum(dec("value")), 2).cast(DecimalType(12, 2)).as("sv")))
+        emit(round(sum(dec("value")), 2).cast(DecimalType(12, 2))).as("sv")))
     val out = pipe(t(s, dir, "events"))
       .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sv"))
     ordered(out)
@@ -781,7 +790,7 @@ object Oracle {
 
   val all: Map[String, String] = Map(
     "qp1_transform" ->
-      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS DOUBLE) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qp2_apply" ->
       """SELECT event_id, CAST(json_extract(props,'$.k') AS INT) AS k FROM events WHERE json_extract(props,'$.k') IS NOT NULL ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qp2_apply_dead" ->
@@ -789,15 +798,15 @@ object Oracle {
     "qp3_effect" ->
       """SELECT event_id, event_type FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qp3_effect_metrics" ->
-      s"""SELECT COUNT(*) AS cnt, CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS sum_value FROM events""",
+      s"""SELECT COUNT(*) AS cnt, CAST(CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS DOUBLE) AS sum_value FROM events""",
     "qp4_mutate" ->
-      s"""SELECT o_orderkey, CAST(CASE WHEN o_totalprice > 200000 THEN ROUND(CAST(o_totalprice AS $D)*0.9,2) ELSE CAST(o_totalprice AS $D) END AS $D) AS adj FROM orders ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      s"""SELECT o_orderkey, CAST(CAST(CASE WHEN o_totalprice > 200000 THEN ROUND(CAST(o_totalprice AS $D)*0.9,2) ELSE CAST(o_totalprice AS $D) END AS $D) AS DOUBLE) AS adj FROM orders ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qp5_enrich" ->
       """SELECT c.c_custkey, COALESCE(n.n_name,'UNKNOWN') AS nation FROM customer c LEFT JOIN nation n ON c.c_nationkey=n.n_nationkey ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc1_sequence" ->
-      s"""SELECT l_orderkey, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      s"""SELECT l_orderkey, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS DOUBLE) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc2_concurrent" ->
-      s"""SELECT o_custkey, CAST(ROUND(SUM(CAST(o_totalprice AS $D)),2) AS $D) AS spend, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      s"""SELECT o_custkey, CAST(CAST(ROUND(SUM(CAST(o_totalprice AS $D)),2) AS $D) AS DOUBLE) AS spend, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qc3_race" ->
       """SELECT event_id, COALESCE(TRY_CAST(json_extract_string(props,'$.k') AS INT), -1) AS k FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc4_contest" ->
@@ -809,23 +818,23 @@ object Oracle {
     "qc7_fallback" ->
       """SELECT p_partkey, COALESCE(NULLIF(p_brand,''), p_type, 'NA') AS b FROM part ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc8_retry" ->
-      s"""SELECT l_orderkey, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      s"""SELECT l_orderkey, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS DOUBLE) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc9_backoff" ->
-      s"""SELECT l_orderkey, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      s"""SELECT l_orderkey, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))*(1+CAST(l_tax AS $R)),2) AS $D) AS DOUBLE) AS chg FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc10_timeout" ->
-      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS DOUBLE) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qc11_handle" ->
       """SELECT event_id, 'parse_error' AS reason FROM events WHERE json_extract(props,'$.k') IS NULL ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc12_ratelimiter" ->
       """SELECT event_id, event_type FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc13_breaker" ->
-      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS DOUBLE) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qc14_workerpool" ->
-      s"""SELECT o_custkey, CAST(ROUND(SUM(CAST(o_totalprice AS $D)),2) AS $D) AS spend, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      s"""SELECT o_custkey, CAST(CAST(ROUND(SUM(CAST(o_totalprice AS $D)),2) AS $D) AS DOUBLE) AS spend, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qc15_scaffold" ->
-      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS DOUBLE) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qj1_join_broadcast" ->
-      s"""SELECT n.n_name, CAST(ROUND(SUM(CAST(c.c_acctbal AS $D)),2) AS $D) AS bal FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      s"""SELECT n.n_name, CAST(CAST(ROUND(SUM(CAST(c.c_acctbal AS $D)),2) AS $D) AS DOUBLE) AS bal FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qj2_join_3way" ->
       """SELECT c.c_mktsegment, COUNT(*) AS cnt FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey JOIN lineitem l ON o.o_orderkey=l.l_orderkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qj3_semi" ->
@@ -835,7 +844,7 @@ object Oracle {
     "qj4_range_join" ->
       """SELECT p.p_partkey, COUNT(*) AS cnt FROM part p JOIN lineitem l ON l.l_partkey=p.p_partkey AND l.l_quantity > p.p_size GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qa1_grouped_agg" ->
-      s"""SELECT l_returnflag, l_linestatus, CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS sum_qty, CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS sum_base, CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
+      s"""SELECT l_returnflag, l_linestatus, CAST(CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS DOUBLE) AS sum_qty, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_base, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
     "qa2_count_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n FROM orders""",
     "qa3_rollup" ->
@@ -843,7 +852,7 @@ object Oracle {
     "qw1_rank_window" ->
       """SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qw2_running_sum" ->
-      s"""SELECT l_orderkey, l_linenumber, CAST(ROUND(SUM(CAST(l_extendedprice AS $D)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DECIMAL(14,2)) AS run FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DECIMAL(14,2)) AS DOUBLE) AS run FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qs1_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "qu1_intersect" ->
@@ -855,7 +864,7 @@ object Oracle {
     "qf2_dates" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qt1_tumbling" ->
-      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt, CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS sv FROM events GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt, CAST(CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS DOUBLE) AS sv FROM events GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     "qt2_session" ->
       """WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) SELECT user_id, epoch_ns(MIN(ts))//1000000 AS session_start_ms, COUNT(*) AS cnt FROM s GROUP BY user_id, sid ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qt3_sliding" ->

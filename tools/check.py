@@ -40,14 +40,12 @@ def canon_cell(x):
         return str(x)
     import decimal
     if isinstance(x, decimal.Decimal):
-        return f"{x:.2f}"
+        # native scale, no rewriting: a Spark DECIMAL(12,2) must differ
+        # from a float64 oracle value so the gate predicts the driver
+        return str(x)
     if isinstance(x, (np.floating, float)):
-        # §2.5: money is rounded to 2 digits on both sides; format with
-        # exactly 2 fraction digits when the value is a 2-decimal quantity
-        v = float(x)
-        if abs(round(v, 2) - v) < 1e-9:
-            return f"{v:.2f}"
-        return f"{v:.6f}".rstrip("0")
+        # shortest round-trip repr, same as the driver's float64 path
+        return repr(float(x))
     if isinstance(x, (np.integer, int)):
         return str(int(x))
     if isinstance(x, (list, tuple)) or type(x).__name__ == "ndarray":
