@@ -866,7 +866,7 @@ object Oracle {
     "qt1_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt, CAST(CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS DOUBLE) AS sv FROM events GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     "qt2_session" ->
-      """WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) SELECT user_id, epoch_ns(MIN(ts))//1000000 AS session_start_ms, COUNT(*) AS cnt FROM s GROUP BY user_id, sid ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      """WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) SELECT user_id, epoch_ns(MIN(ts))//1000000 AS session_start_ms, COUNT(*) AS cnt FROM s GROUP BY user_id, sid ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qt3_sliding" ->
       """WITH g AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b, event_type FROM events) SELECT w, event_type, COUNT(*) AS cnt FROM (SELECT b AS w, event_type FROM g UNION ALL SELECT b - INTERVAL 30 MINUTE AS w, event_type FROM g) GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql1_exact_dedup" ->

@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   */
 final case class Sequence(id: StageId, stages: Seq[Stage]) extends Stage {
   def apply(df: DataFrame): DataFrame = {
-    val out = stages.foldLeft(df)((d, s) => s(d))
+    val out =
+      try stages.foldLeft(df)((d, s) => s(d))
+      catch {
+        case t: Throwable =>
+          SignalBus.global.emit(Signals.SequenceFailed, id, "error" -> String.valueOf(t.getMessage))
+          throw t
+      }
     SignalBus.global.emit(Signals.SequenceCompleted, id, "steps" -> stages.size.toString)
     ErrorChannel.prependPath(out, id)
   }
@@ -60,7 +66,14 @@ object Sequence {
   * allowMissingColumns).
   */
 final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
-  def apply(df: DataFrame): DataFrame = stage match {
+  // Signals fire at stage-application granularity (the plan is built once
+  // for N rows; per-row counts belong to an Effect observer).
+  def apply(df: DataFrame): DataFrame = {
+    SignalBus.global.emit(Signals.FilterPassed, id, "through" -> stage.id.name)
+    applyRouted(df)
+  }
+
+  private def applyRouted(df: DataFrame): DataFrame = stage match {
     // Single-pass fast path: a pure projection route compiles to
     // `when(cond, expr)` per column — ONE scan instead of two (the
     // split-union form re-reads the source per branch, which at 100 TB
@@ -98,7 +111,13 @@ object Filter {
   */
 final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) extends Stage {
   def apply(df: DataFrame): DataFrame = {
-    if (routes.isEmpty) return df
+    if (routes.isEmpty) {
+      // no routes at all: everything is a passthrough (switch.go:104-107)
+      SignalBus.global.emit(Signals.SwitchNoRoute, id)
+      return df
+    }
+    SignalBus.global.emit(Signals.SwitchRouted, id,
+      "routes" -> routes.map(_._1).mkString(","))
     val out =
       if (routes.forall(_._2.isInstanceOf[graft.stages.Transform]))
         singlePass(df) // one scan: routes compile to a CASE WHEN chain
@@ -159,6 +178,9 @@ final case class Fallback(
     alternatives: Seq[Column]
 ) extends Stage {
   def apply(df: DataFrame): DataFrame = {
+    if (alternatives.size > 1)
+      SignalBus.global.emit(Signals.FallbackTriggered, id,
+        "alternatives" -> alternatives.size.toString)
     val value = coalesce(alternatives: _*)
     val base = if (ErrorChannel.hasChannel(df)) ErrorChannel.onGood(df)(out, value)
                else df.withColumn(out, value)

@@ -39,6 +39,19 @@ object Fanout {
     * branches must be able to spill, `SURVEY.md §7.4.6`).
     */
   def share(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Tracks a stage's persisted fan-out inputs so `close()` can release
+    * them — without this, long-lived drivers accumulate cached inputs
+    * across applications (round-1 defect #7).
+    */
+  final class Tracker {
+    private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    def share(df: DataFrame): DataFrame = { val p = Fanout.share(df); persisted.add(p); p }
+    def release(): Unit = {
+      var d = persisted.poll()
+      while (d != null) { d.unpersist(blocking = false); d = persisted.poll() }
+    }
+  }
 }
 
 /** C2 Concurrent — run all branch stages against (a shared persist of) the
@@ -59,9 +72,13 @@ final case class Concurrent(
     reducer: Option[(DataFrame, Seq[DataFrame]) => DataFrame] = None,
     persistInput: Boolean = true
 ) extends Stage {
+  private val sharedInputs = new Fanout.Tracker
+
   def apply(df: DataFrame): DataFrame = {
     if (branches.isEmpty) return df // concurrent.go:137-139
-    val shared = if (persistInput) Fanout.share(df) else df
+    // lazy composition: the persist is consumed at the caller's action, so
+    // its release ties to close(), not to this call
+    val shared = if (persistInput) sharedInputs.share(df) else df
     val outs = branches.map(_(shared))
     SignalBus.global.emit(Signals.ConcurrentCompleted, id, "branches" -> branches.size.toString)
     reducer match {
@@ -80,11 +97,15 @@ final case class Concurrent(
     try {
       val fs = branches.map(b => Future(action(b(shared)))(ec))
       fs.map(f => Try(Await.result(f, Duration.Inf)))
-    } finally ec.shutdown()
+    } finally {
+      ec.shutdown()
+      // all branch actions completed — the shared cache has served its purpose
+      if (persistInput) shared.unpersist(blocking = false)
+    }
   }
 
   override def plan: PlanNode = PlanNode("Concurrent", id, branches.map(_.plan))
-  override def close(): Unit = branches.foreach(_.close())
+  override def close(): Unit = { sharedInputs.release(); branches.foreach(_.close()) }
 }
 
 object Concurrent {
@@ -134,6 +155,7 @@ final case class Race(id: StageId, branches: Seq[Stage]) extends Stage {
               // cancel the stragglers (race.go:120-123)
               branches.indices.filter(_ != i).foreach { j =>
                 sc.cancelJobGroup(s"${id.name}-branch-$j")
+                SignalBus.global.emit(Signals.RaceLost, id, "loser" -> branches(j).id.name)
               }
             } else out.unpersist(blocking = false)
           } catch {
@@ -145,7 +167,10 @@ final case class Race(id: StageId, branches: Seq[Stage]) extends Stage {
           } finally sc.clearJobGroup()
         }(ec)
       }
-      Await.result(done.future, Duration.Inf)._2
+      val winner = Await.result(done.future, Duration.Inf)._2
+      // winner is materialized in its own cache; the shared input is spent
+      shared.unpersist(blocking = false)
+      winner
     } finally ec.shutdown()
   }
 
@@ -196,18 +221,24 @@ final case class Contest(
               } else out.unpersist(blocking = false)
             case Success((out, false)) =>
               out.unpersist(blocking = false)
-              if (settled.incrementAndGet() == branches.size)
+              if (settled.incrementAndGet() == branches.size) {
+                SignalBus.global.emit(Signals.ContestNoWinner, id)
                 done.tryFailure(new RuntimeException(
                   s"contest ${id.name}: no branch met the condition")) // contest.go:174-189
+              }
             case Failure(t) =>
-              if (settled.incrementAndGet() == branches.size)
+              if (settled.incrementAndGet() == branches.size) {
+                SignalBus.global.emit(Signals.ContestNoWinner, id)
                 done.tryFailure(new RuntimeException(
                   s"contest ${id.name}: no branch met the condition", t))
+              }
           }
           sc.clearJobGroup()
         }(ec)
       }
-      Await.result(done.future, Duration.Inf)._2
+      val winner = Await.result(done.future, Duration.Inf)._2
+      shared.unpersist(blocking = false)
+      winner
     } finally ec.shutdown()
   }
 
@@ -225,11 +256,18 @@ object Contest {
   * wins (`workerpool.go:178-188`); returns original input.
   */
 final case class WorkerPool(id: StageId, workers: Int, branches: Seq[Stage]) extends Stage {
+  private val sharedInputs = new Fanout.Tracker
+
   def apply(df: DataFrame): DataFrame = df
 
   def run(df: DataFrame, action: DataFrame => Unit = _.foreach(_ => ())): DataFrame = {
     if (branches.isEmpty) return df
-    val shared = Fanout.share(df)
+    if (branches.size > workers)
+      SignalBus.global.emit(Signals.WorkerPoolSaturated, id,
+        "workers" -> workers.toString, "queued" -> (branches.size - workers).toString)
+    // callers keep composing on the returned shared frame (the Q-C14
+    // shape), so the persist is released at close(), not here
+    val shared = sharedInputs.share(df)
     val ec = Fanout.pool(workers) // fixed pool of `workers` == semaphore
     try {
       val fs = branches.map(b => Future(action(b(shared)))(ec))
@@ -240,7 +278,7 @@ final case class WorkerPool(id: StageId, workers: Int, branches: Seq[Stage]) ext
   }
 
   override def plan: PlanNode = PlanNode("WorkerPool", id, branches.map(_.plan))
-  override def close(): Unit = branches.foreach(_.close())
+  override def close(): Unit = { sharedInputs.release(); branches.foreach(_.close()) }
 }
 
 object WorkerPool {
@@ -254,12 +292,15 @@ object WorkerPool {
   */
 final case class Scaffold(id: StageId, branches: Seq[Stage]) extends Stage {
   @volatile private var inflight: Seq[Future[Unit]] = Nil
+  private val sharedInputs = new Fanout.Tracker
 
   def apply(df: DataFrame): DataFrame = df
 
   def run(df: DataFrame, action: DataFrame => Unit = _.foreach(_ => ())): DataFrame = {
     if (branches.isEmpty) return df
-    val shared = Fanout.share(df)
+    // detached branches may still be running when run() returns, so the
+    // persist can only be released at close()
+    val shared = sharedInputs.share(df)
     val ec = Fanout.pool(branches.size)
     inflight = branches.map { b =>
       SignalBus.global.emit(Signals.ScaffoldLaunched, id, "branch" -> b.id.name)
@@ -276,7 +317,7 @@ final case class Scaffold(id: StageId, branches: Seq[Stage]) extends Stage {
     inflight.foreach(f => Try(Await.ready(f, timeout)))
 
   override def plan: PlanNode = PlanNode("Scaffold", id, branches.map(_.plan))
-  override def close(): Unit = branches.foreach(_.close())
+  override def close(): Unit = { sharedInputs.release(); branches.foreach(_.close()) }
 }
 
 object Scaffold {

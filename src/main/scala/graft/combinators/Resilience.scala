@@ -120,6 +120,33 @@ final case class Timeout(id: StageId, limit: FiniteDuration) {
       }
     } finally ec.shutdown()
   }
+
+  /** Row-tier analog of `Error{Timeout: true}` (`error.go:18-26`): run
+    * `body`'s plan under the deadline; on expiry the *input* rows come back
+    * as dead letters flagged `timeout = true` (triage via
+    * `ErrorChannel.isTimeout`) instead of the job failing. The job-cancel
+    * path sets `canceled = true` the same way when the body is interrupted
+    * by an external job-group cancel.
+    */
+  def runOrDeadLetters(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    try {
+      val out = body(df)
+      run(spark) {
+        out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        out
+      }
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        ErrorChannel.markWhere(ErrorChannel.ensure(df), id, org.apache.spark.sql.functions.lit(true),
+          org.apache.spark.sql.functions.lit(s"exceeded ${limit.toMillis}ms deadline"),
+          timeout = true)
+      case e: org.apache.spark.SparkException if e.getMessage != null && e.getMessage.contains("cancelled") =>
+        ErrorChannel.markWhere(ErrorChannel.ensure(df), id, org.apache.spark.sql.functions.lit(true),
+          org.apache.spark.sql.functions.lit("job canceled"),
+          canceled = true)
+    }
+  }
 }
 
 object Timeout {
@@ -142,6 +169,29 @@ final case class Handle(id: StageId, stage: Stage, handler: Stage) extends Stage
     val out = stage(df)
     SignalBus.global.emit(Signals.HandleError, id)
     handler(ErrorChannel.dead(out))
+  }
+
+  /** The reference's full contract in one call (`handle.go:96,117`):
+    * process, run the handler's action over any dead letters, then
+    * re-raise the original failure — the caller sees healthy rows on
+    * success and a thrown error (with the first dead letter's path/msg)
+    * after the handler has observed the failures.
+    */
+  def runThenRaise(df: DataFrame,
+                   handlerAction: DataFrame => Unit = _.foreach(_ => ())): DataFrame = {
+    val out = ErrorChannel.prependPath(stage(df), id)
+    val dead = ErrorChannel.dead(out)
+    val first = dead.select(
+      org.apache.spark.sql.functions.col(s"${ErrorChannel.ColName}.path"),
+      org.apache.spark.sql.functions.col(s"${ErrorChannel.ColName}.msg")).head(1)
+    first.headOption.foreach { row =>
+      SignalBus.global.emit(Signals.HandleError, id)
+      handlerAction(handler(dead)) // handler first (handle.go:96)
+      val path = row.getSeq[String](0).mkString(" -> ")
+      throw new RuntimeException(
+        s"${id.name} -> $path failed: ${String.valueOf(row.getString(1))}") // then re-raise (handle.go:117)
+    }
+    ErrorChannel.good(out)
   }
 
   override def plan: PlanNode =
@@ -193,12 +243,18 @@ final class RateLimiter(
         SignalBus.global.emit(Signals.RateLimitDrop, id)
         throw new RuntimeException(s"${id.name}: rate limit exceeded (drop mode)") // ratelimiter.go:243-261
       case RateLimiter.Wait =>
-        val needed = 1.0 - tokens
-        val waitMs = math.ceil(needed / ratePerSec * 1000).toLong // ratelimiter.go:147-160
-        SignalBus.global.emit(Signals.RateLimitWait, id, "waitMs" -> waitMs.toString)
-        clock.sleep(waitMs)
-        refill()
-        tokens = math.max(0.0, tokens - 1.0)
+        // loop until a full token is actually available: a single
+        // sleep-then-clamp would grant the permit even when the refill
+        // under-delivered (clock jitter / thread contention), letting
+        // sustained throughput exceed ratePerSec
+        while (tokens < 1.0) {
+          val needed = 1.0 - tokens
+          val waitMs = math.max(1L, math.ceil(needed / ratePerSec * 1000).toLong) // ratelimiter.go:147-160
+          SignalBus.global.emit(Signals.RateLimitWait, id, "waitMs" -> waitMs.toString)
+          clock.sleep(waitMs)
+          refill()
+        }
+        tokens -= 1.0
     }
   }
 

@@ -29,7 +29,9 @@ object ErrorChannel {
   val errType: StructType = StructType(Seq(
     StructField("path", ArrayType(StringType, containsNull = false)),
     StructField("msg", StringType),
-    StructField("ts", TimestampType)
+    StructField("ts", TimestampType),
+    StructField("timeout", BooleanType),
+    StructField("canceled", BooleanType)
   ))
 
   def hasChannel(df: DataFrame): Boolean = df.columns.contains(ColName)
@@ -39,23 +41,37 @@ object ErrorChannel {
     if (hasChannel(df)) df
     else df.withColumn(ColName, lit(null).cast(errType))
 
-  /** Expression constructing an error value for the current row. */
-  def errValue(stage: StageId, msg: Column): Column =
+  /** Expression constructing an error value for the current row. The
+    * timeout/canceled flags mirror the reference `Error[T]` fields
+    * (`error.go:18-26`, accessors `error.go:68-84`) so dead-letter triage
+    * can separate deadline/cancellation from data failures.
+    */
+  def errValue(stage: StageId, msg: Column,
+               timeout: Boolean = false, canceled: Boolean = false): Column =
     struct(
       array(lit(stage.name)).as("path"),
       msg.as("msg"),
-      current_timestamp().as("ts")
+      current_timestamp().as("ts"),
+      lit(timeout).as("timeout"),
+      lit(canceled).as("canceled")
     ).cast(errType)
 
   /** Mark rows matching `cond` (and not already dead) as errored. */
-  def markWhere(df: DataFrame, stage: StageId, cond: Column, msg: Column): DataFrame = {
+  def markWhere(df: DataFrame, stage: StageId, cond: Column, msg: Column,
+                timeout: Boolean = false, canceled: Boolean = false): DataFrame = {
     val withErr = ensure(df)
     withErr.withColumn(
       ColName,
-      when(col(ColName).isNull && cond, errValue(stage, msg))
+      when(col(ColName).isNull && cond, errValue(stage, msg, timeout, canceled))
         .otherwise(col(ColName))
     )
   }
+
+  /** IsTimeout/IsCanceled accessors (`error.go:68-84`): null-safe — healthy
+    * rows read false.
+    */
+  def isTimeout: Column = coalesce(col(s"$ColName.timeout"), lit(false))
+  def isCanceled: Column = coalesce(col(s"$ColName.canceled"), lit(false))
 
   /** Prepend a combinator's name onto the path of already-errored rows —
     * the reference's path-prepend (`sequence.go:146-150`).
@@ -69,7 +85,9 @@ object ErrorChannel {
         struct(
           concat(array(lit(outer.name)), col(s"$ColName.path")).as("path"),
           col(s"$ColName.msg").as("msg"),
-          col(s"$ColName.ts").as("ts")
+          col(s"$ColName.ts").as("ts"),
+          col(s"$ColName.timeout").as("timeout"),
+          col(s"$ColName.canceled").as("canceled")
         ).cast(errType)
       ).otherwise(col(ColName))
     )

@@ -48,15 +48,24 @@ object Signals {
   val PipelineFailed = "pipeline.failed"
 }
 
-final class SignalBus {
+/** @param logCapacity bound on the recorded-signal ring: long-running /
+  *                    streaming pipelines emit without end, so the log keeps
+  *                    only the most recent `logCapacity` signals (O(1) per
+  *                    emit; oldest dropped). Listeners always see every
+  *                    signal regardless of the ring.
+  */
+final class SignalBus(logCapacity: Int = 4096) {
   private val listeners = new CopyOnWriteArrayList[Signal => Unit]()
-  private val log = new CopyOnWriteArrayList[Signal]()
+  private val log = new java.util.ArrayDeque[Signal]()
   @volatile var recording: Boolean = true
 
   def subscribe(f: Signal => Unit): Unit = listeners.add(f)
 
   def emit(sig: Signal): Unit = {
-    if (recording) log.add(sig)
+    if (recording) log.synchronized {
+      if (log.size >= logCapacity) log.pollFirst()
+      log.addLast(sig)
+    }
     listeners.asScala.foreach { l =>
       try l(sig)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -66,9 +75,9 @@ final class SignalBus {
   def emit(name: String, stage: StageId, fields: (String, String)*): Unit =
     emit(Signal(name, stage, fields.toMap))
 
-  def emitted: Seq[Signal] = log.asScala.toSeq
+  def emitted: Seq[Signal] = log.synchronized(log.asScala.toVector)
   def emitted(name: String): Seq[Signal] = emitted.filter(_.name == name)
-  def clear(): Unit = log.clear()
+  def clear(): Unit = log.synchronized(log.clear())
 }
 
 object SignalBus {

@@ -170,42 +170,63 @@ object Dedup {
 
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
     * assign every doc the minimum id reachable through the pair graph
-    * (connected components by iterative label propagation) — the survivor
-    * selection step a real dedup pipeline needs after candidate
-    * generation.
+    * (connected components) — the survivor selection step a real dedup
+    * pipeline needs after candidate generation.
     *
-    * Each iteration is one join + one min-agg (both shuffles on doc id);
-    * labels converge in O(diameter) iterations — near-dup graphs are
-    * star-shaped in practice, so `maxIters` ~8 covers 2^8-long chains
-    * (label propagation halves path lengths each round). Returns
-    * (id, cluster) for every id appearing in `pairs`.
+    * Each iteration combines edge propagation (my label = min of my and my
+    * neighbors' labels) with POINTER JUMPING (then follow my label's label),
+    * so chain depth halves per round and convergence is O(log diameter):
+    * the default 16 iterations cover any graph a 2^16-deep chain could
+    * produce. The superseded label generation is unpersisted each round and
+    * lineage is cut by localCheckpoint every few rounds (without it the
+    * plan doubles per iteration). Throws if `maxIters` is hit before the
+    * fixpoint — silently returning split clusters would keep extra
+    * "survivors" with no warning.
+    *
+    * Returns (id, cluster) for every id appearing in `pairs`.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 8): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected edge list, both directions
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("cluster"))
       .select(col("id"), least(col("cluster"), col("id")).as("cluster"))
+      .persist(lvl)
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      // each iteration: my new label = min(my label, labels of my neighbors)
+      // (1) edge propagation: min over my own and my neighbors' labels
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "ncluster"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncluster")).as("ncluster"))
-      val next = labels.join(neighborLabels, Seq("id"), "left")
+      val propagated = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (2) pointer jumping: follow my label's own label (join labels
+      // against labels) — this is what turns O(diameter) into O(log)
+      val parents = propagated.select(col("id").as("p_id"), col("cluster").as("p_cluster"))
+      val jumped = propagated.join(parents, propagated("cluster") === parents("p_id"), "left")
+        .select(propagated("id"),
+          least(propagated("cluster"), coalesce(col("p_cluster"), propagated("cluster"))).as("cluster"))
+      // cut lineage every 4 rounds; persist otherwise
+      val next =
+        if (i % 4 == 3) jumped.localCheckpoint(true)
+        else jumped.persist(lvl)
       // fixpoint check: one action per iteration (count of changed labels)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist(blocking = false) // release the superseded generation
       labels = next
       converged = changed == 0
       i += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: no fixpoint after $maxIters iterations " +
+          s"(graph diameter > 2^$maxIters is implausible; check the pair input)")
     labels
   }
 

@@ -115,19 +115,29 @@ object Similarity {
   final case class IvfIndex(centroids: Seq[Array[Float]]) {
     def k: Int = centroids.size
 
+    /** Centroid similarity, NaN-proofed: a zero-norm (degenerate) vector
+      * yields NaN, and NaN sorts ABOVE every real value in Spark — it would
+      * silently win every bucket. nanvl ranks it below all real
+      * similarities instead.
+      */
+    private def sim(emb: Column, c: Array[Float]): Column =
+      nanvl(cosine(emb, typedlit(c)), lit(-2.0))
+
     /** Column: index of the nearest centroid (deterministic ties → lower). */
-    def assignment(emb: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(cosine(emb, typedlit(c)).as("sim"), lit(-i).as("negidx"))
+    def assignment(emb: Column): Column =
+      if (k == 1) lit(0) // greatest() requires >= 2 args
+      else {
+        val scored = centroids.zipWithIndex.map { case (c, i) =>
+          struct(sim(emb, c).as("sim"), lit(-i).as("negidx"))
+        }
+        // greatest(struct) = max by (sim, -idx): ties pick the LOWER index
+        (-greatest(scored: _*).getField("negidx")).cast("int")
       }
-      // greatest(struct) = max by (sim, -idx): ties pick the LOWER index
-      (-greatest(scored: _*).getField("negidx")).cast("int")
-    }
 
     /** Columns: the `nprobe` nearest centroid ids for a query vector. */
     def probes(emb: Column, nprobe: Int): Column = {
       val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(cosine(emb, typedlit(c)).as("sim"), lit(-i).as("negidx"))
+        struct(sim(emb, c).as("sim"), lit(-i).as("negidx"))
       }: _*)
       transform(slice(reverse(array_sort(scored)), lit(1), lit(nprobe)),
         s => (-s.getField("negidx")).cast("int"))

@@ -90,14 +90,73 @@ object Multimodal {
     }
   }
 
-  /** Byte-aware repartitioning: target ~`targetBytesPerTask` per partition
-    * using the binary column's length (media rows are wildly skewed; row
-    * count is the wrong unit at 100 TB).
+  /** Byte-aware repartitioning: pack rows into partitions of
+    * ~`targetBytesPerTask` bytes using the binary column's length (media
+    * rows are wildly skewed; row count is the wrong unit at 100 TB).
+    *
+    * `repartition(n)` deals rows round-robin by COUNT, so a partition
+    * holding one 2 GB video plus its share of small rows blows any byte
+    * target. Instead:
+    *  - rows ≥ target get a partition EACH (they cannot be split);
+    *  - smaller rows are packed by global cumulative byte offset, so every
+    *    small partition holds < target + one row < 2× target bytes.
+    *
+    * Cost: one lightweight stats pass (per-input-partition byte subtotals,
+    * one tiny row per partition to the driver) + the placement shuffle —
+    * same two passes as a count-based repartition, no global sort, no
+    * driver materialization of data. This is the rare genuinely
+    * imperative-per-partition case where the RDD API is the right tool
+    * (an exact partition index cannot be expressed as a hash/range key).
     */
   def repartitionByBytes(df: DataFrame, bytesCol: String, targetBytesPerTask: Long): DataFrame = {
-    val totalBytes = df.agg(sum(length(col(bytesCol)).cast("long"))).head().getLong(0)
-    val parts = math.max(1, (totalBytes / math.max(1L, targetBytesPerTask)).toInt)
-    df.repartition(parts)
+    val target = math.max(1L, targetBytesPerTask)
+    val spark = df.sparkSession
+    val sized = df.withColumn("_sz", coalesce(length(col(bytesCol)).cast("long"), lit(0L)))
+    val szIdx = sized.schema.fieldIndex("_sz")
+
+    // stats pass: per input partition, bytes held in small rows + count of
+    // oversized rows (driver receives one tuple per partition)
+    val stats = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var smallBytes = 0L
+      var bigCount = 0L
+      it.foreach { r =>
+        val sz = r.getLong(szIdx)
+        if (sz >= target) bigCount += 1 else smallBytes += sz
+      }
+      Iterator((pid, smallBytes, bigCount))
+    }.collect().sortBy(_._1)
+
+    val totalSmall = stats.map(_._2).sum
+    val totalBig = stats.map(_._3).sum
+    val smallParts = math.max(1, math.ceil(totalSmall.toDouble / target).toInt)
+    val numParts = smallParts + totalBig.toInt
+    // prefix offsets so each input partition knows its global starting
+    // position among small bytes / big rows
+    val smallOffset = stats.map(_._2).scanLeft(0L)(_ + _)
+    val bigOffset = stats.map(_._3).scanLeft(0L)(_ + _)
+
+    val keyed = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var smallSeen = smallOffset(pid)
+      var bigSeen = bigOffset(pid)
+      it.map { r =>
+        val sz = r.getLong(szIdx)
+        val part =
+          if (sz >= target) { val p = smallParts + bigSeen.toInt; bigSeen += 1; p }
+          else {
+            val p = math.min(smallParts - 1L, smallSeen / target).toInt
+            smallSeen += sz
+            p
+          }
+        (part, r)
+      }
+    }
+    val parted = keyed
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(parted, sized.schema).drop("_sz")
   }
 
   /** Frame sampling stage (video): every `stride`-th frame index up to

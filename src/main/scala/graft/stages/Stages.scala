@@ -84,19 +84,28 @@ object Apply {
   * extra pass over the data, plan unchanged.
   */
 final class Effect(val id: StageId, aggs: Seq[Column]) extends Stage {
-  val observation = new Observation(id.name)
-  private var attached = false
+  // Observation is single-use per plan, so each application gets a fresh
+  // uniquely-named one — a reused Effect stage observes every frame, not
+  // just the first (silently skipping later frames was round-1 defect #4).
+  private val applications = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var current: Observation = _
+
   def apply(df: DataFrame): DataFrame =
     if (aggs.isEmpty) df
-    else synchronized {
-      // Observation is single-use; re-applying the stage re-uses the first
-      // attachment (reference effects are create-once too).
-      if (attached) df
-      else { attached = true; df.observe(observation, aggs.head, aggs.tail: _*) }
+    else {
+      val obs = new Observation(s"${id.name}#${applications.incrementAndGet()}")
+      current = obs
+      df.observe(obs, aggs.head, aggs.tail: _*)
     }
 
-  /** Blocking read of the observed metrics (valid after an action). */
-  def metrics: Map[String, Any] = observation.get
+  /** Blocking read of the most recent application's metrics (valid after
+    * its action ran).
+    */
+  def metrics: Map[String, Any] = {
+    val obs = current
+    require(obs != null, s"${id.name}: Effect not applied yet")
+    obs.get
+  }
 }
 
 object Effect {

@@ -69,6 +69,54 @@ class ResilienceSpec extends SparkSpec {
     assert(rl.availableTokens < 1.0)
   }
 
+  test("RateLimiter wait mode never grants a permit without a full token") {
+    // an under-delivering refill (clock jitter analog) must loop, not clamp:
+    // N acquires on an empty bucket advance the fake clock by >= N/rate
+    val clock = new Clock.Fake
+    val rl = RateLimiter("rl2", ratePerSec = 10, burst = 1, RateLimiter.Wait, clock)
+    val t0 = clock.milliTime()
+    (1 to 5).foreach(_ => rl.acquire())
+    // 5 permits at 10/sec from a 1-token bucket: >= 400ms of waiting
+    assert(clock.milliTime() - t0 >= 400)
+    assert(rl.availableTokens < 1.0)
+  }
+
+  test("Timeout.runOrDeadLetters flags timed-out input as timeout dead letters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val out = Timeout("slowjob", 200.millis).runOrDeadLetters(df) { d =>
+      // stall inside the task so the deadline fires during the action
+      d.as[(Int, String)].mapPartitions { it => Thread.sleep(5000); it }.toDF("id", "v")
+    }
+    assert(ErrorChannel.dead(out).count() == 2)
+    assert(out.filter(ErrorChannel.isTimeout).count() == 2)
+    assert(out.filter(ErrorChannel.isCanceled).count() == 0)
+    // fast bodies pass through untouched
+    val ok = Timeout("fastjob", 30.seconds).runOrDeadLetters(df)(d => d)
+    assert(ErrorChannel.dead(ok).count() == 0)
+    assert(ok.count() == 2)
+  }
+
+  test("Handle.runThenRaise runs the handler then re-raises (handle.go:96,117)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1, "ok"), (2, ""), (3, "ok")).toDF("id", "v")
+    val failing = graft.stages.Apply("nonempty",
+      errWhen = col("v") === "", msg = "empty v")("u" -> upper(col("v")))
+    val handler = graft.stages.Project("keep")(col("id"))
+    var handledRows = -1L
+    val h = Handle("h", failing, handler)
+    val e = intercept[RuntimeException] {
+      h.runThenRaise(df, d => handledRows = d.count())
+    }
+    assert(e.getMessage.contains("empty v")) // original error re-raised
+    assert(handledRows == 1L)                // handler ran first
+    // clean inputs come back healthy, no raise
+    val clean = Seq((1, "ok")).toDF("id", "v")
+    assert(h.runThenRaise(clean, _ => ()).count() == 1)
+  }
+
   test("CircuitBreaker FSM: opens after threshold, half-opens after reset, closes on success") {
     val clock = new Clock.Fake
     val cb = CircuitBreaker("cb", failureThreshold = 2, resetTimeout = 1.second,

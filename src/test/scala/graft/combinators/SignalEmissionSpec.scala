@@ -1,0 +1,89 @@
+package graft.combinators
+
+import graft.SparkSpec
+import graft.core._
+import graft.stages.Transform
+import org.apache.spark.sql.functions._
+
+/** Round-2 signal parity: every declared signal name must actually be
+  * emitted at its matching transition (`signals.go:7-137`). Signals fire at
+  * stage-application granularity (the plan is built once for N rows).
+  */
+class SignalEmissionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+
+  private def emittedNames(body: => Unit): Set[String] = {
+    SignalBus.global.clear()
+    body
+    SignalBus.global.emitted.map(_.name).toSet
+  }
+
+  test("Switch emits routed / no-route") {
+    val names = emittedNames {
+      Switch("sw", col("v"))("a" -> Transform("ra")("r" -> lit("A")))(df)
+      Switch("sw0", col("v"))()(df)
+    }
+    assert(names.contains(Signals.SwitchRouted))
+    assert(names.contains(Signals.SwitchNoRoute))
+  }
+
+  test("Filter emits filter.passed") {
+    val names = emittedNames {
+      Filter("f", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
+    }
+    assert(names.contains(Signals.FilterPassed))
+  }
+
+  test("Fallback emits fallback.triggered when alternatives exist") {
+    val names = emittedNames {
+      Fallback("fb", "out")(when(col("id") > 1, col("v")), lit("dflt"))(df)
+    }
+    assert(names.contains(Signals.FallbackTriggered))
+  }
+
+  test("Sequence emits sequence.failed when a stage throws") {
+    val boom = Stage(StageId("boom"))(_ => throw new RuntimeException("kaboom"))
+    val names = emittedNames {
+      intercept[RuntimeException](Sequence("seq")(boom)(df))
+    }
+    assert(names.contains(Signals.SequenceFailed))
+  }
+
+  test("Race emits race.lost for cancelled stragglers") {
+    val fast = Stage(StageId("fast"))(d => d)
+    val slow = Stage(StageId("slow"))(d => { Thread.sleep(2000); d })
+    val names = emittedNames {
+      Race("race2")(fast, slow).run(df)
+    }
+    assert(names.contains(Signals.RaceWinner))
+    assert(names.contains(Signals.RaceLost))
+  }
+
+  test("Contest emits contest.no_winner when nothing qualifies") {
+    val b = Stage(StageId("b"))(d => d)
+    val names = emittedNames {
+      intercept[RuntimeException](Contest("c", _ => false)(b).run(df))
+    }
+    assert(names.contains(Signals.ContestNoWinner))
+  }
+
+  test("WorkerPool emits workerpool.saturated when branches exceed workers") {
+    val b1 = Stage(StageId("b1"))(d => d)
+    val b2 = Stage(StageId("b2"))(d => d)
+    val b3 = Stage(StageId("b3"))(d => d)
+    val wp = WorkerPool("wp", workers = 2)(b1, b2, b3)
+    val names = emittedNames { wp.run(df, _.count(): Unit) }
+    assert(names.contains(Signals.WorkerPoolSaturated))
+    wp.close() // releases the tracked shared persist
+  }
+
+  test("SignalBus ring drops oldest beyond capacity (no unbounded growth)") {
+    val bus = new SignalBus(logCapacity = 8)
+    (1 to 20).foreach(i => bus.emit(s"sig$i", StageId("s")))
+    val names = bus.emitted.map(_.name)
+    assert(names.size == 8)
+    assert(names.head == "sig13" && names.last == "sig20")
+  }
+}

@@ -37,4 +37,26 @@ class ErrorChannelSpec extends SparkSpec {
     val vals = t.orderBy("id").select("v").as[String].collect().toSeq
     assert(vals == Seq("A", "", "C")) // row 2 untouched
   }
+
+  test("timeout/canceled flags ride the error struct (error.go:18-26)") {
+    val to = ErrorChannel.markWhere(df, StageId("deadline"), col("id") === 1,
+      lit("too slow"), timeout = true)
+    val both = ErrorChannel.markWhere(to, StageId("killed"), col("id") === 2,
+      lit("job canceled"), canceled = true)
+    assert(both.filter(ErrorChannel.isTimeout).count() == 1)
+    assert(both.filter(ErrorChannel.isCanceled).count() == 1)
+    // healthy rows read false (null-safe accessors, error.go:68-84)
+    assert(both.filter(ErrorChannel.isTimeout && ErrorChannel.isCanceled).count() == 0)
+    assert(both.filter(!ErrorChannel.isTimeout && !ErrorChannel.isCanceled).count() == 1)
+  }
+
+  test("prependPath preserves timeout/canceled flags") {
+    val m = ErrorChannel.markWhere(df, StageId("inner"), col("id") === 2,
+      lit("slow"), timeout = true)
+    val p = ErrorChannel.prependPath(m, StageId("outer"))
+    val row = ErrorChannel.dead(p)
+      .select(col("_err.path"), col("_err.timeout"), col("_err.canceled")).head()
+    assert(row.getSeq[String](0) == Seq("outer", "inner"))
+    assert(row.getBoolean(1) && !row.getBoolean(2))
+  }
 }

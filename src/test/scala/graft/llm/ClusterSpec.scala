@@ -29,6 +29,23 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L)) // 5 and 7 lose to 2
   }
 
+  test("long chains converge via pointer jumping (beyond O(iters) hops)") {
+    // a 60-node path graph: one-hop label propagation would need ~60
+    // iterations; pointer jumping must close it within the default 16
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("unconverged graphs throw instead of silently splitting clusters") {
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxIters = 2)
+    }
+  }
+
   test("end-to-end: token-set dups collapse to one survivor per group") {
     val docs = Seq(
       (1L, "a b c"), (2L, "c b a"), (3L, "a b c a"), // same token set

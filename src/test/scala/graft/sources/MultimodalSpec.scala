@@ -32,6 +32,32 @@ class MultimodalSpec extends SparkSpec {
     assert(parts >= 2 && parts <= 16)
   }
 
+  test("repartitionByBytes bounds partition bytes on skewed data (<= 2x target)") {
+    import spark.implicits._
+    // skewed set: two "huge" rows (>= target each) + many small ones — a
+    // count-based repartition would co-locate a huge row with small ones
+    val target = 4096L
+    val rows = Seq(
+      (0L, new Array[Byte](9000)), (1L, new Array[Byte](5000))
+    ) ++ (2L until 202L).map(i => (i, new Array[Byte](100)))
+    val df = rows.toDF("media_id", "bytes").repartition(7)
+    val out = Multimodal.repartitionByBytes(df, "bytes", target)
+    val perPart = out
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"),
+        org.apache.spark.sql.functions.length($"bytes").cast("long").as("sz"))
+      .groupBy("p").agg(org.apache.spark.sql.functions.sum("sz").as("bytes"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    // no rows lost, and every partition NOT holding an oversized row stays
+    // under 2x target; oversized rows sit alone in their partitions
+    assert(perPart.map(_.getLong(2)).sum == 202)
+    perPart.foreach { r =>
+      val bytes = r.getLong(1); val n = r.getLong(2)
+      if (bytes >= target) assert(n == 1L || bytes <= 2 * target)
+      else assert(bytes < 2 * target)
+    }
+  }
+
   test("frame sampling explodes stride-spaced frame indices") {
     val media = Multimodal.syntheticMedia(spark, 3).toDF()
     val frames = Multimodal.sampleFrames("fs", fps = 10, stride = 5, maxFrames = 4)(media)

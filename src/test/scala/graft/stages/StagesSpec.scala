@@ -18,6 +18,17 @@ class StagesSpec extends SparkSpec {
     assert(m("sx") == 60.0)
   }
 
+  test("a reused Effect observes every application, not just the first") {
+    val eff = Effect("audit2")(count(lit(1)).as("n"))
+    val first = eff(Seq((1, 1.0), (2, 2.0)).toDF("id", "x"))
+    first.write.format("noop").mode("overwrite").save()
+    assert(eff.metrics("n") == 2L)
+    // round-1 defect #4: a second application silently skipped observe
+    val second = eff(Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("id", "x"))
+    second.write.format("noop").mode("overwrite").save()
+    assert(eff.metrics("n") == 3L)
+  }
+
   test("Enrich keeps the original value on lookup miss (enrich.go:44-47)") {
     val facts = Seq((1, "x"), (9, "y")).toDF("fid", "name")
     val base = Seq((1, "a"), (2, "b")).toDF("id", "orig")
