@@ -643,6 +643,18 @@ object Queries {
     out
   }
 
+  /** Q-L13 — UDTF path: word bigrams through the custom `explode_ngrams`
+    * Generator (`functions/Generators.scala`), top-40 by (count desc,
+    * ngram) — the deterministic-tiebreak limit pattern of Q-L3.
+    */
+  val qlNgramTerms: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(graft.functions.Generators.ngrams(col("text"), 2).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("ngram").asc)
+      .limit(40)
+  }
+
   /** Q-L4 — cosine top-3 neighbors for vec_id < 10 (float64 fold, ties →
     * lower neighbor id; IDs only in the hashed output).
     */
@@ -772,6 +784,7 @@ object Queries {
     "ql10_langid" -> qlLangId,
     "ql11_ann_topk" -> qlAnnTopK,
     "ql12_ivf_topk" -> qlIvfTopK,
+    "ql13_ngram_terms" -> qlNgramTerms,
     "qx1_asof_join" -> qx1AsofJoin,
     "qx2_cube" -> qx2Cube,
     "qx3_lag_lead" -> qx3LagLead,
@@ -885,6 +898,8 @@ object Oracle {
       """SELECT doc_id, ROUND((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 WHEN ntok >= 3 THEN 0.5 ELSE 0.0 END)*0.4 + (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)*0.3 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END)*0.3, 4) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS ntok, CAST(LENGTH(text) AS DOUBLE) AS len, CAST(LENGTH(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha, CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0 THEN (CAST(LENGTH(text) AS DOUBLE) - (len(list_filter(string_split(text,' '), x -> x <> '')) - 1)) / len(list_filter(string_split(text,' '), x -> x <> '')) ELSE 0.0 END AS mwl FROM documents) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql9_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql13_ngram_terms" ->
+      """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), u AS (SELECT unnest(generate_series(1, len(toks)-1)) AS i, toks FROM t WHERE len(toks) >= 2) SELECT toks[i] || ' ' || toks[i+1] AS ngram, COUNT(*) AS c FROM u GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 40""",
     "qx1_asof_join" ->
       """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx2_cube" ->

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+
+/** User-facing table-generating function (UDTF analog): the custom
+  * `Generator` registration path the SURVEY §2.3 UDF/UDAF/UDTF row calls
+  * for. `explode` covers array columns; this covers computed row expansion
+  * — each input row yields its word n-grams as rows, without first
+  * materializing an array column.
+  *
+  * SQL: `SELECT explode_ngrams(text, 2) AS ngram FROM docs` (or LATERAL
+  * VIEW). DataFrame: `df.select(Generators.ngrams(col("text"), 2))`.
+  *
+  * Generators run inside Catalyst's Generate operator, so the expansion
+  * streams per row — no intermediate array allocation per document, which
+  * at 100 TB of text is the difference between one pass and a
+  * doc-sized-array materialization per row.
+  */
+case class ExplodeNgrams(child: Expression, n: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, n)
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("ngram", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, n.dataType) match {
+      case (StringType, IntegerType) if n.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"explode_ngrams expects (STRING, INT literal), got " +
+            s"(${child.dataType.sql}, ${n.dataType.sql})")
+    }
+
+  private lazy val width: Int = n.eval(null).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val text = child.eval(input)
+    if (text == null || width <= 0) Iterator.empty
+    else {
+      val toks = text.asInstanceOf[UTF8String].toString
+        .split(' ').iterator.filter(_.nonEmpty).toArray
+      if (toks.length < width) Iterator.empty
+      else (0 to toks.length - width).iterator.map { i =>
+        InternalRow(UTF8String.fromString(toks.slice(i, i + width).mkString(" ")))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), n = newChildren(1))
+}
+
+object Generators {
+  /** Column face — use in `select` like `explode`. */
+  def ngrams(text: Column, n: Int): Column =
+    Bridge.column(ExplodeNgrams(Bridge.expression(text), Literal(n)))
+
+  /** SQL registration (`SELECT explode_ngrams(text, 2) FROM t`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "explode_ngrams", exprs => ExplodeNgrams(exprs.head, exprs(1)), "scala_udf")
+}

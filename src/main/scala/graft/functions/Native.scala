@@ -149,5 +149,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("explode_ngrams"),
+      new ExpressionInfo(classOf[ExplodeNgrams].getName, "explode_ngrams"),
+      (exprs: Seq[Expression]) => ExplodeNgrams(exprs.head, exprs(1))))
   }
 }
