@@ -373,6 +373,24 @@ object Queries {
     ordered(pipe(t(s, dir, "part")))
   }
 
+  /** Q-J5 — Bloom-pruned join: fact side filtered by a Bloom filter over
+    * the (selective) dimension keys BEFORE the shuffle
+    * (`analytics/BloomPrune.scala`); false positives are removed by the
+    * join itself, so the result equals the plain join — which is exactly
+    * what the oracle pins.
+    */
+  val qj5BloomJoin: Q = (s, dir) => {
+    val bigOrders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"))
+    val stage = graft.analytics.BloomPrune.prunedJoin("qj5", bigOrders,
+      col("l_orderkey"), col("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), expectedItems = 100000)
+    val out = stage(t(s, dir, "lineitem"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+    ordered(out)
+  }
+
   /** Q-A1 — TPC-H Q1 shape: multi-aggregate grouped scan. */
   val qa1GroupedAgg: Q = (s, dir) => {
     val pipe = Sequence("qa1")(
@@ -759,6 +777,7 @@ object Queries {
     "qj3_semi" -> qj3Semi,
     "qj3_anti" -> qj3Anti,
     "qj4_range_join" -> qj4RangeJoin,
+    "qj5_bloom_join" -> qj5BloomJoin,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -856,6 +875,8 @@ object Oracle {
       """SELECT COUNT(*) AS n FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
     "qj4_range_join" ->
       """SELECT p.p_partkey, COUNT(*) AS cnt FROM part p JOIN lineitem l ON l.l_partkey=p.p_partkey AND l.l_quantity > p.p_size GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qj5_bloom_join" ->
+      """SELECT o.o_orderkey, COUNT(*) AS cnt FROM lineitem l JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000) o ON l.l_orderkey = o.o_orderkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qa1_grouped_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS DOUBLE) AS sum_qty, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_base, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
     "qa2_count_distinct" ->

@@ -96,4 +96,45 @@ object Sinks {
     */
   def foreachPartitionSink(id: StageId)(handler: Iterator[org.apache.spark.sql.Row] => Unit): Stage =
     Stage(id) { df => df.foreachPartition(handler); df }
+
+  /** Durable file sink: append-mode parquet with a checkpoint — the
+    * exactly-once production sink (restart resumes from the checkpointed
+    * offsets; the file sink's log makes output atomic per micro-batch).
+    */
+  def parquetStream(df: DataFrame, path: String, checkpoint: String,
+                    partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
+  }
+
+  /** Per-row ForeachWriter sink (the kafka/jdbc-producer shape): open a
+    * connection per partition-epoch, process rows, close — runs entirely
+    * on executors. Spark retries partitions, so `process` must be
+    * idempotent or the target transactional, exactly like any ForeachWriter.
+    */
+  def foreachSink[T](df: org.apache.spark.sql.Dataset[T])(
+      openFn: (Long, Long) => Boolean,
+      processFn: T => Unit,
+      closeFn: Throwable => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.foreach(new org.apache.spark.sql.ForeachWriter[T] {
+      override def open(partitionId: Long, epochId: Long): Boolean = openFn(partitionId, epochId)
+      override def process(value: T): Unit = processFn(value)
+      override def close(errorOrNull: Throwable): Unit = closeFn(errorOrNull)
+    }).start()
+
+  /** Run a batch Stage per micro-batch (foreachBatch bridge): the whole
+    * batch library — joins, enrich, dedup, error channel — applies to a
+    * stream without reimplementation. `action` decides what to do with
+    * each staged batch (write, upsert, ...).
+    */
+  def stagePerBatch(df: DataFrame, stage: Stage, checkpoint: String)(
+      action: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        action(stage(batch.toDF()), id))
+      .start()
 }
