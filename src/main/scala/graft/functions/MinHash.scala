@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Fused MinHash signature: entry i = min over tokens of xxhash64(i, token).
+  *
+  * Bit-identical to the HOF form
+  * `transform(sequence(0, k-1), i => array_min(transform(toks, t =>
+  * xxhash64(i, t))))` — per-seed chaining replicated via the same XXH64
+  * primitives (`xxhash64(i, t)` = `hashUTF8String(t, hashInt(i, 42))`,
+  * seeds precomputed once) — but evaluated as one tight loop per row.
+  *
+  * Why it exists: the HOF chain interprets TWO nested lambdas per (seed,
+  * token) pair and allocates a k-element array per seed; for k=64 over a
+  * 100 TB corpus the lambda interpretation dominates candidate generation.
+  * Same argument as the native cosine (`Native.scala`): hot-path per-row
+  * expressions deserve a fused implementation.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects ARRAY<STRING> and a positive hash count, " +
+        s"got ${child.dataType.sql} with numHashes=$numHashes")
+  }
+
+  // xxhash64(i, t) starts from seed 42 and chains hashInt(i) then the
+  // string bytes; the per-i prefix is constant, so precompute all k seeds
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        any = true
+        val s = arr.getUTF8String(t)
+        var h = 0
+        while (h < numHashes) {
+          val v = XXH64.hashUTF8String(s, seeds(h))
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      t += 1
+    }
+    // HOF parity: array_min over an empty/all-null token array is null per
+    // entry; surface the whole signature as null so callers filter it
+    if (!any) null else new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash {
+  /** Column face. */
+  def signature(tokens: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+}

@@ -44,9 +44,16 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` independent permutations simulated by
-    * seeded xxhash64; entry i = min over tokens of h_i(token).
+    * seeded xxhash64; entry i = min over tokens of h_i(token). Computed by
+    * the fused native expression (`functions/MinHash.scala`) — one loop
+    * per row instead of two nested interpreted lambdas per (seed, token);
+    * [[minHashHof]] is the reference HOF form it must bit-match.
     */
   def minHash(tokensCol: Column, numHashes: Int): Column =
+    graft.functions.MinHash.signature(tokensCol, numHashes)
+
+  /** Reference HOF form (interpreted; kept for the bit-exactness spec). */
+  def minHashHof(tokensCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(tokensCol, t => xxhash64(i, t))))
 

@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native signature is bit-exact vs the HOF reference on real docs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
+      .select(Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val both = docs.select(
+      Dedup.minHash(col("toks"), 64).as("native"),
+      Dedup.minHashHof(col("toks"), 64).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 200)
+  }
+
+  test("single-token and repeated-token arrays hash deterministically") {
+    val df = Seq(Seq("alpha"), Seq("alpha", "alpha"), Seq("alpha", "beta"))
+      .toDF("toks")
+    val sigs = df.select(Dedup.minHash(col("toks"), 8).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1)) // set semantics: duplicates don't change mins
+    assert(sigs(0) != sigs(2))
+    assert(sigs.forall(_.length == 8))
+  }
+
+  test("empty token arrays yield a null signature (HOF parity)") {
+    val df = Seq(Seq.empty[String]).toDF("toks")
+    val out = df.select(Dedup.minHash(col("toks"), 8).as("sig"))
+    assert(out.filter(col("sig").isNotNull).count() == 0)
+  }
+}
