@@ -68,8 +68,59 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Fused 64-bit SimHash (Charikar): per token ONE xxhash64, each bit votes
+  * ±1, output = sign vector as 0/1 ints.
+  *
+  * Bit-identical to the HOF reference (`Dedup.simHashBitsHof`) — which
+  * recomputes `xxhash64(token)` once per BIT (64× redundant hashing) and
+  * folds 64-element arrays through interpreted lambdas per token. The
+  * fused form hashes each token once and votes in a tight loop.
+  */
+case class SimHashBits64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "simhash_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"simhash_bits expects ARRAY<STRING>, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](64)
+    var t = 0
+    while (t < n) {
+      // HOF parity: xxhash64(NULL) leaves the seed (42) — a null token
+      // still votes with the seed's bits
+      val h =
+        if (arr.isNullAt(t)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+      var i = 0
+      while (i < 64) {
+        votes(i) += (if (((h >>> i) & 1L) != 0L) 1L else -1L)
+        i += 1
+      }
+      t += 1
+    }
+    val bits = new Array[Int](64)
+    var i = 0
+    while (i < 64) { bits(i) = if (votes(i) > 0) 1 else 0; i += 1 }
+    new GenericArrayData(bits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHash {
   /** Column face. */
   def signature(tokens: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+
+  /** Column face for the fused SimHash. */
+  def simHashBits(tokens: Column): Column =
+    Bridge.column(SimHashBits64(Bridge.expression(tokens)))
 }

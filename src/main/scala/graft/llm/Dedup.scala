@@ -108,11 +108,17 @@ object Dedup {
   /** SimHash (64-bit, Charikar): per token hash, each bit votes ±1; the
     * sign vector packs into a bit array. Near-dup candidates collide on a
     * 16-bit band (≈ Hamming distance ≤ 3 across 4 bands guarantee).
-    * Pure higher-order-function expression — no UDF.
+    * Fused native expression (`functions/MinHash.scala` `SimHashBits64`):
+    * one hash per token instead of one per (token, bit); [[simHashBitsHof]]
+    * is the HOF reference it must bit-match.
     */
-  def simHashBits(tokensCol: Column): Column = {
-    // votes[i] = sum over tokens of (bit i of xxhash64(token) ? +1 : -1);
-    // bit masks are Scala-level literals so everything stays codegen'd
+  def simHashBits(tokensCol: Column): Column =
+    graft.functions.MinHash.simHashBits(tokensCol)
+
+  /** Reference HOF form (interpreted, 64x redundant hashing; kept for the
+    * bit-exactness spec).
+    */
+  def simHashBitsHof(tokensCol: Column): Column = {
     val votes = aggregate(
       tokensCol,
       array((0 until 64).map(_ => lit(0L)): _*),

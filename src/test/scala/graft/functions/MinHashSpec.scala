@@ -33,4 +33,15 @@ class MinHashSpec extends SparkSpec {
     val out = df.select(Dedup.minHash(col("toks"), 8).as("sig"))
     assert(out.filter(col("sig").isNotNull).count() == 0)
   }
+
+  test("native SimHash bits are bit-exact vs the HOF reference on real docs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
+      .select(Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val both = docs.select(
+      Dedup.simHashBits(col("toks")).as("native"),
+      Dedup.simHashBitsHof(col("toks")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 200)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joins between co-bucketed tables run without any shuffle exchange") {
+    val dir = Files.createTempDirectory("buckets").toString
+    val orders = (1L to 2000L).map(i => (i, i % 100)).toDF("o_id", "o_cust")
+    val items = (1L to 6000L).map(i => (i % 2000 + 1, i)).toDF("i_oid", "i_id")
+    Bucketing.writeBucketed(orders, "b_orders", s"$dir/orders",
+      Seq("o_id"), numBuckets = 8, sortCols = Seq("o_id"))
+    Bucketing.writeBucketed(items, "b_items", s"$dir/items",
+      Seq("i_oid"), numBuckets = 8, sortCols = Seq("i_oid"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // forbid broadcast so the join would otherwise need two exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = Bucketing.readBucketed(spark, "b_orders")
+        .join(Bucketing.readBucketed(spark, "b_items"), col("o_id") === col("i_oid"))
+      assert(Bucketing.isShuffleFree(joined),
+        s"expected no Exchange:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 6000)
+      // same result as the unbucketed join
+      val plain = orders.join(items, col("o_id") === col("i_oid"))
+      assert(plain.count() == 6000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+    }
+  }
+
+  test("aggregation on the bucket key also skips the exchange") {
+    val dir = Files.createTempDirectory("buckets2").toString
+    val events = (1L to 3000L).map(i => (i % 50, i)).toDF("user_id", "v")
+    Bucketing.writeBucketed(events, "b_events", s"$dir/events",
+      Seq("user_id"), numBuckets = 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val agg = Bucketing.readBucketed(spark, "b_events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(Bucketing.isShuffleFree(agg),
+        s"expected no Exchange:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == 50)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_events")
+    }
+  }
+}
