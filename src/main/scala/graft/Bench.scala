@@ -15,6 +15,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "qp1_transform", "qc1_sequence", "qc2_concurrent",
     "qj1_join_broadcast", "qj2_join_3way", "qj3_semi", "qj3_anti", "qj4_range_join",
+    "qj5_bloom_join", "ql13_ngram_terms",
     "qa1_grouped_agg", "qa2_count_distinct", "qa3_rollup",
     "qw1_rank_window", "qw2_running_sum", "qs1_topk",
     "qu1_intersect", "qu1_except", "qf1_scalars", "qf2_dates",
