@@ -80,7 +80,13 @@ object TextAnalysis {
     * word k-grams, per-window minima via transform+slice, distinct to the
     * final sketch set.
     */
-  def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+  def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
+    graft.functions.Winnow.fingerprints(Dedup.tokens(text), k, window)
+
+  /** Reference HOF form (interpreted, O(n·window) slice minima; kept for
+    * the bit-exactness spec).
+    */
+  def winnowingFingerprintsHof(text: Column, k: Int = 5, window: Int = 4): Column = {
     val grams = Dedup.wordNgrams(text, k) // distinct word k-grams in doc order
     val hashes = transform(grams, g => xxhash64(g))
     val nWin = greatest(size(hashes) - (window - 1), lit(1))

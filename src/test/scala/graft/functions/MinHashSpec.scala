@@ -34,6 +34,20 @@ class MinHashSpec extends SparkSpec {
     assert(out.filter(col("sig").isNotNull).count() == 0)
   }
 
+  test("native winnowing fingerprints are bit-exact vs the HOF reference") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
+    val both = docs.select(
+      graft.llm.TextAnalysis.winnowingFingerprints(col("text"), 5, 4).as("native"),
+      graft.llm.TextAnalysis.winnowingFingerprintsHof(col("text"), 5, 4).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // degenerate shapes: shorter than k, exactly k, shorter than window
+    val edge = Seq("one two", "a b c d e", "a b c d e f").toDF("text")
+    val e = edge.select(
+      graft.llm.TextAnalysis.winnowingFingerprints(col("text"), 5, 4).as("native"),
+      graft.llm.TextAnalysis.winnowingFingerprintsHof(col("text"), 5, 4).as("hof"))
+    assert(e.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("native SimHash bits are bit-exact vs the HOF reference on real docs") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
       .select(Dedup.tokens(col("text")).as("toks"))
