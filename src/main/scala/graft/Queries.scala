@@ -449,6 +449,36 @@ object Queries {
     ordered(pipe(t(s, dir, "lineitem")))
   }
 
+  /** Q-W3 — RANGE-frame window: per-customer 30-day running spend. The
+    * frame is value-based (all rows within 30 days), so tied order dates
+    * aggregate identically — deterministic without a tiebreaker.
+    */
+  val qw3RangeFrame: Q = (s, dir) => {
+    val spec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("d"))
+      .rangeBetween(-30, 0)
+    val out = t(s, dir, "orders")
+      .withColumn("d", datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        emit(round(sum(dec("o_totalprice")).over(spec), 2).cast(DecimalType(14, 2))).as("s30"))
+    ordered(out)
+  }
+
+  /** Q-X7 — pivot: order counts per priority × status (explicit values,
+    * no discovery scan); absent combinations surface as 0 like the
+    * oracle's FILTER form.
+    */
+  val qx7Pivot: Q = (s, dir) => {
+    val out = Aggs.pivot("qx7", Seq(col("o_orderpriority")), "o_orderstatus",
+      Seq("F", "O", "P"), Seq(count(lit(1))))(t(s, dir, "orders"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+    ordered(out)
+  }
+
   /** Q-S1 — global top-k (TakeOrderedAndProject, not a full sort). */
   val qs1TopK: Q = (s, dir) => {
     val pipe = Sequence("qs1")(
@@ -783,6 +813,8 @@ object Queries {
     "qa3_rollup" -> qa3Rollup,
     "qw1_rank_window" -> qw1RankWindow,
     "qw2_running_sum" -> qw2RunningSum,
+    "qw3_range_frame" -> qw3RangeFrame,
+    "qx7_pivot" -> qx7Pivot,
     "qs1_topk" -> qs1TopK,
     "qu1_intersect" -> qu1Intersect,
     "qu1_except" -> qu1Except,
@@ -889,6 +921,10 @@ object Oracle {
       s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DECIMAL(14,2)) AS DOUBLE) AS run FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qs1_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "qw3_range_frame" ->
+      s"""SELECT o_orderkey, o_custkey, CAST(CAST(ROUND(SUM(CAST(o_totalprice AS $D)) OVER (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),2) AS DECIMAL(14,2)) AS DOUBLE) AS s30 FROM orders ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qx7_pivot" ->
+      """SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus='F') AS f_cnt, COUNT(*) FILTER (WHERE o_orderstatus='O') AS o_cnt, COUNT(*) FILTER (WHERE o_orderstatus='P') AS p_cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     "qu1_intersect" ->
       """SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1 NULLS FIRST""",
     "qu1_except" ->

@@ -102,6 +102,15 @@ object Aggs {
     Stage(StageId(name)) { df =>
       if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols)
     }
+
+  /** Pivot (wide aggregation). `values` must be explicit — the two-pass
+    * value-discovery form runs an extra distinct job over the full input,
+    * which at 100 TB is a silent second scan.
+    */
+  def pivot(name: String, keys: Seq[Column], pivotCol: String, values: Seq[Any],
+            aggs: Seq[Column]): Stage =
+    Stage(StageId(name))(
+      _.groupBy(keys: _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*))
 }
 
 object Windows {

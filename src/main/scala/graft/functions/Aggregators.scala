@@ -36,4 +36,23 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
   }
+
+  /** Bounded top-k by similarity (desc, ties → lower id): the similarity-
+    * search reducer. Because Aggregators plan partial + final, each map
+    * task forwards AT MOST k candidates per query into the shuffle — the
+    * window-function form shuffles every scored row, which at 100 TB is
+    * the whole |corpus|×|queries| cross product.
+    */
+  class TopKBySim(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = cap(b :+ in)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = cap(a ++ b)
+    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    private def cap(v: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      v.sortBy { case (sim, id) => (-sim, id) }.take(k)
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
 }

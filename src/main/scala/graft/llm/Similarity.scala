@@ -56,6 +56,30 @@ object Similarity {
       .select(col(queryId), col("rank"), col(corpusId), col("sim"))
   }
 
+  /** Exact top-k via a BOUNDED partial aggregate instead of a window: each
+    * map task forwards at most k candidates per query into the shuffle
+    * (`functions/Aggregators.TopKBySim`), versus the window form's shuffle
+    * of every scored row. Same results as [[bruteForceTopK]] (spec-pinned);
+    * the 100 TB choice whenever k ≪ corpus/partition.
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+                        queryId: String = "query_id", corpusId: String = "neighbor_id",
+                        excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queryId), col("embedding").as("q_emb")))
+    val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
+    val joined = c.crossJoin(q)
+    val filtered = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    val scored = filtered.withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val topk = udaf(new graft.functions.Aggregators.TopKBySim(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    scored
+      .groupBy(col(queryId))
+      .agg(topk(col("sim"), col(corpusId).cast("long")).as("top"))
+      .select(col(queryId), posexplode(col("top")))
+      .select(col(queryId), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(corpusId), col("col._1").as("sim"))
+  }
+
   /** Random-hyperplane LSH signature (`planes` bits): bit p is the sign of
     * dot(v, r_p) where r_p is a deterministic pseudo-random unit-free
     * direction derived from xxhash64(p, i) — no stored model, identical

@@ -91,6 +91,22 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low for 4-plane multi-probe LSH")
   }
 
+  test("bounded-aggregate top-k equals the window form, with partial combine") {
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val window = rowsOf(Similarity.bruteForceTopK(queries, corpus, 3)
+      .select(col("query_id").cast("long"), col("rank").cast("int"), col("neighbor_id").cast("long")))
+    val agg = Similarity.bruteForceTopKAgg(queries, corpus, 3)
+    val aggRows = rowsOf(agg
+      .select(col("query_id").cast("long"), col("rank").cast("int"), col("neighbor_id").cast("long")))
+    assert(aggRows == window)
+    // the point of the aggregate form: partial (map-side) combine — the
+    // plan must show the two-phase object hash aggregate
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_"), s"no partial phase in:\n$plan")
+  }
+
   test("language id classifies stopword-bearing text, und otherwise") {
     val df = Seq(
       ("the cat and the dog was in the house", "en"),
