@@ -423,6 +423,41 @@ object Queries {
     ordered(pipe(t(s, dir, "orders")))
   }
 
+  /** Q-A4 — exact median (continuous interpolation) per priority. Computed
+    * over integer cents: the interpolation fraction is always 0 or .5 for
+    * integer inputs, both exactly representable in binary, so the DOUBLE
+    * result hash-matches across engines (raw-double percentiles wouldn't).
+    */
+  val qa4Median: Q = (s, dir) => {
+    val out = t(s, dir, "orders")
+      .withColumn("cents", expr("CAST(ROUND(o_totalprice*100) AS BIGINT)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+    ordered(out)
+  }
+
+  /** Q-X8 — unpivot (wide → long): per-order (price, qty-proxy) measures
+    * as rows; the inverse of Q-X7's pivot.
+    */
+  val qx8Unpivot: Q = (s, dir) => {
+    val out = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        emit(dec("o_totalprice")).as("price"),
+        col("o_custkey").cast("double").as("cust"))
+      .unpivot(Array(col("o_orderkey")), Array(col("price"), col("cust")), "measure", "v")
+    ordered(out)
+  }
+
+  /** Embedding near-dup pairs (LSH-bucketed scoring) — rows-only (no
+    * DuckDB hyperplane oracle); recall is spec-tested (`LlmSpec`).
+    */
+  val qlEmbeddingNearDup: Q = (s, dir) => {
+    val out = graft.llm.Similarity.cosineNearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", threshold = 0.8, planes = 4, dim = 64)
+      .select(col("doc_a"), col("doc_b"))
+    ordered(out)
+  }
+
   /** Q-W1 — ranking window: top-3 orders per customer. */
   val qw1RankWindow: Q = (s, dir) => {
     val pipe = Sequence("qw1")(
@@ -811,6 +846,9 @@ object Queries {
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
+    "qa4_median" -> qa4Median,
+    "qx8_unpivot" -> qx8Unpivot,
+    "ql14_embedding_neardup" -> qlEmbeddingNearDup,
     "qw1_rank_window" -> qw1RankWindow,
     "qw2_running_sum" -> qw2RunningSum,
     "qw3_range_frame" -> qw3RangeFrame,
@@ -913,6 +951,10 @@ object Oracle {
       s"""SELECT l_returnflag, l_linestatus, CAST(CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS DOUBLE) AS sum_qty, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_base, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
     "qa2_count_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n FROM orders""",
+    "qa4_median" ->
+      """SELECT o_orderpriority, quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5) AS median_cents FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qx8_unpivot" ->
+      s"""SELECT o_orderkey, m AS measure, v FROM (SELECT o_orderkey, 'price' AS m, CAST(CAST(o_totalprice AS $D) AS DOUBLE) AS v FROM orders UNION ALL SELECT o_orderkey, 'cust' AS m, CAST(o_custkey AS DOUBLE) AS v FROM orders) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qa3_rollup" ->
       """SELECT n_name, o_orderpriority, COUNT(*) AS cnt FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qw1_rank_window" ->
