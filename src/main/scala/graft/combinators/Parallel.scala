@@ -126,11 +126,19 @@ object Concurrent {
 final case class Race(id: StageId, branches: Seq[Stage]) extends Stage {
 
   /** Lazy composition (used when Race wraps pure plans and the caller wants
-    * one query): first branch's plan. Semantically valid because branch
-    * plans are deterministic and failure-free plans all "win" identically —
-    * for genuinely fallible branches use `run`.
+    * one query): first branch's plan. Semantically valid ONLY when branch
+    * plans are deterministic and failure-free — then all branches "win"
+    * identically and the first is as good as any. The assertion rejects the
+    * obvious misuse (wrapping nondeterministic plans and expecting runtime
+    * racing); genuinely fallible or timing-dependent branches need `run`.
     */
-  def apply(df: DataFrame): DataFrame = branches.head(df)
+  def apply(df: DataFrame): DataFrame = {
+    require(branches.nonEmpty, "race needs at least one branch")
+    val out = branches.head(df)
+    require(out.queryExecution.analyzed.deterministic,
+      s"race ${id.name}: lazy composition requires a deterministic branch plan — use run() instead")
+    out
+  }
 
   /** Eager first-success-wins over materialized branch jobs. */
   def run(df: DataFrame): DataFrame = {
