@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Custom stateful streaming operators (`SURVEY.md §2.3` StatefulStage):
   * `mapGroupsWithState` wrappers carrying explicit per-key state — the
@@ -38,4 +38,42 @@ object Stateful {
   }
 
   val updateMode: OutputMode = OutputMode.Update()
+
+  /** First-seen filter on the `transformWithState` API (the arbitrary-state
+    * successor to mapGroupsWithState): per key a ValueState flag with
+    * optional TTL — each key's first row passes, later rows drop. This is
+    * streaming exact dedup with BOUNDED state: TTL expiry caps the store
+    * at (distinct keys per TTL window), the property that keeps it alive
+    * at 100 TB/day key cardinalities where an unbounded "seen" set dies.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  final class FirstSeen[K, V](ttl: TTLConfig)
+      extends StatefulProcessor[K, V, V] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, ttl)
+
+    override def handleInputRows(key: K, rows: Iterator[V],
+                                 timers: TimerValues): Iterator[V] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) }
+  }
+
+  /** Streaming exact dedup by `key` via [[FirstSeen]]. */
+  def firstSeen[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+                                        ttl: TTLConfig = TTLConfig.NONE): Dataset[V] =
+    ds.groupByKey(key).transformWithState(
+      new FirstSeen[K, V](ttl), TimeMode.None(), OutputMode.Update())
+
+  /** Watermark-bounded streaming dedup over the given columns — the
+    * built-in form when duplicates arrive within the watermark delay
+    * (state evicts with the watermark; the TTL-free bounded alternative
+    * to [[firstSeen]]).
+    */
+  def dedupWithinWatermark(ds: Dataset[org.apache.spark.sql.Row], tsCol: String,
+                           delay: String, cols: Seq[String]): Dataset[org.apache.spark.sql.Row] =
+    ds.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(cols)
 }
