@@ -762,10 +762,11 @@ object Queries {
     // r=16 bands: S-curve knee ≈ j^(1/16) ≈ 0.92 — this corpus is drawn
     // from a small vocabulary, so looser banding degenerates into a
     // quadratic candidate set of merely-similar (not near-dup) pairs
-    val out = graft.llm.Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
+    // rows-only contract (no hash oracle) — a total ORDER BY over the
+    // ~1M-pair output would be pure harness cost, so none is imposed
+    graft.llm.Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
       numHashes = 64, bands = 4)
       .select(col("doc_a"), col("doc_b"))
-    ordered(out)
   }
 
   /** Token counting (whitespace tokenizer; the BPE-ish variant is not
