@@ -130,18 +130,23 @@ final case class Timeout(id: StageId, limit: FiniteDuration) {
     */
   def runOrDeadLetters(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val spark = df.sparkSession
+    val out = body(df)
     try {
-      val out = body(df)
+      // materialize under the deadline; ON SUCCESS the returned frame is
+      // left persisted (that cache IS the materialization the deadline
+      // paid for) — callers unpersist() when done with it
       run(spark) {
         out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
         out
       }
     } catch {
       case _: java.util.concurrent.TimeoutException =>
+        out.unpersist(blocking = false) // partial blocks of the dead attempt
         ErrorChannel.markWhere(ErrorChannel.ensure(df), id, org.apache.spark.sql.functions.lit(true),
           org.apache.spark.sql.functions.lit(s"exceeded ${limit.toMillis}ms deadline"),
           timeout = true)
       case e: org.apache.spark.SparkException if e.getMessage != null && e.getMessage.contains("cancelled") =>
+        out.unpersist(blocking = false)
         ErrorChannel.markWhere(ErrorChannel.ensure(df), id, org.apache.spark.sql.functions.lit(true),
           org.apache.spark.sql.functions.lit("job canceled"),
           canceled = true)
