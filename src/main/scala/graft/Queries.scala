@@ -565,6 +565,19 @@ object Queries {
     ordered(pipe(t(s, dir, "orders")))
   }
 
+  /** Q-F3 — the SQL facade end-to-end: tables registered as views through
+    * `GraftSql`, the query text executed via `spark.sql` with the engine's
+    * function vocabulary installed. Pins that a SQL-only user gets
+    * oracle-identical results.
+    */
+  val qf3SqlFacade: Q = (s, dir) => {
+    graft.runtime.GraftSql.registerTables(s, dir)
+    graft.runtime.GraftSql.sql(s,
+      """SELECT c_mktsegment, COUNT(*) AS cnt, COUNT(DISTINCT c_nationkey) AS nations
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST, cnt NULLS FIRST, nations NULLS FIRST""".stripMargin)
+  }
+
   /** IVF approximate top-k — no SQL oracle (rows-only); full-probe ==
     * exact is unit-tested (`IvfSpec`).
     */
@@ -859,6 +872,7 @@ object Queries {
     "qu1_except" -> qu1Except,
     "qf1_scalars" -> qf1Scalars,
     "qf2_dates" -> qf2Dates,
+    "qf3_sql_facade" -> qf3SqlFacade,
     "qt1_tumbling" -> qt1Tumbling,
     "qt2_session" -> qt2Session,
     "qt3_sliding" -> qt3Sliding,
@@ -976,6 +990,8 @@ object Oracle {
       """SELECT doc_id, UPPER(SUBSTR(text,1,10)) AS u, LENGTH(text) AS len, n_chars % 7 AS m7, CAST(doc_id AS VARCHAR) || '-' || lang AS tag FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     "qf2_dates" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qf3_sql_facade" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt, COUNT(DISTINCT c_nationkey) AS nations FROM customer GROUP BY c_mktsegment ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qt1_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt, CAST(CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS DOUBLE) AS sv FROM events GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     "qt2_session" ->
