@@ -391,6 +391,21 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-J6 — salt-mitigated skew join: the fact side salts, the dimension
+    * side explodes ×factor so hot keys spread over `factor` tasks
+    * (`analytics/Skew.scala`); results equal the plain join, which the
+    * oracle pins.
+    */
+  val qj6SaltedJoin: Q = (s, dir) => {
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val customer = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("n_nationkey"))
+    val joined = graft.analytics.Skew.saltedJoin(customer, nation,
+      keys = Seq("n_nationkey"), factor = 8)
+    val out = joined.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+    ordered(out)
+  }
+
   /** Q-A1 — TPC-H Q1 shape: multi-aggregate grouped scan. */
   val qa1GroupedAgg: Q = (s, dir) => {
     val pipe = Sequence("qa1")(
@@ -857,6 +872,7 @@ object Queries {
     "qj3_anti" -> qj3Anti,
     "qj4_range_join" -> qj4RangeJoin,
     "qj5_bloom_join" -> qj5BloomJoin,
+    "qj6_salted_join" -> qj6SaltedJoin,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -962,6 +978,8 @@ object Oracle {
       """SELECT p.p_partkey, COUNT(*) AS cnt FROM part p JOIN lineitem l ON l.l_partkey=p.p_partkey AND l.l_quantity > p.p_size GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qj5_bloom_join" ->
       """SELECT o.o_orderkey, COUNT(*) AS cnt FROM lineitem l JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000) o ON l.l_orderkey = o.o_orderkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qj6_salted_join" ->
+      """SELECT n.n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qa1_grouped_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS DOUBLE) AS sum_qty, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_base, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
     "qa2_count_distinct" ->
