@@ -625,6 +625,20 @@ object Queries {
     ordered(stage(t(s, dir, "events")))
   }
 
+  /** Forward as-of join: for each event, the EARLIEST order of the same
+    * customer at-or-after the event time; ties on the date break to the
+    * min order key. Same one-shuffle aggregation shape as Q-X1.
+    */
+  val qx9AsofForward: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val stage = Joins.asOfForwardAgg("asof_fwd", orders,
+      leftKey = col("user_id"), rightKey = orders("o_custkey"),
+      leftTime = col("ts"), rightTime = orders("o_orderdate"),
+      leftPk = Seq("event_id"), rightTieBreak = orders("o_orderkey"),
+      "match_key" -> orders("o_orderkey"))
+    ordered(stage(t(s, dir, "events")))
+  }
+
   /** CUBE aggregation. */
   val qx2Cube: Q = (s, dir) => {
     val nation = t(s, dir, "nation")
@@ -906,6 +920,7 @@ object Queries {
     "ql12_ivf_topk" -> qlIvfTopK,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qx1_asof_join" -> qx1AsofJoin,
+    "qx9_asof_forward" -> qx9AsofForward,
     "qx2_cube" -> qx2Cube,
     "qx3_lag_lead" -> qx3LagLead,
     "qx4_union_all" -> qx4UnionAll,
@@ -1036,6 +1051,8 @@ object Oracle {
       """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), u AS (SELECT unnest(generate_series(1, len(toks)-1)) AS i, toks FROM t WHERE len(toks) >= 2) SELECT toks[i] || ' ' || toks[i+1] AS ngram, COUNT(*) AS c FROM u GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 40""",
     "qx1_asof_join" ->
       """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qx9_asof_forward" ->
+      """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts), mn AS (SELECT event_id, MIN(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MIN(j.o_orderkey) AS match_key FROM j JOIN mn ON j.event_id = mn.event_id AND j.o_orderdate = mn.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx2_cube" ->
       """SELECT c_mktsegment, n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY CUBE(c_mktsegment, n_name) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qx3_lag_lead" ->

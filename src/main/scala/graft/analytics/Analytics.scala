@@ -79,6 +79,26 @@ object Joins {
       }
       override protected def kind: String = "AsOfJoinAgg"
     }
+
+  /** As-of join (forward): the EARLIEST right row with `rightTime >=
+    * leftTime` per key — the "next event after" complement of
+    * [[asOfBackwardAgg]]; same single-shuffle map-side-combining shape
+    * (`min_by` instead of `max_by`), ties broken to the LOWER tiebreak.
+    */
+  def asOfForwardAgg(name: String, right: DataFrame, leftKey: Column, rightKey: Column,
+                     leftTime: Column, rightTime: Column, leftPk: Seq[String],
+                     rightTieBreak: Column, payload: (String, Column)*): Stage =
+    new Stage {
+      val id: StageId = StageId(name)
+      def apply(df: DataFrame): DataFrame = {
+        val joined = df.join(right, leftKey === rightKey && rightTime >= leftTime, "inner")
+        val ord = struct(rightTime, rightTieBreak)
+        joined.groupBy(leftPk.map(col): _*)
+          .agg(min_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
+          .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
+      }
+      override protected def kind: String = "AsOfJoinForwardAgg"
+    }
 }
 
 object Aggs {
