@@ -593,6 +593,19 @@ object Queries {
         |ORDER BY c_mktsegment NULLS FIRST, cnt NULLS FIRST, nations NULLS FIRST""".stripMargin)
   }
 
+  /** Q-F4 — array-function battery: size / distinct / sort / slice / join
+    * over tokenized documents (the `array_*` vocabulary row).
+    */
+  val qf4Arrays: Q = (s, dir) => {
+    val toks = graft.llm.Dedup.tokens(col("text"))
+    val out = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("ntok"),
+        size(array_distinct(toks)).as("ndistinct"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",").as("first3"))
+    ordered(out)
+  }
+
   /** IVF approximate top-k — no SQL oracle (rows-only); full-probe ==
     * exact is unit-tested (`IvfSpec`).
     */
@@ -903,6 +916,7 @@ object Queries {
     "qf1_scalars" -> qf1Scalars,
     "qf2_dates" -> qf2Dates,
     "qf3_sql_facade" -> qf3SqlFacade,
+    "qf4_arrays" -> qf4Arrays,
     "qt1_tumbling" -> qt1Tumbling,
     "qt2_session" -> qt2Session,
     "qt3_sliding" -> qt3Sliding,
@@ -1025,6 +1039,8 @@ object Oracle {
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qf3_sql_facade" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt, COUNT(DISTINCT c_nationkey) AS nations FROM customer GROUP BY c_mktsegment ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "qf4_arrays" ->
+      """SELECT doc_id, len(toks) AS ntok, len(list_distinct(toks)) AS ndistinct, array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3 FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     "qt1_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt, CAST(CAST(ROUND(SUM(CAST(value AS $D)),2) AS $D) AS DOUBLE) AS sv FROM events GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     "qt2_session" ->
