@@ -406,6 +406,21 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-M1 — merge/upsert (`analytics/Merge.scala`): big orders arrive as a
+    * half-price update batch; the merged table must equal the oracle's
+    * CASE projection. One full-outer shuffle join, update rows win
+    * whole-row.
+    */
+  val qm1Upsert: Q = (s, dir) => {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      emit(dec("o_totalprice")).as("price"), col("o_orderstatus").as("status"))
+    val updates = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"),
+        emit(round(dec("o_totalprice") * bd("0.5"), 2).cast(DecimalType(12, 2))).as("price"),
+        lit("DISCOUNTED").as("status"))
+    ordered(graft.analytics.Merge.upsert(base, updates, Seq("o_orderkey")))
+  }
+
   /** Q-A1 — TPC-H Q1 shape: multi-aggregate grouped scan. */
   val qa1GroupedAgg: Q = (s, dir) => {
     val pipe = Sequence("qa1")(
@@ -900,6 +915,7 @@ object Queries {
     "qj4_range_join" -> qj4RangeJoin,
     "qj5_bloom_join" -> qj5BloomJoin,
     "qj6_salted_join" -> qj6SaltedJoin,
+    "qm1_upsert" -> qm1Upsert,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -1009,6 +1025,8 @@ object Oracle {
       """SELECT o.o_orderkey, COUNT(*) AS cnt FROM lineitem l JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000) o ON l.l_orderkey = o.o_orderkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qj6_salted_join" ->
       """SELECT n.n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qm1_upsert" ->
+      s"""SELECT o_orderkey, CAST(CASE WHEN o_totalprice > 400000 THEN CAST(ROUND(CAST(o_totalprice AS $D)*0.5,2) AS $D) ELSE CAST(o_totalprice AS $D) END AS DOUBLE) AS price, CASE WHEN o_totalprice > 400000 THEN 'DISCOUNTED' ELSE o_orderstatus END AS status FROM orders ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qa1_grouped_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS DOUBLE) AS sum_qty, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_base, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
     "qa2_count_distinct" ->
