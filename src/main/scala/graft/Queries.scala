@@ -621,6 +621,13 @@ object Queries {
     ordered(out)
   }
 
+  /** Deterministic hash sample (~25%) — rows-only (DuckDB lacks Spark's
+    * xxhash64); determinism/containment are spec-tested (`SamplingSpec`).
+    */
+  val qlHashSample: Q = (s, dir) =>
+    ordered(graft.llm.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 250)
+      .select(col("doc_id")))
+
   /** IVF approximate top-k — no SQL oracle (rows-only); full-probe ==
     * exact is unit-tested (`IvfSpec`).
     */
@@ -922,6 +929,7 @@ object Queries {
     "qa4_median" -> qa4Median,
     "qx8_unpivot" -> qx8Unpivot,
     "ql14_embedding_neardup" -> qlEmbeddingNearDup,
+    "ql15_hash_sample" -> qlHashSample,
     "qw1_rank_window" -> qw1RankWindow,
     "qw2_running_sum" -> qw2RunningSum,
     "qw3_range_frame" -> qw3RangeFrame,

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch merge (upsert) over frames — the MERGE INTO shape without a
@@ -37,5 +37,43 @@ object Merge {
           when(col("u._upd").isNotNull, col(s"u.$k")).otherwise(col(s"t.$k")).as(k)) ++
           nonKeys.map(c =>
             when(col("u._upd").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  /** SCD type-2 apply: close the current version of every updated key
+    * (valid_to = the update's effective time, no longer current) and
+    * append the update as the new open version. History rows and
+    * untouched keys pass through.
+    *
+    * `updates` must have one row per key (enforce upstream with
+    * `max_by(effective)` if batches can carry several versions) and share
+    * `target`'s business columns; `target` additionally carries
+    * `valid_from/valid_to/is_current`. Plan: one left join of target
+    * against the update keys + one union — both shuffle on the key.
+    */
+  def scd2(target: DataFrame, updates: DataFrame, keys: Seq[String],
+           effective: Column,
+           validFrom: String = "valid_from", validTo: String = "valid_to",
+           isCurrent: String = "is_current"): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val bizCols = target.columns.filterNot(Seq(validFrom, validTo, isCurrent).contains)
+    require(bizCols.toSet == updates.columns.toSet,
+      s"updates must carry exactly the business columns ${bizCols.mkString(",")}")
+    val updKeyed = updates.select(
+      (keys.map(k => col(k).as(s"_uk_$k")) :+ effective.as("_eff")): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"_uk_$k")).reduce(_ && _)
+    val joined = target.join(updKeyed, joinCond, "left")
+    val closed = joined.select(
+      (bizCols.map(col) ++ Seq(
+        col(validFrom),
+        // close ONLY the open version of an updated key
+        when(col(isCurrent) && col("_eff").isNotNull, col("_eff"))
+          .otherwise(col(validTo)).as(validTo),
+        when(col("_eff").isNotNull, lit(false)).otherwise(col(isCurrent)).as(isCurrent))): _*)
+    val opened = updates.select(
+      (bizCols.map(col) ++ Seq(
+        effective.as(validFrom),
+        lit(null).cast(target.schema(validTo).dataType).as(validTo),
+        lit(true).as(isCurrent))): _*)
+    closed.unionByName(opened)
   }
 }

@@ -34,6 +34,26 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Merge.upsert(target, updates, Seq("id")))
   }
 
+  test("scd2 closes the open version and appends the update as current") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val target = Seq(
+      (1L, "v1", ts(1), ts(5), false), // closed history for key 1
+      (1L, "v2", ts(5), null.asInstanceOf[java.sql.Timestamp], true),
+      (2L, "w1", ts(2), null.asInstanceOf[java.sql.Timestamp], true)
+    ).toDF("id", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, "v3", ts(9))).toDF("id", "attr", "eff")
+    val out = Merge.scd2(target,
+      updates.select(col("id"), col("attr")), Seq("id"),
+      effective = lit(ts(9)))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+    assert(rows == Set(
+      (1L, "v1", Some(ts(5)), false),  // untouched history
+      (1L, "v2", Some(ts(9)), false),  // closed at the effective time
+      (1L, "v3", None, true),          // new current version
+      (2L, "w1", None, true)))         // untouched other key
+  }
+
   test("one full-outer join, no window in the plan") {
     val target = Seq((1L, "a")).toDF("id", "tag")
     val updates = Seq((2L, "b")).toDF("id", "tag")
