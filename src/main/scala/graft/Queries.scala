@@ -488,6 +488,16 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-A5 — ordered string aggregation: distinct statuses per priority,
+    * sorted then joined — the deterministic form of LISTAGG/string_agg.
+    */
+  val qa5StringAgg: Q = (s, dir) => {
+    val out = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"))
+    ordered(out)
+  }
+
   /** Q-W1 — ranking window: top-3 orders per customer. */
   val qw1RankWindow: Q = (s, dir) => {
     val pipe = Sequence("qw1")(
@@ -927,6 +937,7 @@ object Queries {
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
     "qa4_median" -> qa4Median,
+    "qa5_string_agg" -> qa5StringAgg,
     "qx8_unpivot" -> qx8Unpivot,
     "ql14_embedding_neardup" -> qlEmbeddingNearDup,
     "ql15_hash_sample" -> qlHashSample,
@@ -1041,6 +1052,8 @@ object Oracle {
       """SELECT COUNT(DISTINCT o_custkey) AS n FROM orders""",
     "qa4_median" ->
       """SELECT o_orderpriority, quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5) AS median_cents FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "qa5_string_agg" ->
+      """SELECT o_orderpriority, string_agg(s, ',' ORDER BY s) AS statuses FROM (SELECT DISTINCT o_orderpriority, o_orderstatus AS s FROM orders) GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx8_unpivot" ->
       s"""SELECT o_orderkey, m AS measure, v FROM (SELECT o_orderkey, 'price' AS m, CAST(CAST(o_totalprice AS $D) AS DOUBLE) AS v FROM orders UNION ALL SELECT o_orderkey, 'cust' AS m, CAST(o_custkey AS DOUBLE) AS v FROM orders) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qa3_rollup" ->
