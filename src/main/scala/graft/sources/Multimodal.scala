@@ -159,6 +159,20 @@ object Multimodal {
     spark.createDataFrame(parted, sized.schema).drop("_sz")
   }
 
+  /** Ingest raw media files as binary rows — Spark's `binaryFile` source
+    * yields (path, modificationTime, length, content); renamed to the
+    * canonical `bytes` column so the decode/feature stages apply directly.
+    * Files larger than `spark.sql.sources.binaryFile.maxLength` fail the
+    * scan; chunk oversized media upstream.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("length"), col("content").as("bytes"),
+        col("modificationTime"))
+
   /** Frame sampling stage (video): every `stride`-th frame index up to
     * `maxFrames`, as (media_id, frame_idx) rows ready for per-frame decode.
     */

@@ -66,6 +66,32 @@ final case class JsonSource(id: StageId, path: String,
     df.sparkSession.read.schema(schema).json(path)
 }
 
+/** ORC source (columnar alternative to parquet; same pushdown/pruning). */
+final case class OrcSource(id: StageId, path: String) extends Stage {
+  def apply(df: DataFrame): DataFrame = df.sparkSession.read.orc(path)
+}
+
+object OrcSource {
+  def apply(path: String): OrcSource = OrcSource(StageId(s"orc:$path"), path)
+}
+
+/** ORC sink stage: writes and passes the frame through. */
+final case class OrcSink(id: StageId, path: String, mode: String = "overwrite")
+    extends Stage {
+  def apply(df: DataFrame): DataFrame = { df.write.mode(mode).orc(path); df }
+}
+
+/** Line-oriented text source: one row per line in column `value` — the
+  * raw-corpus entry point before tokenization/quality filtering.
+  */
+final case class TextSource(id: StageId, path: String) extends Stage {
+  def apply(df: DataFrame): DataFrame = df.sparkSession.read.text(path)
+}
+
+object TextSource {
+  def apply(path: String): TextSource = TextSource(StageId(s"text:$path"), path)
+}
+
 object StreamSources {
   /** Synthetic rate source (rowsPerSecond ticks) — load/chaos testing. */
   def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
