@@ -48,11 +48,16 @@ final class Pipeline(val id: StageId, val root: Stage, val bus: SignalBus = Sign
     if (!ErrorChannel.hasChannel(out)) out
     else {
       val firstDead = ErrorChannel.dead(out)
-        .select(col(s"${ErrorChannel.ColName}.path"), col(s"${ErrorChannel.ColName}.msg"))
+        .select(col(s"${ErrorChannel.ColName}.path"), col(s"${ErrorChannel.ColName}.msg"),
+          col(s"${ErrorChannel.ColName}.timeout"), col(s"${ErrorChannel.ColName}.canceled"))
         .head(1)
       firstDead.headOption.foreach { row =>
         val path = row.getSeq[String](0).mkString(" -> ")
-        throw new PipelineException(id, path, String.valueOf(row.getString(1)))
+        val kind =
+          if (!row.isNullAt(2) && row.getBoolean(2)) " [timeout]"
+          else if (!row.isNullAt(3) && row.getBoolean(3)) " [canceled]"
+          else ""
+        throw new PipelineException(id, path, String.valueOf(row.getString(1)) + kind)
       }
       ErrorChannel.good(out)
     }

@@ -24,6 +24,14 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage == "numbers -> seq -> parse failed: not a number")
   }
 
+  test("failFast tags timeout dead letters in the exception message") {
+    val timedOut = ErrorChannel.markWhere(df, StageId("deadline"),
+      col("id") === 2, lit("too slow"), timeout = true)
+    val p = Pipeline("t", Stage.identity("id"))
+    val e = intercept[PipelineException](p.failFast(timedOut))
+    assert(e.getMessage.endsWith("too slow [timeout]"))
+  }
+
   test("failFast returns healthy rows when nothing is dead") {
     val clean = Seq((1, "5"), (2, "6")).toDF("id", "raw")
     val out = parsePipe.failFast(clean)
