@@ -16,6 +16,19 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$table.parquet")
   }
 
+  /** Coalesce toward ~`targetFileBytes` output files using the optimizer's
+    * size estimate — the small-files guard before any write (thousands of
+    * KB-sized parquet files destroy downstream scan planning). `coalesce`
+    * (not `repartition`) so compaction itself adds NO shuffle; it only
+    * ever reduces partition count.
+    */
+  def compactTo(df: DataFrame, targetFileBytes: Long): DataFrame = {
+    require(targetFileBytes > 0)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1L, ((est + targetFileBytes - 1) / targetFileBytes).toLong).toInt
+    if (files < df.rdd.getNumPartitions) df.coalesce(files) else df
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which the Spark scanner
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
     * nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong`) and

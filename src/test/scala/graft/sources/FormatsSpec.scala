@@ -28,6 +28,21 @@ class FormatsSpec extends SparkSpec {
     assert(df.as[String].collect().sorted.toSeq == Seq("first line", "second line"))
   }
 
+  test("compactTo reduces partitions toward the byte target without a shuffle") {
+    val docs = Tables.load(spark, sf, "documents").repartition(32)
+    val compacted = Tables.compactTo(docs, targetFileBytes = 512L * 1024 * 1024)
+    assert(compacted.rdd.getNumPartitions < 32)
+    // compaction itself adds no exchange beyond the test's own repartition
+    def exchanges(p: String) = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges(compacted.queryExecution.executedPlan.toString) ==
+      exchanges(docs.queryExecution.executedPlan.toString),
+      "coalesce must not add a shuffle")
+    assert(compacted.count() == docs.count())
+    // never inflates an already-small frame
+    val one = docs.coalesce(1)
+    assert(Tables.compactTo(one, 1L).rdd.getNumPartitions == 1)
+  }
+
   test("binaryFile ingestion surfaces bytes + metadata per file") {
     val dir = Files.createTempDirectory("bin")
     Files.write(dir.resolve("x.bin"), Array[Byte](1, 2, 3))
