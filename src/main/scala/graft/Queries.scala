@@ -73,9 +73,23 @@ object Queries {
     ordered(ErrorChannel.good(out).select(col("event_id"), col("k")))
   }
 
-  /** Q-P2b — the dead-letter count (the paired sub-check). */
+  /** Deterministic corrupt batch: 50 synthetic events (ids -1..-50) whose
+    * props lack `k`, unioned into the dead-letter queries so the error
+    * channel is pinned end-to-end with NONZERO counts — the fixture itself
+    * contains zero parse failures. The oracle SQL mirrors the same rows
+    * via generate_series.
+    */
+  private def withCorruptBatch(s: SparkSession, events: DataFrame): DataFrame = {
+    val corrupt = s.range(1, 51).select(
+      (-col("id")).as("event_id"), lit("""{"nope":1}""").as("props"))
+    events.select(col("event_id"), col("props")).unionByName(corrupt)
+  }
+
+  /** Q-P2b — the dead-letter count (the paired sub-check; corrupt batch
+    * makes it nonzero).
+    */
   val qp2ApplyDead: Q = (s, dir) => {
-    val out = qp2Stage(t(s, dir, "events"))
+    val out = qp2Stage(withCorruptBatch(s, t(s, dir, "events")))
     ErrorChannel.dead(out).agg(count(lit(1)).as("n_dead"))
   }
 
@@ -258,8 +272,9 @@ object Queries {
     ordered(out)
   }
 
-  /** Q-C11 Handle — the dead-letter handler pipeline over Q-P2 failures
-    * (empty set at this SF; the mechanics are what's pinned).
+  /** Q-C11 Handle — the dead-letter handler pipeline over Q-P2 failures;
+    * the corrupt batch guarantees real handler rows (the raw fixture has
+    * zero parse failures).
     */
   val qc11Handle: Q = (s, dir) => {
     val handler = Sequence("dead_letter_handler")(
@@ -267,7 +282,8 @@ object Queries {
       Project("proj")(col("event_id"), col("reason"))
     )
     val h = Handle("qc11", qp2Stage, handler)
-    ordered(h.handled(t(s, dir, "events")).drop(ErrorChannel.ColName))
+    ordered(h.handled(withCorruptBatch(s, t(s, dir, "events")))
+      .drop(ErrorChannel.ColName))
   }
 
   /** Q-C12 RateLimiter — wait-mode limiter gates submission; values
@@ -670,18 +686,20 @@ object Queries {
     ordered(stage(t(s, dir, "events")))
   }
 
-  /** Forward as-of join: for each event, the EARLIEST order of the same
-    * customer at-or-after the event time; ties on the date break to the
-    * min order key. Same one-shuffle aggregation shape as Q-X1.
+  /** Forward as-of join: for each order, the EARLIEST event of the same
+    * customer at-or-after the order date; ties on the timestamp break to
+    * the min event id. Same one-shuffle aggregation shape as Q-X1. Sides
+    * chosen so the fixture produces real matches (orders 1995-2001 all
+    * precede the 2024 events).
     */
   val qx9AsofForward: Q = (s, dir) => {
-    val orders = t(s, dir, "orders")
-    val stage = Joins.asOfForwardAgg("asof_fwd", orders,
-      leftKey = col("user_id"), rightKey = orders("o_custkey"),
-      leftTime = col("ts"), rightTime = orders("o_orderdate"),
-      leftPk = Seq("event_id"), rightTieBreak = orders("o_orderkey"),
-      "match_key" -> orders("o_orderkey"))
-    ordered(stage(t(s, dir, "events")))
+    val events = t(s, dir, "events")
+    val stage = Joins.asOfForwardAgg("asof_fwd", events,
+      leftKey = col("o_custkey"), rightKey = events("user_id"),
+      leftTime = col("o_orderdate"), rightTime = events("ts"),
+      leftPk = Seq("o_orderkey"), rightTieBreak = events("event_id"),
+      "match_event" -> events("event_id"))
+    ordered(stage(t(s, dir, "orders")))
   }
 
   /** CUBE aggregation. */
@@ -991,7 +1009,7 @@ object Oracle {
     "qp2_apply" ->
       """SELECT event_id, CAST(json_extract(props,'$.k') AS INT) AS k FROM events WHERE json_extract(props,'$.k') IS NOT NULL ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qp2_apply_dead" ->
-      """SELECT COUNT(*) AS n_dead FROM events WHERE json_extract(props,'$.k') IS NULL""",
+      """SELECT COUNT(*) AS n_dead FROM (SELECT event_id, props FROM events UNION ALL SELECT -s, '{"nope":1}' FROM generate_series(1,50) t(s)) WHERE json_extract(props,'$.k') IS NULL""",
     "qp3_effect" ->
       """SELECT event_id, event_type FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qp3_effect_metrics" ->
@@ -1021,7 +1039,7 @@ object Oracle {
     "qc10_timeout" ->
       s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS DOUBLE) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qc11_handle" ->
-      """SELECT event_id, 'parse_error' AS reason FROM events WHERE json_extract(props,'$.k') IS NULL ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      """SELECT event_id, 'parse_error' AS reason FROM (SELECT event_id, props FROM events UNION ALL SELECT -s, '{"nope":1}' FROM generate_series(1,50) t(s)) WHERE json_extract(props,'$.k') IS NULL ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc12_ratelimiter" ->
       """SELECT event_id, event_type FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qc13_breaker" ->
@@ -1107,7 +1125,7 @@ object Oracle {
     "qx1_asof_join" ->
       """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx9_asof_forward" ->
-      """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts), mn AS (SELECT event_id, MIN(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MIN(j.o_orderkey) AS match_key FROM j JOIN mn ON j.event_id = mn.event_id AND j.o_orderdate = mn.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      """WITH j AS (SELECT o.o_orderkey, e.event_id, e.ts FROM orders o JOIN events e ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate), mn AS (SELECT o_orderkey, MIN(ts) d FROM j GROUP BY 1) SELECT j.o_orderkey, MIN(j.event_id) AS match_event FROM j JOIN mn ON j.o_orderkey = mn.o_orderkey AND j.ts = mn.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx2_cube" ->
       """SELECT c_mktsegment, n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY CUBE(c_mktsegment, n_name) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qx3_lag_lead" ->

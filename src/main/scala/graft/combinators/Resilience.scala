@@ -169,11 +169,15 @@ final case class Handle(id: StageId, stage: Stage, handler: Stage) extends Stage
     ErrorChannel.prependPath(out, id)
   }
 
-  /** The handler's view: processed dead letters of a staged output. */
+  /** The handler's view: processed dead letters of a staged output. The
+    * dead letters are released to the handler as live rows (error struct
+    * in a regular `err` column) — the reference handler receives the
+    * `*Error[T]` as its input value, not as a poisoned row.
+    */
   def handled(df: DataFrame): DataFrame = {
     val out = stage(df)
     SignalBus.global.emit(Signals.HandleError, id)
-    handler(ErrorChannel.dead(out))
+    handler(ErrorChannel.release(ErrorChannel.dead(out)))
   }
 
   /** The reference's full contract in one call (`handle.go:96,117`):
@@ -191,7 +195,7 @@ final case class Handle(id: StageId, stage: Stage, handler: Stage) extends Stage
       org.apache.spark.sql.functions.col(s"${ErrorChannel.ColName}.msg")).head(1)
     first.headOption.foreach { row =>
       SignalBus.global.emit(Signals.HandleError, id)
-      handlerAction(handler(dead)) // handler first (handle.go:96)
+      handlerAction(handler(ErrorChannel.release(dead))) // handler first (handle.go:96)
       val path = row.getSeq[String](0).mkString(" -> ")
       throw new RuntimeException(
         s"${id.name} -> $path failed: ${String.valueOf(row.getString(1))}") // then re-raise (handle.go:117)

@@ -106,6 +106,17 @@ object ErrorChannel {
     if (!hasChannel(df)) df.limit(0)
     else df.filter(col(ColName).isNotNull)
 
+  /** Hand dead letters to a handler as LIVE data: the typed error struct
+    * moves from the channel column to a regular `err` column. Stages skip
+    * rows whose `_err` is set (short-circuit-after-failure), so a handler
+    * pipeline fed raw dead letters would pass them through untouched; the
+    * reference instead hands the handler the `*Error[T]` as its input
+    * value (`handle.go:96`) — this is that conversion.
+    */
+  def release(df: DataFrame, as: String = "err"): DataFrame =
+    if (!hasChannel(df)) df
+    else df.withColumnRenamed(ColName, as)
+
   /** Guard a per-row transform so it only applies to healthy rows. */
   def onGood(df: DataFrame)(colName: String, value: Column): DataFrame = {
     if (!hasChannel(df)) df.withColumn(colName, value)

@@ -1,26 +1,42 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Scratch diagnostics main (not part of the library surface). */
+/** Scratch diagnostics main (not part of the library surface): dump a
+  * comma-separated subset of SparkEntry.queries (args: sfDir outDir
+  * name,name,…) so `tools/check.py outDir sfDir name,name` can verify just
+  * the queries under iteration instead of the full 70+ registry.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names) = args
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    for (t <- Seq("events", "orders", "embeddings", "documents")) {
-      try {
-        val df = spark.read.parquet(s"$sf/$t.parquet")
-        println(s"== $t: ${df.count()} rows")
-        df.printSchema()
-        df.show(3, truncate = 60)
-      } catch { case e: Throwable => println(s"== $t FAILED: ${e.getMessage.take(400)}") }
+    new java.io.File(outDir).mkdirs()
+    for (name <- names.split(",")) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(f"dumped $name in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

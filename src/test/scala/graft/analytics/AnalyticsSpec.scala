@@ -33,6 +33,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(stage(trades).select("px").head().getDouble(0) == 5.0) // max tiebreak wins
   }
 
+  test("asOfForwardAgg picks the earliest right row at-or-after the left time") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      (1L, "A", 25L), (2L, "A", 30L), (3L, "B", 20L), (4L, "A", 35L)
+    ).toDF("tid", "tsym", "tt")
+    val stage = Joins.asOfForwardAgg("asof_fwd", quotes,
+      leftKey = col("tsym"), rightKey = col("sym"),
+      leftTime = col("tt"), rightTime = col("qt"),
+      leftPk = Seq("tid"), rightTieBreak = col("px"),
+      "qt" -> col("qt"), "px" -> col("px"))
+    val out = stage(trades).select("tid", "qt", "px")
+    // trade 1 (A@25) → next quote A@30; trade 2 (A@30) → A@30 (inclusive);
+    // trade 3 (B@20) has no quote >= 20 → dropped; trade 4 (A@35) → dropped
+    assert(rowsOf(out) == Set(Seq(1L, 30L, 3.0), Seq(2L, 30L, 3.0)))
+  }
+
+  test("asOfForwardAgg breaks time ties to the LOWER tiebreak") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 10L, 5.0)).toDF("sym", "qt", "px")
+    val trades = Seq((1L, "A", 10L)).toDF("tid", "tsym", "tt")
+    val stage = Joins.asOfForwardAgg("asof_fwd", quotes,
+      col("tsym"), col("sym"), col("tt"), col("qt"),
+      Seq("tid"), rightTieBreak = col("px"), "px" -> col("px"))
+    assert(stage(trades).select("px").head().getDouble(0) == 1.0) // min tiebreak wins
+  }
+
   test("topKPerGroup keeps k rows per partition in order") {
     val df = Seq(("g1", 3), ("g1", 1), ("g1", 2), ("g2", 9)).toDF("g", "v")
     val out = Windows.topKPerGroup("top2", Seq(col("g")), Seq(col("v").desc), 2)(df)
