@@ -497,9 +497,19 @@ object Queries {
   /** Embedding near-dup pairs (LSH-bucketed scoring) — rows-only (no
     * DuckDB hyperplane oracle); recall is spec-tested (`LlmSpec`).
     */
+  /** Q-L14 — embedding near-dup pairs. The fixture's organic max pairwise
+    * cosine is ~0.51, so a 0.8 threshold over raw data demonstrates
+    * nothing; plant exact clones of the first 20 vectors (ids +1e6).
+    * Because NO organic pair reaches the threshold, the bucketed LSH
+    * result provably equals the exact all-pairs answer (clones share
+    * buckets by construction) — which makes this oracle-checkable.
+    */
   val qlEmbeddingNearDup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val out = graft.llm.Similarity.cosineNearDupPairs(
-      t(s, dir, "embeddings"), "vec_id", threshold = 0.8, planes = 4, dim = 64)
+      emb.unionByName(planted), "vec_id", threshold = 0.8, planes = 4, dim = 64)
       .select(col("doc_a"), col("doc_b"))
     ordered(out)
   }
@@ -850,7 +860,10 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    val out = graft.llm.Similarity.bruteForceTopK(queries, corpus, k = 3)
+    // bounded-aggregate form: each map task forwards at most k candidates
+    // per query into the shuffle (the 100 TB shape) — window form is
+    // spec-pinned equal (AggregatorsSpec)
+    val out = graft.llm.Similarity.bruteForceTopKAgg(queries, corpus, k = 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     ordered(out)
   }
@@ -1114,6 +1127,8 @@ object Oracle {
       """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 10), j AS (SELECT q.qid, e.vec_id nid, list_cosine_similarity(q.qe, e.embedding) sim FROM q, embeddings e WHERE e.vec_id <> q.qid), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM j) SELECT qid AS query_id, rn AS rank, nid AS neighbor_id FROM r WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql5_token_set_dups" ->
       """WITH n AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))), ' ') AS sig FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM n a JOIN n b ON a.sig=b.sig AND a.doc_id<b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql14_embedding_neardup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql7_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql8_quality" ->

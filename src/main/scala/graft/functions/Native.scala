@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -107,6 +107,81 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused random-hyperplane LSH signature: bit p = sign of dot(emb, r_p),
+  * where r_p's coefficients are derived from `xxhash64(p, i)` exactly like
+  * the Column-tree form in `Similarity.hyperplaneSignatureTree` — the
+  * per-(plane, index) chain `hashInt(i, hashInt(p, 42))` is precomputed
+  * into a coefficient table once per expression instance.
+  *
+  * Why it exists: the tree form materializes planes x dim Column nodes
+  * (8 planes x 64 dims = 512 already; at production embedding dims
+  * 768-4096 the generated method blows past the JVM/codegen method limit
+  * and Spark silently falls back to interpreted evaluation of a 100k-node
+  * tree). Same argument as [[MinHashSignature]]: one tight loop per row.
+  * Bit-exact vs the tree form (NativeSpec property test at dim 768).
+  */
+case class HyperplaneSignature(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if planes > 0 && planes < 64 && dim > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signature expects ARRAY<FLOAT> with 0 < planes < 64 and dim > 0, " +
+        s"got ${child.dataType.sql} with planes=$planes dim=$dim")
+  }
+
+  // xxhash64(p, i) = hashInt(i, hashInt(p, seed=42)); fold the modulo /
+  // scale / center arithmetic in so the hot loop is one multiply-add
+  @transient private lazy val coeffs: Array[Double] = {
+    val c = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      val hp = XXH64.hashInt(p, 42L)
+      var i = 0
+      while (i < dim) {
+        val h = XXH64.hashInt(i, hp)
+        c(p * dim + i) = java.lang.Math.floorMod(h, 1000000L).toDouble / 1000000.0 - 0.5
+        i += 1
+      }
+      p += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    // Tree parity: a short array or a null element nulls EVERY plane's dot
+    // (element_at/cast null-propagates through the whole sum), and a null
+    // `when` predicate takes the otherwise(0) branch -> all bits 0
+    if (arr.numElements() < dim) return 0L
+    val e = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return 0L
+      e(i) = arr.getFloat(i).toDouble
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val off = p * dim
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += e(j) * coeffs(off + j); j += 1 }
+      if (d >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Native {
   private[functions] def checkFloatArrays(left: Expression, right: Expression,
                                           name: String): TypeCheckResult = {
@@ -125,6 +200,9 @@ object Native {
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(emb), planes, dim))
 
   /** SQL registration (`SELECT cosine_similarity(a, b)`). */
   def register(spark: SparkSession): Unit = {

@@ -83,9 +83,17 @@ object Similarity {
   /** Random-hyperplane LSH signature (`planes` bits): bit p is the sign of
     * dot(v, r_p) where r_p is a deterministic pseudo-random unit-free
     * direction derived from xxhash64(p, i) — no stored model, identical
-    * across runs/engines.
+    * across runs/engines. Fused native expression
+    * ([[graft.functions.HyperplaneSignature]]): the Column-tree reference
+    * form below builds planes x dim nodes, which at production embedding
+    * dims (768-4096) exceeds codegen limits and interprets a 100k-node
+    * tree per row.
     */
-  def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column = {
+  def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column =
+    graft.functions.Native.hyperplaneSignature(emb, planes, dim)
+
+  /** Reference (Column-tree) form — kept for the bit-exactness spec. */
+  def hyperplaneSignatureTree(emb: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val contribs = (0 until dim).map { i =>
         // pseudo-random coefficient in [-0.5, 0.5) from (plane, index)

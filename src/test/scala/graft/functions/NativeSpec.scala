@@ -38,6 +38,56 @@ class NativeSpec extends SparkSpec {
     assert(r.getDouble(1) == 6.0)
   }
 
+  test("native hyperplane signature is bit-exact vs the Column tree on real embeddings") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    val diff = emb.select(
+      Native.hyperplaneSignature(col("embedding"), 8, 64).as("native"),
+      Similarity.hyperplaneSignatureTree(col("embedding"), 8, 64).as("tree"))
+      .filter(col("native") =!= col("tree"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("native hyperplane signature is bit-exact at production dim 768") {
+    // The tree form at 16x768 = 12288 Column nodes cannot even be CONVERTED
+    // to expressions (StackOverflow in ColumnNode conversion) — the cliff
+    // the fused expr removes. Reference here is a driver-side fold with the
+    // identical xxhash64 chain and double accumulation order.
+    val rows = (0 until 20).map { r =>
+      (r.toLong, Array.tabulate(768)(i => ((r * 31 + i * 7) % 97 - 48) / 48.0f))
+    }
+    def expected(emb: Array[Float], planes: Int, dim: Int): Long = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      var sig = 0L
+      for (p <- 0 until planes) {
+        val hp = XXH64.hashInt(p, 42L)
+        var d = 0.0
+        for (i <- 0 until dim) {
+          val coeff =
+            java.lang.Math.floorMod(XXH64.hashInt(i, hp), 1000000L).toDouble / 1000000.0 - 0.5
+          d += emb(i).toDouble * coeff
+        }
+        if (d >= 0) sig |= 1L << p
+      }
+      sig
+    }
+    val got = rows.toDF("id", "embedding")
+      .select(col("id"), Native.hyperplaneSignature(col("embedding"), 16, 768).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, emb) => assert(got(id) == expected(emb, 16, 768)) }
+  }
+
+  test("hyperplane signature: short and null-element arrays bucket to 0, null array to null") {
+    val df = Seq(
+      (1L, Some(Array(1.0f, 2.0f))),          // shorter than dim
+      (2L, None: Option[Array[Float]])        // null embedding
+    ).toDF("id", "embedding")
+    val out = df.select(col("id"),
+      Native.hyperplaneSignature(col("embedding"), 4, 4).as("sig")).collect()
+    assert(out.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
+    assert(out.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
   test("type check rejects non-float-array input") {
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b") // double arrays
     val e = intercept[Exception] {
