@@ -53,14 +53,40 @@ object BloomPrune {
       case None        => fact.filter(lit(false)) // empty dim: nothing joins
     }
 
-  /** Stage face: Bloom-pruned equi join (prune fact pre-shuffle, then join). */
+  /** Join types for which dropping unmatched FACT (left) rows cannot
+    * change the result. Left/full outer and left_anti NEED unmatched fact
+    * rows, so pruning would silently corrupt them.
+    */
+  private val SafeJoinTypes = Set("inner", "leftsemi", "semi", "rightouter", "right")
+
+  /** Stage face: Bloom-pruned equi join (prune fact pre-shuffle, then
+    * join). Restricted to join types where unmatched fact rows are dropped
+    * anyway (inner / left_semi / right_outer) — for outer-preserving
+    * types use a plain join.
+    *
+    * The filter bytes are memoized per stage INSTANCE: the engine's
+    * "no action at plan-composition time" invariant is relaxed to
+    * at-most-one dimension job for the stage's lifetime — re-applying the
+    * stage re-uses the bytes (spec-asserted), it does not re-scan `dim`.
+    */
   def prunedJoin(name: String, dim: DataFrame, factKey: Column, dimKey: Column,
                  cond: Column, how: String = "inner",
-                 expectedItems: Long = 1000000L, fpp: Double = 0.03): Stage =
+                 expectedItems: Long = 1000000L, fpp: Double = 0.03): Stage = {
+    require(SafeJoinTypes.contains(how.toLowerCase.replace("_", "")),
+      s"prunedJoin: join type '$how' preserves unmatched fact rows; Bloom pruning " +
+        "would drop them. Use inner/left_semi/right_outer or a plain join.")
     new Stage {
       val id: StageId = StageId(name)
-      def apply(df: DataFrame): DataFrame =
-        prune(df, factKey, dim, dimKey, expectedItems, fpp).join(dim, cond, how)
+      private lazy val filterBytes: Option[Array[Byte]] =
+        buildFilter(dim, dimKey, expectedItems, fpp)
+      def apply(df: DataFrame): DataFrame = {
+        val pruned = filterBytes match {
+          case Some(bytes) => df.filter(mightContain(bytes, factKey))
+          case None        => df.filter(lit(false)) // empty dim: inner/semi join is empty
+        }
+        pruned.join(dim, cond, how)
+      }
       override protected def kind: String = "BloomPrunedJoin"
     }
+  }
 }

@@ -19,16 +19,32 @@ object Merge {
   /** `updates` must share `target`'s schema (checked). Update rows win
     * whole-row: every non-key column takes the update's value when the
     * key matched.
+    *
+    * PRECONDITION: one update row per key — a duplicate key would fan out
+    * through the full-outer join into duplicate output rows. Pass
+    * `dedupOrder` to enforce it in-plan (deterministic `max_by` keeps the
+    * greatest row per key by that ordering — no extra job), or call
+    * [[requireUniqueKeys]] for an explicit one-job validation when batches
+    * are supposed to already be unique.
     */
-  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             dedupOrder: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(target.columns.toSet == updates.columns.toSet,
       s"schema mismatch: target ${target.columns.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    val updates1 = dedupOrder match {
+      case Some(ord) =>
+        val allCols = updates.columns
+        updates.groupBy(keys.map(col): _*)
+          .agg(max_by(struct(allCols.map(col): _*), ord).as("_r"))
+          .select(allCols.map(c => col(s"_r.$c").as(c)): _*)
+      case None => updates
+    }
     val t = target.as("t")
     // presence marker: "did an update row join here" must not be inferred
     // from key/value nullability (updates may carry null keys or
     // legitimately set values to NULL)
-    val u = updates.withColumn("_upd", lit(true)).as("u")
+    val u = updates1.withColumn("_upd", lit(true)).as("u")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
     val nonKeys = target.columns.filterNot(keys.contains)
     t.join(u, cond, "full_outer")
@@ -37,6 +53,19 @@ object Merge {
           when(col("u._upd").isNotNull, col(s"u.$k")).otherwise(col(s"t.$k")).as(k)) ++
           nonKeys.map(c =>
             when(col("u._upd").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  /** Explicit validation of the one-row-per-key precondition shared by
+    * [[upsert]] and [[scd2]] — ONE bounded Spark job (limit-1 on the
+    * violating keys). Callers opt in; the merge itself stays action-free.
+    */
+  def requireUniqueKeys(updates: DataFrame, keys: Seq[String]): Unit = {
+    val dup = updates.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"updates carry duplicate key ${dup.head.toSeq.init.mkString("(", ",", ")")}: " +
+          "one row per key required — pre-dedup with dedupOrder or fix the batch")
   }
 
   /** SCD type-2 apply: close the current version of every updated key

@@ -47,6 +47,10 @@ object Fanout {
   final class Tracker {
     private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     def share(df: DataFrame): DataFrame = { val p = Fanout.share(df); persisted.add(p); p }
+    /** Register an ALREADY-persisted frame (e.g. a race winner cached by
+      * its branch job) for release at close().
+      */
+    def track(df: DataFrame): DataFrame = { persisted.add(df); df }
     def release(): Unit = {
       var d = persisted.poll()
       while (d != null) { d.unpersist(blocking = false); d = persisted.poll() }
@@ -125,6 +129,10 @@ object Concurrent {
   */
 final case class Race(id: StageId, branches: Seq[Stage]) extends Stage {
 
+  // the winner stays persisted for the caller to compose on; close()
+  // owns its release (the shared input and losers are released in run)
+  private val winnerCaches = new Fanout.Tracker
+
   /** Lazy composition (used when Race wraps pure plans and the caller wants
     * one query): first branch's plan. Semantically valid ONLY when branch
     * plans are deterministic and failure-free — then all branches "win"
@@ -175,15 +183,17 @@ final case class Race(id: StageId, branches: Seq[Stage]) extends Stage {
           } finally sc.clearJobGroup()
         }(ec)
       }
-      val winner = Await.result(done.future, Duration.Inf)._2
-      // winner is materialized in its own cache; the shared input is spent
+      // winner is materialized in its own cache (released at close);
+      // shared input is released in the finally — also on failure paths
+      winnerCaches.track(Await.result(done.future, Duration.Inf)._2)
+    } finally {
       shared.unpersist(blocking = false)
-      winner
-    } finally ec.shutdown()
+      ec.shutdown()
+    }
   }
 
   override def plan: PlanNode = PlanNode("Race", id, branches.map(_.plan))
-  override def close(): Unit = branches.foreach(_.close())
+  override def close(): Unit = { winnerCaches.release(); branches.foreach(_.close()) }
 }
 
 object Race {
@@ -201,6 +211,8 @@ final case class Contest(
     condition: DataFrame => Boolean,
     branches: Seq[Stage]
 ) extends Stage {
+  private val winnerCaches = new Fanout.Tracker
+
   def apply(df: DataFrame): DataFrame = branches.head(df)
 
   def run(df: DataFrame): DataFrame = {
@@ -244,14 +256,15 @@ final case class Contest(
           sc.clearJobGroup()
         }(ec)
       }
-      val winner = Await.result(done.future, Duration.Inf)._2
+      winnerCaches.track(Await.result(done.future, Duration.Inf)._2)
+    } finally {
       shared.unpersist(blocking = false)
-      winner
-    } finally ec.shutdown()
+      ec.shutdown()
+    }
   }
 
   override def plan: PlanNode = PlanNode("Contest", id, branches.map(_.plan))
-  override def close(): Unit = branches.foreach(_.close())
+  override def close(): Unit = { winnerCaches.release(); branches.foreach(_.close()) }
 }
 
 object Contest {

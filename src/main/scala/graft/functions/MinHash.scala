@@ -27,6 +27,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  // returns null for an EMPTY token array regardless of input nullability —
+  // without this override a non-nullable child would let the optimizer
+  // miscompile IsNull/IsNotNull filters over the signature (the LSH
+  // pipeline filters null signatures)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
@@ -44,11 +49,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    var any = false
     var t = 0
     while (t < n) {
-      if (!arr.isNullAt(t)) {
-        any = true
+      if (arr.isNullAt(t)) {
+        // HOF parity: xxhash64(i, NULL) skips the null child and leaves the
+        // per-seed prefix hash — a null token contributes seeds(h) as a
+        // min candidate (MinHashSpec pins this against the HOF form)
+        var h = 0
+        while (h < numHashes) {
+          if (seeds(h) < mins(h)) mins(h) = seeds(h)
+          h += 1
+        }
+      } else {
         val s = arr.getUTF8String(t)
         var h = 0
         while (h < numHashes) {
@@ -59,9 +71,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       }
       t += 1
     }
-    // HOF parity: array_min over an empty/all-null token array is null per
-    // entry; surface the whole signature as null so callers filter it
-    if (!any) null else new GenericArrayData(mins)
+    // EMPTY token array → null signature so callers can filter it (the HOF
+    // form would yield [null × k], unusable and violating containsNull)
+    if (n == 0) null else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

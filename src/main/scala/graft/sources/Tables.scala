@@ -25,8 +25,16 @@ object Tables {
   def compactTo(df: DataFrame, targetFileBytes: Long): DataFrame = {
     require(targetFileBytes > 0)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = math.max(1L, ((est + targetFileBytes - 1) / targetFileBytes).toLong).toInt
-    if (files < df.rdd.getNumPartitions) df.coalesce(files) else df
+    // unknown stats default sizeInBytes to ~Long.MaxValue: BigInt→toLong→
+    // toInt would wrap negative and make coalesce throw. Anything at or
+    // past Int.MaxValue files means "stats unusable — don't compact",
+    // which also skips the plan-to-RDD conversion for the partition guard.
+    val fileCount = (est + targetFileBytes - 1) / targetFileBytes
+    if (fileCount >= Int.MaxValue) df
+    else {
+      val files = fileCount.toInt.max(1)
+      if (files < df.rdd.getNumPartitions) df.coalesce(files) else df
+    }
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which the Spark scanner

@@ -31,6 +31,47 @@ class BloomPruneSpec extends SparkSpec {
     assert(BloomPrune.prune(fact, col("fk"), empty, col("dk")).count() == 0)
   }
 
+  test("re-applying a prunedJoin stage runs ONE dimension job, not one per apply") {
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val stage = BloomPrune.prunedJoin("bp2", dim, col("fk"), col("dk"),
+      col("fk") === col("dk"), expectedItems = 100)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // listener events are async: wait until the count stabilizes
+      def stable(): Int = {
+        val deadline = System.currentTimeMillis + 10000
+        var last = -1
+        while (System.currentTimeMillis < deadline && jobs != last) {
+          last = jobs; Thread.sleep(200)
+        }
+        jobs
+      }
+      stage(fact)                  // first apply builds the filter
+      val afterFirst = stable()
+      assert(afterFirst > 0, "filter build should run at least one job")
+      stage(fact)                  // second apply must reuse the bytes
+      assert(stable() == afterFirst,
+        s"second apply launched new dimension jobs (was $afterFirst, now $jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("outer-preserving join types are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.prunedJoin("bp3", dim, col("fk"), col("dk"),
+        col("fk") === col("dk"), how = "left_outer")
+    }
+    assert(e.getMessage.contains("unmatched fact rows"))
+    // semi and right_outer are accepted
+    BloomPrune.prunedJoin("bp4", dim, col("fk"), col("dk"),
+      col("fk") === col("dk"), how = "left_semi")
+    BloomPrune.prunedJoin("bp5", dim, col("fk"), col("dk"),
+      col("fk") === col("dk"), how = "right_outer")
+  }
+
   test("the might_contain predicate sits on the fact scan (parquet-backed)") {
     // a local Seq relation is constant-folded by ConvertToLocalRelation,
     // so use the real parquet fact table to observe the filter placement

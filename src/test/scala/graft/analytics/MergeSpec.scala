@@ -34,6 +34,25 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Merge.upsert(target, updates, Seq("id")))
   }
 
+  test("dup-key update batch: dedupOrder keeps one deterministic winner per key") {
+    val target = Seq((1L, "a", 10.0)).toDF("id", "tag", "v")
+    val dupBatch = Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "z", 3.0))
+      .toDF("id", "tag", "v")
+    // without the guard the full-outer join fans out: 2 rows for key 1
+    assert(Merge.upsert(target, dupBatch, Seq("id")).filter(col("id") === 1).count() == 2)
+    val merged = Merge.upsert(target, dupBatch, Seq("id"), dedupOrder = Some(col("v")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(merged == Map(1L -> ("y", 2.0), 2L -> ("z", 3.0))) // max v wins per key
+  }
+
+  test("requireUniqueKeys throws on duplicate keys, passes on unique") {
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "tag")
+    val ok = Seq((1L, "x"), (2L, "y")).toDF("id", "tag")
+    val e = intercept[IllegalArgumentException](Merge.requireUniqueKeys(dup, Seq("id")))
+    assert(e.getMessage.contains("duplicate key"))
+    Merge.requireUniqueKeys(ok, Seq("id"))
+  }
+
   test("scd2 closes the open version and appends the update as current") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
     val target = Seq(

@@ -43,6 +43,38 @@ class ParallelSpec extends SparkSpec {
     assert(SignalBus.global.emitted(Signals.RaceWinner).nonEmpty)
   }
 
+  test("Race winner cache is released by close(); failed race leaks nothing") {
+    def cachedCount: Int = {
+      // unpersist(blocking=false) removes map entries synchronously; the
+      // baseline subtracts caches other suites may hold
+      spark.sparkContext.getPersistentRDDs.size
+    }
+    val before = cachedCount
+    val fast = Stage(StageId("fast"))(_.select(lit("x").as("who")).limit(1))
+    val race = Race("race_lifecycle")(fast, fast)
+    race.run(df.limit(5))
+    assert(cachedCount > before, "winner should be cached while in use")
+    race.close()
+    assert(cachedCount == before, "close() must release the winner cache")
+    // failure path: shared input must not leak either
+    val bad1 = MockStage.failing("b1")
+    val bad2 = MockStage.failing("b2")
+    val failing = Race(StageId("race_fail"), Seq(bad1, bad2))
+    intercept[RuntimeException](failing.run(df))
+    failing.close()
+    assert(cachedCount == before, "failed race must not leak the shared input")
+  }
+
+  test("Contest winner cache is released by close()") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val nonEmpty = Stage(StageId("ne"))(_.limit(3))
+    val contest = Contest("contest_lifecycle", _.count() > 0)(nonEmpty)
+    contest.run(df)
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    contest.close()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("Race.run fails only when every branch fails (race.go:143-157)") {
     val bad1 = MockStage.failing("b1")
     val bad2 = MockStage.failing("b2")

@@ -34,6 +34,28 @@ class MinHashSpec extends SparkSpec {
     assert(out.filter(col("sig").isNotNull).count() == 0)
   }
 
+  test("null tokens contribute the per-seed prefix hash (bit-exact vs HOF)") {
+    val df = Seq(
+      Seq("alpha", null, "beta"),
+      Seq(null, null),          // all-null: HOF yields the seeds vector
+      Seq("gamma")
+    ).toDF("toks")
+    val both = df.select(
+      Dedup.minHash(col("toks"), 16).as("native"),
+      Dedup.minHashHof(col("toks"), 16).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+  }
+
+  test("signature is nullable even over a non-nullable tokens column") {
+    // IsNull over the signature must survive optimization: a wrong
+    // nullable=false would let Catalyst fold the filter away
+    val df = Seq("", "a b").toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+      .select(Dedup.minHash(filter(col("toks"), t => t =!= "").as("ne"), 8).as("sig"))
+    assert(df.filter(col("sig").isNull).count() == 1)
+  }
+
   test("native winnowing fingerprints are bit-exact vs the HOF reference") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
     val both = docs.select(

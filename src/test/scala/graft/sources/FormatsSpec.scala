@@ -41,6 +41,11 @@ class FormatsSpec extends SparkSpec {
     // never inflates an already-small frame
     val one = docs.coalesce(1)
     assert(Tables.compactTo(one, 1L).rdd.getNumPartitions == 1)
+    // unknown/huge stats (sizeInBytes defaults near Long.MaxValue) must
+    // not overflow Int and throw — compaction is skipped instead
+    val unknown = spark.createDataFrame(docs.rdd, docs.schema) // LogicalRDD: default stats
+    val kept = Tables.compactTo(unknown, 1L)
+    assert(kept.rdd.getNumPartitions == unknown.rdd.getNumPartitions)
   }
 
   test("binaryFile ingestion surfaces bytes + metadata per file") {
