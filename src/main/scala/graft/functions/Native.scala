@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -182,6 +182,61 @@ case class HyperplaneSignature(child: Expression, planes: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid selection for IVF: returns the `nprobe` centroid ids
+  * nearest to the embedding by cosine (descending sim, ties to the lower
+  * id). The centroid matrix is an expression FIELD, not literal children —
+  * the literal-struct Column form costs O(k·dim) plan nodes per reference
+  * (k=1024 × dim=768 ≈ 800k literals), which bloats plan
+  * serialization/codegen long before executor math matters. Per-row cost
+  * is one fused k×dim loop with the same float64 accumulation order as
+  * [[CosineSimilarity]]; NaN (zero-norm) similarities rank below every
+  * real value (-2.0), matching the nanvl guard of the Column form.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if centroids.nonEmpty && nprobe > 0 && nprobe <= centroids.length =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids expects ARRAY<FLOAT> with 0 < nprobe <= |centroids|, " +
+        s"got ${child.dataType.sql} with nprobe=$nprobe over ${centroids.length} centroids")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = centroids.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val n = math.min(arr.numElements(), cent.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arr.getFloat(i).toDouble
+        val y = cent(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y
+        i += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      sims(c) = if (java.lang.Double.isNaN(s)) -2.0 else s
+      c += 1
+    }
+    val idx = Array.range(0, k).sortWith { (a, b) =>
+      sims(a) > sims(b) || (sims(a) == sims(b) && a < b)
+    }
+    new GenericArrayData(idx.take(nprobe))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Native {
   private[functions] def checkFloatArrays(left: Expression, right: Expression,
                                           name: String): TypeCheckResult = {
@@ -203,6 +258,9 @@ object Native {
 
   def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(emb), planes, dim))
+
+  def nearestCentroids(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nprobe))
 
   /** SQL registration (`SELECT cosine_similarity(a, b)`). */
   def register(spark: SparkSession): Unit = {

@@ -147,42 +147,34 @@ object Similarity {
   final case class IvfIndex(centroids: Seq[Array[Float]]) {
     def k: Int = centroids.size
 
-    /** Centroid similarity, NaN-proofed: a zero-norm (degenerate) vector
-      * yields NaN, and NaN sorts ABOVE every real value in Spark — it would
-      * silently win every bucket. nanvl ranks it below all real
-      * similarities instead.
-      */
-    private def sim(emb: Column, c: Array[Float]): Column =
-      nanvl(cosine(emb, typedlit(c)), lit(-2.0))
+    // one shared matrix for the native expression; NaN-proofing (zero-norm
+    // vectors rank below every real similarity) and the ties-to-lower-id
+    // order live inside NearestCentroids. The earlier literal-struct
+    // Column form cost O(k·dim) plan nodes per reference — unusable at
+    // production k (1024 × dim 768 ≈ 800k literals); the matrix-as-field
+    // expression has no k ceiling short of executor math itself.
+    @transient private lazy val matrix: Array[Array[Float]] = centroids.toArray
 
     /** Column: index of the nearest centroid (deterministic ties → lower). */
     def assignment(emb: Column): Column =
-      if (k == 1) lit(0) // greatest() requires >= 2 args
-      else {
-        val scored = centroids.zipWithIndex.map { case (c, i) =>
-          struct(sim(emb, c).as("sim"), lit(-i).as("negidx"))
-        }
-        // greatest(struct) = max by (sim, -idx): ties pick the LOWER index
-        (-greatest(scored: _*).getField("negidx")).cast("int")
-      }
+      element_at(graft.functions.Native.nearestCentroids(emb, matrix, 1), 1)
 
     /** Columns: the `nprobe` nearest centroid ids for a query vector. */
-    def probes(emb: Column, nprobe: Int): Column = {
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(sim(emb, c).as("sim"), lit(-i).as("negidx"))
-      }: _*)
-      transform(slice(reverse(array_sort(scored)), lit(1), lit(nprobe)),
-        s => (-s.getField("negidx")).cast("int"))
-    }
+    def probes(emb: Column, nprobe: Int): Column =
+      graft.functions.Native.nearestCentroids(emb, matrix, nprobe)
   }
 
   object IvfIndex {
-    /** Deterministic training: sample = first `sampleSize` rows by id;
-      * init = first k sample vectors; fixed Lloyd iterations, float64.
+    /** Deterministic training: sample = `sampleSize` rows in xxhash64(id)
+      * order (id tie-break) — deterministic like first-N-by-id but UNBIASED
+      * (ingestion order often correlates with content; hash order doesn't).
+      * Bounded driver work: orderBy+limit plans as TakeOrdered, never a
+      * full sort. Init = first k sample vectors; fixed Lloyd iterations,
+      * float64.
       */
     def train(corpus: DataFrame, idCol: String, k: Int,
               sampleSize: Int = 2048, iters: Int = 8): IvfIndex = {
-      val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
       require(sample.length >= k, s"need >= $k sample vectors")

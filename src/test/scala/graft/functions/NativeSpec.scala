@@ -88,6 +88,31 @@ class NativeSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 2L).get.isNullAt(1))
   }
 
+  test("nearest_centroids handles production k=1024 and matches a driver reference") {
+    // the literal-struct Column form would need ~65k literal nodes here
+    val k = 1024
+    val dim = 64
+    val cents = Array.tabulate(k)(c => Array.tabulate(dim)(i => ((c * 13 + i * 7) % 31 - 15) / 15.0f))
+    val embs = (0 until 10).map(r => (r.toLong, Array.tabulate(dim)(i => ((r * 5 + i * 3) % 17 - 8) / 8.0f)))
+    def reference(e: Array[Float], nprobe: Int): Seq[Int] = {
+      val sims = cents.map { cent =>
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        for (i <- 0 until dim) {
+          dot += e(i).toDouble * cent(i).toDouble
+          nx += e(i).toDouble * e(i).toDouble; ny += cent(i).toDouble * cent(i).toDouble
+        }
+        val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+        if (s.isNaN) -2.0 else s
+      }
+      Array.range(0, k).sortWith((a, b) => sims(a) > sims(b) || (sims(a) == sims(b) && a < b))
+        .take(nprobe).toSeq
+    }
+    val got = embs.toDF("id", "embedding")
+      .select(col("id"), Native.nearestCentroids(col("embedding"), cents, 5).as("probes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    embs.foreach { case (id, e) => assert(got(id) == reference(e, 5)) }
+  }
+
   test("type check rejects non-float-array input") {
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b") // double arrays
     val e = intercept[Exception] {
