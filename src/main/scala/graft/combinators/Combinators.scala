@@ -66,10 +66,14 @@ object Sequence {
   * allowMissingColumns).
   */
 final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
-  // Signals fire at stage-application granularity (the plan is built once
-  // for N rows; per-row counts belong to an Effect observer).
+  // Composition-time signal (phase=composed) marks that a Filter entered
+  // the plan; the ROW-level `filter.passed` (phase=rows, actual
+  // passed/filtered counts) is emitted at action completion through the
+  // observed-metrics bridge (`runtime.RowSignals`) — the reference's
+  // per-item `filter.evaluated` fidelity (signals.go:128,200).
   def apply(df: DataFrame): DataFrame = {
-    SignalBus.global.emit(Signals.FilterPassed, id, "through" -> stage.id.name)
+    SignalBus.global.emit(Signals.FilterPassed, id,
+      "through" -> stage.id.name, "phase" -> "composed")
     applyRouted(df)
   }
 
@@ -79,7 +83,11 @@ final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
     // split-union form re-reads the source per branch, which at 100 TB
     // doubles the scan).
     case t: graft.stages.Transform =>
-      val out = t.outs.foldLeft(df) { case (d, (name, value)) =>
+      // observe the INPUT: the transform may overwrite columns `cond` reads
+      val obs = graft.runtime.RowSignals.observe(df, Signals.FilterPassed, id, "gate", Seq(
+        count(when(coalesce(cond, lit(false)), 1)).as("rows_passed"),
+        count(when(!coalesce(cond, lit(false)), 1)).as("rows_filtered")))
+      val out = t.outs.foldLeft(obs) { case (d, (name, value)) =>
         val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
         val guarded = when(coalesce(cond, lit(false)), value).otherwise(base)
         if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, guarded)
@@ -87,8 +95,14 @@ final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
       }
       ErrorChannel.prependPath(out, id)
     case _ =>
-      val processed = stage(df.filter(cond))
-      val passthrough = df.filter(!coalesce(cond, lit(false)))
+      // per-branch observation: the input subtree executes once per branch,
+      // so observing it BEFORE the split would double-count
+      val processed = stage(graft.runtime.RowSignals.observe(
+        df.filter(cond), Signals.FilterPassed, id, "passed",
+        Seq(count(lit(1)).as("rows_passed"))))
+      val passthrough = graft.runtime.RowSignals.observe(
+        df.filter(!coalesce(cond, lit(false))), Signals.FilterPassed, id, "passthrough",
+        Seq(count(lit(1)).as("rows_filtered")))
       val out = processed.unionByName(passthrough, allowMissingColumns = true)
       ErrorChannel.prependPath(out, id)
   }
@@ -117,7 +131,7 @@ final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) 
       return df
     }
     SignalBus.global.emit(Signals.SwitchRouted, id,
-      "routes" -> routes.map(_._1).mkString(","))
+      "routes" -> routes.map(_._1).mkString(","), "phase" -> "composed")
     val out =
       if (routes.forall(_._2.isInstanceOf[graft.stages.Transform]))
         singlePass(df) // one scan: routes compile to a CASE WHEN chain
@@ -131,8 +145,15 @@ final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) 
     * which is the difference between 1× and 4× IO at 100 TB).
     */
   private def singlePass(df: DataFrame): DataFrame = {
+    // one scan, one observation: routed vs no-route counts ride the scan
+    // (row-level switch.routed fidelity — see runtime.RowSignals)
+    val keys = routes.map(_._1)
+    val matched = coalesce(key.isin(keys.map(lit): _*), lit(false))
+    val obs = graft.runtime.RowSignals.observe(df, Signals.SwitchRouted, id, "all", Seq(
+      count(when(matched, 1)).as("rows_routed"),
+      count(when(!matched, 1)).as("rows_no_route")))
     val outNames = routes.flatMap(_._2.asInstanceOf[graft.stages.Transform].outs.map(_._1)).distinct
-    outNames.foldLeft(df) { (d, name) =>
+    outNames.foldLeft(obs) { (d, name) =>
       val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
       val cased = routes.foldRight(base) { case ((k, s), acc) =>
         s.asInstanceOf[graft.stages.Transform].outs.collectFirst {
@@ -146,8 +167,16 @@ final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) 
 
   private def splitUnion(df: DataFrame): DataFrame = {
     val keys = routes.map(_._1)
-    val branches = routes.map { case (k, s) => s(df.filter(key === lit(k))) }
-    val passthrough = df.filter(!coalesce(key.isin(keys.map(lit): _*), lit(false)))
+    // per-branch observations (the input subtree executes once per branch)
+    val branches = routes.map { case (k, s) =>
+      s(graft.runtime.RowSignals.observe(
+        df.filter(key === lit(k)), Signals.SwitchRouted, id, s"route=$k",
+        Seq(count(lit(1)).as("rows_routed"))))
+    }
+    val passthrough = graft.runtime.RowSignals.observe(
+      df.filter(!coalesce(key.isin(keys.map(lit): _*), lit(false))),
+      Signals.SwitchNoRoute, id, "passthrough",
+      Seq(count(lit(1)).as("rows_no_route")))
     (branches :+ passthrough).reduce(_.unionByName(_, allowMissingColumns = true))
   }
   override def plan: PlanNode =

@@ -24,6 +24,7 @@ final class Pipeline(val id: StageId, val root: Stage, val bus: SignalBus = Sign
     val runUuid = java.util.UUID.randomUUID()
     val sc = spark.sparkContext
     sc.setJobGroup(s"$pipelineUuid/$runUuid", id.name, interruptOnCancel = true)
+    RowSignals.attach(spark, bus) // row-level routing signals (idempotent)
     bus.emit(Signals.PipelineStarted, id, "run" -> runUuid.toString)
     val t0 = System.nanoTime()
     try {

@@ -36,6 +36,46 @@ class SignalEmissionSpec extends SparkSpec {
     assert(names.contains(Signals.FilterPassed))
   }
 
+  private def awaitRowSignals(name: String): Seq[Signal] = {
+    // QueryExecutionListener delivery is async to the action
+    val deadline = System.currentTimeMillis + 10000
+    def sigs = SignalBus.global.emitted(name)
+      .filter(_.fields.get("phase").contains("rows"))
+    while (System.currentTimeMillis < deadline && sigs.isEmpty) Thread.sleep(100)
+    sigs
+  }
+
+  test("Filter fast path emits ACTUAL row counts at action time (signals.go:128,200)") {
+    graft.runtime.RowSignals.attach(spark)
+    SignalBus.global.clear()
+    Filter("frow", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df).count()
+    val sig = awaitRowSignals(Signals.FilterPassed).head
+    assert(sig.stage.name == "frow")
+    assert(sig.fields("rows_passed") == "2")
+    assert(sig.fields("rows_filtered") == "1")
+  }
+
+  test("Filter split-union path emits per-branch row counts") {
+    graft.runtime.RowSignals.attach(spark)
+    SignalBus.global.clear()
+    val opaque = Stage(StageId("opaque"))(d => d.withColumn("w", lit(1)))
+    Filter("fsplit", col("id") > 1, opaque)(df).count()
+    val sigs = awaitRowSignals(Signals.FilterPassed)
+    val passed = sigs.find(_.fields.get("detail").contains("passed"))
+    val passthrough = sigs.find(_.fields.get("detail").contains("passthrough"))
+    assert(passed.exists(_.fields("rows_passed") == "2"))
+    assert(passthrough.exists(_.fields("rows_filtered") == "1"))
+  }
+
+  test("Switch emits routed / no-route row counts at action time") {
+    graft.runtime.RowSignals.attach(spark)
+    SignalBus.global.clear()
+    Switch("swrow", col("v"))("a" -> Transform("ra")("r" -> lit("A")))(df).count()
+    val sig = awaitRowSignals(Signals.SwitchRouted).head
+    assert(sig.fields("rows_routed") == "1")
+    assert(sig.fields("rows_no_route") == "2")
+  }
+
   test("Fallback emits fallback.triggered when alternatives exist") {
     val names = emittedNames {
       Fallback("fb", "out")(when(col("id") > 1, col("v")), lit("dflt"))(df)
