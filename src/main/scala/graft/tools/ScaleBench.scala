@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof harness (VERDICT r2 #8): synthesize a `copies`× corpus from
+  * sf0.1 (≈ sf1 at the default 10) and measure per-query scaling factors
+  * for the heavy headline queries. Sub-linear-in-time / linear-in-work is
+  * the pass bar — a query whose runtime grows faster than the data signals
+  * a shuffle or candidate blowup that would kill it at 100 TB.
+  *
+  * Scaling preserves per-key densities instead of duplicating rows
+  * verbatim:
+  *  - fact tables shift their keys per copy (orders/customer/lineitem/
+  *    events), so joins keep constant fan-out per key and as-of windows
+  *    keep constant candidate sets — output grows linearly;
+  *  - documents salt every token per copy, so MinHash/token dedup finds no
+  *    cross-copy duplicates (verbatim copies would inflate candidate pairs
+  *    quadratically and measure data pathology, not the operator).
+  *
+  * Usage: runMain graft.tools.ScaleBench [baseDir] [outDir] [copies]
+  * Prints one JSON line: per-query seconds at 1x and Nx + the time ratio.
+  */
+object ScaleBench {
+
+  val queries: Seq[String] = Seq(
+    "qa1_grouped_agg", "qw2_running_sum", "qj2_join_3way",
+    "qx1_asof_join", "ql5_token_set_dups", "ql6_minhash_candidates",
+    "ql1_exact_dedup", "ql8_quality")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    // the 1x baseline is REWRITTEN through the same writer as the Nx
+    // corpus: the driver-generated sf dirs are single pandas-written files
+    // whose scan parallelism differs from Spark-written multi-file output —
+    // timing against them would measure file layout, not data scaling
+    val base1x = s"$out-1x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/_DONE").exists()) generate(spark, base, out, copies)
+    if (!new java.io.File(s"$base1x/_DONE").exists()) generate(spark, base, base1x, 1)
+
+    // warm plan shapes (codegen/classloading is per-shape, not per-size)
+    for (q <- queries)
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+
+    def time(q: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val rows = queries.map { q =>
+      val t1 = time(q, base1x)
+      val tN = time(q, out)
+      (q, t1, tN, tN / t1)
+    }
+    val json = rows.map { case (q, t1, tN, r) =>
+      f""""$q":{"sec_1x":$t1%.2f,"sec_${copies}x":$tN%.2f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", s""","copies":$copies}""")
+    println(json)
+    spark.stop()
+  }
+
+  /** Build the scaled corpus. Key shifts are far above any real id range. */
+  def generate(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
+    import graft.sources.Tables
+    def stack(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = Tables.load(spark, base, name)
+      val scaled = (0 until copies).map(i => f(src, i)).reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    val K = 100000000L // per-copy key shift
+    stack("customer", (d, i) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(i * K)))
+    stack("orders", (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * 10 * K))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * K)))
+    stack("lineitem", (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10 * K)))
+    // events: loadEvents surfaces ts (micros) + ts_ns (long); write ts as
+    // the raw ns long so Tables.load round-trips on the scaled dir
+    stack("events", (d, i) => d
+      .select(
+        (col("event_id") + lit(i * 10 * K)).as("event_id"),
+        col("ts_ns").as("ts"),
+        (col("user_id") + lit(i * K)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+    // documents: salt every token per copy → no cross-copy similarity
+    stack("documents", (d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * 10 * K))
+      .withColumn("text",
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1c$i")))
+    // small dims copied verbatim (unused by the scale queries, kept so the
+    // dir is a complete table set)
+    for (t <- Seq("region", "nation", "supplier", "part", "embeddings"))
+      Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    new java.io.File(s"$out/_DONE").createNewFile()
+  }
+}
