@@ -873,6 +873,35 @@ object Queries {
     ordered(graft.llm.Dedup.exactTokenSetPairs(t(s, dir, "documents"), "doc_id", "text"))
   }
 
+  /** Q-L16 — exact word-bigram Jaccard pairs (25 real pairs ≥ 0.5 in the
+    * sf0.01 corpus) via the INVERTED-INDEX set-similarity join: explode
+    * shingles, equi-join on the shingle (only pairs sharing ≥ 1 shingle
+    * ever materialize — an all-pairs cross join with array intersections
+    * is quadratic in documents regardless of similarity), count common
+    * shingles per pair, jaccard = inter/(|A|+|B|-inter). Exact — same
+    * kernel the LSH re-scorer uses (`Dedup.ngramJaccardPairs`), here
+    * pinned against DuckDB; the division is exact-int/exact-int so the
+    * double hashes identically.
+    */
+  val ql16JaccardPairs: Q = (s, dir) => {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.llm.Dedup.wordNgrams(col("text"), 2)).as("g"))
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
+    val inter = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    ordered(out)
+  }
+
   /** MinHash-LSH near-dup candidates — no SQL oracle (rows-only check);
     * the superset-of-exact-pairs contract is unit-tested.
     */
@@ -991,6 +1020,7 @@ object Queries {
     "ql3_top_terms" -> ql3TopTerms,
     "ql4_cosine_topk" -> ql4CosineTopK,
     "ql5_token_set_dups" -> ql5TokenSetDups,
+    "ql16_jaccard_pairs" -> ql16JaccardPairs,
     "ql6_minhash_candidates" -> qlMinhashCandidates,
     "ql7_token_count" -> qlTokenCount,
     "ql8_quality" -> qlQuality,
@@ -1129,6 +1159,8 @@ object Oracle {
       """WITH n AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))), ' ') AS sig FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM n a JOIN n b ON a.sig=b.sig AND a.doc_id<b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql14_embedding_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql16_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) ELSE [] END) AS g FROM t), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1), i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jac FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql7_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql8_quality" ->
