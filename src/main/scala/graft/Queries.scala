@@ -940,7 +940,10 @@ object Queries {
     ordered(out)
   }
 
-  /** Language-ID heuristic distribution — no SQL oracle (rows-only). */
+  /** Language-ID heuristic distribution — argmax of per-language stopword
+    * hits, ties to the lexicographically greater code; fully mirrored in
+    * DuckDB (oracle-checked since round 3).
+    */
   val qlLangId: Q = (s, dir) => {
     val out = t(s, dir, "documents")
       .select(graft.llm.TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -1159,6 +1162,8 @@ object Oracle {
       """WITH n AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))), ' ') AS sig FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM n a JOIN n b ON a.sig=b.sig AND a.doc_id<b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql14_embedding_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql10_langid" ->
+      """WITH langs(lang, words) AS (VALUES ('de', ['der','die','und','das','ist','von','mit','den','nicht','ein']), ('en', ['the','and','of','to','in','is','it','that','was','for']), ('es', ['el','la','de','que','y','en','un','los','se','por']), ('fr', ['le','la','et','les','des','un','une','du','est','pour']), ('zh', ['的','了','是','我','不','在','人','有','他','这'])), t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, lang, len(list_intersect(toks, words)) AS hits FROM t CROSS JOIN langs), r AS (SELECT doc_id, lang, hits, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM s) SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang, COUNT(*) AS cnt FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql16_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) ELSE [] END) AS g FROM t), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1), i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jac FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql7_token_count" ->

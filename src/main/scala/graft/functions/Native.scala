@@ -262,12 +262,26 @@ object Native {
   def nearestCentroids(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nprobe))
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an INT literal, got $e")
+  }
+
   /** SQL registration (`SELECT cosine_similarity(a, b)`). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(exprs.head, intLit(exprs(1), "numHashes")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits", exprs => SimHashBits64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_signature",
+      exprs => HyperplaneSignature(exprs.head,
+        intLit(exprs(1), "planes"), intLit(exprs(2), "dim")), "scala_udf")
   }
 }
 

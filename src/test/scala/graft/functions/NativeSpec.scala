@@ -29,6 +29,18 @@ class NativeSpec extends SparkSpec {
     assert(r.getDouble(0) == r.getDouble(1))
   }
 
+  test("SQL registration exposes the signature functions") {
+    Native.register(spark)
+    val r = spark.sql(
+      "SELECT size(minhash_signature(array('a','b'), 8)) m, " +
+      "size(simhash_bits(array('a','b'))) s, " +
+      "hyperplane_signature(array(cast(1.0 as float), cast(-1.0 as float)), 4, 2) h").head()
+    assert(r.getInt(0) == 8)
+    assert(r.getInt(1) == 64)
+    // value pinned by the Column-face bit-exactness specs; here just typed
+    assert(!r.isNullAt(2))
+  }
+
   test("SQL registration exposes cosine_similarity and dot_product") {
     Native.register(spark)
     val r = spark.sql(
