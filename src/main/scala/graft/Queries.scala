@@ -884,21 +884,9 @@ object Queries {
     * double hashes identically.
     */
   val ql16JaccardPairs: Q = (s, dir) => {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(graft.llm.Dedup.wordNgrams(col("text"), 2)).as("g"))
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
-    val inter = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jac",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    val out = graft.llm.Dedup.jaccardSimilarityJoin(
+      t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
+      .withColumnRenamed("jaccard", "jac")
     ordered(out)
   }
 

@@ -181,6 +181,50 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** EXACT Jaccard similarity join via an inverted index: explode
+    * word-n-gram shingles, equi-join on the shingle, count common shingles
+    * per pair, jaccard = inter/(|A|+|B|-inter). Only pairs sharing at
+    * least one shingle ever materialize — the all-pairs cross join with
+    * array intersections is O(docs²) regardless of similarity; this is
+    * O(Σ per-shingle pairings), the standard exact set-similarity-join
+    * shape.
+    *
+    * Skew at 100 TB: ubiquitous shingles ("of the") are hot join keys
+    * whose pairings approach O(docs²) on their own. `maxShingleDocFreq`
+    * drops shingles appearing in more than that many documents BEFORE the
+    * join — with it set the result is APPROXIMATE (similarity computed on
+    * the surviving shingle sets, which can under- or over-state the true
+    * Jaccard; near-duplicates at high thresholds share mostly rare
+    * shingles, so the distortion concentrates in low-similarity pairs).
+    * Leave it None for exactness and rely on AQE skew handling.
+    */
+  def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 2, threshold: Double = 0.5,
+                            maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val sh0 = df.select(col(idCol).as("_jid"),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    val sh = maxShingleDocFreq match {
+      case Some(cap) =>
+        // df-cut: one extra agg + semi join, removes the hot keys entirely
+        val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).select("g")
+        sh0.join(rare, Seq("g"), "left_semi")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col("_jid")).agg(count(lit(1)).as("_n"))
+    val inter = sh.select(col("_jid").as("doc_a"), col("g"))
+      .join(sh.select(col("_jid").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_jid").as("doc_a"), col("_n").as("_na")), Seq("doc_a"))
+      .join(sizes.select(col("_jid").as("doc_b"), col("_n").as("_nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
     * assign every doc the minimum id reachable through the pair graph
     * (connected components) — the survivor selection step a real dedup

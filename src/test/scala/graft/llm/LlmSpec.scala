@@ -45,6 +45,36 @@ class LlmSpec extends SparkSpec {
     assert(!cands.contains(Seq(1L, 3L)) || !cands.contains(Seq(2L, 3L)))
   }
 
+  test("jaccardSimilarityJoin equals the all-pairs array-intersect reference") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(100)
+    val joined = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+        n = 2, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9).as("j"))
+    val sh = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("sh"))
+    val ref = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("j", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 9))
+      .filter(col("j") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+    assert(rowsOf(joined) == rowsOf(ref))
+    assert(ref.count() > 0, "fixture should contain similar pairs at 0.2")
+  }
+
+  test("jaccardSimilarityJoin df-cut drops hot shingles and stays a subset-ish approximation") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(100)
+    // cap 1 = every shared shingle is dropped → no pairs survive
+    val capped = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+      n = 2, threshold = 0.01, maxShingleDocFreq = Some(1L))
+    assert(capped.count() == 0)
+    // a generous cap equals exact (no shingle exceeds it)
+    val loose = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+      n = 2, threshold = 0.2, maxShingleDocFreq = Some(1000000L))
+    val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+      n = 2, threshold = 0.2)
+    assert(loose.count() == exact.count())
+  }
+
   test("word/char ngrams and jaccard") {
     val df = Seq(Tuple1("a b c d")).toDF("t")
     val grams = df.select(Dedup.wordNgrams(col("t"), 2).as("g")).head().getSeq[String](0)
