@@ -712,6 +712,24 @@ object Queries {
     ordered(stage(t(s, dir, "orders")))
   }
 
+  /** Q-T4 — interval join in batch mode (the same `Windowed.intervalJoin`
+    * stage drives the stream-stream join; replay ≡ batch is spec-pinned in
+    * StreamingSpec): for each event, the same user's events within the
+    * following hour. Oracle truncates to microseconds on both sides — the
+    * parquet carries ns timestamps, Spark surfaces µs.
+    */
+  val qt4IntervalJoin: Q = (s, dir) => {
+    val events = t(s, dir, "events")
+    val right = events.select(col("event_id").as("next_id"),
+      col("user_id").as("u2"), col("ts").as("ts2"))
+    val stage = graft.streaming.Windowed.intervalJoin("qt4", right,
+      col("user_id"), col("u2"), col("ts"), col("ts2"), "0 seconds", "1 hour")
+    val out = stage(t(s, dir, "events"))
+      .filter(col("event_id") =!= col("next_id"))
+      .select(col("event_id"), col("next_id"))
+    ordered(out)
+  }
+
   /** CUBE aggregation. */
   val qx2Cube: Q = (s, dir) => {
     val nation = t(s, dir, "nation")
@@ -1020,6 +1038,7 @@ object Queries {
     "ql11_ann_topk" -> qlAnnTopK,
     "ql12_ivf_topk" -> qlIvfTopK,
     "ql13_ngram_terms" -> qlNgramTerms,
+    "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
     "qx9_asof_forward" -> qx9AsofForward,
     "qx2_cube" -> qx2Cube,
@@ -1162,6 +1181,8 @@ object Oracle {
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql13_ngram_terms" ->
       """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), u AS (SELECT unnest(generate_series(1, len(toks)-1)) AS i, toks FROM t WHERE len(toks) >= 2) SELECT toks[i] || ' ' || toks[i+1] AS ngram, COUNT(*) AS c FROM u GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 40""",
+    "qt4_interval_join" ->
+      """SELECT a.event_id, b.event_id AS next_id FROM events a JOIN events b ON a.user_id = b.user_id AND date_trunc('microseconds', b.ts) >= date_trunc('microseconds', a.ts) AND date_trunc('microseconds', b.ts) <= date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR AND a.event_id <> b.event_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx1_asof_join" ->
       """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx9_asof_forward" ->

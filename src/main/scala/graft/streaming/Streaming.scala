@@ -48,6 +48,27 @@ object Windowed {
     Stage(StageId(name)) { df =>
       df.groupBy(session_window(ts, gap) +: keys: _*).agg(aggs.head, aggs.tail: _*)
     }
+
+  /** Stream-stream INNER interval join: left rows pair with right rows of
+    * the same key whose event time lies in [leftTime + lower, leftTime +
+    * upper] (offsets are SQL interval strings, lower may be negative,
+    * e.g. "-10 minutes" / "0 seconds"). Both inputs must carry watermarks
+    * (the [[watermark]] stage) — the time bound plus the watermarks is
+    * what lets Spark evict buffered rows instead of keeping both streams'
+    * state forever, the thing that decides whether the join survives a
+    * week of uptime. Same stage composes in batch (replay ≡ batch,
+    * spec-verified).
+    */
+  def intervalJoin(name: String, right: DataFrame,
+                   leftKey: Column, rightKey: Column,
+                   leftTime: Column, rightTime: Column,
+                   lower: String, upper: String): Stage =
+    Stage(StageId(name)) { left =>
+      left.join(right,
+        leftKey === rightKey &&
+          rightTime >= leftTime + expr(s"INTERVAL $lower") &&
+          rightTime <= leftTime + expr(s"INTERVAL $upper"))
+    }
 }
 
 /** Driver-side helpers for running streaming queries with the engine's

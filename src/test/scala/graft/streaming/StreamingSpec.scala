@@ -40,6 +40,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: replay equals batch, append mode") {
+    import StreamingSpec.{Click, View}
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clickData = Seq(Click(t(0), 1, "a"), Click(t(10), 1, "b"),
+      Click(t(20), 2, "c"), Click(t(40), 3, "d"))
+    val viewData = Seq(View(t(2), 1, "x"), View(t(12), 1, "y"),
+      View(t(25), 2, "z"), View(t(55), 3, "w")) // w is 15m after d → no match
+
+    def stage(right: org.apache.spark.sql.DataFrame) =
+      Windowed.intervalJoin("ij", right,
+        col("ckey"), col("vkey"), col("cts"), col("vts"),
+        "0 seconds", "10 minutes")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val views = MemoryStream[View]
+    val joined = stage(views.toDF().withWatermark("vts", "1 minute"))(
+      clicks.toDF().withWatermark("cts", "1 minute"))
+      .select($"page", $"item")
+    val q = joined.writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(clickData.take(2)); views.addData(viewData.take(2))
+      q.processAllAvailable()
+      clicks.addData(clickData.drop(2)); views.addData(viewData.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out")
+      val batch = stage(viewData.toDF())(clickData.toDF()).select($"page", $"item")
+      assert(rowsOf(streamed) == rowsOf(batch))
+      // sanity on the batch semantics themselves
+      assert(rowsOf(batch) == Set(
+        Seq("a", "x"), Seq("b", "y"), Seq("c", "z"))) // d→w outside the bound
+    } finally q.stop()
+  }
+
   test("tumbling window: streaming replay equals batch (Q-T1)") {
     replayEquals(df =>
       Windowed.tumbling("t", col("ts"), "1 hour", Seq(col("event_type")),
@@ -69,4 +104,10 @@ class StreamingSpec extends SparkSpec {
     val out = Windowed.watermark("wm", "ts", "10 minutes")(events)
     assert(out.count() == events.count())
   }
+}
+
+object StreamingSpec {
+  // top-level: MemoryStream encoders cannot reference suite-inner classes
+  case class Click(cts: java.sql.Timestamp, ckey: Long, page: String)
+  case class View(vts: java.sql.Timestamp, vkey: Long, item: String)
 }
