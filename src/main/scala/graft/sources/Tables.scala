@@ -184,4 +184,22 @@ object Sinks {
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         action(stage(batch.toDF()), id))
       .start()
+
+  /** Streaming dead-letter queue: run a fallible stage per micro-batch and
+    * route each batch's healthy rows and dead letters to separate sinks —
+    * the end-to-end form of the engine's error channel under streaming
+    * (bad records park durably instead of failing the query; the batch is
+    * persisted so the stage computes once, not once per split).
+    */
+  def deadLetterSplit(df: DataFrame, stage: Stage, checkpoint: String)(
+      goodAction: (DataFrame, Long) => Unit)(
+      deadAction: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stagePerBatch(df, stage, checkpoint) { (staged, id) =>
+      val cached = staged.persist()
+      try {
+        goodAction(graft.core.ErrorChannel.good(cached), id)
+        deadAction(graft.core.ErrorChannel.release(
+          graft.core.ErrorChannel.dead(cached)), id)
+      } finally cached.unpersist(blocking = false)
+    }
 }

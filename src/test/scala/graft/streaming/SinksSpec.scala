@@ -62,10 +62,37 @@ class SinksSpec extends SparkSpec {
     q.stop()
     assert(SinksSpec.tags.contains("v1") && SinksSpec.tags.contains("v2"))
   }
+
+  test("deadLetterSplit routes healthy rows and dead letters to separate sinks") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    // fallible stage: non-numeric strings go to the dead-letter channel
+    val stage = graft.stages.Apply("parse_int",
+      errWhen = expr("try_cast(value AS int)").isNull,
+      msg = "not an int")("n" -> expr("try_cast(value AS int)"))
+    val ckp = tmp("dlq-ckp")
+    val q = Sinks.deadLetterSplit(stream.toDF(), stage, ckp) { (good, _) =>
+      good.select("n").as[Int].collect().foreach(SinksSpec.goods.add)
+    } { (dead, _) =>
+      // released dead letters are live rows with the error in `err`
+      dead.select(col("value"), col("err.msg")).as[(String, String)]
+        .collect().foreach(p => SinksSpec.deads.add(p._1 + ":" + p._2))
+    }
+    stream.addData("1", "oops", "3")
+    q.processAllAvailable()
+    stream.addData("bad", "5")
+    q.processAllAvailable()
+    q.stop()
+    assert(SinksSpec.goods == java.util.Set.of(1, 3, 5))
+    assert(SinksSpec.deads.contains("oops:not an int"))
+    assert(SinksSpec.deads.contains("bad:not an int"))
+  }
 }
 
 /** Executor-visible accumulators (local-mode tests share the JVM). */
 object SinksSpec {
   val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   val tags = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val goods = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  val deads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
