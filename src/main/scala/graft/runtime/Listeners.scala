@@ -14,6 +14,31 @@ object Listeners {
   val QueryCompleted = "query.completed"
   val QueryFailed = "query.failed"
 
+  /** Sum a named SQL metric over the executed plan tree — shuffle volume
+    * and row counts per completed query, the numbers a capacity planner
+    * actually watches (a query whose shuffle bytes jump 10× between
+    * releases regressed its plan, whatever the wall-clock says).
+    */
+  private def planMetric(qe: QueryExecution, names: Set[String]): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var total = 0L
+    def walk(p: SparkPlan): Unit = {
+      p.metrics.foreach { case (k, m) => if (names.contains(k)) total += m.value }
+      // AQE wraps the final plan in leaf nodes TreeNode.foreach won't enter
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case r: ReusedExchangeExec    => walk(r.child)
+        case _                        => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(qe.executedPlan)
+    total
+  }
+
   /** Attach a QueryExecutionListener forwarding to `bus`. Returns the
     * listener so callers can detach it (`spark.listenerManager.unregister`).
     */
@@ -22,7 +47,10 @@ object Listeners {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         bus.emit(Signal(QueryCompleted, StageId(funcName), Map(
           "durationNs" -> durationNs.toString,
-          "jobGroup" -> String.valueOf(qe.sparkSession.sparkContext.getLocalProperty("spark.jobGroup.id"))
+          "jobGroup" -> String.valueOf(qe.sparkSession.sparkContext.getLocalProperty("spark.jobGroup.id")),
+          "shuffleBytesWritten" -> planMetric(qe, Set("shuffleBytesWritten", "bytesWritten")).toString,
+          "shuffleRecordsWritten" -> planMetric(qe, Set("shuffleRecordsWritten", "recordsWritten")).toString,
+          "outputRows" -> planMetric(qe, Set("numOutputRows")).toString
         )))
       override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
         bus.emit(Signal(QueryFailed, StageId(funcName), Map(

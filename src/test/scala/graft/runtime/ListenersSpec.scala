@@ -22,4 +22,20 @@ class ListenersSpec extends SparkSpec {
       assert(sigs.head.fields("durationNs").toLong > 0)
     } finally spark.listenerManager.unregister(l)
   }
+
+  test("completed queries carry shuffle and output-row metrics") {
+    val bus = new SignalBus
+    val l = Listeners.attach(spark, bus)
+    try {
+      // groupBy forces a shuffle, so shuffle records must be nonzero
+      (1 to 1000).toDF("x").groupBy(col("x") % 7).count().collect()
+      var tries = 0
+      def sig = bus.emitted(Listeners.QueryCompleted)
+        .find(_.fields.get("shuffleRecordsWritten").exists(_.toLong > 0))
+      while (sig.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val s = sig.getOrElse(fail("no completion signal with shuffle metrics"))
+      assert(s.fields("shuffleBytesWritten").toLong > 0)
+      assert(s.fields("outputRows").toLong > 0)
+    } finally spark.listenerManager.unregister(l)
+  }
 }

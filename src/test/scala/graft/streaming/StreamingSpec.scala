@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: the batch Enrich stage composes on a stream") {
+    import StreamingSpec.Click
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("k", "name")
+    val enrich = graft.stages.Enrich.lookup("who", dim,
+      joinCond = col("ckey") === col("k"))(
+      "who" -> coalesce(col("name"), lit("unknown")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q = enrich(clicks.toDF()).select($"page", $"who")
+      .writeStream.format("memory").queryName("enr_out").outputMode("append").start()
+    try {
+      clicks.addData(Click(t(0), 1, "a"), Click(t(1), 9, "b"))
+      q.processAllAvailable()
+      assert(rowsOf(spark.table("enr_out")) ==
+        Set(Seq("a", "alice"), Seq("b", "unknown"))) // miss keeps the fallback
+    } finally q.stop()
+  }
+
   test("tumbling window: streaming replay equals batch (Q-T1)") {
     replayEquals(df =>
       Windowed.tumbling("t", col("ts"), "1 hour", Seq(col("event_type")),
