@@ -44,14 +44,16 @@ object RowSignals {
 
   private val attached =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, SignalBus), java.lang.Boolean]())
 
-  /** Register the observed-metrics → SignalBus bridge once per session
-    * (idempotent). [[Pipeline.run]] attaches automatically; direct stage
-    * users call this when they want row-level signals.
+  /** Register the observed-metrics → SignalBus bridge once per
+    * (session, bus) pair (idempotent — a pipeline with its own bus still
+    * attaches even when the global bus already did). [[Pipeline.run]]
+    * attaches automatically; direct stage users call this when they want
+    * row-level signals.
     */
   def attach(spark: SparkSession, bus: SignalBus = SignalBus.global): Unit =
-    if (attached.add(spark)) {
+    if (attached.add((spark, bus))) {
       val l = new QueryExecutionListener {
         private def forward(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
