@@ -928,7 +928,8 @@ object Queries {
   val qlTokenCount: Q = (s, dir) => {
     val out = t(s, dir, "documents")
       .select(col("doc_id"),
-        graft.llm.TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+        graft.llm.TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+        graft.llm.TextAnalysis.tokenCountSubword(col("text")).as("n_subword"))
     ordered(out)
   }
 
@@ -1174,7 +1175,7 @@ object Oracle {
     "ql16_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) ELSE [] END) AS g FROM t), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1), i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jac FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql7_token_count" ->
-      """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subword FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql8_quality" ->
       """SELECT doc_id, ROUND((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 WHEN ntok >= 3 THEN 0.5 ELSE 0.0 END)*0.4 + (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)*0.3 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END)*0.3, 4) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS ntok, CAST(LENGTH(text) AS DOUBLE) AS len, CAST(LENGTH(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha, CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0 THEN (CAST(LENGTH(text) AS DOUBLE) - (len(list_filter(string_split(text,' '), x -> x <> '')) - 1)) / len(list_filter(string_split(text,' '), x -> x <> '')) ELSE 0.0 END AS mwl FROM documents) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql9_fingerprint" ->

@@ -20,6 +20,15 @@ object TextAnalysis {
     size(filter(split(text, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\\s])"),
       t => t =!= ""))
 
+  /** Match-based subword count (letter runs / digit runs / single
+    * punctuation, case-folded) — same pre-tokenizer shape as
+    * [[tokenCountBpe]] but expressed as a MATCH pattern with no
+    * lookaround, so RE2-based engines (and the DuckDB oracle) compute the
+    * identical number.
+    */
+  def tokenCountSubword(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
   /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
     * Deterministic and self-contained (no model files).
     */
