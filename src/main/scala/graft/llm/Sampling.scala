@@ -42,4 +42,24 @@ object Sampling {
   def stratified(df: DataFrame, stratumCol: String,
                  fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic named split (train/val/test): every row gets a bucket
+    * label by id hash, proportional to `weights`. Unlike `randomSplit`,
+    * assignment is a pure projection — stable across runs, partitionings
+    * and cluster sizes, and the same row NEVER moves between splits when
+    * the corpus grows (the property that prevents test-set leakage across
+    * dataset versions). Weights are normalized; `seed` salts the hash so
+    * independent splits of the same corpus decorrelate.
+    */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                seed: Long = 42L, as: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights required")
+    val total = weights.map(_._2).sum
+    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0
+    val cumulative = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val expr = weights.zip(cumulative).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), acc) => when(u < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn(as, expr)
+  }
 }

@@ -28,6 +28,29 @@ class SamplingSpec extends SparkSpec {
     assert(smallIds.subsetOf(largeIds))
   }
 
+  test("hashSplit: disjoint, complete, proportional, and growth-stable") {
+    val docs = (1L to 4000L).toDF("id")
+    val split = Sampling.hashSplit(docs, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // complete + disjoint: a pure projection can't drop or duplicate rows
+    assert(counts.values.sum == 4000L)
+    assert(math.abs(counts("train") - 3200.0) / 3200.0 < 0.1)
+    assert(counts("val") > 200 && counts("test") > 200)
+    // growth stability: adding rows never moves an existing row's bucket
+    val grown = Sampling.hashSplit((1L to 8000L).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val before = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.filter(col("id") <= 4000).collect()
+      .foreach(r => assert(before(r.getLong(0)) == r.getString(1)))
+    // a different seed decorrelates the assignment
+    val reseeded = Sampling.hashSplit(docs, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+    val moved = reseeded.collect().count(r => before(r.getLong(0)) != r.getString(1))
+    assert(moved > 500)
+  }
+
   test("perGroup draws exactly n per group, deterministically") {
     val docs = Tables.load(spark, sf, "documents")
     val s1 = Sampling.perGroup(docs, Seq(col("lang")), "doc_id", 3)
