@@ -35,8 +35,12 @@ object Merge {
     val updates1 = dedupOrder match {
       case Some(ord) =>
         val allCols = updates.columns
+        // Tie-break `ord` by a content hash so max_by is deterministic
+        // under any partitioning: two rows tying on `ord` always resolve
+        // the same way, and a residual tie means the rows are identical.
+        val order = struct(ord, xxhash64(struct(allCols.map(col): _*)))
         updates.groupBy(keys.map(col): _*)
-          .agg(max_by(struct(allCols.map(col): _*), ord).as("_r"))
+          .agg(max_by(struct(allCols.map(col): _*), order).as("_r"))
           .select(allCols.map(c => col(s"_r.$c").as(c)): _*)
       case None => updates
     }

@@ -83,16 +83,22 @@ final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
     // split-union form re-reads the source per branch, which at 100 TB
     // doubles the scan).
     case t: graft.stages.Transform =>
-      // observe the INPUT: the transform may overwrite columns `cond` reads
-      val obs = graft.runtime.RowSignals.observe(df, Signals.FilterPassed, id, "gate", Seq(
-        count(when(coalesce(cond, lit(false)), 1)).as("rows_passed"),
-        count(when(!coalesce(cond, lit(false)), 1)).as("rows_filtered")))
+      // Pin the gate to INPUT values ONCE: a transform output may overwrite
+      // a column `cond` reads, and re-evaluating `cond` per output column
+      // would gate later outputs on the overwritten value — diverging from
+      // the split-union semantics (where cond is evaluated once, pre-stage).
+      val gateName = "__graft_gate__"
+      val gated = df.withColumn(gateName, coalesce(cond, lit(false)))
+      val gate = col(gateName)
+      val obs = graft.runtime.RowSignals.observe(gated, Signals.FilterPassed, id, "gate", Seq(
+        count(when(gate, 1)).as("rows_passed"),
+        count(when(!gate, 1)).as("rows_filtered")))
       val out = t.outs.foldLeft(obs) { case (d, (name, value)) =>
         val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
-        val guarded = when(coalesce(cond, lit(false)), value).otherwise(base)
+        val guarded = when(gate, value).otherwise(base)
         if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, guarded)
         else d.withColumn(name, guarded)
-      }
+      }.drop(gateName)
       ErrorChannel.prependPath(out, id)
     case _ =>
       // per-branch observation: the input subtree executes once per branch,
@@ -148,8 +154,15 @@ final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) 
     // one scan, one observation: routed vs no-route counts ride the scan
     // (row-level switch.routed fidelity — see runtime.RowSignals)
     val keys = routes.map(_._1)
-    val matched = coalesce(key.isin(keys.map(lit): _*), lit(false))
-    val obs = graft.runtime.RowSignals.observe(df, Signals.SwitchRouted, id, "all", Seq(
+    // Pin the routing key to INPUT values ONCE: a route's transform may
+    // overwrite a column `key` reads, and re-evaluating `key` per output
+    // column would route later outputs by the overwritten value —
+    // diverging from the split-union semantics.
+    val keyName = "__graft_key__"
+    val keyed = df.withColumn(keyName, key)
+    val pinnedKey = col(keyName)
+    val matched = coalesce(pinnedKey.isin(keys.map(lit): _*), lit(false))
+    val obs = graft.runtime.RowSignals.observe(keyed, Signals.SwitchRouted, id, "all", Seq(
       count(when(matched, 1)).as("rows_routed"),
       count(when(!matched, 1)).as("rows_no_route")))
     val outNames = routes.flatMap(_._2.asInstanceOf[graft.stages.Transform].outs.map(_._1)).distinct
@@ -157,12 +170,12 @@ final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) 
       val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
       val cased = routes.foldRight(base) { case ((k, s), acc) =>
         s.asInstanceOf[graft.stages.Transform].outs.collectFirst {
-          case (`name`, value) => when(key === lit(k), value).otherwise(acc)
+          case (`name`, value) => when(pinnedKey === lit(k), value).otherwise(acc)
         }.getOrElse(acc)
       }
       if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, cased)
       else d.withColumn(name, cased)
-    }
+    }.drop(keyName)
   }
 
   private def splitUnion(df: DataFrame): DataFrame = {

@@ -115,7 +115,13 @@ object ErrorChannel {
     */
   def release(df: DataFrame, as: String = "err"): DataFrame =
     if (!hasChannel(df)) df
-    else df.withColumnRenamed(ColName, as)
+    else {
+      // silent rename onto an existing column would produce a duplicate
+      // name and AMBIGUOUS_REFERENCE at the handler's first col(as)
+      require(!df.columns.contains(as),
+        s"release: frame already has a column '$as' — pass a different `as` name")
+      df.withColumnRenamed(ColName, as)
+    }
 
   /** Guard a per-row transform so it only applies to healthy rows. */
   def onGood(df: DataFrame)(colName: String, value: Column): DataFrame = {

@@ -49,8 +49,14 @@ object Aggregators {
     def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = cap(b :+ in)
     def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = cap(a ++ b)
     def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    // NaN ranks FIRST under `sim DESC` in both Spark SQL and the DuckDB
+    // oracle (NaN > every real value); Scala's TotalOrdering would rank it
+    // last — map NaN below every real negation so the aggregate agrees
+    // with the window form even on degenerate (zero-norm) vectors.
     private def cap(v: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      v.sortBy { case (sim, id) => (-sim, id) }.take(k)
+      v.sortBy { case (sim, id) =>
+        (if (sim.isNaN) Double.NegativeInfinity else -sim, id)
+      }.take(k)
     def bufferEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder

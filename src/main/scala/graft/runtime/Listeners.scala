@@ -24,7 +24,13 @@ object Listeners {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     var total = 0L
-    def walk(p: SparkPlan): Unit = {
+    // Identity-dedup: ReusedExchangeExec (and AQE stage reuse) points at a
+    // subtree that is ALSO reachable at its original position — walking it
+    // twice would double-count shuffle volume, the exact false alarm this
+    // metric exists to catch.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
       p.metrics.foreach { case (k, m) => if (names.contains(k)) total += m.value }
       // AQE wraps the final plan in leaf nodes TreeNode.foreach won't enter
       p match {

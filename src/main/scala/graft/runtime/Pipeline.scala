@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
 final class Pipeline(val id: StageId, val root: Stage, val bus: SignalBus = SignalBus.global) {
   val pipelineUuid: java.util.UUID = id.uuid
 
-  /** Lazily compose the plan (no action). */
-  def plan(df: DataFrame): DataFrame = root(df)
+  /** Lazily compose the plan (no action). Composition runs inside this
+    * pipeline's [[RowSignals.scoped]] scope, so routing stages attach
+    * row-count observations tagged with THIS bus — and stages composed
+    * outside any pipeline attach none (no CollectMetrics barrier in plain
+    * plans; see RowSignals for why that matters for pushdown).
+    */
+  def plan(df: DataFrame): DataFrame = RowSignals.scoped(bus)(root(df))
 
   def planTree: PlanNode = PlanNode("Pipeline", id, Seq(root.plan))
   def planJson: String = planTree.toJson
@@ -65,6 +70,13 @@ final class Pipeline(val id: StageId, val root: Stage, val bus: SignalBus = Sign
   }
 
   def close(): Unit = root.close()
+
+  /** Release the row-signal bridge registered by [[run]] for this
+    * pipeline's bus — the teardown for per-pipeline buses on a long-lived
+    * session (no-op if never run). Separate from [[close]] because
+    * several pipelines may legitimately share one bus.
+    */
+  def detachRowSignals(spark: SparkSession): Unit = RowSignals.detach(spark, bus)
 }
 
 /** Job-level failure carrying the stage path — the `Error[T]` message shape

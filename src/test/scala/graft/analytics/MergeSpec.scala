@@ -45,6 +45,18 @@ class MergeSpec extends SparkSpec {
     assert(merged == Map(1L -> ("y", 2.0), 2L -> ("z", 3.0))) // max v wins per key
   }
 
+  test("dedupOrder ties resolve deterministically across partitionings") {
+    val target = Seq((1L, "a", 10.0)).toDF("id", "tag", "v")
+    // two rows tie on the ordering column — the winner must not depend on
+    // partitioning or merge order
+    val tieBatch = Seq((1L, "x", 5.0), (1L, "y", 5.0)).toDF("id", "tag", "v")
+    def winner(parts: Int) =
+      Merge.upsert(target, tieBatch.repartition(parts), Seq("id"), dedupOrder = Some(col("v")))
+        .collect().map(r => r.getString(1)).toSeq.sorted
+    val w1 = winner(1)
+    assert(w1 == winner(2) && w1 == winner(7), "tie winner changed with partitioning")
+  }
+
   test("requireUniqueKeys throws on duplicate keys, passes on unique") {
     val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "tag")
     val ok = Seq((1L, "x"), (2L, "y")).toDF("id", "tag")

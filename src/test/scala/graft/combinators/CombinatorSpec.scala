@@ -52,6 +52,32 @@ class CombinatorSpec extends SparkSpec {
     assert(byId(2).isEmpty) // passthrough: no route column value
   }
 
+  test("Filter fast path gates on INPUT values when an out overwrites a cond column") {
+    // cond reads x; the transform overwrites x THEN writes y — y must still
+    // be gated by the ORIGINAL x (split-union semantics), not the new one
+    val f = Filter("f", col("x") > 15.0,
+      Transform("t")("x" -> lit(-5.0), "y" -> lit(1)))
+    val out = f(df)
+    val byId = out.collect().map(r => r.getAs[Int]("id") ->
+      ((r.getAs[Double]("x"), Option(r.get(r.fieldIndex("y")))))).toMap
+    assert(byId(1) == ((10.0, None)))    // not gated: untouched
+    assert(byId(2) == ((-5.0, Some(1)))) // gated: BOTH outs applied
+    assert(byId(3) == ((-5.0, Some(1))))
+    assert(!out.columns.contains("__graft_gate__"))
+  }
+
+  test("Switch single-pass routes on INPUT key when a route overwrites the key column") {
+    val sw = Switch("sw", col("tag"))(
+      "a" -> Transform("t")("tag" -> lit("z"), "r" -> lit("route-a")))
+    val out = sw(df)
+    val byId = out.collect().map(r => r.getAs[Int]("id") ->
+      ((r.getAs[String]("tag"), Option(r.getAs[String]("r"))))).toMap
+    assert(byId(1) == (("z", Some("route-a"))))
+    assert(byId(3) == (("z", Some("route-a"))))
+    assert(byId(2) == (("b", None))) // passthrough keeps its key
+    assert(!out.columns.contains("__graft_key__"))
+  }
+
   test("Switch with no routes is identity (switch.go:104-107)") {
     val sw = Switch("sw", col("tag"))()
     assert(rowsOf(sw(df)) == rowsOf(df))

@@ -48,7 +48,9 @@ class SignalEmissionSpec extends SparkSpec {
   test("Filter fast path emits ACTUAL row counts at action time (signals.go:128,200)") {
     graft.runtime.RowSignals.attach(spark)
     SignalBus.global.clear()
-    Filter("frow", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df).count()
+    graft.runtime.RowSignals.scoped(SignalBus.global) {
+      Filter("frow", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
+    }.count()
     val sig = awaitRowSignals(Signals.FilterPassed).head
     assert(sig.stage.name == "frow")
     assert(sig.fields("rows_passed") == "2")
@@ -59,7 +61,9 @@ class SignalEmissionSpec extends SparkSpec {
     graft.runtime.RowSignals.attach(spark)
     SignalBus.global.clear()
     val opaque = Stage(StageId("opaque"))(d => d.withColumn("w", lit(1)))
-    Filter("fsplit", col("id") > 1, opaque)(df).count()
+    graft.runtime.RowSignals.scoped(SignalBus.global) {
+      Filter("fsplit", col("id") > 1, opaque)(df)
+    }.count()
     val sigs = awaitRowSignals(Signals.FilterPassed)
     val passed = sigs.find(_.fields.get("detail").contains("passed"))
     val passthrough = sigs.find(_.fields.get("detail").contains("passthrough"))
@@ -70,10 +74,51 @@ class SignalEmissionSpec extends SparkSpec {
   test("Switch emits routed / no-route row counts at action time") {
     graft.runtime.RowSignals.attach(spark)
     SignalBus.global.clear()
-    Switch("swrow", col("v"))("a" -> Transform("ra")("r" -> lit("A")))(df).count()
+    graft.runtime.RowSignals.scoped(SignalBus.global) {
+      Switch("swrow", col("v"))("a" -> Transform("ra")("r" -> lit("A")))(df)
+    }.count()
     val sig = awaitRowSignals(Signals.SwitchRouted).head
     assert(sig.fields("rows_routed") == "1")
     assert(sig.fields("rows_no_route") == "2")
+  }
+
+  test("unscoped composition attaches NO observation (no pushdown barrier)") {
+    val out = Filter("fplain", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
+    val plan = out.queryExecution.analyzed.toString
+    assert(!plan.contains("CollectMetrics"), s"plain plan must stay barrier-free:\n$plan")
+  }
+
+  test("row signals are scoped per bus: bus A never sees bus B's counts") {
+    val busA = new SignalBus(logCapacity = 64)
+    val busB = new SignalBus(logCapacity = 64)
+    graft.runtime.RowSignals.attach(spark, busA)
+    graft.runtime.RowSignals.attach(spark, busB)
+    try {
+      graft.runtime.RowSignals.scoped(busB) {
+        Filter("fb_only", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
+      }.count()
+      val deadline = System.currentTimeMillis + 10000
+      while (System.currentTimeMillis < deadline &&
+             !busB.emitted(Signals.FilterPassed).exists(_.fields.get("phase").contains("rows")))
+        Thread.sleep(100)
+      assert(busB.emitted(Signals.FilterPassed).exists(_.fields("rows_passed") == "2"))
+      assert(busA.emitted(Signals.FilterPassed).isEmpty,
+        "bus A received counts for a query it never scoped")
+    } finally {
+      graft.runtime.RowSignals.detach(spark, busA)
+      graft.runtime.RowSignals.detach(spark, busB)
+    }
+  }
+
+  test("detach stops forwarding (per-pipeline bus teardown)") {
+    val bus = new SignalBus(logCapacity = 64)
+    graft.runtime.RowSignals.attach(spark, bus)
+    graft.runtime.RowSignals.detach(spark, bus)
+    graft.runtime.RowSignals.scoped(bus) {
+      Filter("fdet", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
+    }.count()
+    Thread.sleep(1500) // execution-listener delivery is async; give it time
+    assert(bus.emitted(Signals.FilterPassed).forall(!_.fields.get("phase").contains("rows")))
   }
 
   test("Fallback emits fallback.triggered when alternatives exist") {

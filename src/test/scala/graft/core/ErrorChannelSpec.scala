@@ -38,6 +38,16 @@ class ErrorChannelSpec extends SparkSpec {
     assert(vals == Seq("A", "", "C")) // row 2 untouched
   }
 
+  test("release rejects a name collision instead of duplicating the column") {
+    val m = ErrorChannel.markWhere(df.withColumn("err", lit("user data")),
+      StageId("x"), col("id") === 2, lit("boom"))
+    val e = intercept[IllegalArgumentException](ErrorChannel.release(m))
+    assert(e.getMessage.contains("already has a column"))
+    // a non-colliding name works and keeps exactly one copy
+    val ok = ErrorChannel.release(m, as = "dead_err")
+    assert(ok.columns.count(_ == "dead_err") == 1 && !ok.columns.contains("_err"))
+  }
+
   test("timeout/canceled flags ride the error struct (error.go:18-26)") {
     val to = ErrorChannel.markWhere(df, StageId("deadline"), col("id") === 1,
       lit("too slow"), timeout = true)

@@ -13,6 +13,18 @@ class AggregatorsSpec extends SparkSpec {
     assert(math.abs(got - (10 * 1 + 20 * 3 + 40 * 1) / 5.0) < 1e-12)
   }
 
+  test("TopKBySim ranks NaN first, matching `sim DESC` in Spark SQL and DuckDB") {
+    // a zero-norm embedding yields cosine = NaN; SQL DESC puts NaN above
+    // every real value, so the bounded aggregate must agree or ql4's
+    // agg-vs-window equivalence breaks on degenerate vectors
+    val ds = Seq((Double.NaN, 7L), (0.9, 1L), (0.9, 2L), (0.1, 3L))
+      .toDF("sim", "id")
+    val topk = udaf(new Aggregators.TopKBySim(3))
+    val got = ds.repartition(4).agg(topk(col("sim"), col("id")))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(r => r.getLong(1))
+    assert(got == Seq(7L, 1L, 2L)) // NaN first, then sim desc with id tiebreak
+  }
+
   test("TopKMin keeps bounded state across partitions") {
     val ds = spark.range(1000).map(i => (i % 7, (1000 - i))).toDF("g", "v")
     val topk = udaf(new Aggregators.TopKMin(3))
