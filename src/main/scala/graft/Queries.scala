@@ -908,6 +908,51 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L17 repetition signals (Gopher-style quality pre-filter):
+    * duplicate-line fraction + most-frequent-token fraction per document.
+    * The fixture corpus is single-line, so a deterministic synthetic batch
+    * of multi-line docs (ids -1..-20) is unioned on BOTH engine and oracle
+    * sides — the line machinery is pinned with NONZERO fractions while
+    * top_token_frac exercises the real corpus (small vocabulary ⇒ heavy
+    * repetition). Both fractions are exact-int/exact-int divisions in the
+    * same order on both engines, so the doubles hash identically.
+    */
+  val qlRepetition: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val synth = s.range(1, 21).select(
+      (-col("id")).as("doc_id"),
+      concat(lit("dup line\ndup line\nunique "), col("id").cast("string"),
+        lit("\n\n tail tail tail")).as("text"))
+    val all = docs.unionByName(synth)
+    val rep = graft.llm.TextAnalysis.topTokenFrac(all, "doc_id", "text")
+    val base = all.select(col("doc_id"),
+      graft.llm.TextAnalysis.dupLineFrac(col("text")).as("dup_line_frac"))
+    ordered(base.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_line_frac"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac")))
+  }
+
+  /** Q-L18 contact-info counts (the PII pre-scrub signal): emails + URLs
+    * per document. The fixture has neither, so synthetic docs (ids
+    * -1..-30) carrying one of each are unioned on BOTH sides — fixture
+    * rows pin real zeros, synthetic rows pin the match machinery. The
+    * redaction transform is unit-tested (LlmSpec), not oracle-checked
+    * (replacement semantics, not counting, and md5-of-redacted would pin
+    * engine-specific regex edge behavior).
+    */
+  val qlContact: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val synth = s.range(1, 31).select(
+      (-col("id")).as("doc_id"),
+      concat(lit("contact user"), col("id").cast("string"),
+        lit("@example.com or https://example.org/p/"), col("id").cast("string"),
+        lit(" end")).as("text"))
+    val all = docs.unionByName(synth)
+    ordered(all.select(col("doc_id"),
+      graft.llm.TextAnalysis.emailCount(col("text")).as("n_email"),
+      graft.llm.TextAnalysis.urlCount(col("text")).as("n_url")))
+  }
+
   /** MinHash-LSH near-dup candidates — no SQL oracle (rows-only check);
     * the superset-of-exact-pairs contract is unit-tested.
     */
@@ -1031,6 +1076,8 @@ object Queries {
     "ql4_cosine_topk" -> ql4CosineTopK,
     "ql5_token_set_dups" -> ql5TokenSetDups,
     "ql16_jaccard_pairs" -> ql16JaccardPairs,
+    "ql17_repetition" -> qlRepetition,
+    "ql18_contact" -> qlContact,
     "ql6_minhash_candidates" -> qlMinhashCandidates,
     "ql7_token_count" -> qlTokenCount,
     "ql8_quality" -> qlQuality,
@@ -1174,6 +1221,10 @@ object Oracle {
       """WITH langs(lang, words) AS (VALUES ('de', ['der','die','und','das','ist','von','mit','den','nicht','ein']), ('en', ['the','and','of','to','in','is','it','that','was','for']), ('es', ['el','la','de','que','y','en','un','los','se','por']), ('fr', ['le','la','et','les','des','un','une','du','est','pour']), ('zh', ['的','了','是','我','不','在','人','有','他','这'])), t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, lang, len(list_intersect(toks, words)) AS hits FROM t CROSS JOIN langs), r AS (SELECT doc_id, lang, hits, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM s) SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang, COUNT(*) AS cnt FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql16_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) ELSE [] END) AS g FROM t), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1), i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jac FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql17_repetition" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'dup line' || chr(10) || 'dup line' || chr(10) || 'unique ' || CAST(i AS VARCHAR) || chr(10) || chr(10) || ' tail tail tail' AS text FROM generate_series(1, 20) AS g(i)), l AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM all_docs), d AS (SELECT doc_id, CASE WHEN len(lines) <= 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END AS dup_line_frac FROM l), tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM all_docs), c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), f AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac FROM c GROUP BY 1) SELECT d.doc_id, d.dup_line_frac, COALESCE(f.top_token_frac, 0.0) AS top_token_frac FROM d LEFT JOIN f ON d.doc_id = f.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql18_contact" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'contact user' || CAST(i AS VARCHAR) || '@example.com or https://example.org/p/' || CAST(i AS VARCHAR) || ' end' AS text FROM generate_series(1, 30) AS g(i)) SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql7_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subword FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql8_quality" ->

@@ -70,6 +70,49 @@ object TextAnalysis {
     round((lenBand * 0.4) + (alphaRatio * 0.3) + (wordBand * 0.3), 4)
   }
 
+  /** Duplicate-line fraction (Gopher-style repetition signal): the share
+    * of non-blank (trimmed) lines that repeat an earlier line. 0.0 for
+    * blank or single-line documents. Pure Column expression — rides the
+    * scan, no shuffle.
+    */
+  def dupLineFrac(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    when(size(lines) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  /** Most-frequent-token fraction per document (the other classic
+    * repetition signal: a page that is 40% one token is boilerplate).
+    * DISTRIBUTED shape — explode + two partial-agg groupBys — rather than
+    * a per-row O(n·distinct) array scan: the explode rides the scan and
+    * both aggregations combine map-side, so per-document token
+    * cardinality never hits a single executor thread quadratically.
+    * Zero-token documents are absent from the result; callers left-join
+    * and coalesce to 0.0.
+    */
+  def topTokenFrac(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg((max("_c").cast("double") / sum("_c").cast("double")).as("top_token_frac"))
+
+  /** Contact-info signals — the PII pre-scrub pass of a training-data
+    * pipeline. Counting and redaction use lookaround-free patterns so
+    * RE2-based engines (the DuckDB oracle) match identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
+
+  /** Redact URLs first (a URL may embed an `@` userinfo that the email
+    * pattern would half-match), then emails.
+    */
+  def redactContacts(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
+
   /** Content fingerprint (md5 of the raw text). */
   def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -165,6 +165,40 @@ class LlmSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("dupLineFrac counts repeated trimmed non-blank lines") {
+    val df = Seq(
+      ("a\na\nb", 1.0 - 2.0 / 3.0),  // one repeat of three lines
+      ("a\n  a  \n\nb", 1.0 - 2.0 / 3.0), // trim + blank-line removal
+      ("single line", 0.0),
+      ("", 0.0)
+    ).toDF("text", "expected")
+    df.select(TextAnalysis.dupLineFrac(col("text")).as("got"), col("expected"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, r.toString))
+  }
+
+  test("topTokenFrac finds the dominant token; zero-token docs are absent") {
+    val df = Seq((1L, "a a a b"), (2L, "x y"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTokenFrac(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.75, 2L -> 0.5)) // doc 3 has no tokens → absent
+  }
+
+  test("contact counts and redaction") {
+    val df = Seq(Tuple1(
+      "mail me at a.b+c@test-site.org or see https://x.org/a?b=1 and http://y.io end")
+    ).toDF("text")
+    val r = df.select(
+      TextAnalysis.emailCount(col("text")).as("e"),
+      TextAnalysis.urlCount(col("text")).as("u"),
+      TextAnalysis.redactContacts(col("text")).as("red")).head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2)
+    assert(r.getString(2) == "mail me at <EMAIL> or see <URL> and <URL> end")
+    // URL userinfo must not half-survive as an email after redaction
+    val cred = Seq(Tuple1("go https://user@host.example/path now")).toDF("text")
+    assert(cred.select(TextAnalysis.redactContacts(col("text"))).head().getString(0)
+      == "go <URL> now")
+  }
+
   test("quality score is bounded and favors normal text") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog again and again today ok", "good"),
