@@ -282,6 +282,18 @@ object Native {
       "hyperplane_signature",
       exprs => HyperplaneSignature(exprs.head,
         intLit(exprs(1), "planes"), intLit(exprs(2), "dim")), "scala_udf")
+    // Column-composed text-analysis vocabulary: SQL users get the same
+    // expressions the Stage API builds (resolved at analysis like any
+    // built-in composition — codegen'd, no UDF wrapper).
+    def colFn1(name: String, f: Column => Column): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => Bridge.convertedExpression(f(Bridge.column(exprs.head))), "scala_udf")
+    colFn1("dup_line_frac", graft.llm.TextAnalysis.dupLineFrac)
+    colFn1("email_count", graft.llm.TextAnalysis.emailCount)
+    colFn1("url_count", graft.llm.TextAnalysis.urlCount)
+    colFn1("redact_contacts", graft.llm.TextAnalysis.redactContacts)
+    colFn1("quality_score", graft.llm.TextAnalysis.qualityScore)
+    colFn1("lang_id", graft.llm.TextAnalysis.langId)
   }
 }
 

@@ -65,6 +65,32 @@ object LawsProps extends Properties("CombinatorLaws") {
       sw(base).count() == base.count()
     }
 
+  property("filter fast path ≡ split-union, even when outs overwrite cond columns") =
+    Prop.forAll(rowsGen) { rows =>
+      val base = df(rows)
+      // x is both read by cond and overwritten by the first out; y reads
+      // the sequentially-updated x — the exact shape that diverged before
+      // gate pinning
+      val tr = Transform("t")("x" -> (col("x") * -1), "y" -> (col("x") + 1))
+      val cond = col("x") > 0
+      val fast = Filter("f", cond, tr)(base)
+      val opaque = Stage(StageId("t"))(d => tr(d)) // forces the split-union path
+      val split = Filter("f2", cond, opaque)(base)
+      contentOf(fast.select("id", "tag", "x", "y")) ==
+        contentOf(split.select("id", "tag", "x", "y"))
+    }
+
+  property("switch single-pass ≡ split-union when a route overwrites the key") =
+    Prop.forAll(rowsGen) { rows =>
+      val base = df(rows)
+      val tr = Transform("ra")("tag" -> lit("z"), "r" -> concat(col("tag"), lit("!")))
+      val single = Switch("sw", col("tag"))("a" -> tr)(base)
+      val opaque = Stage(StageId("ra"))(d => tr(d))
+      val split = Switch("sw2", col("tag"))("a" -> opaque)(base)
+      contentOf(single.select("id", "tag", "x", "r")) ==
+        contentOf(split.select("id", "tag", "x", "r"))
+    }
+
   property("retry(1) on success is transparent") = Prop.forAll(rowsGen) { rows =>
     val base = df(rows)
     val direct = contentOf(sB(base))

@@ -40,6 +40,30 @@ class SqlSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("text-analysis vocabulary is SQL-reachable and matches the Column form") {
+    GraftSql.install(spark)
+    val docs = Seq(
+      (1L, "a\na\nb mail x@y.org see https://z.io the and of to in is it that was for ok"),
+      (2L, "clean text only")
+    ).toDF("doc_id", "text")
+    GraftSql.view("ta_docs", docs)
+    val viaSql = GraftSql.sql(spark,
+      """SELECT doc_id, dup_line_frac(text) AS dlf, email_count(text) AS ne,
+        |url_count(text) AS nu, redact_contacts(text) AS red,
+        |quality_score(text) AS q, lang_id(text) AS lang
+        |FROM ta_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = docs.select(col("doc_id"),
+      graft.llm.TextAnalysis.dupLineFrac(col("text")),
+      graft.llm.TextAnalysis.emailCount(col("text")),
+      graft.llm.TextAnalysis.urlCount(col("text")),
+      graft.llm.TextAnalysis.redactContacts(col("text")),
+      graft.llm.TextAnalysis.qualityScore(col("text")),
+      graft.llm.TextAnalysis.langId(col("text"))).orderBy("doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    assert(viaSql(0).getInt(2) == 1 && viaSql(0).getInt(3) == 1) // email + url found
+    assert(viaSql(0).getString(6) == "en")
+  }
+
   test("registerTables exposes the canonical parquet tables to SQL") {
     GraftSql.registerTables(spark, sf)
     val n = GraftSql.sql(spark, "SELECT COUNT(*) FROM documents").head().getLong(0)
