@@ -1224,7 +1224,7 @@ object Oracle {
     "ql17_repetition" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'dup line' || chr(10) || 'dup line' || chr(10) || 'unique ' || CAST(i AS VARCHAR) || chr(10) || chr(10) || ' tail tail tail' AS text FROM generate_series(1, 20) AS g(i)), l AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM all_docs), d AS (SELECT doc_id, CASE WHEN len(lines) <= 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END AS dup_line_frac FROM l), tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM all_docs), c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), f AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac FROM c GROUP BY 1) SELECT d.doc_id, d.dup_line_frac, COALESCE(f.top_token_frac, 0.0) AS top_token_frac FROM d LEFT JOIN f ON d.doc_id = f.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql18_contact" ->
-      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'contact user' || CAST(i AS VARCHAR) || '@example.com or https://example.org/p/' || CAST(i AS VARCHAR) || ' end' AS text FROM generate_series(1, 30) AS g(i)) SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'contact user' || CAST(i AS VARCHAR) || '@example.com or https://example.org/p/' || CAST(i AS VARCHAR) || ' end' AS text FROM generate_series(1, 30) AS g(i)) SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS n_url FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql7_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subword FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql8_quality" ->

@@ -37,8 +37,24 @@ object Merge {
         val allCols = updates.columns
         // Tie-break `ord` by a content hash so max_by is deterministic
         // under any partitioning: two rows tying on `ord` always resolve
-        // the same way, and a residual tie means the rows are identical.
-        val order = struct(ord, xxhash64(struct(allCols.map(col): _*)))
+        // the same way, and a residual tie means the hashed columns are
+        // identical. Spark forbids hashing MapType (at any nesting), so
+        // the hash covers only hashable columns; rows differing solely in
+        // map columns at an `ord` tie remain order-dependent — unavoidable
+        // without an order on maps.
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+        def hasMap(dt: DataType): Boolean = dt match {
+          case _: MapType    => true
+          case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+          case a: ArrayType  => hasMap(a.elementType)
+          case _             => false
+        }
+        val hashable = updates.schema.fields.collect {
+          case f if !hasMap(f.dataType) => f.name
+        }
+        val order =
+          if (hashable.isEmpty) ord
+          else struct(ord, xxhash64(struct(hashable.toIndexedSeq.map(col): _*)))
         updates.groupBy(keys.map(col): _*)
           .agg(max_by(struct(allCols.map(col): _*), order).as("_r"))
           .select(allCols.map(c => col(s"_r.$c").as(c)): _*)

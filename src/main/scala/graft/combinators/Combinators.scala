@@ -57,6 +57,22 @@ object Sequence {
   def apply(name: String)(stages: Stage*): Sequence = Sequence(StageId(name), stages)
 }
 
+/** Pin an expression to a hidden column evaluated ONCE against the
+  * frame's CURRENT values — the single-pass fast paths of Filter/Switch
+  * must gate/route every output column by the INPUT's condition/key even
+  * when an output overwrites a column the expression reads (re-evaluating
+  * per column would diverge from the split-union semantics). The hidden
+  * name is chosen collision-free and dropped from the result.
+  */
+private[combinators] object Pin {
+  def withPinned(df: DataFrame, expr: Column)(
+      body: (DataFrame, Column) => DataFrame): DataFrame = {
+    var name = "__graft_pin__"
+    while (df.columns.contains(name)) name += "_"
+    body(df.withColumn(name, expr), col(name)).drop(name)
+  }
+}
+
 /** C6 Filter — predicate gate: rows satisfying `cond` run through the
   * wrapped stage; others pass through unchanged (`filter.go:76-118`).
   *
@@ -83,22 +99,17 @@ final case class Filter(id: StageId, cond: Column, stage: Stage) extends Stage {
     // split-union form re-reads the source per branch, which at 100 TB
     // doubles the scan).
     case t: graft.stages.Transform =>
-      // Pin the gate to INPUT values ONCE: a transform output may overwrite
-      // a column `cond` reads, and re-evaluating `cond` per output column
-      // would gate later outputs on the overwritten value — diverging from
-      // the split-union semantics (where cond is evaluated once, pre-stage).
-      val gateName = "__graft_gate__"
-      val gated = df.withColumn(gateName, coalesce(cond, lit(false)))
-      val gate = col(gateName)
-      val obs = graft.runtime.RowSignals.observe(gated, Signals.FilterPassed, id, "gate", Seq(
-        count(when(gate, 1)).as("rows_passed"),
-        count(when(!gate, 1)).as("rows_filtered")))
-      val out = t.outs.foldLeft(obs) { case (d, (name, value)) =>
-        val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
-        val guarded = when(gate, value).otherwise(base)
-        if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, guarded)
-        else d.withColumn(name, guarded)
-      }.drop(gateName)
+      val out = Pin.withPinned(df, coalesce(cond, lit(false))) { (gated, gate) =>
+        val obs = graft.runtime.RowSignals.observe(gated, Signals.FilterPassed, id, "gate", Seq(
+          count(when(gate, 1)).as("rows_passed"),
+          count(when(!gate, 1)).as("rows_filtered")))
+        t.outs.foldLeft(obs) { case (d, (name, value)) =>
+          val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
+          val guarded = when(gate, value).otherwise(base)
+          if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, guarded)
+          else d.withColumn(name, guarded)
+        }
+      }
       ErrorChannel.prependPath(out, id)
     case _ =>
       // per-branch observation: the input subtree executes once per branch,
@@ -152,30 +163,26 @@ final case class Switch(id: StageId, key: Column, routes: Seq[(String, Stage)]) 
     */
   private def singlePass(df: DataFrame): DataFrame = {
     // one scan, one observation: routed vs no-route counts ride the scan
-    // (row-level switch.routed fidelity — see runtime.RowSignals)
+    // (row-level switch.routed fidelity — see runtime.RowSignals); the
+    // routing key is pinned to INPUT values (see Pin)
     val keys = routes.map(_._1)
-    // Pin the routing key to INPUT values ONCE: a route's transform may
-    // overwrite a column `key` reads, and re-evaluating `key` per output
-    // column would route later outputs by the overwritten value —
-    // diverging from the split-union semantics.
-    val keyName = "__graft_key__"
-    val keyed = df.withColumn(keyName, key)
-    val pinnedKey = col(keyName)
-    val matched = coalesce(pinnedKey.isin(keys.map(lit): _*), lit(false))
-    val obs = graft.runtime.RowSignals.observe(keyed, Signals.SwitchRouted, id, "all", Seq(
-      count(when(matched, 1)).as("rows_routed"),
-      count(when(!matched, 1)).as("rows_no_route")))
-    val outNames = routes.flatMap(_._2.asInstanceOf[graft.stages.Transform].outs.map(_._1)).distinct
-    outNames.foldLeft(obs) { (d, name) =>
-      val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
-      val cased = routes.foldRight(base) { case ((k, s), acc) =>
-        s.asInstanceOf[graft.stages.Transform].outs.collectFirst {
-          case (`name`, value) => when(pinnedKey === lit(k), value).otherwise(acc)
-        }.getOrElse(acc)
+    Pin.withPinned(df, key) { (keyed, pinnedKey) =>
+      val matched = coalesce(pinnedKey.isin(keys.map(lit): _*), lit(false))
+      val obs = graft.runtime.RowSignals.observe(keyed, Signals.SwitchRouted, id, "all", Seq(
+        count(when(matched, 1)).as("rows_routed"),
+        count(when(!matched, 1)).as("rows_no_route")))
+      val outNames = routes.flatMap(_._2.asInstanceOf[graft.stages.Transform].outs.map(_._1)).distinct
+      outNames.foldLeft(obs) { (d, name) =>
+        val base: Column = if (d.columns.contains(name)) col(name) else lit(null)
+        val cased = routes.foldRight(base) { case ((k, s), acc) =>
+          s.asInstanceOf[graft.stages.Transform].outs.collectFirst {
+            case (`name`, value) => when(pinnedKey === lit(k), value).otherwise(acc)
+          }.getOrElse(acc)
+        }
+        if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, cased)
+        else d.withColumn(name, cased)
       }
-      if (ErrorChannel.hasChannel(d)) ErrorChannel.onGood(d)(name, cased)
-      else d.withColumn(name, cased)
-    }.drop(keyName)
+    }
   }
 
   private def splitUnion(df: DataFrame): DataFrame = {

@@ -163,7 +163,8 @@ object Timeout {
   * flow still carries/reports the failure (the reference re-raises the
   * original error after the handler runs: `handle.go:96,117`).
   */
-final case class Handle(id: StageId, stage: Stage, handler: Stage) extends Stage {
+final case class Handle(id: StageId, stage: Stage, handler: Stage,
+                        releaseAs: String = "err") extends Stage {
   def apply(df: DataFrame): DataFrame = {
     val out = stage(df)
     ErrorChannel.prependPath(out, id)
@@ -171,13 +172,15 @@ final case class Handle(id: StageId, stage: Stage, handler: Stage) extends Stage
 
   /** The handler's view: processed dead letters of a staged output. The
     * dead letters are released to the handler as live rows (error struct
-    * in a regular `err` column) — the reference handler receives the
-    * `*Error[T]` as its input value, not as a poisoned row.
+    * in a regular `releaseAs` column, default `err`) — the reference
+    * handler receives the `*Error[T]` as its input value, not as a
+    * poisoned row. Pipelines whose DATA carries a column named `err`
+    * pick another name via `releaseAs` (release refuses collisions).
     */
   def handled(df: DataFrame): DataFrame = {
     val out = stage(df)
     SignalBus.global.emit(Signals.HandleError, id)
-    handler(ErrorChannel.release(ErrorChannel.dead(out)))
+    handler(ErrorChannel.release(ErrorChannel.dead(out), releaseAs))
   }
 
   /** The reference's full contract in one call (`handle.go:96,117`):
@@ -195,7 +198,7 @@ final case class Handle(id: StageId, stage: Stage, handler: Stage) extends Stage
       org.apache.spark.sql.functions.col(s"${ErrorChannel.ColName}.msg")).head(1)
     first.headOption.foreach { row =>
       SignalBus.global.emit(Signals.HandleError, id)
-      handlerAction(handler(ErrorChannel.release(dead))) // handler first (handle.go:96)
+      handlerAction(handler(ErrorChannel.release(dead, releaseAs))) // handler first (handle.go:96)
       val path = row.getSeq[String](0).mkString(" -> ")
       throw new RuntimeException(
         s"${id.name} -> $path failed: ${String.valueOf(row.getString(1))}") // then re-raise (handle.go:117)

@@ -287,7 +287,15 @@ object Native {
     // built-in composition — codegen'd, no UDF wrapper).
     def colFn1(name: String, f: Column => Column): Unit =
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => Bridge.convertedExpression(f(Bridge.column(exprs.head))), "scala_udf")
+        name, exprs => {
+          // exact arity: silently dropping extra args would return
+          // plausible-but-wrong results (e.g. a user-supplied redaction
+          // token ignored in favor of the default)
+          if (exprs.length != 1)
+            throw new IllegalArgumentException(
+              s"$name expects exactly 1 argument, got ${exprs.length}")
+          Bridge.convertedExpression(f(Bridge.column(exprs.head)))
+        }, "scala_udf")
     colFn1("dup_line_frac", graft.llm.TextAnalysis.dupLineFrac)
     colFn1("email_count", graft.llm.TextAnalysis.emailCount)
     colFn1("url_count", graft.llm.TextAnalysis.urlCount)

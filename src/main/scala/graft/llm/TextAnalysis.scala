@@ -102,7 +102,10 @@ object TextAnalysis {
     * RE2-based engines (the DuckDB oracle) match identically.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern = "https?://[^\\s]+"
+  // explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+  // [^\s] would make engine and oracle disagree on text containing a
+  // vertical tab between two URLs
+  val UrlPattern = "https?://[^ \\t\\n\\x0B\\f\\r]+"
 
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))

@@ -95,6 +95,7 @@ object RowSignals {
     * [[detach]] when the bus's lifetime is shorter than the session's.
     */
   def attach(spark: SparkSession, bus: SignalBus = SignalBus.global): Unit = {
+    if (attached.containsKey((spark, bus))) return // hot path: Pipeline.run attaches per run
     val busToken = tokenOf(bus)
     val l = new QueryExecutionListener {
       private def forward(qe: org.apache.spark.sql.execution.QueryExecution): Unit =

@@ -191,7 +191,8 @@ object Sinks {
     * (bad records park durably instead of failing the query; the batch is
     * persisted so the stage computes once, not once per split).
     */
-  def deadLetterSplit(df: DataFrame, stage: Stage, checkpoint: String)(
+  def deadLetterSplit(df: DataFrame, stage: Stage, checkpoint: String,
+      releaseAs: String = "err")(
       goodAction: (DataFrame, Long) => Unit)(
       deadAction: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stagePerBatch(df, stage, checkpoint) { (staged, id) =>
@@ -199,7 +200,7 @@ object Sinks {
       try {
         goodAction(graft.core.ErrorChannel.good(cached), id)
         deadAction(graft.core.ErrorChannel.release(
-          graft.core.ErrorChannel.dead(cached)), id)
+          graft.core.ErrorChannel.dead(cached), releaseAs), id)
       } finally cached.unpersist(blocking = false)
     }
 }

@@ -57,6 +57,14 @@ class MergeSpec extends SparkSpec {
     assert(w1 == winner(2) && w1 == winner(7), "tie winner changed with partitioning")
   }
 
+  test("dedupOrder tolerates map columns (tie-break hash skips unhashable types)") {
+    val target = Seq((1L, "a", Map("k" -> 1))).toDF("id", "tag", "m")
+    val batch = Seq((1L, "x", Map("k" -> 2)), (1L, "y", Map("k" -> 3))).toDF("id", "tag", "m")
+    val merged = Merge.upsert(target, batch, Seq("id"), dedupOrder = Some(col("tag")))
+    assert(merged.count() == 1)
+    assert(merged.head().getString(1) == "y") // max tag wins
+  }
+
   test("requireUniqueKeys throws on duplicate keys, passes on unique") {
     val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "tag")
     val ok = Seq((1L, "x"), (2L, "y")).toDF("id", "tag")

@@ -63,7 +63,7 @@ class CombinatorSpec extends SparkSpec {
     assert(byId(1) == ((10.0, None)))    // not gated: untouched
     assert(byId(2) == ((-5.0, Some(1)))) // gated: BOTH outs applied
     assert(byId(3) == ((-5.0, Some(1))))
-    assert(!out.columns.contains("__graft_gate__"))
+    assert(!out.columns.exists(_.startsWith("__graft_pin__")))
   }
 
   test("Switch single-pass routes on INPUT key when a route overwrites the key column") {
@@ -75,7 +75,16 @@ class CombinatorSpec extends SparkSpec {
     assert(byId(1) == (("z", Some("route-a"))))
     assert(byId(3) == (("z", Some("route-a"))))
     assert(byId(2) == (("b", None))) // passthrough keeps its key
-    assert(!out.columns.contains("__graft_key__"))
+    assert(!out.columns.exists(_.startsWith("__graft_pin__")))
+  }
+
+  test("pinned hidden column never collides with user columns") {
+    // a user column already named like the pin must survive untouched
+    val clash = df.withColumn("__graft_pin__", lit(7))
+    val f = Filter("f", col("x") > 15.0, Transform("t")("y" -> lit(1)))
+    val out = f(clash)
+    assert(out.columns.count(_ == "__graft_pin__") == 1)
+    assert(out.select("__graft_pin__").distinct().head().getInt(0) == 7)
   }
 
   test("Switch with no routes is identity (switch.go:104-107)") {

@@ -112,13 +112,28 @@ class SignalEmissionSpec extends SparkSpec {
 
   test("detach stops forwarding (per-pipeline bus teardown)") {
     val bus = new SignalBus(logCapacity = 64)
+    val control = new SignalBus(logCapacity = 64)
     graft.runtime.RowSignals.attach(spark, bus)
+    graft.runtime.RowSignals.attach(spark, control)
     graft.runtime.RowSignals.detach(spark, bus)
-    graft.runtime.RowSignals.scoped(bus) {
-      Filter("fdet", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
-    }.count()
-    Thread.sleep(1500) // execution-listener delivery is async; give it time
-    assert(bus.emitted(Signals.FilterPassed).forall(!_.fields.get("phase").contains("rows")))
+    try {
+      graft.runtime.RowSignals.scoped(bus) {
+        Filter("fdet", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
+      }.count()
+      // positive control AFTER the detached query: listener events are
+      // delivered in order, so once the control bus sees its own query's
+      // signal the detached query's events have already been processed —
+      // the absence check below cannot false-pass on slow delivery
+      graft.runtime.RowSignals.scoped(control) {
+        Filter("fctl", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
+      }.count()
+      val deadline = System.currentTimeMillis + 10000
+      def ctlRows = control.emitted(Signals.FilterPassed)
+        .exists(_.fields.get("phase").contains("rows"))
+      while (System.currentTimeMillis < deadline && !ctlRows) Thread.sleep(100)
+      assert(ctlRows, "control bus never received its signal — delivery stalled")
+      assert(bus.emitted(Signals.FilterPassed).forall(!_.fields.get("phase").contains("rows")))
+    } finally graft.runtime.RowSignals.detach(spark, control)
   }
 
   test("Fallback emits fallback.triggered when alternatives exist") {

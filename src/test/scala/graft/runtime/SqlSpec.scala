@@ -64,6 +64,16 @@ class SqlSpec extends SparkSpec {
     assert(viaSql(0).getString(6) == "en")
   }
 
+  test("text-analysis SQL functions reject wrong arity instead of dropping args") {
+    GraftSql.install(spark)
+    GraftSql.view("arity_docs", Seq(Tuple1("t")).toDF("text"))
+    val e = intercept[Exception](
+      GraftSql.sql(spark, "SELECT redact_contacts(text, '<PII>') FROM arity_docs").collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("expects exactly 1 argument")), e.toString)
+  }
+
   test("registerTables exposes the canonical parquet tables to SQL") {
     GraftSql.registerTables(spark, sf)
     val n = GraftSql.sql(spark, "SELECT COUNT(*) FROM documents").head().getLong(0)
