@@ -953,6 +953,20 @@ object Queries {
       graft.llm.TextAnalysis.urlCount(col("text")).as("n_url")))
   }
 
+  /** Q-L19 train/test decontamination: corpus docs (id ≥ 10) sharing ≥1
+    * distinct word 3-gram with the "benchmark" slice (id < 10) — the
+    * pre-training hygiene sweep. Broadcast inverted-index join; the small
+    * fixture vocabulary guarantees real collisions, so the row is
+    * non-vacuous organically.
+    */
+  val qlDecontaminate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val out = graft.llm.Dedup.decontaminate(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 3)
+    ordered(out)
+  }
+
   /** MinHash-LSH near-dup candidates — no SQL oracle (rows-only check);
     * the superset-of-exact-pairs contract is unit-tested.
     */
@@ -1078,6 +1092,7 @@ object Queries {
     "ql16_jaccard_pairs" -> ql16JaccardPairs,
     "ql17_repetition" -> qlRepetition,
     "ql18_contact" -> qlContact,
+    "ql19_decontaminate" -> qlDecontaminate,
     "ql6_minhash_candidates" -> qlMinhashCandidates,
     "ql7_token_count" -> qlTokenCount,
     "ql8_quality" -> qlQuality,
@@ -1225,6 +1240,8 @@ object Oracle {
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'dup line' || chr(10) || 'dup line' || chr(10) || 'unique ' || CAST(i AS VARCHAR) || chr(10) || chr(10) || ' tail tail tail' AS text FROM generate_series(1, 20) AS g(i)), l AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM all_docs), d AS (SELECT doc_id, CASE WHEN len(lines) <= 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END AS dup_line_frac FROM l), tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM all_docs), c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2), f AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac FROM c GROUP BY 1) SELECT d.doc_id, d.dup_line_frac, COALESCE(f.top_token_frac, 0.0) AS top_token_frac FROM d LEFT JOIN f ON d.doc_id = f.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql18_contact" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'contact user' || CAST(i AS VARCHAR) || '@example.com or https://example.org/p/' || CAST(i AS VARCHAR) || ' end' AS text FROM generate_series(1, 30) AS g(i)) SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS n_url FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql19_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END) AS g FROM t), b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10), c AS (SELECT doc_id, g FROM g WHERE doc_id >= 10) SELECT c.doc_id, COUNT(*) AS n_shared FROM c JOIN b ON c.g = b.g GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql7_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subword FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql8_quality" ->

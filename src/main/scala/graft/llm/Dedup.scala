@@ -225,6 +225,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Train/test DECONTAMINATION — flag corpus documents sharing at least
+    * `minShared` distinct word n-grams with any benchmark document: the
+    * standard pre-training hygiene step (benchmark text leaking into the
+    * corpus inflates eval scores, so matching docs are quarantined before
+    * training). Same inverted-index shape as [[jaccardSimilarityJoin]]
+    * (explode n-grams, equi-join on the gram, count per doc). The
+    * benchmark side is tiny relative to a 100 TB corpus, so its distinct
+    * gram set broadcasts by default — the corpus side streams through a
+    * broadcast hash join with NO shuffle; only the per-doc count
+    * aggregates (partial + final) shuffle the few matching doc ids.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 5,
+                    minShared: Long = 1,
+                    broadcastBenchmark: Boolean = true): DataFrame = {
+    val cg = corpus.select(col(idCol).as("_did"),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    val bg0 = benchmark.select(explode(wordNgrams(col(textCol), n)).as("g")).distinct()
+    val bg = if (broadcastBenchmark) broadcast(bg0) else bg0
+    cg.join(bg, Seq("g"))
+      .groupBy(col("_did")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("_did").as(idCol), col("n_shared"))
+  }
+
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
     * assign every doc the minimum id reachable through the pair graph
     * (connected components) — the survivor selection step a real dedup

@@ -165,6 +165,18 @@ class LlmSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("decontaminate flags corpus docs sharing n-grams with the benchmark, via broadcast") {
+    val corpus = Seq((10L, "a b c d e"), (11L, "x y z w v")).toDF("doc_id", "text")
+    val bench = Seq((1L, "c d e f g")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L)) // shares "c d e"; doc 11 is clean
+    // the benchmark side must broadcast — the corpus side never shuffles
+    // for the join at 100 TB
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
   test("dupLineFrac counts repeated trimmed non-blank lines") {
     val df = Seq(
       ("a\na\nb", 1.0 - 2.0 / 3.0),  // one repeat of three lines

@@ -33,6 +33,21 @@ class PartitioningSpec extends SparkSpec {
     assert(years == Seq(1995))
   }
 
+  test("a downstream Where pushes through an unscoped Filter stage to the scan") {
+    // the Filter fast path is pure projection; with row observation now
+    // scope-gated there is no CollectMetrics barrier, so a later selective
+    // predicate must reach the parquet source as a pushed filter
+    val dir = writePartitioned()
+    val src = spark.read.parquet(dir)
+    val staged = graft.combinators.Filter("f", col("o_totalprice") > 1000.0,
+      graft.stages.Transform("t")("band" -> (col("o_totalprice") > 200000.0)))(src)
+    val out = staged.filter(col("o_orderkey") === 42L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectMetrics"), s"unexpected barrier:\n${plan.take(600)}")
+    assert("PushedFilters: \\[[^\\]]*o_orderkey[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"o_orderkey predicate did not reach the scan:\n${plan.take(1200)}")
+  }
+
   test("dynamic partition pruning: a selective dim join prunes fact partitions at runtime") {
     val dir = writePartitioned()
     val fact = spark.read.parquet(dir)
