@@ -967,6 +967,23 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L20 corpus-wide paragraph dedup (C4-style span removal): every
+    * distinct paragraph survives once at its first (doc_id, position)
+    * occurrence; docs reassemble from survivors. Synthetic multi-paragraph
+    * docs (ids -1..-20 sharing intro/footer) are unioned on BOTH sides;
+    * the fixture's exact-dup texts also dedup organically (each fixture
+    * doc is one paragraph).
+    */
+  val qlParagraphDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val synth = s.range(1, 21).select(
+      (-col("id")).as("doc_id"),
+      concat(lit("shared intro\nunique body "), col("id").cast("string"),
+        lit("\nshared footer")).as("text"))
+    val all = docs.unionByName(synth)
+    ordered(graft.llm.Dedup.dropDuplicateParagraphs(all, "doc_id", "text"))
+  }
+
   /** MinHash-LSH near-dup candidates — no SQL oracle (rows-only check);
     * the superset-of-exact-pairs contract is unit-tested.
     */
@@ -1093,6 +1110,7 @@ object Queries {
     "ql17_repetition" -> qlRepetition,
     "ql18_contact" -> qlContact,
     "ql19_decontaminate" -> qlDecontaminate,
+    "ql20_paragraph_dedup" -> qlParagraphDedup,
     "ql6_minhash_candidates" -> qlMinhashCandidates,
     "ql7_token_count" -> qlTokenCount,
     "ql8_quality" -> qlQuality,
@@ -1242,6 +1260,8 @@ object Oracle {
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'contact user' || CAST(i AS VARCHAR) || '@example.com or https://example.org/p/' || CAST(i AS VARCHAR) || ' end' AS text FROM generate_series(1, 30) AS g(i)) SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS n_url FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql19_decontaminate" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END) AS g FROM t), b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10), c AS (SELECT doc_id, g FROM g WHERE doc_id >= 10) SELECT c.doc_id, COUNT(*) AS n_shared FROM c JOIN b ON c.g = b.g GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "ql20_paragraph_dedup" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'shared intro' || chr(10) || 'unique body ' || CAST(i AS VARCHAR) || chr(10) || 'shared footer' AS text FROM generate_series(1, 20) AS g(i)), p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(s)), i -> {'idx': i, 'para': trim(s[i])})) AS u FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM all_docs)), p AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM p0 WHERE u.para <> ''), k AS (SELECT doc_id, idx, para FROM (SELECT doc_id, idx, para, ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p) WHERE rn = 1) SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text_dedup FROM k GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql7_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subword FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql8_quality" ->

@@ -250,6 +250,31 @@ object Dedup {
       .select(col("_did").as(idCol), col("n_shared"))
   }
 
+  /** Corpus-wide PARAGRAPH dedup (the C4-style span removal): every
+    * distinct trimmed non-blank paragraph survives exactly ONCE, at its
+    * first global occurrence ordered by (doc id, position); all later
+    * occurrences are removed and documents are reassembled from their
+    * surviving paragraphs in original order (documents left empty drop
+    * out). Plan: one explode, one partial-agg argmin per paragraph, one
+    * reassembly agg — no window over the full paragraph corpus, so the
+    * per-key state is O(1) and both aggregations combine map-side.
+    */
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("_idx", "_p")))
+      .withColumn("_p", trim(col("_p")))
+      .filter(col("_p") =!= "")
+    val first = paras.groupBy(col("_p"))
+      .agg(min(struct(col(idCol).as("_fid"), col("_idx").as("_fidx"))).as("_f"))
+    val kept = paras.join(first, Seq("_p"))
+      .filter(col(idCol) === col("_f._fid") && col("_idx") === col("_f._fidx"))
+    kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_idx"), col("_p")))), x => x.getField("_p")),
+        sep).as("text_dedup"))
+  }
+
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
     * assign every doc the minimum id reachable through the pair graph
     * (connected components) — the survivor selection step a real dedup

@@ -177,6 +177,20 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("dropDuplicateParagraphs keeps the first global occurrence, reassembles in order") {
+    val df = Seq(
+      (1L, "intro\nbody one\nfooter"),
+      (2L, "intro\nbody two\nfooter"),
+      (3L, "intro")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "intro\nbody one\nfooter", // first occurrences all survive
+      2L -> "body two"))               // shared intro/footer removed
+    // doc 3 lost its only paragraph → dropped entirely
+  }
+
   test("dupLineFrac counts repeated trimmed non-blank lines") {
     val df = Seq(
       ("a\na\nb", 1.0 - 2.0 / 3.0),  // one repeat of three lines
