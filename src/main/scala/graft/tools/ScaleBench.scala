@@ -26,7 +26,10 @@ object ScaleBench {
   val queries: Seq[String] = Seq(
     "qa1_grouped_agg", "qw2_running_sum", "qj2_join_3way",
     "qx1_asof_join", "ql5_token_set_dups", "ql6_minhash_candidates",
-    "ql1_exact_dedup", "ql8_quality", "ql16_jaccard_pairs")
+    "ql1_exact_dedup", "ql8_quality", "ql16_jaccard_pairs",
+    // corpus-wide round-3 ops: benchmark slice stays fixed (only copy 0
+    // has doc_id < 10) while the corpus grows — the realistic shape
+    "ql19_decontaminate", "ql20_paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
