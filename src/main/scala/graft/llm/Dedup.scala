@@ -225,6 +225,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard join with PREFIX FILTERING (the AllPairs/SSJoin
+    * technique from the public set-similarity-join literature: Bayardo,
+    * Ma & Srikant, WWW'07; Chaudhuri, Ganti & Kaushik, ICDE'06). Under a
+    * global rarest-first shingle order, two sets with J ≥ t MUST share
+    * their smallest common shingle inside each side's first
+    * |s| − ⌈t·|s|⌉ + 1 shingles, so only those PREFIX shingles are
+    * indexed and joined. Hot (high-df) shingles sort to the back and
+    * never enter the index — exactly the shingles whose co-occurrence
+    * lists explode quadratically on low-entropy corpora — and candidates
+    * are then verified with an exact intersection count restricted to
+    * candidate pairs (cost linear in candidates, not in co-occurrence).
+    * Result is EXACTLY [[jaccardSimilarityJoin]] (spec-pinned).
+    *
+    * WHEN TO USE WHICH (measured): prefix filtering pays when shingle
+    * document-frequency is heavy-tailed (real text: most shingles are
+    * near-unique, prefixes collapse the index). On a low-entropy corpus
+    * where every shingle is hot — the synthetic fixture's ~40-word
+    * vocabulary — the prefix barely shrinks while the rank windows,
+    * candidate distinct and verification joins add three shuffles:
+    * measured 111 s vs the plain form's 41 s through the same dump path
+    * at sf0.1. The plain inverted index with its single partial-agg
+    * count shuffle wins there; pick by corpus df skew.
+    */
+  def jaccardSimilarityJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("_jid"),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    // per-doc rarity rank; one shuffle on the doc id, tiny per-doc sorts
+    val w = Window.partitionBy("_jid").orderBy(col("_df"), col("g"))
+    val pos = sh.join(dfreq, Seq("g")).select(col("_jid"), col("g"),
+      row_number().over(w).as("_pos"),
+      count(lit(1)).over(Window.partitionBy("_jid")).as("_n"))
+    val prefix = pos.filter(
+      col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+    val cand = prefix.select(col("_jid").as("doc_a"), col("g"), col("_n").as("_na"))
+      .join(prefix.select(col("_jid").as("doc_b"), col("g"), col("_n").as("_nb")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification over candidates only
+    val sizes = sh.groupBy(col("_jid")).agg(count(lit(1)).as("_n"))
+    val inter = cand
+      .join(sh.select(col("_jid").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("_jid").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_jid").as("doc_a"), col("_n").as("_na")), Seq("doc_a"))
+      .join(sizes.select(col("_jid").as("doc_b"), col("_n").as("_nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Train/test DECONTAMINATION — flag corpus documents sharing at least
     * `minShared` distinct word n-grams with any benchmark document: the
     * standard pre-training hygiene step (benchmark text leaking into the

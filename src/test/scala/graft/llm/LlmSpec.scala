@@ -61,6 +61,19 @@ class LlmSpec extends SparkSpec {
     assert(ref.count() > 0, "fixture should contain similar pairs at 0.2")
   }
 
+  test("prefix-filtered jaccard join equals the plain inverted-index join exactly") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val plain = rowsOf(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 2, threshold = t)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9)))
+      val pref = rowsOf(Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text", n = 2, threshold = t)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9)))
+      assert(pref == plain, s"prefix filter diverged at threshold $t")
+    }
+    assert(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .count() > 0, "fixture should contain pairs at 0.5")
+  }
+
   test("jaccardSimilarityJoin df-cut drops hot shingles and stays a subset-ish approximation") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(100)
     // cap 1 = every shared shingle is dropped → no pairs survive
