@@ -259,14 +259,22 @@ object Dedup {
     val pos = sh.join(dfreq, Seq("g")).select(col("_jid"), col("g"),
       row_number().over(w).as("_pos"),
       count(lit(1)).over(Window.partitionBy("_jid")).as("_n"))
+    // EPSILON-HARDENED bounds: t·n can overshoot an exactly-integral
+    // product in doubles (e.g. 0.07·100 = 7.000000000000001 → ceil 8,
+    // one prefix slot too few → silently dropped true pairs; 86 such
+    // (t, n) combos exist for 3-decimal thresholds under 500 shingles).
+    // Nudging down before ceil / the comparison only ever LENGTHENS the
+    // prefix or ADMITS a borderline candidate — safe direction; exact
+    // verification below discards any extras.
+    val eps = 1e-9
     val prefix = pos.filter(
-      col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n") - lit(eps)) + 1)
     val cand = prefix.select(col("_jid").as("doc_a"), col("g"), col("_n").as("_na"))
       .join(prefix.select(col("_jid").as("doc_b"), col("g"), col("_n").as("_nb")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
       .filter(least(col("_na"), col("_nb")).cast("double") >=
-        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double"))
+        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double") - lit(eps))
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact verification over candidates only
     val sizes = sh.groupBy(col("_jid")).agg(count(lit(1)).as("_n"))

@@ -74,6 +74,22 @@ class LlmSpec extends SparkSpec {
       .count() > 0, "fixture should contain pairs at 0.5")
   }
 
+  test("prefix jaccard survives fp-boundary thresholds (0.07·100 overshoots in doubles)") {
+    // |a| = 100 bigrams, |b| = 7 bigrams fully contained in a:
+    // J = 7/(100+7-7) = 0.07 exactly, and b's shared shingles are a's
+    // RAREST-last (df 2 vs 1), landing at prefix position 94 — one slot
+    // inside the true prefix (100-7+1=94) but outside the fp-overshot one
+    // (ceil(0.07·100)=8 → 93). Without the epsilon hardening this true
+    // pair is silently dropped by BOTH the prefix and the length filter.
+    val a = (1 to 101).map(i => s"t$i").mkString(" ")
+    val b = (94 to 101).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val plain = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 2, threshold = 0.07)
+    val pref = Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text", n = 2, threshold = 0.07)
+    assert(plain.count() == 1, "construction must produce the boundary pair")
+    assert(pref.count() == 1, "prefix filter dropped the boundary pair (fp ceil overshoot)")
+  }
+
   test("jaccardSimilarityJoin df-cut drops hot shingles and stays a subset-ish approximation") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(100)
     // cap 1 = every shared shingle is dropped → no pairs survive
