@@ -211,11 +211,21 @@ object Dedup {
         sh0.join(rare, Seq("g"), "left_semi")
       case None => sh0
     }
-    val sizes = sh.groupBy(col("_jid")).agg(count(lit(1)).as("_n"))
     val inter = sh.select(col("_jid").as("doc_a"), col("g"))
       .join(sh.select(col("_jid").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_inter"))
+    jaccardFromIntersections(sh, inter, threshold)
+  }
+
+  /** Shared scoring tail of [[jaccardSimilarityJoin]] and
+    * [[jaccardSimilarityJoinPrefix]] — ONE implementation so the two
+    * spec-pinned-equal paths cannot drift: sizes join + exact ratio +
+    * threshold filter over per-pair intersection counts.
+    */
+  private def jaccardFromIntersections(sh: DataFrame, inter: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("_jid")).agg(count(lit(1)).as("_n"))
     inter
       .join(sizes.select(col("_jid").as("doc_a"), col("_n").as("_na")), Seq("doc_a"))
       .join(sizes.select(col("_jid").as("doc_b"), col("_n").as("_nb")), Seq("doc_b"))
@@ -263,32 +273,28 @@ object Dedup {
     // product in doubles (e.g. 0.07·100 = 7.000000000000001 → ceil 8,
     // one prefix slot too few → silently dropped true pairs; 86 such
     // (t, n) combos exist for 3-decimal thresholds under 500 shingles).
-    // Nudging down before ceil / the comparison only ever LENGTHENS the
-    // prefix or ADMITS a borderline candidate — safe direction; exact
+    // The nudge is RELATIVE (fp error in t·n scales as t·n·2⁻⁵²; an
+    // absolute 1e-9 stops covering it past t·n ≈ 4.5e6, i.e. multi-MB
+    // documents) plus a small absolute floor for tiny products. Nudging
+    // down before ceil / the comparison only ever LENGTHENS the prefix
+    // or ADMITS a borderline candidate — safe direction; exact
     // verification below discards any extras.
-    val eps = 1e-9
+    def nudged(tn: Column): Column = tn * lit(1.0 - 1e-12) - lit(1e-9)
     val prefix = pos.filter(
-      col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n") - lit(eps)) + 1)
+      col("_pos") <= col("_n") - ceil(nudged(lit(threshold) * col("_n"))) + 1)
     val cand = prefix.select(col("_jid").as("doc_a"), col("g"), col("_n").as("_na"))
       .join(prefix.select(col("_jid").as("doc_b"), col("g"), col("_n").as("_nb")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
       .filter(least(col("_na"), col("_nb")).cast("double") >=
-        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double") - lit(eps))
+        nudged(lit(threshold) * greatest(col("_na"), col("_nb")).cast("double")))
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact verification over candidates only
-    val sizes = sh.groupBy(col("_jid")).agg(count(lit(1)).as("_n"))
     val inter = cand
       .join(sh.select(col("_jid").as("doc_a"), col("g")), Seq("doc_a"))
       .join(sh.select(col("_jid").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes.select(col("_jid").as("doc_a"), col("_n").as("_na")), Seq("doc_a"))
-      .join(sizes.select(col("_jid").as("doc_b"), col("_n").as("_nb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardFromIntersections(sh, inter, threshold)
   }
 
   /** Train/test DECONTAMINATION — flag corpus documents sharing at least
@@ -327,13 +333,22 @@ object Dedup {
     */
   def dropDuplicateParagraphs(docs: DataFrame, idCol: String, textCol: String,
                               sep: String = "\n"): DataFrame = {
+    // sep is a literal separator, not a regex — quote it for split()
+    // (an unquoted "." or "|" would split on every character / position)
     val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("_idx", "_p")))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("_idx", "_p")))
       .withColumn("_p", trim(col("_p")))
       .filter(col("_p") =!= "")
-    val first = paras.groupBy(col("_p"))
+      // 16-byte shuffle key instead of the document-sized paragraph
+      // string (the tokenSetSignature convention): the argmin groupBy and
+      // the join back both key on the md5, so most of the shuffle volume
+      // is the hash, not the text. 128-bit md5 ⇒ collisions negligible
+      // even at 10^11 paragraphs (xxhash64 would collide at that scale).
+      .withColumn("_h", md5(col("_p").cast("binary")))
+    val first = paras.groupBy(col("_h"))
       .agg(min(struct(col(idCol).as("_fid"), col("_idx").as("_fidx"))).as("_f"))
-    val kept = paras.join(first, Seq("_p"))
+    val kept = paras.join(first, Seq("_h"))
       .filter(col(idCol) === col("_f._fid") && col("_idx") === col("_f._fidx"))
     kept.groupBy(col(idCol))
       .agg(array_join(
