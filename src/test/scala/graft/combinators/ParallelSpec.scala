@@ -43,36 +43,50 @@ class ParallelSpec extends SparkSpec {
     assert(SignalBus.global.emitted(Signals.RaceWinner).nonEmpty)
   }
 
+  // Cache-lifecycle checks track the RDD IDs created in THIS test's
+  // window instead of comparing global counts: suites share one session
+  // and run concurrently, so a count baseline races against other
+  // suites' persist/unpersist churn (observed as a rare full-suite
+  // flake). Transient foreign caches landing in the window are tolerated
+  // by waiting for the tracked set to drain.
+  private def persisted: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def awaitReleased(mine: Set[Int], what: String): Unit = {
+    val deadline = System.currentTimeMillis + 10000
+    while (System.currentTimeMillis < deadline && persisted.intersect(mine).nonEmpty)
+      Thread.sleep(50)
+    assert(persisted.intersect(mine).isEmpty,
+      s"$what: cached frames not released: ${persisted.intersect(mine)}")
+  }
+
   test("Race winner cache is released by close(); failed race leaks nothing") {
-    def cachedCount: Int = {
-      // unpersist(blocking=false) removes map entries synchronously; the
-      // baseline subtracts caches other suites may hold
-      spark.sparkContext.getPersistentRDDs.size
-    }
-    val before = cachedCount
+    val before = persisted
     val fast = Stage(StageId("fast"))(_.select(lit("x").as("who")).limit(1))
     val race = Race("race_lifecycle")(fast, fast)
     race.run(df.limit(5))
-    assert(cachedCount > before, "winner should be cached while in use")
+    val mine = persisted -- before
+    assert(mine.nonEmpty, "winner should be cached while in use")
     race.close()
-    assert(cachedCount == before, "close() must release the winner cache")
+    awaitReleased(mine, "close() after a won race")
     // failure path: shared input must not leak either
+    val beforeFail = persisted
     val bad1 = MockStage.failing("b1")
     val bad2 = MockStage.failing("b2")
     val failing = Race(StageId("race_fail"), Seq(bad1, bad2))
     intercept[RuntimeException](failing.run(df))
     failing.close()
-    assert(cachedCount == before, "failed race must not leak the shared input")
+    awaitReleased(persisted -- beforeFail, "failed race")
   }
 
   test("Contest winner cache is released by close()") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
     val nonEmpty = Stage(StageId("ne"))(_.limit(3))
     val contest = Contest("contest_lifecycle", _.count() > 0)(nonEmpty)
     contest.run(df)
-    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    val mine = persisted -- before
+    assert(mine.nonEmpty)
     contest.close()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    awaitReleased(mine, "contest close()")
   }
 
   test("Race.run fails only when every branch fails (race.go:143-157)") {
