@@ -106,14 +106,50 @@ object Similarity {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** Approximate top-k: candidates limited to query's LSH bucket (and its
-    * single-bit-flip neighbor buckets for recall), then exact cosine + rank.
-    * Trades recall for pruning the corpus scan to matching buckets — the
-    * 100 TB path where brute force is impossible.
+  /** Shared ranking tail for the candidate-generation top-k paths: project
+    * to (queryId, corpusId, sim) FIRST — at production dims the embeddings
+    * are ~3 KB/row and must never ride a shuffle once scored — then dedup
+    * multi-probe/multi-bucket re-encounters of the same pair (identical
+    * embeddings ⇒ identical sim, so which survivor wins is immaterial) and
+    * rank with the bounded [[graft.functions.Aggregators.TopKBySim]]
+    * partial aggregate: each map task forwards at most k narrow candidates
+    * per query into the shuffle, where the window form shuffles every
+    * scored candidate row.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
-              queryId: String = "query_id", corpusId: String = "neighbor_id",
-              multiProbe: Boolean = true): DataFrame = {
+  private def topKAggTail(scored: DataFrame, k: Int,
+                          queryId: String, corpusId: String): DataFrame = {
+    val narrow = scored.select(col(queryId), col(corpusId), col("sim"))
+      .dropDuplicates(queryId, corpusId)
+    val topk = udaf(new graft.functions.Aggregators.TopKBySim(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    narrow
+      .groupBy(col(queryId))
+      .agg(topk(col("sim"), col(corpusId).cast("long")).as("top"))
+      .select(col(queryId), posexplode(col("top")))
+      .select(col(queryId), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(corpusId), col("col._1").as("sim"))
+  }
+
+  /** Reference window-form tail (kept for the agg ≡ window pin in
+    * `LlmSpec`/`IvfSpec`): same dedup, ranked by a row_number window —
+    * shuffles every scored row, embeddings and all.
+    */
+  private def topKWindowTail(scored: DataFrame, k: Int,
+                             queryId: String, corpusId: String): DataFrame = {
+    val deduped = scored.dropDuplicates(queryId, corpusId)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    deduped.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(corpusId), col("sim"))
+  }
+
+  /** LSH-bucketed candidates for [[lshTopK]]: corpus bucketed by signature,
+    * broadcast queries probe their own bucket (+ each 1-bit flip).
+    */
+  private def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                            planes: Int, dim: Int,
+                            queryId: String, corpusId: String,
+                            multiProbe: Boolean): DataFrame = {
     val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
       .withColumn("bucket", hyperplaneSignature(col("c_emb"), planes, dim))
     val qSig = queries.select(col(queryId), col("embedding").as("q_emb"))
@@ -125,14 +161,28 @@ object Similarity {
         explode(array((col("sig") +: (0 until planes)
           .map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*)))
     val q = broadcast(probes)
-    val joined = c.join(q, Seq("bucket")).filter(col(queryId) =!= col(corpusId))
-    val scored = joined.withColumn("sim", cosine(col("q_emb"), col("c_emb")))
-      .dropDuplicates(queryId, corpusId)
-    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col("rank"), col(corpusId), col("sim"))
+    c.join(q, Seq("bucket")).filter(col(queryId) =!= col(corpusId))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
   }
+
+  /** Approximate top-k: candidates limited to query's LSH bucket (and its
+    * single-bit-flip neighbor buckets for recall), then exact cosine +
+    * bounded-aggregate rank ([[topKAggTail]] — embeddings are dropped
+    * before any shuffle). Trades recall for pruning the corpus scan to
+    * matching buckets — the 100 TB path where brute force is impossible.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
+              queryId: String = "query_id", corpusId: String = "neighbor_id",
+              multiProbe: Boolean = true): DataFrame =
+    topKAggTail(lshCandidates(queries, corpus, planes, dim, queryId, corpusId, multiProbe),
+      k, queryId, corpusId)
+
+  /** Window-form [[lshTopK]] — reference for the agg ≡ window spec pin. */
+  def lshTopKWindow(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
+                    queryId: String = "query_id", corpusId: String = "neighbor_id",
+                    multiProbe: Boolean = true): DataFrame =
+    topKWindowTail(lshCandidates(queries, corpus, planes, dim, queryId, corpusId, multiProbe),
+      k, queryId, corpusId)
 
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained on a
     * BOUNDED deterministic sample (first `sampleSize` by id — never the
@@ -211,27 +261,39 @@ object Similarity {
     }
   }
 
-  /** IVF approximate top-k: corpus bucketed by nearest centroid; each query
-    * probes its `nprobe` closest buckets; exact cosine + rank within the
-    * probed subset. Scan cost ≈ (nprobe/k) × brute force.
+  /** IVF candidates for [[ivfTopK]]: corpus bucketed by nearest centroid,
+    * broadcast queries probe their `nprobe` closest buckets.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,
-              topK: Int, nprobe: Int,
-              queryId: String = "query_id", corpusId: String = "neighbor_id"): DataFrame = {
+  private def ivfCandidates(queries: DataFrame, corpus: DataFrame,
+                            index: Similarity.IvfIndex, nprobe: Int,
+                            queryId: String, corpusId: String): DataFrame = {
     val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
       .withColumn("bucket", index.assignment(col("c_emb")))
     val q = broadcast(
       queries.select(col(queryId), col("embedding").as("q_emb"))
         .withColumn("bucket", explode(index.probes(col("q_emb"), nprobe))))
-    val scored = c.join(q, Seq("bucket"))
+    c.join(q, Seq("bucket"))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
-      .dropDuplicates(queryId, corpusId)
-    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col(queryId), col("rank"), col(corpusId), col("sim"))
   }
+
+  /** IVF approximate top-k: corpus bucketed by nearest centroid; each query
+    * probes its `nprobe` closest buckets; exact cosine + bounded-aggregate
+    * rank ([[topKAggTail]] — embeddings are dropped before any shuffle)
+    * within the probed subset. Scan cost ≈ (nprobe/k) × brute force.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,
+              topK: Int, nprobe: Int,
+              queryId: String = "query_id", corpusId: String = "neighbor_id"): DataFrame =
+    topKAggTail(ivfCandidates(queries, corpus, index, nprobe, queryId, corpusId),
+      topK, queryId, corpusId)
+
+  /** Window-form [[ivfTopK]] — reference for the agg ≡ window spec pin. */
+  def ivfTopKWindow(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,
+                    topK: Int, nprobe: Int,
+                    queryId: String = "query_id", corpusId: String = "neighbor_id"): DataFrame =
+    topKWindowTail(ivfCandidates(queries, corpus, index, nprobe, queryId, corpusId),
+      topK, queryId, corpusId)
 
   /** Embedding-cosine near-duplicate pairs: bucket by LSH signature, score
     * only within buckets (+ optional probe), keep pairs ≥ threshold.

@@ -24,4 +24,40 @@ abstract class SparkSpec extends AnyFunSuite {
 
   def rowsOf(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
+
+  /** Asserts no float-array (embedding) column rides any shuffle in the
+    * executed plan — the 100 TB contract for the similarity-search tails:
+    * score, project to ids+sim, THEN shuffle.
+    */
+  def assertNoEmbeddingInExchange(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    df.collect() // force execution so AQE finalizes the plan
+    // AQE hides the final plan behind AdaptiveSparkPlanExec/QueryStageExec,
+    // which TreeNode.collect does not descend into — walk them explicitly
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(walk)
+    }
+    val exchanges = walk(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(exchanges.nonEmpty, "expected at least one shuffle in the plan under test")
+    exchanges.foreach { e =>
+      val wide = e.output.filter {
+        case a => a.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }
+      }
+      assert(wide.isEmpty,
+        s"embedding columns ${wide.map(_.name).mkString(",")} enter a shuffle:\n$e")
+    }
+  }
 }

@@ -150,6 +150,24 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low for 4-plane multi-probe LSH")
   }
 
+  test("lshTopK bounded-aggregate tail equals the window form, embeddings pruned pre-shuffle") {
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val agg = Similarity.lshTopK(queries, corpus, 3, planes = 4, dim = 64)
+    val aggRows = rowsOf(agg.select(col("query_id").cast("long"),
+      col("rank").cast("int"), col("neighbor_id").cast("long"), col("sim")))
+    val window = rowsOf(Similarity.lshTopKWindow(queries, corpus, 3, planes = 4, dim = 64)
+      .select(col("query_id").cast("long"),
+        col("rank").cast("int"), col("neighbor_id").cast("long"), col("sim")))
+    assert(aggRows == window)
+    // the point of the refactor: partial (map-side) top-k combine, and no
+    // embedding column surviving into any Exchange
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_"), s"no partial phase in:\n$plan")
+    assertNoEmbeddingInExchange(agg)
+  }
+
   test("bounded-aggregate top-k equals the window form, with partial combine") {
     val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
