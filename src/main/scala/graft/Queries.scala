@@ -664,15 +664,20 @@ object Queries {
     ordered(graft.llm.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 250)
       .select(col("doc_id")))
 
-  /** IVF approximate top-k — no SQL oracle (rows-only); full-probe ==
-    * exact is unit-tested (`IvfSpec`).
+  /** Q-L12 — IVF approximate top-k, ORACLE-CHECKED via the same planted
+    * clones as ql11: a clone's nearest centroid is computed by the same
+    * deterministic expression on the same bytes as its query's, so every
+    * clone lands in the query's probe-#1 bucket regardless of nprobe;
+    * clone sims are bit-identical ≈1.0 and above every organic neighbor,
+    * making top-3 provably the three clones by ascending id. Full-probe ==
+    * exact stays unit-tested (`IvfSpec`).
     */
   val qlIvfTopK: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val index = graft.llm.Similarity.IvfIndex.train(emb, "vec_id", k = 8,
       sampleSize = 256, iters = 4)
     val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val corpus = annCloneCorpus(emb)
     val out = graft.llm.Similarity.ivfTopK(queries, corpus, index, topK = 3, nprobe = 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     ordered(out)
@@ -908,6 +913,9 @@ object Queries {
     // "rare-prefix" index barely shrinks while its extra shuffles and
     // candidate verification add cost. On a real heavy-tailed corpus the
     // preference inverts; both forms are spec-pinned equal (LlmSpec).
+    // The default df guard (cap 10k) never triggers here — fixture df
+    // tops out at |documents| ≈ 5k at sf0.1 — so the result stays exact
+    // and the DuckDB oracle (unguarded by construction) still matches.
     val out = graft.llm.Dedup.jaccardSimilarityJoin(
       t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
       .withColumnRenamed("jaccard", "jac")
@@ -1040,17 +1048,36 @@ object Queries {
     ordered(out)
   }
 
-  /** Approximate (LSH multi-probe) top-k — no SQL oracle (rows-only);
-    * recall vs brute force is unit-tested.
+  /** Q-L11 — LSH multi-probe approximate top-k, ORACLE-CHECKED via the
+    * planted-clone technique that promoted ql14: three exact clones of
+    * each query vector join the corpus at ids +1M/+2M/+3M. Identical
+    * embeddings hash to the query's own signature, so every clone is a
+    * candidate in the self-probe bucket; the clones' sim is bit-identical
+    * (same float64 arithmetic on the same bytes) and ≈1.0, while no
+    * organic pair in this fixture reaches 0.8 (the ql14 threshold
+    * argument) — so each query's top-3 is PROVABLY its clones, ranked by
+    * the ascending-id tiebreak. The organic corpus stays unioned in:
+    * ranking has to beat 60k real neighbors, not just find planted rows.
+    * Recall on organic data stays spec-tested (`LlmSpec`).
     */
   val qlAnnTopK: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val corpus = annCloneCorpus(emb)
     val out = graft.llm.Similarity.lshTopK(queries, corpus, k = 3, planes = 8, dim = 64)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     ordered(out)
   }
+
+  /** Shared ql11/ql12 corpus: all organic embeddings plus three exact
+    * clones of each query vector (ids +1M/+2M/+3M).
+    */
+  private def annCloneCorpus(emb: DataFrame): DataFrame =
+    (1 to 3).foldLeft(emb.select(col("vec_id").as("neighbor_id"), col("embedding"))) {
+      (acc, m) =>
+        acc.unionByName(emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + m * 1000000L).as("neighbor_id"), col("embedding")))
+    }
 
   // ------------------------------------------------------------- registry
 
@@ -1256,6 +1283,13 @@ object Oracle {
       """WITH n AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))), ' ') AS sig FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM n a JOIN n b ON a.sig=b.sig AND a.doc_id<b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql14_embedding_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql11/ql12: the planted-clone construction makes the ANN answer exact —
+    // each query's top-3 is its three exact clones at +1M/+2M/+3M, ranked by
+    // ascending id (see qlAnnTopK/qlIvfTopK scaladoc for the proof)
+    "ql11_ann_topk" ->
+      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql12_ivf_topk" ->
+      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql10_langid" ->
       """WITH langs(lang, words) AS (VALUES ('de', ['der','die','und','das','ist','von','mit','den','nicht','ein']), ('en', ['the','and','of','to','in','is','it','that','was','for']), ('es', ['el','la','de','que','y','en','un','los','se','por']), ('fr', ['le','la','et','les','des','un','une','du','est','pour']), ('zh', ['的','了','是','我','不','在','人','有','他','这'])), t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, lang, len(list_intersect(toks, words)) AS hits FROM t CROSS JOIN langs), r AS (SELECT doc_id, lang, hits, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM s) SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang, COUNT(*) AS cnt FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql16_jaccard_pairs" ->

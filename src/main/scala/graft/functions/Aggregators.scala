@@ -42,23 +42,50 @@ object Aggregators {
     * task forwards AT MOST k candidates per query into the shuffle — the
     * window-function form shuffles every scored row, which at 100 TB is
     * the whole |corpus|×|queries| cross product.
+    *
+    * Generic in the id type `I` so non-numeric doc ids (string/UUID)
+    * survive the aggregate unchanged — an earlier Long-only form silently
+    * cast string ids to NULL. Instantiate via [[TopKBySim.ofLong]] /
+    * [[TopKBySim.ofString]]; id ties break by `ord` (must match the
+    * engine-side `ORDER BY id ASC` semantics of the window form).
+    *
+    * The buffer also DEDUPLICATES candidate ids (first occurrence after
+    * the sort — i.e. max-sim — wins): multi-probe LSH and multi-table
+    * banding re-encounter the same (query, candidate) pair once per
+    * colliding probe/table with an identical recomputed sim, so folding
+    * the dedup into the aggregate removes the dedicated
+    * `dropDuplicates(query, candidate)` Exchange the tail used to pay
+    * BEFORE ranking — the last unbounded shuffle in the ANN paths.
     */
-  class TopKBySim(k: Int)
-      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    def zero: Seq[(Double, Long)] = Vector.empty
-    def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = cap(b :+ in)
-    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = cap(a ++ b)
-    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+  class TopKBySim[I](k: Int, ord: Ordering[I], enc: Encoder[Seq[(Double, I)]])
+      extends Aggregator[(Double, I), Seq[(Double, I)], Seq[(Double, I)]] {
+    def zero: Seq[(Double, I)] = Vector.empty
+    def reduce(b: Seq[(Double, I)], in: (Double, I)): Seq[(Double, I)] = cap(b :+ in)
+    def merge(a: Seq[(Double, I)], b: Seq[(Double, I)]): Seq[(Double, I)] = cap(a ++ b)
+    def finish(b: Seq[(Double, I)]): Seq[(Double, I)] = b
     // NaN ranks FIRST under `sim DESC` in both Spark SQL and the DuckDB
     // oracle (NaN > every real value); Scala's TotalOrdering would rank it
     // last — map NaN below every real negation so the aggregate agrees
     // with the window form even on degenerate (zero-norm) vectors.
-    private def cap(v: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      v.sortBy { case (sim, id) =>
-        (if (sim.isNaN) Double.NegativeInfinity else -sim, id)
-      }.take(k)
-    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-    def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+    private val rankOrd: Ordering[(Double, I)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, ord).on {
+        case (sim, id) => (if (sim.isNaN) Double.NegativeInfinity else -sim, id)
+      }
+    private def cap(v: Seq[(Double, I)]): Seq[(Double, I)] =
+      v.sorted(rankOrd).distinctBy(_._2).take(k)
+    def bufferEncoder: Encoder[Seq[(Double, I)]] = enc
+    def outputEncoder: Encoder[Seq[(Double, I)]] = enc
+  }
+
+  object TopKBySim {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def ofLong(k: Int): TopKBySim[Long] =
+      new TopKBySim[Long](k, Ordering.Long, ExpressionEncoder[Seq[(Double, Long)]]())
+    /** Ties break by Java string order (UTF-16 code units) — identical to
+      * Spark's UTF8String ordering for codepoints below the surrogate
+      * range, which covers realistic ascii/uuid doc ids.
+      */
+    def ofString(k: Int): TopKBySim[String] =
+      new TopKBySim[String](k, Ordering.String, ExpressionEncoder[Seq[(Double, String)]]())
   }
 }

@@ -120,27 +120,32 @@ case class DotProduct(left: Expression, right: Expression)
   * tree). Same argument as [[MinHashSignature]]: one tight loop per row.
   * Bit-exact vs the tree form (NativeSpec property test at dim 768).
   */
-case class HyperplaneSignature(child: Expression, planes: Int, dim: Int)
+case class HyperplaneSignature(child: Expression, planes: Int, dim: Int,
+                               planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "hyperplane_signature"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) if planes > 0 && planes < 64 && dim > 0 =>
+    case ArrayType(FloatType, _) if planes > 0 && planes < 64 && dim > 0 && planeOffset >= 0 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_signature expects ARRAY<FLOAT> with 0 < planes < 64 and dim > 0, " +
-        s"got ${child.dataType.sql} with planes=$planes dim=$dim")
+      s"hyperplane_signature expects ARRAY<FLOAT> with 0 < planes < 64, dim > 0 and " +
+        s"planeOffset >= 0, got ${child.dataType.sql} with planes=$planes dim=$dim offset=$planeOffset")
   }
 
   // xxhash64(p, i) = hashInt(i, hashInt(p, seed=42)); fold the modulo /
-  // scale / center arithmetic in so the hot loop is one multiply-add
+  // scale / center arithmetic in so the hot loop is one multiply-add.
+  // planeOffset shifts the plane index: table t of a multi-table (banded)
+  // LSH uses offset t*planes, giving each table an INDEPENDENT hyperplane
+  // set from the same deterministic hash family — offset 0 is bit-exact
+  // with the historical single-table form.
   @transient private lazy val coeffs: Array[Double] = {
     val c = new Array[Double](planes * dim)
     var p = 0
     while (p < planes) {
-      val hp = XXH64.hashInt(p, 42L)
+      val hp = XXH64.hashInt(planeOffset + p, 42L)
       var i = 0
       while (i < dim) {
         val h = XXH64.hashInt(i, hp)
@@ -256,8 +261,8 @@ object Native {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column =
-    Bridge.column(HyperplaneSignature(Bridge.expression(emb), planes, dim))
+  def hyperplaneSignature(emb: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(emb), planes, dim, planeOffset))
 
   def nearestCentroids(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nprobe))

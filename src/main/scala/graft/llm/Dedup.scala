@@ -196,11 +196,26 @@ object Dedup {
     * the surviving shingle sets, which can under- or over-state the true
     * Jaccard; near-duplicates at high thresholds share mostly rare
     * shingles, so the distortion concentrates in low-similarity pairs).
-    * Leave it None for exactness and rely on AQE skew handling.
+    *
+    * GUARDED BY DEFAULT ([[DefaultMaxShingleDocFreq]]): a shingle must
+    * appear in more than 10k documents before the cut touches it, so on
+    * corpora below that df the default result is still exact — but on the
+    * corpus sizes where the unguarded join's Σdf² blows up (measured 24–29 s
+    * at a mere 50k synthetic docs; quadratic beyond), the hot keys are
+    * dropped before they can. The cap bounds any one shingle's pairings at
+    * cap² ≈ 10^8 partial-agg rows — shuffle-survivable; unbounded is not.
+    * Pass `maxShingleDocFreq = None` to explicitly opt in to the unguarded
+    * exact join (safe only when the corpus df distribution is known), or
+    * use [[jaccardSimilarityJoinPrefix]] — exact at any scale when the df
+    * tail is heavy. Mirrors the reference's safe-by-default wrapper
+    * philosophy (reference/ratelimiter.go:27-43: the guarded form is the
+    * default; the footgun is the explicit variant).
     */
+  val DefaultMaxShingleDocFreq = 10000L
+
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 2, threshold: Double = 0.5,
-                            maxShingleDocFreq: Option[Long] = None): DataFrame = {
+                            maxShingleDocFreq: Option[Long] = Some(DefaultMaxShingleDocFreq)): DataFrame = {
     val sh0 = df.select(col(idCol).as("_jid"),
       explode(wordNgrams(col(textCol), n)).as("g"))
     val sh = maxShingleDocFreq match {

@@ -70,14 +70,7 @@ object Similarity {
     val joined = c.crossJoin(q)
     val filtered = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
     val scored = filtered.withColumn("sim", cosine(col("q_emb"), col("c_emb")))
-    val topk = udaf(new graft.functions.Aggregators.TopKBySim(k),
-      org.apache.spark.sql.Encoders.product[(Double, Long)])
-    scored
-      .groupBy(col(queryId))
-      .agg(topk(col("sim"), col(corpusId).cast("long")).as("top"))
-      .select(col(queryId), posexplode(col("top")))
-      .select(col(queryId), (col("pos") + 1).cast("int").as("rank"),
-        col("col._2").as(corpusId), col("col._1").as("sim"))
+    topKAggTail(scored, k, queryId, corpusId)
   }
 
   /** Random-hyperplane LSH signature (`planes` bits): bit p is the sign of
@@ -108,26 +101,47 @@ object Similarity {
 
   /** Shared ranking tail for the candidate-generation top-k paths: project
     * to (queryId, corpusId, sim) FIRST — at production dims the embeddings
-    * are ~3 KB/row and must never ride a shuffle once scored — then dedup
-    * multi-probe/multi-bucket re-encounters of the same pair (identical
-    * embeddings ⇒ identical sim, so which survivor wins is immaterial) and
-    * rank with the bounded [[graft.functions.Aggregators.TopKBySim]]
-    * partial aggregate: each map task forwards at most k narrow candidates
-    * per query into the shuffle, where the window form shuffles every
-    * scored candidate row.
+    * are ~3 KB/row and must never ride a shuffle once scored — then rank
+    * with the bounded [[graft.functions.Aggregators.TopKBySim]] partial
+    * aggregate. The aggregate's buffer both caps at k AND dedups candidate
+    * ids (multi-probe/multi-table re-encounters of the same pair carry an
+    * identical recomputed sim, so max-sim-per-id dedup is exact), so the
+    * ONLY shuffle in the tail is the k-bounded partial→final Exchange —
+    * each map task forwards at most k narrow rows per query. An earlier
+    * form paid a dedicated `dropDuplicates(query, candidate)` Exchange
+    * (narrow columns but unbounded row count) before ranking; folding the
+    * dedup into the aggregate deleted that whole shuffle.
+    *
+    * The candidate id keeps its input type: integral ids ride the
+    * aggregate as long and are cast back on output; string ids use the
+    * string-keyed aggregate directly. Anything else fails fast — a silent
+    * `cast("long")` used to null out string/UUID ids.
     */
   private def topKAggTail(scored: DataFrame, k: Int,
                           queryId: String, corpusId: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val narrow = scored.select(col(queryId), col(corpusId), col("sim"))
-      .dropDuplicates(queryId, corpusId)
-    val topk = udaf(new graft.functions.Aggregators.TopKBySim(k),
-      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val idType = narrow.schema(corpusId).dataType
+    val (topk, idIn, idOut) = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (udaf(graft.functions.Aggregators.TopKBySim.ofLong(k),
+          org.apache.spark.sql.Encoders.product[(Double, Long)]),
+          col(corpusId).cast("long"),
+          (c: Column) => c.cast(idType))
+      case StringType =>
+        (udaf(graft.functions.Aggregators.TopKBySim.ofString(k),
+          org.apache.spark.sql.Encoders.product[(Double, String)]),
+          col(corpusId),
+          (c: Column) => c)
+      case other => throw new IllegalArgumentException(
+        s"topK candidate id column '$corpusId' must be integral or string, got ${other.sql}")
+    }
     narrow
       .groupBy(col(queryId))
-      .agg(topk(col("sim"), col(corpusId).cast("long")).as("top"))
+      .agg(topk(col("sim"), idIn).as("top"))
       .select(col(queryId), posexplode(col("top")))
       .select(col(queryId), (col("pos") + 1).cast("int").as("rank"),
-        col("col._2").as(corpusId), col("col._1").as("sim"))
+        idOut(col("col._2")).as(corpusId), col("col._1").as("sim"))
   }
 
   /** Reference window-form tail (kept for the agg ≡ window pin in

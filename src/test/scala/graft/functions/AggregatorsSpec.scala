@@ -19,10 +19,31 @@ class AggregatorsSpec extends SparkSpec {
     // agg-vs-window equivalence breaks on degenerate vectors
     val ds = Seq((Double.NaN, 7L), (0.9, 1L), (0.9, 2L), (0.1, 3L))
       .toDF("sim", "id")
-    val topk = udaf(new Aggregators.TopKBySim(3))
+    val topk = udaf(Aggregators.TopKBySim.ofLong(3))
     val got = ds.repartition(4).agg(topk(col("sim"), col("id")))
       .head().getSeq[org.apache.spark.sql.Row](0).map(r => r.getLong(1))
     assert(got == Seq(7L, 1L, 2L)) // NaN first, then sim desc with id tiebreak
+  }
+
+  test("TopKBySim dedups candidate ids in-buffer (multi-probe re-encounters)") {
+    // the same (sim, id) pair arriving once per colliding probe/table must
+    // count once — this is what lets the ANN tails skip the dedicated
+    // dropDuplicates Exchange before ranking
+    val ds = Seq((0.9, 1L), (0.9, 1L), (0.9, 1L), (0.5, 2L), (0.5, 2L), (0.1, 3L))
+      .toDF("sim", "id")
+    val topk = udaf(Aggregators.TopKBySim.ofLong(2))
+    val got = ds.repartition(3).agg(topk(col("sim"), col("id")))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got == Seq((0.9, 1L), (0.5, 2L)))
+  }
+
+  test("TopKBySim string ids survive the aggregate with lexicographic tiebreak") {
+    val ds = Seq((0.9, "doc-b"), (0.9, "doc-a"), (0.1, "doc-z"))
+      .toDF("sim", "id")
+    val topk = udaf(Aggregators.TopKBySim.ofString(2))
+    val got = ds.repartition(2).agg(topk(col("sim"), col("id")))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(r => r.getString(1))
+    assert(got == Seq("doc-a", "doc-b"))
   }
 
   test("TopKMin keeps bounded state across partitions") {

@@ -35,4 +35,21 @@ class IvfSpec extends SparkSpec {
       .select("query_id", "neighbor_id"))
     assert(full == exact)
   }
+
+  test("ivfTopK bounded-aggregate tail equals the window form, embeddings pruned pre-shuffle") {
+    // the IVF half of the agg==window pin (the LSH half lives in LlmSpec):
+    // same rows as the reference window tail, a map-side partial TopKBySim
+    // combine, and no embedding column in any Exchange
+    val index = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
+    val agg = Similarity.ivfTopK(queries, corpus, index, topK = 3, nprobe = 3)
+    val aggRows = rowsOf(agg.select(col("query_id").cast("long"),
+      col("rank").cast("int"), col("neighbor_id").cast("long"), col("sim")))
+    val window = rowsOf(Similarity.ivfTopKWindow(queries, corpus, index, topK = 3, nprobe = 3)
+      .select(col("query_id").cast("long"),
+        col("rank").cast("int"), col("neighbor_id").cast("long"), col("sim")))
+    assert(aggRows == window)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkbysim"), s"no partial TopKBySim phase in:\n$plan")
+    assertNoEmbeddingInExchange(agg)
+  }
 }

@@ -90,6 +90,26 @@ class LlmSpec extends SparkSpec {
     assert(pref.count() == 1, "prefix filter dropped the boundary pair (fp ceil overshoot)")
   }
 
+  test("jaccardSimilarityJoin DEFAULT guards against hot-shingle blowup (opt-in for unguarded)") {
+    // 10.5k docs all sharing one ubiquitous bigram: unguarded exact would
+    // materialize ~55M pairs from that single join key; the default df cap
+    // (10k) must drop it before the join, leaving zero shared shingles
+    val hot = spark.range(10500).select(
+      col("id").as("doc_id"),
+      concat(lit("hot hot u"), col("id"), lit("a u"), col("id"), lit("b")).as("text"))
+    val guarded = Dedup.jaccardSimilarityJoin(hot, "doc_id", "text", n = 2, threshold = 0.1)
+    assert(guarded.count() == 0, "default cap failed to drop the >10k-df shingle")
+    // below the cap the default is still EXACT: same fixture at 100 docs
+    val small = hot.limit(100)
+    val dflt = rowsOf(Dedup.jaccardSimilarityJoin(small, "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9)))
+    val exact = rowsOf(Dedup.jaccardSimilarityJoin(small, "doc_id", "text", n = 2,
+      threshold = 0.1, maxShingleDocFreq = None)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9)))
+    assert(dflt == exact && exact.nonEmpty,
+      "sub-cap corpora must be unaffected by the default guard")
+  }
+
   test("jaccardSimilarityJoin df-cut drops hot shingles and stays a subset-ish approximation") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(100)
     // cap 1 = every shared shingle is dropped → no pairs survive
@@ -160,11 +180,13 @@ class LlmSpec extends SparkSpec {
       .select(col("query_id").cast("long"),
         col("rank").cast("int"), col("neighbor_id").cast("long"), col("sim")))
     assert(aggRows == window)
-    // the point of the refactor: partial (map-side) top-k combine, and no
-    // embedding column surviving into any Exchange
+    // the point of the refactor: a map-side partial top-k combine OF THIS
+    // AGGREGATE (a bare "partial_" would also match some other aggregate's
+    // partial phase), and no embedding column surviving into any Exchange.
+    // Since the in-aggregate id dedup landed there is exactly ONE shuffle
+    // in the whole tail — the k-bounded partial→final Exchange.
     val plan = agg.queryExecution.executedPlan.toString
-    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
-    assert(plan.contains("partial_"), s"no partial phase in:\n$plan")
+    assert(plan.contains("partial_topkbysim"), s"no partial TopKBySim phase in:\n$plan")
     assertNoEmbeddingInExchange(agg)
   }
 
@@ -178,10 +200,31 @@ class LlmSpec extends SparkSpec {
       .select(col("query_id").cast("long"), col("rank").cast("int"), col("neighbor_id").cast("long")))
     assert(aggRows == window)
     // the point of the aggregate form: partial (map-side) combine — the
-    // plan must show the two-phase object hash aggregate
+    // plan must show the two-phase object hash aggregate of THIS aggregate
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
-    assert(plan.contains("partial_"), s"no partial phase in:\n$plan")
+    assert(plan.contains("partial_topkbysim"), s"no partial TopKBySim phase in:\n$plan")
+  }
+
+  test("topK tail preserves string candidate ids (no silent long coercion)") {
+    // an earlier tail cast the candidate id to long, nulling string/UUID
+    // ids; the typed tail must return them intact with lexicographic ties
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") < 50)
+      .select(concat(lit("doc-"), format_string("%03d", col("vec_id"))).as("neighbor_id"),
+        col("embedding"))
+    val got = Similarity.bruteForceTopKAgg(
+      queries.withColumn("query_id", col("query_id").cast("string")), corpus, 3)
+    assert(got.schema("neighbor_id").dataType == org.apache.spark.sql.types.StringType)
+    val rows = got.collect()
+    assert(rows.length == 15 && rows.forall(_.getString(2).startsWith("doc-")))
+    // and the unsupported-type guard fails fast instead of nulling
+    val bad = corpus.withColumn("neighbor_id", array(col("neighbor_id")))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKAgg(queries, bad, 3, excludeSelf = false)
+    }
+    assert(err.getMessage.contains("must be integral or string"))
   }
 
   test("language id classifies stopword-bearing text, und otherwise") {
