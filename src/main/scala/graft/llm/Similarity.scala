@@ -82,15 +82,15 @@ object Similarity {
     * dims (768-4096) exceeds codegen limits and interprets a 100k-node
     * tree per row.
     */
-  def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column =
-    graft.functions.Native.hyperplaneSignature(emb, planes, dim)
+  def hyperplaneSignature(emb: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
+    graft.functions.Native.hyperplaneSignature(emb, planes, dim, planeOffset)
 
   /** Reference (Column-tree) form — kept for the bit-exactness spec. */
-  def hyperplaneSignatureTree(emb: Column, planes: Int, dim: Int): Column = {
+  def hyperplaneSignatureTree(emb: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val contribs = (0 until dim).map { i =>
         // pseudo-random coefficient in [-0.5, 0.5) from (plane, index)
-        val coeff = (pmod(xxhash64(lit(p), lit(i)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+        val coeff = (pmod(xxhash64(lit(planeOffset + p), lit(i)), lit(1000000L)).cast("double") / 1000000.0) - 0.5
         element_at(emb, i + 1).cast("double") * coeff
       }
       val d = contribs.reduce(_ + _)
@@ -309,18 +309,40 @@ object Similarity {
     topKWindowTail(ivfCandidates(queries, corpus, index, nprobe, queryId, corpusId),
       topK, queryId, corpusId)
 
-  /** Embedding-cosine near-duplicate pairs: bucket by LSH signature, score
-    * only within buckets (+ optional probe), keep pairs ≥ threshold.
+  /** Embedding-cosine near-duplicate pairs with MULTI-TABLE (banded)
+    * hyperplane LSH — the OR-amplification `minHashLshCandidates` uses
+    * (`Dedup.scala` banding): `tables` independent signature tables (table
+    * t draws its hyperplanes at planeOffset t·planes from the same
+    * deterministic hash family), a pair is a candidate if it collides in
+    * ANY table, candidates are exact-cosine re-scored and thresholded,
+    * then deduped across tables. Collision probability rises from
+    * (1-θ/π)^planes to 1-(1-(1-θ/π)^planes)^tables — the S-curve that
+    * recovers recall for near-but-not-identical pairs (cosine ≈ 0.85)
+    * that a single table misses with probability growing in `planes`.
+    *
+    * Scale shape: per table one self-equi-join on the 8-byte bucket key —
+    * never an all-pairs join; scoring happens inside each table's join
+    * (embeddings at hand, no re-join) and only the narrow thresholded
+    * (doc_a, doc_b, sim) rows reach the cross-table dedup shuffle.
+    * `tables = 1` is the historical single-table form (recall floor for
+    * the spec that pins multi-table above it).
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, threshold: Double,
-                         planes: Int, dim: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col("embedding"))
-      .withColumn("bucket", hyperplaneSignature(col("embedding"), planes, dim))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
-      .filter(col("sim") >= threshold)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("sim"))
+                         planes: Int, dim: Int, tables: Int = 4): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val base = df.select(col(idCol).as("id"), col("embedding"))
+    val perTable = (0 until tables).map { tbl =>
+      val sig = base.withColumn("bucket",
+        hyperplaneSignature(col("embedding"), planes, dim, planeOffset = tbl * planes))
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("sim") >= threshold)
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("sim"))
+    }
+    // identical (a,b) re-scored in >1 colliding table carries an identical
+    // sim — the dedup is on the narrow projected rows only
+    perTable.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
   }
 }

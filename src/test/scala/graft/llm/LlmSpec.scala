@@ -227,6 +227,34 @@ class LlmSpec extends SparkSpec {
     assert(err.getMessage.contains("must be integral or string"))
   }
 
+  test("multi-table LSH recovers perturbed near-dups a single table misses") {
+    // planted PERTURBED twins (cosine ≈ 0.85, not clones): w = v + 0.62·u
+    // with fresh gaussian u gives E[cos] = 1/sqrt(1+0.62²) ≈ 0.85. At
+    // planes=8 a single table collides with prob ≈ (1-θ/π)^8 ≈ 0.21;
+    // four OR-ed tables lift that to ≈ 0.61 — the recall the round-4
+    // verdict flagged as missing. Random non-twin pairs sit near cos 0
+    // and never reach the threshold, so recall is directly countable.
+    val dim = 64
+    val nPairs = 200
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until nPairs).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val u = Array.fill(dim)(rnd.nextGaussian())
+      val w = v.zip(u).map { case (x, y) => x + 0.62 * y }
+      Seq((2L * i, v.map(_.toFloat)), (2L * i + 1, w.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def recall(tables: Int): Double = {
+      val found = rowsOf(Similarity.cosineNearDupPairs(df, "vec_id", threshold = 0.75,
+        planes = 8, dim = dim, tables = tables).select("doc_a", "doc_b"))
+      (0 until nPairs).count(i => found.contains(Seq(2L * i, 2L * i + 1))).toDouble / nPairs
+    }
+    val single = recall(1)
+    val multi = recall(4)
+    assert(multi > single, s"multi-table recall $multi not above single-table $single")
+    assert(multi >= 0.4, s"multi-table recall $multi below the 4-table S-curve floor")
+  }
+
   test("language id classifies stopword-bearing text, und otherwise") {
     val df = Seq(
       ("the cat and the dog was in the house", "en"),
