@@ -88,4 +88,30 @@ object Aggregators {
     def ofString(k: Int): TopKBySim[String] =
       new TopKBySim[String](k, Ordering.String, ExpressionEncoder[Seq[(Double, String)]]())
   }
+
+  /** Mergeable MinHash sketch over token CHUNKS: the aggregate of a
+    * document's chunks (in any order, across any partitioning or — via the
+    * streaming sketch state — any micro-batch split) is bit-identical to
+    * the one-shot `MinHashSignature` of the concatenated tokens, because
+    * per-slot min is associative and commutative. This is the
+    * continuous-ingest entry to the near-dup pipeline: accumulate a doc's
+    * signature as its parts arrive, band it when complete. O(numHashes)
+    * state regardless of document size.
+    */
+  class MinHashSketch(numHashes: Int)
+      extends Aggregator[Seq[String], Seq[Long], Seq[Long]] {
+    @transient private lazy val seeds = MinHash.seeds(numHashes)
+    def zero: Seq[Long] = Vector.fill(numHashes)(Long.MaxValue)
+    def reduce(b: Seq[Long], toks: Seq[String]): Seq[Long] = {
+      val a = b.toArray
+      MinHash.updateMins(a, toks.iterator, seeds)
+      a.toIndexedSeq
+    }
+    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+      x.lazyZip(y).map(math.min)
+    def finish(b: Seq[Long]): Seq[Long] = b
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
 }

@@ -135,4 +135,38 @@ object MinHash {
   /** Column face for the fused SimHash. */
   def simHashBits(tokens: Column): Column =
     Bridge.column(SimHashBits64(Bridge.expression(tokens)))
+
+  /** Per-slot seed prefixes (`xxhash64(i, t)` = hash of t from seed
+    * `hashInt(i, 42)`), shared by [[MinHashSignature]], the mergeable
+    * [[graft.functions.Aggregators.MinHashSketch]] and the streaming
+    * sketch state — ONE hash chain so batch and streamed signatures are
+    * bit-identical.
+    */
+  def seeds(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  /** Fold a token chunk into a running min vector IN PLACE. MinHash is a
+    * mergeable sketch: min is associative/commutative, so folding chunks
+    * in any order/grouping equals [[MinHashSignature]] over the
+    * concatenated tokens (null tokens contribute the bare seed, matching
+    * the expression's HOF-parity rule).
+    */
+  def updateMins(mins: Array[Long], tokens: Iterator[String], seeds: Array[Long]): Unit =
+    tokens.foreach { t =>
+      if (t == null) {
+        var h = 0
+        while (h < seeds.length) {
+          if (seeds(h) < mins(h)) mins(h) = seeds(h)
+          h += 1
+        }
+      } else {
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        var h = 0
+        while (h < seeds.length) {
+          val v = XXH64.hashUTF8String(s, seeds(h))
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+    }
 }

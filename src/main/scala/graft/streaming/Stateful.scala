@@ -76,4 +76,113 @@ object Stateful {
   def dedupWithinWatermark(ds: Dataset[org.apache.spark.sql.Row], tsCol: String,
                            delay: String, cols: Seq[String]): Dataset[org.apache.spark.sql.Row] =
     ds.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(cols)
+
+  // ------------------------------------------- streaming MinHash near-dup
+
+  /** Per-document MERGEABLE MinHash sketch state: documents arrive in
+    * token CHUNKS (continuous ingest of large/partial docs); per key the
+    * running min vector folds each chunk in via the same seed chain as the
+    * batch `MinHashSignature` expression, so after a doc's last chunk the
+    * emitted signature is bit-identical to the batch signature of the
+    * concatenated tokens — min is associative/commutative, so batch
+    * split points and arrival order are immaterial. O(numHashes) state
+    * per in-flight document.
+    */
+  final class MinHashSketchState(numHashes: Int)
+      extends StatefulProcessor[Long, (Long, Seq[String]), (Long, Seq[Long])] {
+    @transient private var mins: org.apache.spark.sql.streaming.ValueState[Seq[Long]] = _
+    @transient private lazy val seeds = graft.functions.MinHash.seeds(numHashes)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mins = getHandle.getValueState[Seq[Long]]("mins",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Seq[String])],
+                                 timers: TimerValues): Iterator[(Long, Seq[Long])] = {
+      val cur =
+        if (mins.exists()) mins.get().toArray
+        else Array.fill(numHashes)(Long.MaxValue)
+      rows.foreach { case (_, toks) =>
+        graft.functions.MinHash.updateMins(cur, toks.iterator, seeds)
+      }
+      val out = cur.toIndexedSeq
+      mins.update(out)
+      Iterator.single((key, out))
+    }
+  }
+
+  /** Streaming sketch accumulation over `(docId, tokenChunk)` rows; emits
+    * the updated signature each trigger (update mode) — the LAST emission
+    * per doc is its complete signature.
+    */
+  def minHashSketchStream(ds: Dataset[(Long, Seq[String])],
+                          numHashes: Int = 64): Dataset[(Long, Seq[Long])] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1).transformWithState(
+      new MinHashSketchState(numHashes), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** LSH bucket membership state: keyed by `(band, bandHash)`, the state
+    * is the doc ids already seen in the bucket; each newly-arriving doc
+    * emits one candidate pair per existing member (a<b normalized), then
+    * joins the membership. After any prefix of the stream the emitted
+    * pair set equals the batch `Dedup.minHashLshCandidates` pair set over
+    * the documents ingested so far (spec-pinned) — the same banding
+    * collision semantics, incrementally. Per-bucket state is the bucket's
+    * membership list — the same blowup bound as the batch band join;
+    * production use pairs this with a TTL/watermark eviction policy when
+    * the corpus is unbounded.
+    */
+  final class LshBucketPairs
+      extends StatefulProcessor[(Int, Long), (Int, Long, Long), (Long, Long)] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[(Int, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val it = members.get()
+      while (it.hasNext) existing += it.next()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rows.foreach { case (_, _, id) =>
+        if (!existing.contains(id)) { // idempotent under doc replays
+          existing.foreach(e => out += (if (e < id) (e, id) else (id, e)))
+          existing += id
+          members.appendValue(id)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming MinHash-LSH candidate pairs over `(docId, text)` rows:
+    * signature + banding are the SAME stateless expressions as the batch
+    * `Dedup.minHashLshCandidates` (fused `MinHashSignature`, banded
+    * xxhash64 slices), so a bucket key here is a bucket key there; the
+    * stateful tail emits pairs as buckets fill. Candidate pairs may emit
+    * once per colliding band — compare as sets or dedup downstream,
+    * exactly like the batch path's pre-score `dropDuplicates`.
+    */
+  def minHashLshCandidatePairsStream(docs: Dataset[(Long, String)],
+                                     numHashes: Int = 64,
+                                     bands: Int = 8): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val banded = docs.toDF("id", "text")
+      .select(col("id"), graft.llm.Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("mh", graft.functions.MinHash.signature(col("toks"), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("mh"), b * lit(r) + 1, lit(r))))))
+      .select(col("pos").cast("int").as("band"), col("col").as("bh"), col("id"))
+      .as[(Int, Long, Long)]
+    banded.groupByKey(row => (row._1, row._2)).transformWithState(
+      new LshBucketPairs, TimeMode.None(), OutputMode.Update())
+  }
 }

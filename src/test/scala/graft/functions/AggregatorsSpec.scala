@@ -46,6 +46,22 @@ class AggregatorsSpec extends SparkSpec {
     assert(got == Seq("doc-a", "doc-b"))
   }
 
+  test("MinHashSketch over arbitrary chunk splits equals the one-shot signature") {
+    // mergeability is the whole point: chunked/partitioned accumulation
+    // must be bit-identical to the fused expression over the full doc
+    val chunks = Seq(
+      (1L, Seq("a", "b")), (1L, Seq("c")),
+      (2L, Seq("x", "y")), (2L, Seq("z")), (2L, Seq[String]())
+    ).toDF("id", "chunk")
+    val sk = udaf(new Aggregators.MinHashSketch(32))
+    val got = chunks.repartition(4).groupBy("id").agg(sk(col("chunk")).as("sig"))
+    val want = Seq((1L, "a b c"), (2L, "x y z")).toDF("id", "text")
+      .select(col("id"), graft.llm.Dedup.minHash(
+        graft.llm.Dedup.tokens(col("text")), 32).as("sig"))
+    assert(got.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      == want.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+  }
+
   test("TopKMin keeps bounded state across partitions") {
     val ds = spark.range(1000).map(i => (i % 7, (1000 - i))).toDF("g", "v")
     val topk = udaf(new Aggregators.TopKMin(3))

@@ -56,6 +56,75 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  private def withRocksDb(body: => Unit): Unit = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming MinHash sketch over chunked docs equals the batch signature") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val stream = MemoryStream[(Long, Seq[String])]
+      val sigs = Stateful.minHashSketchStream(stream.toDS(), numHashes = 16)
+        .toDF("doc_id", "sig")
+      val got = scala.collection.concurrent.TrieMap.empty[Long, Seq[Long]]
+      // update mode re-emits per trigger; the LAST emission per doc wins
+      val q = sigs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got(r.getLong(0)) = r.getSeq[Long](1))
+        }.start()
+      try {
+        stream.addData((1L, Seq("a", "b")), (2L, Seq("x")))
+        q.processAllAvailable()
+        stream.addData((1L, Seq("c")), (2L, Seq("y", "z")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val want = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+        .select(col("doc_id"), graft.llm.Dedup.minHash(
+          graft.llm.Dedup.tokens(col("text")), 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got.toMap == want,
+        "chunk-accumulated streaming signature must be bit-identical to batch")
+    }
+  }
+
+  test("streamed LSH candidate pairs equal batch minHashLshCandidates after replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val docs = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val stream = MemoryStream[(Long, String)]
+      val pairs = Stateful.minHashLshCandidatePairsStream(stream.toDS())
+        .toDF("doc_a", "doc_b")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        }.start()
+      try {
+        stream.addData(b1: _*)
+        q.processAllAvailable()
+        stream.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val want = graft.llm.Dedup.minHashLshCandidates(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == want,
+        s"streamed ${got.size} pairs != batch ${want.size}")
+      assert(want.nonEmpty, "fixture should produce candidate pairs")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes dups arriving inside the delay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long)]
