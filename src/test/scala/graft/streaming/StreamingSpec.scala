@@ -9,8 +9,7 @@ import java.sql.Timestamp
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  import StreamingSpec.Ev
 
   /** Replay sf0.001 events through a MemoryStream in two chunks; after
     * processAllAvailable the complete-mode result must equal the batch run
@@ -20,7 +19,8 @@ class StreamingSpec extends SparkSpec {
                            queryName: String): Unit = {
     val events = Tables.load(spark, sf, "events")
       .select($"ts", $"user_id", $"event_type", $"value")
-    val data = events.collect().map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val data = events.collect().map(r =>
+      Ev(r.getTimestamp(0).toInstant, r.getLong(1), r.getString(2), r.getDouble(3)))
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Ev]
@@ -126,7 +126,11 @@ class StreamingSpec extends SparkSpec {
 }
 
 object StreamingSpec {
-  // top-level: MemoryStream encoders cannot reference suite-inner classes
+  // top-level: MemoryStream encoders cannot reference suite-inner classes —
+  // the old suite-inner Ev made every Ev deserializer fail Janino
+  // compilation (outer-instance reference) and run INTERPRETED; Instant
+  // (not java.sql.Timestamp) keeps the encoder on the java.time fast path
+  case class Ev(ts: java.time.Instant, user_id: Long, event_type: String, value: Double)
   case class Click(cts: java.sql.Timestamp, ckey: Long, page: String)
   case class View(vts: java.sql.Timestamp, vkey: Long, item: String)
 }
