@@ -326,6 +326,13 @@ object Similarity {
     * (doc_a, doc_b, sim) rows reach the cross-table dedup shuffle.
     * `tables = 1` is the historical single-table form (recall floor for
     * the spec that pins multi-table above it).
+    *
+    * SIZE `planes` WITH THE CORPUS: scored pairs are Σ bucket_size² over
+    * 2^planes buckets, so at fixed planes the work grows QUADRATICALLY in
+    * corpus size (measured: 3.5× time at 10× data with planes=4 —
+    * `BASELINE.md` round-5 ScaleBench). Pick planes ≈ log2(n / target
+    * bucket size) — e.g. 16–24 planes for 10^8–10^10 docs — and let
+    * `tables` recover the recall the finer bucketing costs.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, threshold: Double,
                          planes: Int, dim: Int, tables: Int = 4): DataFrame = {

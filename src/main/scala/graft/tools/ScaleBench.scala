@@ -29,7 +29,12 @@ object ScaleBench {
     "ql1_exact_dedup", "ql8_quality", "ql16_jaccard_pairs",
     // corpus-wide round-3 ops: benchmark slice stays fixed (only copy 0
     // has doc_id < 10) while the corpus grows — the realistic shape
-    "ql19_decontaminate", "ql20_paragraph_dedup")
+    "ql19_decontaminate", "ql20_paragraph_dedup",
+    // ANN surface (round 5): a FIXED query set (vec_id < 10 lives only in
+    // copy 0) against a corpus growing 10x — LSH/IVF bucket occupancy and
+    // the near-dup self-join grow linearly; the k-bounded aggregate tails
+    // must keep the shuffles flat
+    "ql11_ann_topk", "ql12_ivf_topk", "ql14_embedding_neardup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -108,9 +113,22 @@ object ScaleBench {
       .withColumn("text",
         if (i == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", s"$$1c$i")))
+    // embeddings: id shift + FRESH deterministic pseudo-random vectors for
+    // copies > 0 (verbatim copies would hand every query 9 exact dups and
+    // give the >=0.8 near-dup join a quadratic-in-copies output — data
+    // pathology, not operator scaling; fresh vectors keep cross-copy
+    // cosines near 0 so the corpus just grows)
+    stack("embeddings", (d, i) => {
+      val shifted = d.withColumn("vec_id", col("vec_id") + lit(i * 10 * K))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(sequence(lit(1), lit(64)),
+          j => ((pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000000L))
+            .cast("double") / 1000000.0) - 0.5).cast("float")))
+    })
     // small dims copied verbatim (unused by the scale queries, kept so the
     // dir is a complete table set)
-    for (t <- Seq("region", "nation", "supplier", "part", "embeddings"))
+    for (t <- Seq("region", "nation", "supplier", "part"))
       Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     new java.io.File(s"$out/_DONE").createNewFile()
   }

@@ -68,4 +68,25 @@ class PipelineIntegrationSpec extends SparkSpec {
         assert(plan.contains(s"""\"name\":\"$s\""""), s"missing stage $s in $plan")
     } finally out.unpersist()
   }
+
+  test("the embedding dedup pipeline composes: near-dup pairs -> clusters -> survivors") {
+    import graft.llm.Similarity
+    // corpus with planted exact clones of the first 10 vectors: the
+    // survivor set must keep exactly one member per clone cluster (the
+    // minimum id — i.e. every original survives, every clone drops) and
+    // leave the organic corpus untouched (fixture max organic cosine ~0.5)
+    val emb = Tables.load(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val clones = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(clones)
+
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id",
+      threshold = 0.9, planes = 4, dim = 64)
+    val survivors = Dedup.dedupKeepFirst(corpus, "vec_id", pairs)
+
+    assert(pairs.count() == 10, "each planted clone pairs with its original only")
+    assert(survivors.count() == emb.count(), "one survivor per cluster + organics")
+    assert(survivors.filter(col("vec_id") >= 1000000L).count() == 0,
+      "survivor selection must keep the minimum id (the original)")
+  }
 }
