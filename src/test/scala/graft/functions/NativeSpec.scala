@@ -60,6 +60,27 @@ class NativeSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("planeOffset tables are bit-exact vs the tree and mutually independent") {
+    // table t of the multi-table LSH draws planes [t*p, (t+1)*p) — the
+    // offset form must match the tree at the same offset, and different
+    // offsets must actually produce different bucketings (independence)
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    for (off <- Seq(8, 24)) {
+      val diff = emb.select(
+        Native.hyperplaneSignature(col("embedding"), 8, 64, off).as("native"),
+        Similarity.hyperplaneSignatureTree(col("embedding"), 8, 64, off).as("tree"))
+        .filter(col("native") =!= col("tree")).count()
+      assert(diff == 0, s"offset $off diverged from the tree form")
+    }
+    val same = emb.select(
+      Native.hyperplaneSignature(col("embedding"), 8, 64, 0).as("t0"),
+      Native.hyperplaneSignature(col("embedding"), 8, 64, 8).as("t1"))
+      .filter(col("t0") === col("t1")).count()
+    // 200 random vectors agreeing on all 8 independent bits has p ≈ 200/256;
+    // ALL of them agreeing means the offset is ignored
+    assert(same < 20, s"$same/200 signatures identical across offsets — tables not independent")
+  }
+
   test("native hyperplane signature is bit-exact at production dim 768") {
     // The tree form at 16x768 = 12288 Column nodes cannot even be CONVERTED
     // to expressions (StackOverflow in ColumnNode conversion) — the cliff
