@@ -127,10 +127,57 @@ case class SimHashBits64(child: Expression) extends UnaryExpression with Codegen
     copy(child = newChild)
 }
 
+/** Fused MinHash agreement count: number of equal slots in two signatures
+  * — `est_jaccard = agreement / numHashes`. One tight loop per pair.
+  *
+  * Why it exists: the HOF form (`zip_with` + `aggregate`) interprets two
+  * lambdas per slot, which forced the LSH candidate path to DEDUP pairs
+  * before scoring — and therefore to shuffle both full signature arrays
+  * (~1 KB/pair at 64 hashes) through the dedup Exchange. With scoring
+  * this cheap it runs BEFORE the dedup, so the Exchange carries only
+  * (doc_a, doc_b, est) — the narrow-shuffle rule the similarity tails
+  * already follow. Bit-equal to the HOF form (`NativeHofProps`).
+  */
+case class MinHashAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "minhash_agreement"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_agreement expects two ARRAY<BIGINT> signatures, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      // signatures from MinHashSignature have no null slots; zip_with
+      // parity for nulls is irrelevant on that domain
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHash {
   /** Column face. */
   def signature(tokens: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+
+  /** Column face for the fused agreement count. */
+  def agreement(a: Column, b: Column): Column =
+    Bridge.column(MinHashAgreement(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column face for the fused SimHash. */
   def simHashBits(tokens: Column): Column =

@@ -57,8 +57,17 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(tokensCol, t => xxhash64(i, t))))
 
-  /** Estimated Jaccard similarity from two MinHash signatures. */
+  /** Estimated Jaccard similarity from two MinHash signatures — fused
+    * native agreement count ([[minHashSimilarityHof]] is the interpreted
+    * reference it must bit-match).
+    */
   def minHashSimilarity(mhA: Column, mhB: Column, numHashes: Int): Column =
+    graft.functions.MinHash.agreement(mhA, mhB).cast("double") / numHashes
+
+  /** Reference HOF form (two interpreted lambdas per slot; kept for the
+    * bit-exactness property).
+    */
+  def minHashSimilarityHof(mhA: Column, mhB: Column, numHashes: Int): Column =
     aggregate(zip_with(mhA, mhB, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / numHashes
 
@@ -87,19 +96,24 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val a = banded.as("a")
     val b = banded.as("b")
-    // (1) DEDUP pairs before scoring: a pair colliding in k bands would
-    //     otherwise be similarity-scored k times (this was a 9M-row, 70x
-    //     slowdown on corpora with heavy band collisions);
+    // (1) score INSIDE the band join (fused agreement expression — 64
+    //     comparisons per collision), THEN dedup: a pair colliding in k
+    //     bands is scored k≤bands times cheaply, and the pair-dedup
+    //     Exchange carries (doc_a, doc_b, est) at ~24 B/row instead of
+    //     both 64-slot signatures at ~1 KB/row. (An earlier HOF-scored
+    //     form had to dedup FIRST — interpreted scoring of k-fold
+    //     duplicates was a 9M-row, 70x slowdown — at the price of
+    //     shuffling the signatures; the fused expression removes the
+    //     dilemma.) Identical signatures ⇒ identical est per pair, so
+    //     dedup-after-scoring keeps an arbitrary but equal survivor.
     // (2) default bands=8 → r=8: collision prob j^8 per band keeps the
     //     S-curve knee near j≈0.75 — candidates stay near-duplicates
     //     instead of exploding quadratically on small-vocabulary corpora.
     val scored = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
+        minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        minHashSimilarity(col("mh_a"), col("mh_b"), numHashes).as("est_jaccard"))
     // no threshold → no filter: callers that prune est_jaccard then pay
     // nothing for scoring (an always-true filter would block column pruning)
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored

@@ -68,6 +68,25 @@ object NativeHofProps extends Properties("NativeVsHof") {
         .filter(col("n") =!= col("t")).count() == 0
   }
 
+  private val sigPairGen: Gen[List[(Seq[Long], Seq[Long])]] = for {
+    k <- Gen.choose(1, 64)
+    n <- Gen.choose(1, 5)
+    // small value domain forces slot agreements
+    pairs <- Gen.listOfN(n, for {
+      a <- Gen.listOfN(k, Gen.choose(0L, 3L))
+      b <- Gen.listOfN(k, Gen.choose(0L, 3L))
+    } yield (a.toSeq, b.toSeq))
+  } yield pairs
+
+  property("minhash similarity: native agreement == hof") = Prop.forAll(sigPairGen) { pairs =>
+    val k = pairs.head._1.size
+    val df = pairs.toDF("a", "b")
+    df.select(
+      Dedup.minHashSimilarity(col("a"), col("b"), k).as("n"),
+      Dedup.minHashSimilarityHof(col("a"), col("b"), k).as("h"))
+      .filter(col("n") =!= col("h")).count() == 0
+  }
+
   private val centsGen: Gen[(Int, Array[Array[Float]], List[Array[Float]])] = for {
     dim <- Gen.choose(1, 24)
     k <- Gen.choose(1, 12)
