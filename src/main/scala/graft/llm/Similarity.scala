@@ -158,12 +158,19 @@ object Similarity {
   }
 
   /** LSH-bucketed candidates for [[lshTopK]]: corpus bucketed by signature,
-    * broadcast queries probe their own bucket (+ each 1-bit flip).
+    * queries probe their own bucket (+ each 1-bit flip).
+    *
+    * `broadcastQueries = true` (the default) hints the query side into a
+    * broadcast hash join — right whenever the query set is dimension-table
+    * sized. For query sets too large to broadcast (bulk kNN of one corpus
+    * against another) pass false: both sides then shuffle on the 8-byte
+    * bucket key — still never an all-pairs join.
     */
   private def lshCandidates(queries: DataFrame, corpus: DataFrame,
                             planes: Int, dim: Int,
                             queryId: String, corpusId: String,
-                            multiProbe: Boolean): DataFrame = {
+                            multiProbe: Boolean,
+                            broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
       .withColumn("bucket", hyperplaneSignature(col("c_emb"), planes, dim))
     val qSig = queries.select(col(queryId), col("embedding").as("q_emb"))
@@ -174,7 +181,7 @@ object Similarity {
       else qSig.withColumn("bucket",
         explode(array((col("sig") +: (0 until planes)
           .map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*)))
-    val q = broadcast(probes)
+    val q = if (broadcastQueries) broadcast(probes) else probes
     c.join(q, Seq("bucket")).filter(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
   }
@@ -187,9 +194,9 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
-              multiProbe: Boolean = true): DataFrame =
-    topKAggTail(lshCandidates(queries, corpus, planes, dim, queryId, corpusId, multiProbe),
-      k, queryId, corpusId)
+              multiProbe: Boolean = true, broadcastQueries: Boolean = true): DataFrame =
+    topKAggTail(lshCandidates(queries, corpus, planes, dim, queryId, corpusId, multiProbe,
+      broadcastQueries), k, queryId, corpusId)
 
   /** Window-form [[lshTopK]] — reference for the agg ≡ window spec pin. */
   def lshTopKWindow(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
@@ -211,6 +218,19 @@ object Similarity {
   final case class IvfIndex(centroids: Seq[Array[Float]]) {
     def k: Int = centroids.size
 
+    /** Persist the trained quantizer (one row per centroid) so a corpus
+      * bucketed once can be probed by later jobs without retraining — the
+      * production IVF lifecycle: train → save → assign+write corpus →
+      * N query jobs `IvfIndex.load`. Centroid count is `k` (≤ thousands),
+      * so the table is trivially small.
+      */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("centroid_id", "embedding")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+
     // one shared matrix for the native expression; NaN-proofing (zero-norm
     // vectors rank below every real similarity) and the ties-to-lower-id
     // order live inside NearestCentroids. The earlier literal-struct
@@ -229,6 +249,19 @@ object Similarity {
   }
 
   object IvfIndex {
+    /** Load a quantizer persisted by [[IvfIndex.save]] — centroid order
+      * (= bucket ids) is restored from `centroid_id`, so assignments of an
+      * already-bucketed corpus stay valid.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      val rows = spark.read.parquet(path)
+        .orderBy(col("centroid_id"))
+        .collect() // bounded by k — the same driver-size class as training
+        .map(r => r.getSeq[Float](1).toArray)
+      require(rows.nonEmpty, s"no centroids at $path")
+      IvfIndex(rows.toIndexedSeq)
+    }
+
     /** Deterministic training: sample = `sampleSize` rows in xxhash64(id)
       * order (id tie-break) — deterministic like first-N-by-id but UNBIASED
       * (ingestion order often correlates with content; hash order doesn't).
@@ -280,12 +313,14 @@ object Similarity {
     */
   private def ivfCandidates(queries: DataFrame, corpus: DataFrame,
                             index: Similarity.IvfIndex, nprobe: Int,
-                            queryId: String, corpusId: String): DataFrame = {
+                            queryId: String, corpusId: String,
+                            broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
       .withColumn("bucket", index.assignment(col("c_emb")))
-    val q = broadcast(
-      queries.select(col(queryId), col("embedding").as("q_emb"))
-        .withColumn("bucket", explode(index.probes(col("q_emb"), nprobe))))
+    val q0 = queries.select(col(queryId), col("embedding").as("q_emb"))
+      .withColumn("bucket", explode(index.probes(col("q_emb"), nprobe)))
+    // same escape hatch as the LSH path: drop the hint for bulk query sets
+    val q = if (broadcastQueries) broadcast(q0) else q0
     c.join(q, Seq("bucket"))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
@@ -298,9 +333,10 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,
               topK: Int, nprobe: Int,
-              queryId: String = "query_id", corpusId: String = "neighbor_id"): DataFrame =
-    topKAggTail(ivfCandidates(queries, corpus, index, nprobe, queryId, corpusId),
-      topK, queryId, corpusId)
+              queryId: String = "query_id", corpusId: String = "neighbor_id",
+              broadcastQueries: Boolean = true): DataFrame =
+    topKAggTail(ivfCandidates(queries, corpus, index, nprobe, queryId, corpusId,
+      broadcastQueries), topK, queryId, corpusId)
 
   /** Window-form [[ivfTopK]] — reference for the agg ≡ window spec pin. */
   def ivfTopKWindow(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,

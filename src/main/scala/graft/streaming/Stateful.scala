@@ -78,6 +78,10 @@ object Stateful {
     ds.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(cols)
 
   // ------------------------------------------- streaming MinHash near-dup
+  // The reference keeps cross-call state inside stateful connectors
+  // (reference/circuitbreaker.go:100-115 holds failure counts across
+  // calls); the data-parallel analog is keyed state in the state store —
+  // these two processors are that pattern applied to the near-dup sketch.
 
   /** Per-document MERGEABLE MinHash sketch state: documents arrive in
     * token CHUNKS (continuous ingest of large/partial docs); per key the

@@ -36,6 +36,29 @@ class IvfSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IvfIndex save/load round-trips centroids and assignments") {
+    val index = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
+    val path = s"/tmp/graft_ivf_index_${System.getProperty("user.name")}"
+    index.save(spark, path)
+    val loaded = Similarity.IvfIndex.load(spark, path)
+    assert(loaded.k == index.k)
+    assert(loaded.centroids.zip(index.centroids).forall { case (a, b) => a.sameElements(b) })
+    val diff = corpus.select(
+      index.assignment(col("embedding")).as("a"),
+      loaded.assignment(col("embedding")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "loaded index must reproduce every bucket assignment")
+  }
+
+  test("ivfTopK without the query broadcast hint returns the same rows") {
+    val index = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
+    val hinted = rowsOf(Similarity.ivfTopK(queries, corpus, index, topK = 3, nprobe = 3)
+      .select("query_id", "rank", "neighbor_id"))
+    val shuffled = rowsOf(Similarity.ivfTopK(queries, corpus, index, topK = 3, nprobe = 3,
+      broadcastQueries = false).select("query_id", "rank", "neighbor_id"))
+    assert(hinted == shuffled)
+  }
+
   test("ivfTopK bounded-aggregate tail equals the window form, embeddings pruned pre-shuffle") {
     // the IVF half of the agg==window pin (the LSH half lives in LlmSpec):
     // same rows as the reference window tail, a map-side partial TopKBySim

@@ -170,6 +170,18 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low for 4-plane multi-probe LSH")
   }
 
+  test("lshTopK without the query broadcast hint returns the same rows") {
+    // the escape hatch for bulk query sets: no broadcast hint → both sides
+    // shuffle on the bucket key; results must be identical
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val hinted = rowsOf(Similarity.lshTopK(queries, corpus, 3, planes = 4, dim = 64)
+      .select("query_id", "rank", "neighbor_id"))
+    val shuffled = rowsOf(Similarity.lshTopK(queries, corpus, 3, planes = 4, dim = 64,
+      broadcastQueries = false).select("query_id", "rank", "neighbor_id"))
+    assert(hinted == shuffled)
+  }
+
   test("lshTopK bounded-aggregate tail equals the window form, embeddings pruned pre-shuffle") {
     val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
