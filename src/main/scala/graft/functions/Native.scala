@@ -287,6 +287,9 @@ object Native {
       "hyperplane_signature",
       exprs => HyperplaneSignature(exprs.head,
         intLit(exprs(1), "planes"), intLit(exprs(2), "dim")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_agreement",
+      exprs => MinHashAgreement(exprs.head, exprs(1)), "scala_udf")
     // Column-composed text-analysis vocabulary: SQL users get the same
     // expressions the Stage API builds (resolved at analysis like any
     // built-in composition — codegen'd, no UDF wrapper).

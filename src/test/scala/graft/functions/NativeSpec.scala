@@ -39,6 +39,10 @@ class NativeSpec extends SparkSpec {
     assert(r.getInt(1) == 64)
     // value pinned by the Column-face bit-exactness specs; here just typed
     assert(!r.isNullAt(2))
+    val ag = spark.sql(
+      "SELECT minhash_agreement(minhash_signature(array('a','b'), 8), " +
+      "minhash_signature(array('a','b'), 8)) a").head()
+    assert(ag.getInt(0) == 8) // identical signatures agree on every slot
   }
 
   test("SQL registration exposes cosine_similarity and dot_product") {
