@@ -19,6 +19,41 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain at least one exact dup pair")
   }
 
+  test("minhash pair-dedup shuffle is narrow: no signature arrays in the (doc_a,doc_b) Exchange") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val cands = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+    cands.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(walk)
+    }
+    // the band join must co-locate signatures (scoring needs both), but the
+    // pair-dedup Exchange — hash-partitioned on (doc_a, doc_b) — must be
+    // narrow: scoring happens BEFORE it, so ~24 B/row, not two 1 KB arrays
+    val dedupExchanges = walk(cands.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike => e
+    }.filter(_.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.collect { case a: Attribute => a.name }.toSet == Set("doc_a", "doc_b")
+      case _ => false
+    })
+    assert(dedupExchanges.nonEmpty, "expected the pair-dedup Exchange in the plan")
+    dedupExchanges.foreach { e =>
+      val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty,
+        s"signature arrays ${wide.map(_.name).mkString(",")} ride the pair-dedup shuffle:\n$e")
+    }
+  }
+
   test("minhash similarity estimates true jaccard within tolerance") {
     val pairs = Seq(
       ("a b c d e f g h", "a b c d e f g h", 1.0), // identical
