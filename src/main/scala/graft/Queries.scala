@@ -1048,6 +1048,21 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L21 — token-budget sharding: consecutive docs (in id order) pack
+    * into ≈5000-token shards; `shard = exclusive-prefix-sum(tokens) DIV
+    * budget`. The oracle computes it with one global DuckDB window; the
+    * engine computes the SAME value with the two-phase distributed prefix
+    * sum (per-range-partition windows + broadcast offsets) — no
+    * single-task global window anywhere in the plan.
+    */
+  val qlTokenShards: Q = (s, dir) => {
+    val withTokens = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+    ordered(graft.llm.Sampling.shardByTokenBudget(withTokens, "doc_id", "n_tokens", 5000L)
+      .select(col("doc_id"), col("n_tokens"), col("shard")))
+  }
+
   /** Q-L11 — LSH multi-probe approximate top-k, ORACLE-CHECKED via the
     * planted-clone technique that promoted ql14: three exact clones of
     * each query vector join the corpus at ids +1M/+2M/+3M. Identical
@@ -1151,6 +1166,7 @@ object Queries {
     "ql10_langid" -> qlLangId,
     "ql11_ann_topk" -> qlAnnTopK,
     "ql12_ivf_topk" -> qlIvfTopK,
+    "ql21_token_shards" -> qlTokenShards,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1290,6 +1306,8 @@ object Oracle {
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql12_ivf_topk" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql21_token_shards" ->
+      """WITH t AS (SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents) SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 5000 AS shard FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql10_langid" ->
       """WITH langs(lang, words) AS (VALUES ('de', ['der','die','und','das','ist','von','mit','den','nicht','ein']), ('en', ['the','and','of','to','in','is','it','that','was','for']), ('es', ['el','la','de','que','y','en','un','los','se','por']), ('fr', ['le','la','et','les','des','un','une','du','est','pour']), ('zh', ['的','了','是','我','不','在','人','有','他','这'])), t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, lang, len(list_intersect(toks, words)) AS hits FROM t CROSS JOIN langs), r AS (SELECT doc_id, lang, hits, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM s) SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang, COUNT(*) AS cnt FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql16_jaccard_pairs" ->

@@ -456,6 +456,31 @@ object Dedup {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE survivor selection: per duplicate cluster keep the row
+    * with the highest `scoreCol` (ties → minimum id), instead of
+    * [[dedupKeepFirst]]'s blind min-id — what a real pipeline wants when a
+    * quality signal exists (keep the cleanest copy, drop the rest). Docs
+    * not in any pair survive untouched. Two partial-combining aggregations
+    * (max score per cluster, then min id among the max-score rows) — both
+    * map-side combine, no windows, so per-cluster state is O(1) at any
+    * cluster size.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                    scoreCol: String): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val withCluster = df
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("cluster"), col(idCol))) // singleton = own cluster
+    val bestScore = withCluster.groupBy(col("_cl"))
+      .agg(max(col(scoreCol)).as("_ms"))
+    val keep = withCluster.join(bestScore, Seq("_cl"))
+      .filter(col(scoreCol) === col("_ms"))
+      .groupBy(col("_cl")).agg(min(col(idCol)).as("_keep"))
+    withCluster.join(keep, Seq("_cl"))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_cl", "cluster", "_keep")
+  }
+
   /** Word n-gram (shingle) array (same short-input guard as charNgrams). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -43,6 +43,66 @@ object Sampling {
                  fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Assign every row a training SHARD id such that consecutive documents
+    * (in `idCol` order) pack into shards of ≈ `budgetTokens` tokens each —
+    * the "fixed-token-count output files" step at the end of a training
+    * data pipeline. `shard = exclusive-prefix-sum(tokens) div budget`, so
+    * the assignment is a pure function of the id order and token counts:
+    * deterministic across runs, partitionings and cluster sizes
+    * (requires `idCol` unique — ties would make the prefix order, and
+    * thus boundary rows' shards, arbitrary).
+    *
+    * Scale shape — the classic TWO-PHASE distributed prefix sum, because a
+    * naive `sum().over(Window.orderBy(id))` with no partition key drags
+    * the whole corpus through ONE window partition (the single-task
+    * bottleneck that kills global windows at 100 TB):
+    * phase 1: range-partition by id (contiguous id ranges, so partition
+    * rank = global chunk order) and window INSIDE each partition — all
+    * partitions in parallel; phase 2: per-partition token totals (one tiny
+    * row per partition) come to the driver, their running sum gives each
+    * partition's global offset, broadcast back as a 2-column dim join.
+    * Range boundaries come from sampling, but the result never depends on
+    * WHERE the cuts land — offset + local prefix is the same global
+    * prefix regardless — so sampling nondeterminism cannot leak into the
+    * output.
+    */
+  def shardByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                         budgetTokens: Long, partitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    val parts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // MATERIALIZE the partitioning once (eager localCheckpoint):
+    // repartitionByRange picks boundaries by sampling, and separate
+    // actions re-plan with fresh sample seeds — phase 2's totals would be
+    // computed against DIFFERENT ranges than the final query's, silently
+    // skewing every offset (observed as off-by-one shards at sf0.1).
+    // Both phases below must read the same materialized blocks.
+    val ranged = df.repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = ranged.withColumn("_prefix",
+      coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+    // phase 2: ≤ `parts` rows to the driver — same bounded-collect class
+    // as IVF training / merge guards
+    val totals = prefixed.groupBy(col("_pid"))
+      .agg(sum(col(tokensCol).cast("long")).as("_tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init)
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toDF("_pid", "_off"))
+    // integral DIV, not double division: global prefixes at 100 TB token
+    // counts can pass 2^53 where float64 division would round the boundary
+    prefixed.join(offsetDf, Seq("_pid"))
+      .withColumn("shard", expr(s"(_prefix + _off) DIV ${budgetTokens}L"))
+      .drop("_pid", "_prefix", "_off")
+  }
+
   /** Deterministic named split (train/val/test): every row gets a bucket
     * label by id hash, proportional to `weights`. Unlike `randomSplit`,
     * assignment is a pure projection — stable across runs, partitionings

@@ -56,4 +56,19 @@ class ClusterSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L))
   }
+
+  test("dedupKeepBest keeps the highest-score row per cluster, ties to min id") {
+    val docs = Seq(
+      // cluster {1,2,3}: best score is doc 2
+      (1L, 0.3), (2L, 0.9), (3L, 0.5),
+      // cluster {4,5}: tied scores -> min id 4 survives
+      (4L, 0.7), (5L, 0.7),
+      // singleton (in no pair) survives regardless of score
+      (6L, 0.0)
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", pairs, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
 }

@@ -51,6 +51,22 @@ class SamplingSpec extends SparkSpec {
     assert(moved > 500)
   }
 
+  test("shardByTokenBudget equals the sequential prefix-sum, any partition count") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), graft.llm.TextAnalysis.tokenCountWs(col("text")).as("nt"))
+    // driver reference: exclusive prefix sum in id order, integer-div
+    val rows = docs.collect().map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1)
+    val want = rows.scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, nt)) =>
+      (id, acc / 300L, acc + nt)
+    }.tail.map { case (id, shard, _) => id -> shard }.toMap
+    for (parts <- Seq(1, 3, 11)) {
+      val got = Sampling.shardByTokenBudget(docs, "doc_id", "nt", 300L, partitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"shards diverged from the sequential reference at parts=$parts")
+    }
+    assert(want.values.toSet.size > 3, "fixture should span several shards at budget 300")
+  }
+
   test("perGroup draws exactly n per group, deterministically") {
     val docs = Tables.load(spark, sf, "documents")
     val s1 = Sampling.perGroup(docs, Seq(col("lang")), "doc_id", 3)
