@@ -56,40 +56,46 @@ object Sampling {
     * naive `sum().over(Window.orderBy(id))` with no partition key drags
     * the whole corpus through ONE window partition (the single-task
     * bottleneck that kills global windows at 100 TB):
-    * phase 1: range-partition by id (contiguous id ranges, so partition
-    * rank = global chunk order) and window INSIDE each partition — all
-    * partitions in parallel; phase 2: per-partition token totals (one tiny
-    * row per partition) come to the driver, their running sum gives each
-    * partition's global offset, broadcast back as a 2-column dim join.
-    * Range boundaries come from sampling, but the result never depends on
-    * WHERE the cuts land — offset + local prefix is the same global
-    * prefix regardless — so sampling nondeterminism cannot leak into the
-    * output.
+    * phase 1: bucket rows into contiguous id ranges and window INSIDE
+    * each bucket — all buckets in parallel; phase 2: per-bucket token
+    * totals (one tiny row per bucket) come to the driver, their running
+    * sum gives each bucket's global offset, broadcast back as a 2-column
+    * dim join.
+    *
+    * The bucket boundaries are approxQuantile cuts collected ONCE and
+    * baked into the plan as literals, making the bucket id a PURE
+    * FUNCTION of the id. That is what keeps the two phases consistent: an
+    * earlier `repartitionByRange + spark_partition_id` form re-sampled
+    * range boundaries per action, so the totals job and the final query
+    * could cut the ranges differently — observed as off-by-one shards at
+    * sf0.1 — and pinning it needed an eager localCheckpoint of the whole
+    * corpus. Literal boundaries need no materialization at any scale.
     */
   def shardByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
                          budgetTokens: Long, partitions: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"shardByTokenBudget orders by '$idCol' and cuts it at quantile literals — numeric ids only")
     val spark = df.sparkSession
     val parts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // MATERIALIZE the partitioning once (eager localCheckpoint):
-    // repartitionByRange picks boundaries by sampling, and separate
-    // actions re-plan with fresh sample seeds — phase 2's totals would be
-    // computed against DIFFERENT ranges than the final query's, silently
-    // skewing every offset (observed as off-by-one shards at sf0.1).
-    // Both phases below must read the same materialized blocks.
-    val ranged = df.repartitionByRange(parts, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+    val bounds: Array[Double] =
+      if (parts <= 1) Array.empty
+      else df.stat.approxQuantile(idCol,
+        (1 until parts).map(_.toDouble / parts).toArray, 0.001).distinct
+    val pidExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(idCol) > lit(b), 1).otherwise(0)
+    }
+    val marked = df.withColumn("_pid", pidExpr)
     val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixed = ranged.withColumn("_prefix",
+    val prefixed = marked.withColumn("_prefix",
       coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
     // phase 2: ≤ `parts` rows to the driver — same bounded-collect class
-    // as IVF training / merge guards
-    val totals = prefixed.groupBy(col("_pid"))
+    // as IVF training / merge guards; deterministic because _pid is a
+    // pure projection of the id
+    val totals = marked.groupBy(col("_pid"))
       .agg(sum(col(tokensCol).cast("long")).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
