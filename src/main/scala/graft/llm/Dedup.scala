@@ -473,8 +473,10 @@ object Dedup {
       .withColumn("_cl", coalesce(col("cluster"), col(idCol))) // singleton = own cluster
     val bestScore = withCluster.groupBy(col("_cl"))
       .agg(max(col(scoreCol)).as("_ms"))
+    // null-safe <=>: a cluster whose scores are ALL null must still keep
+    // a survivor (min id) — plain === would silently drop the whole group
     val keep = withCluster.join(bestScore, Seq("_cl"))
-      .filter(col(scoreCol) === col("_ms"))
+      .filter(col(scoreCol) <=> col("_ms"))
       .groupBy(col("_cl")).agg(min(col(idCol)).as("_keep"))
     withCluster.join(keep, Seq("_cl"))
       .filter(col(idCol) === col("_keep"))

@@ -71,4 +71,15 @@ class ClusterSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 4L, 6L))
   }
+
+  test("dedupKeepBest: all-null-score clusters still keep a survivor; nulls lose to scores") {
+    val docs = Seq(
+      (1L, Option.empty[Double]), (2L, Option.empty[Double]), // all-null cluster → min id 1
+      (3L, Option(0.2)), (4L, Option.empty[Double])           // null loses to a real score
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", pairs, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
 }
