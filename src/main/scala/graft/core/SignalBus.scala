@@ -46,6 +46,10 @@ object Signals {
   val PipelineStarted = "pipeline.started"
   val PipelineCompleted = "pipeline.completed"
   val PipelineFailed = "pipeline.failed"
+  // Engine-specific (beyond the reference's 18): the guarded Jaccard
+  // join's df-cut actually dropped hot shingles — the result is
+  // approximate, and silently so without this signal.
+  val JaccardDfCut = "jaccard.df_cut"
 }
 
 /** @param logCapacity bound on the recorded-signal ring: long-running /

@@ -60,7 +60,12 @@ object Aggregators {
   class TopKBySim[I](k: Int, ord: Ordering[I], enc: Encoder[Seq[(Double, I)]])
       extends Aggregator[(Double, I), Seq[(Double, I)], Seq[(Double, I)]] {
     def zero: Seq[(Double, I)] = Vector.empty
-    def reduce(b: Seq[(Double, I)], in: (Double, I)): Seq[(Double, I)] = cap(b :+ in)
+    // A null candidate id cannot identify a corpus row (the window form
+    // it mirrors ranks by `id` — a null id's rank there is a coin flip
+    // between engines, and boxed-null would NPE inside `ord` during
+    // cap()), so null-id candidates are ignored rather than ranked.
+    def reduce(b: Seq[(Double, I)], in: (Double, I)): Seq[(Double, I)] =
+      if (in._2 == null) b else cap(b :+ in)
     def merge(a: Seq[(Double, I)], b: Seq[(Double, I)]): Seq[(Double, I)] = cap(a ++ b)
     def finish(b: Seq[(Double, I)]): Seq[(Double, I)] = b
     // NaN ranks FIRST under `sim DESC` in both Spark SQL and the DuckDB
@@ -81,12 +86,20 @@ object Aggregators {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     def ofLong(k: Int): TopKBySim[Long] =
       new TopKBySim[Long](k, Ordering.Long, ExpressionEncoder[Seq[(Double, Long)]]())
-    /** Ties break by Java string order (UTF-16 code units) — identical to
-      * Spark's UTF8String ordering for codepoints below the surrogate
-      * range, which covers realistic ascii/uuid doc ids.
+    /** Ties break by UNSIGNED UTF-8 BYTE order — Spark's own UTF8String
+      * comparison, i.e. exactly what the window form's `ORDER BY id ASC`
+      * uses. Java's `Ordering.String` (UTF-16 code units) agrees with it
+      * on the BMP but ranks supplementary-plane codepoints BELOW
+      * U+E000–U+FFFF (surrogates sort low in UTF-16, high in UTF-8), so
+      * the agg ≡ window equivalence would break on non-BMP doc ids.
       */
+    val utf8ByteOrder: Ordering[String] = new Ordering[String] {
+      def compare(a: String, b: String): Int =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
     def ofString(k: Int): TopKBySim[String] =
-      new TopKBySim[String](k, Ordering.String, ExpressionEncoder[Seq[(Double, String)]]())
+      new TopKBySim[String](k, utf8ByteOrder, ExpressionEncoder[Seq[(Double, String)]]())
   }
 
   /** Mergeable MinHash sketch over token CHUNKS: the aggregate of a
@@ -109,7 +122,15 @@ object Aggregators {
     }
     def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
       x.lazyZip(y).map(math.min)
-    def finish(b: Seq[Long]): Seq[Long] = b
+    // NULL for a doc whose chunks were all empty — parity with the batch
+    // `MinHashSignature`, which returns NULL for an empty token array so
+    // the LSH path can filter it out. Without this the untouched
+    // [Long.MaxValue × k] sentinel would band like a real signature and
+    // collide every empty doc with every other empty doc. (No real token
+    // can produce the sentinel: it would need xxhash64 == Long.MaxValue
+    // in EVERY slot simultaneously.)
+    def finish(b: Seq[Long]): Seq[Long] =
+      if (b.forall(_ == Long.MaxValue)) null else b
     def bufferEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     def outputEncoder: Encoder[Seq[Long]] = bufferEncoder

@@ -158,9 +158,13 @@ case class MinHashAgreement(left: Expression, right: Expression)
     var c = 0
     var i = 0
     while (i < n) {
-      // signatures from MinHashSignature have no null slots; zip_with
-      // parity for nulls is irrelevant on that domain
-      if (x.getLong(i) == y.getLong(i)) c += 1
+      // HOF parity on NULL slots: `when(a === b, 1).otherwise(0)` yields 0
+      // whenever either side is null — including null vs null (=== is not
+      // null-safe). Signatures from MinHashSignature have no null slots,
+      // but the function is SQL-registered, so arbitrary ARRAY<BIGINT>
+      // with nulls is reachable; an unguarded getLong would unbox a null
+      // slot to 0 and count null-vs-null (or null-vs-0) as agreement.
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
       i += 1
     }
     c

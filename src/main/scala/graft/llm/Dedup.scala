@@ -227,6 +227,53 @@ object Dedup {
     */
   val DefaultMaxShingleDocFreq = 10000L
 
+  /** Observed-metric name prefix for the df-cut (suffix = a per-call
+    * sequence number — Spark rejects duplicate observed-metric names in
+    * one query).
+    */
+  private[graft] val DfCutMetric = "graft.jaccard.df_cut"
+  private val dfCutSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val dfCutBridged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  /** Bridge df-cut observed metrics → [[graft.core.SignalBus.global]] +
+    * a WARN log, once per session (idempotent). The metric rides the
+    * existing shingle-df aggregate as a `CollectMetrics` node — no extra
+    * job, no extra shuffle, counts computed during whatever action the
+    * caller runs — so the approximation the cut introduces is OBSERVABLE
+    * at exactly zero plan cost: a `jaccard.df_cut` signal fires only when
+    * shingles were actually dropped.
+    */
+  private def bridgeDfCut(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (dfCutBridged.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private def forward(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(DfCutMetric)) {
+              val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+              if (dropped > 0L) {
+                val fields = Map(
+                  "dropped_shingles" -> dropped.toString,
+                  "dropped_occurrences" -> (if (row.isNullAt(1)) "0" else row.getLong(1).toString),
+                  "max_shingle_doc_freq" -> (if (row.isNullAt(2)) "?" else row.getLong(2).toString))
+                SignalBus.global.emit(Signal(Signals.JaccardDfCut,
+                  StageId("jaccardSimilarityJoin"), fields))
+                org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+                  s"jaccardSimilarityJoin df-cut dropped ${fields("dropped_shingles")} hot " +
+                    s"shingles (${fields("dropped_occurrences")} occurrences, cap " +
+                    s"${fields("max_shingle_doc_freq")}): similarities are approximate")
+              }
+            }
+          }
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = forward(qe)
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               error: Exception): Unit = ()
+      })
+    }
+
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 2, threshold: Double = 0.5,
                             maxShingleDocFreq: Option[Long] = Some(DefaultMaxShingleDocFreq)): DataFrame = {
@@ -234,9 +281,17 @@ object Dedup {
       explode(wordNgrams(col(textCol), n)).as("g"))
     val sh = maxShingleDocFreq match {
       case Some(cap) =>
-        // df-cut: one extra agg + semi join, removes the hot keys entirely
-        val rare = sh0.groupBy(col("g")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap).select("g")
+        // df-cut: one extra agg + semi join, removes the hot keys entirely.
+        // The cut is observable (advice: no silent approximation): dropped
+        // shingle / occurrence counts ride the agg as observed metrics and
+        // surface as a `jaccard.df_cut` signal when nonzero.
+        bridgeDfCut(df.sparkSession)
+        val dfs = sh0.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+          .observe(s"$DfCutMetric.${dfCutSeq.incrementAndGet()}",
+            sum(when(col("_df") > cap, 1L).otherwise(0L)).as("dropped_shingles"),
+            sum(when(col("_df") > cap, col("_df")).otherwise(0L)).as("dropped_occurrences"),
+            max(lit(cap)).as("cap"))
+        val rare = dfs.filter(col("_df") <= cap).select("g")
         sh0.join(rare, Seq("g"), "left_semi")
       case None => sh0
     }

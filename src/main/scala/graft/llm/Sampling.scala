@@ -49,8 +49,12 @@ object Sampling {
     * data pipeline. `shard = exclusive-prefix-sum(tokens) div budget`, so
     * the assignment is a pure function of the id order and token counts:
     * deterministic across runs, partitionings and cluster sizes
-    * (requires `idCol` unique — ties would make the prefix order, and
-    * thus boundary rows' shards, arbitrary).
+    * (requires `idCol` unique and non-null — ties would make the prefix
+    * order, and thus boundary rows' shards, arbitrary; pass
+    * `validateIds = true` to fail fast on violations at the cost of one
+    * extra validation job). NULL token counts contribute 0 tokens —
+    * consistently in both the per-bucket prefix window and the bucket
+    * totals.
     *
     * Scale shape — the classic TWO-PHASE distributed prefix sum, because a
     * naive `sum().over(Window.orderBy(id))` with no partition key drags
@@ -72,11 +76,24 @@ object Sampling {
     * corpus. Literal boundaries need no materialization at any scale.
     */
   def shardByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
-                         budgetTokens: Long, partitions: Int = 0): DataFrame = {
+                         budgetTokens: Long, partitions: Int = 0,
+                         validateIds: Boolean = false): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"shardByTokenBudget orders by '$idCol' and cuts it at quantile literals — numeric ids only")
     val spark = df.sparkSession
+    if (validateIds) {
+      // One extra count-style job (flag-gated — at 100 TB that is a full
+      // scan, so opt-in): a duplicate or null id makes the prefix ORDER
+      // itself ill-defined — boundary rows land in arbitrary shards with
+      // no error — so callers that cannot prove uniqueness upstream get a
+      // fail-fast here instead of silent nondeterminism.
+      val r = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nonNull"),
+        countDistinct(col(idCol)).as("distinct")).head()
+      val (n, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(nonNull == n, s"shardByTokenBudget: ${n - nonNull} null '$idCol' values — ids must be non-null")
+      require(distinct == n, s"shardByTokenBudget: ${n - distinct} duplicate '$idCol' values — ids must be unique")
+    }
     val parts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -95,8 +112,11 @@ object Sampling {
     // phase 2: ≤ `parts` rows to the driver — same bounded-collect class
     // as IVF training / merge guards; deterministic because _pid is a
     // pure projection of the id
+    // coalesce: sum() over an all-null bucket is NULL (null tokens count
+    // as 0 throughout — the window prefix already coalesces the same way),
+    // and an unguarded getLong would NPE on it
     val totals = marked.groupBy(col("_pid"))
-      .agg(sum(col(tokensCol).cast("long")).as("_tot"))
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init)

@@ -112,7 +112,13 @@ object Stateful {
       }
       val out = cur.toIndexedSeq
       mins.update(out)
-      Iterator.single((key, out))
+      // Emission parity with the batch signature/sketch: a doc whose
+      // chunks so far were ALL empty has no signature yet — emit null
+      // (what `MinHashSignature` returns for an empty token array), not
+      // the [Long.MaxValue × k] sentinel, so downstream banding can
+      // filter it exactly like the batch path filters null signatures.
+      // The STATE keeps the sentinel so later non-empty chunks fold in.
+      Iterator.single((key, if (cur.forall(_ == Long.MaxValue)) null else out))
     }
   }
 

@@ -46,6 +46,44 @@ class AggregatorsSpec extends SparkSpec {
     assert(got == Seq("doc-a", "doc-b"))
   }
 
+  test("TopKBySim.ofString ties break by UTF-8 bytes (window-form ORDER BY parity)") {
+    // U+FFFF (one UTF-16 code unit) sorts BELOW U+10000 (surrogate pair)
+    // in UTF-8 byte order — Spark's UTF8String / ORDER BY semantics — but
+    // ABOVE it in Java String (UTF-16 code unit) order: the exact case
+    // where Ordering.String would break the agg ≡ window equivalence
+    val bmp = "\uffff"
+    val supp = new String(Character.toChars(0x10000))
+    assert(Ordering.String.compare(supp, bmp) < 0, "fixture must hit the divergence")
+    val ds = Seq((0.9, supp), (0.9, bmp)).toDF("sim", "id")
+    val topk = udaf(Aggregators.TopKBySim.ofString(1))
+    val got = ds.repartition(2).agg(topk(col("sim"), col("id")))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(1))
+    val want = ds.orderBy(col("sim").desc, col("id").asc).limit(1)
+      .collect().map(_.getString(1)).toSeq // the window form's ranking
+    assert(got == want && got == Seq(bmp))
+  }
+
+  test("TopKBySim ignores null candidate ids instead of NPE-ing in the ordering") {
+    val ds = Seq((0.9, null: String), (0.5, "doc-a")).toDF("sim", "id")
+    val topk = udaf(Aggregators.TopKBySim.ofString(2))
+    val got = ds.repartition(2).agg(topk(col("sim"), col("id")))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(1))
+    assert(got == Seq("doc-a"))
+  }
+
+  test("MinHashSketch yields NULL for a doc whose chunks were all empty") {
+    // parity with the batch MinHashSignature (NULL on an empty token
+    // array): the untouched sentinel must not band like a real signature —
+    // it would collide every empty doc with every other empty doc
+    val chunks = Seq((1L, Seq[String]()), (1L, Seq[String]()), (2L, Seq("x")))
+      .toDF("id", "chunk")
+    val sk = udaf(new Aggregators.MinHashSketch(16))
+    val out = chunks.repartition(3).groupBy("id").agg(sk(col("chunk")).as("sig"))
+    val byId = out.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId(1L), "all-empty doc must have a NULL signature")
+    assert(!byId(2L))
+  }
+
   test("MinHashSketch over arbitrary chunk splits equals the one-shot signature") {
     // mergeability is the whole point: chunked/partitioned accumulation
     // must be bit-identical to the fused expression over the full doc

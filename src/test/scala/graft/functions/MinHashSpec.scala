@@ -56,6 +56,23 @@ class MinHashSpec extends SparkSpec {
     assert(df.filter(col("sig").isNull).count() == 1)
   }
 
+  test("minhash_agreement counts null slots as non-agreement (HOF === parity)") {
+    // SQL-registered, so arbitrary ARRAY<BIGINT> with nulls is reachable —
+    // not just MinHashSignature output (which has no null slots). The HOF
+    // form's `when(a === b, 1).otherwise(0)` yields 0 whenever either side
+    // is null, INCLUDING null vs null; an unguarded getLong would unbox
+    // null to 0 and count null-vs-null and null-vs-0 as agreement.
+    Native.register(spark)
+    val q = "array(1L, CAST(NULL AS BIGINT), 3L, CAST(NULL AS BIGINT), 0L), " +
+      "array(1L, CAST(NULL AS BIGINT), 4L, 2L, CAST(NULL AS BIGINT))"
+    val native = spark.sql(s"SELECT minhash_agreement($q)").head().getInt(0)
+    val hof = spark.sql(
+      s"SELECT aggregate(zip_with($q, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+      .head().getInt(0)
+    assert(native == 1, "only the 1L==1L slot agrees")
+    assert(native == hof)
+  }
+
   test("native winnowing fingerprints are bit-exact vs the HOF reference") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
     val both = docs.select(

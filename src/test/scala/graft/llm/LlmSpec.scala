@@ -159,6 +159,33 @@ class LlmSpec extends SparkSpec {
     assert(loose.count() == exact.count())
   }
 
+  test("df-cut drops are observable: jaccard.df_cut fires iff shingles were dropped") {
+    import graft.core.{SignalBus, Signals}
+    def sigs(cap: String) = SignalBus.global.emitted(Signals.JaccardDfCut)
+      .filter(_.fields.get("max_shingle_doc_freq").contains(cap))
+    // caps 9999/17 are unique to this test, so concurrent/prior guarded
+    // joins (which use the 10000 default) can't pollute the counts
+    val small = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("u"), col("id"), lit("a u"), col("id"), lit("b")).as("text"))
+    Dedup.jaccardSimilarityJoin(small, "doc_id", "text", n = 2, threshold = 0.1,
+      maxShingleDocFreq = Some(9999L)).count()
+    val hot = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("hot hot u"), col("id")).as("text"))
+    Dedup.jaccardSimilarityJoin(hot, "doc_id", "text", n = 2, threshold = 0.1,
+      maxShingleDocFreq = Some(17L)).count()
+    // observed-metric delivery is async via the listener bus (ordered, so
+    // the hot run's signal arriving implies the small run's would have)
+    val deadline = System.currentTimeMillis() + 30000
+    while (sigs("17").isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val fired = sigs("17")
+    assert(fired.nonEmpty, "df-cut dropped shingles but no jaccard.df_cut signal fired")
+    val f = fired.last.fields
+    // the only >17-df bigram is "hot hot" (df=200): 1 shingle, 200 occurrences
+    assert(f("dropped_shingles").toLong == 1L)
+    assert(f("dropped_occurrences").toLong == 200L)
+    assert(sigs("9999").isEmpty, "a cut that dropped nothing must stay silent")
+  }
+
   test("word/char ngrams and jaccard") {
     val df = Seq(Tuple1("a b c d")).toDF("t")
     val grams = df.select(Dedup.wordNgrams(col("t"), 2).as("g")).head().getSeq[String](0)

@@ -67,6 +67,39 @@ class SamplingSpec extends SparkSpec {
     assert(want.values.toSet.size > 3, "fixture should span several shards at budget 300")
   }
 
+  test("shardByTokenBudget: null token counts contribute 0 (all-null buckets included)") {
+    // ids 0–49 have NULL token counts: they must behave as 0-token docs —
+    // in both the per-bucket prefix window AND the bucket totals (an
+    // all-null bucket's sum() is NULL; an unguarded getLong NPE'd there)
+    val df = spark.range(100).select(col("id"),
+      when(col("id") < 50, lit(null).cast("long")).otherwise(lit(10L)).as("nt"))
+    val got = Sampling.shardByTokenBudget(df, "id", "nt", budgetTokens = 100L, partitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = (0L until 100L).map { id =>
+      val prefix = if (id <= 50) 0L else (id - 50) * 10L
+      id -> prefix / 100L
+    }.toMap
+    assert(got == want)
+  }
+
+  test("shardByTokenBudget validateIds fails fast on duplicate or null ids") {
+    val dup = spark.range(10).select((col("id") % 5).as("id"), lit(1L).as("nt"))
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.shardByTokenBudget(dup, "id", "nt", 100L, validateIds = true)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val withNull = spark.range(10).select(
+      when(col("id") === 3, lit(null).cast("long")).otherwise(col("id")).as("id"),
+      lit(1L).as("nt"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.shardByTokenBudget(withNull, "id", "nt", 100L, validateIds = true)
+    }
+    assert(e2.getMessage.contains("null"))
+    val clean = spark.range(10).select(col("id"), lit(1L).as("nt"))
+    assert(Sampling.shardByTokenBudget(clean, "id", "nt", 5L, validateIds = true)
+      .count() == 10)
+  }
+
   test("perGroup draws exactly n per group, deterministically") {
     val docs = Tables.load(spark, sf, "documents")
     val s1 = Sampling.perGroup(docs, Seq(col("lang")), "doc_id", 3)
