@@ -657,8 +657,11 @@ object Queries {
     ordered(out)
   }
 
-  /** Deterministic hash sample (~25%) — rows-only (DuckDB lacks Spark's
-    * xxhash64); determinism/containment are spec-tested (`SamplingSpec`).
+  /** Deterministic hash sample (~25%) — ORACLE-CHECKED: DuckDB has no
+    * xxhash64 builtin, but XXH64 of a single 8-byte block is a
+    * closed-form mul/rotate/xor chain, replicated bit-exactly in the
+    * oracle's HUGEINT arithmetic (see `Oracle.all("ql15_hash_sample")`).
+    * Determinism/containment also spec-tested (`SamplingSpec`).
     */
   val qlHashSample: Q = (s, dir) =>
     ordered(graft.llm.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 250)
@@ -1297,6 +1300,14 @@ object Oracle {
       """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 10), j AS (SELECT q.qid, e.vec_id nid, list_cosine_similarity(q.qe, e.embedding) sim FROM q, embeddings e WHERE e.vec_id <> q.qid), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM j) SELECT qid AS query_id, rn AS rank, nid AS neighbor_id FROM r WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql5_token_set_dups" ->
       """WITH n AS (SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))), ' ') AS sig FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM n a JOIN n b ON a.sig=b.sig AND a.doc_id<b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql15: DuckDB has no xxhash64, but XXH64 of one 8-byte little-endian
+    // block is a closed-form mul/rotate/xor chain — replicated below in
+    // HUGEINT arithmetic (mod-2^64 products split into 32-bit halves so
+    // INT128 never overflows), then Spark's signed pmod. Bit-exact vs
+    // xxhash64(doc_id) by construction, so the sample is fully
+    // oracle-checked rather than rows-only.
+    "ql15_hash_sample" ->
+      """WITH h0 AS ( SELECT doc_id, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616 ELSE CAST(doc_id AS HUGEINT) END AS u FROM documents ), h1 AS ( SELECT doc_id, (((((u) // 4294967296) * 668265295 + ((u) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((u) % 4294967296) * 668265295) % 18446744073709551616 AS k1a FROM h0 ), h2 AS ( SELECT doc_id, ((k1a) * 2147483648 % 18446744073709551616 + (k1a) // 8589934592) % 18446744073709551616 AS k1b FROM h1 ), h3 AS ( SELECT doc_id, (((((k1b) // 4294967296) * 2246822535 + ((k1b) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((k1b) % 4294967296) * 2246822535) % 18446744073709551616 AS k1 FROM h2 ), h4 AS ( SELECT doc_id, CAST(xor(CAST(2870177450012600311 AS UBIGINT), CAST(k1 AS UBIGINT)) AS HUGEINT) AS a0 FROM h3 ), h5 AS ( SELECT doc_id, ((a0) * 134217728 % 18446744073709551616 + (a0) // 137438953472) % 18446744073709551616 AS a1 FROM h4 ), h6 AS ( SELECT doc_id, ((((((a1) // 4294967296) * 2246822535 + ((a1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((a1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS a2 FROM h5 ), h7 AS ( SELECT doc_id, (((((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS a3 FROM h6 ), h8 AS ( SELECT doc_id, (((((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS a4 FROM h7 ), h9 AS ( SELECT doc_id, CAST(xor(CAST(a4 AS UBIGINT), CAST(a4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS uh FROM h8 ), hs AS ( SELECT doc_id, CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616 ELSE uh END AS h FROM h9 ) SELECT doc_id FROM hs WHERE ((h % 1000) + 1000) % 1000 < 250 ORDER BY doc_id NULLS FIRST""",
     "ql14_embedding_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql11/ql12: the planted-clone construction makes the ANN answer exact —
