@@ -667,6 +667,28 @@ object Queries {
     ordered(graft.llm.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 250)
       .select(col("doc_id")))
 
+  /** Q-L22 — deterministic data mixing: per-lang token budgets, survivors
+    * taken in id-hash order (`Sampling.takeByTokenBudget`). ORACLE-CHECKED:
+    * the oracle replays the same per-group exclusive-prefix window with
+    * ql15's closed-form xxhash64 as the ORDER BY key.
+    */
+  val qlMixBudget: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    ordered(graft.llm.Sampling.takeByTokenBudget(docs, "lang", "doc_id", "n_tokens",
+      Map("en" -> 4000L, "de" -> 1500L), defaultBudget = 800L))
+  }
+
+  /** Q-L23 — deterministic train/val/test split (`Sampling.hashSplit`,
+    * seed 7). ORACLE-CHECKED: `xxhash64(doc_id, 7)` chains two hashLong
+    * rounds — the second hashes the CONSTANT 7 seeded by the first, so its
+    * mix constant folds; the oracle replays both rounds in HUGEINT
+    * arithmetic and applies the same cumulative-weight CASE.
+    */
+  val qlHashSplit: Q = (s, dir) =>
+    ordered(graft.llm.Sampling.hashSplit(t(s, dir, "documents").select(col("doc_id")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L))
+
   /** Q-L12 — IVF approximate top-k, ORACLE-CHECKED via the same planted
     * clones as ql11: a clone's nearest centroid is computed by the same
     * deterministic expression on the same bytes as its query's, so every
@@ -1170,6 +1192,8 @@ object Queries {
     "ql11_ann_topk" -> qlAnnTopK,
     "ql12_ivf_topk" -> qlIvfTopK,
     "ql21_token_shards" -> qlTokenShards,
+    "ql22_mix_budget" -> qlMixBudget,
+    "ql23_hash_split" -> qlHashSplit,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1308,6 +1332,12 @@ object Oracle {
     // oracle-checked rather than rows-only.
     "ql15_hash_sample" ->
       """WITH h0 AS ( SELECT doc_id, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616 ELSE CAST(doc_id AS HUGEINT) END AS u FROM documents ), h1 AS ( SELECT doc_id, (((((u) // 4294967296) * 668265295 + ((u) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((u) % 4294967296) * 668265295) % 18446744073709551616 AS k1a FROM h0 ), h2 AS ( SELECT doc_id, ((k1a) * 2147483648 % 18446744073709551616 + (k1a) // 8589934592) % 18446744073709551616 AS k1b FROM h1 ), h3 AS ( SELECT doc_id, (((((k1b) // 4294967296) * 2246822535 + ((k1b) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((k1b) % 4294967296) * 2246822535) % 18446744073709551616 AS k1 FROM h2 ), h4 AS ( SELECT doc_id, CAST(xor(CAST(2870177450012600311 AS UBIGINT), CAST(k1 AS UBIGINT)) AS HUGEINT) AS a0 FROM h3 ), h5 AS ( SELECT doc_id, ((a0) * 134217728 % 18446744073709551616 + (a0) // 137438953472) % 18446744073709551616 AS a1 FROM h4 ), h6 AS ( SELECT doc_id, ((((((a1) // 4294967296) * 2246822535 + ((a1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((a1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS a2 FROM h5 ), h7 AS ( SELECT doc_id, (((((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS a3 FROM h6 ), h8 AS ( SELECT doc_id, (((((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS a4 FROM h7 ), h9 AS ( SELECT doc_id, CAST(xor(CAST(a4 AS UBIGINT), CAST(a4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS uh FROM h8 ), hs AS ( SELECT doc_id, CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616 ELSE uh END AS h FROM h9 ) SELECT doc_id FROM hs WHERE ((h % 1000) + 1000) % 1000 < 250 ORDER BY doc_id NULLS FIRST""",
+    // ql22/ql23: the xxhash64 closed form from ql15, reused as the mixing
+    // draw order (ql22) and chained twice for the seeded split (ql23)
+    "ql22_mix_budget" ->
+      """WITH d0 AS ( SELECT doc_id, lang, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616 ELSE CAST(doc_id AS HUGEINT) END AS u FROM documents ), m1 AS ( SELECT doc_id, lang, n_tokens, (((((u) // 4294967296) * 668265295 + ((u) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((u) % 4294967296) * 668265295) % 18446744073709551616 AS k1a FROM d0 ), m2 AS ( SELECT doc_id, lang, n_tokens, ((k1a) * 2147483648 % 18446744073709551616 + (k1a) // 8589934592) % 18446744073709551616 AS k1b FROM m1 ), m3 AS ( SELECT doc_id, lang, n_tokens, (((((k1b) // 4294967296) * 2246822535 + ((k1b) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((k1b) % 4294967296) * 2246822535) % 18446744073709551616 AS k1 FROM m2 ), m4 AS ( SELECT doc_id, lang, n_tokens, CAST(xor(CAST((42 + 2870177450012600261 + 8) % 18446744073709551616 AS UBIGINT), CAST(k1 AS UBIGINT)) AS HUGEINT) AS a0 FROM m3 ), m5 AS ( SELECT doc_id, lang, n_tokens, ((a0) * 134217728 % 18446744073709551616 + (a0) // 137438953472) % 18446744073709551616 AS a1 FROM m4 ), m6 AS ( SELECT doc_id, lang, n_tokens, ((((((a1) // 4294967296) * 2246822535 + ((a1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((a1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS a2 FROM m5 ), m7 AS ( SELECT doc_id, lang, n_tokens, (((((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS a3 FROM m6 ), m8 AS ( SELECT doc_id, lang, n_tokens, (((((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS a4 FROM m7 ), m9 AS ( SELECT doc_id, lang, n_tokens, CAST(xor(CAST(a4 AS UBIGINT), CAST(a4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS uh FROM m8 ), ms AS ( SELECT doc_id, lang, n_tokens, CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616 ELSE uh END AS h FROM m9 ), mp AS ( SELECT doc_id, lang, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM ms ) SELECT doc_id, lang, n_tokens FROM mp WHERE pre < CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 ELSE 800 END ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    "ql23_hash_split" ->
+      """WITH d0 AS ( SELECT doc_id, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616 ELSE CAST(doc_id AS HUGEINT) END AS u FROM documents ), s1 AS ( SELECT doc_id, (((((u) // 4294967296) * 668265295 + ((u) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((u) % 4294967296) * 668265295) % 18446744073709551616 AS k1a FROM d0 ), s2 AS ( SELECT doc_id, ((k1a) * 2147483648 % 18446744073709551616 + (k1a) // 8589934592) % 18446744073709551616 AS k1b FROM s1 ), s3 AS ( SELECT doc_id, (((((k1b) // 4294967296) * 2246822535 + ((k1b) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((k1b) % 4294967296) * 2246822535) % 18446744073709551616 AS k1 FROM s2 ), s4 AS ( SELECT doc_id, CAST(xor(CAST((42 + 2870177450012600261 + 8) % 18446744073709551616 AS UBIGINT), CAST(k1 AS UBIGINT)) AS HUGEINT) AS a0 FROM s3 ), s5 AS ( SELECT doc_id, ((a0) * 134217728 % 18446744073709551616 + (a0) // 137438953472) % 18446744073709551616 AS a1 FROM s4 ), s6 AS ( SELECT doc_id, ((((((a1) // 4294967296) * 2246822535 + ((a1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((a1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS a2 FROM s5 ), s7 AS ( SELECT doc_id, (((((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS a3 FROM s6 ), s8 AS ( SELECT doc_id, (((((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS a4 FROM s7 ), s9 AS ( SELECT doc_id, CAST(xor(CAST(a4 AS UBIGINT), CAST(a4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS u1 FROM s8 ), t4 AS ( SELECT doc_id, CAST(xor(CAST((u1 + 2870177450012600261 + 8) % 18446744073709551616 AS UBIGINT), CAST(2554626171521168346 AS UBIGINT)) AS HUGEINT) AS b0 FROM s9 ), t5 AS ( SELECT doc_id, ((b0) * 134217728 % 18446744073709551616 + (b0) // 137438953472) % 18446744073709551616 AS b1 FROM t4 ), t6 AS ( SELECT doc_id, ((((((b1) // 4294967296) * 2246822535 + ((b1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((b1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS b2 FROM t5 ), t7 AS ( SELECT doc_id, (((((CAST(xor(CAST(b2 AS UBIGINT), CAST(b2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(b2 AS UBIGINT), CAST(b2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(b2 AS UBIGINT), CAST(b2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS b3 FROM t6 ), t8 AS ( SELECT doc_id, (((((CAST(xor(CAST(b3 AS UBIGINT), CAST(b3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(b3 AS UBIGINT), CAST(b3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(b3 AS UBIGINT), CAST(b3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS b4 FROM t7 ), t9 AS ( SELECT doc_id, CAST(xor(CAST(b4 AS UBIGINT), CAST(b4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS u2 FROM t8 ), ts AS ( SELECT doc_id, CASE WHEN u2 >= 9223372036854775808 THEN u2 - 18446744073709551616 ELSE u2 END AS h2 FROM t9 ), tu AS ( SELECT doc_id, CAST(((h2 % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0 AS p FROM ts ) SELECT doc_id, CASE WHEN p < 0.8 THEN 'train' WHEN p < 0.9 THEN 'val' ELSE 'test' END AS split FROM tu ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql14_embedding_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql11/ql12: the planted-clone construction makes the ANN answer exact —

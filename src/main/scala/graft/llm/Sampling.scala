@@ -129,6 +129,46 @@ object Sampling {
       .drop("_pid", "_prefix", "_off")
   }
 
+  /** Deterministic DATA MIXING: cap each group (source / domain / lang) at
+    * a per-group TOKEN budget — the "mix sources to a target token recipe"
+    * step of a training-data pipeline. Within a group, documents are taken
+    * in id-hash order (a fixed "random-looking" draw without rand(), the
+    * same trick as [[perGroup]]) until the group's budget is exhausted:
+    * keep iff the exclusive prefix-sum of tokens < budget. Assignment is a
+    * pure function of (group, id, token counts) — deterministic across
+    * runs, partitionings and cluster sizes, and a row never flips in/out
+    * when OTHER groups change. NULL token counts contribute 0, matching
+    * [[shardByTokenBudget]].
+    *
+    * Scale shape: ONE shuffle on the group key; groups window in parallel.
+    * The budget map is folded into a literal CASE column (sources/domains
+    * are a small dimension — no join, no broadcast needed). A single giant
+    * group serializes its own window partition — when one group dwarfs the
+    * budget, pre-thin it with [[hashSample]] (keep ≈ 2×budget/groupTokens)
+    * so the window sees a bounded candidate set; the hash order is the
+    * same, so the survivors are identical.
+    *
+    * @param budgets        token budget per group value; groups absent
+    *                       from the map get `defaultBudget`
+    * @param defaultBudget  budget for unlisted groups (0 drops them)
+    */
+  def takeByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                        tokensCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "token budgets must be non-negative")
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_mix_prefix",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .filter(col("_mix_prefix") < budgetCol)
+      .drop("_mix_prefix")
+  }
+
   /** Deterministic named split (train/val/test): every row gets a bucket
     * label by id hash, proportional to `weights`. Unlike `randomSplit`,
     * assignment is a pure projection — stable across runs, partitionings

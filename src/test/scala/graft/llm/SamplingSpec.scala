@@ -100,6 +100,38 @@ class SamplingSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("takeByTokenBudget caps each group's tokens, deterministically, any partitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("nt"))
+    val budgets = Map("en" -> 400L, "de" -> 150L)
+    val out = Sampling.takeByTokenBudget(docs, "lang", "doc_id", "nt", budgets, defaultBudget = 100L)
+    val got = out.select("doc_id").as[Long].collect().sorted.toSeq
+    // driver reference: per-group exclusive prefix over the same hash order
+    val hashed = docs.select(col("doc_id"), col("lang"), col("nt"),
+      xxhash64(col("doc_id")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = hashed.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val budget = budgets.getOrElse(lang, 100L)
+      var acc = 0L
+      rows.sortBy(r => (r._4, r._1)).flatMap { case (id, _, nt, _) =>
+        val keep = acc < budget; acc += nt; if (keep) Some(id) else None
+      }
+    }.sorted
+    assert(got == want && got.nonEmpty)
+    // partitioning-independence: identical survivors after a reshuffle
+    val re = Sampling.takeByTokenBudget(docs.repartition(13), "lang", "doc_id", "nt",
+      budgets, defaultBudget = 100L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(re == got)
+    // a group never exceeds budget by more than its boundary document
+    val sums = out.groupBy("lang").agg(sum("nt").as("s"), max("nt").as("m")).collect()
+    sums.foreach { r =>
+      val budget = budgets.getOrElse(r.getString(0), 100L)
+      assert(r.getLong(1) - r.getLong(2) < budget,
+        s"${r.getString(0)}: all-but-boundary tokens must stay under budget")
+    }
+  }
+
   test("perGroup draws exactly n per group, deterministically") {
     val docs = Tables.load(spark, sf, "documents")
     val s1 = Sampling.perGroup(docs, Seq(col("lang")), "doc_id", 3)
