@@ -84,16 +84,7 @@ object Dedup {
                            numHashes: Int = 64, bands: Int = 8,
                            minJaccard: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("mh", minHash(col("toks"), numHashes))
-    val banded = withSig.select(
-      col("id"), col("mh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("mh"), b * lit(r) + 1, lit(r))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     // (1) score INSIDE the band join (fused agreement expression — 64
@@ -116,6 +107,95 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     // no threshold → no filter: callers that prune est_jaccard then pay
     // nothing for scoring (an always-true filter would block column pruning)
+    if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
+  }
+
+  /** Shared banding projection: `(id, mh, band, bh)` — one row per (doc,
+    * band), `bh` = xxhash64 of the band's signature slice. The join key of
+    * every LSH candidate path and the ROW FORMAT of [[BandIndex]].
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("mh", minHash(col("toks"), numHashes))
+      .select(col("id"), col("mh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("mh"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  /** Persistable LSH band index — the INCREMENTAL entry to the near-dup
+    * pipeline. A 100 TB corpus is not re-signed on every ingest: build the
+    * banded signature table once, persist it, and dedup each arriving
+    * batch against it with [[minHashLshCandidatesAgainst]]; append the
+    * batch's own rows ([[build]] on the batch) afterwards. The batch
+    * analog of the streaming `Stateful.minHashLshCandidatePairsStream`
+    * bucket state (reference analog: stateful connectors carrying state
+    * across calls, `reference/circuitbreaker.go:100-115`).
+    *
+    * Scale: the index is `bands` rows per doc carrying the 64-slot
+    * signature (~0.5 KB/doc at the defaults) — a small fraction of corpus
+    * text. For repeated incremental joins, write it bucketed by `bh`
+    * (`sources/Bucketing.scala`) so the per-batch band join co-locates
+    * without reshuffling the index side.
+    */
+  object BandIndex {
+    /** `(id, mh, band, bh)` rows for a corpus (same parameters MUST be
+      * used for every increment — signatures from different
+      * numHashes/bands never collide correctly).
+      */
+    def build(df: DataFrame, idCol: String, textCol: String,
+              numHashes: Int = 64, bands: Int = 8): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      bandedSignatures(df, idCol, textCol, numHashes, bands)
+    }
+    def save(index: DataFrame, path: String): Unit =
+      index.write.mode("overwrite").parquet(path)
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+      spark.read.parquet(path)
+  }
+
+  /** Candidate pairs INTRODUCED by a new batch against an indexed corpus:
+    * cross pairs (one side new, one side indexed) plus — by default — the
+    * batch's internal pairs. With disjoint ids and equal parameters, the
+    * union contract holds exactly (spec-pinned):
+    *
+    * `minHashLshCandidates(old ∪ new) ==`
+    * `minHashLshCandidates(old) ∪ minHashLshCandidatesAgainst(new, BandIndex.build(old))`
+    *
+    * so a pipeline that dedups increment-by-increment converges to the
+    * same candidate set as a from-scratch batch run — without ever
+    * re-reading old text. Same narrow-shuffle shape as the batch path:
+    * score with the fused agreement expression inside the band join, then
+    * dedup (doc_a, doc_b, est) at ~24 B/row.
+    */
+  def minHashLshCandidatesAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                                  index: DataFrame, numHashes: Int = 64, bands: Int = 8,
+                                  minJaccard: Double = 0.0,
+                                  withinNew: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val nb = bandedSignatures(newDocs, idCol, textCol, numHashes, bands)
+    val a = nb.as("a")
+    val b = index.as("b")
+    // least/greatest = the batch form's a.id < b.id orientation, reachable
+    // from either side of the cross join
+    val cross = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"),
+        minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
+    val x = nb.as("x")
+    val y = nb.as("y")
+    val intra = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        minHashSimilarity(col("x.mh"), col("y.mh"), numHashes).as("est_jaccard"))
+    // cross (one old id) and intra (both new) are disjoint pair sets —
+    // one dedup over the union suffices
+    val scored = (if (withinNew) cross.union(intra) else cross)
+      .dropDuplicates("doc_a", "doc_b")
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
   }
 

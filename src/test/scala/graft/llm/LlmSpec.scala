@@ -186,6 +186,28 @@ class LlmSpec extends SparkSpec {
     assert(sigs("9999").isEmpty, "a cut that dropped nothing must stay silent")
   }
 
+  test("incremental LSH dedup equals the from-scratch batch run (union contract)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    val batch = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b"))
+    // index persists through parquet — the load side must candidate-match
+    val dir = java.nio.file.Files.createTempDirectory("bandindex").toString
+    Dedup.BandIndex.save(Dedup.BandIndex.build(old, "doc_id", "text"), dir)
+    val loaded = Dedup.BandIndex.load(spark, dir)
+    val oldPairs = rowsOf(Dedup.minHashLshCandidates(old, "doc_id", "text")
+      .select("doc_a", "doc_b"))
+    val newPairs = rowsOf(Dedup.minHashLshCandidatesAgainst(fresh, "doc_id", "text", loaded)
+      .select("doc_a", "doc_b"))
+    assert(oldPairs ++ newPairs == batch,
+      "increment-by-increment must converge to the from-scratch candidate set")
+    // the increment genuinely contributes both cross and intra pairs
+    val crossOnly = rowsOf(Dedup.minHashLshCandidatesAgainst(fresh, "doc_id", "text", loaded,
+      withinNew = false).select("doc_a", "doc_b"))
+    assert(crossOnly.nonEmpty && crossOnly.subsetOf(newPairs) && (newPairs -- crossOnly).nonEmpty)
+  }
+
   test("word/char ngrams and jaccard") {
     val df = Seq(Tuple1("a b c d")).toDF("t")
     val grams = df.select(Dedup.wordNgrams(col("t"), 2).as("g")).head().getSeq[String](0)
