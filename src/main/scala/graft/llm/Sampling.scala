@@ -140,33 +140,70 @@ object Sampling {
     * when OTHER groups change. NULL token counts contribute 0, matching
     * [[shardByTokenBudget]].
     *
-    * Scale shape: ONE shuffle on the group key; groups window in parallel.
-    * The budget map is folded into a literal CASE column (sources/domains
-    * are a small dimension — no join, no broadcast needed). A single giant
-    * group serializes its own window partition — when one group dwarfs the
-    * budget, pre-thin it with [[hashSample]] (keep ≈ 2×budget/groupTokens)
-    * so the window sees a bounded candidate set; the hash order is the
-    * same, so the survivors are identical.
+    * Scale shape: a training mix has FEW groups (5–50 sources), so a
+    * plain per-group window would drag each group — potentially most of
+    * the corpus — through one window partition. Instead this runs the
+    * TWO-PHASE prefix sum of [[shardByTokenBudget]] per group, with one
+    * twist that removes the quantile sampling entirely: the order key is
+    * `xxhash64(id)`, which is UNIFORM over the long range, so fixed
+    * equal-width cuts of the hash space give balanced buckets as pure
+    * literals — `bucket = hash >>> (64 - log2 n)` — no statistics job,
+    * no re-sampling hazard. Windows run per (group, bucket) in parallel;
+    * per-bucket token totals aggregate to ≤ groups × buckets tiny rows
+    * whose per-group running sum — a window over that tiny aggregate, NOT
+    * the corpus — is each bucket's offset, broadcast back as a dim join.
+    * No driver collect anywhere, and no cross-subplan hazard: the bucket
+    * id is a pure hash projection, so the totals subplan and the prefix
+    * subplan can never disagree (the failure mode that bit the
+    * checkpointed range-partitioning form of [[shardByTokenBudget]]).
     *
     * @param budgets        token budget per group value; groups absent
     *                       from the map get `defaultBudget`
     * @param defaultBudget  budget for unlisted groups (0 drops them)
+    * @param buckets        hash-space buckets per group (power of two);
+    *                       parallelism of the window phase
     */
   def takeByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
                         tokensCol: String, budgets: Map[String, Long],
-                        defaultBudget: Long = 0L): DataFrame = {
+                        defaultBudget: Long = 0L, buckets: Int = 32): DataFrame = {
     require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
       "token budgets must be non-negative")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
     val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (g, b)) => when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+    // bucket = top log2(buckets) bits of the hash. XOR the sign bit (never
+    // overflows — an ADD would throw under ANSI) so ascending bucket id
+    // aligns with ascending SIGNED hash, the window's sort order.
+    // NB: a 64-bit shift is mod-64 in the JVM — shift-by-64 is a no-op,
+    // so the single-bucket case must short-circuit to literal 0
+    val shift = 64 - Integer.numberOfTrailingZeros(buckets)
+    val bucketCol =
+      if (buckets == 1) lit(0)
+      else shiftrightunsigned(col("_mix_h").bitwiseXOR(lit(Long.MinValue)), shift).cast("int")
+    val marked = df
+      .withColumn("_mix_h", xxhash64(col(idCol)))
+      .withColumn("_mix_b", bucketCol)
+    val w = Window.partitionBy(col(groupCol), col("_mix_b"))
+      .orderBy(col("_mix_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("_mix_prefix",
-        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
-      .filter(col("_mix_prefix") < budgetCol)
-      .drop("_mix_prefix")
+    val prefixed = marked.withColumn("_mix_prefix",
+      coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+    // phase 2: per-(group, bucket) totals are ≤ groups × buckets rows —
+    // window them per group (trivially small) for the exclusive bucket
+    // offsets, then broadcast back
+    val ow = Window.partitionBy(col("_mix_g")).orderBy(col("_mix_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetDf = broadcast(
+      marked.groupBy(col(groupCol).as("_mix_g"), col("_mix_b").as("_mix_ob"))
+        .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("_tot"))
+        .withColumnRenamed("_mix_ob", "_mix_b")
+        .withColumn("_mix_off", coalesce(sum(col("_tot")).over(ow), lit(0L)))
+        .select(col("_mix_g"), col("_mix_b").as("_mix_ob"), col("_mix_off")))
+    prefixed
+      .join(offsetDf, col(groupCol) <=> col("_mix_g") && col("_mix_b") === col("_mix_ob"))
+      .filter(col("_mix_off") + col("_mix_prefix") < budgetCol)
+      .drop("_mix_h", "_mix_b", "_mix_prefix", "_mix_g", "_mix_ob", "_mix_off")
   }
 
   /** Deterministic named split (train/val/test): every row gets a bucket

@@ -123,6 +123,15 @@ class SamplingSpec extends SparkSpec {
     val re = Sampling.takeByTokenBudget(docs.repartition(13), "lang", "doc_id", "nt",
       budgets, defaultBudget = 100L).select("doc_id").as[Long].collect().sorted.toSeq
     assert(re == got)
+    // two-phase ≡ degenerate single-bucket window (one partition per
+    // group): the parallel form must change the plan, not the answer
+    val one = Sampling.takeByTokenBudget(docs, "lang", "doc_id", "nt", budgets,
+      defaultBudget = 100L, buckets = 1).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(one == got)
+    // and the corpus-side window must partition by (group, bucket) — a
+    // group-only window serializes each source through one partition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("_mix_b"), "expected the hash-bucket column in the executed plan")
     // a group never exceeds budget by more than its boundary document
     val sums = out.groupBy("lang").agg(sum("nt").as("s"), max("nt").as("m")).collect()
     sums.foreach { r =>
