@@ -992,6 +992,27 @@ object Queries {
       graft.llm.TextAnalysis.urlCount(col("text")).as("n_url")))
   }
 
+  /** Q-L24 text normalization battery: NFC canonical composition (native
+    * codegen'd [[graft.functions.NfcNormalize]]), control-char strip,
+    * horizontal-whitespace collapse, trim. The fixture text is already
+    * clean, so synthetic docs (ids -1..-20) carrying a decomposed accent
+    * (e+U+0301), a combining diaeresis (A+U+0308), a BEL control char, a
+    * tab and doubled/trailing spaces are unioned on BOTH sides — fixture
+    * rows pin the identity path (already-NFC text must round-trip
+    * byte-identical), synthetic rows pin composition + stripping, against
+    * DuckDB's independent `nfc_normalize` implementation.
+    */
+  val qlNormalize: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val synth = s.range(1, 21).select(
+      (-col("id")).as("doc_id"),
+      concat(lit("Café  menu\tNo."), col("id").cast("string"),
+        lit(" Äpfel ")).as("text"))
+    val all = docs.unionByName(synth)
+    ordered(all.select(col("doc_id"),
+      graft.llm.TextAnalysis.normalizeText(col("text")).as("norm_text")))
+  }
+
   /** Q-L19 train/test decontamination: corpus docs (id ≥ 10) sharing ≥1
     * distinct word 3-gram with the "benchmark" slice (id < 10) — the
     * pre-training hygiene sweep. Broadcast inverted-index join; the small
@@ -1194,6 +1215,7 @@ object Queries {
     "ql21_token_shards" -> qlTokenShards,
     "ql22_mix_budget" -> qlMixBudget,
     "ql23_hash_split" -> qlHashSplit,
+    "ql24_normalize" -> qlNormalize,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1340,6 +1362,11 @@ object Oracle {
       """WITH d0 AS ( SELECT doc_id, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616 ELSE CAST(doc_id AS HUGEINT) END AS u FROM documents ), s1 AS ( SELECT doc_id, (((((u) // 4294967296) * 668265295 + ((u) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((u) % 4294967296) * 668265295) % 18446744073709551616 AS k1a FROM d0 ), s2 AS ( SELECT doc_id, ((k1a) * 2147483648 % 18446744073709551616 + (k1a) // 8589934592) % 18446744073709551616 AS k1b FROM s1 ), s3 AS ( SELECT doc_id, (((((k1b) // 4294967296) * 2246822535 + ((k1b) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((k1b) % 4294967296) * 2246822535) % 18446744073709551616 AS k1 FROM s2 ), s4 AS ( SELECT doc_id, CAST(xor(CAST((42 + 2870177450012600261 + 8) % 18446744073709551616 AS UBIGINT), CAST(k1 AS UBIGINT)) AS HUGEINT) AS a0 FROM s3 ), s5 AS ( SELECT doc_id, ((a0) * 134217728 % 18446744073709551616 + (a0) // 137438953472) % 18446744073709551616 AS a1 FROM s4 ), s6 AS ( SELECT doc_id, ((((((a1) // 4294967296) * 2246822535 + ((a1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((a1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS a2 FROM s5 ), s7 AS ( SELECT doc_id, (((((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS a3 FROM s6 ), s8 AS ( SELECT doc_id, (((((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS a4 FROM s7 ), s9 AS ( SELECT doc_id, CAST(xor(CAST(a4 AS UBIGINT), CAST(a4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS u1 FROM s8 ), t4 AS ( SELECT doc_id, CAST(xor(CAST((u1 + 2870177450012600261 + 8) % 18446744073709551616 AS UBIGINT), CAST(2554626171521168346 AS UBIGINT)) AS HUGEINT) AS b0 FROM s9 ), t5 AS ( SELECT doc_id, ((b0) * 134217728 % 18446744073709551616 + (b0) // 137438953472) % 18446744073709551616 AS b1 FROM t4 ), t6 AS ( SELECT doc_id, ((((((b1) // 4294967296) * 2246822535 + ((b1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((b1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS b2 FROM t5 ), t7 AS ( SELECT doc_id, (((((CAST(xor(CAST(b2 AS UBIGINT), CAST(b2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(b2 AS UBIGINT), CAST(b2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(b2 AS UBIGINT), CAST(b2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS b3 FROM t6 ), t8 AS ( SELECT doc_id, (((((CAST(xor(CAST(b3 AS UBIGINT), CAST(b3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(b3 AS UBIGINT), CAST(b3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(b3 AS UBIGINT), CAST(b3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS b4 FROM t7 ), t9 AS ( SELECT doc_id, CAST(xor(CAST(b4 AS UBIGINT), CAST(b4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS u2 FROM t8 ), ts AS ( SELECT doc_id, CASE WHEN u2 >= 9223372036854775808 THEN u2 - 18446744073709551616 ELSE u2 END AS h2 FROM t9 ), tu AS ( SELECT doc_id, CAST(((h2 % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0 AS p FROM ts ) SELECT doc_id, CASE WHEN p < 0.8 THEN 'train' WHEN p < 0.9 THEN 'val' ELSE 'test' END AS split FROM tu ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "ql14_embedding_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql24: DuckDB's nfc_normalize is an independent NFC implementation
+    // (utf8proc) vs the engine's java.text.Normalizer — agreement pins the
+    // composition itself, not a shared library
+    "ql24_normalize" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'Cafe' || chr(769) || '  menu' || chr(9) || 'No.' || CAST(i AS VARCHAR) || chr(7) || ' A' || chr(776) || 'pfel ' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql11/ql12: the planted-clone construction makes the ANN answer exact —
     // each query's top-3 is its three exact clones at +1M/+2M/+3M, ranked by
     // ascending id (see qlAnnTopK/qlIvfTopK scaladoc for the proof)

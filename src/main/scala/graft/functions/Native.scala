@@ -330,5 +330,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("explode_ngrams"),
       new ExpressionInfo(classOf[ExplodeNgrams].getName, "explode_ngrams"),
       (exprs: Seq[Expression]) => ExplodeNgrams(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }

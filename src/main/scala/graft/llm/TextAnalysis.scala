@@ -116,6 +116,28 @@ object TextAnalysis {
   def redactContacts(text: Column): Column =
     regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
 
+  /** Control characters stripped by [[normalizeText]]: C0 controls plus
+    * DEL, EXCEPT tab/newline/CR (document structure worth keeping until a
+    * later layout-aware pass). Explicit hex ranges so the Java-regex
+    * engine and the RE2-based DuckDB oracle read the identical class.
+    */
+  val ControlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Text normalization battery — the standard first cleaning pass of a
+    * training-data pipeline, in fixed order: (1) Unicode NFC canonical
+    * composition ([[graft.functions.TextNorm.nfcNormalize]], native
+    * codegen'd expression — decomposed accents otherwise defeat exact and
+    * MinHash dedup because "é" != "e"+U+0301 byte-wise), (2) strip
+    * C0/DEL control characters except tab/newline/CR, (3) collapse
+    * horizontal-whitespace runs to one space, (4) trim spaces. Pure
+    * column expressions: rides the scan, stays in one WholeStageCodegen
+    * span, no shuffle at any scale.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextNorm.nfcNormalize(text), ControlCharPattern, ""),
+      "[ \\t]+", " "))
+
   /** Content fingerprint (md5 of the raw text). */
   def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
 

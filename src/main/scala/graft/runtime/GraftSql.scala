@@ -23,6 +23,7 @@ object GraftSql {
   def install(spark: SparkSession): Unit = {
     graft.functions.Native.register(spark)
     graft.functions.Generators.register(spark)
+    graft.functions.TextNorm.register(spark)
   }
 
   /** Publish a pipeline stage's output as a queryable temp view. */
