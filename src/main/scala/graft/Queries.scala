@@ -1013,6 +1013,18 @@ object Queries {
       graft.llm.TextAnalysis.normalizeText(col("text")).as("norm_text")))
   }
 
+  /** Q-L25 distinctive terms (TF-IDF family): each document's top-3 terms
+    * by `tf·N/df`. The exact-ratio score (not `ln`) keeps the ranking
+    * identical while making every arithmetic step bit-reproducible in
+    * DuckDB — multiply then one IEEE division — so the full
+    * (doc, rank, term, score) output hash-checks.
+    */
+  val qlTfidf: Q = (s, dir) => {
+    val out = graft.llm.TextAnalysis.distinctiveTerms(
+      t(s, dir, "documents"), "doc_id", "text", m = 3)
+    ordered(out)
+  }
+
   /** Q-L19 train/test decontamination: corpus docs (id ≥ 10) sharing ≥1
     * distinct word 3-gram with the "benchmark" slice (id < 10) — the
     * pre-training hygiene sweep. Broadcast inverted-index join; the small
@@ -1216,6 +1228,7 @@ object Queries {
     "ql22_mix_budget" -> qlMixBudget,
     "ql23_hash_split" -> qlHashSplit,
     "ql24_normalize" -> qlNormalize,
+    "ql25_tfidf" -> qlTfidf,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1367,6 +1380,10 @@ object Oracle {
     // composition itself, not a shared library
     "ql24_normalize" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'Cafe' || chr(769) || '  menu' || chr(9) || 'No.' || CAST(i AS VARCHAR) || chr(7) || ' A' || chr(776) || 'pfel ' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql25: same tokenization mirror as ql3; the tf·N/df score is
+    // multiply-then-divide in both engines so the doubles hash-match
+    "ql25_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM r WHERE rank <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     // ql11/ql12: the planted-clone construction makes the ANN answer exact —
     // each query's top-3 is its three exact clones at +1M/+2M/+3M, ranked by
     // ascending id (see qlAnnTopK/qlIvfTopK scaladoc for the proof)

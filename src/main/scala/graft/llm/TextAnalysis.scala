@@ -97,6 +97,38 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg((max("_c").cast("double") / sum("_c").cast("double")).as("top_token_frac"))
 
+  /** Per-document distinctive terms — the TF-IDF-family vocabulary signal
+    * of a training-data pipeline: each document's top-`m` terms ranked by
+    * `tf · N / df` (term frequency scaled by inverse document frequency).
+    * The score is the exact-ratio form rather than `tf · ln(N/df)`: the
+    * ranking is identical (ln is monotone in N/df and tf>0), but
+    * multiply + one correctly-rounded IEEE division is bit-reproducible
+    * across engines, which `ln` is not — so the whole operator
+    * oracle-checks by hash (`ql25_tfidf`) instead of within-epsilon.
+    *
+    * Scale shape: tf agg shuffles on (doc,term); df agg + join shuffle on
+    * term (vocabulary-sized, the standard inverted-index shape — hot
+    * stopword terms stay bounded because df rows are one per (doc,term),
+    * already deduplicated by the tf agg); final rank is a per-document
+    * window, bounded by each doc's distinct-term count. N is a scalar
+    * broadcast, never a driver collect.
+    */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+                       m: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol).as("_did"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("_did"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_did")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("_did").as(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Contact-info signals — the PII pre-scrub pass of a training-data
     * pipeline. Counting and redaction use lookaround-free patterns so
     * RE2-based engines (the DuckDB oracle) match identically.

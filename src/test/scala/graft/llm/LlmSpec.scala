@@ -10,6 +10,22 @@ class LlmSpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf, "documents")
   private lazy val emb = Tables.load(spark, sf, "embeddings")
 
+  test("distinctiveTerms ranks a document's unique term above shared stopwords") {
+    val corpus = Seq(
+      (1L, "zebra zebra the the"),
+      (2L, "quark quark the the"),
+      (3L, "lemur lemur the the")).toDF("doc_id", "text")
+    val out = TextAnalysis.distinctiveTerms(corpus, "doc_id", "text", m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val top = out.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(top == Map(1L -> "zebra", 2L -> "quark", 3L -> "lemur"))
+    // score = tf·N/df exactly: zebra tf=2 df=1 N=3 → 6.0; the tf=2 df=3 → 2.0
+    val zebra = out.find(t => t._1 == 1L && t._3 == "zebra").get
+    assert(zebra._4 == 6.0)
+    val the1 = out.find(t => t._1 == 1L && t._3 == "the").get
+    assert(the1._2 == 2 && the1._4 == 2.0)
+  }
+
   test("minhash-LSH candidates are a superset of exact token-set pairs (Q-L5 contract)") {
     val exact = rowsOf(Dedup.exactTokenSetPairs(docs, "doc_id", "text"))
     val cands = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text")
