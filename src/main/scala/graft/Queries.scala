@@ -1013,6 +1013,19 @@ object Queries {
       graft.llm.TextAnalysis.normalizeText(col("text")).as("norm_text")))
   }
 
+  /** Q-L26 per-source document cap — the "max N pages per domain"
+    * balancing pass of a web-crawl pipeline: exactly 10 docs per source,
+    * drawn deterministically by xxhash64(doc_id) order
+    * ([[graft.llm.Sampling.perGroup]] — a fixed "random-looking" draw, no
+    * rand()). Oracle-checked: the DuckDB side recomputes the same
+    * xxhash64 via the ql15/ql22 closed-form chain and ranks within
+    * source, so the exact chosen SET (not just the count) must match.
+    */
+  val qlSourceCap: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    ordered(graft.llm.Sampling.perGroup(docs, Seq(col("source")), "doc_id", 10))
+  }
+
   /** Q-L25 distinctive terms (TF-IDF family): each document's top-3 terms
     * by `tf·N/df`. The exact-ratio score (not `ln`) keeps the ranking
     * identical while making every arithmetic step bit-reproducible in
@@ -1229,6 +1242,7 @@ object Queries {
     "ql23_hash_split" -> qlHashSplit,
     "ql24_normalize" -> qlNormalize,
     "ql25_tfidf" -> qlTfidf,
+    "ql26_source_cap" -> qlSourceCap,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1380,6 +1394,10 @@ object Oracle {
     // composition itself, not a shared library
     "ql24_normalize" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'Cafe' || chr(769) || '  menu' || chr(9) || 'No.' || CAST(i AS VARCHAR) || chr(7) || ' A' || chr(776) || 'pfel ' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql26: the ql22 xxhash64(seed 42) closed form carrying `source`,
+    // ranked within source — pins the exact chosen set of perGroup's draw
+    "ql26_source_cap" ->
+      """WITH d0 AS ( SELECT doc_id, source, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616 ELSE CAST(doc_id AS HUGEINT) END AS u FROM documents ), m1 AS ( SELECT doc_id, source, (((((u) // 4294967296) * 668265295 + ((u) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((u) % 4294967296) * 668265295) % 18446744073709551616 AS k1a FROM d0 ), m2 AS ( SELECT doc_id, source, ((k1a) * 2147483648 % 18446744073709551616 + (k1a) // 8589934592) % 18446744073709551616 AS k1b FROM m1 ), m3 AS ( SELECT doc_id, source, (((((k1b) // 4294967296) * 2246822535 + ((k1b) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((k1b) % 4294967296) * 2246822535) % 18446744073709551616 AS k1 FROM m2 ), m4 AS ( SELECT doc_id, source, CAST(xor(CAST((42 + 2870177450012600261 + 8) % 18446744073709551616 AS UBIGINT), CAST(k1 AS UBIGINT)) AS HUGEINT) AS a0 FROM m3 ), m5 AS ( SELECT doc_id, source, ((a0) * 134217728 % 18446744073709551616 + (a0) // 137438953472) % 18446744073709551616 AS a1 FROM m4 ), m6 AS ( SELECT doc_id, source, ((((((a1) // 4294967296) * 2246822535 + ((a1) % 4294967296) * 2654435761) % 4294967296) * 4294967296 + ((a1) % 4294967296) * 2246822535) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS a2 FROM m5 ), m7 AS ( SELECT doc_id, source, (((((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 668265295 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3266489917) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a2 AS UBIGINT), CAST(a2 // 8589934592 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 668265295) % 18446744073709551616 AS a3 FROM m6 ), m8 AS ( SELECT doc_id, source, (((((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) // 4294967296) * 2654435833 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 374761393) % 4294967296) * 4294967296 + ((CAST(xor(CAST(a3 AS UBIGINT), CAST(a3 // 536870912 AS UBIGINT)) AS HUGEINT)) % 4294967296) * 2654435833) % 18446744073709551616 AS a4 FROM m7 ), m9 AS ( SELECT doc_id, source, CAST(xor(CAST(a4 AS UBIGINT), CAST(a4 // 4294967296 AS UBIGINT)) AS HUGEINT) AS uh FROM m8 ), ms AS ( SELECT doc_id, source, CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616 ELSE uh END AS h FROM m9 ), r AS ( SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM ms ) SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql25: same tokenization mirror as ql3; the tf·N/df score is
     // multiply-then-divide in both engines so the doubles hash-match
     "ql25_tfidf" ->
