@@ -1013,6 +1013,18 @@ object Queries {
       graft.llm.TextAnalysis.normalizeText(col("text")).as("norm_text")))
   }
 
+  /** Q-X10 column profiling: row/null/distinct counts and numeric min/max
+    * for four lineitem columns, in long format — every metric from ONE
+    * aggregation over ONE scan ([[graft.analytics.Profile]]). Exact
+    * distinct here (oracle-checkable); `approxDistinct = true` is the
+    * no-Expand HLL form for fleet scale.
+    */
+  val qx10Profile: Q = (s, dir) => {
+    val out = graft.analytics.Profile.profile(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey"))
+    ordered(out)
+  }
+
   /** Q-L26 per-source document cap — the "max N pages per domain"
     * balancing pass of a web-crawl pipeline: exactly 10 docs per source,
     * drawn deterministically by xxhash64(doc_id) order
@@ -1243,6 +1255,7 @@ object Queries {
     "ql24_normalize" -> qlNormalize,
     "ql25_tfidf" -> qlTfidf,
     "ql26_source_cap" -> qlSourceCap,
+    "qx10_profile" -> qx10Profile,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1394,6 +1407,10 @@ object Oracle {
     // composition itself, not a shared library
     "ql24_normalize" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'Cafe' || chr(769) || '  menu' || chr(9) || 'No.' || CAST(i AS VARCHAR) || chr(7) || ' A' || chr(776) || 'pfel ' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // qx10: every metric from one agg+Expand on the engine side;
+    // mirrored as 20 scalar aggregates UNION ALL'd in DuckDB
+    "qx10_profile" ->
+      """SELECT col_name, metric, value FROM (SELECT 'l_quantity' AS col_name, 'count' AS metric, CAST(COUNT(l_quantity) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_quantity', 'nulls', CAST(COUNT(*) - COUNT(l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_quantity', 'distinct', CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_quantity', 'min', CAST(MIN(l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_quantity', 'max', CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_name, 'count' AS metric, CAST(COUNT(l_extendedprice) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_extendedprice', 'nulls', CAST(COUNT(*) - COUNT(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice', 'distinct', CAST(COUNT(DISTINCT l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice', 'min', CAST(MIN(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice', 'max', CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount' AS col_name, 'count' AS metric, CAST(COUNT(l_discount) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_discount', 'nulls', CAST(COUNT(*) - COUNT(l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount', 'distinct', CAST(COUNT(DISTINCT l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount', 'min', CAST(MIN(l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount', 'max', CAST(MAX(l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey' AS col_name, 'count' AS metric, CAST(COUNT(l_orderkey) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_orderkey', 'nulls', CAST(COUNT(*) - COUNT(l_orderkey) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey', 'distinct', CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey', 'min', CAST(MIN(l_orderkey) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey', 'max', CAST(MAX(l_orderkey) AS DOUBLE) FROM lineitem) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql26: the ql22 xxhash64(seed 42) closed form carrying `source`,
     // ranked within source — pins the exact chosen set of perGroup's draw
     "ql26_source_cap" ->
