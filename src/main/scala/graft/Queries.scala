@@ -1167,6 +1167,25 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L27 int8-quantized ANN top-k, oracle-checked by the same
+    * planted-clone construction as ql11/ql12: exact clones quantize to
+    * identical int8 vectors, so each query's top-3 is PROVABLY its three
+    * clones (integer-arithmetic sims of identical arrays are the same
+    * double; organic pairs sit far below even with ~1e-2 quantization
+    * error), ranked by the ascending-id tiebreak. What this pins: the
+    * quantize → integer-cosine → bounded top-k path returns exact answers
+    * where exactness is provable, while shipping a 4x narrower corpus.
+    */
+  val qlQuantizedTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = annCloneCorpus(emb)
+    val out = graft.llm.Similarity.int8TopKAgg(queries, corpus, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    ordered(out)
+  }
+
   /** Shared ql11/ql12 corpus: all organic embeddings plus three exact
     * clones of each query vector (ids +1M/+2M/+3M).
     */
@@ -1256,6 +1275,7 @@ object Queries {
     "ql25_tfidf" -> qlTfidf,
     "ql26_source_cap" -> qlSourceCap,
     "qx10_profile" -> qx10Profile,
+    "ql27_quantized_topk" -> qlQuantizedTopK,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1425,6 +1445,10 @@ object Oracle {
     "ql11_ann_topk" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql12_ivf_topk" ->
+      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql27: identical clones quantize identically, so the clone proof of
+    // ql11/ql12 carries over to the int8 path unchanged
+    "ql27_quantized_topk" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql21_token_shards" ->
       """WITH t AS (SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents) SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 5000 AS shard FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expressions for the embedding hot path.
@@ -100,6 +100,73 @@ case class DotProduct(left: Expression, right: Expression)
         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |}
         |${ev.value} = $dot;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine over int8-quantized vectors (ARRAY<TINYINT>): dot and norms
+  * accumulate in 64-bit INTEGER arithmetic — exactly reproducible on any
+  * engine, no float summation order to pin — with one double division at
+  * the end. Pairs with `Similarity.quantizeInt8`: at production dims a
+  * quantized corpus is 4x narrower than float32 in every scan, broadcast
+  * and cache, which is most of the byte volume of a 100 TB ANN pass.
+  */
+case class CosineSimilarityInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<TINYINT> args, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var nx = 0L
+    var ny = 0L
+    var i = 0
+    while (i < n) {
+      val xi = x.getByte(i).toLong
+      val yi = y.getByte(i).toLong
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |long $dot = 0L, $nx = 0L, $ny = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  long $x = (long) $a.getByte($i);
+        |  long $y = (long) $b.getByte($i);
+        |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+        |}
+        |${ev.value} = (double) $dot / (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
       """.stripMargin
     })
 
@@ -261,6 +328,9 @@ object Native {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
+  def cosineSimilarityInt8(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarityInt8(Bridge.expression(a), Bridge.expression(b)))
+
   def hyperplaneSignature(emb: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(emb), planes, dim, planeOffset))
 
@@ -278,6 +348,9 @@ object Native {
       "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity_int8",
+      exprs => CosineSimilarityInt8(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => MinHashSignature(exprs.head, intLit(exprs(1), "numHashes")), "scala_udf")

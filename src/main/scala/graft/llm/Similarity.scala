@@ -73,6 +73,44 @@ object Similarity {
     topKAggTail(scored, k, queryId, corpusId)
   }
 
+  /** Symmetric per-vector int8 quantization: q[i] = round(x[i] · 127 /
+    * max|x|), the classic shrink-the-embedding-column step. A quantized
+    * corpus is 4x narrower than float32 in every scan, broadcast, shuffle
+    * and cache — at 100 TB the embedding column IS most of the byte
+    * volume, so this is the difference between a broadcast that fits and
+    * one that doesn't. Cosine is scale-invariant, so similarity workloads
+    * don't even need to keep the scale; pair with
+    * [[graft.functions.CosineSimilarityInt8]], whose integer dot/norm
+    * accumulation is exactly reproducible (no float summation order).
+    * All-zero vectors quantize to all-zero (no divide-by-zero).
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val maxabs = array_max(transform(emb, x => abs(x))).cast("double")
+    when(maxabs.isNull || maxabs === 0.0,
+      transform(emb, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(emb,
+        x => round(x.cast("double") * (lit(127.0) / maxabs)).cast("tinyint")))
+  }
+
+  /** Exact-over-quantized top-k: [[bruteForceTopKAgg]] with both sides
+    * int8-quantized and scored by the integer-arithmetic cosine. Identical
+    * vectors quantize identically (sim = the maximal self-value), so
+    * ranking quality degrades only with quantization error (~1e-2 on
+    * organic pairs, spec-bounded). Same bounded TopKBySim tail: at most k
+    * narrow (queryId, corpusId, sim) rows per query enter the shuffle.
+    */
+  def int8TopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+                  queryId: String = "query_id", corpusId: String = "neighbor_id",
+                  excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queryId), quantizeInt8(col("embedding")).as("q_q")))
+    val c = corpus.select(col(corpusId), quantizeInt8(col("embedding")).as("c_q"))
+    val joined = c.crossJoin(q)
+    val filtered = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    val scored = filtered.withColumn("sim",
+      graft.functions.Native.cosineSimilarityInt8(col("q_q"), col("c_q")))
+    topKAggTail(scored, k, queryId, corpusId)
+  }
+
   /** Random-hyperplane LSH signature (`planes` bits): bit p is the sign of
     * dot(v, r_p) where r_p is a deterministic pseudo-random unit-free
     * direction derived from xxhash64(p, i) — no stored model, identical

@@ -33,7 +33,7 @@ abstract class SparkSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType}
     df.collect() // force execution so AQE finalizes the plan
     // AQE hides the final plan behind AdaptiveSparkPlanExec/QueryStageExec,
     // which TreeNode.collect does not descend into — walk them explicitly
@@ -53,6 +53,7 @@ abstract class SparkSpec extends AnyFunSuite {
       val wide = e.output.filter {
         case a => a.dataType match {
           case ArrayType(FloatType, _) => true
+          case ArrayType(ByteType, _) => true // int8-quantized embeddings
           case _ => false
         }
       }
