@@ -1025,6 +1025,33 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L28 sliding token-window chunking (context-window pre-pass of an
+    * embedding/RAG pipeline): 50-token chunks every 40 tokens, trailing
+    * partial chunk kept, ≤50-token docs are one chunk. Integer-only chunk
+    * arithmetic — the chunk SET hash-matches the DuckDB mirror.
+    */
+  val qlChunks: Q = (s, dir) =>
+    ordered(graft.llm.TextAnalysis.chunkTokenWindows(
+      t(s, dir, "documents"), "doc_id", "text", chunkSize = 50, stride = 40))
+
+  /** Q-L29 per-source boilerplate line removal (C4-style cleaning): lines
+    * in >5 distinct docs of the same source are stripped, order-preserving
+    * reassembly. The fixture has no cross-doc repeated lines, so synthetic
+    * docs (ids -1..-30, 3 fake sources) share SUBSCRIBE/footer lines that
+    * MUST vanish while each unique middle line survives; organic docs pin
+    * the pass-through path on BOTH sides.
+    */
+  val qlBoilerplate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val synth = s.range(1, 31).select(
+      (-col("id")).as("doc_id"),
+      concat(lit("bp"), (col("id") % 3).cast("string")).as("source"),
+      concat(lit("SUBSCRIBE NOW\ncontent "), col("id").cast("string"),
+        lit(" unique\nfooter text")).as("text"))
+    val all = docs.unionByName(synth)
+    ordered(graft.llm.Dedup.stripBoilerplate(all, "doc_id", "text", "source", maxLineDf = 5))
+  }
+
   /** Q-L26 per-source document cap — the "max N pages per domain"
     * balancing pass of a web-crawl pipeline: exactly 10 docs per source,
     * drawn deterministically by xxhash64(doc_id) order
@@ -1276,6 +1303,8 @@ object Queries {
     "ql26_source_cap" -> qlSourceCap,
     "qx10_profile" -> qx10Profile,
     "ql27_quantized_topk" -> qlQuantizedTopK,
+    "ql28_token_chunks" -> qlChunks,
+    "ql29_boilerplate" -> qlBoilerplate,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1431,6 +1460,14 @@ object Oracle {
     // mirrored as 20 scalar aggregates UNION ALL'd in DuckDB
     "qx10_profile" ->
       """SELECT col_name, metric, value FROM (SELECT 'l_quantity' AS col_name, 'count' AS metric, CAST(COUNT(l_quantity) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_quantity', 'nulls', CAST(COUNT(*) - COUNT(l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_quantity', 'distinct', CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_quantity', 'min', CAST(MIN(l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_quantity', 'max', CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col_name, 'count' AS metric, CAST(COUNT(l_extendedprice) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_extendedprice', 'nulls', CAST(COUNT(*) - COUNT(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice', 'distinct', CAST(COUNT(DISTINCT l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice', 'min', CAST(MIN(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_extendedprice', 'max', CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount' AS col_name, 'count' AS metric, CAST(COUNT(l_discount) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_discount', 'nulls', CAST(COUNT(*) - COUNT(l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount', 'distinct', CAST(COUNT(DISTINCT l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount', 'min', CAST(MIN(l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_discount', 'max', CAST(MAX(l_discount) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey' AS col_name, 'count' AS metric, CAST(COUNT(l_orderkey) AS DOUBLE) AS value FROM lineitem UNION ALL SELECT 'l_orderkey', 'nulls', CAST(COUNT(*) - COUNT(l_orderkey) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey', 'distinct', CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey', 'min', CAST(MIN(l_orderkey) AS DOUBLE) FROM lineitem UNION ALL SELECT 'l_orderkey', 'max', CAST(MAX(l_orderkey) AS DOUBLE) FROM lineitem) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql28: same tokenization mirror as ql3; chunk ids via
+    // unnest(generate_series) with the identical integer ceil
+    "ql28_token_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0), e AS (SELECT doc_id, toks, unnest(generate_series(0, CASE WHEN n <= 50 THEN 0 ELSE (n - 50 + 39) // 40 END)) AS chunk_id FROM n) SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text FROM e ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql29: per-source line df > 5 -> stripped; ordered reassembly via
+    // string_agg(... ORDER BY idx); docs reduced to nothing come back ''
+    "ql29_boilerplate" ->
+      """WITH all_docs AS (SELECT doc_id, source, text FROM documents UNION ALL SELECT -i AS doc_id, 'bp' || CAST(i % 3 AS VARCHAR) AS source, 'SUBSCRIBE NOW' || chr(10) || 'content ' || CAST(i AS VARCHAR) || ' unique' || chr(10) || 'footer text' AS text FROM generate_series(1, 30) AS g(i)), t AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM all_docs), e AS (SELECT doc_id, source, ls, unnest(generate_series(1, len(ls))) AS idx FROM t), l AS (SELECT doc_id, source, idx, ls[idx] AS ln FROM e), d AS (SELECT source, trim(ln) AS lt, COUNT(DISTINCT doc_id) AS df FROM l WHERE trim(ln) <> '' GROUP BY 1, 2), hot AS (SELECT source, lt FROM d WHERE df > 5), k AS (SELECT l.doc_id, l.idx, l.ln FROM l LEFT JOIN hot ON l.source = hot.source AND trim(l.ln) = hot.lt WHERE hot.lt IS NULL), r AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text_clean FROM k GROUP BY 1) SELECT a.doc_id, COALESCE(r.text_clean, '') AS text_clean FROM all_docs a LEFT JOIN r ON a.doc_id = r.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql26: the ql22 xxhash64(seed 42) closed form carrying `source`,
     // ranked within source — pins the exact chosen set of perGroup's draw
     "ql26_source_cap" ->

@@ -520,6 +520,42 @@ object Dedup {
         sep).as("text_dedup"))
   }
 
+  /** Per-source boilerplate line removal — the C4-style cleaning pass:
+    * a line (trimmed) appearing in more than `maxLineDf` DISTINCT
+    * documents of the SAME source is navigation/footer boilerplate and is
+    * stripped from every document of that source; everything else is
+    * reassembled in original order. Documents reduced to nothing come
+    * back as empty text (never silently dropped — the caller decides).
+    *
+    * Scale shape: line identity shuffles as a 16-byte md5 of
+    * (source, trimmed line), not the line text (the tokenSetSignature
+    * convention); the doc-frequency agg and the anti join both key on it.
+    * Empty/whitespace lines never enter the frequency agg (they are
+    * everywhere by construction and must survive reassembly). One
+    * explode → one agg → one anti join → one ordered reassembly agg; no
+    * window over the corpus.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, maxLineDf: Long,
+                       sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), col(sourceCol).as("_src"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("_idx", "_l")))
+      .withColumn("_lt", trim(col("_l")))
+      .withColumn("_h", md5(concat(col("_src"), lit("\u0000"), col("_lt")).cast("binary")))
+    val hot = lines.filter(col("_lt") =!= "")
+      .groupBy(col("_h")).agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxLineDf).select("_h")
+    val kept = lines.join(hot, Seq("_h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_idx"), col("_l")))), x => x.getField("_l")),
+        sep).as("text_clean"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
     * assign every doc the minimum id reachable through the pair graph
     * (connected components) — the survivor selection step a real dedup

@@ -97,6 +97,39 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg((max("_c").cast("double") / sum("_c").cast("double")).as("top_token_frac"))
 
+  /** Sliding token-window chunking — the context-window pre-pass of an
+    * embedding/RAG pipeline: each document becomes overlapping chunks of
+    * `chunkSize` whitespace tokens starting every `stride` tokens (the
+    * HF-tokenizers "overflow with stride" convention: the last chunk may
+    * be shorter; a document of ≤ chunkSize tokens is one chunk; empty
+    * documents produce none). Output `(id, chunk_id, chunk_text)`.
+    *
+    * Pure explode over a scan-riding projection: tokens are split once
+    * per document, chunks are slices of that one array — no shuffle, no
+    * self-join, size growth bounded by ~chunkSize/stride. All arithmetic
+    * is integer (the chunk count is an exact integer ceil), so the chunk
+    * set is bit-reproducible in the DuckDB oracle (`ql28`).
+    */
+  def chunkTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                        chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val toks = Dedup.tokens(col(textCol))
+    docs.select(col(idCol), toks.as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      // exact integer ceil((n - chunkSize)/stride) + 1 for n > chunkSize:
+      // the doubles stay exact far beyond any real token count (< 2^52)
+      .withColumn("_nc", when(col("_n") <= chunkSize, lit(1))
+        .otherwise(((col("_n") - chunkSize + (stride - 1)) / stride).cast("int") + 1))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_toks"), col("chunk_id") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Per-document distinctive terms — the TF-IDF-family vocabulary signal
     * of a training-data pipeline: each document's top-`m` terms ranked by
     * `tf · N / df` (term frequency scaled by inverse document frequency).

@@ -47,7 +47,18 @@ object PlanAudit {
       "partitioned by (lang, _mix_b hash bucket) -- a 5-language mix still fans across " +
       "languages x buckets partitions; bucket offsets come from a window over the TINY " +
       "per-bucket totals aggregate, broadcast back; no driver collect"),
-    "qp1_transform" -> "pure projection inside one WholeStageCodegen span over the scan"
+    "qp1_transform" -> "pure projection inside one WholeStageCodegen span over the scan",
+    "ql24_normalize" -> ("whole normalization battery (nfc_normalize + regexp chain + trim) " +
+      "riding the scan inside one WholeStageCodegen span -- no shuffle, no UDF"),
+    "ql25_tfidf" -> ("inverted-index shape: tf partial+final agg on (doc,term), df agg on term, " +
+      "scalar N as a BroadcastNestedLoopJoin of a 1-row aggregate (never a driver collect); " +
+      "rank <= m prunes MAP-SIDE via WindowGroupLimit BEFORE the per-doc window's Exchange, " +
+      "so at most m rows per (partition, doc) shuffle"),
+    "ql27_quantized_topk" -> ("quantize projections feed an integer-cosine scored cross join " +
+      "(queries broadcast), then the same partial_topkbysim bounded tail as ql4/ql11 -- " +
+      "no float OR int8 array column in any Exchange"),
+    "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
+      "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs")
   )
 
   def main(args: Array[String]): Unit = {

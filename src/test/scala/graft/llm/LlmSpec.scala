@@ -10,6 +10,37 @@ class LlmSpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf, "documents")
   private lazy val emb = Tables.load(spark, sf, "embeddings")
 
+  test("chunkTokenWindows: overlap, short-doc, and empty-doc contracts") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 3 stride 2 -> 3 chunks
+      (2L, "x y"),           // <= size -> exactly one whole chunk
+      (3L, "  "),            // no tokens -> no chunks
+      (4L, "p q r")          // == size -> one chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokenWindows(corpus, "doc_id", "text", chunkSize = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 0, "a b c"), (1L, 1, "c d e"), (1L, 2, "e f g"),
+      (2L, 0, "x y"),
+      (4L, 0, "p q r")))
+  }
+
+  test("stripBoilerplate removes high-df lines per source, keeps order, never drops docs") {
+    val corpus = Seq(
+      (1L, "sa", "nav\nalpha\nfooter"),
+      (2L, "sa", "nav\nbeta\nfooter"),
+      (3L, "sa", "nav\ngamma\nfooter"),
+      (4L, "sa", "nav\nfooter"),          // all boilerplate -> empty text
+      (5L, "sb", "nav\ndelta")            // same line, other source, df=1 -> kept
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.stripBoilerplate(corpus, "doc_id", "text", "source", maxLineDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha", 2L -> "beta", 3L -> "gamma",
+      4L -> "",
+      5L -> "nav\ndelta"))
+  }
+
   test("distinctiveTerms ranks a document's unique term above shared stopwords") {
     val corpus = Seq(
       (1L, "zebra zebra the the"),
