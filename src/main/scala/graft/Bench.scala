@@ -23,7 +23,10 @@ object Bench {
     "ql1_exact_dedup", "ql2_text_stats", "ql3_top_terms",
     "ql4_cosine_topk", "ql5_token_set_dups", "ql6_minhash_candidates",
     "ql7_token_count", "ql8_quality", "ql9_fingerprint",
-    "qx1_asof_join", "qx2_cube", "qx5_grouping_sets"
+    "qx1_asof_join", "qx2_cube", "qx5_grouping_sets",
+    // round-6 additions (cross-round totals compare on the common prefix)
+    "ql24_normalize", "ql25_tfidf", "ql28_token_chunks", "ql29_boilerplate",
+    "ql27_quantized_topk", "qx10_profile"
   )
 
   def main(args: Array[String]): Unit = {

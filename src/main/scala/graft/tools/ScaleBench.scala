@@ -34,7 +34,12 @@ object ScaleBench {
     // copy 0) against a corpus growing 10x — LSH/IVF bucket occupancy and
     // the near-dup self-join grow linearly; the k-bounded aggregate tails
     // must keep the shuffles flat
-    "ql11_ann_topk", "ql12_ivf_topk", "ql14_embedding_neardup")
+    "ql11_ann_topk", "ql12_ivf_topk", "ql14_embedding_neardup",
+    // round-6 ops: token salting keeps cross-copy text disjoint, so the
+    // tfidf vocabulary and boilerplate line-df tables grow linearly while
+    // chunking stays a pure map; the quantized ANN query set is fixed
+    // (vec_id < 10 lives only in copy 0) against a 10x corpus
+    "ql25_tfidf", "ql28_token_chunks", "ql29_boilerplate", "ql27_quantized_topk")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
