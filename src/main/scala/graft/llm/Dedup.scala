@@ -542,7 +542,11 @@ object Dedup {
       .select(col(idCol), col(sourceCol).as("_src"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("_idx", "_l")))
       .withColumn("_lt", trim(col("_l")))
-      .withColumn("_h", md5(concat(col("_src"), lit("\u0000"), col("_lt")).cast("binary")))
+      // `sep` as the in-hash separator: a line cannot contain the very
+      // separator it was split on, so (src, line) identity is unambiguous
+      // even for sources embedding spaces -- and the literal stays
+      // printable in plan dumps (a NUL here turned PLANS.md binary)
+      .withColumn("_h", md5(concat(col("_src"), lit(sep), col("_lt")).cast("binary")))
     val hot = lines.filter(col("_lt") =!= "")
       .groupBy(col("_h")).agg(count_distinct(col(idCol)).as("_df"))
       .filter(col("_df") > maxLineDf).select("_h")

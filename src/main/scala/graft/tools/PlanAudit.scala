@@ -58,7 +58,13 @@ object PlanAudit {
       "(queries broadcast), then the same partial_topkbysim bounded tail as ql4/ql11 -- " +
       "no float OR int8 array column in any Exchange"),
     "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
-      "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs")
+      "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
+    "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
+      "slices of one token array; the ONLY Exchange is the harness's total ORDER BY " +
+      "(rangepartitioning), none in the operator itself"),
+    "ql29_boilerplate" -> ("line explode -> 16-byte md5-keyed df agg -> LEFT ANTI join -> ordered " +
+      "reassembly agg: partial+final around each Exchange, keys are hashes not line text, " +
+      "no corpus-wide window")
   )
 
   def main(args: Array[String]): Unit = {
