@@ -69,6 +69,51 @@ class PipelineIntegrationSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("the round-6 prep pipeline composes: normalize -> boilerplate -> cap -> chunk") {
+    // a corpus with every round-6 pathology at once: decomposed unicode,
+    // control chars, shared per-source boilerplate, one over-represented
+    // source — flowing normalize -> boilerplate strip -> per-source cap ->
+    // token-window chunking as ONE lazy composition
+    val raw = docs.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(spark.range(1, 31).select(
+        (-col("id")).as("doc_id"),
+        concat(lit("hot"), (col("id") % 2).cast("string")).as("source"),
+        concat(lit("PROMO BANNER\nCafé body "), col("id").cast("string"),
+          lit("  tail\nPROMO BANNER")).as("text")))
+
+    val prep = Sequence("prep6")(
+      Stage(StageId("normalize")) { d =>
+        d.withColumn("text", TextAnalysis.normalizeText(col("text")))
+      },
+      Stage(StageId("boilerplate")) { d =>
+        Dedup.stripBoilerplate(d, "doc_id", "text", "source", maxLineDf = 5)
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+          .withColumnRenamed("text_clean", "text")
+      },
+      Stage(StageId("source_cap")) { d =>
+        Sampling.perGroup(d, Seq(col("source")), "doc_id", 10)
+      },
+      Stage(StageId("chunk")) { d =>
+        TextAnalysis.chunkTokenWindows(d, "doc_id", "text", chunkSize = 8, stride = 6)
+      }
+    )
+    val pipeline = Pipeline("prep6", prep)
+    val out = pipeline.run(spark)(pipeline.plan(raw)).cache()
+    try {
+      // normalize ran BEFORE the boilerplate cut: the PROMO line carried a
+      // BEL upstream, yet both copies were identified (df=15 > 5) and cut —
+      // so no surviving chunk contains it, while the unique body survives
+      assert(out.filter(col("chunk_text").contains("PROMO")).count() == 0)
+      val planted = out.filter(col("doc_id") < 0)
+      assert(planted.count() > 0, "planted docs must survive to chunking")
+      // NFC applied: the composed form is what reaches chunks
+      assert(planted.filter(col("chunk_text").contains("Café body")).count() > 0)
+      // the cap held per source: at most 10 docs per planted source
+      val capped = planted.select("doc_id").distinct().count()
+      assert(capped <= 20, s"per-source cap of 10 over 2 sources, got $capped docs")
+    } finally out.unpersist()
+  }
+
   test("the embedding dedup pipeline composes: near-dup pairs -> clusters -> survivors") {
     import graft.llm.Similarity
     // corpus with planted exact clones of the first 10 vectors: the
