@@ -92,6 +92,26 @@ object Similarity {
         x => round(x.cast("double") * (lit(127.0) / maxabs)).cast("tinyint")))
   }
 
+  /** Stored-scale variant for workloads where the scale does NOT cancel
+    * (dot-product scoring, L2 distance, vector reconstruction): a struct
+    * of the per-vector inverse scale and the int8 codes. Cosine users
+    * should prefer the scale-free [[quantizeInt8]].
+    */
+  def quantizeInt8WithScale(emb: Column): Column = {
+    val maxabs = array_max(transform(emb, x => abs(x))).cast("double")
+    struct(
+      when(maxabs.isNull || maxabs === 0.0, lit(0.0))
+        .otherwise(maxabs / 127.0).as("inv_scale"),
+      quantizeInt8(emb).as("q"))
+  }
+
+  /** Reconstruction: codes × inv_scale, back to float. Max per-component
+    * error is inv_scale/2 (half a quantization step) — spec-bounded.
+    */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      b => (b.cast("double") * qs.getField("inv_scale")).cast("float"))
+
   /** Exact-over-quantized top-k: [[bruteForceTopKAgg]] with both sides
     * int8-quantized and scored by the integer-arithmetic cosine. Identical
     * vectors quantize identically (sim = the maximal self-value), so

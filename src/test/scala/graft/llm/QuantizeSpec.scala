@@ -52,6 +52,21 @@ class QuantizeSpec extends SparkSpec {
     assertNoEmbeddingInExchange(Similarity.int8TopKAgg(queries, corpus, k = 3))
   }
 
+  test("dequantize reconstructs within half a quantization step per component") {
+    val pairs = emb.limit(100).select($"embedding".as("e"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8WithScale($"embedding")).as("r"),
+      Similarity.quantizeInt8WithScale($"embedding").getField("inv_scale").as("s"))
+    val bad = pairs.filter(
+      exists(zip_with($"e", $"r", (a, b) => abs(a.cast("double") - b.cast("double"))),
+        err => err > $"s" * 0.5 + 1e-6)) // +1e-6: float32 re-rounding of the product
+    assert(bad.count() == 0, "component error exceeded inv_scale/2")
+    // zero vector round-trips to zero, not NaN
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("e")
+      .select(Similarity.dequantizeInt8(Similarity.quantizeInt8WithScale($"e")))
+      .head().getSeq[Float](0)
+    assert(z == Seq(0.0f, 0.0f))
+  }
+
   test("SQL registration exposes cosine_similarity_int8") {
     Native.register(spark)
     val r = spark.sql(
