@@ -1213,6 +1213,25 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L30 IVF-bucketed near-dup pairs — the corpus-growth-safe member of
+    * the near-dup family (cell count = trained k, chosen ∝ corpus; recall
+    * via nprobe multi-assignment). Oracle-checked with the ql14
+    * construction: every ≥0.8 pair in this fixture is a planted exact
+    * clone, clones share their nearest centroid by construction (so IVF
+    * finds them at any nprobe), and IVF candidates are a SUBSET of all
+    * pairs scored exactly — so the result must equal the exact oracle.
+    */
+  val qlIvfNearDup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val index = graft.llm.Similarity.IvfIndex.train(corpus, "vec_id", k = 64)
+    ordered(graft.llm.Similarity
+      .ivfNearDupPairs(corpus, "vec_id", index, threshold = 0.8, nprobe = 2)
+      .select(col("doc_a"), col("doc_b")))
+  }
+
   /** Shared ql11/ql12 corpus: all organic embeddings plus three exact
     * clones of each query vector (ids +1M/+2M/+3M).
     */
@@ -1305,6 +1324,7 @@ object Queries {
     "ql27_quantized_topk" -> qlQuantizedTopK,
     "ql28_token_chunks" -> qlChunks,
     "ql29_boilerplate" -> qlBoilerplate,
+    "ql30_ivf_neardup" -> qlIvfNearDup,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1476,6 +1496,11 @@ object Oracle {
     // multiply-then-divide in both engines so the doubles hash-match
     "ql25_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM r WHERE rank <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    // ql30: identical SQL to ql14 — IVF candidates are exact-scored
+    // subsets, and every >=0.8 pair is a planted clone sharing its
+    // nearest centroid, so approximate == exact on this construction
+    "ql30_ivf_neardup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql11/ql12: the planted-clone construction makes the ANN answer exact —
     // each query's top-3 is its three exact clones at +1M/+2M/+3M, ranked by
     // ascending id (see qlAnnTopK/qlIvfTopK scaladoc for the proof)

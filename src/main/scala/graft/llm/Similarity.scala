@@ -446,4 +446,38 @@ object Similarity {
     // sim — the dedup is on the narrow projected rows only
     perTable.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
   }
+
+  /** IVF-bucketed near-dup pairs — the CORPUS-GROWTH-SAFE path of the
+    * near-dup family. The hyperplane form above buckets into a FIXED
+    * 2^planes cells, so per-bucket membership (and the within-bucket
+    * pair count) grows with the corpus — the measured super-linear case
+    * in `BASELINE.md` (ql14 at 10×) unless `planes` is re-tuned per run.
+    * Here the cell count is the trained `index.k`, chosen ∝ corpus size
+    * (k ≈ n / target_bucket), so per-bucket pairs stay bounded as the
+    * corpus grows with NO parameter re-tuning of the operator itself.
+    *
+    * Recall comes from MULTI-ASSIGNMENT (`nprobe` ≥ 2): each vector joins
+    * its `nprobe` nearest cells — the IVF analog of multi-table OR
+    * -amplification; a true near-dup pair (cosine ≥ threshold) has nearly
+    * parallel vectors whose probe sets overlap with high probability.
+    * Candidates are scored exactly in-join (fused expression) and
+    * thresholded BEFORE the narrow (doc_a, doc_b, sim) dedup, mirroring
+    * [[cosineNearDupPairs]]: re-encounters in overlapping cells carry an
+    * identical sim, so dedup-after-score is exact and no embedding rides
+    * the dedup Exchange.
+    */
+  def ivfNearDupPairs(df: DataFrame, idCol: String, index: IvfIndex,
+                      threshold: Double, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.k,
+      s"nprobe must be in [1, ${index.k}], got $nprobe")
+    val assigned = df.select(col(idCol).as("id"), col("embedding"))
+      .withColumn("bucket", explode(index.probes(col("embedding"), nprobe)))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("sim"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
 }

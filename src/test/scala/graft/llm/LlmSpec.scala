@@ -398,6 +398,44 @@ class LlmSpec extends SparkSpec {
     assert(multi >= 0.4, s"multi-table recall $multi below the 4-table S-curve floor")
   }
 
+  test("IVF near-dup pairs: clones exact at nprobe=1, perturbed twins recovered at nprobe=2") {
+    // corpus-growth-safe near-dup: cell count is the trained k (scales
+    // with the corpus), recall comes from multi-assignment, not from a
+    // fixed 2^planes bucketing
+    val dim = 64
+    val nPairs = 200
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until nPairs).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val u = Array.fill(dim)(rnd.nextGaussian())
+      val w = v.zip(u).map { case (x, y) => x + 0.62 * y } // cos ≈ 0.85 twin
+      Seq((2L * i, v.map(_.toFloat)), (2L * i + 1, w.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val index = Similarity.IvfIndex.train(df, "vec_id", k = 16)
+
+    // exact clones share their nearest centroid by construction: nprobe=1
+    // finds every planted clone pair even in the coarsest setting
+    val clones = df.unionByName(df.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val exactFound = rowsOf(Similarity.ivfNearDupPairs(clones, "vec_id", index,
+      threshold = 0.99, nprobe = 1).select("doc_a", "doc_b"))
+    (0L until 20L).foreach { i =>
+      assert(exactFound.contains(Seq(i, i + 1000000L)), s"clone pair of $i missed")
+    }
+
+    // perturbed twins: multi-assignment lifts recall over single-assignment
+    def recall(nprobe: Int): Double = {
+      val found = rowsOf(Similarity.ivfNearDupPairs(df, "vec_id", index,
+        threshold = 0.75, nprobe = nprobe).select("doc_a", "doc_b"))
+      (0 until nPairs).count(i => found.contains(Seq(2L * i, 2L * i + 1))).toDouble / nPairs
+    }
+    val single = recall(1)
+    val multi = recall(3)
+    assert(multi >= single, s"multi-probe recall $multi below single $single")
+    assert(multi >= 0.5, s"nprobe=3 recall $multi below floor")
+  }
+
   test("language id classifies stopword-bearing text, und otherwise") {
     val df = Seq(
       ("the cat and the dog was in the house", "en"),
