@@ -383,6 +383,8 @@ object Native {
     colFn1("redact_contacts", graft.llm.TextAnalysis.redactContacts)
     colFn1("quality_score", graft.llm.TextAnalysis.qualityScore)
     colFn1("lang_id", graft.llm.TextAnalysis.langId)
+    colFn1("normalize_text", graft.llm.TextAnalysis.normalizeText)
+    colFn1("quantize_int8", graft.llm.Similarity.quantizeInt8)
   }
 }
 
