@@ -1077,6 +1077,24 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L31 HTML strip + normalization — the crawled-corpus cleaning
+    * composition: tags become spaces, then the ql24 battery runs. The
+    * fixture has no markup, so synthetic docs (ids -1..-20) carrying
+    * nested tags, attributes and a self-closed tag are unioned on BOTH
+    * sides; organic rows pin the no-op path.
+    */
+  val qlHtmlStrip: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val synth = s.range(1, 21).select(
+      (-col("id")).as("doc_id"),
+      concat(lit("<html><p class=\"x\">Hello "), col("id").cast("string"),
+        lit("</p><br/>world <b>bold</b></html>")).as("text"))
+    val all = docs.unionByName(synth)
+    ordered(all.select(col("doc_id"),
+      graft.llm.TextAnalysis.normalizeText(
+        graft.llm.TextAnalysis.stripHtml(col("text"))).as("clean_text")))
+  }
+
   /** Q-L19 train/test decontamination: corpus docs (id ≥ 10) sharing ≥1
     * distinct word 3-gram with the "benchmark" slice (id < 10) — the
     * pre-training hygiene sweep. Broadcast inverted-index join; the small
@@ -1325,6 +1343,7 @@ object Queries {
     "ql28_token_chunks" -> qlChunks,
     "ql29_boilerplate" -> qlBoilerplate,
     "ql30_ivf_neardup" -> qlIvfNearDup,
+    "ql31_html_strip" -> qlHtmlStrip,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
     "qx1_asof_join" -> qx1AsofJoin,
@@ -1496,6 +1515,9 @@ object Oracle {
     // multiply-then-divide in both engines so the doubles hash-match
     "ql25_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM r WHERE rank <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    // ql31: tags -> single space, then the ql24 normalization chain
+    "ql31_html_strip" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, '<html><p class="x">Hello ' || CAST(i AS VARCHAR) || '</p><br/>world <b>bold</b></html>' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS clean_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql30: identical SQL to ql14 — IVF candidates are exact-scored
     // subsets, and every >=0.8 pair is a planted clone sharing its
     // nearest centroid, so approximate == exact on this construction

@@ -203,6 +203,17 @@ object TextAnalysis {
       regexp_replace(graft.functions.TextNorm.nfcNormalize(text), ControlCharPattern, ""),
       "[ \\t]+", " "))
 
+  /** HTML/XML tag strip — the markup-removal step that runs before
+    * [[normalizeText]] on crawled corpora. Tags become a single space
+    * (not ""): `a<br>b` must tokenize as two words, and the following
+    * normalization collapses any runs. The pattern is RE2-compatible (no
+    * lookaround) so the DuckDB oracle strips identically; it deliberately
+    * does NOT attempt entity decoding or script-content removal — that is
+    * a parser's job, not a regex's (documented boundary).
+    */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", " ")
+
   /** Content fingerprint (md5 of the raw text). */
   def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
 
