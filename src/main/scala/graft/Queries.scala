@@ -1052,6 +1052,15 @@ object Queries {
     ordered(graft.llm.Dedup.stripBoilerplate(all, "doc_id", "text", "source", maxLineDf = 5))
   }
 
+  /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
+    * [0, 110000) — one bounded-key aggregation over one scan
+    * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
+    * map task at any data size.
+    */
+  val qx11Histogram: Q = (s, dir) =>
+    ordered(graft.analytics.Profile.histogram(
+      t(s, dir, "lineitem"), "l_extendedprice", lo = 0.0, hi = 110000.0, bins = 20))
+
   /** Q-L26 per-source document cap — the "max N pages per domain"
     * balancing pass of a web-crawl pipeline: exactly 10 docs per source,
     * drawn deterministically by xxhash64(doc_id) order
@@ -1339,6 +1348,7 @@ object Queries {
     "ql25_tfidf" -> qlTfidf,
     "ql26_source_cap" -> qlSourceCap,
     "qx10_profile" -> qx10Profile,
+    "qx11_histogram" -> qx11Histogram,
     "ql27_quantized_topk" -> qlQuantizedTopK,
     "ql28_token_chunks" -> qlChunks,
     "ql29_boilerplate" -> qlBoilerplate,
@@ -1495,6 +1505,10 @@ object Oracle {
     // composition itself, not a shared library
     "ql24_normalize" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'Cafe' || chr(769) || '  menu' || chr(9) || 'No.' || CAST(i AS VARCHAR) || chr(7) || ' A' || chr(776) || 'pfel ' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // qx11: bucket = clamped floor((x-lo)/w) — identical IEEE arithmetic
+    // on both sides (w = 110000/20 = 5500.0, exactly representable)
+    "qx11_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5500.0), 0), 19) AS INT) AS bucket, COUNT(*) AS cnt FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // qx10: every metric from one agg+Expand on the engine side;
     // mirrored as 20 scalar aggregates UNION ALL'd in DuckDB
     "qx10_profile" ->

@@ -55,4 +55,27 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
+
+  /** Equi-width histogram over `[lo, hi)` with `bins` buckets — the
+    * distribution half of the profiling surface. One partial+final
+    * aggregation over one scan (the groupBy key is a computed bucket id,
+    * at most `bins` groups — the shuffle is `bins` rows per map task no
+    * matter the data size). Out-of-range values CLAMP into the edge
+    * buckets rather than vanish (a silent drop would under-report
+    * outliers — the thing a histogram is usually looking for); NULLs are
+    * excluded like every aggregate. All arithmetic is IEEE double
+    * (division + floor), bit-reproducible in the DuckDB oracle.
+    */
+  def histogram(df: DataFrame, colName: String,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val bucket = least(greatest(
+      floor((col(colName).cast("double") - lo) / w), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("int")
+    df.filter(col(colName).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -35,6 +35,16 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("histogram clamps outliers into edge buckets and drops only NULLs") {
+    val data = Seq(Some(-5.0), Some(0.0), Some(4.9), Some(5.0), Some(9.9),
+      Some(10.0), Some(25.0), None).toDF("x")
+    val h = Profile.histogram(data, "x", lo = 0.0, hi = 10.0, bins = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // [-5 clamp, 0, 4.9] -> bucket 0; [5.0, 9.9, 10.0 clamp, 25 clamp] -> 1
+    assert(h == Map(0 -> 3, 1 -> 4))
+    assert(h.values.sum == 7) // all non-null rows accounted for
+  }
+
   test("approxDistinct plans without Expand (single-pass HLL at scale)") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
     val plan = Profile.profile(li, Seq("l_orderkey", "l_partkey"), approxDistinct = true)

@@ -118,6 +118,35 @@ class StreamingSpec extends SparkSpec {
       "qt2_stream")
   }
 
+  test("stateless round-6 text ops run unchanged on a stream (normalize + chunk)") {
+    // normalizeText / stripHtml / chunkTokenWindows are pure projections +
+    // Generate — no state, no watermark needed; a streamed corpus must
+    // produce exactly the batch chunks after full replay
+    import StreamingSpec.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (1 to 40).map(i =>
+      Doc(i.toLong, s"<p>word$i</p> " + (1 to 12).map(j => s"t$j").mkString("  ")))
+    val stream = MemoryStream[Doc]
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.chunkTokenWindows(
+        df.withColumn("text", graft.llm.TextAnalysis.normalizeText(
+          graft.llm.TextAnalysis.stripHtml(col("text")))),
+        "doc_id", "text", chunkSize = 5, stride = 4)
+    val q = stage(stream.toDF()).writeStream
+      .format("memory").queryName("r6_stateless").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(20)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = rowsOf(spark.table("r6_stateless"))
+      val batch = rowsOf(stage(docs.toDF()))
+      assert(streamed == batch, "streamed chunks != batch chunks after replay")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark stage is streaming-only passthrough in batch") {
     val events = Tables.load(spark, sf, "events")
     val out = Windowed.watermark("wm", "ts", "10 minutes")(events)
@@ -131,6 +160,7 @@ object StreamingSpec {
   // compilation (outer-instance reference) and run INTERPRETED; Instant
   // (not java.sql.Timestamp) keeps the encoder on the java.time fast path
   case class Ev(ts: java.time.Instant, user_id: Long, event_type: String, value: Double)
+  case class Doc(doc_id: Long, text: String)
   case class Click(cts: java.sql.Timestamp, ckey: Long, page: String)
   case class View(vts: java.sql.Timestamp, vkey: Long, item: String)
 }
