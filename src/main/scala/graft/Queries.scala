@@ -1506,9 +1506,10 @@ object Oracle {
     "ql24_normalize" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'Cafe' || chr(769) || '  menu' || chr(9) || 'No.' || CAST(i AS VARCHAR) || chr(7) || ' A' || chr(776) || 'pfel ' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // qx11: bucket = clamped floor((x-lo)/w) — identical IEEE arithmetic
-    // on both sides (w = 110000/20 = 5500.0, exactly representable)
+    // on both sides (w = 110000/20 = 5500.0, exactly representable); the
+    // NOT isnan mirrors the engine's NaN exclusion (no-op on this fixture)
     "qx11_histogram" ->
-      """SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5500.0), 0), 19) AS INT) AS bucket, COUNT(*) AS cnt FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      """SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5500.0), 0), 19) AS INT) AS bucket, COUNT(*) AS cnt FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE)) GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // qx10: every metric from one agg+Expand on the engine side;
     // mirrored as 20 scalar aggregates UNION ALL'd in DuckDB
     "qx10_profile" ->

@@ -24,34 +24,69 @@ object Profile {
 
   val Metrics: Seq[String] = Seq("count", "nulls", "distinct", "min", "max")
 
+  // col("a.b") parses the dot as struct access; backtick-quote so a column
+  // NAME containing dots/spaces resolves as one identifier
+  private def c(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** One-pass profile. `quantiles` (e.g. `Seq(0.5, 0.95, 0.99)`) adds a
+    * `pNN` metric row per column from `approx_percentile` — the same
+    * single aggregation, one KLL-class sketch per column riding the scan
+    * (no extra pass, no shuffle growth; error is bounded by `accuracy`:
+    * rank error ≲ 1/accuracy). Default empty keeps the exact-metric
+    * surface byte-stable for the qx10 oracle. This is how an UNKNOWN
+    * 100 TB table gets its distribution surveyed: quantiles first, then
+    * [[histogram]] with bounds taken from them ([[histogramAuto]] wires
+    * the two together).
+    *
+    * Internal aggregate aliases are positional (`__cnt_0`), never derived
+    * from the column NAME — a column named `a.b` or `max price` must not
+    * break alias parsing (the public `col_name` output keeps the real
+    * name as a literal, which needs no quoting).
+    */
   def profile(df: DataFrame, cols: Seq[String],
-              approxDistinct: Boolean = false): DataFrame = {
+              approxDistinct: Boolean = false,
+              quantiles: Seq[Double] = Nil,
+              accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $quantiles")
     val distinctOf: String => Column =
-      if (approxDistinct) c => approx_count_distinct(col(c), rsd = 0.02).cast("double")
-      else c => count_distinct(col(c)).cast("double")
-    val aggs = count(lit(1)).cast("double").as("__rows") +: cols.flatMap { c =>
-      // min/max keep their native type here; the cast to the long-format
-      // double happens below via try_cast so a string column profiles to
-      // NULL min/max instead of an ANSI cast error
-      Seq(count(col(c)).cast("double").as(s"__cnt_$c"),
-        distinctOf(c).as(s"__dst_$c"),
-        min(col(c)).as(s"__min_$c"),
-        max(col(c)).as(s"__max_$c"))
+      if (approxDistinct) n => approx_count_distinct(c(n), rsd = 0.02).cast("double")
+      else n => count_distinct(c(n)).cast("double")
+    val aggs = count(lit(1)).cast("double").as("__rows") +: cols.zipWithIndex.flatMap {
+      case (n, i) =>
+        // min/max keep their native type here; the cast to the long-format
+        // double happens below via try_cast so a string column profiles to
+        // NULL min/max instead of an ANSI cast error
+        Seq(count(c(n)).cast("double").as(s"__cnt_$i"),
+          distinctOf(n).as(s"__dst_$i"),
+          min(c(n)).as(s"__min_$i"),
+          max(c(n)).as(s"__max_$i")) ++
+          (if (quantiles.isEmpty) Nil
+           else Seq(percentile_approx(c(n).cast("double"),
+             array(quantiles.map(lit): _*), lit(accuracy)).as(s"__qtl_$i")))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.flatMap { c =>
+    def pName(q: Double): String =
+      "p" + (if (q * 100 == math.floor(q * 100)) (q * 100).toInt.toString
+             else (q * 100).toString)
+    val entries = cols.zipWithIndex.flatMap { case (n, i) =>
       Seq(
-        struct(lit(c).as("col_name"), lit("count").as("metric"),
-          col(s"__cnt_$c").as("value")),
-        struct(lit(c).as("col_name"), lit("nulls").as("metric"),
-          (col("__rows") - col(s"__cnt_$c")).as("value")),
-        struct(lit(c).as("col_name"), lit("distinct").as("metric"),
-          col(s"__dst_$c").as("value")),
-        struct(lit(c).as("col_name"), lit("min").as("metric"),
-          expr(s"try_cast(__min_$c AS DOUBLE)").as("value")),
-        struct(lit(c).as("col_name"), lit("max").as("metric"),
-          expr(s"try_cast(__max_$c AS DOUBLE)").as("value")))
+        struct(lit(n).as("col_name"), lit("count").as("metric"),
+          col(s"__cnt_$i").as("value")),
+        struct(lit(n).as("col_name"), lit("nulls").as("metric"),
+          (col("__rows") - col(s"__cnt_$i")).as("value")),
+        struct(lit(n).as("col_name"), lit("distinct").as("metric"),
+          col(s"__dst_$i").as("value")),
+        struct(lit(n).as("col_name"), lit("min").as("metric"),
+          expr(s"try_cast(__min_$i AS DOUBLE)").as("value")),
+        struct(lit(n).as("col_name"), lit("max").as("metric"),
+          expr(s"try_cast(__max_$i AS DOUBLE)").as("value"))) ++
+        quantiles.zipWithIndex.map { case (q, qi) =>
+          struct(lit(n).as("col_name"), lit(pName(q)).as("metric"),
+            element_at(col(s"__qtl_$i"), qi + 1).as("value"))
+        }
     }
     one.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
@@ -62,20 +97,50 @@ object Profile {
     * at most `bins` groups — the shuffle is `bins` rows per map task no
     * matter the data size). Out-of-range values CLAMP into the edge
     * buckets rather than vanish (a silent drop would under-report
-    * outliers — the thing a histogram is usually looking for); NULLs are
-    * excluded like every aggregate. All arithmetic is IEEE double
-    * (division + floor), bit-reproducible in the DuckDB oracle.
+    * outliers — the thing a histogram is usually looking for); NULLs and
+    * NaNs are excluded (NaN passes `isNotNull` and Spark's greatest/least
+    * order it above every double, so without the explicit isnan guard NaN
+    * rows would silently clamp into the TOP bucket — a miscount, not an
+    * outlier). All arithmetic is IEEE double (division + floor),
+    * bit-reproducible in the DuckDB oracle.
     */
   def histogram(df: DataFrame, colName: String,
                 lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val w = (hi - lo) / bins
+    val x = c(colName).cast("double")
     val bucket = least(greatest(
-      floor((col(colName).cast("double") - lo) / w), lit(0.0)), lit((bins - 1).toDouble))
+      floor((x - lo) / w), lit(0.0)), lit((bins - 1).toDouble))
       .cast("int")
-    df.filter(col(colName).isNotNull)
+    df.filter(x.isNotNull && !isnan(x))
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Histogram with data-derived bounds — the "profile an unknown table"
+    * loop closed: one sketch aggregation picks robust bounds (default
+    * p001/p999, clipping the extreme tails that would otherwise stretch
+    * every bucket), then the [[histogram]] pass buckets against them.
+    * Two scans total, both single-agg; the alternative (exact min/max
+    * bounds) is one `profile` call away and degrades badly on heavy
+    * tails. Returns (lo, hi, histogram) so callers can label the axes.
+    */
+  def histogramAuto(df: DataFrame, colName: String, bins: Int,
+                    loQuantile: Double = 0.001, hiQuantile: Double = 0.999,
+                    accuracy: Int = 10000): (Double, Double, DataFrame) = {
+    require(loQuantile < hiQuantile, s"need loQuantile < hiQuantile")
+    val x = c(colName).cast("double")
+    val row = df.filter(x.isNotNull && !isnan(x))
+      .agg(percentile_approx(x, array(lit(loQuantile), lit(hiQuantile)),
+        lit(accuracy)).as("b"))
+      .select(element_at(col("b"), 1).as("lo"), element_at(col("b"), 2).as("hi"))
+      .head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"histogramAuto: no non-NULL/NaN values in $colName")
+    val (lo, rawHi) = (row.getDouble(0), row.getDouble(1))
+    // equal quantiles (near-constant column): widen so hi > lo holds
+    val hi = if (rawHi > lo) rawHi else lo + math.max(math.ulp(lo), 1e-9)
+    (lo, hi, histogram(df, colName, lo, hi, bins))
   }
 }

@@ -226,17 +226,25 @@ final case class Fallback(
     out: String,
     alternatives: Seq[Column]
 ) extends Stage {
+  // Composition-time signal (phase=composed) marks that a Fallback entered
+  // the plan; the ROW-level emission (phase=rows, actual resolved /
+  // all-alternatives-failed counts) fires at action completion through the
+  // observed-metrics bridge — same fidelity contract as Filter/Switch
+  // (`fallback.go:122-142` records the per-item fallback outcome).
   def apply(df: DataFrame): DataFrame = {
     if (alternatives.size > 1)
       SignalBus.global.emit(Signals.FallbackTriggered, id,
-        "alternatives" -> alternatives.size.toString)
+        "alternatives" -> alternatives.size.toString, "phase" -> "composed")
     val value = coalesce(alternatives: _*)
     val base = if (ErrorChannel.hasChannel(df)) ErrorChannel.onGood(df)(out, value)
                else df.withColumn(out, value)
-    ErrorChannel.markWhere(
+    val marked = ErrorChannel.markWhere(
       base, id, col(out).isNull,
       lit(s"all ${alternatives.size} alternatives failed")
     )
+    graft.runtime.RowSignals.observe(marked, Signals.FallbackTriggered, id, "rows", Seq(
+      count(when(col(out).isNull, 1)).as("rows_failed"),
+      count(when(col(out).isNotNull, 1)).as("rows_resolved")))
   }
 }
 

@@ -213,7 +213,34 @@ final case class Contest(
 ) extends Stage {
   private val winnerCaches = new Fanout.Tracker
 
-  def apply(df: DataFrame): DataFrame = branches.head(df)
+  /** Lazy composition: the deterministic analog of the runtime contest —
+    * branches are checked in declaration order and the first whose plan
+    * meets `condition` is returned; none qualifying → error, mirroring
+    * `run`'s no-winner contract (`contest.go:174-189`). Unlike Race, the
+    * winner predicate CANNOT be deferred (returning branch 1 unchecked
+    * would silently hand back a non-qualifying result), so `condition` is
+    * evaluated here, driver-side, branch by branch — "lazy" refers to the
+    * returned plan, which stays uncached and composable. Each branch must
+    * be deterministic (same require as `Race.apply`): a nondeterministic
+    * plan could qualify at check time and produce different rows when the
+    * composed query finally runs.
+    */
+  def apply(df: DataFrame): DataFrame = {
+    require(branches.nonEmpty, "contest needs at least one branch")
+    val it = branches.iterator.map { b =>
+      val out = b(df)
+      require(out.queryExecution.analyzed.deterministic,
+        s"contest ${id.name}: lazy composition requires deterministic branch plans — use run() instead")
+      (b, out)
+    }
+    it.collectFirst { case (b, out) if condition(out) =>
+      SignalBus.global.emit(Signals.ContestWinner, id, "winner" -> b.id.name)
+      out
+    }.getOrElse {
+      SignalBus.global.emit(Signals.ContestNoWinner, id)
+      throw new RuntimeException(s"contest ${id.name}: no branch met the condition")
+    }
+  }
 
   def run(df: DataFrame): DataFrame = {
     require(branches.nonEmpty, "contest needs at least one branch")

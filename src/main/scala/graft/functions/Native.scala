@@ -146,7 +146,11 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+    // zero-norm guard: quantizeInt8 maps zero-norm embeddings to all-zero
+    // codes, and 0/0 NaN would make downstream TopKBySim ranking
+    // unpredictable — same NaN-proofing convention as NearestCentroids
+    if (nx == 0L || ny == 0L) 0.0
+    else dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -166,7 +170,8 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
         |  long $y = (long) $b.getByte($i);
         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
         |}
-        |${ev.value} = (double) $dot / (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
+        |${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0
+        |  : (double) $dot / (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
       """.stripMargin
     })
 

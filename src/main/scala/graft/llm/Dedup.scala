@@ -316,6 +316,11 @@ object Dedup {
   private val dfCutBridged =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
+  /** Sessions carrying a df-cut bridge — the listener-hygiene audit hook:
+    * repeated jaccard calls on one session must register exactly one.
+    */
+  private[graft] def dfCutBridgedCount: Int = dfCutBridged.size()
+
   /** Bridge df-cut observed metrics → [[graft.core.SignalBus.global]] +
     * a WARN log, once per session (idempotent). The metric rides the
     * existing shingle-df aggregate as a `CollectMetrics` node — no extra

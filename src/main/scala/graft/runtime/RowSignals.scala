@@ -122,4 +122,10 @@ object RowSignals {
     */
   def detach(spark: SparkSession, bus: SignalBus = SignalBus.global): Unit =
     Option(attached.remove((spark, bus))).foreach(spark.listenerManager.unregister)
+
+  /** Registered-bridge count — the listener-hygiene audit hook: a
+    * Verify-scale run (90+ queries on one session) must hold this at one
+    * per (session, bus), not one per query.
+    */
+  private[graft] def attachedCount: Int = attached.size()
 }

@@ -45,6 +45,52 @@ class ProfileSpec extends SparkSpec {
     assert(h.values.sum == 7) // all non-null rows accounted for
   }
 
+  test("quantiles ride the same single aggregation and land within sketch error") {
+    val data = (1 to 1000).map(_.toDouble).toDF("x")
+    val rows = Profile.profile(data, Seq("x"), quantiles = Seq(0.5, 0.95, 0.99))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // base metrics untouched by the quantile columns
+    assert(rows("count") == 1000.0 && rows("min") == 1.0 && rows("max") == 1000.0)
+    // accuracy=10000 over n=1000 -> rank error under a handful of rows
+    assert(math.abs(rows("p50") - 500.0) <= 10.0, s"p50=${rows("p50")}")
+    assert(math.abs(rows("p95") - 950.0) <= 10.0, s"p95=${rows("p95")}")
+    assert(math.abs(rows("p99") - 990.0) <= 10.0, s"p99=${rows("p99")}")
+  }
+
+  test("quantile columns add no second pass (still one aggregate over one scan)") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val plan = Profile.profile(li, Seq("l_quantity"), quantiles = Seq(0.5, 0.99))
+      .queryExecution.executedPlan.toString
+    // one aggregate pair (partial+final), no join/union of extra jobs
+    assert(!plan.contains("Union") && !plan.contains("Join"), plan)
+  }
+
+  test("profile survives column names with dots and spaces (positional aliases)") {
+    val odd = Seq((1.0, 2.0)).toDF("a.b", "max price")
+    val m = Profile.profile(odd, Seq("a.b", "max price"), quantiles = Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.get(2)).toMap
+    assert(m(("a.b", "count")) == 1.0)
+    assert(m(("max price", "max")) == 2.0)
+    assert(m(("a.b", "p50")) == 1.0)
+  }
+
+  test("histogram excludes NaN instead of clamping it into the top bucket") {
+    val data = Seq(Some(1.0), Some(Double.NaN), Some(9.0), None).toDF("x")
+    val h = Profile.histogram(data, "x", lo = 0.0, hi = 10.0, bins = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h == Map(0 -> 1, 1 -> 1)) // NaN row gone, not in bucket 1
+  }
+
+  test("histogramAuto derives robust bounds from the quantile sketch") {
+    val data = ((1 to 9998).map(_.toDouble) ++ Seq(1e12, -1e12)).toDF("x")
+    val (lo, hi, hist) = Profile.histogramAuto(data, "x", bins = 10)
+    // p001/p999 clip the planted extreme outliers out of the bounds
+    assert(lo > -1e6 && hi < 1e6, s"bounds not clipped: [$lo, $hi)")
+    assert(hi > lo)
+    // clamping keeps every non-null row counted, outliers in edge buckets
+    assert(hist.collect().map(_.getLong(1)).sum == 10000)
+  }
+
   test("approxDistinct plans without Expand (single-pass HLL at scale)") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
     val plan = Profile.profile(li, Seq("l_orderkey", "l_partkey"), approxDistinct = true)

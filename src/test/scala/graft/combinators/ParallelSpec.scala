@@ -109,6 +109,29 @@ class ParallelSpec extends SparkSpec {
     assert(e.getMessage.contains("no branch met the condition"))
   }
 
+  test("Contest.apply never silently returns a non-qualifying first branch") {
+    val empty = Stage(StageId("empty"))(_.limit(0))
+    val nonEmpty = Stage(StageId("nonempty"))(_.limit(3))
+    // branch 1 does NOT meet the condition: lazy composition must move on
+    // to branch 2, not hand back branch 1 unchecked
+    val out = Contest("lazy_contest", _.count() > 0)(empty, nonEmpty)(df)
+    assert(out.count() == 3)
+  }
+
+  test("Contest.apply with no qualifying branch raises like run()") {
+    val empty = Stage(StageId("empty"))(_.limit(0))
+    val e = intercept[RuntimeException](
+      Contest("lazy_none", _.count() > 0)(empty, empty)(df))
+    assert(e.getMessage.contains("no branch met the condition"))
+  }
+
+  test("Contest.apply rejects nondeterministic branch plans (mirror of Race.apply)") {
+    val flaky = Stage(StageId("flaky"))(_.withColumn("r", rand()))
+    val e = intercept[IllegalArgumentException](
+      Contest("lazy_nondet", _ => true)(flaky)(df))
+    assert(e.getMessage.contains("deterministic"))
+  }
+
   test("WorkerPool runs all branches, first error wins (workerpool.go:178-188)") {
     val m1 = MockStage.passthrough("m1")
     val m2 = MockStage.failing("m2", "pool-branch-failed")

@@ -82,6 +82,20 @@ class SignalEmissionSpec extends SparkSpec {
     assert(sig.fields("rows_no_route") == "2")
   }
 
+  test("Fallback emits ACTUAL resolved / all-failed row counts at action time") {
+    graft.runtime.RowSignals.attach(spark)
+    SignalBus.global.clear()
+    val d = Seq((Option(1), Option.empty[Int]), (None, Option(2)), (None, None))
+      .toDF("a", "b")
+    graft.runtime.RowSignals.scoped(SignalBus.global) {
+      Fallback("fbrow", "out")(col("a"), col("b"))(d)
+    }.count()
+    val sig = awaitRowSignals(Signals.FallbackTriggered).head
+    assert(sig.stage.name == "fbrow")
+    assert(sig.fields("rows_resolved") == "2")
+    assert(sig.fields("rows_failed") == "1")
+  }
+
   test("unscoped composition attaches NO observation (no pushdown barrier)") {
     val out = Filter("fplain", col("id") > 1, Transform("up")("v" -> upper(col("v"))))(df)
     val plan = out.queryExecution.analyzed.toString

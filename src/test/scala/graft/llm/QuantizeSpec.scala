@@ -23,6 +23,18 @@ class QuantizeSpec extends SparkSpec {
     assert(worst < 0.05, s"max |int8 - float| cosine error $worst")
   }
 
+  test("int8 cosine of an all-zero code is 0.0, not NaN (zero-norm guard)") {
+    // quantizeInt8 maps zero-norm embeddings to all-zero codes; 0/0 NaN
+    // would poison TopKBySim ranking — the guard mirrors NearestCentroids
+    val rows = Seq(
+      (Seq[Byte](0, 0, 0), Seq[Byte](1, 2, 3)),
+      (Seq[Byte](1, 2, 3), Seq[Byte](0, 0, 0)),
+      (Seq[Byte](0, 0, 0), Seq[Byte](0, 0, 0))).toDF("a", "b")
+    val sims = rows.select(Native.cosineSimilarityInt8($"a", $"b")).collect()
+      .map(_.getDouble(0))
+    assert(sims.forall(_ == 0.0), s"expected all 0.0, got ${sims.toSeq}")
+  }
+
   test("identical vectors quantize identically; zero and null vectors are safe") {
     val rows = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
