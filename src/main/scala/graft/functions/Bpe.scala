@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+
+/** Byte-level BPE vocabulary in the public GPT-2 `merges.txt` format —
+  * the tokenizer family every open vocab file (GPT-2, RoBERTa, and their
+  * descendants) ships in: one merge per line, `"left right"`, ordered by
+  * rank, over the byte-to-unicode remapped alphabet. Loading a published
+  * merges file makes token-budget operators (ql21/ql22 shapes) meter in
+  * the SAME units a training run consumes, instead of the whitespace
+  * approximation.
+  *
+  * Counting-only: the budget operators need |tokens|, not token ids, so
+  * no id vocabulary (`vocab.json`) is required — the merge table alone
+  * determines the final symbol count.
+  *
+  * Determinism: the merge loop always applies the lowest-rank applicable
+  * pair (ties impossible — ranks are line numbers), so the count is a
+  * pure function of (text, merges) on any engine.
+  */
+final case class BpeVocab(ranks: Map[(String, String), Int]) extends Serializable {
+
+  /** GPT-2 pre-tokenizer: contractions, letter runs, digit runs,
+    * punctuation runs (each optionally space-prefixed), trailing/other
+    * whitespace. Published in the GPT-2 encoder reference; java.util.regex
+    * supports the lookahead directly.
+    */
+  @transient private lazy val preTokenizer = java.util.regex.Pattern.compile(
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+  // Zipf makes pre-tokens repeat heavily; memoizing word -> count turns
+  // the merge loop into a hash probe for the hot vocabulary. Bounded: stop
+  // inserting past the cap (never clears — the hot head is what matters).
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val CacheCap = 65536
+
+  /** Token count of `text` under this vocabulary. */
+  def countTokens(text: String): Int = {
+    if (text.isEmpty) return 0
+    val m = preTokenizer.matcher(text)
+    var total = 0
+    while (m.find()) {
+      val word = m.group()
+      val hit = cache.get(word)
+      if (hit != null) total += hit.intValue()
+      else {
+        val n = mergeCount(word)
+        if (cache.size() < CacheCap) cache.put(word, Integer.valueOf(n))
+        total += n
+      }
+    }
+    total
+  }
+
+  /** Final symbol sequence of one pre-token (spec hook). */
+  def mergeWord(word: String): Seq[String] = {
+    var syms: Vector[String] =
+      word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => String.valueOf(BpeVocab.byteToChar(b & 0xff))).toVector
+    var done = syms.length <= 1
+    while (!done) {
+      // lowest-rank adjacent pair
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        // merge EVERY occurrence of the chosen pair (standard BPE step)
+        val (l, r) = (syms(bestIdx), syms(bestIdx + 1))
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length <= 1
+      }
+    }
+    syms
+  }
+
+  private def mergeCount(word: String): Int = mergeWord(word).length
+}
+
+object BpeVocab {
+
+  /** GPT-2 bytes-to-unicode: printable latin bytes map to themselves,
+    * the rest shift to 256+k — a reversible 1-byte-to-1-char alphabet so
+    * merges files stay text. (Space becomes 'Ġ' = U+0120, the marker
+    * visible in every published merges list.)
+    */
+  lazy val byteToChar: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var shifted = 0
+    for (b <- 0 until 256) {
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + shifted).toChar; shifted += 1 }
+    }
+    out
+  }
+
+  /** Parse GPT-2 `merges.txt` content: rank = line order; `#`-prefixed
+    * header lines and blanks are skipped.
+    */
+  def parseMerges(lines: Iterator[String]): BpeVocab = {
+    val ranks = lines
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .map { case (line, rank) =>
+        val sp = line.indexOf(' ')
+        require(sp > 0 && sp < line.length - 1, s"bad merges line: '$line'")
+        (line.substring(0, sp), line.substring(sp + 1)) -> rank
+      }
+      .toMap
+    require(ranks.nonEmpty, "empty merges file")
+    BpeVocab(ranks)
+  }
+
+  /** Load a published merges file from the local filesystem. */
+  def fromFile(path: String): BpeVocab = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseMerges(src.getLines()) finally src.close()
+  }
+}
+
+/** Scan-riding BPE token count: one fused merge loop per row, vocabulary
+  * as an expression FIELD (the NearestCentroids pattern — a literal
+  * Column encoding of a 50k-merge table would bloat the plan; a field
+  * ships once per stage with the serialized plan). Null in → null out.
+  */
+case class BpeTokenCount(child: Expression, vocab: BpeVocab)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    vocab.countTokens(input.toString)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

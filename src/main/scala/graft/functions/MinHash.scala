@@ -21,6 +21,14 @@ import org.apache.spark.sql.types._
   * 100 TB corpus the lambda interpretation dominates candidate generation.
   * Same argument as the native cosine (`Native.scala`): hot-path per-row
   * expressions deserve a fused implementation.
+  *
+  * Accepts ARRAY<STRING> (hash the UTF-8 bytes) or ARRAY<BIGINT> (hash
+  * the 8-byte block — `xxhash64(i, id)` = `hashLong(id, hashInt(i, 42))`).
+  * The long form exists for ORACLE-EXPRESSIBLE signatures: one 8-byte
+  * XXH64 block has a closed-form mul/rotate/xor chain replicable in SQL
+  * (the ql15 HUGEINT technique), while variable-length string hashing
+  * does not — `Dedup.tokenIds64` maps tokens to md5-derived ids on both
+  * engines, making the whole LSH candidate set hash-checkable (Q-L6).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -34,14 +42,20 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"minhash_signature expects ARRAY<STRING> and a positive hash count, " +
-        s"got ${child.dataType.sql} with numHashes=$numHashes")
+      s"minhash_signature expects ARRAY<STRING> or ARRAY<BIGINT> and a positive " +
+        s"hash count, got ${child.dataType.sql} with numHashes=$numHashes")
+  }
+
+  private lazy val longTokens: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   // xxhash64(i, t) starts from seed 42 and chains hashInt(i) then the
-  // string bytes; the per-i prefix is constant, so precompute all k seeds
+  // token value; the per-i prefix is constant, so precompute all k seeds
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
 
@@ -58,6 +72,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         var h = 0
         while (h < numHashes) {
           if (seeds(h) < mins(h)) mins(h) = seeds(h)
+          h += 1
+        }
+      } else if (longTokens) {
+        val v0 = arr.getLong(t)
+        var h = 0
+        while (h < numHashes) {
+          val v = XXH64.hashLong(v0, seeds(h))
+          if (v < mins(h)) mins(h) = v
           h += 1
         }
       } else {

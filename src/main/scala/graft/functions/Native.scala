@@ -342,6 +342,9 @@ object Native {
   def nearestCentroids(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nprobe))
 
+  def bpeTokenCount(text: Column, vocab: BpeVocab): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text), vocab))
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case _ => throw new IllegalArgumentException(s"$what must be an INT literal, got $e")

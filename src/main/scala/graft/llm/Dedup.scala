@@ -57,6 +57,27 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(tokensCol, t => xxhash64(i, t))))
 
+  /** 64-bit token ids from md5: the first 15 hex digits (60 bits) of
+    * md5(token) parsed as a BIGINT — computable identically in any SQL
+    * engine (`CAST('0x'||substr(md5(t),1,15) AS BIGINT)` in DuckDB), which
+    * is the whole point: minhashing fixed 8-byte ids instead of
+    * variable-length strings makes every downstream hash a single
+    * closed-form XXH64 block, so the Q-L6 candidate set is
+    * oracle-checkable end to end. Collisions (2^-60-scale) only ever MERGE
+    * two tokens — strictly rarer than the minhash approximation itself.
+    * Cheaper at scale, too: the md5 cost amortizes over all `numHashes`
+    * slot hashes, each of which drops from multi-block string hashing to
+    * one 8-byte block.
+    */
+  def tokenIds64(tokensCol: Column): Column =
+    transform(tokensCol,
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** HOF reference over token ids (bit-exactness spec for the long path). */
+  def minHashHofLong(tokenIdsCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(tokenIdsCol, t => xxhash64(i, t))))
+
   /** Estimated Jaccard similarity from two MinHash signatures — fused
     * native agreement count ([[minHashSimilarityHof]] is the interpreted
     * reference it must bit-match).
@@ -82,9 +103,10 @@ object Dedup {
     */
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 64, bands: Int = 8,
-                           minJaccard: Double = 0.0): DataFrame = {
+                           minJaccard: Double = 0.0,
+                           hashedTokenIds: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands)
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands, hashedTokenIds)
     val a = banded.as("a")
     val b = banded.as("b")
     // (1) score INSIDE the band join (fused agreement expression — 64
@@ -115,9 +137,16 @@ object Dedup {
     * every LSH candidate path and the ROW FORMAT of [[BandIndex]].
     */
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
-                               numHashes: Int, bands: Int): DataFrame = {
+                               numHashes: Int, bands: Int,
+                               hashedTokenIds: Boolean = false): DataFrame = {
     val r = numHashes / bands
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // hashedTokenIds: minhash md5-derived 8-byte ids instead of the raw
+    // strings — identical banding/scoring semantics on an
+    // oracle-expressible hash basis (see [[tokenIds64]])
+    val toks =
+      if (hashedTokenIds) tokenIds64(tokens(col(textCol)))
+      else tokens(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("mh", minHash(col("toks"), numHashes))
       .select(col("id"), col("mh"),

@@ -447,6 +447,37 @@ object Similarity {
     perTable.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
   }
 
+  /** `planes` sized for the corpus: ceil(log2(n / targetBucket)), clamped
+    * to [pMin, pMax]. Keeps expected bucket occupancy ≈ `targetBucket` as
+    * the corpus grows, so within-bucket pair work stays ~linear in n
+    * (Σ bucket² ≈ n·targetBucket) instead of quadratic at fixed planes —
+    * the measured ql14 trap (3.48× time at 10× data with planes=4,
+    * `BASELINE.md`). pMax 48 leaves the signature comfortably inside the
+    * 64-bit bucket key.
+    */
+  def autoPlanes(corpusSize: Long, targetBucket: Long = 1024L,
+                 pMin: Int = 4, pMax: Int = 48): Int = {
+    require(corpusSize > 0 && targetBucket > 0, "need positive sizes")
+    val needed = math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2.0))
+    math.min(pMax, math.max(pMin, needed.toInt))
+  }
+
+  /** [[cosineNearDupPairs]] with `planes` derived from the corpus size —
+    * the no-retuning entry point: callers pass the row count they already
+    * track (or let the operator `count()` once — one cheap scan against a
+    * self-join that dwarfs it). `tables` still provides the multi-table
+    * OR-amplification recall; the planted-clone oracle (ql32) pins that
+    * exact-duplicate recall is unaffected by the derived planes (identical
+    * vectors collide in every table at ANY planes).
+    */
+  def cosineNearDupPairsAuto(df: DataFrame, idCol: String, threshold: Double,
+                             dim: Int, tables: Int = 4,
+                             targetBucket: Long = 1024L,
+                             corpusSize: Option[Long] = None): DataFrame = {
+    val n = corpusSize.getOrElse(df.count())
+    cosineNearDupPairs(df, idCol, threshold, autoPlanes(n, targetBucket), dim, tables)
+  }
+
   /** IVF-bucketed near-dup pairs — the CORPUS-GROWTH-SAFE path of the
     * near-dup family. The hyperplane form above buckets into a FIXED
     * 2^planes cells, so per-bucket membership (and the within-bucket

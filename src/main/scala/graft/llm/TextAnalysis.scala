@@ -29,6 +29,39 @@ object TextAnalysis {
   def tokenCountSubword(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Token-metering strategy for the budget operators (`Sampling
+    * .shardByTokenBudget` / `takeByTokenBudget` callers): what "n_tokens"
+    * MEANS. Whitespace is the oracle-checkable default; [[BpeTok]] loads
+    * a published GPT-2-format merges file so budgets meter in the units
+    * a training run actually consumes (`graft.functions.BpeVocab`).
+    * Reference analog: the user-supplied transform fn
+    * (reference/transform.go:26) — here it must be a scan-riding Column
+    * so the count compiles into the same stage as the scan.
+    */
+  sealed trait Tokenizer extends Serializable { def count(text: Column): Column }
+
+  /** Whitespace tokens — cheap, language-agnostic, DuckDB-mirrorable. */
+  case object WhitespaceTok extends Tokenizer {
+    def count(text: Column): Column = tokenCountWs(text)
+  }
+
+  /** Subword-boundary runs (regex approximation, oracle-mirrorable). */
+  case object SubwordTok extends Tokenizer {
+    def count(text: Column): Column = tokenCountSubword(text)
+  }
+
+  /** Real byte-BPE counts from a loaded merges table — the fused native
+    * expression rides the scan like every other counter.
+    */
+  final case class BpeTok(vocab: graft.functions.BpeVocab) extends Tokenizer {
+    def count(text: Column): Column =
+      graft.functions.Native.bpeTokenCount(text, vocab)
+  }
+
+  /** Token count under the chosen metering strategy. */
+  def tokenCount(text: Column, tokenizer: Tokenizer = WhitespaceTok): Column =
+    tokenizer.count(text)
+
   /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
     * Deterministic and self-contained (no model files).
     */

@@ -39,12 +39,25 @@ object ScaleBench {
     // tfidf vocabulary and boilerplate line-df tables grow linearly while
     // chunking stays a pure map; the quantized ANN query set is fixed
     // (vec_id < 10 lives only in copy 0) against a 10x corpus
-    "ql25_tfidf", "ql28_token_chunks", "ql29_boilerplate", "ql27_quantized_topk")
+    "ql25_tfidf", "ql28_token_chunks", "ql29_boilerplate", "ql27_quantized_topk",
+    // round-7 scale evidence: ql30 (IVF cells ∝ n — the growth-safety
+    // flagship) and ql32 (auto-derived planes) are the two designed fixes
+    // for ql14's fixed-planes super-linear; ql22/ql26 are budget/cap ops
+    // whose SELECTED set stays bounded while the scanned corpus grows;
+    // qx11 is a pure one-agg histogram that must stay near-flat
+    "ql30_ivf_neardup", "ql32_neardup_autoplanes", "ql22_mix_budget",
+    "ql26_source_cap", "qx11_histogram")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated subset (re-measure single rows
+    // without paying the full battery)
+    val queries = if (args.length > 3) {
+      val want = args(3).split(',').toSet
+      this.queries.filter(want.contains)
+    } else this.queries
     // the 1x baseline is REWRITTEN through the same writer as the Nx
     // corpus: the driver-generated sf dirs are single pandas-written files
     // whose scan parallelism differs from Spark-written multi-file output —

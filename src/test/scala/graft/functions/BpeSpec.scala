@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Byte-BPE token counting against the pinned fixture vocabulary
+  * (`src/test/resources/bpe/merges.txt`, GPT-2 merges format). Every
+  * expected count below is hand-derived from the merge table: rank order
+  * is line order, the lowest-rank adjacent pair merges first across all
+  * its occurrences, unknown pairs never merge.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vocab: BpeVocab = {
+    val in = getClass.getResourceAsStream("/bpe/merges.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try BpeVocab.parseMerges(src.getLines()) finally src.close()
+  }
+
+  test("byte-to-unicode map matches the published GPT-2 alphabet") {
+    assert(BpeVocab.byteToChar(' '.toInt) == 'Ġ') // space -> 'Ġ'
+    assert(BpeVocab.byteToChar('a'.toInt) == 'a') // printable kept
+    assert(BpeVocab.byteToChar(0) == 'Ā') // first shifted byte
+  }
+
+  test("merge loop follows rank order across occurrences (hand-pinned)") {
+    // "hello": (h,e) r0 -> (l,l) r1 -> (he,ll) r2 -> (hell,o) r3 -> 1 sym
+    assert(vocab.countTokens("hello") == 1)
+    // "Ġhello" ends [Ġ, hello]: (Ġ,hello) is not a merge
+    assert(vocab.countTokens("hello hello") == 3)
+    // (h,e) outranks (t,h), so "the" -> [t, he], NOT [th, e]
+    assert(vocab.mergeWord("the") == Seq("t", "he"))
+    assert(vocab.countTokens("the the") == 5) // [t,he] + [Ġ,t,he]
+    assert(vocab.countTokens("hell") == 1)
+    assert(vocab.countTokens("he") == 1)
+  }
+
+  test("pre-tokenizer splits contractions, punctuation and space prefixes") {
+    assert(vocab.countTokens("don't") == 5) // [d,o,n] + [',t]
+    assert(vocab.countTokens("hello, world!") == 9) // 1 + [,] + [Ġ,w,o,r,l,d] + [!]
+  }
+
+  test("multi-byte UTF-8 counts bytes, whitespace runs count per byte") {
+    assert(vocab.countTokens("é") == 2) // é = 2 UTF-8 bytes, no merges
+    assert(vocab.countTokens("   ") == 3) // ĠĠĠ, (Ġ,Ġ) not a merge
+    assert(vocab.countTokens("") == 0)
+  }
+
+  test("merges file loader skips headers and round-trips through a file") {
+    val f = java.io.File.createTempFile("merges", ".txt")
+    try {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      w.println("#version: 0.2"); w.println(""); w.println("h e"); w.close()
+      val v = BpeVocab.fromFile(f.getPath)
+      assert(v.ranks == Map(("h", "e") -> 0))
+      assert(v.countTokens("he") == 1 && v.countTokens("eh") == 2)
+    } finally f.delete()
+  }
+
+  test("the Column face rides the scan and agrees with the driver-side count") {
+    val texts = Seq("hello hello", "the the", "don't", "", "hello, world!")
+    val got = texts.toDF("text")
+      .select(Native.bpeTokenCount(col("text"), vocab).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == texts.map(vocab.countTokens))
+    // null in -> null out
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(Native.bpeTokenCount(col("text"), vocab)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("budget operators meter in BPE units through the Tokenizer parameter") {
+    import graft.llm.{Sampling, TextAnalysis}
+    val docs = Seq((1L, "hello hello"), (2L, "the the"), (3L, "hello"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text"),
+        TextAnalysis.BpeTok(vocab)).cast("long").as("n_tokens"))
+    // BPE counts: doc1=3, doc2=5, doc3=1 -> prefix cuts at budget 8 tokens:
+    // doc1 (prefix 0) + doc2 (prefix 3) fit, doc3 (prefix 8) does not
+    val kept = Sampling.takeByTokenBudget(docs, groupCol = "n_tokens", idCol = "doc_id",
+      tokensCol = "n_tokens", budgets = Map.empty, defaultBudget = 8L, buckets = 1)
+    // group by a constant instead: use shardByTokenBudget for the clean pin
+    val shards = Sampling.shardByTokenBudget(docs, "doc_id", "n_tokens", budgetTokens = 8L)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L), s"got $shards")
+    kept.count() // smoke: the BPE column also flows through takeByTokenBudget
+  }
+}

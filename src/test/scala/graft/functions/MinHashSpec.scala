@@ -18,6 +18,25 @@ class MinHashSpec extends SparkSpec {
     assert(both.count() == 200)
   }
 
+  test("long-token signature is bit-exact vs the HOF reference (the ql6 oracle basis)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
+      .select(Dedup.tokenIds64(Dedup.tokens(col("text"))).as("ids"))
+      .filter(size(col("ids")) > 0)
+    val both = docs.select(
+      Dedup.minHash(col("ids"), 64).as("native"),
+      Dedup.minHashHofLong(col("ids"), 64).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 200)
+  }
+
+  test("tokenIds64 parses the first 15 md5 hex digits as a positive long") {
+    // md5("hello") = 5d41402abc4b2a7... -> 0x5d41402abc4b2a7
+    val id = Seq(Seq("hello")).toDF("toks")
+      .select(Dedup.tokenIds64(col("toks")).getItem(0)).head().getLong(0)
+    assert(id == 0x5d41402abc4b2a7L, s"got $id")
+    assert(id == 419982666956583591L) // the DuckDB-side parse of the same hex
+  }
+
   test("single-token and repeated-token arrays hash deterministically") {
     val df = Seq(Seq("alpha"), Seq("alpha", "alpha"), Seq("alpha", "beta"))
       .toDF("toks")

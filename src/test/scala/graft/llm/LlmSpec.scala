@@ -66,6 +66,17 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain at least one exact dup pair")
   }
 
+  test("hashed-token-id candidates keep the superset contract and near-identical recall") {
+    // the md5-id hash basis (the ql6 oracle path) changes WHICH borderline
+    // pairs band together, never the exact-duplicate guarantee: identical
+    // token sets still produce identical signatures
+    val exact = rowsOf(Dedup.exactTokenSetPairs(docs, "doc_id", "text"))
+    val hashed = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text",
+      hashedTokenIds = true).select("doc_a", "doc_b"))
+    assert(exact.subsetOf(hashed),
+      s"missing ${exact.diff(hashed).size} exact pairs from ${hashed.size} hashed-id candidates")
+  }
+
   test("minhash pair-dedup shuffle is narrow: no signature arrays in the (doc_a,doc_b) Exchange") {
     import org.apache.spark.sql.catalyst.expressions.Attribute
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
@@ -396,6 +407,20 @@ class LlmSpec extends SparkSpec {
     val multi = recall(4)
     assert(multi > single, s"multi-table recall $multi not above single-table $single")
     assert(multi >= 0.4, s"multi-table recall $multi below the 4-table S-curve floor")
+  }
+
+  test("autoPlanes keeps bucket occupancy ~constant as the corpus grows") {
+    // target 1024/bucket: below target -> floor; 1M rows -> 2^10 buckets
+    assert(Similarity.autoPlanes(1000) == 4)
+    assert(Similarity.autoPlanes(1L << 20) == 10)
+    assert(Similarity.autoPlanes(1L << 30) == 20)
+    // 10x corpus adds ~log2(10) ≈ 3-4 planes (8-16x the buckets): the
+    // fixed-planes quadratic (ql14's measured 3.48x at 10x) becomes
+    // near-linear pair work with no caller retuning
+    val p1 = Similarity.autoPlanes(100000)
+    val p10 = Similarity.autoPlanes(1000000)
+    assert(p10 - p1 >= 3 && p10 - p1 <= 4)
+    assert(Similarity.autoPlanes(Long.MaxValue, targetBucket = 1) == 48) // pMax clamp
   }
 
   test("IVF near-dup pairs: clones exact at nprobe=1, perturbed twins recovered at nprobe=2") {
