@@ -1306,6 +1306,37 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L33 — exact k-NN GRAPH: every vector's top-3 neighbors (the bulk
+    * corpus-vs-corpus form — no broadcastable query side). Fully
+    * oracle-checked: exact scoring, ql4's window construction widened to
+    * all 500 queries.
+    */
+  val qlKnnGraph: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    ordered(graft.llm.Similarity.knnGraphExact(emb, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id")))
+  }
+
+  /** Q-L34 — NN-Descent k-NN graph (the HNSW-family graph build,
+    * relational form). The full approximate graph is built over organic +
+    * planted-clone vectors; the ORACLE-CHECKABLE slice is each planted
+    * clone's top-1 neighbor: a clone pair shares every LSH init bucket
+    * (identical signatures), enters the candidate set at iteration 0,
+    * scores ≈1.0 vs an organic ceiling of ~0.51, and can never be
+    * evicted from a top-k — so top-1(clone) = its original PROVABLY, at
+    * any iteration count. Organic recall vs [[knnGraphExact]] is
+    * spec-pinned (`KnnGraphSpec`), the standard split between oracle
+    * (deterministic slice) and spec (statistical property).
+    */
+  val qlKnnDescent: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val g = graft.llm.Similarity.knnGraphDescent(corpus, k = 3, dim = 64, iters = 2)
+    ordered(g.filter(col("query_id") >= 1000000L && col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id")))
+  }
+
   /** Shared ql11/ql12 corpus: all organic embeddings plus three exact
     * clones of each query vector (ids +1M/+2M/+3M).
     */
@@ -1401,6 +1432,8 @@ object Queries {
     "ql29_boilerplate" -> qlBoilerplate,
     "ql30_ivf_neardup" -> qlIvfNearDup,
     "ql32_neardup_autoplanes" -> qlNearDupAutoPlanes,
+    "ql33_knn_graph" -> qlKnnGraph,
+    "ql34_knn_descent" -> qlKnnDescent,
     "ql31_html_strip" -> qlHtmlStrip,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
@@ -1653,6 +1686,14 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // collide in every table at any derived planes; candidates re-scored)
     "ql32_neardup_autoplanes" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql33: ql4's window construction over ALL vectors as queries
+    "ql33_knn_graph" ->
+      """WITH j AS (SELECT a.vec_id qid, b.vec_id nid, list_cosine_similarity(a.embedding, b.embedding) sim FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM j) SELECT qid AS query_id, rn AS rank, nid AS neighbor_id FROM r WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql34: each planted clone's top-1 is provably its original (clone
+    // pairs are init candidates in every LSH table, sim 1.0 vs 0.51
+    // organic ceiling, never evicted) — see qlKnnDescent scaladoc
+    "ql34_knn_descent" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id < 20 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql11/ql12: the planted-clone construction makes the ANN answer exact —
     // each query's top-3 is its three exact clones at +1M/+2M/+3M, ranked by
     // ascending id (see qlAnnTopK/qlIvfTopK scaladoc for the proof)

@@ -46,7 +46,12 @@ object ScaleBench {
     // whose SELECTED set stays bounded while the scanned corpus grows;
     // qx11 is a pure one-agg histogram that must stay near-flat
     "ql30_ivf_neardup", "ql32_neardup_autoplanes", "ql22_mix_budget",
-    "ql26_source_cap", "qx11_histogram")
+    "ql26_source_cap", "qx11_histogram",
+    // NN-Descent graph build: O(n·buildK²·dim) per iteration by design —
+    // the measured row demonstrates the full-graph build (the query's
+    // oracle slice filters to planted clones, but the GRAPH is built over
+    // the whole corpus)
+    "ql34_knn_descent")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
