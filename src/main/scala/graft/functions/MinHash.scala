@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   * engines, making the whole LSH candidate set hash-checkable (Q-L6).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -96,6 +96,58 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     // EMPTY token array → null signature so callers can filter it (the HOF
     // form would yield [null × k], unusable and violating containsNull)
     if (n == 0) null else new GenericArrayData(mins)
+  }
+
+  // Real codegen (not CodegenFallback): the signature is THE per-row hot
+  // loop of every LSH candidate path — falling back to interpreted eval
+  // inside an otherwise codegen'd stage costs a row-boxing round trip per
+  // document. The generated loop is the same XXH64 chain via the class's
+  // static methods; seeds ship as a referenced long[].
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    val n = ctx.freshName("n")
+    val mins = ctx.freshName("mins")
+    val t = ctx.freshName("t")
+    val h = ctx.freshName("h")
+    val v = ctx.freshName("v")
+    val e = ctx.freshName("e")
+    val declAndCall: String => (String, String) =
+      if (longTokens)
+        arr => (s"long $e = $arr.getLong($t);",
+          s"$xxh.hashLong($e, $seedsRef[$h])")
+      else
+        arr => (s"org.apache.spark.unsafe.types.UTF8String $e = $arr.getUTF8String($t);",
+          s"$xxh.hashUTF8String($e, $seedsRef[$h])")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val (decl, call) = declAndCall(arr)
+      s"""
+        |int $n = $arr.numElements();
+        |if ($n == 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long[] $mins = new long[$numHashes];
+        |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |  for (int $t = 0; $t < $n; $t++) {
+        |    if ($arr.isNullAt($t)) {
+        |      for (int $h = 0; $h < $numHashes; $h++) {
+        |        if ($seedsRef[$h] < $mins[$h]) $mins[$h] = $seedsRef[$h];
+        |      }
+        |    } else {
+        |      $decl
+        |      for (int $h = 0; $h < $numHashes; $h++) {
+        |        long $v = $call;
+        |        if ($v < $mins[$h]) $mins[$h] = $v;
+        |      }
+        |    }
+        |  }
+        |  ${ev.value} = new $gad($mins);
+        |}
+      """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -194,7 +194,7 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
   */
 case class HyperplaneSignature(child: Expression, planes: Int, dim: Int,
                                planeOffset: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "hyperplane_signature"
@@ -253,6 +253,45 @@ case class HyperplaneSignature(child: Expression, planes: Int, dim: Int,
       p += 1
     }
     sig
+  }
+
+  // Real codegen: the signature rides every LSH bucket assignment (top-k
+  // probes, near-dup self-joins, NN-Descent init) — a planes×dim fused
+  // dot loop per row that must not break the surrounding codegen stage.
+  // Coefficients ship once as a referenced double[].
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coeffsRef = ctx.addReferenceObj("hpCoeffs", coeffs, "double[]")
+    val e = ctx.freshName("e")
+    val ok = ctx.freshName("ok")
+    val i = ctx.freshName("i")
+    val p = ctx.freshName("p")
+    val j = ctx.freshName("j")
+    val off = ctx.freshName("off")
+    val d = ctx.freshName("d")
+    val sig = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+        |${ev.value} = 0L;
+        |boolean $ok = $arr.numElements() >= $dim;
+        |if ($ok) {
+        |  double[] $e = new double[$dim];
+        |  for (int $i = 0; $i < $dim; $i++) {
+        |    if ($arr.isNullAt($i)) { $ok = false; break; }
+        |    $e[$i] = (double) $arr.getFloat($i);
+        |  }
+        |  if ($ok) {
+        |    long $sig = 0L;
+        |    for (int $p = 0; $p < $planes; $p++) {
+        |      int $off = $p * $dim;
+        |      double $d = 0.0;
+        |      for (int $j = 0; $j < $dim; $j++) { $d += $e[$j] * $coeffsRef[$off + $j]; }
+        |      if ($d >= 0) $sig |= 1L << $p;
+        |    }
+        |    ${ev.value} = $sig;
+        |  }
+        |}
+      """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
