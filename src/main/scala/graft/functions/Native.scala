@@ -309,7 +309,7 @@ case class HyperplaneSignature(child: Expression, planes: Int, dim: Int,
   * real value (-2.0), matching the nanvl guard of the Column form.
   */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -323,8 +323,13 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
         s"got ${child.dataType.sql} with nprobe=$nprobe over ${centroids.length} centroids")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Per-row selection on the raw array — shared by interpreted eval and
+    * the generated code (which calls it directly on the child value,
+    * skipping CodegenFallback's per-row InternalRow boxing while keeping
+    * the surrounding stage compiled — the IVF assignment runs once per
+    * corpus row).
+    */
+  def route(arr: ArrayData): ArrayData = {
     val k = centroids.length
     val sims = new Array[Double](k)
     var c = 0
@@ -347,6 +352,16 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
       sims(a) > sims(b) || (sims(a) == sims(b) && a < b)
     }
     new GenericArrayData(idx.take(nprobe))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    route(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("nc", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.route($arr);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
