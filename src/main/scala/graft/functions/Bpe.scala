@@ -134,6 +134,16 @@ object BpeVocab {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try parseMerges(src.getLines()) finally src.close()
   }
+
+  // process-wide per-path cache for the SQL facade: repeated
+  // `bpe_token_count(text, 'path')` calls (one per query in a session)
+  // must not re-parse a 50k-line merges file each time
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeVocab]()
+
+  /** [[fromFile]] memoized by path. */
+  def cached(path: String): BpeVocab =
+    byPath.computeIfAbsent(path, p => fromFile(p))
 }
 
 /** Scan-riding BPE token count: one fused merge loop per row, vocabulary

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expressions for the embedding hot path.
@@ -447,6 +447,20 @@ object Native {
     colFn1("lang_id", graft.llm.TextAnalysis.langId)
     colFn1("normalize_text", graft.llm.TextAnalysis.normalizeText)
     colFn1("quantize_int8", graft.llm.Similarity.quantizeInt8)
+    // bpe_token_count(text, '/path/to/merges.txt'): the merges path must
+    // be a string LITERAL (the vocabulary is expression state, loaded once
+    // per path process-wide — BpeVocab.cached — not a per-row value)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count",
+      exprs => {
+        val path = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
+            if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_token_count merges path must be a STRING literal, got $other")
+        }
+        BpeTokenCount(exprs.head, BpeVocab.cached(path))
+      }, "scala_udf")
   }
 }
 

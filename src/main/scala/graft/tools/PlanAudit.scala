@@ -64,7 +64,16 @@ object PlanAudit {
       "(rangepartitioning), none in the operator itself"),
     "ql29_boilerplate" -> ("line explode -> 16-byte md5-keyed df agg -> LEFT ANTI join -> ordered " +
       "reassembly agg: partial+final around each Exchange, keys are hashes not line text, " +
-      "no corpus-wide window")
+      "no corpus-wide window"),
+    "ql32_neardup_autoplanes" -> ("multi-table banded hyperplane self-join: per table one equi-join " +
+      "on the 8-byte bucket key (corpus-sized planes -- NEVER an all-pairs join), exact cosine " +
+      "scored in-join, narrow (doc_a, doc_b, sim) union + dedup -- no embedding in the dedup Exchange"),
+    "ql33_knn_graph" -> ("the exact corpus-vs-corpus baseline: cartesian scoring (documented O(n^2) " +
+      "exactness tool) collapsed straight into the partial_topkbysim bounded tail -- the ONLY " +
+      "Exchange after scoring carries <=k narrow rows per query"),
+    "ql34_knn_descent" -> ("NN-Descent build: auto-planes bucket init joins, then per-iteration " +
+      "id-only 2-hop candidate joins + two embedding fetch equi-joins, exact cosine in-join, " +
+      "k-bounded partial_topkbysim tails -- per-iteration work O(n*buildK^2*dim), nothing O(n^2)")
   )
 
   def main(args: Array[String]): Unit = {

@@ -70,6 +70,37 @@ class BpeSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("count is bounded by pre-token and byte counts on arbitrary text (property)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab th helo ,.!'éΩ \n\t0123"
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val n = vocab.countTokens(s)
+      val bytes = s.getBytes("UTF-8").length
+      assert(n >= 0 && n <= bytes, s"count $n out of [0, $bytes] for '$s'")
+      if (s.exists(!_.isWhitespace)) assert(n >= 1)
+    }
+  }
+
+  test("SQL facade exposes bpe_token_count with a literal merges path") {
+    val f = java.io.File.createTempFile("merges_sql", ".txt")
+    try {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      w.println("h e"); w.println("l l"); w.println("he ll"); w.println("hell o")
+      w.close()
+      Native.register(spark)
+      Seq("hello hello").toDF("text").createOrReplaceTempView("bpe_docs")
+      val n = spark.sql(
+        s"SELECT bpe_token_count(text, '${f.getPath}') FROM bpe_docs")
+        .head().getInt(0)
+      assert(n == 3) // [hello] + [Ġ, hello] under this 4-merge vocab
+      // non-literal path fails fast instead of silently misloading
+      val e = intercept[Exception](spark.sql(
+        "SELECT bpe_token_count(text, text) FROM bpe_docs").collect())
+      assert(e.getMessage.contains("STRING literal"))
+    } finally f.delete()
+  }
+
   test("budget operators meter in BPE units through the Tokenizer parameter") {
     import graft.llm.{Sampling, TextAnalysis}
     val docs = Seq((1L, "hello hello"), (2L, "the the"), (3L, "hello"))
