@@ -1056,6 +1056,28 @@ object Queries {
     ordered(graft.llm.Dedup.stripBoilerplate(all, "doc_id", "text", "source", maxLineDf = 5))
   }
 
+  /** Q-L35 — repeated-SPAN removal (ExactSubstr-style): any 20-token
+    * window occurring ≥2× corpus-wide is dropped token-by-token via the
+    * difference-array coverage, survivors reassemble in order. The
+    * fixture plants 20 synthetic docs sharing a 23-token span with
+    * per-doc unique tails: the shared span's fully-interior windows are
+    * hot (20 occurrences), tail-touching windows are unique — so exactly
+    * the span vanishes and each doc keeps its 2-token tail. Organic docs
+    * pass through (or lose any organically repeated 20-gram — the oracle
+    * replays the identical pipeline either way).
+    */
+  val qlRepeatedSpans: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val span = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm mat near the old oak tree today"
+    val synth = s.range(1, 21).select(
+      (-col("id")).as("doc_id"),
+      concat(lit(span + " unique"), col("id").cast("string"),
+        lit(" tail"), col("id").cast("string")).as("text"))
+    ordered(graft.llm.Dedup.removeRepeatedSpans(docs.unionByName(synth),
+      "doc_id", "text", spanTokens = 20, minCount = 2))
+  }
+
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
     * [0, 110000) — one bounded-key aggregation over one scan
     * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
@@ -1434,6 +1456,7 @@ object Queries {
     "ql32_neardup_autoplanes" -> qlNearDupAutoPlanes,
     "ql33_knn_graph" -> qlKnnGraph,
     "ql34_knn_descent" -> qlKnnDescent,
+    "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql31_html_strip" -> qlHtmlStrip,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
@@ -1686,6 +1709,11 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // collide in every table at any derived planes; candidates re-scored)
     "ql32_neardup_autoplanes" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql35: the identical window/df/difference-array pipeline in DuckDB —
+    // md5 span keys are internal grouping keys (never compared across
+    // engines), so plain md5(text) suffices on this side
+    "ql35_repeated_spans" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the old oak tree today unique' || CAST(i AS VARCHAR) || ' tail' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tks FROM all_docs), wins AS (SELECT doc_id, unnest(generate_series(0, len(tks) - 20)) AS pos, tks FROM tk WHERE len(tks) >= 20), wh AS (SELECT doc_id, pos, md5(array_to_string(tks[pos+1 : pos+20], ' ')) AS h FROM wins), hot AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2), starts AS (SELECT doc_id, pos FROM wh JOIN hot USING (h)), deltas AS (SELECT doc_id, pos, SUM(d) AS d FROM (SELECT doc_id, pos, 1 AS d FROM starts UNION ALL SELECT doc_id, pos + 20, -1 FROM starts) GROUP BY 1, 2), p AS (SELECT doc_id, unnest(generate_series(0, len(tks) - 1)) AS pos, tks FROM tk WHERE len(tks) > 0), pt AS (SELECT doc_id, pos, tks[pos+1] AS t FROM p), cov AS (SELECT pt.doc_id, pt.pos, pt.t, SUM(COALESCE(dl.d, 0)) OVER (PARTITION BY pt.doc_id ORDER BY pt.pos) AS c FROM pt LEFT JOIN deltas dl ON pt.doc_id = dl.doc_id AND pt.pos = dl.pos), r AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_clean FROM cov WHERE c <= 0 GROUP BY 1) SELECT a.doc_id, COALESCE(r.text_clean, '') AS text_clean FROM all_docs a LEFT JOIN r ON a.doc_id = r.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql33: ql4's window construction over ALL vectors as queries
     "ql33_knn_graph" ->
       """WITH j AS (SELECT a.vec_id qid, b.vec_id nid, list_cosine_similarity(a.embedding, b.embedding) sim FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM j) SELECT qid AS query_id, rn AS rank, nid AS neighbor_id FROM r WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",

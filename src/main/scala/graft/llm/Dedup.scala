@@ -594,6 +594,65 @@ object Dedup {
       .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Repeated-SPAN removal — the distributed analog of suffix-array
+    * "ExactSubstr" training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): any `spanTokens`-token
+    * window whose exact text occurs ≥ `minCount` times ACROSS THE CORPUS
+    * is boilerplate/contamination mass; every token covered by at least
+    * one repeated window is dropped and the survivors reassemble in
+    * order. Catches what document- and paragraph-level dedup miss:
+    * license headers, navigation chrome and quoted passages embedded
+    * inside otherwise-unique documents.
+    *
+    * A suffix array finds maximal repeats on one machine; the relational
+    * form trades that for fixed-length windows (the published follow-ups
+    * do the same at cluster scale): corpus-linear window table, 16-byte
+    * md5 span keys (never span text) through the df aggregate, coverage
+    * as a DIFFERENCE ARRAY (+1 at span start, -1 at end) cum-summed by a
+    * per-document window — parallel across docs, no corpus-wide window
+    * anywhere. Cost: windows ≈ total tokens; every join/agg keys on the
+    * hash or (id, pos) — all linear shapes.
+    *
+    * md5 (not xxhash64) span keys keep the operator ORACLE-EXPRESSIBLE:
+    * the Q-L35 DuckDB oracle replays the identical pipeline.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 20, minCount: Long = 2): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
+    val n = size(col("_tk"))
+    // one row per window start: (id, pos, 16-byte span hash)
+    val wins = toks.filter(n >= spanTokens)
+      .select(col(idCol), posexplode(transform(sequence(lit(0), n - spanTokens),
+        p => md5(array_join(slice(col("_tk"), p + 1, lit(spanTokens)), " ").cast("binary"))))
+        .as(Seq("_pos", "_h")))
+    val hot = wins.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minCount).select("_h")
+    val starts = wins.join(hot, Seq("_h")).select(col(idCol), col("_pos"))
+    // difference array: +1 at a repeated span's start, -1 one past its end
+    val deltas = starts.select(col(idCol), col("_pos"), lit(1).as("_d"))
+      .unionByName(starts.select(col(idCol), (col("_pos") + spanTokens).as("_pos"),
+        lit(-1).as("_d")))
+      .groupBy(col(idCol), col("_pos")).agg(sum(col("_d")).as("_d"))
+    val positions = toks
+      .select(col(idCol), posexplode(col("_tk")).as(Seq("_pos", "_t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+    val kept = positions
+      .join(deltas, Seq(idCol, "_pos"), "left")
+      .withColumn("_cov", sum(coalesce(col("_d"), lit(0))).over(w))
+      .filter(col("_cov") <= 0)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_t")))),
+          x => x.getField("_t")), " ").as("text_clean"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
     * assign every doc the minimum id reachable through the pair graph
     * (connected components) — the survivor selection step a real dedup

@@ -66,6 +66,23 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain at least one exact dup pair")
   }
 
+  test("removeRepeatedSpans drops only tokens covered by a corpus-repeated window") {
+    val span = "a b c d e f" // 6 tokens, spanTokens=5 -> 2 windows inside
+    val docs = Seq(
+      (1L, s"$span x1 y1"), // shares the span with doc 2
+      (2L, s"$span x2 y2"),
+      (3L, "totally different words here indeed"), // untouched
+      (4L, span)) // reduced to nothing -> ''
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+      spanTokens = 5, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "x1 y1")
+    assert(out(2L) == "x2 y2")
+    assert(out(3L) == "totally different words here indeed")
+    assert(out(4L) == "")
+  }
+
   test("hashed-token-id candidates keep the superset contract and near-identical recall") {
     // the md5-id hash basis (the ql6 oracle path) changes WHICH borderline
     // pairs band together, never the exact-duplicate guarantee: identical
