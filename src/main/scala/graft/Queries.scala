@@ -1078,6 +1078,46 @@ object Queries {
       "doc_id", "text", spanTokens = 20, minCount = 2))
   }
 
+  /** Q-L36 — URL canonicalization: three fixture shapes per doc (full
+    * tracking-laden URL, default-port + trailing-slash URL, non-URL
+    * passthrough), canonicalized by the RE2-composable chain. The oracle
+    * replays the identical regex pipeline in DuckDB.
+    */
+  val qlUrlCanonical: Q = (s, dir) => {
+    val id = col("doc_id")
+    val url = when(id % 3 === 0,
+      concat(lit("HTTPS://WWW.Example"), (id % 5).cast("string"),
+        lit(".com:443/p"), (id % 7).cast("string"),
+        lit("/?utm_source=x&id="), id.cast("string"), lit("&utm_campaign=y#frag")))
+      .when(id % 3 === 1,
+        concat(lit("http://Site"), (id % 5).cast("string"),
+          lit(".org:80/dir"), (id % 7).cast("string"), lit("/")))
+      .otherwise(concat(lit("not a url "), id.cast("string")))
+    ordered(t(s, dir, "documents").select(id, url.as("url"))
+      .withColumn("canonical_url",
+        graft.llm.TextAnalysis.canonicalizeUrl(col("url"))))
+  }
+
+  /** Q-L37 — Gopher quality rules: the published web-filter battery as
+    * per-rule boolean columns. All thresholds compare in INTEGER
+    * arithmetic (count·10 < n, never count/n < 0.1), so the flags are
+    * bit-exact across engines. Synthetic violators (ids -1..-5) pin each
+    * rule's failure mode; organic docs pin the pass paths.
+    */
+  val qlGopherFlags: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val synth = s.range(1, 6).select(
+      (-col("id")).as("doc_id"),
+      when(col("id") === 1, lit("- a\n- b\n- c\n- d"))
+        .when(col("id") === 2, lit("# # # # # word word word"))
+        .when(col("id") === 3, lit("tiny doc"))
+        .when(col("id") === 4, lit("to be continued...\nand more..."))
+        .otherwise(lit("1 2 3 4 5")).as("text"))
+    val flags = graft.llm.TextAnalysis.gopherQualityFlags(col("text"))
+    ordered(docs.unionByName(synth)
+      .select(col("doc_id"), flags.as("q")).select(col("doc_id"), col("q.*")))
+  }
+
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
     * [0, 110000) — one bounded-key aggregation over one scan
     * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
@@ -1457,6 +1497,8 @@ object Queries {
     "ql33_knn_graph" -> qlKnnGraph,
     "ql34_knn_descent" -> qlKnnDescent,
     "ql35_repeated_spans" -> qlRepeatedSpans,
+    "ql36_url_canonical" -> qlUrlCanonical,
+    "ql37_gopher_flags" -> qlGopherFlags,
     "ql31_html_strip" -> qlHtmlStrip,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
@@ -1709,6 +1751,14 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // collide in every table at any derived planes; candidates re-scored)
     "ql32_neardup_autoplanes" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql36: identical regex chain (RE2-compatible on both sides; DuckDB
+    // needs explicit 'g' flags and \1 backrefs where Spark is global/$1)
+    "ql36_url_canonical" ->
+      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || '/' ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(regexp_replace(hostport, ':(80|443)$', '', 'g'), '^www\.', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN rest3 LIKE '%/' AND rest3 <> '/' THEN substr(rest3, 1, len(rest3)-1) ELSE rest3 END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql37: identical integer-arithmetic rule battery; list ops mirror the
+    // engine's HOF definitions term for term
+    "ql37_gopher_flags" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, CASE i WHEN 1 THEN '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || '- d' WHEN 2 THEN '# # # # # word word word' WHEN 3 THEN 'tiny doc' WHEN 4 THEN 'to be continued...' || chr(10) || 'and more...' ELSE '1 2 3 4 5' END AS text FROM generate_series(1, 5) AS g(i)), t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS tks, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls FROM all_docs) SELECT doc_id, len(tks) >= 50 AND len(tks) <= 100000 AS ok_length, len(tks) > 0 AND list_sum(list_transform(tks, x -> len(x))) >= 3*len(tks) AND list_sum(list_transform(tks, x -> len(x))) <= 10*len(tks) AS ok_word_len, ((len(text) - len(replace(text,'#',''))) + (len(text) - len(replace(text,'...','')))//3) * 10 < len(tks) AS ok_symbols, len(list_filter(ls, x -> x[1:2] = '- ' OR x[1:2] = '* ' OR x[1:1] = '•')) * 10 <= len(ls) * 9 AS ok_bullets, len(list_filter(ls, x -> ends_with(x, '...'))) * 10 <= len(ls) * 3 AS ok_ellipsis, len(list_filter(tks, x -> regexp_matches(x, '\p{L}'))) * 5 >= len(tks) * 4 AS ok_alpha FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""",
     // ql35: the identical window/df/difference-array pipeline in DuckDB —
     // md5 span keys are internal grouping keys (never compared across
     // engines), so plain md5(text) suffices on this side

@@ -247,6 +247,70 @@ object TextAnalysis {
   def stripHtml(text: Column): Column =
     regexp_replace(text, "<[^>]*>", " ")
 
+  /** Gopher-style quality rules (Rae et al., the published web-corpus
+    * filter battery) as a struct of per-rule booleans — callers compose
+    * their own gate (`ok_length AND ok_alpha ...`) or keep the flags as
+    * audit columns. EVERY ratio threshold is evaluated in INTEGER
+    * arithmetic (count·10 < n instead of count/n < 0.1): bit-exact in any
+    * engine, no float division to diverge in the last ulp — which is what
+    * lets the full flag set hash-match the DuckDB oracle (Q-L37).
+    * Pure Column expressions riding the scan; no shuffle.
+    *
+    * Rules: token count in [50, 100000]; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' + '…'-as-'...') < 0.1; ≤90% of lines
+    * bullet-started; ≤30% of lines ellipsis-ended; ≥80% of tokens contain
+    * an alphabetic character.
+    */
+  def gopherQualityFlags(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("long")
+    val ellipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val alphaToks = size(filter(toks, t => t.rlike("\\p{L}"))).cast("long")
+    val hashes = (length(text) - length(translate(text, "#", ""))).cast("long")
+    val dots = floor((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / 3.0).cast("long")
+    struct(
+      (nTok >= 50L && nTok <= 100000L).as("ok_length"),
+      (nTok > 0L && sumLen >= nTok * 3L && sumLen <= nTok * 10L).as("ok_word_len"),
+      ((hashes + dots) * 10L < nTok).as("ok_symbols"),
+      (bullets * 10L <= nLines * 9L).as("ok_bullets"),
+      (ellipsis * 10L <= nLines * 3L).as("ok_ellipsis"),
+      (alphaToks * 5L >= nTok * 4L).as("ok_alpha"))
+  }
+
+  /** URL canonicalization — the crawl-pipeline identity step: two raw
+    * URLs that differ only in case of scheme/host, `www.` prefix, default
+    * port, fragment, tracking parameters (`utm_*`, `fbclid`, `gclid`) or
+    * a trailing slash must collapse to one canonical form BEFORE URL
+    * dedup / per-domain caps. Pure RE2-compatible regex composition (no
+    * lookaround) so the DuckDB oracle canonicalizes identically
+    * (Q-L36). Strings without a `scheme://` prefix pass through trimmed
+    * (canonicalizing a non-URL would corrupt it). Entity decoding,
+    * punycode and percent-normalization are a parser's job — the same
+    * documented boundary as [[stripHtml]].
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostport, ":(80|443)$", ""), "^www\\.", "")
+    val rest0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
+    // tracking params out, then tidy the separators they leave behind
+    val rest1 = regexp_replace(rest0, "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "$1")
+    val rest2 = regexp_replace(regexp_replace(rest1, "\\?&", "?"), "&&+", "&")
+    val rest3 = regexp_replace(rest2, "[?&]+$", "")
+    // drop ONE trailing slash unless the path IS just "/"
+    val rest = when(rest3.endsWith("/") && rest3 =!= lit("/"),
+      rest3.substr(lit(1), length(rest3) - 1)).otherwise(rest3)
+    when(scheme === "", trim(url))
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
   /** Content fingerprint (md5 of the raw text). */
   def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -51,7 +51,10 @@ object ScaleBench {
     // the measured row demonstrates the full-graph build (the query's
     // oracle slice filters to planted clones, but the GRAPH is built over
     // the whole corpus)
-    "ql34_knn_descent")
+    "ql34_knn_descent",
+    // repeated-span removal: window table ~ total tokens, md5-keyed df
+    // agg + per-doc coverage window — everything linear in corpus tokens
+    "ql35_repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -83,6 +83,42 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == "")
   }
 
+  test("canonicalizeUrl collapses case/www/port/fragment/tracking/trailing-slash variants") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/?utm_source=x&id=7&utm_campaign=y#frag",
+      "https://example.com/a/?id=7",            // already canonical
+      "http://Site.org:80/dir/",
+      "https://a.com/x?utm_a=1&fbclid=2",       // all params tracking -> none left
+      "https://a.com/",                          // root slash kept
+      "not a url")
+    val got = urls.toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    assert(got(0) == "https://example.com/a/?id=7")
+    assert(got(1) == got(0)) // the two variants collapse to ONE identity
+    assert(got(2) == "http://site.org/dir")
+    assert(got(3) == "https://a.com/x")
+    assert(got(4) == "https://a.com/")
+    assert(got(5) == "not a url")
+  }
+
+  test("gopherQualityFlags: each synthetic violator fails exactly its rule") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ") // 60 clean tokens
+    val rows = Seq(
+      (1L, base),                              // all pass
+      (2L, "- a\n- b\n- c\n- d"),              // bullets fail
+      (3L, "tiny doc"),                        // length fail
+      (4L, (1 to 60).map(_ => "1").mkString(" "))) // alpha + word-len fail
+      .toDF("id", "text")
+    val f = rows.select(col("id"), TextAnalysis.gopherQualityFlags(col("text")).as("q"))
+      .select(col("id"), col("q.*")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(4), r.getBoolean(6))).toMap
+    // (ok_length, ok_bullets, ok_alpha)
+    assert(f(1L) == ((true, true, true)))
+    assert(f(2L)._2 == false)
+    assert(f(3L)._1 == false)
+    assert(f(4L)._3 == false)
+  }
+
   test("hashed-token-id candidates keep the superset contract and near-identical recall") {
     // the md5-id hash basis (the ql6 oracle path) changes WHICH borderline
     // pairs band together, never the exact-duplicate guarantee: identical
