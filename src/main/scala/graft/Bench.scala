@@ -26,7 +26,11 @@ object Bench {
     "qx1_asof_join", "qx2_cube", "qx5_grouping_sets",
     // round-6 additions (cross-round totals compare on the common prefix)
     "ql24_normalize", "ql25_tfidf", "ql28_token_chunks", "ql29_boilerplate",
-    "ql27_quantized_topk", "qx10_profile"
+    "ql27_quantized_topk", "qx10_profile",
+    // round-7 additions (ql34 NN-Descent is measured in ScaleBench
+    // instead — its multi-iteration build would dominate this wall-clock)
+    "ql32_neardup_autoplanes", "ql33_knn_graph", "ql35_repeated_spans",
+    "ql36_url_canonical", "ql37_gopher_flags"
   )
 
   def main(args: Array[String]): Unit = {
