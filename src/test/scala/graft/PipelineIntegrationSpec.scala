@@ -114,6 +114,54 @@ class PipelineIntegrationSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("the round-7 crawl pipeline composes: canonical-url dedup -> gopher gate -> span dedup") {
+    // every round-7 crawl pathology at once: URL variants of one page,
+    // a bullet-spam page, and a repeated span shared across docs — flowing
+    // URL canonicalization + dedup -> Gopher quality gate -> repeated-span
+    // removal as one composition
+    val sharedSpan = (1 to 25).map(i => s"shared$i").mkString(" ")
+    val body = (1 to 60).map(i => s"body$i").mkString(" ")
+    val raw = spark.range(1, 21).select(
+      col("id").as("doc_id"),
+      // ids 1/2 are the SAME page behind url variants; the rest unique
+      when(col("id") === 1, lit("HTTPS://WWW.Page.com/a/?utm_source=x"))
+        .when(col("id") === 2, lit("https://page.com/a"))
+        .otherwise(concat(lit("https://site"), col("id").cast("string"),
+          lit(".com/p"))).as("url"),
+      when(col("id") === 3, lit("- spam\n- spam\n- spam"))
+        .when(col("id") <= 5, lit(s"$sharedSpan $body"))
+        .otherwise(concat(lit(body + " unique"), col("id").cast("string"))).as("text"))
+
+    val prep = Sequence("prep7")(
+      Stage(StageId("canonical_url")) { d =>
+        d.withColumn("curl", TextAnalysis.canonicalizeUrl(col("url")))
+          .dropDuplicates("curl")
+      },
+      Stage(StageId("gopher_gate")) { d =>
+        val q = TextAnalysis.gopherQualityFlags(col("text"))
+        d.filter(q.getField("ok_length") && q.getField("ok_bullets"))
+      },
+      Stage(StageId("span_dedup")) { d =>
+        Dedup.removeRepeatedSpans(d, "doc_id", "text", spanTokens = 20, minCount = 2)
+          .join(d.drop("text"), Seq("doc_id"))
+      }
+    )
+    val pipeline = Pipeline("prep7", prep)
+    val out = pipeline.run(spark)(pipeline.plan(raw)).cache()
+    try {
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!(ids.contains(1L) && ids.contains(2L)),
+        "url variants of one page must collapse to a single survivor")
+      assert(!ids.contains(3L), "the bullet-spam page must fail the gopher gate")
+      // ALL cross-doc-repeated mass is gone (the shared span AND the
+      // common body — both repeat across docs), per-doc unique markers
+      // survive: exactly the ExactSubstr contract
+      assert(out.filter(col("text_clean").contains("shared1")).count() == 0)
+      assert(out.filter(col("text_clean").contains("body1")).count() == 0)
+      assert(out.filter(col("text_clean").contains("unique7")).count() > 0)
+    } finally out.unpersist()
+  }
+
   test("the embedding dedup pipeline composes: near-dup pairs -> clusters -> survivors") {
     import graft.llm.Similarity
     // corpus with planted exact clones of the first 10 vectors: the
