@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 
 /** Byte-level BPE vocabulary in the public GPT-2 `merges.txt` format —
@@ -152,7 +151,7 @@ object BpeVocab {
   * ships once per stage with the serialized plan). Null in → null out.
   */
 case class BpeTokenCount(child: Expression, vocab: BpeVocab)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bpe_token_count"
@@ -165,6 +164,15 @@ case class BpeTokenCount(child: Expression, vocab: BpeVocab)
 
   override def nullSafeEval(input: Any): Any =
     vocab.countTokens(input.toString)
+
+  // reference-call pattern (the merge loop stays in the vocab object):
+  // no per-row InternalRow boxing, surrounding stage stays compiled
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", vocab, classOf[BpeVocab].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.countTokens($s.toString());")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -162,7 +162,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * folds 64-element arrays through interpreted lambdas per token. The
   * fused form hashes each token once and votes in a tight loop.
   */
-case class SimHashBits64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHashBits64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "simhash_bits"
@@ -197,6 +197,37 @@ case class SimHashBits64(child: Expression) extends UnaryExpression with Codegen
     new GenericArrayData(bits)
   }
 
+  // Real codegen: one hash + 64 votes per token, compiled in-stage like
+  // the other signature expressions.
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    val n = ctx.freshName("n")
+    val votes = ctx.freshName("votes")
+    val bits = ctx.freshName("bits")
+    val t = ctx.freshName("t")
+    val h = ctx.freshName("h")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+        |int $n = $arr.numElements();
+        |long[] $votes = new long[64];
+        |for (int $t = 0; $t < $n; $t++) {
+        |  long $h = $arr.isNullAt($t) ? 42L
+        |    : $xxh.hashUTF8String($arr.getUTF8String($t), 42L);
+        |  for (int $i = 0; $i < 64; $i++) {
+        |    $votes[$i] += ((($h >>> $i) & 1L) != 0L) ? 1L : -1L;
+        |  }
+        |}
+        |int[] $bits = new int[64];
+        |for (int $i = 0; $i < 64; $i++) { $bits[$i] = ($votes[$i] > 0) ? 1 : 0; }
+        |${ev.value} = new $gad($bits);
+      """.stripMargin
+    })
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -213,7 +244,7 @@ case class SimHashBits64(child: Expression) extends UnaryExpression with Codegen
   * already follow. Bit-equal to the HOF form (`NativeHofProps`).
   */
 case class MinHashAgreement(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "minhash_agreement"
@@ -242,6 +273,27 @@ case class MinHashAgreement(left: Expression, right: Expression)
       i += 1
     }
     c
+  }
+
+  // Real codegen: agreement runs once per band COLLISION inside the ql6
+  // join — the scoring half of the narrow-shuffle design (see scaladoc)
+  // deserves the same compiled loop as the signature half.
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val n = ctx.freshName("n")
+    val c = ctx.freshName("c")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $c = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $c++;
+        |}
+        |${ev.value} = $c;
+      """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * sketch.
   */
 case class WinnowingFingerprint(child: Expression, k: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnowing_fingerprint"
@@ -33,8 +33,16 @@ case class WinnowingFingerprint(child: Expression, k: Int, window: Int)
         s"got ${child.dataType.sql} (k=$k, window=$window)")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    route(input.asInstanceOf[ArrayData])
+
+  /** Per-row fingerprint on the raw array — shared by interpreted eval
+    * and the generated code (reference-call pattern: the deque logic is
+    * too stateful to inline, but calling it directly on the child value
+    * skips CodegenFallback's per-row InternalRow boxing and keeps the
+    * surrounding stage compiled).
+    */
+  def route(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     // distinct word k-grams in first-occurrence order (wordNgrams parity)
     val seen = new java.util.LinkedHashSet[String]()
@@ -93,6 +101,13 @@ case class WinnowingFingerprint(child: Expression, k: Int, window: Int)
     var r = 0
     while (oit.hasNext) { res(r) = oit.next(); r += 1 }
     new GenericArrayData(res)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wf", this, classOf[WinnowingFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.route($arr);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
