@@ -1118,6 +1118,21 @@ object Queries {
       .select(col("doc_id"), flags.as("q")).select(col("doc_id"), col("q.*")))
   }
 
+  /** Q-L38 — linear bag-of-words scoring (the fasttext-linear quality
+    * classifier shape): broadcast weights dim, exploded-token join,
+    * DECIMAL-exact summation (order-independent, so the distributed
+    * partial sums hash-match the oracle), DOUBLE on emit.
+    */
+  val qlLinearScore: Q = (s, dir) => {
+    import s.implicits._
+    val weights = Seq(
+      ("the", 0.5), ("data", 1.25), ("spark", 2.0),
+      ("slow", -1.5), ("fast", 0.75), ("table", 0.25))
+      .toDF("token", "weight")
+    ordered(graft.llm.TextAnalysis.linearTextScore(
+      t(s, dir, "documents"), "doc_id", "text", weights, bias = 0.1))
+  }
+
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
     * [0, 110000) — one bounded-key aggregation over one scan
     * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
@@ -1499,6 +1514,7 @@ object Queries {
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
+    "ql38_linear_score" -> qlLinearScore,
     "ql31_html_strip" -> qlHtmlStrip,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
@@ -1759,6 +1775,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // engine's HOF definitions term for term
     "ql37_gopher_flags" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, CASE i WHEN 1 THEN '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || '- d' WHEN 2 THEN '# # # # # word word word' WHEN 3 THEN 'tiny doc' WHEN 4 THEN 'to be continued...' || chr(10) || 'and more...' ELSE '1 2 3 4 5' END AS text FROM generate_series(1, 5) AS g(i)), t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS tks, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls FROM all_docs) SELECT doc_id, len(tks) >= 50 AND len(tks) <= 100000 AS ok_length, len(tks) > 0 AND list_sum(list_transform(tks, x -> len(x))) >= 3*len(tks) AND list_sum(list_transform(tks, x -> len(x))) <= 10*len(tks) AS ok_word_len, ((len(text) - len(replace(text,'#',''))) + (len(text) - len(replace(text,'...','')))//3) * 10 < len(tks) AS ok_symbols, len(list_filter(ls, x -> x[1:2] = '- ' OR x[1:2] = '* ' OR x[1:1] = '•')) * 10 <= len(ls) * 9 AS ok_bullets, len(list_filter(ls, x -> ends_with(x, '...'))) * 10 <= len(ls) * 3 AS ok_ellipsis, len(list_filter(tks, x -> regexp_matches(x, '\p{L}'))) * 5 >= len(tks) * 4 AS ok_alpha FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""",
+    // ql38: identical weights VALUES + DECIMAL-exact sum; LEFT JOIN keeps
+    // token-less docs at score = bias, mirroring explode_outer
+    "ql38_linear_score" ->
+      """WITH w(token, weight) AS (VALUES ('the', 0.5), ('data', 1.25), ('spark', 2.0), ('slow', -1.5), ('fast', 0.75), ('table', 0.25)), tk AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents), sw AS (SELECT tk.doc_id, SUM(CAST(w.weight AS DECIMAL(18,6))) AS s FROM tk JOIN w ON tk.tok = w.token GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(sw.s, CAST(0 AS DECIMAL(18,6))) + CAST(0.1 AS DECIMAL(18,6)) AS DOUBLE) AS score FROM documents d LEFT JOIN sw ON d.doc_id = sw.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql35: the identical window/df/difference-array pipeline in DuckDB —
     // md5 span keys are internal grouping keys (never compared across
     // engines), so plain md5(text) suffices on this side

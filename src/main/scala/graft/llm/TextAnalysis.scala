@@ -311,6 +311,41 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), host, rest))
   }
 
+  /** Linear bag-of-words text score — the PLUMBING of fasttext-class
+    * quality classifiers (the CCNet/LLaMA-pipeline filter): score =
+    * bias + Σ weight(token), with the weight table USER-SUPPLIED as a
+    * DataFrame (load a published model's linearized weights however you
+    * like — `weightsFromTsv` reads the obvious `token\tweight` format).
+    * Join shape, not a map literal: tokens explode off the scan and
+    * broadcast-join the weights dim — at 100 TB a 100k-word table is a
+    * classic broadcast dim, and no 100k-entry literal bloats the plan.
+    *
+    * Weights are summed as DECIMAL(18,6): decimal addition is exact and
+    * associative, so the distributed partial-sum ORDER cannot change the
+    * result — which is what lets a float-scoring operator hash-match the
+    * DuckDB oracle bit for bit (Q-L38). The emitted score is DOUBLE (the
+    * money-column convention).
+    */
+  def linearTextScore(docs: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, bias: Double = 0.0): DataFrame = {
+    val w = broadcast(weights.select(col("token").as("_w_tok"),
+      col("weight").cast("decimal(18,6)").as("_w")))
+    docs.select(col(idCol), explode_outer(Dedup.tokens(col(textCol))).as("_tok"))
+      .join(w, col("_tok") === col("_w_tok"), "left")
+      .groupBy(col(idCol))
+      .agg((coalesce(sum(col("_w")), lit(0).cast("decimal(18,6)"))
+        + lit(bias).cast("decimal(18,6)")).cast("double").as("score"))
+  }
+
+  /** `token\tweight` loader for [[linearTextScore]] (the format published
+    * linear text classifiers serialize to).
+    */
+  def weightsFromTsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("sep", "\t").schema("token STRING, weight DOUBLE").csv(path)
+      .filter($"token".isNotNull && $"weight".isNotNull)
+  }
+
   /** Content fingerprint (md5 of the raw text). */
   def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
 

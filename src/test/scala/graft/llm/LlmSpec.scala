@@ -101,6 +101,39 @@ class LlmSpec extends SparkSpec {
     assert(got(5) == "not a url")
   }
 
+  test("canonicalizeUrl is idempotent (canonical of canonical is itself)") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/?utm_source=x&id=7#f",
+      "http://Site.org:80/dir/", "https://a.com/", "plain text")
+    val once = urls.toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c1"))
+    val twice = once.select(col("c1"),
+      TextAnalysis.canonicalizeUrl(col("c1")).as("c2"))
+    assert(twice.filter(col("c1") =!= col("c2")).count() == 0)
+  }
+
+  test("linearTextScore sums broadcast weights exactly; empty docs get the bias") {
+    val weights = Seq(("good", 1.5), ("bad", -2.0)).toDF("token", "weight")
+    val docs = Seq(
+      (1L, "good good bad"), // 1.5 + 1.5 - 2.0 + bias
+      (2L, "unknown words only"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.linearTextScore(docs, "doc_id", "text", weights, bias = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.25, 2L -> 0.25, 3L -> 0.25))
+  }
+
+  test("weightsFromTsv loads the published token\\tweight format") {
+    val f = java.io.File.createTempFile("weights", ".tsv")
+    try {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      w.println("good\t1.5"); w.println("bad\t-2.0"); w.close()
+      val loaded = TextAnalysis.weightsFromTsv(spark, f.getPath)
+      val m = loaded.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(m == Map("good" -> 1.5, "bad" -> -2.0))
+    } finally f.delete()
+  }
+
   test("gopherQualityFlags: each synthetic violator fails exactly its rule") {
     val base = (1 to 60).map(i => s"word$i").mkString(" ") // 60 clean tokens
     val rows = Seq(
