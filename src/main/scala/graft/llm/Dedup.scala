@@ -594,6 +594,25 @@ object Dedup {
       .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al.): embedding-space
+    * near-duplicates — paraphrases, re-renders, translations-of-self that
+    * share no exact tokens — found via the corpus-growth-safe IVF
+    * candidate path, resolved into clusters (pointer jumping), one
+    * survivor kept per cluster (best `scoreCol`, ties → min id). A named
+    * composition of the measured pieces: `Similarity.ivfNearDupPairs`
+    * (cells ∝ corpus, nprobe recall) → [[duplicateClusters]] →
+    * [[dedupKeepBest]] — each with its own oracle/spec evidence; this
+    * entry point pins that they COMPOSE (`ClusterSpec`).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, scoreCol: String,
+                    index: graft.llm.Similarity.IvfIndex,
+                    threshold: Double, nprobe: Int = 2): DataFrame = {
+    val pairs = graft.llm.Similarity
+      .ivfNearDupPairs(df, idCol, index, threshold, nprobe)
+      .select(col("doc_a"), col("doc_b"))
+    dedupKeepBest(df, idCol, pairs, scoreCol)
+  }
+
   /** Repeated-SPAN removal — the distributed analog of suffix-array
     * "ExactSubstr" training-data dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): any `spanTokens`-token

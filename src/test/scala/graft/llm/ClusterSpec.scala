@@ -82,4 +82,27 @@ class ClusterSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("semanticDedup: IVF candidates -> clusters -> best survivor, end to end") {
+    // three exact-clone families (embedding-identical, token-disjoint ids)
+    // plus organic vectors; the highest-quality clone survives per family
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb
+      .unionByName(emb.filter($"vec_id" < 3)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+      .withColumn("quality",
+        when($"vec_id" >= 1000000L, 0.9).otherwise(0.1)) // clones outrank originals
+    val index = Similarity.IvfIndex.train(corpus, "vec_id", k = 32)
+    val kept = Dedup.semanticDedup(corpus, "vec_id", "quality", index,
+      threshold = 0.8, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // each family {i, i+1M} keeps ONLY the high-quality clone
+    (0L until 3L).foreach { i =>
+      assert(kept.contains(i + 1000000L), s"clone of $i must survive")
+      assert(!kept.contains(i), s"original $i must be deduped away")
+    }
+    // organic vectors (no >=0.8 neighbor) all survive
+    assert(kept.count(_ < 1000000L) == emb.count() - 3)
+  }
 }
