@@ -30,7 +30,7 @@ object Bench {
     // round-7 additions (ql34 NN-Descent is measured in ScaleBench
     // instead — its multi-iteration build would dominate this wall-clock)
     "ql32_neardup_autoplanes", "ql33_knn_graph", "ql35_repeated_spans",
-    "ql36_url_canonical", "ql37_gopher_flags"
+    "ql36_url_canonical", "ql37_gopher_flags", "ql38_linear_score"
   )
 
   def main(args: Array[String]): Unit = {

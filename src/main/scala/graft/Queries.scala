@@ -1770,7 +1770,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // ql36: identical regex chain (RE2-compatible on both sides; DuckDB
     // needs explicit 'g' flags and \1 backrefs where Spark is global/$1)
     "ql36_url_canonical" ->
-      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || '/' ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(regexp_replace(hostport, ':(80|443)$', '', 'g'), '^www\.', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN rest3 LIKE '%/' AND rest3 <> '/' THEN substr(rest3, 1, len(rest3)-1) ELSE rest3 END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || '/' ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '^(www\.)+', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN rest3 LIKE '%/' AND rest3 <> '/' THEN substr(rest3, 1, len(rest3)-1) ELSE rest3 END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql37: identical integer-arithmetic rule battery; list ops mirror the
     // engine's HOF definitions term for term
     "ql37_gopher_flags" ->

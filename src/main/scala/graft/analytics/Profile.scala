@@ -29,6 +29,11 @@ object Profile {
   private def c(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
 
+  // try_cast, not cast: a string column must quantile to NULL, not throw
+  // under ANSI mode — the same contract the min/max path documents
+  private def tryDouble(name: String): Column =
+    expr("try_cast(`" + name.replace("`", "``") + "` AS DOUBLE)")
+
   /** One-pass profile. `quantiles` (e.g. `Seq(0.5, 0.95, 0.99)`) adds a
     * `pNN` metric row per column from `approx_percentile` — the same
     * single aggregation, one KLL-class sketch per column riding the scan
@@ -64,13 +69,14 @@ object Profile {
           min(c(n)).as(s"__min_$i"),
           max(c(n)).as(s"__max_$i")) ++
           (if (quantiles.isEmpty) Nil
-           else Seq(percentile_approx(c(n).cast("double"),
+           else Seq(percentile_approx(tryDouble(n),
              array(quantiles.map(lit): _*), lit(accuracy)).as(s"__qtl_$i")))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // decimal formatting: (0.07 * 100) is 7.000000000000001 in doubles —
+    // metric names must come out as "p7", not float garbage
     def pName(q: Double): String =
-      "p" + (if (q * 100 == math.floor(q * 100)) (q * 100).toInt.toString
-             else (q * 100).toString)
+      "p" + (BigDecimal(q.toString) * 100).bigDecimal.stripTrailingZeros.toPlainString
     val entries = cols.zipWithIndex.flatMap { case (n, i) =>
       Seq(
         struct(lit(n).as("col_name"), lit("count").as("metric"),

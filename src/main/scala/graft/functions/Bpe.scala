@@ -110,13 +110,17 @@ object BpeVocab {
     out
   }
 
-  /** Parse GPT-2 `merges.txt` content: rank = line order; `#`-prefixed
-    * header lines and blanks are skipped.
+  /** Parse GPT-2 `merges.txt` content: rank = line order; the
+    * `#version` header line and blanks are skipped. ONLY the version
+    * header — real GPT-2 merges contain lines like `# #` and `## #`
+    * ('#' maps to itself in the byte alphabet), and a blanket
+    * `#`-comment filter would silently drop them, mis-counting every
+    * `##`-bearing token downstream.
     */
   def parseMerges(lines: Iterator[String]): BpeVocab = {
     val ranks = lines
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .zipWithIndex
       .map { case (line, rank) =>
         val sp = line.indexOf(' ')

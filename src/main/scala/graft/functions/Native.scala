@@ -453,6 +453,9 @@ object Native {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_token_count",
       exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"bpe_token_count expects (text, merges_path), got ${exprs.length} arguments")
         val path = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
             if v != null => v.toString

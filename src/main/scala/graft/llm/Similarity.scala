@@ -517,8 +517,8 @@ object Similarity {
     * Exact-duplicate certainty (the oracle hook): identical vectors
     * share every LSH bucket, so a clone pair is already a candidate at
     * init, scores 1.0, and can never be evicted from a top-k — planted
-    * clones are provably each other's top-1 at ANY iters (Q-L33 pins
-    * this end to end).
+    * clones are provably each other's top-1 at ANY iters (Q-L34 pins
+    * this end to end; Q-L33 is the exact-graph baseline).
     */
   def knnGraphDescent(corpus: DataFrame, k: Int, dim: Int,
                       idCol: String = "vec_id",
@@ -587,7 +587,16 @@ object Similarity {
       .join(ids.select(col("id"), col("embedding").as("c_emb")), col("neighbor_id") === col("id"))
       .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
-    topKAggTail(fin, k, "query_id", "neighbor_id")
+    // materialize the narrow result (it IS the product — n·k rows) with a
+    // truncated lineage, then release the last iteration's cache: without
+    // this the final graph would stay persisted for the session lifetime
+    // with no handle to release it (the Race/Contest winner-cache problem,
+    // but on a plain function with no close()). ContextCleaner frees the
+    // checkpoint blocks when the returned Dataset is garbage-collected.
+    val out = topKAggTail(fin, k, "query_id", "neighbor_id")
+      .localCheckpoint(true)
+    graph.unpersist(blocking = false)
+    out
   }
 
   /** IVF-bucketed near-dup pairs — the CORPUS-GROWTH-SAFE path of the

@@ -298,7 +298,13 @@ object TextAnalysis {
     val noFrag = regexp_replace(url, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_replace(hostport, ":(80|443)$", ""), "^www\\.", "")
+    // default ports are SCHEME-conditional (http://h:443 is a distinct
+    // resource from http://h); "(www\.)+" strips repeated prefixes so the
+    // operator stays idempotent on "www.www." hosts
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^(www\\.)+", "")
     val rest0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
     // tracking params out, then tidy the separators they leave behind
     val rest1 = regexp_replace(rest0, "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "$1")

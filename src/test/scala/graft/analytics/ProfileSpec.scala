@@ -74,6 +74,21 @@ class ProfileSpec extends SparkSpec {
     assert(m(("a.b", "p50")) == 1.0)
   }
 
+  test("quantiles over a string column yield NULL rows, not an ANSI cast crash") {
+    val rows = Profile.profile(df, Seq("s"), quantiles = Seq(0.5)).collect()
+    val p50 = rows.find(_.getString(1) == "p50").get
+    assert(p50.isNullAt(2)) // same try_cast contract as min/max
+  }
+
+  test("quantile metric names are decimal-clean for float-hostile fractions") {
+    val data = (1 to 100).map(_.toDouble).toDF("x")
+    val names = Profile.profile(data, Seq("x"), quantiles = Seq(0.07, 0.29, 0.001))
+      .select("metric").collect().map(_.getString(0)).toSet
+    // (0.07 * 100).toString would be "7.000000000000001"
+    assert(names.contains("p7") && names.contains("p29") && names.contains("p0.1"),
+      s"got $names")
+  }
+
   test("histogram excludes NaN instead of clamping it into the top bucket") {
     val data = Seq(Some(1.0), Some(Double.NaN), Some(9.0), None).toDF("x")
     val h = Profile.histogram(data, "x", lo = 0.0, hi = 10.0, bins = 2)

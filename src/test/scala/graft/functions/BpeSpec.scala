@@ -47,14 +47,19 @@ class BpeSpec extends SparkSpec {
     assert(vocab.countTokens("") == 0)
   }
 
-  test("merges file loader skips headers and round-trips through a file") {
+  test("merges file loader skips ONLY the version header and round-trips through a file") {
     val f = java.io.File.createTempFile("merges", ".txt")
     try {
       val w = new java.io.PrintWriter(f, "UTF-8")
-      w.println("#version: 0.2"); w.println(""); w.println("h e"); w.close()
+      w.println("#version: 0.2"); w.println(""); w.println("h e")
+      // real GPT-2 merges contain '#'-led merge lines ('##' tokens) —
+      // they are MERGES, not comments
+      w.println("# #"); w.println("## #")
+      w.close()
       val v = BpeVocab.fromFile(f.getPath)
-      assert(v.ranks == Map(("h", "e") -> 0))
+      assert(v.ranks == Map(("h", "e") -> 0, ("#", "#") -> 1, ("##", "#") -> 2))
       assert(v.countTokens("he") == 1 && v.countTokens("eh") == 2)
+      assert(v.countTokens("###") == 1) // # # -> ##, ## # -> ###
     } finally f.delete()
   }
 

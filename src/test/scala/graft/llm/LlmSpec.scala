@@ -101,10 +101,20 @@ class LlmSpec extends SparkSpec {
     assert(got(5) == "not a url")
   }
 
+  test("canonicalizeUrl keeps NON-default ports (http on 443 is a distinct resource)") {
+    val got = Seq("http://h.com:443/a", "https://h.com:80/a", "ftp://h.com:80/a")
+      .toDF("u").select(TextAnalysis.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0))
+    assert(got(0) == "http://h.com:443/a")
+    assert(got(1) == "https://h.com:80/a")
+    assert(got(2) == "ftp://h.com:80/a")
+  }
+
   test("canonicalizeUrl is idempotent (canonical of canonical is itself)") {
     val urls = Seq(
       "HTTPS://WWW.Example.COM:443/a/?utm_source=x&id=7#f",
-      "http://Site.org:80/dir/", "https://a.com/", "plain text")
+      "http://Site.org:80/dir/", "https://a.com/", "plain text",
+      "https://www.www.example.com/a") // repeated prefix must strip fully
     val once = urls.toDF("u")
       .select(TextAnalysis.canonicalizeUrl(col("u")).as("c1"))
     val twice = once.select(col("c1"),
