@@ -73,7 +73,15 @@ object PlanAudit {
       "Exchange after scoring carries <=k narrow rows per query"),
     "ql34_knn_descent" -> ("NN-Descent build: auto-planes bucket init joins, then per-iteration " +
       "id-only 2-hop candidate joins + two embedding fetch equi-joins, exact cosine in-join, " +
-      "k-bounded partial_topkbysim tails -- per-iteration work O(n*buildK^2*dim), nothing O(n^2)")
+      "k-bounded partial_topkbysim tails -- per-iteration work O(n*buildK^2*dim), nothing O(n^2)"),
+    "ql35_repeated_spans" -> ("window explode -> 16-byte md5 span-df agg (partial+final) -> " +
+      "difference-array join on (id, pos) -> PER-DOCUMENT coverage window (partitioned by id, " +
+      "parallel across docs -- no corpus-wide window) -> ordered reassembly agg"),
+    "ql37_gopher_flags" -> ("the whole rule battery as scan-riding projections in one " +
+      "WholeStageCodegen span -- integer-arithmetic comparisons, no shuffle in the operator " +
+      "(the only Exchange is the harness ORDER BY)"),
+    "ql38_linear_score" -> ("exploded tokens BroadcastHashJoin the weights dim (never a map " +
+      "literal in the plan), DECIMAL partial+final sum per doc -- one narrow Exchange keyed by id")
   )
 
   def main(args: Array[String]): Unit = {
