@@ -147,6 +147,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless round-7 text ops run unchanged on a stream (gopher + canonical + bpe)") {
+    // gopherQualityFlags / canonicalizeUrl / BPE counting are pure
+    // projections — the crawl-filter battery applies per-document with no
+    // state, so a streamed corpus must score identically to batch
+    import StreamingSpec.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = graft.functions.BpeVocab(Map(("h", "e") -> 0, ("l", "l") -> 1))
+    val docs = (1 to 40).map(i =>
+      Doc(i.toLong, s"hello world$i https://WWW.Site$i.com:443/p/ " +
+        (1 to 60).map(j => s"w$j").mkString(" ")))
+    val stream = MemoryStream[Doc]
+    def stage(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("q", graft.llm.TextAnalysis.gopherQualityFlags(col("text")))
+      .withColumn("n_bpe", graft.llm.TextAnalysis.tokenCount(col("text"),
+        graft.llm.TextAnalysis.BpeTok(vocab)))
+      .select(col("doc_id"), col("q.ok_length"), col("q.ok_alpha"), col("n_bpe"),
+        graft.llm.TextAnalysis.canonicalizeUrl(
+          concat(lit("https://WWW.Host"), col("doc_id").cast("string"),
+            lit(".com:443/p/"))).as("curl"))
+    val q = stage(stream.toDF()).writeStream
+      .format("memory").queryName("r7_stateless").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(20)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = rowsOf(spark.table("r7_stateless"))
+      val batch = rowsOf(stage(docs.toDF()))
+      assert(streamed == batch, "streamed round-7 signals != batch after replay")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark stage is streaming-only passthrough in batch") {
     val events = Tables.load(spark, sf, "events")
     val out = Windowed.watermark("wm", "ts", "10 minutes")(events)
