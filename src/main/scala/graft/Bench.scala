@@ -36,6 +36,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional subset arg (comma-separated query names) for quiet-machine
+    // re-measurement of individual outliers without the full-run cost; the
+    // driver invokes with no args and measures the full headline list.
+    val selected: Seq[String] =
+      if (args.nonEmpty) headline.filter(args(0).split(',').toSet)
+      else headline
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,13 +55,13 @@ object Bench {
     // compilation and classloading are per-plan-shape one-time costs
     // (first run ~4x slower) and would otherwise dominate the measurement;
     // the timed runs below then measure steady-state execution at sfDir.
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
+    selected.filter(SparkEntry.queries.contains).foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = selected.filter(SparkEntry.queries.contains).map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try {

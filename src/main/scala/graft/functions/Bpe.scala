@@ -138,15 +138,20 @@ object BpeVocab {
     try parseMerges(src.getLines()) finally src.close()
   }
 
-  // process-wide per-path cache for the SQL facade: repeated
+  // process-wide cache for the SQL facade: repeated
   // `bpe_token_count(text, 'path')` calls (one per query in a session)
-  // must not re-parse a 50k-line merges file each time
+  // must not re-parse a 50k-line merges file each time. Keyed on
+  // (path, mtime, size) so a rewritten merges file is re-read instead of
+  // silently counted with the stale vocabulary.
   private val byPath =
-    new java.util.concurrent.ConcurrentHashMap[String, BpeVocab]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), BpeVocab]()
 
-  /** [[fromFile]] memoized by path. */
-  def cached(path: String): BpeVocab =
-    byPath.computeIfAbsent(path, p => fromFile(p))
+  /** [[fromFile]] memoized by (path, mtime, size). */
+  def cached(path: String): BpeVocab = {
+    val f = new java.io.File(path)
+    byPath.computeIfAbsent((path, f.lastModified, f.length),
+      _ => fromFile(path))
+  }
 }
 
 /** Scan-riding BPE token count: one fused merge loop per row, vocabulary

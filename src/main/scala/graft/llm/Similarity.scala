@@ -458,8 +458,15 @@ object Similarity {
   def autoPlanes(corpusSize: Long, targetBucket: Long = 1024L,
                  pMin: Int = 4, pMax: Int = 48): Int = {
     require(corpusSize > 0 && targetBucket > 0, "need positive sizes")
-    val needed = math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2.0))
-    math.min(pMax, math.max(pMin, needed.toInt))
+    // integer arithmetic throughout: Math.log is only 1-ulp accurate, and
+    // a 1-ulp wobble at an exact power of two would derive planes±1 —
+    // machine-dependent bucket assignments. ceil(log2(ceil(n/target))) =
+    // 64 - nlz(ratio - 1) is bit-stable everywhere.
+    val ratio = (corpusSize + targetBucket - 1) / targetBucket
+    val needed =
+      if (ratio <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1L)
+    math.min(pMax, math.max(pMin, needed))
   }
 
   /** [[cosineNearDupPairs]] with `planes` derived from the corpus size —
