@@ -1443,6 +1443,33 @@ object Queries {
       .select(col("query_id"), col("neighbor_id")))
   }
 
+  /** Q-L39 — beam search over the BUILT k-NN graph (the query-time half
+    * of the ANN-graph family; [[graft.llm.Similarity.knnGraphSearch]]):
+    * the descent graph is built over the ql11 clone corpus, then the ten
+    * query vectors are answered from LSH entry points + graph hops.
+    * ORACLE-CHECKED by the ql11 construction: each query's three planted
+    * clones share its signature in both entry plane tables, enter the
+    * candidate set at hop 0 with sim ≈ 1.0 (identical bytes), and can
+    * never be evicted by an organic candidate (ceiling ~0.51) — so the
+    * top-3 is PROVABLY the clones at any beam/hops, ranked by the
+    * ascending-id tiebreak, independent of the graph content. Organic
+    * recall uplift from the hops is spec-pinned (`KnnGraphSpec`).
+    */
+  val qlKnnSearch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = annCloneCorpus(emb)
+      .select(col("neighbor_id").as("vec_id"), col("embedding"))
+    val n = embCount(s, dir) + 30L // organic + 3 clones of each of 10 queries
+    val graph = graft.llm.Similarity.knnGraphDescent(
+      corpus, k = 3, dim = 64, iters = 1)
+    val out = graft.llm.Similarity.knnGraphSearch(
+      queries, corpus, graph, k = 3, dim = 64, corpusSize = Some(n))
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    ordered(out)
+  }
+
   /** Shared ql11/ql12 corpus: all organic embeddings plus three exact
     * clones of each query vector (ids +1M/+2M/+3M).
     */
@@ -1540,6 +1567,7 @@ object Queries {
     "ql32_neardup_autoplanes" -> qlNearDupAutoPlanes,
     "ql33_knn_graph" -> qlKnnGraph,
     "ql34_knn_descent" -> qlKnnDescent,
+    "ql39_graph_search" -> qlKnnSearch,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -1827,6 +1855,11 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     "ql11_ann_topk" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql12_ivf_topk" ->
+      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql39: the clone proof is entry-stage (hop-independent) — identical
+    // vectors share the query's signature in both plane tables, so the
+    // graph-search top-3 equals ql11's closed form
+    "ql39_graph_search" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql27: identical clones quantize identically, so the clone proof of
     // ql11/ql12 carries over to the int8 path unchanged

@@ -493,7 +493,17 @@ object Similarity {
     * use [[knnGraphDescent]]. Same bounded TopKBySim tail — only narrow
     * (id, neighbor, sim) rows ever shuffle.
     */
-  def knnGraphExact(corpus: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+  def knnGraphExact(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                    maxRows: Long = 100000L): DataFrame = {
+    // escape hatch, not a tuning knob: the cartesian is the point of this
+    // operator (exactness baseline / bounded re-scoring), but reaching it
+    // ACCIDENTALLY with a corpus-sized input must fail fast instead of
+    // scheduling n² work. The limit+count probe reads at most maxRows+1
+    // rows — negligible against the cartesian it guards.
+    val probe = corpus.limit((maxRows + 1L).min(Int.MaxValue.toLong).toInt).count()
+    require(probe <= maxRows,
+      s"knnGraphExact is O(n^2): corpus exceeds maxRows=$maxRows; " +
+        "use knnGraphDescent for corpus-scale graphs, or raise maxRows explicitly")
     val a = corpus.select(col(idCol).as("query_id"), col("embedding").as("q_emb"))
     val b = corpus.select(col(idCol).as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = a.crossJoin(b)
@@ -603,6 +613,104 @@ object Similarity {
     val out = topKAggTail(fin, k, "query_id", "neighbor_id")
       .localCheckpoint(true)
     graph.unpersist(blocking = false)
+    out
+  }
+
+  /** Query-time BEAM SEARCH over a built k-NN graph — the serving half of
+    * the ANN-graph family (HNSW/NSG query phase, re-expressed as bounded
+    * relational hops): [[knnGraphDescent]] builds the neighborhood graph
+    * once; this entry point answers top-k queries against it with recall
+    * that LSH/IVF bucketing alone can't reach at the same candidate
+    * budget, because each hop follows exact-neighbor edges instead of
+    * re-drawing hash buckets.
+    *
+    * Shape per query: ENTRY candidates from two independent hyperplane
+    * tables (identical vectors collide in both — the planted-clone
+    * certainty below), scored exactly in-join; then `hops` rounds of
+    * frontier → out-edges expansion, each scored exactly and re-ranked by
+    * the k-bounded [[graft.functions.Aggregators.TopKBySim]] aggregate to
+    * the beam width. Everything that shuffles is NARROW (query, candidate,
+    * sim) — embeddings enter only through the two equi-joins against the
+    * corpus (the same fetch shape as the graph build; co-partition the
+    * corpus by id once and every hop reuses it) and are dropped before
+    * each ranking Exchange. Per-hop work is O(nq · beam · outdeg · dim) —
+    * independent of corpus size, which is the point of serving from a
+    * graph.
+    *
+    * Exact-duplicate certainty (the oracle hook, ql11's construction):
+    * a corpus clone of a query vector shares the query's signature in
+    * EVERY plane table, so it is an entry candidate at hop 0 with
+    * sim ≈ 1.0 computed on identical bytes — it can never be evicted by
+    * an organic candidate, independent of the graph content and of
+    * `hops`. Organic recall uplift from the graph hops is spec-pinned
+    * (`KnnGraphSpec`): beam search over the descent graph must reach at
+    * least single-table LSH recall at an equal candidate budget.
+    *
+    * `graph` is any (query_id, neighbor_id) edge table —
+    * [[knnGraphDescent]] output, [[knnGraphExact]] output, or a persisted
+    * edge table read back from parquet (the production lifecycle: build
+    * once, serve many).
+    */
+  def knnGraphSearch(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+                     k: Int, dim: Int,
+                     queryIdCol: String = "query_id", idCol: String = "vec_id",
+                     beam: Int = 0, hops: Int = 2,
+                     entryPlanes: Int = 0,
+                     corpusSize: Option[Long] = None): DataFrame = {
+    require(hops >= 0 && k >= 1, "need hops >= 0 and k >= 1")
+    val bw = if (beam > 0) beam else math.max(2 * k, 16)
+    val ids = corpus.select(col(idCol).as("id"), col("embedding"))
+    val planes =
+      if (entryPlanes > 0) entryPlanes
+      else autoPlanes(corpusSize.getOrElse(ids.count()), targetBucket = 256L)
+    val qs = queries.select(col(queryIdCol).as("q"), col("embedding").as("q_emb"))
+    val edges = graph.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    // entry: two plane tables (OR-amplified), queries broadcast into the
+    // bucket join — the query set is the dimension side of graph serving
+    val entryScored = (0 until 2).map { tbl =>
+      val c = ids.withColumn("bucket",
+        hyperplaneSignature(col("embedding"), planes, dim, planeOffset = tbl * planes))
+      val q = broadcast(qs.withColumn("bucket",
+        hyperplaneSignature(col("q_emb"), planes, dim, planeOffset = tbl * planes)))
+      c.join(q, Seq("bucket"))
+        .filter(col("q") =!= col("id"))
+        .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+        .select(col("q"), col("id").as("cand"), col("sim"))
+    }.reduce(_.unionByName(_))
+    // the frontier is tiny (nq · beam narrow rows) but feeds two branches
+    // per hop — persist each round, release the previous one (the
+    // knnGraphDescent iteration pattern)
+    var frontier = topKAggTail(entryScored, bw, "q", "cand")
+      .select(col("q"), col("cand"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to hops) {
+      val expand = frontier.select(col("q"), col("cand"))
+        .join(edges, col("cand") === col("src"))
+        .select(col("q"), col("dst").as("cand"))
+        .filter(col("q") =!= col("cand"))
+        // dedup BEFORE the embedding fetch: a candidate reached through
+        // several frontier nodes must be fetched and scored once
+        .dropDuplicates("q", "cand")
+      val scored = expand
+        .join(ids.select(col("id"), col("embedding").as("c_emb")), col("cand") === col("id"))
+        .drop("id")
+        .join(broadcast(qs), Seq("q"))
+        .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+        .select(col("q"), col("cand"), col("sim"))
+      // kept candidates carry their already-exact sims; only the expansion
+      // is scored. TopKBySim dedups re-encounters (identical sims) in-agg.
+      val next = topKAggTail(frontier.unionByName(scored), bw, "q", "cand")
+        .select(col("q"), col("cand"), col("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      frontier.unpersist(blocking = false)
+      frontier = next
+    }
+    val out = topKAggTail(frontier, k, "q", "cand")
+      .select(col("q").as(queryIdCol), col("rank"),
+        col("cand").as("neighbor_id"), col("sim"))
+      .localCheckpoint(true)
+    frontier.unpersist(blocking = false)
     out
   }
 

@@ -56,4 +56,50 @@ class KnnGraphSpec extends SparkSpec {
     val b = pairs(Similarity.knnGraphDescent(emb, k = 3, dim = 64, iters = 1))
     assert(a == b)
   }
+
+  test("knnGraphExact refuses a corpus above maxRows (accidental-cartesian guard)") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphExact(emb, k = 3, maxRows = 100L)
+    }
+    assert(e.getMessage.contains("O(n^2)"))
+    // the escape hatch: raising maxRows re-admits the same corpus
+    assert(Similarity.knnGraphExact(emb, k = 1, maxRows = 1000L).count() > 0)
+  }
+
+  test("beam search over the descent graph reaches at least single-table LSH recall") {
+    val queries = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = pairs(Similarity.bruteForceTopKAgg(
+      queries, emb.select($"vec_id".as("neighbor_id"), $"embedding"), k = 3))
+    val n = emb.count()
+    val planes = Similarity.autoPlanes(n, targetBucket = 256L)
+    val graph = Similarity.knnGraphDescent(emb, k = 8, dim = 64, iters = 2)
+    val viaSearch = pairs(Similarity.knnGraphSearch(
+      queries, emb, graph, k = 3, dim = 64, corpusSize = Some(n)))
+    val viaLsh = pairs(Similarity.lshTopK(
+      queries, emb.select($"vec_id".as("neighbor_id"), $"embedding"),
+      k = 3, planes = planes, dim = 64, multiProbe = false))
+    val recallSearch = (exact & viaSearch).size.toDouble / exact.size
+    val recallLsh = (exact & viaLsh).size.toDouble / exact.size
+    assert(recallSearch >= recallLsh,
+      s"graph search must not trail single-table LSH: search=$recallSearch lsh=$recallLsh")
+    assert(recallSearch >= 0.70, s"graph-search recall@3 = $recallSearch")
+  }
+
+  test("graph search finds planted clones at rank 1 regardless of hops") {
+    val corpus = emb.unionByName(emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val graph = Similarity.knnGraphDescent(corpus, k = 3, dim = 64, iters = 0)
+    for (h <- Seq(0, 2)) {
+      val top1 = Similarity.knnGraphSearch(
+          queries, corpus, graph, k = 1, dim = 64, hops = h)
+        .filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(top1 == (0L until 10L).map(i => i -> (i + 1000000L)).toMap,
+        s"hops=$h")
+    }
+  }
 }
