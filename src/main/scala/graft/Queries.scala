@@ -1133,6 +1133,41 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text", weights, bias = 0.1))
   }
 
+  /** Tiny committed BPE (merges, id-vocab) pair for Q-L40 — built inline
+    * (no file dependency in the driver contract): the BpeSpec fixture
+    * merges plus ids for every reachable symbol. The three fixture words
+    * have closed-form encodings under it, hand-derived from rank order:
+    * "hello"→[9], "the"→[t,he]=[4,6], "he"→[6]; space-prefixed forms
+    * prepend Ġ=5 ("hello"/"he") or become [Ġ,t,he]=[5,4,6] ("the").
+    */
+  private lazy val bpeFixtureEncoder: graft.functions.BpeEncoder =
+    graft.functions.BpeEncoder(
+      graft.functions.BpeVocab.parseMerges(Seq(
+        "h e", "l l", "he ll", "hell o", "Ġ h", "Ġh e", "t h", "th e").iterator),
+      Map("h" -> 0, "e" -> 1, "l" -> 2, "o" -> 3, "t" -> 4, "Ġ" -> 5,
+        "he" -> 6, "ll" -> 7, "hell" -> 8, "hello" -> 9, "th" -> 10,
+        "the" -> 11, "Ġh" -> 12, "Ġhe" -> 13))
+
+  /** Q-L40 — BPE tokenize-to-ids (the id-shard emission step): each doc
+    * gets a 3-word text drawn from the fixture words by doc_id
+    * arithmetic; the engine runs the REAL byte-BPE merge loop + id lookup
+    * ([[graft.llm.TextAnalysis.tokenIdsBpe]], fused expression), the
+    * oracle maps each word position to its closed-form id list and
+    * concatenates — so the full ARRAY<INT> output hash-checks.
+    */
+  val qlBpeEncode: Q = (s, dir) => {
+    val id = col("doc_id")
+    def w(i: Column): Column =
+      when(pmod(i, lit(3)) === 0, lit("hello"))
+        .when(pmod(i, lit(3)) === 1, lit("the"))
+        .otherwise(lit("he"))
+    val text = concat_ws(" ", w(id), w(id + 1), w(id + 2))
+    ordered(t(s, dir, "documents").select(id, text.as("text_bpe"))
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.tokenIdsBpe(col("text_bpe"), bpeFixtureEncoder)
+          .as("ids")))
+  }
+
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
     * [0, 110000) — one bounded-key aggregation over one scan
     * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
@@ -1568,6 +1603,7 @@ object Queries {
     "ql33_knn_graph" -> qlKnnGraph,
     "ql34_knn_descent" -> qlKnnDescent,
     "ql39_graph_search" -> qlKnnSearch,
+    "ql40_bpe_encode" -> qlBpeEncode,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -1861,6 +1897,11 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // graph-search top-3 equals ql11's closed form
     "ql39_graph_search" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql40: each word position's BPE id list is closed-form under the
+    // committed fixture vocab (rank-order merge derivation in the query
+    // scaladoc); the oracle concatenates per-position lists
+    "ql40_bpe_encode" ->
+      """WITH w AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN [9] WHEN 1 THEN [4,6] ELSE [6] END AS w0, CASE (doc_id+1) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w1, CASE (doc_id+2) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w2 FROM documents) SELECT doc_id, CAST(w0 || w1 || w2 AS INT[]) AS ids FROM w ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql27: identical clones quantize identically, so the clone proof of
     // ql11/ql12 carries over to the int8 path unchanged
     "ql27_quantized_topk" ->

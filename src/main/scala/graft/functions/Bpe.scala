@@ -55,6 +55,9 @@ final case class BpeVocab(ranks: Map[(String, String), Int]) extends Serializabl
     total
   }
 
+  private[functions] def preTokenMatcher(text: String): java.util.regex.Matcher =
+    preTokenizer.matcher(text)
+
   /** Final symbol sequence of one pre-token (spec hook). */
   def mergeWord(word: String): Seq[String] = {
     var syms: Vector[String] =
@@ -154,6 +157,89 @@ object BpeVocab {
   }
 }
 
+/** Byte-BPE TOKENIZER — [[BpeVocab]]'s merge table plus the id
+  * vocabulary (`vocab.json` in the public GPT-2 format: token-in-byte-
+  * alphabet → id), emitting the `ARRAY<INT>` id sequence a training-data
+  * pipeline shards out as its last step. Counting ([[BpeVocab]]) meters
+  * budgets; encoding emits the actual training units.
+  *
+  * A symbol absent from the id vocabulary encodes as -1 — impossible
+  * with a complete published (merges, vocab) pair, where every base
+  * alphabet char and every merge product has an id, but made visible
+  * rather than silently dropped for hand-built vocabularies.
+  */
+final case class BpeEncoder(vocab: BpeVocab, ids: Map[String, Int])
+    extends Serializable {
+  require(ids.nonEmpty, "empty id vocabulary")
+
+  // same Zipf argument as the count cache: pre-tokens repeat heavily, so
+  // word -> ids memoization turns the merge loop into a hash probe
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private val CacheCap = 65536
+
+  /** Token-id array of one pre-token. */
+  def encodeWord(word: String): Array[Int] =
+    vocab.mergeWord(word).map(s => ids.getOrElse(s, -1)).toArray
+
+  /** Token-id sequence of `text` under (merges, vocab). */
+  def encode(text: String): Array[Int] = {
+    if (text.isEmpty) return Array.emptyIntArray
+    val m = vocab.preTokenMatcher(text)
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    while (m.find()) {
+      val word = m.group()
+      val hit = cache.get(word)
+      if (hit != null) out.addAll(hit)
+      else {
+        val enc = encodeWord(word)
+        if (cache.size() < CacheCap) cache.put(word, enc)
+        out.addAll(enc)
+      }
+    }
+    out.result()
+  }
+}
+
+object BpeEncoder {
+
+  /** Parse a GPT-2 `vocab.json` (one flat string→int object) via the
+    * Jackson shipped with Spark — no extra dependency.
+    */
+  def idsFromJson(path: String): Map[String, Int] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    require(root.isObject, s"vocab.json must be a flat object: $path")
+    val out = Map.newBuilder[String, Int]
+    root.fields().forEachRemaining { e =>
+      require(e.getValue.isIntegralNumber,
+        s"vocab.json value for '${e.getKey}' is not an integer")
+      out += e.getKey -> e.getValue.intValue()
+    }
+    val m = out.result()
+    require(m.nonEmpty, s"empty vocab.json: $path")
+    m
+  }
+
+  /** Load (merges.txt, vocab.json) — both memoized on (path, mtime, size)
+    * through [[BpeVocab.cached]]'s keying discipline.
+    */
+  def fromFiles(mergesPath: String, vocabJsonPath: String): BpeEncoder =
+    cached(mergesPath, vocabJsonPath)
+
+  private val byPaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String, Long, Long), BpeEncoder]()
+
+  /** File-loading constructor memoized on both files' (path, mtime, size). */
+  def cached(mergesPath: String, vocabJsonPath: String): BpeEncoder = {
+    val mf = new java.io.File(mergesPath)
+    val vf = new java.io.File(vocabJsonPath)
+    byPaths.computeIfAbsent(
+      (mergesPath, mf.lastModified, mf.length, vocabJsonPath, vf.lastModified, vf.length),
+      _ => BpeEncoder(BpeVocab.cached(mergesPath), idsFromJson(vocabJsonPath)))
+  }
+}
+
 /** Scan-riding BPE token count: one fused merge loop per row, vocabulary
   * as an expression FIELD (the NearestCentroids pattern — a literal
   * Column encoding of a 50k-merge table would bloat the plan; a field
@@ -181,6 +267,40 @@ case class BpeTokenCount(child: Expression, vocab: BpeVocab)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("bpe", vocab, classOf[BpeVocab].getName)
     nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.countTokens($s.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scan-riding BPE tokenize-to-ids: same fused merge loop and
+  * expression-field vocabulary discipline as [[BpeTokenCount]], emitting
+  * the `ARRAY<INT>` id sequence. Null in → null out; empty string → [].
+  */
+case class BpeEncodeIds(child: Expression, encoder: BpeEncoder)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encoder.encode(input.toString))
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEnc", encoder, classOf[BpeEncoder].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray($ref.encode($s.toString()));")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -399,6 +399,9 @@ object Native {
   def bpeTokenCount(text: Column, vocab: BpeVocab): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text), vocab))
 
+  def bpeEncode(text: Column, encoder: BpeEncoder): Column =
+    Bridge.column(BpeEncodeIds(Bridge.expression(text), encoder))
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case _ => throw new IllegalArgumentException(s"$what must be an INT literal, got $e")
@@ -463,6 +466,23 @@ object Native {
             s"bpe_token_count merges path must be a STRING literal, got $other")
         }
         BpeTokenCount(exprs.head, BpeVocab.cached(path))
+      }, "scala_udf")
+    // bpe_encode(text, '/merges.txt', '/vocab.json'): tokenize to the
+    // ARRAY<INT> id sequence; both paths are literals (expression state)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"bpe_encode expects (text, merges_path, vocab_path), got ${exprs.length} arguments")
+        def strLit(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
+            if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode $what must be a STRING literal, got $other")
+        }
+        BpeEncodeIds(exprs.head,
+          BpeEncoder.cached(strLit(exprs(1), "merges path"), strLit(exprs(2), "vocab path")))
       }, "scala_udf")
   }
 }

@@ -62,6 +62,15 @@ object TextAnalysis {
   def tokenCount(text: Column, tokenizer: Tokenizer = WhitespaceTok): Column =
     tokenizer.count(text)
 
+  /** Byte-BPE tokenize-to-ids — the id-shard emission step at the end of
+    * a training-data pipeline: `ARRAY<INT>` token ids under a loaded
+    * (merges.txt, vocab.json) pair ([[graft.functions.BpeEncoder]]), as a
+    * scan-riding fused expression. Counting meters budgets; THIS emits
+    * the units a training run actually reads.
+    */
+  def tokenIdsBpe(text: Column, encoder: graft.functions.BpeEncoder): Column =
+    graft.functions.Native.bpeEncode(text, encoder)
+
   /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
     * Deterministic and self-contained (no model files).
     */

@@ -87,6 +87,65 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  private lazy val encoder: BpeEncoder = {
+    val url = getClass.getResource("/bpe/vocab.json")
+    BpeEncoder(vocab, BpeEncoder.idsFromJson(url.getPath))
+  }
+
+  test("encode emits the hand-pinned id sequences under the fixture vocab") {
+    // ids: h=0 e=1 l=2 o=3 t=4 Ġ=5 he=6 ll=7 hell=8 hello=9 ... Ġhe=13
+    assert(encoder.encode("hello").toSeq == Seq(9))
+    assert(encoder.encode("the").toSeq == Seq(4, 6)) // [t, he] — (h,e) outranks (t,h)
+    assert(encoder.encode("hello hello").toSeq == Seq(9, 5, 9)) // [hello] + [Ġ, hello]
+    assert(encoder.encode("the the").toSeq == Seq(4, 6, 5, 4, 6))
+    assert(encoder.encode("he").toSeq == Seq(6))
+    assert(encoder.encode("").toSeq == Seq.empty)
+    // id count must agree with the counting path on every input
+    Seq("hello hello", "the the", "he", "hello, world!").foreach { s =>
+      assert(encoder.encode(s).length == vocab.countTokens(s), s"'$s'")
+    }
+  }
+
+  test("symbols missing from the id vocabulary encode as -1, not silently dropped") {
+    assert(encoder.encodeWord("x").toSeq == Seq(-1))
+    assert(encoder.encode("hello x").toSeq == Seq(9, 5, -1)) // Ġ=5 then unknown x
+  }
+
+  test("vocab.json loader reads the flat GPT-2 object and rejects junk") {
+    val ids = BpeEncoder.idsFromJson(getClass.getResource("/bpe/vocab.json").getPath)
+    assert(ids("hello") == 9 && ids("Ġhe") == 13 && ids.size == 14)
+    val bad = java.io.File.createTempFile("vocab_bad", ".json")
+    try {
+      val w = new java.io.PrintWriter(bad, "UTF-8"); w.println("[1,2]"); w.close()
+      intercept[IllegalArgumentException](BpeEncoder.idsFromJson(bad.getPath))
+    } finally bad.delete()
+  }
+
+  test("the encode Column face rides the scan and agrees with the driver-side encode") {
+    val texts = Seq("hello hello", "the the", "", "hello, world!")
+    val got = texts.toDF("text")
+      .select(Native.bpeEncode(col("text"), encoder).as("ids"))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(got == texts.map(encoder.encode(_).toSeq))
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(Native.bpeEncode(col("text"), encoder)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("SQL facade exposes bpe_encode with literal merges + vocab paths") {
+    Native.register(spark)
+    val url = getClass.getResource("/bpe/merges.txt").getPath
+    val vurl = getClass.getResource("/bpe/vocab.json").getPath
+    Seq("hello the").toDF("text").createOrReplaceTempView("bpe_enc_docs")
+    val ids = spark.sql(
+      s"SELECT bpe_encode(text, '$url', '$vurl') FROM bpe_enc_docs")
+      .head().getSeq[Int](0).toSeq
+    assert(ids == Seq(9, 5, 4, 6)) // [hello] + [Ġ, t, he]
+    val e = intercept[Exception](spark.sql(
+      "SELECT bpe_encode(text, text, text) FROM bpe_enc_docs").collect())
+    assert(e.getMessage.contains("STRING literal"))
+  }
+
   test("SQL facade exposes bpe_token_count with a literal merges path") {
     val f = java.io.File.createTempFile("merges_sql", ".txt")
     try {
