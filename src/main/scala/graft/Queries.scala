@@ -1168,6 +1168,30 @@ object Queries {
           .as("ids")))
   }
 
+  /** Q-L41 — linear scoring with word-BIGRAM features (ngramMax = 2):
+    * the ql38 shape with the feature bag widened to tokens + space-joined
+    * bigrams, the way fasttext-class quality filters ship their models.
+    * The weight table carries both unigram and bigram rows through the
+    * SAME broadcast dim; synthetic docs (ids -1..-20) guarantee bigram
+    * hits (including a repeated bigram and a negative-weight bigram);
+    * organic docs pin the unigram-only and no-hit paths. DECIMAL-exact
+    * sums, DOUBLE on emit — hash-checked end to end.
+    */
+  val qlLinearBigram: Q = (s, dir) => {
+    import s.implicits._
+    val weights = Seq(
+      ("the", 0.5), ("data", 1.25), ("spark", 2.0), ("fast", 0.75),
+      ("fast data", 3.5), ("data spark", -1.25))
+      .toDF("token", "weight")
+    val synth = s.range(1, 21).select((-col("id")).as("doc_id"),
+      concat(lit("fast data spark is fast data row "),
+        col("id").cast("string")).as("text"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(synth)
+    ordered(graft.llm.TextAnalysis.linearTextScore(
+      docs, "doc_id", "text", weights, bias = 0.1, ngramMax = 2))
+  }
+
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
     * [0, 110000) — one bounded-key aggregation over one scan
     * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
@@ -1295,15 +1319,35 @@ object Queries {
     ordered(out)
   }
 
-  /** Language-ID heuristic distribution — argmax of per-language stopword
-    * hits, ties to the lexicographically greater code; fully mirrored in
-    * DuckDB (oracle-checked since round 3).
+  /** Q-L10 — MODEL-BASED language ID through the linear-score plumbing
+    * ([[graft.llm.TextAnalysis.langIdLinear]]): one weight table per
+    * language (here derived from the stopword profiles with per-token
+    * weights 0.25·(rank+1) — the loading path a published linear lid
+    * model uses), scored per (doc, lang) as exact DECIMAL sums, argmax
+    * with the greater-code tiebreak, `und` when nothing matches or the
+    * best score ≤ 0. A 40-doc multilingual fixture (8 docs per language,
+    * full profile text) is unioned with the organic documents so every
+    * language's argmax path — including the cross-language collision
+    * words la/un/de — is exercised; the per-doc (pred_lang, score)
+    * output hash-checks against DuckDB recomputing the identical sums.
+    * Round 8 upgrade: replaces the hit-count heuristic distribution
+    * (the heuristic itself stays as [[graft.llm.TextAnalysis.langId]]).
     */
   val qlLangId: Q = (s, dir) => {
-    val out = t(s, dir, "documents")
-      .select(graft.llm.TextAnalysis.langId(col("text")).as("pred_lang"))
-      .groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))
-    ordered(out)
+    import s.implicits._
+    val profs = graft.llm.TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+    val weights = profs.flatMap { case (lang, words) =>
+      words.zipWithIndex.map { case (tok, j) => (lang, tok, 0.25 * (j + 1)) }
+    }.toDF("lang", "token", "weight")
+    val id = col("id")
+    val synthText = (1 to 3).foldLeft(
+      when(pmod(id, lit(5)) === 0, lit(profs(0)._2.mkString(" ")))) {
+      (acc, i) => acc.when(pmod(id, lit(5)) === i, lit(profs(i)._2.mkString(" ")))
+    }.otherwise(lit(profs(4)._2.mkString(" ")))
+    val synth = s.range(1, 41).select((-id).as("doc_id"), synthText.as("text"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(synth)
+    ordered(graft.llm.TextAnalysis.langIdLinear(docs, "doc_id", "text", weights))
   }
 
   /** Q-L21 — token-budget sharding: consecutive docs (in id order) pack
@@ -1604,6 +1648,7 @@ object Queries {
     "ql34_knn_descent" -> qlKnnDescent,
     "ql39_graph_search" -> qlKnnSearch,
     "ql40_bpe_encode" -> qlBpeEncode,
+    "ql41_linear_bigram" -> qlLinearBigram,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -1627,6 +1672,21 @@ object Queries {
 object Oracle {
   private val D = "DECIMAL(12,2)"
   private val R = "DECIMAL(4,2)"
+
+  // ---- ql10 oracle pieces, generated from the SAME stopwordProfiles the
+  // engine loads its fixture weights from (one source of truth for the
+  // 50 (lang, token, weight) rows and the 5 synthetic profile texts)
+  private val lidProfs: Seq[(String, Seq[String])] =
+    graft.llm.TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+  private val lidValues: String = lidProfs.flatMap { case (lang, words) =>
+    words.zipWithIndex.map { case (tok, j) =>
+      f"('$lang', '$tok', ${0.25 * (j + 1)}%.2f)" }
+  }.mkString(", ")
+  private val lidCase: String = {
+    val whens = (0 to 3).map(i =>
+      s"WHEN $i THEN '${lidProfs(i)._2.mkString(" ")}'").mkString(" ")
+    s"CASE i % 5 $whens ELSE '${lidProfs(4)._2.mkString(" ")}' END"
+  }
 
   // ---- ql6 oracle: XXH64 of ONE 8-byte block with a VARIABLE seed, as
   // closed-form HUGEINT arithmetic (the ql15 technique generalized from
@@ -1872,6 +1932,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // token-less docs at score = bias, mirroring explode_outer
     "ql38_linear_score" ->
       """WITH w(token, weight) AS (VALUES ('the', 0.5), ('data', 1.25), ('spark', 2.0), ('slow', -1.5), ('fast', 0.75), ('table', 0.25)), tk AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents), sw AS (SELECT tk.doc_id, SUM(CAST(w.weight AS DECIMAL(18,6))) AS s FROM tk JOIN w ON tk.tok = w.token GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(sw.s, CAST(0 AS DECIMAL(18,6))) + CAST(0.1 AS DECIMAL(18,6)) AS DOUBLE) AS score FROM documents d LEFT JOIN sw ON d.doc_id = sw.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql41: ql38's join-sum with the feature bag widened to tokens +
+    // space-joined bigrams (the ql13/ql16 bigram construction)
+    "ql41_linear_bigram" ->
+      """WITH w(token, weight) AS (VALUES ('the', 0.5), ('data', 1.25), ('spark', 2.0), ('fast', 0.75), ('fast data', 3.5), ('data spark', -1.25)), all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'fast data spark is fast data row ' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM all_docs), f AS (SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS feat FROM t), sw AS (SELECT f.doc_id, SUM(CAST(w.weight AS DECIMAL(18,6))) AS s FROM f JOIN w ON f.feat = w.token GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(sw.s, CAST(0 AS DECIMAL(18,6))) + CAST(0.1 AS DECIMAL(18,6)) AS DOUBLE) AS score FROM all_docs d LEFT JOIN sw ON d.doc_id = sw.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql35: the identical window/df/difference-array pipeline in DuckDB —
     // md5 span keys are internal grouping keys (never compared across
     // engines), so plain md5(text) suffices on this side
@@ -1908,8 +1972,12 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql21_token_shards" ->
       """WITH t AS (SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents) SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 5000 AS shard FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql10: identical (lang, token, weight) VALUES + synthetic profile
+    // texts generated from the same stopwordProfiles as the engine side;
+    // DECIMAL-exact per-(doc,lang) sums, argmax with the greater-code
+    // tiebreak, 'und' when no match or best score <= 0
     "ql10_langid" ->
-      """WITH langs(lang, words) AS (VALUES ('de', ['der','die','und','das','ist','von','mit','den','nicht','ein']), ('en', ['the','and','of','to','in','is','it','that','was','for']), ('es', ['el','la','de','que','y','en','un','los','se','por']), ('fr', ['le','la','et','les','des','un','une','du','est','pour']), ('zh', ['的','了','是','我','不','在','人','有','他','这'])), t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, lang, len(list_intersect(toks, words)) AS hits FROM t CROSS JOIN langs), r AS (SELECT doc_id, lang, hits, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM s) SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang, COUNT(*) AS cnt FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      s"""WITH wt(lang, token, w) AS (VALUES $lidValues), all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, $lidCase AS text FROM generate_series(1, 40) AS g(i)), t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok FROM all_docs), s AS (SELECT doc_id, lang, SUM(w) AS score FROM t JOIN wt ON tok = wt.token GROUP BY 1, 2), r AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s) SELECT d.doc_id, CASE WHEN r.score > 0 THEN r.lang ELSE 'und' END AS pred_lang, CAST(COALESCE(r.score, 0) AS DOUBLE) AS score FROM all_docs d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql16_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) ELSE [] END) AS g FROM t), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY 1), i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jac FROM i JOIN n na ON i.doc_a = na.doc_id JOIN n nb ON i.doc_b = nb.doc_id WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql17_repetition" ->

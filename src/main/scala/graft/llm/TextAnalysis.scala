@@ -95,6 +95,51 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Model-based language ID — the [[linearTextScore]] plumbing widened
+    * to ONE weight table per language (load any published linear
+    * lid model's per-language token weights; `weightsFromTsv` per
+    * language, or one DataFrame with a `lang` column as here), scored in
+    * a single explode + broadcast join + argmax. Supersedes the
+    * [[langId]] stopword heuristic whenever real weights are available:
+    * same join shape, real model.
+    *
+    * Semantics: per-language score = Σ weight(token) over the document's
+    * lowercased whitespace tokens, summed as DECIMAL(18,6) (exact and
+    * associative — the distributed partial-sum order cannot change the
+    * result, so the emitted scores hash-match an external oracle
+    * bit-for-bit). `pred_lang` is the argmax language when its score is
+    * positive, `und` otherwise (no token matched, or best score ≤ 0);
+    * ties break to the lexicographically GREATER code — the same
+    * deterministic convention as [[langId]]. Emitted `score` is the best
+    * language's score as DOUBLE (0.0 when no token matched any weight
+    * row).
+    *
+    * Scale shape: weights are a classic broadcast dim (≤ a few hundred k
+    * rows per language); tokens explode off the scan, both aggregations
+    * combine map-side, and only narrow (id, lang, decimal) rows shuffle.
+    */
+  def langIdLinear(docs: DataFrame, idCol: String, textCol: String,
+                   weights: DataFrame): DataFrame = {
+    val w = broadcast(weights.select(col("lang").as("_w_lang"),
+      col("token").as("_w_tok"), col("weight").cast("decimal(18,6)").as("_w")))
+    val scored = docs
+      .select(col(idCol), explode(Dedup.tokens(lower(col(textCol)))).as("_tok"))
+      .join(w, col("_tok") === col("_w_tok"))
+      .groupBy(col(idCol), col("_w_lang"))
+      .agg(sum(col("_w")).as("_score"))
+    // argmax via struct max: decimal compare is exact, ties fall through
+    // to the lang field — larger code wins, deterministically
+    val best = scored.groupBy(col(idCol))
+      .agg(max(struct(col("_score"), col("_w_lang"))).as("_best"))
+      .select(col(idCol), col("_best._w_lang").as("_lang"),
+        col("_best._score").as("_score"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_score") > 0, col("_lang")).otherwise(lit("und")).as("pred_lang"),
+        coalesce(col("_score").cast("double"), lit(0.0)).as("score"))
+  }
+
   /** Quality score in [0,1]: blended length band, alphabetic ratio,
     * mean-word-length band and stopword presence — the classic cheap
     * pre-filter for web-scale corpora.
@@ -341,11 +386,30 @@ object TextAnalysis {
     * DuckDB oracle bit for bit (Q-L38). The emitted score is DOUBLE (the
     * money-column convention).
     */
+  /** Space-joined word n-gram array over a token array (empty when the
+    * document is shorter than n) — the feature generator fasttext-class
+    * filters pair with their unigram bag.
+    */
+  private def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   def linearTextScore(docs: DataFrame, idCol: String, textCol: String,
-                      weights: DataFrame, bias: Double = 0.0): DataFrame = {
+                      weights: DataFrame, bias: Double = 0.0,
+                      ngramMax: Int = 1): DataFrame = {
+    // ngramMax = 2 adds word bigrams to the feature bag (fasttext-class
+    // filters ship bigram features); the weight table simply carries
+    // space-joined n-gram rows alongside its unigram rows — same
+    // broadcast dim, same exact-DECIMAL summation
+    require(ngramMax >= 1 && ngramMax <= 4, s"ngramMax must be in [1,4], got $ngramMax")
     val w = broadcast(weights.select(col("token").as("_w_tok"),
       col("weight").cast("decimal(18,6)").as("_w")))
-    docs.select(col(idCol), explode_outer(Dedup.tokens(col(textCol))).as("_tok"))
+    val toks = Dedup.tokens(col(textCol))
+    val feats = (2 to ngramMax).foldLeft(toks)((acc, n) =>
+      concat(acc, wordNgrams(toks, n)))
+    docs.select(col(idCol), explode_outer(feats).as("_tok"))
       .join(w, col("_tok") === col("_w_tok"), "left")
       .groupBy(col(idCol))
       .agg((coalesce(sum(col("_w")), lit(0).cast("decimal(18,6)"))
