@@ -437,6 +437,30 @@ object Queries {
     ordered(graft.analytics.Merge.upsert(base, updates, Seq("o_orderkey")))
   }
 
+  /** Q-M2 — multimodal BINARY content end to end: documents become media
+    * rows (text bytes as the opaque `bytes` column, media_type cycled
+    * image/audio/video), flow through the byte-aware
+    * [[graft.sources.Multimodal.repartitionByBytes]] placement (the real
+    * decode-stage pre-pass — partition contents are spec-pinned
+    * byte-exact; the oracle pins row-level VALUES independence from
+    * placement), and emit the content fingerprint battery: md5 over the
+    * raw bytes + byte-size stats. First oracle-hashed row exercising a
+    * BinaryType column through the multimodal plumbing.
+    */
+  val qm2MediaFingerprint: Q = (s, dir) => {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("image"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      col("text").cast("binary").as("bytes"))
+    val parted = graft.sources.Multimodal.repartitionByBytes(
+      media, "bytes", targetBytesPerTask = 64L * 1024L)
+    ordered(parted.select(col("media_id"), col("media_type"),
+      length(col("bytes")).cast("long").as("n_bytes"),
+      md5(col("bytes")).as("fp")))
+  }
+
   /** Q-A1 — TPC-H Q1 shape: multi-aggregate grouped scan. */
   val qa1GroupedAgg: Q = (s, dir) => {
     val pipe = Sequence("qa1")(
@@ -1491,6 +1515,31 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L42 — SemDeDup END TO END (`Dedup.semanticDedup`: IVF near-dup
+    * pairs → pointer-jump clusters → keep-best survivors): the ql30
+    * planted-clone corpus with `score = vec_id`, so every cluster is a
+    * {v, v+1M} clone pair whose keep-best survivor is closed-form — the
+    * clone (higher score) — and every organic vec_id ≥ 20 survives as a
+    * singleton. Upgrades the composition from spec-only (`ClusterSpec`)
+    * to an oracle-hashed row; reuses ql30's memoized trained index (same
+    * corpus, same key — the save/load lifecycle).
+    */
+  val qlSemanticDedup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      .withColumn("score", col("vec_id").cast("double"))
+    val n = embCount(s, dir) + 20L
+    val k = math.max(16, math.min(1024, 2 * math.ceil(math.sqrt(n.toDouble)).toInt))
+    val index = ivfIndexCache.computeIfAbsent(
+      (dir, n, tableFingerprint(dir, "embeddings")),
+      _ => graft.llm.Similarity.IvfIndex.train(corpus.drop("score"), "vec_id", k = k))
+    val out = graft.llm.Dedup.semanticDedup(
+      corpus, "vec_id", "score", index, threshold = 0.8, nprobe = 2)
+    ordered(out.select(col("vec_id")))
+  }
+
   /** Q-L33 — exact k-NN GRAPH: every vector's top-3 neighbors (the bulk
     * corpus-vs-corpus form — no broadcastable query side). Fully
     * oracle-checked: exact scoring, ql4's window construction widened to
@@ -1592,6 +1641,7 @@ object Queries {
     "qj5_bloom_join" -> qj5BloomJoin,
     "qj6_salted_join" -> qj6SaltedJoin,
     "qm1_upsert" -> qm1Upsert,
+    "qm2_media_fingerprint" -> qm2MediaFingerprint,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -1649,6 +1699,7 @@ object Queries {
     "ql39_graph_search" -> qlKnnSearch,
     "ql40_bpe_encode" -> qlBpeEncode,
     "ql41_linear_bigram" -> qlLinearBigram,
+    "ql42_semantic_dedup" -> qlSemanticDedup,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -1811,6 +1862,11 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
       """SELECT n.n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qm1_upsert" ->
       s"""SELECT o_orderkey, CAST(CASE WHEN o_totalprice > 400000 THEN CAST(ROUND(CAST(o_totalprice AS $D)*0.5,2) AS $D) ELSE CAST(o_totalprice AS $D) END AS DOUBLE) AS price, CASE WHEN o_totalprice > 400000 THEN 'DISCOUNTED' ELSE o_orderstatus END AS status FROM orders ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // qm2: md5 over the text's UTF-8 bytes (the ql9 equivalence) + byte
+    // length via strlen; placement (repartitionByBytes) cannot change
+    // row-level values, which is exactly what the hash compare pins
+    "qm2_media_fingerprint" ->
+      """SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS fp FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     "qa1_grouped_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(CAST(ROUND(SUM(CAST(l_quantity AS $D)),2) AS $D) AS DOUBLE) AS sum_qty, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_base, CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R))),2) AS DECIMAL(14,2)) AS DOUBLE) AS sum_disc_price, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
     "qa2_count_distinct" ->
@@ -1936,6 +1992,11 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // space-joined bigrams (the ql13/ql16 bigram construction)
     "ql41_linear_bigram" ->
       """WITH w(token, weight) AS (VALUES ('the', 0.5), ('data', 1.25), ('spark', 2.0), ('fast', 0.75), ('fast data', 3.5), ('data spark', -1.25)), all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'fast data spark is fast data row ' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM all_docs), f AS (SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS feat FROM t), sw AS (SELECT f.doc_id, SUM(CAST(w.weight AS DECIMAL(18,6))) AS s FROM f JOIN w ON f.feat = w.token GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(sw.s, CAST(0 AS DECIMAL(18,6))) + CAST(0.1 AS DECIMAL(18,6)) AS DOUBLE) AS score FROM all_docs d LEFT JOIN sw ON d.doc_id = sw.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql42: survivors are closed-form on the planted-clone fixture —
+    // every {v, v+1M} cluster keeps the higher-scored clone, every
+    // organic vec_id >= 20 is a singleton survivor
+    "ql42_semantic_dedup" ->
+      """SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id < 20 UNION ALL SELECT vec_id FROM embeddings WHERE vec_id >= 20 ORDER BY 1 NULLS FIRST""",
     // ql35: the identical window/df/difference-array pipeline in DuckDB —
     // md5 span keys are internal grouping keys (never compared across
     // engines), so plain md5(text) suffices on this side
