@@ -1115,7 +1115,10 @@ object Queries {
         lit("/?utm_source=x&id="), id.cast("string"), lit("&utm_campaign=y#frag")))
       .when(id % 3 === 1,
         concat(lit("http://Site"), (id % 5).cast("string"),
-          lit(".org:80/dir"), (id % 7).cast("string"), lit("/")))
+          lit(".org:80/dir"), (id % 7).cast("string"),
+          // multi-slash tails pin the idempotent strip ('//' and '/'
+          // collapse to the same canonical form in ONE pass)
+          when(id % 2 === 0, lit("//")).otherwise(lit("/"))))
       .otherwise(concat(lit("not a url "), id.cast("string")))
     ordered(t(s, dir, "documents").select(id, url.as("url"))
       .withColumn("canonical_url",
@@ -1130,13 +1133,16 @@ object Queries {
     */
   val qlGopherFlags: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val synth = s.range(1, 6).select(
+    val synth = s.range(1, 7).select(
       (-col("id")).as("doc_id"),
       when(col("id") === 1, lit("- a\n- b\n- c\n- d"))
         .when(col("id") === 2, lit("# # # # # word word word"))
         .when(col("id") === 3, lit("tiny doc"))
         .when(col("id") === 4, lit("to be continued...\nand more..."))
-        .otherwise(lit("1 2 3 4 5")).as("text"))
+        .when(col("id") === 5, lit("1 2 3 4 5"))
+        // Unicode-ellipsis violator: every line ends '…' (ok_ellipsis
+        // false) and the translated dots count the symbols too
+        .otherwise(lit("ends here…\nalso ends…\nlast one…")).as("text"))
     val flags = graft.llm.TextAnalysis.gopherQualityFlags(col("text"))
     ordered(docs.unionByName(synth)
       .select(col("doc_id"), flags.as("q")).select(col("doc_id"), col("q.*")))
@@ -1979,11 +1985,11 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // ql36: identical regex chain (RE2-compatible on both sides; DuckDB
     // needs explicit 'g' flags and \1 backrefs where Spark is global/$1)
     "ql36_url_canonical" ->
-      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || '/' ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '^(www\.)+', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN rest3 LIKE '%/' AND rest3 <> '/' THEN substr(rest3, 1, len(rest3)-1) ELSE rest3 END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '^(www\.)+', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN regexp_replace(rest3, '/+$', '', 'g') = '' AND rest3[1:1] = '/' THEN '/' ELSE regexp_replace(rest3, '/+$', '', 'g') END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql37: identical integer-arithmetic rule battery; list ops mirror the
     // engine's HOF definitions term for term
     "ql37_gopher_flags" ->
-      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, CASE i WHEN 1 THEN '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || '- d' WHEN 2 THEN '# # # # # word word word' WHEN 3 THEN 'tiny doc' WHEN 4 THEN 'to be continued...' || chr(10) || 'and more...' ELSE '1 2 3 4 5' END AS text FROM generate_series(1, 5) AS g(i)), t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS tks, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls FROM all_docs) SELECT doc_id, len(tks) >= 50 AND len(tks) <= 100000 AS ok_length, len(tks) > 0 AND list_sum(list_transform(tks, x -> len(x))) >= 3*len(tks) AND list_sum(list_transform(tks, x -> len(x))) <= 10*len(tks) AS ok_word_len, ((len(text) - len(replace(text,'#',''))) + (len(text) - len(replace(text,'...','')))//3) * 10 < len(tks) AS ok_symbols, len(list_filter(ls, x -> x[1:2] = '- ' OR x[1:2] = '* ' OR x[1:1] = '•')) * 10 <= len(ls) * 9 AS ok_bullets, len(list_filter(ls, x -> ends_with(x, '...'))) * 10 <= len(ls) * 3 AS ok_ellipsis, len(list_filter(tks, x -> regexp_matches(x, '\p{L}'))) * 5 >= len(tks) * 4 AS ok_alpha FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""",
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, CASE i WHEN 1 THEN '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || '- d' WHEN 2 THEN '# # # # # word word word' WHEN 3 THEN 'tiny doc' WHEN 4 THEN 'to be continued...' || chr(10) || 'and more...' WHEN 5 THEN '1 2 3 4 5' ELSE 'ends here…' || chr(10) || 'also ends…' || chr(10) || 'last one…' END AS text FROM generate_series(1, 6) AS g(i)), t AS (SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS tks, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls FROM all_docs) SELECT doc_id, len(tks) >= 50 AND len(tks) <= 100000 AS ok_length, len(tks) > 0 AND list_sum(list_transform(tks, x -> len(x))) >= 3*len(tks) AND list_sum(list_transform(tks, x -> len(x))) <= 10*len(tks) AS ok_word_len, ((len(text) - len(replace(text,'#',''))) + (len(replace(text,'…','...')) - len(replace(replace(text,'…','...'),'...','')))//3) * 10 < len(tks) AS ok_symbols, len(list_filter(ls, x -> x[1:2] = '- ' OR x[1:2] = '* ' OR x[1:1] = '•')) * 10 <= len(ls) * 9 AS ok_bullets, len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…'))) * 10 <= len(ls) * 3 AS ok_ellipsis, len(list_filter(tks, x -> regexp_matches(x, '\p{L}'))) * 5 >= len(tks) * 4 AS ok_alpha FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""",
     // ql38: identical weights VALUES + DECIMAL-exact sum; LEFT JOIN keeps
     // token-less docs at score = bias, mirroring explode_outer
     "ql38_linear_score" ->

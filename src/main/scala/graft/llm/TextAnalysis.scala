@@ -311,8 +311,9 @@ object TextAnalysis {
     * Pure Column expressions riding the scan; no shuffle.
     *
     * Rules: token count in [50, 100000]; mean word length in [3, 10];
-    * symbol-to-word ratio ('#' + '…'-as-'...') < 0.1; ≤90% of lines
-    * bullet-started; ≤30% of lines ellipsis-ended; ≥80% of tokens contain
+    * symbol-to-word ratio ('#' + '...' with the Unicode ellipsis '…'
+    * translated to '...' first) < 0.1; ≤90% of lines bullet-started;
+    * ≤30% of lines ellipsis-ended ('...' or '…'); ≥80% of tokens contain
     * an alphabetic character.
     */
   def gopherQualityFlags(text: Column): Column = {
@@ -323,11 +324,16 @@ object TextAnalysis {
     val nLines = size(lines).cast("long")
     val bullets = size(filter(lines, l =>
       l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("long")
-    val ellipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val ellipsis = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
     val alphaToks = size(filter(toks, t => t.rlike("\\p{L}"))).cast("long")
     val hashes = (length(text) - length(translate(text, "#", ""))).cast("long")
-    val dots = floor((length(text) -
-      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / 3.0).cast("long")
+    // '…' counts as an ellipsis symbol (Gopher counts both forms):
+    // translate to '...' first, then count triples — on both engine and
+    // oracle sides, so the flags stay bit-exact
+    val dotsText = regexp_replace(text, "…", "...")
+    val dots = floor((length(dotsText) -
+      length(regexp_replace(dotsText, "\\.\\.\\.", ""))).cast("double") / 3.0).cast("long")
     struct(
       (nTok >= 50L && nTok <= 100000L).as("ok_length"),
       (nTok > 0L && sumLen >= nTok * 3L && sumLen <= nTok * 10L).as("ok_word_len"),
@@ -364,9 +370,11 @@ object TextAnalysis {
     val rest1 = regexp_replace(rest0, "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "$1")
     val rest2 = regexp_replace(regexp_replace(rest1, "\\?&", "?"), "&&+", "&")
     val rest3 = regexp_replace(rest2, "[?&]+$", "")
-    // drop ONE trailing slash unless the path IS just "/"
-    val rest = when(rest3.endsWith("/") && rest3 =!= lit("/"),
-      rest3.substr(lit(1), length(rest3) - 1)).otherwise(rest3)
+    // drop ALL trailing slashes (idempotent: '/a//' → '/a' in one pass,
+    // not '/a/' then '/a' across two), preserving a lone '/'
+    val stripped = regexp_replace(rest3, "/+$", "")
+    val rest = when(stripped === "" && rest3.startsWith("/"), lit("/"))
+      .otherwise(stripped)
     when(scheme === "", trim(url))
       .otherwise(concat(scheme, lit("://"), host, rest))
   }

@@ -114,7 +114,8 @@ class LlmSpec extends SparkSpec {
     val urls = Seq(
       "HTTPS://WWW.Example.COM:443/a/?utm_source=x&id=7#f",
       "http://Site.org:80/dir/", "https://a.com/", "plain text",
-      "https://www.www.example.com/a") // repeated prefix must strip fully
+      "https://www.www.example.com/a", // repeated prefix must strip fully
+      "http://h.org/a//", "https://h.org//", "http://h.org/a///b/") // multi-slash tails
     val once = urls.toDF("u")
       .select(TextAnalysis.canonicalizeUrl(col("u")).as("c1"))
     val twice = once.select(col("c1"),
