@@ -1222,6 +1222,34 @@ object Queries {
       docs, "doc_id", "text", weights, bias = 0.1, ngramMax = 2))
   }
 
+  /** Q-L43 — bigram LM scoring with stupid backoff (the CCNet perplexity
+    * filter shape, [[graft.llm.TextAnalysis.lmScore]]): a committed
+    * 8-row (context, token, logp) model broadcast-joined twice against
+    * the exploded (context, token) position pairs. The synthetic docs
+    * (ids -1..-20) walk every scoring path — BOS bigram hit, interior
+    * bigram hits, bigram-miss/unigram-hit backoff, and double-miss OOV —
+    * while the organic docs pin the general mix. DECIMAL-exact log-prob
+    * sums (order-independent), DOUBLE on emit; the perplexity convenience
+    * column is excluded from the hashed output (float pow).
+    */
+  val qlLmScore: Q = (s, dir) => {
+    import s.implicits._
+    val lm = Seq(
+      ("", "the", -1.0), ("", "data", -1.5), ("", "spark", -2.0),
+      ("", "fast", -1.75),
+      ("<s>", "the", -0.75), ("the", "data", -0.5),
+      ("fast", "data", -0.25), ("data", "spark", -1.0))
+      .toDF("context", "token", "logp")
+    val synth = s.range(1, 21).select((-col("id")).as("doc_id"),
+      concat(lit("the data spark runs fast data row "),
+        col("id").cast("string")).as("text"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(synth)
+    ordered(graft.llm.TextAnalysis
+      .lmScore(docs, "doc_id", "text", lm, backoff = -0.4, oov = -6.0)
+      .select(col("doc_id"), col("n_tokens"), col("sum_logp")))
+  }
+
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
     * [0, 110000) — one bounded-key aggregation over one scan
     * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
@@ -1706,6 +1734,7 @@ object Queries {
     "ql40_bpe_encode" -> qlBpeEncode,
     "ql41_linear_bigram" -> qlLinearBigram,
     "ql42_semantic_dedup" -> qlSemanticDedup,
+    "ql43_lm_score" -> qlLmScore,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -1998,6 +2027,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // space-joined bigrams (the ql13/ql16 bigram construction)
     "ql41_linear_bigram" ->
       """WITH w(token, weight) AS (VALUES ('the', 0.5), ('data', 1.25), ('spark', 2.0), ('fast', 0.75), ('fast data', 3.5), ('data spark', -1.25)), all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'fast data spark is fast data row ' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM all_docs), f AS (SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS feat FROM t), sw AS (SELECT f.doc_id, SUM(CAST(w.weight AS DECIMAL(18,6))) AS s FROM f JOIN w ON f.feat = w.token GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(sw.s, CAST(0 AS DECIMAL(18,6))) + CAST(0.1 AS DECIMAL(18,6)) AS DOUBLE) AS score FROM all_docs d LEFT JOIN sw ON d.doc_id = sw.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql43: identical LM VALUES + the same BOS/backoff/OOV per-position
+    // rule; DECIMAL-exact sums so the hash matches bit for bit
+    "ql43_lm_score" ->
+      """WITH lm(ctx, tok, lp) AS (VALUES ('', 'the', -1.0), ('', 'data', -1.5), ('', 'spark', -2.0), ('', 'fast', -1.75), ('<s>', 'the', -0.75), ('the', 'data', -0.5), ('fast', 'data', -0.25), ('data', 'spark', -1.0)), all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'the data spark runs fast data row ' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM all_docs), p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t WHERE len(toks) > 0), s AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM p), j AS (SELECT s.doc_id, COALESCE(b.lpd, CAST(-0.4 AS DECIMAL(18,6)) + COALESCE(u.lpd, CAST(-6.0 AS DECIMAL(18,6)))) AS lp FROM s LEFT JOIN (SELECT ctx, tok, CAST(lp AS DECIMAL(18,6)) AS lpd FROM lm WHERE ctx <> '') b ON s.ctx = b.ctx AND s.tok = b.tok LEFT JOIN (SELECT tok, CAST(lp AS DECIMAL(18,6)) AS lpd FROM lm WHERE ctx = '') u ON s.tok = u.tok), a AS (SELECT doc_id, COUNT(*) AS n, SUM(lp) AS sl FROM j GROUP BY 1) SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens, CAST(COALESCE(a.sl, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_logp FROM all_docs d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql42: survivors are closed-form on the planted-clone fixture —
     // every {v, v+1M} cluster keeps the higher-scored clone, every
     // organic vec_id >= 20 is a singleton survivor

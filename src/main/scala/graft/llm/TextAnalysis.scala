@@ -467,6 +467,83 @@ object TextAnalysis {
         i => array_min(slice(hashes, i, lit(window))))))
   }
 
+  /** Bigram language-model scoring with STUPID BACKOFF — the CCNet-style
+    * perplexity filter (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", LREC 2020; backoff from
+    * Brants et al., "Large Language Models in Machine Translation",
+    * EMNLP 2007). Per token position i with context c = token(i-1)
+    * (BOS marker `<s>` at i = 1):
+    *
+    *   logp(i) = lm(c, t)                 when the bigram is in the table
+    *           = backoff + lm('', t)      bigram miss, unigram hit
+    *           = backoff + oov            both miss
+    *
+    * The LM is USER-SUPPLIED as a (context, token, logp) DataFrame —
+    * unigram rows carry context = '' (the flat projection of an ARPA
+    * 2-gram model; `lmFromTsv` loads the obvious TSV). Join shape, not a
+    * map literal: positions explode off the scan and broadcast-join the
+    * model dim twice (bigram on (context, token), unigram on token) — a
+    * published 5M-entry bigram table is a classic broadcast dim at
+    * 100 TB, and the per-position rows never carry the text.
+    *
+    * Log-probs are summed as DECIMAL(18,6) (exact, associative — the
+    * [[linearTextScore]] discipline), so the distributed partial-sum
+    * order cannot change the result and the operator hash-matches the
+    * DuckDB oracle bit for bit (Q-L43). Output: (id, n_tokens,
+    * sum_logp DOUBLE, perplexity DOUBLE) where perplexity =
+    * 10^(-sum_logp / n_tokens) — the bucket key CCNet thresholds on
+    * (oracle rows hash the exact columns; perplexity is the float
+    * convenience).
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              lm: DataFrame, backoff: Double = -0.4,
+              oov: Double = -6.0): DataFrame = {
+    val big = broadcast(lm.filter(col("context") =!= "")
+      .select(col("context").as("_b_ctx"), col("token").as("_b_tok"),
+        col("logp").cast("decimal(18,6)").as("_b_lp")))
+    val uni = broadcast(lm.filter(col("context") === "")
+      .select(col("token").as("_u_tok"),
+        col("logp").cast("decimal(18,6)").as("_u_lp")))
+    val toks = Dedup.tokens(col(textCol))
+    // (context, token) per position, BOS-marked — built inside the scan
+    // stage so only narrow pair rows reach the joins. Token-less docs
+    // must short-circuit: sequence(1, 0) DESCENDS in Spark, which would
+    // reach element_at(toks, 0) (an ANSI error), not an empty array.
+    val pairs = when(size(toks) === 0,
+      array().cast("array<struct<ctx:string,tok:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks)),
+        i => struct(
+          when(i === 1, lit("<s>")).otherwise(element_at(toks, i - 1)).as("ctx"),
+          element_at(toks, i).as("tok"))))
+    val zero = lit(0).cast("decimal(18,6)")
+    docs.select(col(idCol), explode_outer(pairs).as("_p"))
+      .select(col(idCol), col("_p.ctx").as("_ctx"), col("_p.tok").as("_tok"))
+      .join(big, col("_ctx") === col("_b_ctx") && col("_tok") === col("_b_tok"), "left")
+      .join(uni, col("_tok") === col("_u_tok"), "left")
+      .withColumn("_lp", coalesce(col("_b_lp"),
+        lit(backoff).cast("decimal(18,6)")
+          + coalesce(col("_u_lp"), lit(oov).cast("decimal(18,6)"))))
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_tok")).as("n_tokens"),
+        coalesce(sum(when(col("_tok").isNotNull, col("_lp"))), zero)
+          .cast("double").as("sum_logp"))
+      .withColumn("perplexity",
+        when(col("n_tokens") > 0, pow(lit(10.0), -col("sum_logp") / col("n_tokens"))))
+  }
+
+  /** `context\ttoken\tlogp` loader for [[lmScore]] (unigram rows carry an
+    * empty context field — the flat TSV projection of an ARPA 2-gram
+    * model's 1-gram and 2-gram sections).
+    */
+  def lmFromTsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("sep", "\t")
+      .schema("context STRING, token STRING, logp DOUBLE").csv(path)
+      .filter($"token".isNotNull && $"logp".isNotNull)
+      .na.fill("", Seq("context"))
+  }
+
   /** Stage bundle: attach all standard text-analysis columns. */
   def analyze(name: String, textCol: String): Stage =
     Stage(StageId(name)) { df =>
