@@ -506,6 +506,28 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-X12 — JSONL round trip through the real line-delimited format
+    * (the interchange format training corpora ship in): the documents
+    * table is WRITTEN as JSONL ([[graft.sources.JsonSink]]) and read back
+    * with the explicit schema + error channel
+    * ([[graft.sources.JsonLines.readWithErrors]]); the oracle reads the
+    * same rows straight from parquet — so JSON string escaping, int64
+    * fidelity and the parse path are all pinned end to end. All lines are
+    * well-formed here, so `_err` is all-null and dropped before the hash;
+    * the corrupt-line dead-letter path is spec-pinned (`FormatsSpec`).
+    */
+  val qx12JsonlRoundtrip: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    // deterministic per-sf scratch dir; overwrite keeps re-runs clean
+    val out = "/tmp/graft_qx12_jsonl/" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    graft.sources.JsonSink(graft.core.StageId("qx12_sink"), out)(docs)
+    val back = graft.sources.JsonLines.readWithErrors(s, out, docs.schema)
+    ordered(back.filter(col(graft.core.ErrorChannel.ColName).isNull)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
   /** Q-X8 — unpivot (wide → long): per-order (price, qty-proxy) measures
     * as rows; the inverse of Q-X7's pivot.
     */
@@ -1250,6 +1272,34 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("sum_logp")))
   }
 
+  /** Q-L44 — blocklist-filtered per-domain crawl stats
+    * ([[graft.llm.TextAnalysis.filterByDomainBlocklist]] composed into
+    * [[graft.llm.TextAnalysis.domainStats]]): the ql36 synthetic URLs are
+    * reduced to last-two-label domains, a 3-entry broadcast blocklist
+    * anti-joins two of them out (plus one never-present entry pinning the
+    * no-op path), and the survivors aggregate to (domain, n_docs,
+    * n_tokens) — non-URL docs group under the '' domain. One hash agg
+    * over the scan; the blocklist is the classic broadcast dim.
+    */
+  val qlDomainStats: Q = (s, dir) => {
+    import s.implicits._
+    val id = col("doc_id")
+    val url = when(id % 3 === 0,
+      concat(lit("HTTPS://WWW.Example"), (id % 5).cast("string"),
+        lit(".com:443/p"), (id % 7).cast("string"),
+        lit("/?utm_source=x&id="), id.cast("string"), lit("&utm_campaign=y#frag")))
+      .when(id % 3 === 1,
+        concat(lit("http://Site"), (id % 5).cast("string"),
+          lit(".org:80/dir"), (id % 7).cast("string"),
+          when(id % 2 === 0, lit("//")).otherwise(lit("/"))))
+      .otherwise(concat(lit("not a url "), id.cast("string")))
+    val docs = t(s, dir, "documents").select(id, col("text"))
+      .withColumn("url", url)
+    val blocklist = Seq("example0.com", "site2.org", "never.seen").toDF("domain")
+    val kept = graft.llm.TextAnalysis.filterByDomainBlocklist(docs, "url", blocklist)
+    ordered(graft.llm.TextAnalysis.domainStats(kept, "url", "text"))
+  }
+
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
     * [0, 110000) — one bounded-key aggregation over one scan
     * ([[graft.analytics.Profile.histogram]]); the shuffle is ≤20 rows per
@@ -1682,6 +1732,7 @@ object Queries {
     "qa4_median" -> qa4Median,
     "qa5_string_agg" -> qa5StringAgg,
     "qx8_unpivot" -> qx8Unpivot,
+    "qx12_jsonl_roundtrip" -> qx12JsonlRoundtrip,
     "ql14_embedding_neardup" -> qlEmbeddingNearDup,
     "ql15_hash_sample" -> qlHashSample,
     "qw1_rank_window" -> qw1RankWindow,
@@ -1735,6 +1786,7 @@ object Queries {
     "ql41_linear_bigram" -> qlLinearBigram,
     "ql42_semantic_dedup" -> qlSemanticDedup,
     "ql43_lm_score" -> qlLmScore,
+    "ql44_domain_stats" -> qlDomainStats,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -1910,6 +1962,11 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
       """SELECT o_orderpriority, quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5) AS median_cents FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qa5_string_agg" ->
       """SELECT o_orderpriority, string_agg(s, ',' ORDER BY s) AS statuses FROM (SELECT DISTINCT o_orderpriority, o_orderstatus AS s FROM orders) GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // qx12: the engine side does parquet -> jsonl -> parse; the oracle
+    // reads the same rows straight from parquet — lossless round trip is
+    // exactly the claim under test
+    "qx12_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     "qx8_unpivot" ->
       s"""SELECT o_orderkey, m AS measure, v FROM (SELECT o_orderkey, 'price' AS m, CAST(CAST(o_totalprice AS $D) AS DOUBLE) AS v FROM orders UNION ALL SELECT o_orderkey, 'cust' AS m, CAST(o_custkey AS DOUBLE) AS v FROM orders) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qa3_rollup" ->
@@ -2031,6 +2088,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // rule; DECIMAL-exact sums so the hash matches bit for bit
     "ql43_lm_score" ->
       """WITH lm(ctx, tok, lp) AS (VALUES ('', 'the', -1.0), ('', 'data', -1.5), ('', 'spark', -2.0), ('', 'fast', -1.75), ('<s>', 'the', -0.75), ('the', 'data', -0.5), ('fast', 'data', -0.25), ('data', 'spark', -1.0)), all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'the data spark runs fast data row ' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM all_docs), p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t WHERE len(toks) > 0), s AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM p), j AS (SELECT s.doc_id, COALESCE(b.lpd, CAST(-0.4 AS DECIMAL(18,6)) + COALESCE(u.lpd, CAST(-6.0 AS DECIMAL(18,6)))) AS lp FROM s LEFT JOIN (SELECT ctx, tok, CAST(lp AS DECIMAL(18,6)) AS lpd FROM lm WHERE ctx <> '') b ON s.ctx = b.ctx AND s.tok = b.tok LEFT JOIN (SELECT tok, CAST(lp AS DECIMAL(18,6)) AS lpd FROM lm WHERE ctx = '') u ON s.tok = u.tok), a AS (SELECT doc_id, COUNT(*) AS n, SUM(lp) AS sl FROM j GROUP BY 1) SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens, CAST(COALESCE(a.sl, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_logp FROM all_docs d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql44: the ql36 URL synthesis + the same host rules, reduced to
+    // last-two-label domains, blocklist NOT IN, one group-by
+    "ql44_domain_stats" ->
+      """WITH d AS (SELECT doc_id, text, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, text, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, text, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport FROM n), h AS (SELECT doc_id, text, regexp_extract(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '^(www\.)+', '', 'g'), '([^.]+\.[^.]+)$', 1) AS domain FROM p), f AS (SELECT * FROM h WHERE domain NOT IN ('example0.com', 'site2.org', 'never.seen')) SELECT domain, COUNT(*) AS n_docs, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql42: survivors are closed-form on the planted-clone fixture —
     // every {v, v+1M} cluster keeps the higher-scored clone, every
     // organic vec_id >= 20 is a singleton survivor

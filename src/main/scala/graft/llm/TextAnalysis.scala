@@ -379,6 +379,57 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), host, rest))
   }
 
+  /** Lowercased host of a URL — scheme-default port (:80 for http, :443
+    * for https) and repeated "www." prefixes stripped, '' for non-URLs.
+    * The host rules are IDENTICAL to [[canonicalizeUrl]]'s (same regexes),
+    * so grouping by host agrees with grouping by canonical URL prefix.
+    */
+  def urlHost(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    regexp_replace(noPort, "^(www\\.)+", "")
+  }
+
+  /** Registrable domain by the LAST-TWO-LABELS heuristic ('' when the
+    * host has fewer than two labels or the value is not a URL). Documented
+    * boundary: multi-label public suffixes (co.uk, com.au) need a real
+    * public-suffix list — at 100 TB ship one as a broadcast dim and join
+    * on the host instead; this column is the list-free approximation the
+    * crawl-stats pass starts from.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Per-domain corpus stats — the "how much of my crawl is each site"
+    * pass that precedes per-domain caps ([[Sampling.perGroup]]) and
+    * blocklist decisions: one hash aggregation riding the scan, grouped
+    * by [[urlDomain]] (bounded key space: the web's domain count, not its
+    * page count). Emits (domain, n_docs, n_tokens).
+    */
+  def domainStats(docs: DataFrame, urlCol: String, textCol: String): DataFrame =
+    docs.groupBy(urlDomain(col(urlCol)).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"))
+
+  /** Domain blocklist filter (the UT1/adult-list shape of crawl
+    * pipelines): LEFT ANTI join of the docs' [[urlDomain]] against a
+    * USER-SUPPLIED single-column `domain` DataFrame. Join shape, not an
+    * `isin` literal: published blocklists run to millions of rows — a
+    * classic broadcast dim at 100 TB, and no million-entry literal in the
+    * plan. Keeps every input column.
+    */
+  def filterByDomainBlocklist(docs: DataFrame, urlCol: String,
+                              blocklist: DataFrame): DataFrame = {
+    val b = broadcast(blocklist.select(col("domain").as("_bl_domain")))
+    docs.withColumn("_domain", urlDomain(col(urlCol)))
+      .join(b, col("_domain") === col("_bl_domain"), "left_anti")
+      .drop("_domain")
+  }
+
   /** Linear bag-of-words text score — the PLUMBING of fasttext-class
     * quality classifiers (the CCNet/LLaMA-pipeline filter): score =
     * bias + Σ weight(token), with the weight table USER-SUPPLIED as a

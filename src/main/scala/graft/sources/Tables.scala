@@ -87,6 +87,55 @@ final case class JsonSource(id: StageId, path: String,
     df.sparkSession.read.schema(schema).json(path)
 }
 
+/** JSONL sink: one JSON object per line — the interchange format training
+  * corpora actually ship in. Writes stay distributed (one file per
+  * partition); pair with [[Tables.compactTo]] for the small-files guard.
+  */
+final case class JsonSink(id: StageId, path: String, mode: String = "overwrite")
+    extends Stage {
+  def apply(df: DataFrame): DataFrame = { df.write.mode(mode).json(path); df }
+}
+
+object JsonLines {
+  /** JSONL source with the row-level ERROR CHANNEL attached: well-formed
+    * lines parse against the EXPLICIT schema (inference is a full extra
+    * scan — never at 100 TB); malformed lines become dead-letter rows
+    * (`_err` non-null, msg carrying the raw line) instead of being
+    * silently nulled or dropped — the P2 Apply error-channel contract
+    * (reference `apply.go:44-55` analog) applied at the source boundary,
+    * so `Handle`/`failFast` triage corrupt input like any other stage
+    * failure.
+    *
+    * Deliberately a TEXT scan + `from_json` projection, not
+    * `spark.read.json`: the raw-JSON file scan refuses plans whose
+    * referenced columns reduce to the corrupt-record column
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — so
+    * `df.filter(_err.isNotNull).count()`, the FIRST thing a dead-letter
+    * consumer runs, would throw). Parsing as an expression over
+    * `text` has no such restriction, costs the same single scan with the
+    * same Jackson parse, and the raw line is the scan's own `value`
+    * column — no duplicate-capture column needed.
+    */
+  def readWithErrors(spark: SparkSession, path: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     stage: String = "jsonl"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val corrupt = "_corrupt_line"
+    val parsed = from_json(
+      col("value"), schema.add(corrupt, org.apache.spark.sql.types.StringType),
+      java.util.Map.of("mode", "PERMISSIVE", "columnNameOfCorruptRecord", corrupt))
+    val errCol = graft.core.ErrorChannel.errValue(
+      StageId(stage), concat(lit("malformed jsonl: "), col("value")))
+    spark.read.text(path)
+      .withColumn("_parsed", parsed)
+      .withColumn(graft.core.ErrorChannel.ColName,
+        when(col(s"_parsed.$corrupt").isNotNull || col("_parsed").isNull, errCol)
+          .otherwise(lit(null).cast(graft.core.ErrorChannel.errType)))
+      .select(schema.fieldNames.map(f => col(s"_parsed.$f").as(f)) :+
+        col(graft.core.ErrorChannel.ColName): _*)
+  }
+}
+
 /** ORC source (columnar alternative to parquet; same pushdown/pruning). */
 final case class OrcSource(id: StageId, path: String) extends Stage {
   def apply(df: DataFrame): DataFrame = df.sparkSession.read.orc(path)

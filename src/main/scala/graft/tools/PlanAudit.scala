@@ -81,7 +81,16 @@ object PlanAudit {
       "WholeStageCodegen span -- integer-arithmetic comparisons, no shuffle in the operator " +
       "(the only Exchange is the harness ORDER BY)"),
     "ql38_linear_score" -> ("exploded tokens BroadcastHashJoin the weights dim (never a map " +
-      "literal in the plan), DECIMAL partial+final sum per doc -- one narrow Exchange keyed by id")
+      "literal in the plan), DECIMAL partial+final sum per doc -- one narrow Exchange keyed by id"),
+    "ql43_lm_score" -> ("exploded (context, token) position pairs BroadcastHashJoin the LM dim " +
+      "TWICE (bigram on the pair, unigram on the token -- both broadcast, never a literal), " +
+      "DECIMAL partial+final sum per doc -- one narrow Exchange keyed by id, text never shuffled"),
+    "ql44_domain_stats" -> ("domain projection riding the scan, LEFT ANTI BroadcastHashJoin " +
+      "against the blocklist dim (no shuffle to subtract), then ONE partial+final hash agg on " +
+      "the bounded domain key -- the only Exchange carries (domain, counts) rows"),
+    "qx12_jsonl_roundtrip" -> ("json scan with the EXPLICIT schema (no inference scan) + " +
+      "corrupt-record projection -- the parse rides the file scan in one span; no shuffle " +
+      "in the operator (the only Exchange is the harness ORDER BY)")
   )
 
   def main(args: Array[String]): Unit = {

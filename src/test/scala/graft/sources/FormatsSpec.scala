@@ -48,6 +48,32 @@ class FormatsSpec extends SparkSpec {
     assert(kept.rdd.getNumPartitions == unknown.rdd.getNumPartitions)
   }
 
+  test("JSONL sink/readWithErrors: lossless roundtrip, corrupt lines become dead letters") {
+    val dir = Files.createTempDirectory("jsonl").toString + "/t"
+    val docs = Tables.load(spark, sf, "documents")
+    JsonSink(graft.core.StageId("jw"), dir)(docs)
+    val clean = JsonLines.readWithErrors(spark, dir, docs.schema)
+    assert(clean.columns.toSeq == docs.columns.toSeq :+ graft.core.ErrorChannel.ColName)
+    assert(clean.filter(col("_err").isNotNull).count() == 0)
+    assert(rowsOf(clean.drop("_err")) == rowsOf(docs))
+
+    // poison one extra file: two malformed lines + one good line
+    Files.write(Paths.get(dir, "poison.json"),
+      "not json at all\n{\"doc_id\": 1, \"text\": \"ok\"\n{\"doc_id\": 7, \"text\": \"good\", \"lang\": \"en\", \"source\": \"s\", \"n_chars\": 4}\n".getBytes)
+    val mixed = JsonLines.readWithErrors(spark, dir, docs.schema, stage = "src")
+    // an _err-ONLY slice is the first thing a dead-letter consumer runs;
+    // the text-scan + from_json design must allow it uncached (the raw
+    // json scan throws QUERY_ONLY_CORRUPT_RECORD_COLUMN here)
+    val dead = mixed.filter(col("_err").isNotNull)
+    assert(dead.count() == 2)
+    // the raw line is preserved for replay, the stage id is on the path
+    val msgs = dead.select(col("_err.msg")).as[String].collect().toSet
+    assert(msgs.exists(_.contains("not json at all")))
+    assert(dead.select(col("_err.path")(0)).as[String].collect().toSet == Set("src"))
+    // healthy rows parse through the same scan
+    assert(mixed.filter(col("_err").isNull).count() == docs.count() + 1)
+  }
+
   test("binaryFile ingestion surfaces bytes + metadata per file") {
     val dir = Files.createTempDirectory("bin")
     Files.write(dir.resolve("x.bin"), Array[Byte](1, 2, 3))
