@@ -528,8 +528,17 @@ object Similarity {
     * reuse that partitioning), scored in-join, and dropped before the
     * k-bounded ranking shuffle. Total work per iteration O(n·k²·dim) —
     * independent of n², which is the entire point vs [[knnGraphExact]].
-    * Graph quality rises with `iters`; 2–3 reach ~0.9 recall@k on
-    * organic corpora (spec-pinned vs the exact baseline).
+    * Graph quality rises with `iters` and `buildK`, and DEPENDS ON THE
+    * CORPUS: clustered/organic data converges fast (recall@3 ≥ 0.8 at
+    * iters = 2, spec-pinned vs the exact baseline), while
+    * structure-free uniform-random vectors are the adversarial case —
+    * the neighbor-of-my-neighbor signal NN-Descent exploits barely
+    * exists there (measured at 10×/20k random vectors: recall@10
+    * 0.09 init → 0.24/0.59/0.85/0.93 at iters 1–4 with the default
+    * buildK, or 0.87 at iters = 2 with buildK = 64 — `BASELINE.md`
+    * round-8 recall table; on such data raise `iters` first (the
+    * cheaper lever), or prefer the IVF/LSH query paths which don't
+    * rely on graph locality).
     *
     * Exact-duplicate certainty (the oracle hook): identical vectors
     * share every LSH bucket, so a clone pair is already a candidate at

@@ -28,6 +28,7 @@ object RecallBench {
     val sampleN = if (args.length > 3) args(3).toInt else 200
     val k = if (args.length > 4) args(4).toInt else 10
     val maxIters = if (args.length > 5) args(5).toInt else 2
+    val buildK = if (args.length > 6) args(6).toInt else 0 // 0 = operator default
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -62,7 +63,8 @@ object RecallBench {
 
     val rows = (0 to maxIters).map { iters =>
       val t0 = System.nanoTime()
-      val g = graft.llm.Similarity.knnGraphDescent(corpus, k, dim = 64, iters = iters)
+      val g = graft.llm.Similarity.knnGraphDescent(corpus, k, dim = 64,
+        iters = iters, buildK = buildK)
       val approx = g.join(broadcast(sample.select(col("query_id"))), Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"))
         .collect()
