@@ -30,7 +30,12 @@ object Bench {
     // round-7 additions (ql34 NN-Descent is measured in ScaleBench
     // instead — its multi-iteration build would dominate this wall-clock)
     "ql32_neardup_autoplanes", "ql33_knn_graph", "ql35_repeated_spans",
-    "ql36_url_canonical", "ql37_gopher_flags", "ql38_linear_score"
+    "ql36_url_canonical", "ql37_gopher_flags", "ql38_linear_score",
+    // round-8 additions (ql39 graph search is measured in ScaleBench with
+    // its descent build, like ql34; the rest are scan-riding)
+    "ql10_langid", "qm2_media_fingerprint", "ql40_bpe_encode",
+    "ql41_linear_bigram", "ql42_semantic_dedup", "ql43_lm_score",
+    "ql44_domain_stats", "qx12_jsonl_roundtrip"
   )
 
   def main(args: Array[String]): Unit = {

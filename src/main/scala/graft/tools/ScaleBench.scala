@@ -54,7 +54,15 @@ object ScaleBench {
     "ql34_knn_descent",
     // repeated-span removal: window table ~ total tokens, md5-keyed df
     // agg + per-doc coverage window — everything linear in corpus tokens
-    "ql35_repeated_spans")
+    "ql35_repeated_spans",
+    // round-8 ops: ql39 = descent build (iters=1) + beam search for a
+    // FIXED query set over the growing corpus; ql41/ql43/ql44 are
+    // scan-riding join-agg shapes (token/bigram/LM-position explode +
+    // broadcast dims) that must stay linear; ql42 composes the ql30
+    // IVF candidates through pointer-jumping clusters — the growth-safe
+    // SemDeDup path end to end
+    "ql39_graph_search", "ql41_linear_bigram", "ql42_semantic_dedup",
+    "ql43_lm_score", "ql44_domain_stats")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
