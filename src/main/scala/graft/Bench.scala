@@ -35,7 +35,8 @@ object Bench {
     // its descent build, like ql34; the rest are scan-riding)
     "ql10_langid", "qm2_media_fingerprint", "ql40_bpe_encode",
     "ql41_linear_bigram", "ql42_semantic_dedup", "ql43_lm_score",
-    "ql44_domain_stats", "qx12_jsonl_roundtrip"
+    "ql44_domain_stats", "qx12_jsonl_roundtrip",
+    "ql45_gopher_repetition", "ql46_pii_redact"
   )
 
   def main(args: Array[String]): Unit = {

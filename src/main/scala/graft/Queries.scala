@@ -1170,6 +1170,86 @@ object Queries {
       .select(col("doc_id"), flags.as("q")).select(col("doc_id"), col("q.*")))
   }
 
+  /** Q-L45 — Gopher REPETITION battery
+    * ([[graft.llm.TextAnalysis.gopherRepetitionStats]] →
+    * [[graft.llm.TextAnalysis.gopherRepetitionFlags]]): organic docs (no
+    * newlines — the degenerate one-line/one-paragraph case rides along)
+    * plus synthetic docs exercising each rule family — duplicated lines,
+    * one hot bigram (which also floods every 5..10-gram window), and
+    * duplicated paragraphs. Every stat is an exact integer and every
+    * flag integer-arithmetic, so the full 13-rule battery hash-matches
+    * the DuckDB replay.
+    */
+  val qlGopherRepetition: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val i = col("id")
+    val synth = s.range(1, 25).select(
+      (-i).as("doc_id"),
+      when(i <= 8,
+        concat(call_function("repeat", lit("dup line\n"), (i % 5 + 2).cast("int")),
+          lit("tail "), i.cast("string")))
+        .when(i <= 16,
+          concat(call_function("repeat", lit("hot pair "), (i % 7 + 3).cast("int")),
+            lit("end "), i.cast("string")))
+        .otherwise(
+          concat(call_function("repeat", lit("para block\n\n"), (i % 3 + 2).cast("int")),
+            lit("solo "), i.cast("string"))).as("text"))
+    val stats = graft.llm.TextAnalysis.gopherRepetitionStats(
+      docs.unionByName(synth), "doc_id", "text")
+    ordered(graft.llm.TextAnalysis.gopherRepetitionFlags(stats))
+  }
+
+  /** Q-L46 — PII redaction battery
+    * ([[graft.llm.TextAnalysis.redactPii]] + the per-class counters):
+    * organic docs (no PII — the identity path) plus synthetic docs
+    * carrying an email, a userinfo URL (must redact as URL, not get
+    * half-eaten by the email pattern), a valid IPv4 AND an out-of-range
+    * one (999.x — must survive the exact-octet pattern), and a NANP
+    * phone in each of the three accepted shapes. Emits the redacted text
+    * plus per-class counts — the redaction audit a release pipeline
+    * logs. Counts are taken stage-by-stage (each class counted on the
+    * text with earlier classes already redacted), matching what the
+    * sentinel substitution actually consumed.
+    */
+  val qlPiiRedact: Q = (s, dir) => {
+    import graft.llm.TextAnalysis._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val i = col("id")
+    val phone = when(i % 3 === 0,
+      concat(lit("+1 555-"), lpad((i * 37 % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((i * 73 % 10000).cast("string"), 4, "0")))
+      .when(i % 3 === 1,
+        concat(lit("(555) "), lpad((i * 37 % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((i * 73 % 10000).cast("string"), 4, "0")))
+      .otherwise(
+        concat(lit("555."), lpad((i * 37 % 1000).cast("string"), 3, "0"),
+          lit("."), lpad((i * 73 % 10000).cast("string"), 4, "0")))
+    val synth = s.range(1, 21).select(
+      (-i).as("doc_id"),
+      concat(
+        lit("reach user"), i.cast("string"), lit("@mail"), (i % 5).cast("string"),
+        lit(".example.org or visit https://u:p@host"), (i % 3).cast("string"),
+        lit(".net/a?x=1 node 10."), (i % 256).cast("string"),
+        lit(".0."), (i * 7 % 256).cast("string"),
+        lit(" bad 999.1.2.3 call "), phone).as("text"))
+    val all = docs.unionByName(synth)
+    // stage-by-stage: count each class on the text with earlier classes
+    // already substituted, then hand the final text to the next stage
+    val t1 = regexp_replace(col("text"), UrlPattern, "<URL>")
+    val out = all
+      .withColumn("n_emails", regexp_count(t1, lit(EmailPattern)))
+      .withColumn("_t2", regexp_replace(t1, EmailPattern, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("_t2"), lit(IpPattern)))
+      .withColumn("_t3", regexp_replace(col("_t2"), IpPattern, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("_t3"), lit(PhonePattern)))
+      // the operator itself produces the emitted text; the staged columns
+      // above only feed the counters (redactPii(text) ≡ one more pass here)
+      .withColumn("redacted", redactPii(col("text")))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("redacted"))
+    ordered(out)
+  }
+
   /** Q-L38 — linear bag-of-words scoring (the fasttext-linear quality
     * classifier shape): broadcast weights dim, exploded-token join,
     * DECIMAL-exact summation (order-independent, so the distributed
@@ -1787,6 +1867,8 @@ object Queries {
     "ql42_semantic_dedup" -> qlSemanticDedup,
     "ql43_lm_score" -> qlLmScore,
     "ql44_domain_stats" -> qlDomainStats,
+    "ql45_gopher_repetition" -> qlGopherRepetition,
+    "ql46_pii_redact" -> qlPiiRedact,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -2092,6 +2174,13 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // last-two-label domains, blocklist NOT IN, one group-by
     "ql44_domain_stats" ->
       """WITH d AS (SELECT doc_id, text, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, text, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, text, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport FROM n), h AS (SELECT doc_id, text, regexp_extract(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '^(www\.)+', '', 'g'), '([^.]+\.[^.]+)$', 1) AS domain FROM p), f AS (SELECT * FROM h WHERE domain NOT IN ('example0.com', 'site2.org', 'never.seen')) SELECT domain, COUNT(*) AS n_docs, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql45: full Gopher repetition replay — lines/paras by md5 group key,
+    // all nine n-gram tables, integer char sums, integer-arithmetic flags
+    "ql45_gopher_repetition" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, CASE WHEN i <= 8 THEN repeat('dup line' || chr(10), CAST(i % 5 + 2 AS INT)) || 'tail ' || i WHEN i <= 16 THEN repeat('hot pair ', CAST(i % 7 + 3 AS INT)) || 'end ' || i ELSE repeat('para block' || chr(10) || chr(10), CAST(i % 3 + 2 AS INT)) || 'solo ' || i END AS text FROM generate_series(1, 24) AS g(i)), d AS (SELECT doc_id, text, len(text) AS text_chars, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM all_docs), lraw AS (SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS item FROM d), lc AS (SELECT doc_id, md5(item) AS k, COUNT(*) AS c, MAX(len(item)) AS l FROM lraw GROUP BY 1, 2), ls AS (SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dup_lines, SUM((c - 1) * l) AS dup_lines_chars FROM lc GROUP BY 1), praw AS (SELECT doc_id, unnest(list_filter(list_transform(string_split_regex(text, '\n\n+'), x -> trim(x)), x -> x <> '')) AS item FROM d), pc AS (SELECT doc_id, md5(item) AS k, COUNT(*) AS c, MAX(len(item)) AS l FROM praw GROUP BY 1, 2), ps AS (SELECT doc_id, SUM(c) AS n_paras, SUM(c - 1) AS dup_paras, SUM((c - 1) * l) AS dup_paras_chars FROM pc GROUP BY 1), nn AS (SELECT doc_id, toks, unnest([2,3,4,5,6,7,8,9,10]) AS n FROM d), graw AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(toks) - n + 1), i -> array_to_string(toks[i:i+n-1], ' '))) AS gram FROM nn WHERE len(toks) >= n), gc AS (SELECT doc_id, n, md5(gram) AS k, COUNT(*) AS c, MAX(len(gram)) AS l FROM graw GROUP BY 1, 2, 3), gn AS (SELECT doc_id, n, MAX(l * c) AS top_chars, SUM(CASE WHEN c >= 2 THEN l * c ELSE 0 END) AS dup_chars FROM gc GROUP BY 1, 2), gp AS (SELECT doc_id, MAX(CASE WHEN n = 2 THEN top_chars END) AS top2, MAX(CASE WHEN n = 3 THEN top_chars END) AS top3, MAX(CASE WHEN n = 4 THEN top_chars END) AS top4, MAX(CASE WHEN n = 5 THEN dup_chars END) AS dup5, MAX(CASE WHEN n = 6 THEN dup_chars END) AS dup6, MAX(CASE WHEN n = 7 THEN dup_chars END) AS dup7, MAX(CASE WHEN n = 8 THEN dup_chars END) AS dup8, MAX(CASE WHEN n = 9 THEN dup_chars END) AS dup9, MAX(CASE WHEN n = 10 THEN dup_chars END) AS dup10 FROM gn GROUP BY 1), j AS (SELECT d.doc_id, d.text_chars, COALESCE(n_lines, 0) AS n_lines, COALESCE(dup_lines, 0) AS dup_lines, COALESCE(dup_lines_chars, 0) AS dup_lines_chars, COALESCE(n_paras, 0) AS n_paras, COALESCE(dup_paras, 0) AS dup_paras, COALESCE(dup_paras_chars, 0) AS dup_paras_chars, COALESCE(top2, 0) AS top2gram_chars, COALESCE(top3, 0) AS top3gram_chars, COALESCE(top4, 0) AS top4gram_chars, COALESCE(dup5, 0) AS dup5gram_chars, COALESCE(dup6, 0) AS dup6gram_chars, COALESCE(dup7, 0) AS dup7gram_chars, COALESCE(dup8, 0) AS dup8gram_chars, COALESCE(dup9, 0) AS dup9gram_chars, COALESCE(dup10, 0) AS dup10gram_chars FROM d LEFT JOIN ls ON d.doc_id = ls.doc_id LEFT JOIN ps ON d.doc_id = ps.doc_id LEFT JOIN gp ON d.doc_id = gp.doc_id) SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(text_chars AS BIGINT) AS text_chars, CAST(n_lines AS BIGINT) AS n_lines, CAST(dup_lines AS BIGINT) AS dup_lines, CAST(dup_lines_chars AS BIGINT) AS dup_lines_chars, CAST(n_paras AS BIGINT) AS n_paras, CAST(dup_paras AS BIGINT) AS dup_paras, CAST(dup_paras_chars AS BIGINT) AS dup_paras_chars, CAST(top2gram_chars AS BIGINT) AS top2gram_chars, CAST(top3gram_chars AS BIGINT) AS top3gram_chars, CAST(top4gram_chars AS BIGINT) AS top4gram_chars, CAST(dup5gram_chars AS BIGINT) AS dup5gram_chars, CAST(dup6gram_chars AS BIGINT) AS dup6gram_chars, CAST(dup7gram_chars AS BIGINT) AS dup7gram_chars, CAST(dup8gram_chars AS BIGINT) AS dup8gram_chars, CAST(dup9gram_chars AS BIGINT) AS dup9gram_chars, CAST(dup10gram_chars AS BIGINT) AS dup10gram_chars, dup_lines * 10 <= n_lines * 3 AS ok_dup_lines, dup_paras * 10 <= n_paras * 3 AS ok_dup_paras, dup_lines_chars * 5 <= text_chars AS ok_dup_line_chars, dup_paras_chars * 5 <= text_chars AS ok_dup_para_chars, top2gram_chars * 5 <= text_chars AS ok_top2gram, top3gram_chars * 50 <= text_chars * 9 AS ok_top3gram, top4gram_chars * 25 <= text_chars * 4 AS ok_top4gram, dup5gram_chars * 20 <= text_chars * 3 AS ok_dup5gram, dup6gram_chars * 50 <= text_chars * 7 AS ok_dup6gram, dup7gram_chars * 100 <= text_chars * 13 AS ok_dup7gram, dup8gram_chars * 25 <= text_chars * 3 AS ok_dup8gram, dup9gram_chars * 100 <= text_chars * 11 AS ok_dup9gram, dup10gram_chars * 10 <= text_chars AS ok_dup10gram FROM j ORDER BY 1 NULLS FIRST""",
+    // ql46: staged per-class counts + the same four RE2 regex passes
+    "ql46_pii_redact" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, 'reach user' || i || '@mail' || (i % 5) || '.example.org or visit https://u:p@host' || (i % 3) || '.net/a?x=1 node 10.' || (i % 256) || '.0.' || (i * 7 % 256) || ' bad 999.1.2.3 call ' || CASE CAST(i % 3 AS INT) WHEN 0 THEN '+1 555-' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') WHEN 1 THEN '(555) ' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') ELSE '555.' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '.' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') END AS text FROM generate_series(1, 20) AS g(i)), s1 AS (SELECT doc_id, regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS t1 FROM all_docs), s2 AS (SELECT doc_id, len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1), s3 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) AS n_ips, regexp_replace(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g') AS t3 FROM s2) SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips, CAST(len(regexp_extract_all(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phones, regexp_replace(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted FROM s3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     // ql42: survivors are closed-form on the planted-clone fixture —
     // every {v, v+1M} cluster keeps the higher-scored clone, every
     // organic vec_id >= 20 is a singleton survivor

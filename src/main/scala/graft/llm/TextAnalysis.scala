@@ -268,6 +268,48 @@ object TextAnalysis {
   def redactContacts(text: Column): Column =
     regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
 
+  /** Dotted-quad IPv4 with exact octet ranges (0–255), word-bounded. \b
+    * is the ASCII word boundary in BOTH Java regex and RE2, so engine and
+    * oracle agree. IPv6 needs a real parser (':'-ambiguity with times and
+    * ratios) — documented boundary, same as [[stripHtml]]'s.
+    */
+  val IpPattern =
+    "\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b"
+
+  /** NANP-shaped phone numbers: optional `+1` country code, then
+    * 3-3-4 digits with `-`/`.`/space separators or a parenthesized area
+    * code. Deliberately CONSERVATIVE — the loose published patterns
+    * (any 7+ digit run) redact order ids and timestamps wholesale; a
+    * corpus needing locale-specific formats supplies its own pattern to
+    * [[redactPii]]. The leading `\b` sits on the digit alternative only
+    * (`(` and `+` are non-word chars, a boundary there would require a
+    * preceding word char and never match).
+    */
+  val PhonePattern =
+    "(\\+1[-. ])?(\\([0-9]{3}\\)[ ]?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b"
+
+  def ipCount(text: Column): Column = regexp_count(text, lit(IpPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Full PII redaction battery (the Dolma/CCNet pre-release scrub):
+    * URLs → emails → IPv4 → phones, in that order (URLs can embed
+    * emails/IPs; IPs must be consumed before the phone pattern sees
+    * digit-dot runs). Each class gets its own sentinel token so
+    * downstream token-count deltas attribute redactions per class. Pure
+    * scan-riding column expression — four codegen'd regex passes, no
+    * shuffle at any scale.
+    */
+  def redactPii(text: Column,
+      emailPattern: String = EmailPattern, ipPattern: String = IpPattern,
+      phonePattern: String = PhonePattern): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlPattern, "<URL>"),
+          emailPattern, "<EMAIL>"),
+        ipPattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Control characters stripped by [[normalizeText]]: C0 controls plus
     * DEL, EXCEPT tab/newline/CR (document structure worth keeping until a
     * later layout-aware pass). Explicit hex ranges so the Java-regex
@@ -341,6 +383,120 @@ object TextAnalysis {
       (bullets * 10L <= nLines * 9L).as("ok_bullets"),
       (ellipsis * 10L <= nLines * 3L).as("ok_ellipsis"),
       (alphaToks * 5L >= nTok * 4L).as("ok_alpha"))
+  }
+
+  /** Gopher REPETITION battery (the published filter's other half —
+    * [[gopherQualityFlags]] covers the quality rules): per-document
+    * duplicate-line / duplicate-paragraph fractions (count and character
+    * forms) plus word-n-gram repetition — top-n-gram character fraction
+    * for small n, duplicated-n-gram character fraction for large n
+    * (reference analog: the pipeline quality stages; rules per Rae et al.
+    * 2021 Table A1 as implemented by the public DataTrove/Dolma filters).
+    *
+    * Two shapes, each where it wins. Lines/paragraphs explode off the
+    * scan and aggregate by (doc, md5(item)) with map-side combine — the
+    * shuffle moves 16-byte digests, never the paragraph text. The n-gram
+    * stats stay INSIDE each document's row: per n, (hash, len) pairs are
+    * sorted and folded in one linear pass — O(G log G) on the scan, no
+    * shuffle at all, and never the O(L²) exists-earlier array walk (a
+    * pathological 10^6-token document costs a sort, not a quadratic
+    * scan). Every output is an exact integer (counts and character
+    * sums): the DuckDB oracle replays them bit-for-bit (Q-L45).
+    *
+    * Definitions (matching the public implementations): duplicates of an
+    * item = occurrences beyond the first, Σ(c−1); duplicate chars =
+    * Σ(c−1)·len(item); top-n-gram chars = max over grams of
+    * len(gram)·count — count-1 grams included, ties resolved by the max
+    * itself (deterministic, where Counter.most_common is
+    * insertion-ordered); duplicated-n-gram chars = Σ over grams with
+    * c ≥ 2 of len(gram)·c (overlap-unaware, the Dolma simplification —
+    * ExactSubstr-style overlap accounting lives in
+    * [[Dedup.removeRepeatedSpans]]). Char-fraction denominators are
+    * len(text), per the published code. Lines split on '\n', paragraphs
+    * on blank lines ('\n\n+'), both trimmed with empties dropped.
+    */
+  def gopherRepetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require((topNs ++ dupNs).forall(_ >= 2), "n-gram sizes must be >= 2")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+    // md5 group keys here too: a duplicated PARAGRAPH can be most of a
+    // document — the shuffle moves 16-byte digests plus one length, never
+    // the paragraph text itself
+    def dupStats(arr: Column, pfx: String): DataFrame =
+      base.select(col("doc_id"), explode(arr).as("item"))
+        .groupBy(col("doc_id"), md5(col("item")).as("k"))
+        .agg(count(lit(1)).as("c"), max(length(col("item"))).cast("long").as("len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$pfx"),
+          sum(col("c") - 1L).as(s"dup_$pfx"),
+          sum((col("c") - 1L) * col("len")).as(s"dup_${pfx}_chars"))
+
+    val lineArr = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
+    val paraArr = filter(transform(split(col("text"), "\n\n+"), p => trim(p)), p => p =!= "")
+    val lines = dupStats(lineArr, "lines")
+    val paras = dupStats(paraArr, "paras")
+
+    // The n-gram stats never leave the document's own row: one fused
+    // native expression ([[graft.functions.GopherGramStats]], real
+    // codegen) computes every n's numerators in primitive arrays riding
+    // the scan — ZERO shuffle. Every gram of a doc is born in that doc's
+    // row, so a corpus-wide hash-agg (measured 4× slower at sf0.1, and
+    // an HOF sort-and-fold form 9×) would only exchange rows to compute
+    // groups that never span documents.
+    val gstats = graft.functions.GramStats.gopherGramStats(
+      Dedup.tokens(col("text")), topNs, dupNs)
+    val gramCols =
+      topNs.zipWithIndex.map { case (n, ix) =>
+        element_at(col("_gs"), ix + 1).as(s"top${n}gram_chars") } ++
+        dupNs.zipWithIndex.map { case (n, ix) =>
+          element_at(col("_gs"), topNs.size + ix + 1).as(s"dup${n}gram_chars") }
+    val withGrams = base
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_chars"),
+        gstats.as("_gs"))
+      .select(Seq(col("doc_id"), col("text_chars")) ++ gramCols: _*)
+
+    val statCols = Seq("n_lines", "dup_lines", "dup_lines_chars",
+      "n_paras", "dup_paras", "dup_paras_chars")
+    statCols.foldLeft(
+      withGrams.join(lines, Seq("doc_id"), "left")
+        .join(paras, Seq("doc_id"), "left")) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+  }
+
+  /** Boolean flags over [[gopherRepetitionStats]] output at the paper's
+    * Table A1 thresholds (dup-line 0.30, dup-para 0.30, both char forms
+    * 0.20; top-{2,3,4}-gram 0.20/0.18/0.16; dup-{5..10}-gram 0.15 down to
+    * 0.10) — ALL as exact integer arithmetic (value·b ≤ denom·a for a
+    * threshold a/b), so no float fraction is ever materialized and the
+    * flag battery is bit-identical across engines. Empty documents pass
+    * every rule (0 ≤ 0).
+    */
+  def gopherRepetitionFlags(stats: DataFrame,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    // threshold fractions a/b from the paper, exact
+    val topT = Map(2 -> ((1L, 5L)), 3 -> ((9L, 50L)), 4 -> ((4L, 25L)))
+    val dupT = Map(5 -> ((3L, 20L)), 6 -> ((7L, 50L)), 7 -> ((13L, 100L)),
+      8 -> ((3L, 25L)), 9 -> ((11L, 100L)), 10 -> ((1L, 10L)))
+    require(topNs.forall(topT.contains) && dupNs.forall(dupT.contains),
+      "no published threshold for the requested n")
+    val t = col("text_chars")
+    val withBase = stats
+      .withColumn("ok_dup_lines", col("dup_lines") * 10L <= col("n_lines") * 3L)
+      .withColumn("ok_dup_paras", col("dup_paras") * 10L <= col("n_paras") * 3L)
+      .withColumn("ok_dup_line_chars", col("dup_lines_chars") * 5L <= t)
+      .withColumn("ok_dup_para_chars", col("dup_paras_chars") * 5L <= t)
+    val withTop = topNs.foldLeft(withBase) { (d, n) =>
+      val (a, b) = topT(n)
+      d.withColumn(s"ok_top${n}gram", col(s"top${n}gram_chars") * b <= t * a)
+    }
+    dupNs.foldLeft(withTop) { (d, n) =>
+      val (a, b) = dupT(n)
+      d.withColumn(s"ok_dup${n}gram", col(s"dup${n}gram_chars") * b <= t * a)
+    }
   }
 
   /** URL canonicalization — the crawl-pipeline identity step: two raw

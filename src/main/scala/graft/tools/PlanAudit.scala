@@ -90,7 +90,13 @@ object PlanAudit {
       "the bounded domain key -- the only Exchange carries (domain, counts) rows"),
     "qx12_jsonl_roundtrip" -> ("json scan with the EXPLICIT schema (no inference scan) + " +
       "corrupt-record projection -- the parse rides the file scan in one span; no shuffle " +
-      "in the operator (the only Exchange is the harness ORDER BY)")
+      "in the operator (the only Exchange is the harness ORDER BY)"),
+    "ql45_gopher_repetition" -> ("three explode branches (lines, paragraphs, n-grams) each " +
+      "hash-aggregating on (doc, md5(item)) with map-side combine -- document text never " +
+      "shuffles, only 16-byte digests + integer counts; the per-doc joins are narrow"),
+    "ql46_pii_redact" -> ("four codegen'd regex passes riding the scan in ONE " +
+      "WholeStageCodegen span -- no shuffle in the operator (the only Exchange is the " +
+      "harness ORDER BY)")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,105 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[TextAnalysis.gopherRepetitionStats]] /
+  * [[TextAnalysis.gopherRepetitionFlags]] — hand-computed fixtures for the
+  * Gopher repetition battery, and [[TextAnalysis.redactPii]] boundary
+  * cases.
+  */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition stats match hand-computed values") {
+    // doc 1: "a b a b a b" — toks 6, text 11 chars
+    //   2-grams: "a b"×3, "b a"×2  → top2 = 3·3 = 9, dup2 = 9 + 6 = 15
+    //   3-grams: "a b a"×2, "b a b"×2 → top3 = 10, dup3 = 10+10 = 20
+    // doc 2: "x\nx\ny" — lines x,x,y → n=3, dup=1, dup_chars=1; paras: 1
+    // doc 3: "p\n\np\n\nq" — paras p,p,q → n=3, dup=1, dup_chars=1
+    //   lines (blank dropped): x? no — p,p,q same counts
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x\nx\ny"),
+      (3L, "p\n\np\n\nq")).toDF("doc_id", "text")
+    val stats = TextAnalysis.gopherRepetitionStats(docs, "doc_id", "text",
+      topNs = Seq(2, 3), dupNs = Seq(2, 3, 5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = stats(1L)
+    assert(d1.getAs[Long]("text_chars") == 11L)
+    assert(d1.getAs[Long]("n_lines") == 1L && d1.getAs[Long]("dup_lines") == 0L)
+    assert(d1.getAs[Long]("top2gram_chars") == 9L)
+    assert(d1.getAs[Long]("dup2gram_chars") == 15L)
+    assert(d1.getAs[Long]("top3gram_chars") == 10L)
+    assert(d1.getAs[Long]("dup3gram_chars") == 20L)
+    // only two 5-grams ("a b a b a", "b a b a b"), both unique
+    assert(d1.getAs[Long]("dup5gram_chars") == 0L)
+
+    val d2 = stats(2L)
+    assert(d2.getAs[Long]("n_lines") == 3L)
+    assert(d2.getAs[Long]("dup_lines") == 1L)
+    assert(d2.getAs[Long]("dup_lines_chars") == 1L)
+    assert(d2.getAs[Long]("n_paras") == 1L && d2.getAs[Long]("dup_paras") == 0L)
+
+    val d3 = stats(3L)
+    assert(d3.getAs[Long]("n_paras") == 3L)
+    assert(d3.getAs[Long]("dup_paras") == 1L)
+    assert(d3.getAs[Long]("dup_paras_chars") == 1L)
+  }
+
+  test("repetition flags trip at the paper thresholds, integer-exact") {
+    // 10 lines, 3 dups → frac 0.3 exactly → still ok (≤); 4 dups → not ok
+    val mk = (nDup: Int) =>
+      ((1 to (10 - nDup)).map(i => s"u$i") ++ (1 to nDup).map(_ => "u1")).mkString("\n")
+    val docs = Seq((1L, mk(3)), (2L, mk(4))).toDF("doc_id", "text")
+    val flags = TextAnalysis.gopherRepetitionFlags(
+      TextAnalysis.gopherRepetitionStats(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(5)), topNs = Seq(2), dupNs = Seq(5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(flags(1L).getAs[Boolean]("ok_dup_lines"))
+    assert(!flags(2L).getAs[Boolean]("ok_dup_lines"))
+    // "w w w w w w" — top2 "w w"×5, chars 15, text 11 → 15·5 > 11 → trip
+    val hot = Seq((1L, "w w w w w w")).toDF("doc_id", "text")
+    val f = TextAnalysis.gopherRepetitionFlags(
+      TextAnalysis.gopherRepetitionStats(hot, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(5)), topNs = Seq(2), dupNs = Seq(5))
+      .collect().head
+    assert(!f.getAs[Boolean]("ok_top2gram"))
+    // 5-grams: "w w w w w"×2 → dup5 = 18, 18·20 > 11·3 → trip
+    assert(!f.getAs[Boolean]("ok_dup5gram"))
+    // empty document passes everything (0 ≤ 0)
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val fe = TextAnalysis.gopherRepetitionFlags(
+      TextAnalysis.gopherRepetitionStats(empty, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(5)), topNs = Seq(2), dupNs = Seq(5))
+      .collect().head
+    assert(fe.getAs[Boolean]("ok_dup_lines") && fe.getAs[Boolean]("ok_top2gram"))
+  }
+
+  test("gram stats survive a maximally repetitive document (equal-key sort band)") {
+    // 1000 identical tokens: 2-grams "w w"×999 (len 3), 5-grams ×996 (len 9)
+    val doc = Seq((1L, Array.fill(1000)("w").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetitionStats(doc, "doc_id", "text",
+      topNs = Seq(2), dupNs = Seq(5)).collect().head
+    assert(r.getAs[Long]("top2gram_chars") == 3L * 999L)
+    assert(r.getAs[Long]("dup5gram_chars") == 9L * 996L)
+  }
+
+  test("redactPii: order, octet ranges, phone shapes, and survivors") {
+    val rows = Seq(
+      // userinfo URL must go as <URL>, the bare email as <EMAIL>
+      "see https://a:b@c.net/x and a@b.org",
+      // valid + out-of-range IPv4
+      "ok 203.0.113.9 bad 999.1.2.3 also 256.1.1.1",
+      // three phone shapes + a bare 10-digit run that must SURVIVE
+      "+1 555-123-4567 or (555) 123-4567 or 555.123.4567 id 5551234567",
+      "no pii here").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(rows(0) == "see <URL> and <EMAIL>")
+    assert(rows(1) == "ok <IP> bad 999.1.2.3 also 256.1.1.1")
+    assert(rows(2) == "<PHONE> or <PHONE> or <PHONE> id 5551234567")
+    assert(rows(3) == "no pii here")
+  }
+}
