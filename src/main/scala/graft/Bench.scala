@@ -36,7 +36,8 @@ object Bench {
     "ql10_langid", "qm2_media_fingerprint", "ql40_bpe_encode",
     "ql41_linear_bigram", "ql42_semantic_dedup", "ql43_lm_score",
     "ql44_domain_stats", "qx12_jsonl_roundtrip",
-    "ql45_gopher_repetition", "ql46_pii_redact"
+    "ql45_gopher_repetition", "ql46_pii_redact",
+    "ql47_percentile_buckets", "ql48_c4_filters"
   )
 
   def main(args: Array[String]): Unit = {

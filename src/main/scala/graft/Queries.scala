@@ -1250,6 +1250,52 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L47 — CCNet-style per-language percentile bucketing
+    * ([[graft.llm.Sampling.percentileBuckets]]): every document scored
+    * ([[graft.llm.TextAnalysis.qualityScore]] — ql8's replicated score),
+    * then ranked within its `lang` group and cut into head/middle/tail
+    * thirds with integer arithmetic. Exact rank form (ties broken by
+    * doc_id), so the whole assignment hash-matches; the skew-free
+    * approx-percentile form is spec-pinned against this one.
+    */
+  val qlPerplexityBuckets: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val scored = docs
+      .withColumn("score", graft.llm.TextAnalysis.qualityScore(col("text")))
+      .drop("text")
+    val out = graft.llm.Sampling.percentileBuckets(scored, "lang", "score", "doc_id")
+    ordered(out.select(col("doc_id"), col("lang"), col("score"),
+      col("rank_in_group"), col("n_group"), col("bucket")))
+  }
+
+  /** Q-L48 — C4 quality battery ([[graft.llm.TextAnalysis.c4CleanLines]]
+    * + [[c4DocFlags]]): organic docs (word soup — no terminal
+    * punctuation, so cleaning empties them: the realistic
+    * crawl-junk path) plus synthetic pages exercising each rule — a
+    * clean 3-sentence page, a javascript line that must vanish while its
+    * neighbor survives, a quote-terminated line, short/unterminated
+    * lines, a curly-brace code page, and a lorem-ipsum page.
+    */
+  val qlC4Filters: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val i = col("id")
+    val synth = s.range(1, 13).select(
+      (-i).as("doc_id"),
+      when(i % 6 === 1, lit("This is a good first sentence. Another fine sentence follows here! Is this a third sentence?"))
+        .when(i % 6 === 2, lit("Please enable javascript to continue loading.\nThis perfectly normal sentence stays in the page."))
+        .when(i % 6 === 3, lit("She calmly replied to them \"yes indeed\"\nway too short.\nno terminal punctuation on this long line here"))
+        .when(i % 6 === 4, lit("function handler() { return 1; } This sentence still has enough words here."))
+        .when(i % 6 === 5, lit("Lorem Ipsum dolor sit amet consectetur adipiscing elit."))
+        .otherwise(lit("One good sentence that is long enough.")).as("text"))
+    val all = docs.unionByName(synth)
+    val flags = graft.llm.TextAnalysis.c4DocFlags(col("text"))
+    val out = all
+      .withColumn("cleaned", graft.llm.TextAnalysis.c4CleanLines(col("text")))
+      .withColumn("q", flags)
+      .select(col("doc_id"), col("cleaned"), col("q.*"))
+    ordered(out)
+  }
+
   /** Q-L38 — linear bag-of-words scoring (the fasttext-linear quality
     * classifier shape): broadcast weights dim, exploded-token join,
     * DECIMAL-exact summation (order-independent, so the distributed
@@ -1869,6 +1915,8 @@ object Queries {
     "ql44_domain_stats" -> qlDomainStats,
     "ql45_gopher_repetition" -> qlGopherRepetition,
     "ql46_pii_redact" -> qlPiiRedact,
+    "ql47_percentile_buckets" -> qlPerplexityBuckets,
+    "ql48_c4_filters" -> qlC4Filters,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -2181,6 +2229,14 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // ql46: staged per-class counts + the same four RE2 regex passes
     "ql46_pii_redact" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, 'reach user' || i || '@mail' || (i % 5) || '.example.org or visit https://u:p@host' || (i % 3) || '.net/a?x=1 node 10.' || (i % 256) || '.0.' || (i * 7 % 256) || ' bad 999.1.2.3 call ' || CASE CAST(i % 3 AS INT) WHEN 0 THEN '+1 555-' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') WHEN 1 THEN '(555) ' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') ELSE '555.' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '.' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') END AS text FROM generate_series(1, 20) AS g(i)), s1 AS (SELECT doc_id, regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS t1 FROM all_docs), s2 AS (SELECT doc_id, len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1), s3 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) AS n_ips, regexp_replace(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g') AS t3 FROM s2) SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips, CAST(len(regexp_extract_all(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phones, regexp_replace(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted FROM s3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
+    // ql47: ql8's replicated score, ranked per language with doc_id
+    // tiebreak, thirds cut by integer arithmetic
+    "ql47_percentile_buckets" ->
+      """WITH q AS (SELECT doc_id, lang, ROUND((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 WHEN ntok >= 3 THEN 0.5 ELSE 0.0 END)*0.4 + (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)*0.3 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END)*0.3, 4) AS score FROM (SELECT doc_id, lang, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS ntok, CAST(LENGTH(text) AS DOUBLE) AS len, CAST(LENGTH(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha, CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0 THEN (CAST(LENGTH(text) AS DOUBLE) - (len(list_filter(string_split(text,' '), x -> x <> '')) - 1)) / len(list_filter(string_split(text,' '), x -> x <> '')) ELSE 0.0 END AS mwl FROM documents)), r AS (SELECT doc_id, lang, score, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC) AS BIGINT) AS rank_in_group, CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group FROM q) SELECT doc_id, lang, score, rank_in_group, n_group, CASE WHEN rank_in_group * 3 <= n_group * 1 THEN 'head' WHEN rank_in_group * 3 <= n_group * 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""",
+    // ql48: the C4 line battery replayed with list lambdas; page flags on
+    // raw + cleaned text
+    "ql48_c4_filters" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, CASE CAST(i % 6 AS INT) WHEN 1 THEN 'This is a good first sentence. Another fine sentence follows here! Is this a third sentence?' WHEN 2 THEN 'Please enable javascript to continue loading.' || chr(10) || 'This perfectly normal sentence stays in the page.' WHEN 3 THEN 'She calmly replied to them "yes indeed"' || chr(10) || 'way too short.' || chr(10) || 'no terminal punctuation on this long line here' WHEN 4 THEN 'function handler() { return 1; } This sentence still has enough words here.' WHEN 5 THEN 'Lorem Ipsum dolor sit amet consectetur adipiscing elit.' ELSE 'One good sentence that is long enough.' END AS text FROM generate_series(1, 12) AS g(i)), c AS (SELECT doc_id, text, COALESCE(array_to_string(list_filter(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> ''), l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"')) AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5 AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS cleaned FROM all_docs) SELECT doc_id, cleaned, (LENGTH(cleaned) - LENGTH(translate(cleaned, '.!?', ''))) >= 3 AS ok_sentences, NOT contains(text, '{') AS ok_no_braces, NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem FROM c ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     // ql42: survivors are closed-form on the planted-clone fixture —
     // every {v, v+1M} cluster keeps the higher-scored clone, every
     // organic vec_id >= 20 is a singleton survivor

@@ -225,4 +225,63 @@ object Sampling {
     }
     df.withColumn(as, expr)
   }
+
+  /** CCNet-style per-group percentile bucketing — the head/middle/tail
+    * split the published pipeline applies per LANGUAGE on a model score
+    * (there: wiki-LM perplexity, lower = better; compose with
+    * [[TextAnalysis.lmScore]] or any score column). EXACT rank form:
+    * `rank` = row_number ordered by (score asc, id asc) within the
+    * group, bucket cuts as integer arithmetic (`rank·den ≤ n·num`), so
+    * assignment is bit-reproducible and oracle-checkable (Q-L47). Emits
+    * the input plus (rank_in_group, n_group, bucket).
+    *
+    * Scale boundary, stated plainly: the exact form is one sort shuffle
+    * PARTITIONED BY GROUP — at 100 TB the dominant language lands on one
+    * task's sort (per-group global order is inherently serial). That is
+    * fine for evaluation slices and mid-size corpora; for the full-crawl
+    * pass use [[percentileBucketsApprox]], which replaces the sort with
+    * one aggregation of t-digest cuts per group broadcast back over the
+    * scan — skew-free, at the cost of approximate boundaries.
+    */
+  def percentileBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+                        idCol: String, lowNum: Int = 1, highNum: Int = 2,
+                        den: Int = 3): DataFrame = {
+    require(0 < lowNum && lowNum <= highNum && highNum <= den, "need 0 < low ≤ high ≤ den")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val wn = Window.partitionBy(col(groupCol))
+    df.withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .withColumn("n_group", count(lit(1)).over(wn))
+      .withColumn("bucket",
+        when(col("rank_in_group") * den <= col("n_group") * lowNum, "head")
+          .when(col("rank_in_group") * den <= col("n_group") * highNum, "middle")
+          .otherwise("tail"))
+  }
+
+  /** The corpus-scale form of [[percentileBuckets]]: per-group
+    * `approx_percentile` cut points (ONE aggregation riding the scan, no
+    * per-group sort, immune to language skew) broadcast back and compared
+    * against the score. Boundary rows may land one bucket off versus the
+    * exact form — the documented trade every approximate-quantile
+    * pipeline makes; `accuracy` is the t-digest knob. TIES diverge by
+    * definition, not by approximation: a value cut sweeps a whole tied
+    * band into one bucket where the exact form's rank order splits it —
+    * on heavily banded scores (e.g. [[TextAnalysis.qualityScore]]) the
+    * two disagree wholesale (spec-pinned); on continuous model scores
+    * (perplexity, the CCNet case — which itself cuts by VALUE, this
+    * form's semantics) they agree to t-digest wobble.
+    */
+  def percentileBucketsApprox(df: DataFrame, groupCol: String, scoreCol: String,
+                              lowFrac: Double = 1.0 / 3, highFrac: Double = 2.0 / 3,
+                              accuracy: Int = 10000): DataFrame = {
+    val cuts = df.groupBy(col(groupCol).as("_pb_g"))
+      .agg(approx_percentile(col(scoreCol), array(lit(lowFrac), lit(highFrac)),
+        lit(accuracy)).as("_pb_cuts"))
+    df.join(broadcast(cuts), col(groupCol) === col("_pb_g"), "left")
+      .withColumn("bucket",
+        when(col(scoreCol) <= element_at(col("_pb_cuts"), 1), "head")
+          .when(col(scoreCol) <= element_at(col("_pb_cuts"), 2), "middle")
+          .otherwise("tail"))
+      .drop("_pb_g", "_pb_cuts")
+  }
 }

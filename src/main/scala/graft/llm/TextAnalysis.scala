@@ -499,6 +499,42 @@ object TextAnalysis {
     }
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only lines
+    * that end in a terminal punctuation mark (`.` `!` `?` `"`), carry at
+    * least `minWords` whitespace words, and do not mention "javascript"
+    * (case-insensitive); survivors re-join with '\n'. Pure scan-riding
+    * column expression — the line battery runs inside the row, nothing
+    * shuffles. The paper's three-sentence-span dedup is corpus-wide and
+    * lives in [[Dedup.dropDuplicateParagraphs]] /
+    * [[Dedup.removeRepeatedSpans]]; its bad-words page filter is a
+    * caller-supplied list (same broadcast-dim shape as
+    * [[filterByDomainBlocklist]]).
+    */
+  def c4CleanLines(text: Column, minWords: Int = 5): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(filter(split(l, " "), t => t =!= "")) >= minWords &&
+        !lower(l).contains("javascript"))
+    concat_ws("\n", kept)
+  }
+
+  /** C4 page-level flags over the [[c4CleanLines]] output: at least
+    * `minSentences` sentences survive cleaning (terminal-punctuation
+    * marks as the sentence proxy — `translate`-based, bit-exact), no
+    * curly brace anywhere in the RAW page (the code filter), and no
+    * "lorem ipsum" (case-insensitive). Booleans, not a verdict — the
+    * caller composes its keep rule, as with [[gopherQualityFlags]].
+    */
+  def c4DocFlags(text: Column, minSentences: Int = 3): Column = {
+    val cleaned = c4CleanLines(text)
+    val sentMarks = length(cleaned) - length(translate(cleaned, ".!?", ""))
+    struct(
+      (sentMarks >= minSentences).as("ok_sentences"),
+      (!text.contains("{")).as("ok_no_braces"),
+      (!lower(text).contains("lorem ipsum")).as("ok_no_lorem"))
+  }
+
   /** URL canonicalization — the crawl-pipeline identity step: two raw
     * URLs that differ only in case of scheme/host, `www.` prefix, default
     * port, fragment, tracking parameters (`utm_*`, `fbclid`, `gclid`) or

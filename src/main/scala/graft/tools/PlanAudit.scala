@@ -96,7 +96,12 @@ object PlanAudit {
       "shuffles, only 16-byte digests + integer counts; the per-doc joins are narrow"),
     "ql46_pii_redact" -> ("four codegen'd regex passes riding the scan in ONE " +
       "WholeStageCodegen span -- no shuffle in the operator (the only Exchange is the " +
-      "harness ORDER BY)")
+      "harness ORDER BY)"),
+    "ql47_percentile_buckets" -> ("score rides the scan; ONE sort Exchange partitioned by " +
+      "lang for the exact rank window (the documented skew boundary -- the approx form " +
+      "replaces it with a broadcast cuts dim); bucket cuts are integer arithmetic"),
+    "ql48_c4_filters" -> ("line battery + page flags as pure column expressions riding " +
+      "the scan -- no shuffle in the operator (the only Exchange is the harness ORDER BY)")
   )
 
   def main(args: Array[String]): Unit = {

@@ -62,7 +62,10 @@ object ScaleBench {
     // IVF candidates through pointer-jumping clusters — the growth-safe
     // SemDeDup path end to end
     "ql39_graph_search", "ql41_linear_bigram", "ql42_semantic_dedup",
-    "ql43_lm_score", "ql44_domain_stats")
+    "ql43_lm_score", "ql44_domain_stats",
+    // ql45: the fused per-doc n-gram battery plus md5-keyed line/para
+    // aggs — pure corpus-linear work, must scale ~flat in time at 10×
+    "ql45_gopher_repetition")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

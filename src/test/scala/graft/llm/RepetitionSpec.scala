@@ -86,6 +86,35 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getAs[Long]("dup5gram_chars") == 9L * 996L)
   }
 
+  test("c4CleanLines keeps exactly the compliant lines; c4DocFlags trip per rule") {
+    val doc =
+      "Good sentence with enough words here.\n" +
+        "short line.\n" +
+        "no terminal punctuation on this line at all\n" +
+        "Please enable javascript to continue loading.\n" +
+        "Another proper sentence closes the page!"
+    val r = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(TextAnalysis.c4CleanLines(col("text")).as("c"),
+        TextAnalysis.c4DocFlags(col("text")).as("f"))
+      .collect().head
+    assert(r.getString(0) ==
+      "Good sentence with enough words here.\nAnother proper sentence closes the page!")
+    val f = r.getStruct(1)
+    // two terminal marks survive cleaning → below the 3-sentence bar
+    assert(!f.getAs[Boolean]("ok_sentences"))
+    assert(f.getAs[Boolean]("ok_no_braces") && f.getAs[Boolean]("ok_no_lorem"))
+
+    val flags2 = Seq(
+      (1L, "First sentence is long enough here. Second one also works fine! Third closes it properly."),
+      (2L, "if (x) { y(); } Otherwise this sentence is long enough."),
+      (3L, "Lorem ipsum dolor sit amet consectetur elit.")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.c4DocFlags(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(flags2(1L).getAs[Boolean]("ok_sentences"))
+    assert(!flags2(2L).getAs[Boolean]("ok_no_braces"))
+    assert(!flags2(3L).getAs[Boolean]("ok_no_lorem"))
+  }
+
   test("redactPii: order, octet ranges, phone shapes, and survivors") {
     val rows = Seq(
       // userinfo URL must go as <URL>, the bare email as <EMAIL>

@@ -150,4 +150,46 @@ class SamplingSpec extends SparkSpec {
     val s2 = Sampling.perGroup(docs.repartition(7), Seq(col("lang")), "doc_id", 3)
     assert(rowsOf(s1.select("doc_id")) == rowsOf(s2.select("doc_id")))
   }
+
+  test("percentileBuckets cuts exact thirds per group with deterministic ties") {
+    // group a: 9 rows, scores 1..9 → head {1,2,3}, middle {4,5,6}, tail {7,8,9}
+    // group b: 4 rows all TIED → rank by id: head {1}, middle {2}, tail {3,4}
+    val df = ((1 to 9).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("b", 100L + i, 5.0))).toDF("lang", "doc_id", "score")
+    val out = Sampling.percentileBuckets(df, "lang", "score", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert((1 to 3).forall(i => out(i.toLong) == "head"))
+    assert((4 to 6).forall(i => out(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => out(i.toLong) == "tail"))
+    assert(out(101L) == "head" && out(102L) == "middle")
+    assert(out(103L) == "tail" && out(104L) == "tail")
+    // partitioning independence (the window is keyed, not positional)
+    val out2 = Sampling.percentileBuckets(df.repartition(7), "lang", "score", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(out == out2)
+  }
+
+  test("percentileBucketsApprox agrees with the exact form on continuous scores") {
+    // continuous (hash-derived) scores: ties are absent, so value cuts
+    // and rank thirds coincide up to t-digest boundary wobble
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("score", pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double"))
+    val exact = Sampling.percentileBuckets(docs, "lang", "score", "doc_id")
+      .select(col("doc_id"), col("bucket").as("eb"))
+    val approx = Sampling.percentileBucketsApprox(docs, "lang", "score")
+      .select(col("doc_id"), col("bucket").as("ab"))
+    val joined = exact.join(approx, "doc_id")
+    val n = joined.count()
+    val agree = joined.filter(col("eb") === col("ab")).count()
+    assert(agree.toDouble / n > 0.95, s"approx/exact agreement $agree/$n")
+
+    // tied bands are the DOCUMENTED divergence: value cuts sweep a whole
+    // tied band into one bucket where rank order splits it — pin the
+    // behavior so the scaladoc claim stays true
+    import spark.implicits._
+    val tied = (1 to 90).map(i => ("a", i.toLong, 5.0)).toDF("lang", "doc_id", "score")
+    val ta = Sampling.percentileBucketsApprox(tied, "lang", "score")
+      .select(col("bucket")).as[String].collect()
+    assert(ta.forall(_ == "head"))
+  }
 }
