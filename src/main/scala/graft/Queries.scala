@@ -1296,6 +1296,22 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L49 — fixed-length sequence packing
+    * ([[graft.llm.Sampling.packTokenSequences]]): the documents table as
+    * one token stream cut into dense 512-token training sequences,
+    * documents split across boundaries (the causal-LM packing
+    * convention). Every span is integer arithmetic over the two-phase
+    * global prefix sum, so the full packing plan hash-matches the
+    * window-replayed oracle.
+    */
+  val qlPackSequences: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    val out = graft.llm.Sampling.packTokenSequences(docs, "doc_id", "n_tokens", 512L)
+    ordered(out.select(col("seq_id"), col("doc_id"), col("doc_from"),
+      col("doc_to"), col("seq_off")))
+  }
+
   /** Q-L38 — linear bag-of-words scoring (the fasttext-linear quality
     * classifier shape): broadcast weights dim, exploded-token join,
     * DECIMAL-exact summation (order-independent, so the distributed
@@ -1917,6 +1933,7 @@ object Queries {
     "ql46_pii_redact" -> qlPiiRedact,
     "ql47_percentile_buckets" -> qlPerplexityBuckets,
     "ql48_c4_filters" -> qlC4Filters,
+    "ql49_pack_sequences" -> qlPackSequences,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -2237,6 +2254,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // raw + cleaned text
     "ql48_c4_filters" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, CASE CAST(i % 6 AS INT) WHEN 1 THEN 'This is a good first sentence. Another fine sentence follows here! Is this a third sentence?' WHEN 2 THEN 'Please enable javascript to continue loading.' || chr(10) || 'This perfectly normal sentence stays in the page.' WHEN 3 THEN 'She calmly replied to them "yes indeed"' || chr(10) || 'way too short.' || chr(10) || 'no terminal punctuation on this long line here' WHEN 4 THEN 'function handler() { return 1; } This sentence still has enough words here.' WHEN 5 THEN 'Lorem Ipsum dolor sit amet consectetur adipiscing elit.' ELSE 'One good sentence that is long enough.' END AS text FROM generate_series(1, 12) AS g(i)), c AS (SELECT doc_id, text, COALESCE(array_to_string(list_filter(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> ''), l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"')) AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5 AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS cleaned FROM all_docs) SELECT doc_id, cleaned, (LENGTH(cleaned) - LENGTH(translate(cleaned, '.!?', ''))) >= 3 AS ok_sentences, NOT contains(text, '{') AS ok_no_braces, NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem FROM c ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
+    // ql49: the packing plan replayed with a plain window prefix sum
+    // (oracle scale permits the single-partition window the engine avoids)
+    "ql49_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n FROM documents), t AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM d), s AS (SELECT doc_id, n, st, unnest(generate_series(st // 512, (st + n - 1) // 512)) AS seq_id FROM t WHERE n > 0) SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, CAST(GREATEST(st, seq_id * 512) - st AS BIGINT) AS doc_from, CAST(LEAST(st + n, (seq_id + 1) * 512) - st AS BIGINT) AS doc_to, CAST(GREATEST(st, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off FROM s ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     // ql42: survivors are closed-form on the planted-clone fixture —
     // every {v, v+1M} cluster keeps the higher-scored clone, every
     // organic vec_id >= 20 is a singleton survivor

@@ -79,21 +79,46 @@ object Sampling {
                          budgetTokens: Long, partitions: Int = 0,
                          validateIds: Boolean = false): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    if (validateIds) validateUniqueIds(df, idCol, "shardByTokenBudget")
+    // integral DIV, not double division: global prefixes at 100 TB token
+    // counts can pass 2^53 where float64 division would round the boundary
+    globalTokenPrefix(df, idCol, tokensCol, partitions)
+      .withColumn("shard", expr(s"_gprefix DIV ${budgetTokens}L"))
+      .drop("_gprefix")
+  }
+
+  /** One extra count-style job (flag-gated — at 100 TB that is a full
+    * scan, so opt-in): a duplicate or null id makes a prefix ORDER
+    * ill-defined — boundary rows land in arbitrary shards/sequences with
+    * no error — so callers that cannot prove uniqueness upstream get a
+    * fail-fast instead of silent nondeterminism.
+    */
+  private def validateUniqueIds(df: DataFrame, idCol: String, op: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nonNull"),
+      countDistinct(col(idCol)).as("distinct")).head()
+    val (n, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(nonNull == n, s"$op: ${n - nonNull} null '$idCol' values — ids must be non-null")
+    require(distinct == n, s"$op: ${n - distinct} duplicate '$idCol' values — ids must be unique")
+  }
+
+  /** Global EXCLUSIVE prefix sum of `tokensCol` in `idCol` order, as the
+    * `_gprefix` column — the two-phase distributed scan shared by
+    * [[shardByTokenBudget]] and [[packTokenSequences]]. Phase 1 windows
+    * inside approxQuantile-cut id buckets (all buckets in parallel — a
+    * bare `Window.orderBy(id)` drags the corpus through ONE task); phase
+    * 2 brings ≤ `partitions` per-bucket totals to the driver and
+    * broadcasts their running sum back as each bucket's offset. Bucket
+    * boundaries are LITERALS baked into the plan, so the bucket id is a
+    * pure function of the id and both phases cut identically (a
+    * repartitionByRange form re-sampled boundaries per action — observed
+    * off-by-one shards at sf0.1). NULL token counts contribute 0,
+    * consistently in the window and the totals.
+    */
+  private def globalTokenPrefix(df: DataFrame, idCol: String, tokensCol: String,
+                                partitions: Int): DataFrame = {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"shardByTokenBudget orders by '$idCol' and cuts it at quantile literals — numeric ids only")
+      s"prefix ordering cuts '$idCol' at quantile literals — numeric ids only")
     val spark = df.sparkSession
-    if (validateIds) {
-      // One extra count-style job (flag-gated — at 100 TB that is a full
-      // scan, so opt-in): a duplicate or null id makes the prefix ORDER
-      // itself ill-defined — boundary rows land in arbitrary shards with
-      // no error — so callers that cannot prove uniqueness upstream get a
-      // fail-fast here instead of silent nondeterminism.
-      val r = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nonNull"),
-        countDistinct(col(idCol)).as("distinct")).head()
-      val (n, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      require(nonNull == n, s"shardByTokenBudget: ${n - nonNull} null '$idCol' values — ids must be non-null")
-      require(distinct == n, s"shardByTokenBudget: ${n - distinct} duplicate '$idCol' values — ids must be unique")
-    }
     val parts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -111,10 +136,8 @@ object Sampling {
       coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
     // phase 2: ≤ `parts` rows to the driver — same bounded-collect class
     // as IVF training / merge guards; deterministic because _pid is a
-    // pure projection of the id
-    // coalesce: sum() over an all-null bucket is NULL (null tokens count
-    // as 0 throughout — the window prefix already coalesces the same way),
-    // and an unguarded getLong would NPE on it
+    // pure projection of the id. coalesce: sum() over an all-null bucket
+    // is NULL, and an unguarded getLong would NPE on it
     val totals = marked.groupBy(col("_pid"))
       .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -122,11 +145,47 @@ object Sampling {
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init)
     import spark.implicits._
     val offsetDf = broadcast(offsets.toDF("_pid", "_off"))
-    // integral DIV, not double division: global prefixes at 100 TB token
-    // counts can pass 2^53 where float64 division would round the boundary
     prefixed.join(offsetDf, Seq("_pid"))
-      .withColumn("shard", expr(s"(_prefix + _off) DIV ${budgetTokens}L"))
+      .withColumn("_gprefix", col("_prefix") + col("_off"))
       .drop("_pid", "_prefix", "_off")
+  }
+
+  /** Fixed-length SEQUENCE PACKING — the concat-and-chunk emission step
+    * of a GPT-style training pipeline: documents (in `idCol` order) form
+    * one conceptual token stream, cut into dense sequences of exactly
+    * `seqLen` tokens with documents split across boundaries (no padding
+    * — the standard causal-LM packing convention; pair with
+    * [[TextAnalysis.tokenIdsBpe]] to materialize the ids this plan
+    * addresses). Each output row is one (document, sequence) span:
+    * `seq_id`, `doc_from`/`doc_to` (token half-open range within the
+    * document) and `seq_off` (where that span starts inside the
+    * sequence). Zero-token documents occupy no span and emit nothing.
+    *
+    * Work is the [[globalTokenPrefix]] two-phase scan plus a per-doc
+    * explode of at most n/seqLen + 1 span rows — linear in corpus
+    * tokens, no global window, deterministic for unique ids
+    * (`validateIds = true` to fail fast otherwise). Integer arithmetic
+    * throughout (`DIV`, never float), so the packing plan is
+    * bit-reproducible and oracle-checkable (Q-L49).
+    */
+  def packTokenSequences(df: DataFrame, idCol: String, tokensCol: String,
+                         seqLen: Long, partitions: Int = 0,
+                         validateIds: Boolean = false): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    if (validateIds) validateUniqueIds(df, idCol, "packTokenSequences")
+    globalTokenPrefix(df, idCol, tokensCol, partitions)
+      .withColumn("_n", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .filter(col("_n") > 0L)
+      .withColumn("_first", expr(s"_gprefix DIV ${seqLen}L"))
+      .withColumn("_last", expr(s"(_gprefix + _n - 1) DIV ${seqLen}L"))
+      .withColumn("seq_id", explode(sequence(col("_first"), col("_last"))))
+      .withColumn("_tstart", greatest(col("_gprefix"), col("seq_id") * seqLen))
+      .withColumn("_tend", least(col("_gprefix") + col("_n"),
+        (col("seq_id") + 1L) * seqLen))
+      .withColumn("doc_from", col("_tstart") - col("_gprefix"))
+      .withColumn("doc_to", col("_tend") - col("_gprefix"))
+      .withColumn("seq_off", col("_tstart") - col("seq_id") * seqLen)
+      .drop("_gprefix", "_n", "_first", "_last", "_tstart", "_tend")
   }
 
   /** Deterministic DATA MIXING: cap each group (source / domain / lang) at

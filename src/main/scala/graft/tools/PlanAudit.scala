@@ -101,7 +101,11 @@ object PlanAudit {
       "lang for the exact rank window (the documented skew boundary -- the approx form " +
       "replaces it with a broadcast cuts dim); bucket cuts are integer arithmetic"),
     "ql48_c4_filters" -> ("line battery + page flags as pure column expressions riding " +
-      "the scan -- no shuffle in the operator (the only Exchange is the harness ORDER BY)")
+      "the scan -- no shuffle in the operator (the only Exchange is the harness ORDER BY)"),
+    "ql49_pack_sequences" -> ("two-phase prefix sum: per-bucket windows in parallel " +
+      "(bucket ids are literal quantile cuts), driver-side running sum over <=32 bucket " +
+      "totals broadcast back -- NO single-task global window; span explode is bounded " +
+      "by n/seqLen + 1 rows per doc")
   )
 
   def main(args: Array[String]): Unit = {

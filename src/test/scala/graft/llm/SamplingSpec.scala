@@ -169,6 +169,25 @@ class SamplingSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  test("packTokenSequences splits docs across dense fixed-length sequences") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 500L), (4L, 0L), (5L, 100L))
+      .toDF("doc_id", "n")
+    val out = Sampling.packTokenSequences(df, "doc_id", "n", 256L)
+      .select("seq_id", "doc_id", "doc_from", "doc_to", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      (0L, 1L, 0L, 256L, 0L), (1L, 1L, 256L, 300L, 0L),
+      (1L, 2L, 0L, 212L, 44L), (2L, 2L, 212L, 300L, 0L),
+      (2L, 3L, 0L, 168L, 88L), (3L, 3L, 168L, 424L, 0L), (4L, 3L, 424L, 500L, 0L),
+      (4L, 5L, 0L, 100L, 76L))) // the 0-token doc 4 emits no span
+    // every sequence except the ragged last is exactly full, and the
+    // result is partitioning-independent
+    val full = Sampling.packTokenSequences(df.repartition(5), "doc_id", "n", 256L)
+      .groupBy("seq_id").agg(sum(col("doc_to") - col("doc_from")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(0L -> 256L, 1L -> 256L, 2L -> 256L, 3L -> 256L, 4L -> 176L))
+  }
+
   test("percentileBucketsApprox agrees with the exact form on continuous scores") {
     // continuous (hash-derived) scores: ties are absent, so value cuts
     // and rank thirds coincide up to t-digest boundary wobble
