@@ -91,9 +91,10 @@ object PlanAudit {
     "qx12_jsonl_roundtrip" -> ("json scan with the EXPLICIT schema (no inference scan) + " +
       "corrupt-record projection -- the parse rides the file scan in one span; no shuffle " +
       "in the operator (the only Exchange is the harness ORDER BY)"),
-    "ql45_gopher_repetition" -> ("three explode branches (lines, paragraphs, n-grams) each " +
-      "hash-aggregating on (doc, md5(item)) with map-side combine -- document text never " +
-      "shuffles, only 16-byte digests + integer counts; the per-doc joins are narrow"),
+    "ql45_gopher_repetition" -> ("n-gram battery is ONE fused native expression " +
+      "(gopher_gram_stats, real codegen) riding the scan -- zero shuffle for grams; " +
+      "lines/paragraphs explode + hash-agg on (doc, md5(item)) so document text never " +
+      "shuffles, and their tiny per-doc stats BROADCAST back to the gram projection"),
     "ql46_pii_redact" -> ("four codegen'd regex passes riding the scan in ONE " +
       "WholeStageCodegen span -- no shuffle in the operator (the only Exchange is the " +
       "harness ORDER BY)"),

@@ -65,7 +65,13 @@ object ScaleBench {
     "ql43_lm_score", "ql44_domain_stats",
     // ql45: the fused per-doc n-gram battery plus md5-keyed line/para
     // aggs — pure corpus-linear work, must scale ~flat in time at 10×
-    "ql45_gopher_repetition")
+    "ql45_gopher_repetition",
+    // ql47: the exact rank form's per-language sort — the DOCUMENTED
+    // skew boundary; the measured row shows what the sort costs as the
+    // corpus grows (the approx form is the 100 TB path)
+    "ql47_percentile_buckets",
+    // ql49: two-phase prefix sum + bounded span explode — linear
+    "ql49_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -181,6 +181,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless round-8 text ops run unchanged on a stream (pii + c4 + gram stats)") {
+    // redactPii / c4CleanLines / c4DocFlags / urlDomain and the fused
+    // GopherGramStats expression are pure projections — including the
+    // native codegen expression, which must evaluate identically inside
+    // a streaming micro-batch projection
+    import StreamingSpec.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (1 to 40).map(i =>
+      Doc(i.toLong, s"Reach user$i@ex$i.org or 10.0.0.$i now.\n" +
+        s"hot pair hot pair hot pair end $i https://www.s$i.com/x"))
+    val stream = MemoryStream[Doc]
+    def stage(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("red", graft.llm.TextAnalysis.redactPii(col("text")))
+      .withColumn("cleaned", graft.llm.TextAnalysis.c4CleanLines(col("text")))
+      .withColumn("f", graft.llm.TextAnalysis.c4DocFlags(col("text")))
+      .withColumn("dom", graft.llm.TextAnalysis.urlDomain(
+        concat(lit("https://www.s"), col("doc_id").cast("string"), lit(".com/x"))))
+      .withColumn("g", graft.functions.GramStats.gopherGramStats(
+        graft.llm.Dedup.tokens(col("text")), Seq(2), Seq(5)))
+      .select(col("doc_id"), col("red"), col("cleaned"), col("f.ok_sentences"),
+        col("dom"), col("g"))
+    val q = stage(stream.toDF()).writeStream
+      .format("memory").queryName("r8_stateless").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(20)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = rowsOf(spark.table("r8_stateless"))
+      val batch = rowsOf(stage(docs.toDF()))
+      assert(streamed == batch, "streamed round-8 signals != batch after replay")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark stage is streaming-only passthrough in batch") {
     val events = Tables.load(spark, sf, "events")
     val out = Windowed.watermark("wm", "ts", "10 minutes")(events)
