@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Named end-to-end compositions of the library's measured pieces — the
+  * same pattern as [[Dedup.semanticDedup]] (IVF → clusters → keep-best),
+  * one level up: the whole published pre-training corpus recipe in one
+  * call. Every stage is individually oracle-checked or spec-pinned
+  * elsewhere; these entry points pin that they COMPOSE (`PipelinesSpec`)
+  * and give a user the one-call baseline a reference user expects.
+  */
+object Pipelines {
+
+  /** The baseline pre-training corpus pass, in the published order
+    * (C4 → Gopher quality + repetition → PII scrub → MinHash fuzzy
+    * dedup keep-best → CCNet per-language percentile buckets):
+    *
+    *  1. `normalizeText` (NFC, control strip, whitespace collapse),
+    *     then optionally the C4 line rules (`c4CleanLines` — off for
+    *     corpora that are not sentence-shaped).
+    *  2. Page gates: ALL of `gopherQualityFlags`,
+    *     `gopherRepetitionFlags` and `c4DocFlags` must hold. The
+    *     batteries ride the scan (the repetition n-gram half is the
+    *     fused native expression); one narrow broadcast join brings the
+    *     line/paragraph stats back.
+    *  3. `redactPii` on survivors (URLs → emails → IPv4 → phones).
+    *  4. Fuzzy dedup: `minHashLshCandidates` at `minJaccard`, clusters
+    *     resolved by pointer jumping, one survivor per cluster by
+    *     highest `qualityScore` (ties → min id).
+    *  5. `percentileBuckets` per `langCol` on the quality score
+    *     (head = best third); `dropTail = true` applies the CCNet cut.
+    *
+    * Emits (id, lang, redacted text, n_tokens, score, bucket) — feed
+    * the survivors to [[Sampling.packTokenSequences]] /
+    * [[TextAnalysis.tokenIdsBpe]] for the id-shard emission step.
+    *
+    * Scale posture is inherited, not re-invented: every stage here is
+    * the measured operator (scan-riding batteries, banded LSH — never
+    * all-pairs, O(log n) pointer jumping, and the percentile stage's
+    * per-language sort boundary is documented on
+    * [[Sampling.percentileBuckets]] with the approx form as the
+    * full-crawl alternative).
+    */
+  def pretrainCorpus(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", langCol: String = "lang",
+                     useC4Lines: Boolean = true,
+                     minJaccard: Double = 0.7,
+                     dropTail: Boolean = false): DataFrame = {
+    // 1. normalize (+ optional line rules)
+    val norm0 = docs.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
+    val normed =
+      if (useC4Lines) norm0.withColumn(textCol, TextAnalysis.c4CleanLines(col(textCol)))
+      else norm0
+
+    // 2. page gates — flag columns ride the scan; repetition stats join
+    // back narrow
+    val q = TextAnalysis.gopherQualityFlags(col(textCol))
+    val c4 = TextAnalysis.c4DocFlags(col(textCol))
+    val qualityOk = normed
+      .withColumn("_q", q).withColumn("_c4", c4)
+      .filter(col("_q.ok_length") && col("_q.ok_word_len") && col("_q.ok_symbols") &&
+        col("_q.ok_bullets") && col("_q.ok_ellipsis") && col("_q.ok_alpha") &&
+        col("_c4.ok_sentences") && col("_c4.ok_no_braces") && col("_c4.ok_no_lorem"))
+      .drop("_q", "_c4")
+    val repFlags = TextAnalysis.gopherRepetitionFlags(
+      TextAnalysis.gopherRepetitionStats(qualityOk, idCol, textCol))
+    val repOkIds = repFlags.filter(
+      repFlags.columns.filter(_.startsWith("ok_")).map(col).reduce(_ && _))
+      .select(col("doc_id").as(idCol))
+    val gated = qualityOk.join(repOkIds, Seq(idCol), "left_semi")
+
+    // 3. PII scrub + score
+    val scrubbed = gated
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      .withColumn("score", TextAnalysis.qualityScore(col(textCol)))
+
+    // 4. fuzzy dedup, keep the best-scored copy
+    val pairs = Dedup.minHashLshCandidates(scrubbed, idCol, textCol,
+      minJaccard = minJaccard)
+    val deduped = Dedup.dedupKeepBest(scrubbed, idCol, pairs, "score")
+
+    // 5. per-language buckets. percentileBuckets is ascending (CCNet's
+    // convention: LOW perplexity = head); qualityScore is high = good,
+    // so rank its negation to keep head = best third
+    val bucketed = Sampling.percentileBuckets(
+      deduped.withColumn("_badness", -col("score")), langCol, "_badness", idCol)
+      .drop("_badness")
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
+    if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
+  }
+}

@@ -1,0 +1,66 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Pipelines.pretrainCorpus]] — the end-to-end composition: every gate
+  * individually proven elsewhere; here the pipeline must route the right
+  * documents through the right fate in one call.
+  */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60-token sentence-shaped doc with a doc-specific vocabulary (no
+  // cross-doc token overlap → no spurious MinHash candidates)
+  private def goodDoc(i: Int): String =
+    (0 until 5).map { s =>
+      (1 to 12).map(j => s"w${i}x${s}y$j").mkString(" ") + "."
+    }.mkString(" ")
+
+  test("pretrainCorpus routes junk out, dedups near-copies, buckets survivors") {
+    val d1 = goodDoc(1)
+    // near-dup of d1: one word changed → est_jaccard ≈ 0.97
+    val d2 = d1.replace("w1x0y1", "changed")
+    val pii = "Contact someone@example.org for details. " + goodDoc(7)
+    val repetitive = Array.fill(20)("The quick brown fox jumps.").mkString(" ")
+    val lorem = "Lorem ipsum dolor sit amet consectetur. " + goodDoc(8)
+    val docs = (Seq(
+      (1L, d1, "en"), (2L, d2, "en"), (3L, goodDoc(3), "en"),
+      (4L, "tiny doc.", "en"), (5L, lorem, "en"), (6L, repetitive, "en"),
+      (7L, pii, "en")) ++
+      (10 to 15).map(i => (i.toLong, goodDoc(i), "en")))
+      .toDF("doc_id", "text", "lang")
+
+    val out = Pipelines.pretrainCorpus(docs)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // junk out: short (4), lorem (5), repetitive (6)
+    assert(!ids.contains(4L) && !ids.contains(5L) && !ids.contains(6L))
+    // near-dup pair collapsed to ONE survivor — the better-scored copy
+    // ("changed" is all-letters, so d2's alpha ratio edges out d1's)
+    assert(ids.contains(2L) && !ids.contains(1L))
+    // the rest survive, and nothing else
+    assert(ids == Set(2L, 3L, 7L, 10L, 11L, 12L, 13L, 14L, 15L))
+
+    // PII redacted in the emitted text
+    val t7 = out.filter(col("doc_id") === 7L).select("text").as[String].head()
+    assert(t7.contains("<EMAIL>") && !t7.contains("someone@example.org"))
+
+    // buckets cover thirds, and head is the BEST-scored third
+    val buckets = out.select("bucket").as[String].collect().toSet
+    assert(buckets == Set("head", "middle", "tail"))
+    val byBucket = out.groupBy("bucket").agg(min("score").as("lo"), max("score").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(byBucket("head")._1 >= byBucket("tail")._2,
+      s"head scores must dominate tail: $byBucket")
+
+    // deterministic across partitionings
+    val out2 = Pipelines.pretrainCorpus(docs.repartition(7))
+    assert(rowsOf(out.select("doc_id", "bucket", "n_tokens")) ==
+      rowsOf(out2.select("doc_id", "bucket", "n_tokens")))
+
+    // dropTail applies the CCNet cut
+    val kept = Pipelines.pretrainCorpus(docs, dropTail = true)
+      .select("bucket").as[String].collect().toSet
+    assert(kept == Set("head", "middle"))
+  }
+}
