@@ -37,7 +37,8 @@ object Bench {
     "ql41_linear_bigram", "ql42_semantic_dedup", "ql43_lm_score",
     "ql44_domain_stats", "qx12_jsonl_roundtrip",
     "ql45_gopher_repetition", "ql46_pii_redact",
-    "ql47_percentile_buckets", "ql48_c4_filters", "ql49_pack_sequences"
+    "ql47_percentile_buckets", "ql48_c4_filters", "ql49_pack_sequences",
+    "ql50_pretrain_pipeline"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1312,6 +1312,33 @@ object Queries {
       col("doc_to"), col("seq_off")))
   }
 
+  /** Q-L50 — the end-to-end pre-training pipeline
+    * ([[graft.llm.Pipelines.pretrainCorpus]]) as a ROWS-ONLY registry
+    * entry (qx6 precedent): the MinHash dedup stage hashes string tokens
+    * (no closed-form DuckDB replay — the ql6 technique needs hashed
+    * token ids), so the driver records the weaker rows check while every
+    * COMPONENT keeps its own hash oracle (ql24/ql37/ql45/ql46/ql47/ql6
+    * family) and the composition is spec-pinned (`PipelinesSpec`).
+    * Organic word-soup docs are correctly gated out (no sentences);
+    * synthetic sentence-shaped docs ride along so survivors exist.
+    */
+  val qlPretrainPipeline: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val i = col("id")
+    // 60 tokens, unique within the doc (sentence × position) and across
+    // docs (id suffix): passes every gate, triggers no candidate pair
+    val text = concat((1 to 5).map { sIdx =>
+      concat(concat((1 to 12).map(j =>
+        concat(lit(s" s${sIdx}w${j}x"), i.cast("string"))): _*), lit("."))
+    }: _*)
+    val synth = s.range(1, 31).select(
+      (-i).as("doc_id"), text.as("text"),
+      when(i % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
+    val out = graft.llm.Pipelines.pretrainCorpus(docs.unionByName(synth))
+    ordered(out.select(col("doc_id"), col("lang"), col("score"),
+      col("bucket"), col("n_tokens")))
+  }
+
   /** Q-L38 — linear bag-of-words scoring (the fasttext-linear quality
     * classifier shape): broadcast weights dim, exploded-token join,
     * DECIMAL-exact summation (order-independent, so the distributed
@@ -1934,6 +1961,7 @@ object Queries {
     "ql47_percentile_buckets" -> qlPerplexityBuckets,
     "ql48_c4_filters" -> qlC4Filters,
     "ql49_pack_sequences" -> qlPackSequences,
+    "ql50_pretrain_pipeline" -> qlPretrainPipeline,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,

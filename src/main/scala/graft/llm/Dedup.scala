@@ -699,6 +699,10 @@ object Dedup {
       .agg(least(min(col("dst")), col("src")).as("cluster"))
       .select(col("id"), least(col("cluster"), col("id")).as("cluster"))
       .persist(lvl)
+    // no edges → no clusters: skip the loop's per-iteration jobs (a
+    // pipeline whose dedup stage finds nothing still paid them — pure
+    // scheduling overhead on an empty frame)
+    if (labels.isEmpty) { edges.unpersist(blocking = false); return labels }
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
@@ -755,6 +759,8 @@ object Dedup {
   def dedupKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
                     scoreCol: String): DataFrame = {
     val clusters = duplicateClusters(pairs)
+    // nothing clustered → everyone survives; skip three join/agg jobs
+    if (clusters.isEmpty) return df
     val withCluster = df
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("_cl", coalesce(col("cluster"), col(idCol))) // singleton = own cluster

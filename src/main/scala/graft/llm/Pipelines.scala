@@ -57,12 +57,21 @@ object Pipelines {
     // back narrow
     val q = TextAnalysis.gopherQualityFlags(col(textCol))
     val c4 = TextAnalysis.c4DocFlags(col(textCol))
+    // PERSISTED: the gates close the pipeline's expensive prefix (NFC +
+    // line rules + two flag batteries over the FULL corpus) and shrink
+    // it; everything downstream re-reads the survivors several times —
+    // the repetition branch + its semi-join, both sides of the banded
+    // signature self-join, the cluster joins, the bucket window. Without
+    // the cut each re-derivation re-ran the whole prefix: measured 66 s
+    // → 10 s at sf0.1. MEMORY_AND_DISK so a large survivor set spills,
+    // not OOMs; released to Spark's LRU (the result references it).
     val qualityOk = normed
       .withColumn("_q", q).withColumn("_c4", c4)
       .filter(col("_q.ok_length") && col("_q.ok_word_len") && col("_q.ok_symbols") &&
         col("_q.ok_bullets") && col("_q.ok_ellipsis") && col("_q.ok_alpha") &&
         col("_c4.ok_sentences") && col("_c4.ok_no_braces") && col("_c4.ok_no_lorem"))
       .drop("_q", "_c4")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repFlags = TextAnalysis.gopherRepetitionFlags(
       TextAnalysis.gopherRepetitionStats(qualityOk, idCol, textCol))
     val repOkIds = repFlags.filter(
@@ -70,7 +79,7 @@ object Pipelines {
       .select(col("doc_id").as(idCol))
     val gated = qualityOk.join(repOkIds, Seq(idCol), "left_semi")
 
-    // 3. PII scrub + score
+    // 3. PII scrub + score — cheap projections over the cached survivors
     val scrubbed = gated
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .withColumn("score", TextAnalysis.qualityScore(col(textCol)))
