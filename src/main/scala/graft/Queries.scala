@@ -2246,7 +2246,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // ql36: identical regex chain (RE2-compatible on both sides; DuckDB
     // needs explicit 'g' flags and \1 backrefs where Spark is global/$1)
     "ql36_url_canonical" ->
-      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '^(www\.)+', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN regexp_replace(rest3, '/+$', '', 'g') = '' AND rest3[1:1] = '/' THEN '/' ELSE regexp_replace(rest3, '/+$', '', 'g') END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '\.+$', '', 'g'), '^(www\.)+', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN regexp_replace(rest3, '/+$', '', 'g') = '' AND rest3[1:1] = '/' THEN '/' ELSE regexp_replace(rest3, '/+$', '', 'g') END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql37: identical integer-arithmetic rule battery; list ops mirror the
     // engine's HOF definitions term for term
     "ql37_gopher_flags" ->
@@ -2266,7 +2266,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // ql44: the ql36 URL synthesis + the same host rules, reduced to
     // last-two-label domains, blocklist NOT IN, one group-by
     "ql44_domain_stats" ->
-      """WITH d AS (SELECT doc_id, text, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, text, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, text, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport FROM n), h AS (SELECT doc_id, text, regexp_extract(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '^(www\.)+', '', 'g'), '([^.]+\.[^.]+)$', 1) AS domain FROM p), f AS (SELECT * FROM h WHERE domain NOT IN ('example0.com', 'site2.org', 'never.seen')) SELECT domain, COUNT(*) AS n_docs, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+      """WITH d AS (SELECT doc_id, text, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, text, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, text, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport FROM n), h AS (SELECT doc_id, text, regexp_extract(regexp_replace(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '\.+$', '', 'g'), '^(www\.)+', '', 'g'), '([^.]+\.[^.]+)$', 1) AS domain FROM p), f AS (SELECT * FROM h WHERE domain NOT IN ('example0.com', 'site2.org', 'never.seen')) SELECT domain, COUNT(*) AS n_docs, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens FROM f GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql45: full Gopher repetition replay — lines/paras by md5 group key,
     // all nine n-gram tables, integer char sums, integer-arithmetic flags
     "ql45_gopher_repetition" ->

@@ -759,8 +759,15 @@ object Dedup {
   def dedupKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
                     scoreCol: String): DataFrame = {
     val clusters = duplicateClusters(pairs)
-    // nothing clustered → everyone survives; skip three join/agg jobs
-    if (clusters.isEmpty) return df
+    // nothing clustered → everyone survives; skip three join/agg jobs.
+    // Match the join path's column order (USING join puts idCol first) so
+    // the output schema does not depend on whether duplicates were found,
+    // and release the persisted empty labels frame we are discarding
+    if (clusters.isEmpty) {
+      clusters.unpersist(blocking = false)
+      return df.select(col(idCol) +:
+        df.columns.filterNot(_ == idCol).map(col).toSeq: _*)
+    }
     val withCluster = df
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("_cl", coalesce(col("cluster"), col(idCol))) // singleton = own cluster

@@ -16,14 +16,16 @@ object Pipelines {
     * (C4 → Gopher quality + repetition → PII scrub → MinHash fuzzy
     * dedup keep-best → CCNet per-language percentile buckets):
     *
-    *  1. `normalizeText` (NFC, control strip, whitespace collapse),
-    *     then optionally the C4 line rules (`c4CleanLines` — off for
-    *     corpora that are not sentence-shaped).
-    *  2. Page gates: ALL of `gopherQualityFlags`,
-    *     `gopherRepetitionFlags` and `c4DocFlags` must hold. The
-    *     batteries ride the scan (the repetition n-gram half is the
-    *     fused native expression); one narrow broadcast join brings the
-    *     line/paragraph stats back.
+    *  1. `normalizeText` (NFC, control strip, whitespace collapse).
+    *  2. Page gates on the RAW normalized page: ALL of
+    *     `gopherQualityFlags`, `gopherRepetitionFlags` and `c4DocFlags`
+    *     must hold (a brace or "lorem ipsum" on a line the line rules
+    *     would drop still condemns the page). The batteries ride the
+    *     scan (the repetition n-gram half is the fused native
+    *     expression); one narrow broadcast join brings the
+    *     line/paragraph stats back. Survivors then optionally pass the
+    *     C4 line rules (`c4CleanLines` — off for corpora that are not
+    *     sentence-shaped).
     *  3. `redactPii` on survivors (URLs → emails → IPv4 → phones).
     *  4. Fuzzy dedup: `minHashLshCandidates` at `minJaccard`, clusters
     *     resolved by pointer jumping, one survivor per cluster by
@@ -46,25 +48,27 @@ object Pipelines {
                      textCol: String = "text", langCol: String = "lang",
                      useC4Lines: Boolean = true,
                      minJaccard: Double = 0.7,
-                     dropTail: Boolean = false): DataFrame = {
-    // 1. normalize (+ optional line rules)
-    val norm0 = docs.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
-    val normed =
-      if (useC4Lines) norm0.withColumn(textCol, TextAnalysis.c4CleanLines(col(textCol)))
-      else norm0
+                     dropTail: Boolean = false,
+                     materialize: Boolean = true): DataFrame = {
+    // 1. normalize. The C4 LINE rules apply to survivors AFTER the page
+    // gates — the gates must see the RAW page (a brace or "lorem ipsum"
+    // on a line the line rules would drop still condemns the page, per
+    // the paper and c4DocFlags' contract; ok_sentences already counts
+    // sentences post-clean internally).
+    val normed = docs.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
 
     // 2. page gates — flag columns ride the scan; repetition stats join
     // back narrow
     val q = TextAnalysis.gopherQualityFlags(col(textCol))
     val c4 = TextAnalysis.c4DocFlags(col(textCol))
     // PERSISTED: the gates close the pipeline's expensive prefix (NFC +
-    // line rules + two flag batteries over the FULL corpus) and shrink
-    // it; everything downstream re-reads the survivors several times —
-    // the repetition branch + its semi-join, both sides of the banded
-    // signature self-join, the cluster joins, the bucket window. Without
-    // the cut each re-derivation re-ran the whole prefix: measured 66 s
-    // → 10 s at sf0.1. MEMORY_AND_DISK so a large survivor set spills,
-    // not OOMs; released to Spark's LRU (the result references it).
+    // two flag batteries over the FULL corpus) and shrink it; everything
+    // downstream re-reads the survivors several times — the repetition
+    // branch + its semi-join, both sides of the banded signature
+    // self-join, the cluster joins, the bucket window. Without the cut
+    // each re-derivation re-ran the whole prefix: measured 66 s → 6 s at
+    // sf0.1. MEMORY_AND_DISK so a large survivor set spills, not OOMs;
+    // released deterministically below when `materialize` is on.
     val qualityOk = normed
       .withColumn("_q", q).withColumn("_c4", c4)
       .filter(col("_q.ok_length") && col("_q.ok_word_len") && col("_q.ok_symbols") &&
@@ -78,9 +82,12 @@ object Pipelines {
       repFlags.columns.filter(_.startsWith("ok_")).map(col).reduce(_ && _))
       .select(col("doc_id").as(idCol))
     val gated = qualityOk.join(repOkIds, Seq(idCol), "left_semi")
+    val lined =
+      if (useC4Lines) gated.withColumn(textCol, TextAnalysis.c4CleanLines(col(textCol)))
+      else gated
 
     // 3. PII scrub + score — cheap projections over the cached survivors
-    val scrubbed = gated
+    val scrubbed = lined
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .withColumn("score", TextAnalysis.qualityScore(col(textCol)))
 
@@ -96,6 +103,18 @@ object Pipelines {
       deduped.withColumn("_badness", -col("score")), langCol, "_badness", idCol)
       .drop("_badness")
       .withColumn("n_tokens", TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
-    if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
+    val result = if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
+    // `materialize` (default): compute the survivors eagerly
+    // (localCheckpoint) and RELEASE the hidden intermediate cache —
+    // disk-resident persisted blocks are NOT LRU-evicted, so a lazy
+    // return would leak one survivor-set copy per call for the life of
+    // the app. Pass materialize = false to keep the pipeline lazy and
+    // own the `qualityOk` cache lifecycle yourself (the 100 TB calling
+    // convention: write the result to parquet, then clear the cache).
+    if (materialize) {
+      val out = result.localCheckpoint(true)
+      qualityOk.unpersist(blocking = false)
+      out
+    } else result
   }
 }

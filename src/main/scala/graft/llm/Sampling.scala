@@ -306,8 +306,12 @@ object Sampling {
                         idCol: String, lowNum: Int = 1, highNum: Int = 2,
                         den: Int = 3): DataFrame = {
     require(0 < lowNum && lowNum <= highNum && highNum <= den, "need 0 < low ≤ high ≤ den")
+    // nulls LAST: a score-less document (lmScore of an empty doc is
+    // NULL) must land in 'tail', not rank 1 = 'head' (Spark's bare asc
+    // is nulls-first; DuckDB's ASC default is nulls-last — this also
+    // keeps the Q-L47 oracle order rule aligned if scores go null)
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).asc, col(idCol).asc)
+      .orderBy(col(scoreCol).asc_nulls_last, col(idCol).asc)
     val wn = Window.partitionBy(col(groupCol))
     df.withColumn("rank_in_group", row_number().over(w).cast("long"))
       .withColumn("n_group", count(lit(1)).over(wn))
@@ -336,7 +340,10 @@ object Sampling {
     val cuts = df.groupBy(col(groupCol).as("_pb_g"))
       .agg(approx_percentile(col(scoreCol), array(lit(lowFrac), lit(highFrac)),
         lit(accuracy)).as("_pb_cuts"))
-    df.join(broadcast(cuts), col(groupCol) === col("_pb_g"), "left")
+    // null-safe join: a NULL group still has cut points (groupBy keeps
+    // the null group) — a plain === would drop its rows to the bare
+    // otherwise-branch ('tail') instead of bucketing them
+    df.join(broadcast(cuts), col(groupCol) <=> col("_pb_g"), "left")
       .withColumn("bucket",
         when(col(scoreCol) <= element_at(col("_pb_cuts"), 1), "head")
           .when(col(scoreCol) <= element_at(col("_pb_cuts"), 2), "middle")

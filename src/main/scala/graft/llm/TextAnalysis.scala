@@ -556,7 +556,11 @@ object TextAnalysis {
     val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
-    val host = regexp_replace(noPort, "^(www\\.)+", "")
+    // trailing dot is the legal FQDN-absolute form of the SAME host
+    // ("example.com." ≡ "example.com") — and, unstripped, it lets a URL
+    // walk straight past a domain blocklist (urlDomain's last-two-labels
+    // anchor can't match a host ending in '.')
+    val host = regexp_replace(regexp_replace(noPort, "\\.+$", ""), "^(www\\.)+", "")
     val rest0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
     // tracking params out, then tidy the separators they leave behind
     val rest1 = regexp_replace(rest0, "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "$1")
@@ -583,7 +587,8 @@ object TextAnalysis {
     val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
-    regexp_replace(noPort, "^(www\\.)+", "")
+    // same trailing-dot rule as canonicalizeUrl (blocklist-bypass guard)
+    regexp_replace(regexp_replace(noPort, "\\.+$", ""), "^(www\\.)+", "")
   }
 
   /** Registrable domain by the LAST-TWO-LABELS heuristic ('' when the
@@ -622,6 +627,16 @@ object TextAnalysis {
       .drop("_domain")
   }
 
+  /** Space-joined word n-gram array over a token array (empty when the
+    * document is shorter than n) — the feature generator fasttext-class
+    * filters pair with their unigram bag.
+    */
+  private def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Linear bag-of-words text score — the PLUMBING of fasttext-class
     * quality classifiers (the CCNet/LLaMA-pipeline filter): score =
     * bias + Σ weight(token), with the weight table USER-SUPPLIED as a
@@ -637,16 +652,6 @@ object TextAnalysis {
     * DuckDB oracle bit for bit (Q-L38). The emitted score is DOUBLE (the
     * money-column convention).
     */
-  /** Space-joined word n-gram array over a token array (empty when the
-    * document is shorter than n) — the feature generator fasttext-class
-    * filters pair with their unigram bag.
-    */
-  private def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-
   def linearTextScore(docs: DataFrame, idCol: String, textCol: String,
                       weights: DataFrame, bias: Double = 0.0,
                       ngramMax: Int = 1): DataFrame = {

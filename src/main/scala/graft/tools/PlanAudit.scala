@@ -106,7 +106,11 @@ object PlanAudit {
     "ql49_pack_sequences" -> ("two-phase prefix sum: per-bucket windows in parallel " +
       "(bucket ids are literal quantile cuts), driver-side running sum over <=32 bucket " +
       "totals broadcast back -- NO single-task global window; span explode is bounded " +
-      "by n/seqLen + 1 rows per doc")
+      "by n/seqLen + 1 rows per doc"),
+    "ql50_pretrain_pipeline" -> ("the composed recipe: scan-riding gate batteries over " +
+      "the full corpus close at ONE persisted boundary (InMemoryTableScan below every " +
+      "downstream branch); banded LSH self-join, cluster joins and the bucket window all " +
+      "read the cached survivors, never the raw scan")
   )
 
   def main(args: Array[String]): Unit = {

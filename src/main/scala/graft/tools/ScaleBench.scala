@@ -71,7 +71,11 @@ object ScaleBench {
     // corpus grows (the approx form is the 100 TB path)
     "ql47_percentile_buckets",
     // ql49: two-phase prefix sum + bounded span explode — linear
-    "ql49_pack_sequences")
+    "ql49_pack_sequences",
+    // ql50: the composed pipeline — its cost is the gate prefix scanning
+    // the growing corpus (survivor set fixed), so time must grow ~with
+    // the scan, never with pairs/clusters
+    "ql50_pretrain_pipeline")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -16,6 +16,8 @@ class DomainSpec extends SparkSpec {
       "http://example.com:8080/x",           // NON-default port kept
       "https://www.www.deep.co.uk/",         // repeated www; PSL boundary
       "ftp://Host.Org:443/f",                // non-http scheme: port kept
+      "http://Example0.com./x",              // FQDN trailing dot: SAME host,
+                                             // must not bypass a blocklist
       "not a url").toDF("url")
       .select(TextAnalysis.urlHost(col("url")).as("h"),
         TextAnalysis.urlDomain(col("url")).as("d"))
@@ -26,6 +28,7 @@ class DomainSpec extends SparkSpec {
       ("example.com:8080", "example.com:8080"),
       ("deep.co.uk", "co.uk"), // last-two-labels heuristic, needs PSL for eTLD+1
       ("host.org:443", "host.org:443"),
+      ("example0.com", "example0.com"), // trailing dot stripped
       ("", "")))
   }
 

@@ -24,17 +24,21 @@ class PipelinesSpec extends SparkSpec {
     val pii = "Contact someone@example.org for details. " + goodDoc(7)
     val repetitive = Array.fill(20)("The quick brown fox jumps.").mkString(" ")
     val lorem = "Lorem ipsum dolor sit amet consectetur. " + goodDoc(8)
+    // brace on a line the LINE rules would drop (no terminal punct):
+    // the page gate must still see it on the raw page and reject
+    val hiddenBrace = "code { x = 1\n" + goodDoc(9)
     val docs = (Seq(
       (1L, d1, "en"), (2L, d2, "en"), (3L, goodDoc(3), "en"),
       (4L, "tiny doc.", "en"), (5L, lorem, "en"), (6L, repetitive, "en"),
-      (7L, pii, "en")) ++
+      (7L, pii, "en"), (8L, hiddenBrace, "en")) ++
       (10 to 15).map(i => (i.toLong, goodDoc(i), "en")))
       .toDF("doc_id", "text", "lang")
 
     val out = Pipelines.pretrainCorpus(docs)
     val ids = out.select("doc_id").as[Long].collect().toSet
-    // junk out: short (4), lorem (5), repetitive (6)
-    assert(!ids.contains(4L) && !ids.contains(5L) && !ids.contains(6L))
+    // junk out: short (4), lorem (5), repetitive (6), hidden brace (8)
+    assert(!ids.contains(4L) && !ids.contains(5L) && !ids.contains(6L) &&
+      !ids.contains(8L))
     // near-dup pair collapsed to ONE survivor — the better-scored copy
     // ("changed" is all-letters, so d2's alpha ratio edges out d1's)
     assert(ids.contains(2L) && !ids.contains(1L))

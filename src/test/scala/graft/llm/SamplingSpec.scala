@@ -167,6 +167,12 @@ class SamplingSpec extends SparkSpec {
     val out2 = Sampling.percentileBuckets(df.repartition(7), "lang", "score", "doc_id")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
     assert(out == out2)
+    // NULL scores (lmScore of an empty doc) rank LAST → tail, never head
+    val withNull = ((1 to 8).map(i => ("a", i.toLong, Some(i.toDouble))) :+
+      (("a", 9L, Option.empty[Double]))).toDF("lang", "doc_id", "score")
+    val nb = Sampling.percentileBuckets(withNull, "lang", "score", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(nb(9L) == "tail" && nb(1L) == "head")
   }
 
   test("packTokenSequences splits docs across dense fixed-length sequences") {
