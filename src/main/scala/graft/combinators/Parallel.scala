@@ -173,7 +173,17 @@ final case class Race(id: StageId, branches: Seq[Stage]) extends Stage {
                 sc.cancelJobGroup(s"${id.name}-branch-$j")
                 SignalBus.global.emit(Signals.RaceLost, id, "loser" -> branches(j).id.name)
               }
-            } else out.unpersist(blocking = false)
+            } else {
+              // CacheManager keys cached data by PLAN: when two branches
+              // build the SAME plan (racing one plan against itself is
+              // legitimate), the loser's release would evict the WINNER's
+              // cache entry — skip it when the decided winner shares this
+              // branch's plan
+              val winner = done.future.value.flatMap(_.toOption).map(_._2)
+              val samePlan = winner.exists(
+                _.queryExecution.analyzed.sameResult(out.queryExecution.analyzed))
+              if (!samePlan) out.unpersist(blocking = false)
+            }
           } catch {
             case t: Throwable =>
               errs.add(t)
@@ -259,15 +269,23 @@ final case class Contest(
             out.count()
             (out, condition(out))
           }
+          // same plan-keyed-cache rule as Race: never release a frame
+          // whose plan the decided winner shares
+          def releaseUnlessWinnerPlan(out: DataFrame): Unit = {
+            val winner = done.future.value.flatMap(_.toOption).map(_._2)
+            val samePlan = winner.exists(
+              _.queryExecution.analyzed.sameResult(out.queryExecution.analyzed))
+            if (!samePlan) out.unpersist(blocking = false)
+          }
           qualified match {
             case Success((out, true)) =>
               if (done.trySuccess((i, out))) {
                 SignalBus.global.emit(Signals.ContestWinner, id, "winner" -> b.id.name)
                 branches.indices.filter(_ != i).foreach(j =>
                   sc.cancelJobGroup(s"${id.name}-branch-$j"))
-              } else out.unpersist(blocking = false)
+              } else releaseUnlessWinnerPlan(out)
             case Success((out, false)) =>
-              out.unpersist(blocking = false)
+              releaseUnlessWinnerPlan(out)
               if (settled.incrementAndGet() == branches.size) {
                 SignalBus.global.emit(Signals.ContestNoWinner, id)
                 done.tryFailure(new RuntimeException(

@@ -28,9 +28,15 @@ object Aggregators {
     */
   class TopKMin(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     def zero: Seq[Long] = Vector.empty
-    def reduce(b: Seq[Long], in: Long): Seq[Long] = cap(b :+ in)
+    // amortized pruning: sort-and-take per ROW is O(k log k) per input on
+    // the hot reducer; appending and pruning at 2k is O(log k) amortized
+    // with the same results (the buffer stays ≤ 2k−1, capped at finish)
+    def reduce(b: Seq[Long], in: Long): Seq[Long] = {
+      val a = b :+ in
+      if (a.size >= 2 * k) cap(a) else a
+    }
     def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = cap(a ++ b)
-    def finish(b: Seq[Long]): Seq[Long] = b
+    def finish(b: Seq[Long]): Seq[Long] = cap(b)
     private def cap(v: Seq[Long]): Seq[Long] = v.sorted.take(k)
     def bufferEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
@@ -39,9 +45,10 @@ object Aggregators {
 
   /** Bounded top-k by similarity (desc, ties → lower id): the similarity-
     * search reducer. Because Aggregators plan partial + final, each map
-    * task forwards AT MOST k candidates per query into the shuffle — the
-    * window-function form shuffles every scored row, which at 100 TB is
-    * the whole |corpus|×|queries| cross product.
+    * task forwards at most 2k−1 candidates per query into the shuffle
+    * (the amortized prune bound) — the window-function form shuffles
+    * every scored row, which at 100 TB is the whole |corpus|×|queries|
+    * cross product.
     *
     * Generic in the id type `I` so non-numeric doc ids (string/UUID)
     * survive the aggregate unchanged — an earlier Long-only form silently
@@ -64,18 +71,31 @@ object Aggregators {
     // it mirrors ranks by `id` — a null id's rank there is a coin flip
     // between engines, and boxed-null would NPE inside `ord` during
     // cap()), so null-id candidates are ignored rather than ranked.
+    // amortized pruning (same scheme as TopKMin): append per row, prune
+    // at 2k, cap at merge/finish — identical results, O(log k) per row
+    // instead of a full sort + distinctBy-hash per input. Map-side
+    // partial buffers therefore carry at most 2k−1 (not k) candidates
+    // into the shuffle — still O(k), never the corpus.
     def reduce(b: Seq[(Double, I)], in: (Double, I)): Seq[(Double, I)] =
-      if (in._2 == null) b else cap(b :+ in)
-    def merge(a: Seq[(Double, I)], b: Seq[(Double, I)]): Seq[(Double, I)] = cap(a ++ b)
-    def finish(b: Seq[(Double, I)]): Seq[(Double, I)] = b
-    // NaN ranks FIRST under `sim DESC` in both Spark SQL and the DuckDB
-    // oracle (NaN > every real value); Scala's TotalOrdering would rank it
-    // last — map NaN below every real negation so the aggregate agrees
-    // with the window form even on degenerate (zero-norm) vectors.
-    private val rankOrd: Ordering[(Double, I)] =
-      Ordering.Tuple2(Ordering.Double.TotalOrdering, ord).on {
-        case (sim, id) => (if (sim.isNaN) Double.NegativeInfinity else -sim, id)
+      if (in._2 == null) b
+      else {
+        val a = b :+ in
+        if (a.size >= 2 * k) cap(a) else a
       }
+    def merge(a: Seq[(Double, I)], b: Seq[(Double, I)]): Seq[(Double, I)] = cap(a ++ b)
+    def finish(b: Seq[(Double, I)]): Seq[(Double, I)] = cap(b)
+    // Spark's `ORDER BY sim DESC, id ASC` semantics exactly: NaN ranks
+    // FIRST (NaN > every real value, strictly above +Infinity — the
+    // previous negate-into-TotalOrdering mapping collided the two), and
+    // -0.0 == +0.0 (TotalOrdering distinguishes them, which would beat
+    // the id tiebreak at a 0.0 boundary).
+    private val rankOrd: Ordering[(Double, I)] = new Ordering[(Double, I)] {
+      private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      def compare(x: (Double, I), y: (Double, I)): Int = {
+        val c = java.lang.Double.compare(norm(y._1), norm(x._1)) // sim DESC, NaN first
+        if (c != 0) c else ord.compare(x._2, y._2) // id ASC
+      }
+    }
     private def cap(v: Seq[(Double, I)]): Seq[(Double, I)] =
       v.sorted(rankOrd).distinctBy(_._2).take(k)
     def bufferEncoder: Encoder[Seq[(Double, I)]] = enc

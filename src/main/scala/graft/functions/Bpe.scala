@@ -27,8 +27,14 @@ final case class BpeVocab(ranks: Map[(String, String), Int]) extends Serializabl
     * whitespace. Published in the GPT-2 encoder reference; java.util.regex
     * supports the lookahead directly.
     */
+  // UNICODE_CHARACTER_CLASS: the published tokenizer's \s is Unicode
+  // whitespace (Python `regex`); Java's default \s is ASCII-only, which
+  // would route U+00A0 (no-break space — ubiquitous in crawled HTML)
+  // through the punctuation branch and count different tokens than the
+  // training run consumes
   @transient private lazy val preTokenizer = java.util.regex.Pattern.compile(
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   // Zipf makes pre-tokens repeat heavily; memoizing word -> count turns
   // the merge loop into a hash probe for the hot vocabulary. Bounded: stop

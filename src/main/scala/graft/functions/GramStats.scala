@@ -67,7 +67,12 @@ case class GopherGramStats(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
     var t = 0
     while (t < sz) {
       if (arr.isNullAt(t)) {
-        th(t) = XXH64.hashInt(0, 42L); tl(t) = 0
+        // hash as an EMPTY STRING (not an int sentinel): a null and an
+        // empty token join to the same ' '-separated gram string, so the
+        // string-grouping oracle and this key must agree
+        th(t) = XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8, 42L)
+        tl(t) = 0
       } else {
         val s = arr.getUTF8String(t)
         th(t) = XXH64.hashUTF8String(s, 42L); tl(t) = s.numChars()
@@ -109,10 +114,18 @@ case class GopherGramStats(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
           }
           i += 1
         }
-        val ti = topNs.indexOf(n)
-        if (ti >= 0) out(ti) = top
-        val di = dupNs.indexOf(n)
-        if (di >= 0) out(topNs.size + di) = dup
+        // fill EVERY slot carrying this n (a duplicated n in topNs/dupNs
+        // would otherwise leave later slots at a silent 0)
+        var s = 0
+        while (s < topNs.size) {
+          if (topNs(s) == n) out(s) = top
+          s += 1
+        }
+        s = 0
+        while (s < dupNs.size) {
+          if (dupNs(s) == n) out(topNs.size + s) = dup
+          s += 1
+        }
       }
     }
     new GenericArrayData(out)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -25,16 +25,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = Native.checkFloatArrays(left, right, prettyName)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // null on length mismatch or a null SLOT — the HOF reference
+  // (aggregate over zip_with) null-propagates both, and the function is
+  // SQL-registered so arbitrary arrays are reachable (same rationale as
+  // MinHashAgreement's guards). Silently truncating to min(length) or
+  // unboxing a null slot to 0.0f scored malformed embeddings as
+  // plausible numbers instead of a filterable NULL.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -55,14 +64,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) { ${ev.isNull} = true; }
         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |  double $x = (double) $a.getFloat($i);
         |  double $y = (double) $b.getFloat($i);
         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |}
       """.stripMargin
     })
 
@@ -77,14 +90,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = Native.checkFloatArrays(left, right, prettyName)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // same null/length discipline as CosineSimilarity (HOF parity)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
@@ -94,12 +113,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) { ${ev.isNull} = true; }
         |double $dot = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |}
-        |${ev.value} = $dot;
+        |if (!${ev.isNull}) { ${ev.value} = $dot; }
       """.stripMargin
     })
 
@@ -129,16 +150,20 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity_int8"
+  // same null/length discipline as CosineSimilarity (HOF parity)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0L
     var nx = 0L
     var ny = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getByte(i).toLong
       val yi = y.getByte(i).toLong
       dot += xi * yi
@@ -163,15 +188,19 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) { ${ev.isNull} = true; }
         |long $dot = 0L, $nx = 0L, $ny = 0L;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |  long $x = (long) $a.getByte($i);
         |  long $y = (long) $b.getByte($i);
         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
         |}
-        |${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0
-        |  : (double) $dot / (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0
+        |    : (double) $dot / (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
+        |}
       """.stripMargin
     })
 
@@ -339,7 +368,9 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
-        val x = arr.getFloat(i).toDouble
+        // a null slot poisons the sim to NaN (→ -2.0 rank-last below)
+        // instead of unboxing to 0.0f and routing to a plausible cell
+        val x = if (arr.isNullAt(i)) Double.NaN else arr.getFloat(i).toDouble
         val y = cent(i).toDouble
         dot += x * y; nx += x * x; ny += y * y
         i += 1
@@ -407,27 +438,55 @@ object Native {
     case _ => throw new IllegalArgumentException(s"$what must be an INT literal, got $e")
   }
 
+  // exact-arity guard for every SQL registration: `exprs.head/exprs(1)`
+  // builders silently DROP extra arguments (`hyperplane_signature(emb,
+  // 8, 64, 1)` would quietly ignore the table offset and collapse
+  // multi-table LSH to table 0) — the same plausible-but-wrong class the
+  // colFn1 comment below calls out
+  private def arity(name: String, n: Int, exprs: Seq[Expression])
+                   (build: => Expression): Expression = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n arguments, got ${exprs.length}")
+    build
+  }
+
   /** SQL registration (`SELECT cosine_similarity(a, b)`). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+      "cosine_similarity",
+      exprs => arity("cosine_similarity", 2, exprs)(
+        CosineSimilarity(exprs.head, exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+      "dot_product",
+      exprs => arity("dot_product", 2, exprs)(
+        DotProduct(exprs.head, exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity_int8",
-      exprs => CosineSimilarityInt8(exprs.head, exprs(1)), "scala_udf")
+      exprs => arity("cosine_similarity_int8", 2, exprs)(
+        CosineSimilarityInt8(exprs.head, exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
-      exprs => MinHashSignature(exprs.head, intLit(exprs(1), "numHashes")), "scala_udf")
+      exprs => arity("minhash_signature", 2, exprs)(
+        MinHashSignature(exprs.head, intLit(exprs(1), "numHashes"))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_bits", exprs => SimHashBits64(exprs.head), "scala_udf")
+      "simhash_bits",
+      exprs => arity("simhash_bits", 1, exprs)(SimHashBits64(exprs.head)), "scala_udf")
+    // 3-arg form uses planeOffset = 0 (table 0); the 4-arg form selects
+    // an independent plane table for multi-table OR-amplification
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_signature",
-      exprs => HyperplaneSignature(exprs.head,
-        intLit(exprs(1), "planes"), intLit(exprs(2), "dim")), "scala_udf")
+      exprs => {
+        if (exprs.length != 3 && exprs.length != 4)
+          throw new IllegalArgumentException(
+            s"hyperplane_signature expects (emb, planes, dim[, planeOffset]), got ${exprs.length} arguments")
+        HyperplaneSignature(exprs.head, intLit(exprs(1), "planes"), intLit(exprs(2), "dim"),
+          if (exprs.length == 4) intLit(exprs(3), "planeOffset") else 0)
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agreement",
-      exprs => MinHashAgreement(exprs.head, exprs(1)), "scala_udf")
+      exprs => arity("minhash_agreement", 2, exprs)(
+        MinHashAgreement(exprs.head, exprs(1))), "scala_udf")
     // Column-composed text-analysis vocabulary: SQL users get the same
     // expressions the Stage API builds (resolved at analysis like any
     // built-in composition — codegen'd, no UDF wrapper).
@@ -495,17 +554,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def exact(name: String, n: Int, exprs: Seq[Expression])(build: => Expression): Expression = {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects exactly $n arguments, got ${exprs.length}")
+      build
+    }
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exact("cosine_similarity", 2, exprs)(
+        CosineSimilarity(exprs.head, exprs(1)))))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exact("dot_product", 2, exprs)(
+        DotProduct(exprs.head, exprs(1)))))
     ext.injectFunction((FunctionIdentifier("explode_ngrams"),
       new ExpressionInfo(classOf[ExplodeNgrams].getName, "explode_ngrams"),
-      (exprs: Seq[Expression]) => ExplodeNgrams(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exact("explode_ngrams", 2, exprs)(
+        ExplodeNgrams(exprs.head, exprs(1)))))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => exact("nfc_normalize", 1, exprs)(
+        NfcNormalize(exprs.head))))
   }
 }

@@ -36,20 +36,31 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
-    val s = u.toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    // all-ASCII (numBytes == numChars ⟺ every codepoint is single-byte)
+    // is always NFC: skip the String materialization entirely — without
+    // this, the dominant pure-ASCII case still paid a full char[] copy
+    // per document just to ask isNormalized
+    if (u.numBytes == u.numChars) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       s"""
-         |java.lang.String $s = $c.toString();
-         |${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
-         |  ? $c
-         |  : UTF8String.fromString(java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |if ($c.numBytes() == $c.numChars()) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  java.lang.String $s = $c.toString();
+         |  ${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
+         |    ? $c
+         |    : UTF8String.fromString(java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |}
        """.stripMargin
     })
 

@@ -63,7 +63,11 @@ class ParallelSpec extends SparkSpec {
     val before = persisted
     val fast = Stage(StageId("fast"))(_.select(lit("x").as("who")).limit(1))
     val race = Race("race_lifecycle")(fast, fast)
-    race.run(df.limit(5))
+    // read THROUGH the cached winner: the deciding action inside run()
+    // can satisfy a trivial limit plan without building the InMemoryRelation's
+    // RDD, in which case getPersistentRDDs stays empty until first reuse
+    // (observed order-dependent when this test runs alone)
+    race.run(df.limit(5)).count()
     val mine = persisted -- before
     assert(mine.nonEmpty, "winner should be cached while in use")
     race.close()
