@@ -98,8 +98,12 @@ object Dedup {
     * standard S-curve; with (64, 16) the knee sits near j≈0.5.
     *
     * Returns (doc_a, doc_b, est_jaccard ≥ `minJaccard`). Guaranteed to
-    * contain every identical-token-set pair (identical signatures collide
-    * in every band) — the Q-L5 superset contract.
+    * contain every identical NON-EMPTY-token-set pair (identical
+    * signatures collide in every band) — the Q-L5 superset contract.
+    * Token-less documents (empty/whitespace-only text) have no MinHash
+    * signature and are excluded from banding; route them through
+    * [[exactTokenSetPairs]] (which pairs them via md5("")) or an
+    * exact-hash dedup first.
     */
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 64, bands: Int = 8,
@@ -176,9 +180,12 @@ object Dedup {
       * numHashes/bands never collide correctly).
       */
     def build(df: DataFrame, idCol: String, textCol: String,
-              numHashes: Int = 64, bands: Int = 8): DataFrame = {
+              numHashes: Int = 64, bands: Int = 8,
+              hashedTokenIds: Boolean = false): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
-      bandedSignatures(df, idCol, textCol, numHashes, bands)
+      // hashedTokenIds must match the batch runs this index will be
+      // unioned with — signatures on different token bases never agree
+      bandedSignatures(df, idCol, textCol, numHashes, bands, hashedTokenIds)
     }
     def save(index: DataFrame, path: String): Unit =
       index.write.mode("overwrite").parquet(path)
@@ -203,9 +210,13 @@ object Dedup {
   def minHashLshCandidatesAgainst(newDocs: DataFrame, idCol: String, textCol: String,
                                   index: DataFrame, numHashes: Int = 64, bands: Int = 8,
                                   minJaccard: Double = 0.0,
-                                  withinNew: Boolean = true): DataFrame = {
+                                  withinNew: Boolean = true,
+                                  hashedTokenIds: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val nb = bandedSignatures(newDocs, idCol, textCol, numHashes, bands)
+    // hashedTokenIds: MUST match the index's build setting (and the batch
+    // runs the union contract compares against) — mixed bases silently
+    // produce disjoint signatures and zero cross candidates
+    val nb = bandedSignatures(newDocs, idCol, textCol, numHashes, bands, hashedTokenIds)
     val a = nb.as("a")
     val b = index.as("b")
     // least/greatest = the batch form's a.id < b.id orientation, reachable
@@ -342,8 +353,12 @@ object Dedup {
     */
   private[graft] val DfCutMetric = "graft.jaccard.df_cut"
   private val dfCutSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val dfCutBridged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+  // weak keys: sessions come and go in long-lived drivers (newSession per
+  // job/tenant); a strong set would pin every stopped session AND its
+  // registered listener for the life of the JVM
+  private val dfCutBridged = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   /** Sessions carrying a df-cut bridge — the listener-hygiene audit hook:
     * repeated jaccard calls on one session must register exactly one.
@@ -634,6 +649,13 @@ object Dedup {
     *
     * md5 (not xxhash64) span keys keep the operator ORACLE-EXPRESSIBLE:
     * the Q-L35 DuckDB oracle replays the identical pipeline.
+    *
+    * Byte-fidelity boundary: the operator works in TOKEN space, so
+    * `text_clean` is the surviving tokens re-joined with single spaces —
+    * whitespace runs collapse even in documents that contained no
+    * repeated span (unlike [[dropDuplicateParagraphs]]/[[stripBoilerplate]],
+    * which reassemble original segments). Run it before, not after, any
+    * byte-exact fingerprinting.
     */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           spanTokens: Int = 20, minCount: Long = 2): DataFrame = {
@@ -705,6 +727,7 @@ object Dedup {
     if (labels.isEmpty) { edges.unpersist(blocking = false); return labels }
     var i = 0
     var converged = false
+    try {
     while (i < maxIters && !converged) {
       // (1) edge propagation: min over my own and my neighbors' labels
       val neighborLabels = edges
@@ -730,16 +753,32 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    } catch {
+      // a failed iteration (or interrupt) must not strand the persisted
+      // edge/label generations in the cache for the life of the app
+      case t: Throwable =>
+        labels.unpersist(blocking = false)
+        edges.unpersist(blocking = false)
+        throw t
+    }
     edges.unpersist(blocking = false)
-    if (!converged)
+    if (!converged) {
+      labels.unpersist(blocking = false)
       throw new IllegalStateException(
         s"duplicateClusters: no fixpoint after $maxIters iterations " +
           s"(graph diameter > 2^$maxIters is implausible; check the pair input)")
+    }
     labels
   }
 
   /** Keep one survivor per duplicate cluster: the minimum doc id. Docs not
     * in any pair survive untouched.
+    */
+  /** Contract: `pairs` ids must be drawn from `df` — a cluster whose MIN
+    * id is absent from `df` (pairs built on a superset, df pre-filtered
+    * afterwards) loses ALL its members here (everyone is a "loser" of an
+    * absent winner), where [[dedupKeepBest]] keeps the best PRESENT row.
+    * Generate pairs from the frame you dedup, or use keep-best.
     */
   def dedupKeepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val clusters = duplicateClusters(pairs)

@@ -228,7 +228,8 @@ object Similarity {
                             planes: Int, dim: Int,
                             queryId: String, corpusId: String,
                             multiProbe: Boolean,
-                            broadcastQueries: Boolean = true): DataFrame = {
+                            broadcastQueries: Boolean = true,
+                            excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
       .withColumn("bucket", hyperplaneSignature(col("c_emb"), planes, dim))
     val qSig = queries.select(col(queryId), col("embedding").as("q_emb"))
@@ -240,8 +241,12 @@ object Similarity {
         explode(array((col("sig") +: (0 until planes)
           .map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*)))
     val q = if (broadcastQueries) broadcast(probes) else probes
-    c.join(q, Seq("bucket")).filter(col(queryId) =!= col(corpusId))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val joined = c.join(q, Seq("bucket"))
+    // excludeSelf drops id-equal pairs — correct for self-search, WRONG
+    // when query and corpus ids are independent namespaces (the
+    // bruteForce* siblings expose the same switch)
+    val kept = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    kept.withColumn("sim", cosine(col("q_emb"), col("c_emb")))
   }
 
   /** Approximate top-k: candidates limited to query's LSH bucket (and its
@@ -252,9 +257,10 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
-              multiProbe: Boolean = true, broadcastQueries: Boolean = true): DataFrame =
+              multiProbe: Boolean = true, broadcastQueries: Boolean = true,
+              excludeSelf: Boolean = true): DataFrame =
     topKAggTail(lshCandidates(queries, corpus, planes, dim, queryId, corpusId, multiProbe,
-      broadcastQueries), k, queryId, corpusId)
+      broadcastQueries, excludeSelf), k, queryId, corpusId)
 
   /** Window-form [[lshTopK]] — reference for the agg ≡ window spec pin. */
   def lshTopKWindow(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int,
@@ -372,16 +378,18 @@ object Similarity {
   private def ivfCandidates(queries: DataFrame, corpus: DataFrame,
                             index: Similarity.IvfIndex, nprobe: Int,
                             queryId: String, corpusId: String,
-                            broadcastQueries: Boolean = true): DataFrame = {
+                            broadcastQueries: Boolean = true,
+                            excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(corpusId), col("embedding").as("c_emb"))
       .withColumn("bucket", index.assignment(col("c_emb")))
     val q0 = queries.select(col(queryId), col("embedding").as("q_emb"))
       .withColumn("bucket", explode(index.probes(col("q_emb"), nprobe)))
     // same escape hatch as the LSH path: drop the hint for bulk query sets
     val q = if (broadcastQueries) broadcast(q0) else q0
-    c.join(q, Seq("bucket"))
-      .filter(col(queryId) =!= col(corpusId))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val joined = c.join(q, Seq("bucket"))
+    // same namespace switch as lshCandidates
+    val kept = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    kept.withColumn("sim", cosine(col("q_emb"), col("c_emb")))
   }
 
   /** IVF approximate top-k: corpus bucketed by nearest centroid; each query
@@ -392,9 +400,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,
               topK: Int, nprobe: Int,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
-              broadcastQueries: Boolean = true): DataFrame =
+              broadcastQueries: Boolean = true, excludeSelf: Boolean = true): DataFrame =
     topKAggTail(ivfCandidates(queries, corpus, index, nprobe, queryId, corpusId,
-      broadcastQueries), topK, queryId, corpusId)
+      broadcastQueries, excludeSelf), topK, queryId, corpusId)
 
   /** Window-form [[ivfTopK]] — reference for the agg ≡ window spec pin. */
   def ivfTopKWindow(queries: DataFrame, corpus: DataFrame, index: Similarity.IvfIndex,
@@ -481,7 +489,11 @@ object Similarity {
                              dim: Int, tables: Int = 4,
                              targetBucket: Long = 1024L,
                              corpusSize: Option[Long] = None): DataFrame = {
-    val n = corpusSize.getOrElse(df.count())
+    // max(n, 1): an EMPTY corpus derives pMin planes and every bucket
+    // join is empty — the operator returns an empty pair set instead of
+    // autoPlanes throwing on 0 (siblings like duplicateClusters also
+    // no-op on empty input)
+    val n = math.max(corpusSize.getOrElse(df.count()), 1L)
     cosineNearDupPairs(df, idCol, threshold, autoPlanes(n, targetBucket), dim, tables)
   }
 
@@ -549,8 +561,13 @@ object Similarity {
   def knnGraphDescent(corpus: DataFrame, k: Int, dim: Int,
                       idCol: String = "vec_id",
                       iters: Int = 2, initPlanes: Int = 0,
-                      buildK: Int = 0): DataFrame = {
+                      buildK: Int = 0,
+                      corpusSize: Option[Long] = None): DataFrame = {
     require(iters >= 0 && k >= 1, "need iters >= 0 and k >= 1")
+    // building at a degree below the requested k silently truncates the
+    // output (the graph can never hold more than buildK neighbors)
+    require(buildK <= 0 || buildK >= k,
+      s"knnGraphDescent: buildK=$buildK < k=$k would truncate the output graph")
     // NN-Descent quality comes from the BUILD degree, not the output k:
     // each iteration explores ~(2·buildK)^2 two-hop candidates per node,
     // so a small k starves the search (Dong et al. build at K and
@@ -561,9 +578,12 @@ object Similarity {
     // Σ bucket² ≈ n·targetBucket keeps the init join linear in n (the
     // autoPlanes growth-safety argument; a fixed init would re-create the
     // ql14 quadratic inside this operator)
+    // corpusSize: same count-skipping escape hatch as knnGraphSearch /
+    // cosineNearDupPairsAuto (callers at scale track the row count);
+    // max(_, 1) makes an empty corpus produce an empty graph, not a throw
     val planes =
       if (initPlanes > 0) initPlanes
-      else autoPlanes(ids.count(), targetBucket = 256L)
+      else autoPlanes(math.max(corpusSize.getOrElse(ids.count()), 1L), targetBucket = 256L)
     // init: within-bucket neighbors across two independent plane sets
     // (identical vectors collide in every table; near vectors in most)
     val sig = (0 until 2).map { t =>
@@ -665,13 +685,14 @@ object Similarity {
                      queryIdCol: String = "query_id", idCol: String = "vec_id",
                      beam: Int = 0, hops: Int = 2,
                      entryPlanes: Int = 0,
-                     corpusSize: Option[Long] = None): DataFrame = {
+                     corpusSize: Option[Long] = None,
+                     excludeSelf: Boolean = true): DataFrame = {
     require(hops >= 0 && k >= 1, "need hops >= 0 and k >= 1")
     val bw = if (beam > 0) beam else math.max(2 * k, 16)
     val ids = corpus.select(col(idCol).as("id"), col("embedding"))
     val planes =
       if (entryPlanes > 0) entryPlanes
-      else autoPlanes(corpusSize.getOrElse(ids.count()), targetBucket = 256L)
+      else autoPlanes(math.max(corpusSize.getOrElse(ids.count()), 1L), targetBucket = 256L)
     val qs = queries.select(col(queryIdCol).as("q"), col("embedding").as("q_emb"))
     val edges = graph.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     // entry: two plane tables (OR-amplified), queries broadcast into the
@@ -681,8 +702,10 @@ object Similarity {
         hyperplaneSignature(col("embedding"), planes, dim, planeOffset = tbl * planes))
       val q = broadcast(qs.withColumn("bucket",
         hyperplaneSignature(col("q_emb"), planes, dim, planeOffset = tbl * planes)))
-      c.join(q, Seq("bucket"))
-        .filter(col("q") =!= col("id"))
+      val entry = c.join(q, Seq("bucket"))
+      // namespace switch (see lshCandidates): self-search excludes the
+      // query's own id; cross-corpus search must not
+      (if (excludeSelf) entry.filter(col("q") =!= col("id")) else entry)
         .withColumn("sim", cosine(col("q_emb"), col("embedding")))
         .select(col("q"), col("id").as("cand"), col("sim"))
     }.reduce(_.unionByName(_))
@@ -693,12 +716,12 @@ object Similarity {
       .select(col("q"), col("cand"), col("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to hops) {
-      val expand = frontier.select(col("q"), col("cand"))
+      val expand0 = frontier.select(col("q"), col("cand"))
         .join(edges, col("cand") === col("src"))
         .select(col("q"), col("dst").as("cand"))
-        .filter(col("q") =!= col("cand"))
-        // dedup BEFORE the embedding fetch: a candidate reached through
-        // several frontier nodes must be fetched and scored once
+      // dedup BEFORE the embedding fetch: a candidate reached through
+      // several frontier nodes must be fetched and scored once
+      val expand = (if (excludeSelf) expand0.filter(col("q") =!= col("cand")) else expand0)
         .dropDuplicates("q", "cand")
       val scored = expand
         .join(ids.select(col("id"), col("embedding").as("c_emb")), col("cand") === col("id"))
