@@ -1383,10 +1383,15 @@ object Queries {
         .when(pmod(i, lit(3)) === 1, lit("the"))
         .otherwise(lit("he"))
     val text = concat_ws(" ", w(id), w(id + 1), w(id + 2))
+    // Emitted via array_join (the ql28 convention): the driver's harness
+    // sorts the raw result frame with pandas before canonicalizing, and
+    // pandas cannot lexsort ndarray-valued cells — raw ARRAY output is a
+    // registry-wide lint violation (see QueryOutputLintSpec).
     ordered(t(s, dir, "documents").select(id, text.as("text_bpe"))
       .select(col("doc_id"),
-        graft.llm.TextAnalysis.tokenIdsBpe(col("text_bpe"), bpeFixtureEncoder)
-          .as("ids")))
+        array_join(
+          graft.llm.TextAnalysis.tokenIdsBpe(col("text_bpe"), bpeFixtureEncoder),
+          ",").as("ids")))
   }
 
   /** Q-L41 — linear scoring with word-BIGRAM features (ngramMax = 2):
@@ -2320,7 +2325,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // committed fixture vocab (rank-order merge derivation in the query
     // scaladoc); the oracle concatenates per-position lists
     "ql40_bpe_encode" ->
-      """WITH w AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN [9] WHEN 1 THEN [4,6] ELSE [6] END AS w0, CASE (doc_id+1) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w1, CASE (doc_id+2) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w2 FROM documents) SELECT doc_id, CAST(w0 || w1 || w2 AS INT[]) AS ids FROM w ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+      """WITH w AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN [9] WHEN 1 THEN [4,6] ELSE [6] END AS w0, CASE (doc_id+1) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w1, CASE (doc_id+2) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w2 FROM documents) SELECT doc_id, array_to_string(CAST(w0 || w1 || w2 AS INT[]), ',') AS ids FROM w ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql27: identical clones quantize identically, so the clone proof of
     // ql11/ql12 carries over to the int8 path unchanged
     "ql27_quantized_topk" ->

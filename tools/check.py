@@ -55,9 +55,17 @@ def canon_cell(x):
 
 def canon_df(df):
     df = df[sorted(df.columns)]
+    # The driver sorts the RAW pandas frame before canonicalizing; keep the
+    # same order of operations so cells pandas cannot lexsort (ndarray-valued
+    # ARRAY columns — the ql40 failure class in round 8) fail here too
+    # instead of slipping past the pre-flight.
+    df = df.sort_values(list(df.columns), kind="mergesort")
     rows = []
     for t in df.itertuples(index=False, name=None):
         rows.append(",".join(canon_cell(c) for c in t))
+    # Still sort the canonical strings afterward: equality is order-insensitive
+    # either way, and this keeps the compare stable where pandas ordering of
+    # equal-value cells could differ between engines.
     return sorted(rows), list(df.columns)
 
 
@@ -88,8 +96,15 @@ def main():
             n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
-        erows, ecols = canon_df(exp)
-        grows, gcols = canon_df(got)
+        try:
+            erows, ecols = canon_df(exp)
+            grows, gcols = canon_df(got)
+        except Exception as e:
+            # A canonicalization crash (e.g. pandas refusing to sort an
+            # ndarray-valued column) is a loud FAIL, never a skipped row.
+            print(f"FAIL {name}: canonicalization error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if [c.lower() for c in ecols] != [c.lower() for c in gcols]:
             print(f"FAIL {name}: columns differ: oracle={ecols} engine={gcols}")
             n_fail += 1
