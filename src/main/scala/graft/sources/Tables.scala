@@ -37,21 +37,40 @@ object Tables {
     }
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which the Spark scanner
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong`) and
-    * surface both a microsecond-precision `ts` TimestampType column (for
-    * window/session operators) and the exact `ts_ns` long (for queries that
-    * must keep full precision for oracle parity).
+  /** `events.ts` has shipped in two physical encodings: parquet
+    * TIMESTAMP(NANOS) — which the Spark scanner rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as a raw nanos-since-epoch long
+    * via `spark.sql.legacy.parquet.nanosAsLong` — and plain timestamp[us].
+    * Branch on the type the scan actually produces and surface the SAME
+    * two-column contract either way: a microsecond-precision `ts`
+    * TimestampType column (for window/session operators) and an exact
+    * `ts_ns` nanos long (for queries that must keep full precision for
+    * oracle parity). Output column order is identical across branches so
+    * positional consumers can't diverge by input encoding.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer division: `/` would go through Double and ns-epoch values
-      // (~1.7e18) exceed Double's 2^53 exact-integer range
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) read as ns-epoch long under the legacy flag.
+        // Integer division: `/` would go through Double and ns-epoch values
+        // (~1.7e18) exceed Double's 2^53 exact-integer range.
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // timestamp[us]; the scanner yields TIMESTAMP_NTZ for
+        // non-UTC-adjusted files — cast to TimestampType (value-preserving
+        // under the library's mandatory UTC session) so downstream window
+        // arithmetic and unix_micros resolve.
+        val t = raw.withColumn("ts", col("ts").cast(TimestampType))
+        val withNs = t.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        // replicate the long branch's order: ts_ns in ts's slot, ts last
+        withNs.select((raw.columns.map(c =>
+          if (c == "ts") col("ts_ns") else col(c)) :+ col("ts")): _*)
+    }
   }
 }
 
