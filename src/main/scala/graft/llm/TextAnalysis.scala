@@ -665,6 +665,16 @@ object TextAnalysis {
     val toks = Dedup.tokens(col(textCol))
     val feats = (2 to ngramMax).foldLeft(toks)((acc, n) =>
       concat(acc, wordNgrams(toks, n)))
+    // Deliberately occurrence-level (explode → probe → partial-sum), NOT a
+    // (doc, feature, n) bag pre-aggregation before the dim join. Measured
+    // at sf0.1/local[32] (2026-08-13, quiet machine, min of 2×2 runs): the
+    // bag shape is 10–15% SLOWER (ql38 0.54→0.73 s, ql41 3.46→3.86 s,
+    // ql43 3.41→3.59 s) — its groupBy(doc, feature) adds a real Exchange
+    // where this shape has none (broadcast probe and per-doc partial sum
+    // both live in the scan's codegen stage; the only shuffle carries
+    // ~one partial row per doc). At 100 TB that bag exchange would be a
+    // full shuffle of the tokenized corpus, so the occurrence shape also
+    // wins asymptotically, not just at bench SF.
     docs.select(col(idCol), explode_outer(feats).as("_tok"))
       .join(w, col("_tok") === col("_w_tok"), "left")
       .groupBy(col(idCol))
@@ -764,6 +774,10 @@ object TextAnalysis {
           when(i === 1, lit("<s>")).otherwise(element_at(toks, i - 1)).as("ctx"),
           element_at(toks, i).as("tok"))))
     val zero = lit(0).cast("decimal(18,6)")
+    // Occurrence-level probes, not a (doc, ctx, tok, n) bag pre-agg — same
+    // measured decision as [[linearTextScore]] (the bag's extra Exchange
+    // costs more than the probe savings at every scale; see the comment
+    // there for the sf0.1 numbers).
     docs.select(col(idCol), explode_outer(pairs).as("_p"))
       .select(col(idCol), col("_p.ctx").as("_ctx"), col("_p.tok").as("_tok"))
       .join(big, col("_ctx") === col("_b_ctx") && col("_tok") === col("_b_tok"), "left")
