@@ -38,7 +38,9 @@ object Bench {
     "ql44_domain_stats", "qx12_jsonl_roundtrip",
     "ql45_gopher_repetition", "ql46_pii_redact",
     "ql47_percentile_buckets", "ql48_c4_filters", "ql49_pack_sequences",
-    "ql50_pretrain_pipeline"
+    "ql50_pretrain_pipeline",
+    // round-10 additions
+    "ql47b_percentile_buckets_approx", "ql51_winnowing"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1268,6 +1268,46 @@ object Queries {
       col("rank_in_group"), col("n_group"), col("bucket")))
   }
 
+  /** Q-L47b — the corpus-scale form
+    * ([[graft.llm.Sampling.percentileBucketsApprox]]): per-group
+    * approx-percentile cuts broadcast back over the scan, no per-group
+    * sort — the documented 100 TB bucketing path. Scored with a
+    * CONTINUOUS deterministic score (`pmod(xxhash64(doc_id), 1e6)`, the
+    * ql15 closed form) so the oracle replays it exactly: while a group's
+    * quantile summary stays uncompressed (< ~50k rows per group — true at
+    * every driver SF), Spark's `approx_percentile` returns the group
+    * element at 1-based rank `ceil(p·n)` (probed empirically at n = 9,
+    * 10, 100, 101, 520), which DuckDB computes by sorting the group list.
+    * The full (doc, lang, score, bucket) assignment hash-checks; at
+    * compression scale the cuts drift within t-digest tolerance and the
+    * agreement spec (`SamplingSpec`) covers the contract instead.
+    */
+  val qlPercentileBucketsApprox: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("score", pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double"))
+    val out = graft.llm.Sampling.percentileBucketsApprox(docs, "lang", "score")
+    ordered(out.select(col("doc_id"), col("lang"), col("score"), col("bucket")))
+  }
+
+  /** Q-L51 — winnowing document fingerprints
+    * ([[graft.functions.Winnow.fingerprints]], the fused O(n) monotonic-
+    * deque form behind [[graft.llm.TextAnalysis.winnowingFingerprints]]):
+    * distinct k-grams in first-occurrence order → xxhash64 per gram →
+    * sliding window minima → distinct sketch. Tokens are mapped to their
+    * 2-hex-char md5 prefix so every k = 3 gram is EXACTLY 8 bytes — one
+    * XXH64 block, which the oracle replays with the ql15 closed-form
+    * HUGEINT chain (seed 42, length 8; gram bytes little-endian-packed
+    * into the block value). Emitted as the sorted sketch joined with ","
+    * (ql40 convention), so the full fingerprint SET hash-checks per doc.
+    */
+  val qlWinnowing: Q = (s, dir) => {
+    val toks2 = transform(graft.llm.Dedup.tokens(col("text")),
+      tk => substring(md5(tk.cast("binary")), 1, 2))
+    val fp = graft.functions.Winnow.fingerprints(toks2, 3, 4)
+    ordered(t(s, dir, "documents").select(col("doc_id"),
+      array_join(array_sort(fp), ",").as("fps")))
+  }
+
   /** Q-L48 — C4 quality battery ([[graft.llm.TextAnalysis.c4CleanLines]]
     * + [[c4DocFlags]]): organic docs (word soup — no terminal
     * punctuation, so cleaning empties them: the realistic
@@ -1964,6 +2004,8 @@ object Queries {
     "ql45_gopher_repetition" -> qlGopherRepetition,
     "ql46_pii_redact" -> qlPiiRedact,
     "ql47_percentile_buckets" -> qlPerplexityBuckets,
+    "ql47b_percentile_buckets_approx" -> qlPercentileBucketsApprox,
+    "ql51_winnowing" -> qlWinnowing,
     "ql48_c4_filters" -> qlC4Filters,
     "ql49_pack_sequences" -> qlPackSequences,
     "ql50_pretrain_pipeline" -> qlPretrainPipeline,
@@ -2020,6 +2062,97 @@ object Oracle {
   private def mulP3(x: String): String = mul64(x, 374761393L, 2654435833L)
   private def xor64(a: String, b: String): String =
     s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+
+  /** Q-L47b oracle: replay `pmod(xxhash64(doc_id), 1e6)` via the ql15
+    * closed-form XXH64 chain (seed 42, one 8-byte block), then rebuild the
+    * approx-percentile cuts EXACTLY: with an uncompressed quantile summary
+    * (every driver SF), Spark returns the group element at 1-based rank
+    * `ceil(p·n)` with p the double literal 1.0/3 resp. 2.0/3 — mirrored
+    * here by indexing the sorted per-group score list with the SAME double
+    * arithmetic (`ceil(count · 0.3333333333333333)`), so even the
+    * n-divisible-by-3 boundary (where `0.666… · n` lands just under the
+    * integer) rounds identically in both engines.
+    */
+  private def ql47bSql: String = {
+    val k1a = mulP2("v")
+    val k1b = s"((k1a) * 2147483648 % $M64 + (k1a) // 8589934592) % $M64"
+    val k1 = mulP1("k1b")
+    val a0 = xor64("2870177450012600311", "k1") // seed-42 chain constant
+    val a1 = s"((a0) * 134217728 % $M64 + (a0) // 137438953472) % $M64"
+    val a2 = s"((${mulP1("a1")}) + 9650029242287828579) % $M64"
+    val x3 = xor64("a2", "a2 // 8589934592")
+    val a3 = mulP2("x3")
+    val x4 = xor64("a3", "a3 // 536870912")
+    val a4 = mulP3("x4")
+    val uh = xor64("a4", "a4 // 4294967296")
+    s"""WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + $M64 ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents),
+c0 AS (SELECT doc_id, lang, $k1a AS k1a FROM src),
+c1 AS (SELECT doc_id, lang, $k1b AS k1b FROM c0),
+c2 AS (SELECT doc_id, lang, $k1 AS k1 FROM c1),
+c3 AS (SELECT doc_id, lang, $a0 AS a0 FROM c2),
+c4 AS (SELECT doc_id, lang, $a1 AS a1 FROM c3),
+c5 AS (SELECT doc_id, lang, $a2 AS a2 FROM c4),
+c6 AS (SELECT doc_id, lang, $x3 AS x3 FROM c5),
+c7 AS (SELECT doc_id, lang, $a3 AS a3 FROM c6),
+c8 AS (SELECT doc_id, lang, $x4 AS x4 FROM c7),
+c9 AS (SELECT doc_id, lang, $a4 AS a4 FROM c8),
+ca AS (SELECT doc_id, lang, $uh AS uh FROM c9),
+hs AS (SELECT doc_id, lang, CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca),
+sc AS (SELECT doc_id, lang, CAST(((h % 1000000) + 1000000) % 1000000 AS DOUBLE) AS score FROM hs),
+cuts AS (SELECT lang, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.3333333333333333) AS BIGINT)] AS c1v, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.6666666666666666) AS BIGINT)] AS c2v FROM sc GROUP BY lang)
+SELECT sc.doc_id, sc.lang, sc.score, CASE WHEN sc.score <= cuts.c1v THEN 'head' WHEN sc.score <= cuts.c2v THEN 'middle' ELSE 'tail' END AS bucket FROM sc JOIN cuts ON sc.lang = cuts.lang ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+  }
+
+  /** Q-L51 oracle: replay the winnowing sketch. Token → 2-hex-char md5
+    * prefix (both engines agree on md5); k = 3 grams are exactly 8 ASCII
+    * bytes, little-endian-packed into one XXH64 block and hashed with the
+    * ql15 seed-42 chain; distinct-gram order = first occurrence
+    * (GROUP BY gram, MIN(pos), re-ranked); window minima = MIN OVER 4
+    * ROWS for sketches longer than the window, global MIN otherwise
+    * (the engine's `m <= window` degenerate branch); sketch = sorted
+    * DISTINCT minima joined with ",". Docs with fewer than 3 tokens emit
+    * the empty sketch via the LEFT JOIN + COALESCE(''), matching the
+    * engine's empty-array `array_join`.
+    */
+  private def ql51Sql: String = {
+    val k1a = mulP2("v")
+    val k1b = s"((k1a) * 2147483648 % $M64 + (k1a) // 8589934592) % $M64"
+    val k1 = mulP1("k1b")
+    val a0 = xor64("2870177450012600311", "k1") // 42 + PRIME5 + len 8
+    val a1 = s"((a0) * 134217728 % $M64 + (a0) // 137438953472) % $M64"
+    val a2 = s"((${mulP1("a1")}) + 9650029242287828579) % $M64"
+    val x3 = xor64("a2", "a2 // 8589934592")
+    val a3 = mulP2("x3")
+    val x4 = xor64("a3", "a3 // 536870912")
+    val a4 = mulP3("x4")
+    val uh = xor64("a4", "a4 // 4294967296")
+    val vExpr = (1 to 8).map(j =>
+      s"CAST(ord(substr(g, $j, 1)) AS HUGEINT) * ${java.math.BigInteger.valueOf(256L).pow(j - 1)}")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x <> ''), tk -> substr(md5(tk), 1, 2)) AS tt FROM documents),
+pr AS (SELECT doc_id, unnest(list_transform(range(1, len(tt) - 1), i -> {'g': tt[i] || ' ' || tt[i + 1] || ' ' || tt[i + 2], 'i': i})) AS u FROM d),
+fl AS (SELECT doc_id, u.g AS g, u.i AS i FROM pr),
+fo AS (SELECT doc_id, g, MIN(i) AS pos FROM fl GROUP BY 1, 2),
+sq AS (SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS seq FROM fo),
+vv AS (SELECT doc_id, seq, $vExpr AS v FROM sq),
+c0 AS (SELECT doc_id, seq, $k1a AS k1a FROM vv),
+c1 AS (SELECT doc_id, seq, $k1b AS k1b FROM c0),
+c2 AS (SELECT doc_id, seq, $k1 AS k1 FROM c1),
+c3 AS (SELECT doc_id, seq, $a0 AS a0 FROM c2),
+c4 AS (SELECT doc_id, seq, $a1 AS a1 FROM c3),
+c5 AS (SELECT doc_id, seq, $a2 AS a2 FROM c4),
+c6 AS (SELECT doc_id, seq, $x3 AS x3 FROM c5),
+c7 AS (SELECT doc_id, seq, $a3 AS a3 FROM c6),
+c8 AS (SELECT doc_id, seq, $x4 AS x4 FROM c7),
+c9 AS (SELECT doc_id, seq, $a4 AS a4 FROM c8),
+ca AS (SELECT doc_id, seq, $uh AS uh FROM c9),
+hs AS (SELECT doc_id, seq, CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca),
+nn AS (SELECT doc_id, COUNT(*) AS m FROM hs GROUP BY 1),
+wm AS (SELECT hs.doc_id, seq, m, MIN(h) OVER (PARTITION BY hs.doc_id ORDER BY seq ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id),
+mins AS (SELECT doc_id, wmin FROM wm WHERE m > 4 AND seq >= 4 UNION ALL SELECT hs.doc_id, MIN(h) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id WHERE m <= 4 GROUP BY 1),
+sk AS (SELECT doc_id, array_to_string(list_transform(list_sort(list(DISTINCT wmin)), x -> CAST(x AS VARCHAR)), ',') AS fps FROM mins GROUP BY 1)
+SELECT dd.doc_id, COALESCE(sk.fps, '') AS fps FROM documents dd LEFT JOIN sk ON dd.doc_id = sk.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+  }
 
   /** Q-L6 oracle: rebuild the banded-minhash candidate set in DuckDB.
     * Token ids are md5-derived 60-bit ints (both engines compute the
@@ -2279,6 +2412,10 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     // ql46: staged per-class counts + the same four RE2 regex passes
     "ql46_pii_redact" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, 'reach user' || i || '@mail' || (i % 5) || '.example.org or visit https://u:p@host' || (i % 3) || '.net/a?x=1 node 10.' || (i % 256) || '.0.' || (i * 7 % 256) || ' bad 999.1.2.3 call ' || CASE CAST(i % 3 AS INT) WHEN 0 THEN '+1 555-' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') WHEN 1 THEN '(555) ' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') ELSE '555.' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '.' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') END AS text FROM generate_series(1, 20) AS g(i)), s1 AS (SELECT doc_id, regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS t1 FROM all_docs), s2 AS (SELECT doc_id, len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1), s3 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) AS n_ips, regexp_replace(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g') AS t3 FROM s2) SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips, CAST(len(regexp_extract_all(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phones, regexp_replace(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted FROM s3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
+    // ql47b: approx-percentile cuts replayed at exact rank (see ql47bSql)
+    "ql47b_percentile_buckets_approx" -> ql47bSql,
+    // ql51: winnowing sketch replayed via the one-block XXH64 chain
+    "ql51_winnowing" -> ql51Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id
     // tiebreak, thirds cut by integer arithmetic
     "ql47_percentile_buckets" ->
