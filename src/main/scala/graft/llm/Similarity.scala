@@ -746,6 +746,63 @@ object Similarity {
     out
   }
 
+  /** Persistable k-NN graph — the [[IvfIndex]] / `Dedup.BandIndex`
+    * lifecycle applied to the most expensive artifact of the three: the
+    * descent build is O(n·k²·dim) PER ITERATION, so a graph built once
+    * must be servable by any number of later query jobs without
+    * rebuilding. `edges` is the n·k narrow (query_id, rank, neighbor_id,
+    * sim) table; the meta row pins the build parameters — `dim` feeds
+    * [[Similarity.knnGraphSearch]] directly, (k, buildK, iters) travel so
+    * an audit can tell which build produced the artifact.
+    */
+  final case class KnnGraph(edges: DataFrame, k: Int, buildK: Int,
+                            iters: Int, dim: Int) {
+    /** Two parquet tables under `path`: `edges` (distributed write — the
+      * graph is corpus-sized) and a single-row `meta`.
+      */
+    def save(path: String): Unit = {
+      edges.write.mode("overwrite").parquet(s"$path/edges")
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq((k, buildK, iters, dim)).toDF("k", "build_k", "iters", "dim")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** Serve top-k queries over this graph ([[Similarity.knnGraphSearch]]
+      * with the stored `dim`) — identical for a just-built and a loaded
+      * graph (spec-pinned in `KnnGraphSpec`).
+      */
+    def search(queries: DataFrame, corpus: DataFrame, topK: Int,
+               queryIdCol: String = "query_id", idCol: String = "vec_id",
+               beam: Int = 0, hops: Int = 2, entryPlanes: Int = 0,
+               corpusSize: Option[Long] = None,
+               excludeSelf: Boolean = true): DataFrame =
+      knnGraphSearch(queries, corpus, edges, topK, dim, queryIdCol, idCol,
+        beam, hops, entryPlanes, corpusSize, excludeSelf)
+  }
+
+  object KnnGraph {
+    /** Build via [[knnGraphDescent]] and capture the parameters the
+      * artifact must carry (the resolved build degree included).
+      */
+    def build(corpus: DataFrame, k: Int, dim: Int, idCol: String = "vec_id",
+              iters: Int = 2, initPlanes: Int = 0, buildK: Int = 0,
+              corpusSize: Option[Long] = None): KnnGraph = {
+      val bk = if (buildK > 0) buildK else math.max(4 * k, 16)
+      KnnGraph(knnGraphDescent(corpus, k, dim, idCol, iters, initPlanes, bk,
+        corpusSize), k, bk, iters, dim)
+    }
+
+    /** Restore a graph persisted by [[KnnGraph.save]]. */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): KnnGraph = {
+      val m = spark.read.parquet(s"$path/meta").collect() // 1 row by contract
+      require(m.length == 1, s"expected exactly one meta row at $path/meta, got ${m.length}")
+      KnnGraph(spark.read.parquet(s"$path/edges"),
+        m(0).getAs[Int]("k"), m(0).getAs[Int]("build_k"),
+        m(0).getAs[Int]("iters"), m(0).getAs[Int]("dim"))
+    }
+  }
+
   /** IVF-bucketed near-dup pairs — the CORPUS-GROWTH-SAFE path of the
     * near-dup family. The hyperplane form above buckets into a FIXED
     * 2^planes cells, so per-bucket membership (and the within-bucket

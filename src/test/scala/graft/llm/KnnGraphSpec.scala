@@ -86,6 +86,27 @@ class KnnGraphSpec extends SparkSpec {
     assert(recallSearch >= 0.70, s"graph-search recall@3 = $recallSearch")
   }
 
+  test("KnnGraph save → load → search is identical to the in-memory graph") {
+    val dir = java.nio.file.Files.createTempDirectory("knn-graph").toString
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val built = Similarity.KnnGraph.build(emb, k = 3, dim = 64, iters = 1)
+    built.save(dir)
+    val loaded = Similarity.KnnGraph.load(spark, dir)
+    // meta round-trips — including the resolved (not requested) buildK
+    assert((loaded.k, loaded.buildK, loaded.iters, loaded.dim) ==
+      (built.k, built.buildK, built.iters, built.dim))
+    // edge table round-trips exactly (ranks and sims included)
+    val asTuples = (g: Similarity.KnnGraph) =>
+      g.edges.select($"query_id", $"rank", $"neighbor_id", $"sim".cast("string"))
+        .collect().map(_.toSeq).toSet
+    assert(asTuples(loaded) == asTuples(built))
+    // and serving from the loaded artifact answers byte-identically
+    val serve = (g: Similarity.KnnGraph) => pairs(
+      g.search(queries, emb, topK = 3, corpusSize = Some(emb.count())))
+    assert(serve(loaded) == serve(built))
+  }
+
   test("graph search finds planted clones at rank 1 regardless of hops") {
     val corpus = emb.unionByName(emb.filter($"vec_id" < 10)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
