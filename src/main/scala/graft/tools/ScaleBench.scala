@@ -75,7 +75,12 @@ object ScaleBench {
     // ql50: the composed pipeline — its cost is the gate prefix scanning
     // the growing corpus (survivor set fixed), so time must grow ~with
     // the scan, never with pairs/clusters
-    "ql50_pretrain_pipeline")
+    "ql50_pretrain_pipeline",
+    // the 100 TB calling convention for the same pipeline: materialize =
+    // false, survivors WRITTEN to parquet (a real sink, not noop), caller
+    // clears the cache — and the harness asserts no cached blocks outlive
+    // the run (the lifecycle PipelinesSpec pins at unit scale)
+    "ql50_pretrain_sink")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -105,15 +110,32 @@ object ScaleBench {
     if (!new java.io.File(s"$out/_DONE").exists()) generate(spark, base, out, copies)
     if (!new java.io.File(s"$base1x/_DONE").exists()) generate(spark, base, base1x, 1)
 
+    // ql50 with a WRITTEN sink: the pipeline stays lazy (materialize =
+    // false — the caller owns the cache lifecycle), survivors land in
+    // parquet, the cache is cleared, and the run FAILS if any cached
+    // blocks survive — a leak here would accumulate one survivor-set
+    // copy per pipeline run for the life of a production app
+    def runSink(dir: String): Unit = {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.llm.Pipelines.pretrainCorpus(docs, materialize = false)
+        .write.mode("overwrite").parquet(s"$out-sink")
+      spark.sqlContext.clearCache()
+      require(spark.sharedState.cacheManager.isEmpty,
+        "ql50_pretrain_sink: cached blocks leaked past the written-sink run")
+    }
+
     // warm plan shapes (codegen/classloading is per-shape, not per-size)
     for (q <- queries)
-      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      if (q == "ql50_pretrain_sink") runSink("/root/testdata/sf0.001")
+      else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
 
     def time(q: String, dir: String): Double =
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, dir)
+        if (q == "ql50_pretrain_sink") runSink(dir)
+        else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min

@@ -67,4 +67,27 @@ class PipelinesSpec extends SparkSpec {
       .select("bucket").as[String].collect().toSet
     assert(kept == Set("head", "middle"))
   }
+
+  test("written-sink lifecycle leaves no cached blocks behind (100 TB calling convention)") {
+    val docs = ((1 to 8).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
+    // materialize = true (default): the pipeline owns the cache and must
+    // have released it by return — a leak keeps one survivor-set copy
+    // pinned per call for the life of the app
+    spark.sqlContext.clearCache() // isolate from other suites' leftovers
+    Pipelines.pretrainCorpus(docs).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "materialize=true must unpersist its gate cache before returning")
+    // materialize = false: the caller writes the survivors to a REAL sink
+    // and then clears the cache — the production shape ScaleBench measures
+    val dir = java.nio.file.Files.createTempDirectory("ql50-sink").toString
+    val lazyOut = Pipelines.pretrainCorpus(docs, materialize = false)
+    lazyOut.write.mode("overwrite").parquet(dir)
+    spark.sqlContext.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "written-sink run must leave the cache manager empty")
+    // and the sink holds the survivors (same set a materialized run emits)
+    val written = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    val direct = Pipelines.pretrainCorpus(docs).select("doc_id").as[Long].collect().toSet
+    assert(written == direct)
+  }
 }

@@ -59,6 +59,13 @@ def canon_df(df):
     # same order of operations so cells pandas cannot lexsort (ndarray-valued
     # ARRAY columns — the ql40 failure class in round 8) fail here too
     # instead of slipping past the pre-flight.
+    #
+    # INTENTIONALLY STRICTER than the canonical-string equality below: any
+    # frame the raw sort raises on (ndarray cells, an object column mixing
+    # int and str, ...) is a frame the driver's own sort could raise on, so
+    # it must FAIL here loudly even if canonicalized strings would compare
+    # equal. Queries are expected to emit scalar, single-typed columns
+    # (QueryOutputLintSpec enforces the scalar half at the registry level).
     df = df.sort_values(list(df.columns), kind="mergesort")
     rows = []
     for t in df.itertuples(index=False, name=None):
