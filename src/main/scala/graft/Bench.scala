@@ -40,7 +40,8 @@ object Bench {
     "ql47_percentile_buckets", "ql48_c4_filters", "ql49_pack_sequences",
     "ql50_pretrain_pipeline",
     // round-10 additions
-    "ql47b_percentile_buckets_approx", "ql51_winnowing"
+    "ql47b_percentile_buckets_approx", "ql51_winnowing",
+    "ql52_simhash_candidates"
   )
 
   def main(args: Array[String]): Unit = {

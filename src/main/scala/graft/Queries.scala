@@ -1308,6 +1308,24 @@ object Queries {
       array_join(array_sort(fp), ",").as("fps")))
   }
 
+  /** Q-L52 — SimHash near-dup candidates
+    * ([[graft.llm.Dedup.simHashCandidates]], fused `SimHashBits64`
+    * expression): per-token xxhash64 bit votes → 64-bit sign signature →
+    * 4 × 16-bit band collision join. Tokens map to their 8-hex-char md5
+    * prefix (the ql51 technique at token granularity) so each token hash
+    * is EXACTLY one XXH64 block — the oracle replays every vote with the
+    * closed-form chain, rebuilds the signature bitstring, and joins bands
+    * on the 16-bit substring (≡ the engine's hashed-slice equality up to
+    * astronomically unlikely collisions, the ql6 argument).
+    */
+  val qlSimhashCandidates: Q = (s, dir) => {
+    val out = graft.llm.Dedup.simHashCandidates(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text",
+      tokensOf = tc => transform(graft.llm.Dedup.tokens(tc),
+        tk => substring(md5(tk.cast("binary")), 1, 8)))
+    ordered(out)
+  }
+
   /** Q-L48 — C4 quality battery ([[graft.llm.TextAnalysis.c4CleanLines]]
     * + [[c4DocFlags]]): organic docs (word soup — no terminal
     * punctuation, so cleaning empties them: the realistic
@@ -2006,6 +2024,7 @@ object Queries {
     "ql47_percentile_buckets" -> qlPerplexityBuckets,
     "ql47b_percentile_buckets_approx" -> qlPercentileBucketsApprox,
     "ql51_winnowing" -> qlWinnowing,
+    "ql52_simhash_candidates" -> qlSimhashCandidates,
     "ql48_c4_filters" -> qlC4Filters,
     "ql49_pack_sequences" -> qlPackSequences,
     "ql50_pretrain_pipeline" -> qlPretrainPipeline,
@@ -2152,6 +2171,52 @@ wm AS (SELECT hs.doc_id, seq, m, MIN(h) OVER (PARTITION BY hs.doc_id ORDER BY se
 mins AS (SELECT doc_id, wmin FROM wm WHERE m > 4 AND seq >= 4 UNION ALL SELECT hs.doc_id, MIN(h) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id WHERE m <= 4 GROUP BY 1),
 sk AS (SELECT doc_id, array_to_string(list_transform(list_sort(list(DISTINCT wmin)), x -> CAST(x AS VARCHAR)), ',') AS fps FROM mins GROUP BY 1)
 SELECT dd.doc_id, COALESCE(sk.fps, '') AS fps FROM documents dd LEFT JOIN sk ON dd.doc_id = sk.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+  }
+
+  /** Q-L52 oracle: replay the SimHash candidate set. Token → 8-hex-char
+    * md5 prefix → one-block XXH64 (the ql51 chain, seed 42) per token
+    * OCCURRENCE (multiplicity preserved — SimHash folds the raw token
+    * array); bit b of the unsigned hash votes ±1; votes > 0 packs '1'.
+    * Bands are the four 16-char substrings of the bit string; candidate
+    * pairs collide on any band (engine joins on xxhash64 of the 16-long
+    * slice — equal iff the substring is equal, up to hash collision).
+    */
+  private def ql52Sql: String = {
+    val k1a = mulP2("v")
+    val k1b = s"((k1a) * 2147483648 % $M64 + (k1a) // 8589934592) % $M64"
+    val k1 = mulP1("k1b")
+    val a0 = xor64("2870177450012600311", "k1") // 42 + PRIME5 + len 8
+    val a1 = s"((a0) * 134217728 % $M64 + (a0) // 137438953472) % $M64"
+    val a2 = s"((${mulP1("a1")}) + 9650029242287828579) % $M64"
+    val x3 = xor64("a2", "a2 // 8589934592")
+    val a3 = mulP2("x3")
+    val x4 = xor64("a3", "a3 // 536870912")
+    val a4 = mulP3("x4")
+    val uh = xor64("a4", "a4 // 4294967296")
+    val vExpr = (1 to 8).map(j =>
+      s"CAST(ord(substr(g, $j, 1)) AS HUGEINT) * ${java.math.BigInteger.valueOf(256L).pow(j - 1)}")
+      .mkString(" + ")
+    val powVals = (0 until 64).map(b =>
+      s"($b, ${java.math.BigInteger.valueOf(2L).pow(b)}::HUGEINT)").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x <> ''), tk -> substr(md5(tk), 1, 8)) AS tt FROM documents),
+tok AS (SELECT doc_id, unnest(tt) AS g FROM d WHERE len(tt) > 0),
+vv AS (SELECT doc_id, $vExpr AS v FROM tok),
+c0 AS (SELECT doc_id, $k1a AS k1a FROM vv),
+c1 AS (SELECT doc_id, $k1b AS k1b FROM c0),
+c2 AS (SELECT doc_id, $k1 AS k1 FROM c1),
+c3 AS (SELECT doc_id, $a0 AS a0 FROM c2),
+c4 AS (SELECT doc_id, $a1 AS a1 FROM c3),
+c5 AS (SELECT doc_id, $a2 AS a2 FROM c4),
+c6 AS (SELECT doc_id, $x3 AS x3 FROM c5),
+c7 AS (SELECT doc_id, $a3 AS a3 FROM c6),
+c8 AS (SELECT doc_id, $x4 AS x4 FROM c7),
+c9 AS (SELECT doc_id, $a4 AS a4 FROM c8),
+ca AS (SELECT doc_id, $uh AS uh FROM c9),
+pw(b, p) AS (VALUES $powVals),
+bt AS (SELECT doc_id, b, SUM(CASE WHEN (uh // p) % 2 = 1 THEN 1 ELSE -1 END) AS votes FROM ca CROSS JOIN pw GROUP BY 1, 2),
+sig AS (SELECT doc_id, string_agg(CASE WHEN votes > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s FROM bt GROUP BY 1),
+bd AS (SELECT doc_id, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(j))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
   }
 
   /** Q-L6 oracle: rebuild the banded-minhash candidate set in DuckDB.
@@ -2416,6 +2481,8 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     "ql47b_percentile_buckets_approx" -> ql47bSql,
     // ql51: winnowing sketch replayed via the one-block XXH64 chain
     "ql51_winnowing" -> ql51Sql,
+    // ql52: simhash votes/signature/bands replayed per token occurrence
+    "ql52_simhash_candidates" -> ql52Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id
     // tiebreak, thirds cut by integer arithmetic
     "ql47_percentile_buckets" ->

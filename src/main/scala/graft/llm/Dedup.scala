@@ -263,10 +263,16 @@ object Dedup {
     transform(votes, v => when(v > 0, 1).otherwise(0))
   }
 
-  /** SimHash band candidates: 4 bands × 16 bits. */
-  def simHashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash band candidates: 4 bands × 16 bits. `tokensOf` swaps the
+    * tokenization (e.g. fixed-width token surrogates — the Q-L52 oracle
+    * maps tokens to 8-byte md5 prefixes so every token hash is one
+    * closed-form XXH64 block); signatures from different tokenizations
+    * never compare, same contract as BandIndex's parameter pinning.
+    */
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        tokensOf: Column => Column = tokens): DataFrame = {
     val withBits = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("bits", simHashBits(col("toks")))
     val banded = withBits.select(
