@@ -110,7 +110,17 @@ object PlanAudit {
     "ql50_pretrain_pipeline" -> ("the composed recipe: scan-riding gate batteries over " +
       "the full corpus close at ONE persisted boundary (InMemoryTableScan below every " +
       "downstream branch); banded LSH self-join, cluster joins and the bucket window all " +
-      "read the cached survivors, never the raw scan")
+      "read the cached survivors, never the raw scan"),
+    "ql47b_percentile_buckets_approx" -> ("the skew-free bucket form: ONE " +
+      "approx_percentile ObjectHashAggregate (partial+final) per group over one scan, " +
+      "cuts broadcast back (BroadcastHashJoin, null-safe key) -- NO per-language sort " +
+      "Exchange anywhere; the bucket compare is a scan-riding projection"),
+    "ql51_winnowing" -> ("fused winnowing_fingerprint expression (one pass, monotonic " +
+      "deque, real codegen) riding the scan -- no shuffle in the operator (the only " +
+      "Exchange is the harness ORDER BY)"),
+    "ql52_simhash_candidates" -> ("one-hash-per-token fused simhash_bits projection " +
+      "riding the scan; 4-band explode to narrow (id, band, bh) rows, band equi-self-join " +
+      "-- never all-pairs; only narrow pair rows reach any Exchange")
   )
 
   def main(args: Array[String]): Unit = {
