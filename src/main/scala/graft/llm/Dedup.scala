@@ -263,22 +263,37 @@ object Dedup {
     transform(votes, v => when(v > 0, 1).otherwise(0))
   }
 
-  /** SimHash band candidates: 4 bands × 16 bits. `tokensOf` swaps the
-    * tokenization (e.g. fixed-width token surrogates — the Q-L52 oracle
-    * maps tokens to 8-byte md5 prefixes so every token hash is one
-    * closed-form XXH64 block); signatures from different tokenizations
-    * never compare, same contract as BandIndex's parameter pinning.
+  /** SimHash band candidates: `bands` bands × 64/`bands` bits (default
+    * 4 × 16 ≈ Hamming ≤ 3 guarantee). `tokensOf` swaps the tokenization
+    * (e.g. fixed-width token surrogates — the Q-L52 oracle maps tokens to
+    * 8-byte md5 prefixes so every token hash is one closed-form XXH64
+    * block); signatures from different tokenizations never compare, same
+    * contract as BandIndex's parameter pinning.
+    *
+    * Scale boundary, stated plainly (the [[Sampling.percentileBuckets]]
+    * discipline): a b-bit band key collides RANDOMLY at rate 2^-b per
+    * band, so expected noise pairs ≈ bands · n²/2^(b+1) — quadratic in
+    * corpus size once n approaches 2^b. The 16-bit default is a
+    * moderate-corpus tool (n ≲ 10⁵); at larger n drop `bands` (2 × 32-bit
+    * ≈ Hamming ≤ 1, noise-free to n ≈ 10⁹) accepting the tighter distance
+    * guarantee, or prefer [[minHashLshCandidates]] — its band key is a
+    * 16-slot signature slice whose collisions are driven by actual
+    * Jaccard similarity, not key width, which is why it is this library's
+    * primary near-dup path.
     */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        tokensOf: Column => Column = tokens): DataFrame = {
+                        tokensOf: Column => Column = tokens,
+                        bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
     val withBits = df
       .select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("bits", simHashBits(col("toks")))
     val banded = withBits.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => xxhash64(slice(col("bits"), b * 16 + 1, lit(16))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("bits"), b * width + 1, lit(width))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val a = banded.as("a")
     val b = banded.as("b")

@@ -235,6 +235,22 @@ class LlmSpec extends SparkSpec {
     assert(!cands.contains(Seq(1L, 3L)) || !cands.contains(Seq(2L, 3L)))
   }
 
+  test("wider simhash bands only shrink the candidate set (scale knob containment)") {
+    // a 32-bit band collision implies both of its 16-bit halves collide,
+    // so bands=2 candidates are a subset of bands=4 — the documented
+    // noise-vs-guarantee trade is monotone, never a different pair set
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
+    val wide = rowsOf(Dedup.simHashCandidates(docs, "doc_id", "text", bands = 2))
+    val base = rowsOf(Dedup.simHashCandidates(docs, "doc_id", "text", bands = 4))
+    assert(wide.subsetOf(base), s"bands=2 must be ⊆ bands=4; extra: ${wide -- base}")
+    // identical docs collide on EVERY band at any width — never lost
+    import spark.implicits._
+    val twins = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(rowsOf(Dedup.simHashCandidates(twins, "doc_id", "text", bands = 2))
+      .contains(Seq(1L, 2L)))
+  }
+
   test("jaccardSimilarityJoin equals the all-pairs array-intersect reference") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(100)
     val joined = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
