@@ -80,7 +80,12 @@ object ScaleBench {
     // false, survivors WRITTEN to parquet (a real sink, not noop), caller
     // clears the cache — and the harness asserts no cached blocks outlive
     // the run (the lifecycle PipelinesSpec pins at unit scale)
-    "ql50_pretrain_sink")
+    "ql50_pretrain_sink",
+    // round-10 rows: ql51 is a fused scan-riding sketch (must stay ~flat);
+    // ql52's banded self-join carries the corpus's duplicate structure —
+    // candidate volume, not runtime, is the scale story (BASELINE.md
+    // band-width A/B)
+    "ql51_winnowing", "ql52_simhash_candidates")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
