@@ -2082,21 +2082,19 @@ object Oracle {
   private def xor64(a: String, b: String): String =
     s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
 
-  /** Q-L47b oracle: replay `pmod(xxhash64(doc_id), 1e6)` via the ql15
-    * closed-form XXH64 chain (seed 42, one 8-byte block), then rebuild the
-    * approx-percentile cuts EXACTLY: with an uncompressed quantile summary
-    * (every driver SF), Spark returns the group element at 1-based rank
-    * `ceil(p·n)` with p the double literal 1.0/3 resp. 2.0/3 — mirrored
-    * here by indexing the sorted per-group score list with the SAME double
-    * arithmetic (`ceil(count · 0.3333333333333333)`), so even the
-    * n-divisible-by-3 boundary (where `0.666… · n` lands just under the
-    * integer) rounds identically in both engines.
+  /** ONE-BLOCK XXH64 chain (seed 42, length 8) as a CTE sequence — the
+    * single copy the ql47b/ql51/ql52 oracles all replay through (ql15's
+    * inline original predates it; ql6 generalizes to a variable seed).
+    * Input: a CTE `src` exposing `carry` columns plus `v` (the unsigned
+    * 8-byte block). Output CTEs: `ca` with unsigned `uh`, `hs` with
+    * signed `h`.
     */
-  private def ql47bSql: String = {
+  private def xxh64Ctes(carry: Seq[String], src: String): String = {
+    val cs = carry.map(_ + ", ").mkString
     val k1a = mulP2("v")
     val k1b = s"((k1a) * 2147483648 % $M64 + (k1a) // 8589934592) % $M64"
     val k1 = mulP1("k1b")
-    val a0 = xor64("2870177450012600311", "k1") // seed-42 chain constant
+    val a0 = xor64("2870177450012600311", "k1") // 42 + PRIME5 + len 8
     val a1 = s"((a0) * 134217728 % $M64 + (a0) // 137438953472) % $M64"
     val a2 = s"((${mulP1("a1")}) + 9650029242287828579) % $M64"
     val x3 = xor64("a2", "a2 // 8589934592")
@@ -2104,23 +2102,45 @@ object Oracle {
     val x4 = xor64("a3", "a3 // 536870912")
     val a4 = mulP3("x4")
     val uh = xor64("a4", "a4 // 4294967296")
+    s"""c0 AS (SELECT $cs$k1a AS k1a FROM $src),
+c1 AS (SELECT $cs$k1b AS k1b FROM c0),
+c2 AS (SELECT $cs$k1 AS k1 FROM c1),
+c3 AS (SELECT $cs$a0 AS a0 FROM c2),
+c4 AS (SELECT $cs$a1 AS a1 FROM c3),
+c5 AS (SELECT $cs$a2 AS a2 FROM c4),
+c6 AS (SELECT $cs$x3 AS x3 FROM c5),
+c7 AS (SELECT $cs$a3 AS a3 FROM c6),
+c8 AS (SELECT $cs$x4 AS x4 FROM c7),
+c9 AS (SELECT $cs$a4 AS a4 FROM c8),
+ca AS (SELECT $cs$uh AS uh FROM c9),
+hs AS (SELECT $cs CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca)"""
+  }
+
+  /** Little-endian pack of an 8-ASCII-char string column `g` into the
+    * XXH64 block value (shared by the ql51/ql52 gram/token oracles).
+    */
+  private val gram8V: String = (1 to 8).map(j =>
+    s"CAST(ord(substr(g, $j, 1)) AS HUGEINT) * ${java.math.BigInteger.valueOf(256L).pow(j - 1)}")
+    .mkString(" + ")
+
+  /** Q-L47b oracle: replay `pmod(xxhash64(doc_id), 1e6)` via the
+    * closed-form XXH64 chain, then rebuild the approx-percentile cuts
+    * EXACTLY: with an uncompressed quantile summary (every driver SF),
+    * Spark returns the group element at 1-based rank `ceil(p·n)` with p
+    * the double literal 1.0/3 resp. 2.0/3 — mirrored here by indexing the
+    * sorted per-group score list with the SAME double arithmetic
+    * (`ceil(count · 0.3333333333333333)`), so even the n-divisible-by-3
+    * boundary (where `0.666… · n` lands just under the integer) rounds
+    * identically in both engines. The cuts join is null-SAFE (IS NOT
+    * DISTINCT FROM) because the engine `<=>`-joins: a NULL-lang document
+    * still buckets.
+    */
+  private def ql47bSql: String =
     s"""WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + $M64 ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents),
-c0 AS (SELECT doc_id, lang, $k1a AS k1a FROM src),
-c1 AS (SELECT doc_id, lang, $k1b AS k1b FROM c0),
-c2 AS (SELECT doc_id, lang, $k1 AS k1 FROM c1),
-c3 AS (SELECT doc_id, lang, $a0 AS a0 FROM c2),
-c4 AS (SELECT doc_id, lang, $a1 AS a1 FROM c3),
-c5 AS (SELECT doc_id, lang, $a2 AS a2 FROM c4),
-c6 AS (SELECT doc_id, lang, $x3 AS x3 FROM c5),
-c7 AS (SELECT doc_id, lang, $a3 AS a3 FROM c6),
-c8 AS (SELECT doc_id, lang, $x4 AS x4 FROM c7),
-c9 AS (SELECT doc_id, lang, $a4 AS a4 FROM c8),
-ca AS (SELECT doc_id, lang, $uh AS uh FROM c9),
-hs AS (SELECT doc_id, lang, CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca),
+${xxh64Ctes(Seq("doc_id", "lang"), "src")},
 sc AS (SELECT doc_id, lang, CAST(((h % 1000000) + 1000000) % 1000000 AS DOUBLE) AS score FROM hs),
 cuts AS (SELECT lang, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.3333333333333333) AS BIGINT)] AS c1v, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.6666666666666666) AS BIGINT)] AS c2v FROM sc GROUP BY lang)
-SELECT sc.doc_id, sc.lang, sc.score, CASE WHEN sc.score <= cuts.c1v THEN 'head' WHEN sc.score <= cuts.c2v THEN 'middle' ELSE 'tail' END AS bucket FROM sc JOIN cuts ON sc.lang = cuts.lang ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
-  }
+SELECT sc.doc_id, sc.lang, sc.score, CASE WHEN sc.score <= cuts.c1v THEN 'head' WHEN sc.score <= cuts.c2v THEN 'middle' ELSE 'tail' END AS bucket FROM sc JOIN cuts ON sc.lang IS NOT DISTINCT FROM cuts.lang ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
 
   /** Q-L51 oracle: replay the winnowing sketch. Token → 2-hex-char md5
     * prefix (both engines agree on md5); k = 3 grams are exactly 8 ASCII
@@ -2131,47 +2151,22 @@ SELECT sc.doc_id, sc.lang, sc.score, CASE WHEN sc.score <= cuts.c1v THEN 'head' 
     * (the engine's `m <= window` degenerate branch); sketch = sorted
     * DISTINCT minima joined with ",". Docs with fewer than 3 tokens emit
     * the empty sketch via the LEFT JOIN + COALESCE(''), matching the
-    * engine's empty-array `array_join`.
+    * engine's empty-array `array_join`; a NULL text stays NULL (the
+    * engine's null-intolerant expression chain), not ''.
     */
-  private def ql51Sql: String = {
-    val k1a = mulP2("v")
-    val k1b = s"((k1a) * 2147483648 % $M64 + (k1a) // 8589934592) % $M64"
-    val k1 = mulP1("k1b")
-    val a0 = xor64("2870177450012600311", "k1") // 42 + PRIME5 + len 8
-    val a1 = s"((a0) * 134217728 % $M64 + (a0) // 137438953472) % $M64"
-    val a2 = s"((${mulP1("a1")}) + 9650029242287828579) % $M64"
-    val x3 = xor64("a2", "a2 // 8589934592")
-    val a3 = mulP2("x3")
-    val x4 = xor64("a3", "a3 // 536870912")
-    val a4 = mulP3("x4")
-    val uh = xor64("a4", "a4 // 4294967296")
-    val vExpr = (1 to 8).map(j =>
-      s"CAST(ord(substr(g, $j, 1)) AS HUGEINT) * ${java.math.BigInteger.valueOf(256L).pow(j - 1)}")
-      .mkString(" + ")
+  private def ql51Sql: String =
     s"""WITH d AS (SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x <> ''), tk -> substr(md5(tk), 1, 2)) AS tt FROM documents),
 pr AS (SELECT doc_id, unnest(list_transform(range(1, len(tt) - 1), i -> {'g': tt[i] || ' ' || tt[i + 1] || ' ' || tt[i + 2], 'i': i})) AS u FROM d),
 fl AS (SELECT doc_id, u.g AS g, u.i AS i FROM pr),
 fo AS (SELECT doc_id, g, MIN(i) AS pos FROM fl GROUP BY 1, 2),
 sq AS (SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS seq FROM fo),
-vv AS (SELECT doc_id, seq, $vExpr AS v FROM sq),
-c0 AS (SELECT doc_id, seq, $k1a AS k1a FROM vv),
-c1 AS (SELECT doc_id, seq, $k1b AS k1b FROM c0),
-c2 AS (SELECT doc_id, seq, $k1 AS k1 FROM c1),
-c3 AS (SELECT doc_id, seq, $a0 AS a0 FROM c2),
-c4 AS (SELECT doc_id, seq, $a1 AS a1 FROM c3),
-c5 AS (SELECT doc_id, seq, $a2 AS a2 FROM c4),
-c6 AS (SELECT doc_id, seq, $x3 AS x3 FROM c5),
-c7 AS (SELECT doc_id, seq, $a3 AS a3 FROM c6),
-c8 AS (SELECT doc_id, seq, $x4 AS x4 FROM c7),
-c9 AS (SELECT doc_id, seq, $a4 AS a4 FROM c8),
-ca AS (SELECT doc_id, seq, $uh AS uh FROM c9),
-hs AS (SELECT doc_id, seq, CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca),
+vv AS (SELECT doc_id, seq, $gram8V AS v FROM sq),
+${xxh64Ctes(Seq("doc_id", "seq"), "vv")},
 nn AS (SELECT doc_id, COUNT(*) AS m FROM hs GROUP BY 1),
 wm AS (SELECT hs.doc_id, seq, m, MIN(h) OVER (PARTITION BY hs.doc_id ORDER BY seq ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id),
 mins AS (SELECT doc_id, wmin FROM wm WHERE m > 4 AND seq >= 4 UNION ALL SELECT hs.doc_id, MIN(h) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id WHERE m <= 4 GROUP BY 1),
 sk AS (SELECT doc_id, array_to_string(list_transform(list_sort(list(DISTINCT wmin)), x -> CAST(x AS VARCHAR)), ',') AS fps FROM mins GROUP BY 1)
-SELECT dd.doc_id, COALESCE(sk.fps, '') AS fps FROM documents dd LEFT JOIN sk ON dd.doc_id = sk.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
-  }
+SELECT dd.doc_id, CASE WHEN dd.text IS NULL THEN NULL ELSE COALESCE(sk.fps, '') END AS fps FROM documents dd LEFT JOIN sk ON dd.doc_id = sk.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
 
   /** Q-L52 oracle: replay the SimHash candidate set. Token → 8-hex-char
     * md5 prefix → one-block XXH64 (the ql51 chain, seed 42) per token
@@ -2182,36 +2177,12 @@ SELECT dd.doc_id, COALESCE(sk.fps, '') AS fps FROM documents dd LEFT JOIN sk ON 
     * slice — equal iff the substring is equal, up to hash collision).
     */
   private def ql52Sql: String = {
-    val k1a = mulP2("v")
-    val k1b = s"((k1a) * 2147483648 % $M64 + (k1a) // 8589934592) % $M64"
-    val k1 = mulP1("k1b")
-    val a0 = xor64("2870177450012600311", "k1") // 42 + PRIME5 + len 8
-    val a1 = s"((a0) * 134217728 % $M64 + (a0) // 137438953472) % $M64"
-    val a2 = s"((${mulP1("a1")}) + 9650029242287828579) % $M64"
-    val x3 = xor64("a2", "a2 // 8589934592")
-    val a3 = mulP2("x3")
-    val x4 = xor64("a3", "a3 // 536870912")
-    val a4 = mulP3("x4")
-    val uh = xor64("a4", "a4 // 4294967296")
-    val vExpr = (1 to 8).map(j =>
-      s"CAST(ord(substr(g, $j, 1)) AS HUGEINT) * ${java.math.BigInteger.valueOf(256L).pow(j - 1)}")
-      .mkString(" + ")
     val powVals = (0 until 64).map(b =>
       s"($b, ${java.math.BigInteger.valueOf(2L).pow(b)}::HUGEINT)").mkString(", ")
     s"""WITH d AS (SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x <> ''), tk -> substr(md5(tk), 1, 8)) AS tt FROM documents),
 tok AS (SELECT doc_id, unnest(tt) AS g FROM d WHERE len(tt) > 0),
-vv AS (SELECT doc_id, $vExpr AS v FROM tok),
-c0 AS (SELECT doc_id, $k1a AS k1a FROM vv),
-c1 AS (SELECT doc_id, $k1b AS k1b FROM c0),
-c2 AS (SELECT doc_id, $k1 AS k1 FROM c1),
-c3 AS (SELECT doc_id, $a0 AS a0 FROM c2),
-c4 AS (SELECT doc_id, $a1 AS a1 FROM c3),
-c5 AS (SELECT doc_id, $a2 AS a2 FROM c4),
-c6 AS (SELECT doc_id, $x3 AS x3 FROM c5),
-c7 AS (SELECT doc_id, $a3 AS a3 FROM c6),
-c8 AS (SELECT doc_id, $x4 AS x4 FROM c7),
-c9 AS (SELECT doc_id, $a4 AS a4 FROM c8),
-ca AS (SELECT doc_id, $uh AS uh FROM c9),
+vv AS (SELECT doc_id, $gram8V AS v FROM tok),
+${xxh64Ctes(Seq("doc_id"), "vv")},
 pw(b, p) AS (VALUES $powVals),
 bt AS (SELECT doc_id, b, SUM(CASE WHEN (uh // p) % 2 = 1 THEN 1 ELSE -1 END) AS votes FROM ca CROSS JOIN pw GROUP BY 1, 2),
 sig AS (SELECT doc_id, string_agg(CASE WHEN votes > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s FROM bt GROUP BY 1),

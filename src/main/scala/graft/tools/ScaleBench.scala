@@ -117,17 +117,20 @@ object ScaleBench {
 
     // ql50 with a WRITTEN sink: the pipeline stays lazy (materialize =
     // false — the caller owns the cache lifecycle), survivors land in
-    // parquet, the cache is cleared, and the run FAILS if any cached
-    // blocks survive — a leak here would accumulate one survivor-set
-    // copy per pipeline run for the life of a production app
+    // parquet, then the caller clears the cache. The MEANINGFUL assertion
+    // is the precondition: the write must have left the gate cache
+    // populated (proving the lazy form really hands the caller a cache to
+    // manage — if a refactor silently stopped persisting, the 66 s → 6 s
+    // recompute fan-out would return unnoticed). Checking isEmpty AFTER
+    // clearCache would be vacuously true.
     def runSink(dir: String): Unit = {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
       graft.llm.Pipelines.pretrainCorpus(docs, materialize = false)
         .write.mode("overwrite").parquet(s"$out-sink")
+      require(!spark.sharedState.cacheManager.isEmpty,
+        "ql50_pretrain_sink: the lazy pipeline no longer persists its gate boundary")
       spark.sqlContext.clearCache()
-      require(spark.sharedState.cacheManager.isEmpty,
-        "ql50_pretrain_sink: cached blocks leaked past the written-sink run")
     }
 
     // warm plan shapes (codegen/classloading is per-shape, not per-size)

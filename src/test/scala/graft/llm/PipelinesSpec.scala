@@ -78,13 +78,16 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "materialize=true must unpersist its gate cache before returning")
     // materialize = false: the caller writes the survivors to a REAL sink
-    // and then clears the cache — the production shape ScaleBench measures
+    // and then clears the cache — the production shape ScaleBench measures.
+    // The meaningful half is the PREcondition: the write leaves the gate
+    // cache populated (the lazy form really does hand the caller a cache
+    // to manage; asserting isEmpty after clearCache would be vacuous)
     val dir = java.nio.file.Files.createTempDirectory("ql50-sink").toString
     val lazyOut = Pipelines.pretrainCorpus(docs, materialize = false)
     lazyOut.write.mode("overwrite").parquet(dir)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "materialize=false must leave the gate cache for the caller to release")
     spark.sqlContext.clearCache()
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "written-sink run must leave the cache manager empty")
     // and the sink holds the survivors (same set a materialized run emits)
     val written = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
     val direct = Pipelines.pretrainCorpus(docs).select("doc_id").as[Long].collect().toSet
