@@ -472,6 +472,11 @@ object Native {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_bits",
       exprs => arity("simhash_bits", 1, exprs)(SimHashBits64(exprs.head)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnowing_fingerprint",
+      exprs => arity("winnowing_fingerprint", 3, exprs)(
+        WinnowingFingerprint(exprs.head,
+          intLit(exprs(1), "k"), intLit(exprs(2), "window"))), "scala_udf")
     // 3-arg form uses planeOffset = 0 (table 0); the 4-arg form selects
     // an independent plane table for multi-table OR-amplification
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -64,6 +64,29 @@ class SqlSpec extends SparkSpec {
     assert(viaSql(0).getString(6) == "en")
   }
 
+  test("sketch vocabulary (winnowing + simhash) is SQL-reachable and matches the Column form") {
+    GraftSql.install(spark)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta"), // fewer tokens than k → empty sketch
+      (3L, "one two three one two three one two three four five six")
+    ).toDF("doc_id", "text")
+    GraftSql.view("sk_docs", docs)
+    val viaSql = GraftSql.sql(spark,
+      """SELECT doc_id,
+        |array_join(array_sort(winnowing_fingerprint(split(text, ' '), 3, 4)), ',') AS fp,
+        |array_join(simhash_bits(split(text, ' ')), '') AS sig
+        |FROM sk_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = docs.select(col("doc_id"),
+      array_join(array_sort(graft.functions.Winnow.fingerprints(
+        split(col("text"), " "), 3, 4)), ","),
+      array_join(graft.llm.Dedup.simHashBits(split(col("text"), " ")), ""))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    assert(viaSql(1).getString(1) == "") // short doc: empty sketch, not null
+    assert(viaSql(0).getString(2).length == 64)
+  }
+
   test("text-analysis SQL functions reject wrong arity instead of dropping args") {
     GraftSql.install(spark)
     GraftSql.view("arity_docs", Seq(Tuple1("t")).toDF("text"))

@@ -217,6 +217,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless round-10 sketch ops run unchanged on a stream (winnowing + simhash)") {
+    // the fused winnowing deque and the one-hash-per-token simhash votes
+    // are pure per-row projections — streaming a batch through them in
+    // two micro-batches must replay the batch result exactly
+    import StreamingSpec.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (1 to 40).map(i =>
+      Doc(i.toLong, (1 to 12).map(j => s"tok${(i + j) % 7}w$j").mkString(" ")))
+    val stream = MemoryStream[Doc]
+    def stage(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("fp", array_join(array_sort(
+        graft.functions.Winnow.fingerprints(
+          graft.llm.Dedup.tokens(col("text")), 3, 4)), ","))
+      .withColumn("sig", array_join(
+        graft.llm.Dedup.simHashBits(graft.llm.Dedup.tokens(col("text"))), ""))
+      .select(col("doc_id"), col("fp"), col("sig"))
+    val q = stage(stream.toDF()).writeStream
+      .format("memory").queryName("r10_stateless").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(20)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = rowsOf(spark.table("r10_stateless"))
+      val batch = rowsOf(stage(docs.toDF()))
+      assert(streamed == batch, "streamed round-10 sketches != batch after replay")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark stage is streaming-only passthrough in batch") {
     val events = Tables.load(spark, sf, "events")
     val out = Windowed.watermark("wm", "ts", "10 minutes")(events)
