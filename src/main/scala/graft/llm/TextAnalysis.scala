@@ -628,14 +628,16 @@ object TextAnalysis {
   }
 
   /** Space-joined word n-gram array over a token array (empty when the
-    * document is shorter than n) — the feature generator fasttext-class
-    * filters pair with their unigram bag.
+    * document is shorter than n, or the array is NULL) — the feature
+    * generator fasttext-class filters pair with their unigram bag.
+    * Fused expression ([[graft.functions.Ngrams.wordNgramsJoin]] — the
+    * interpreted `transform`/`element_at` HOF it replaces profiled at
+    * ~80% of Q-L41, see the expression's scaladoc); the coalesce keeps
+    * the HOF's NULL-input → empty-array convention.
     */
   private def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    coalesce(graft.functions.Ngrams.wordNgramsJoin(toks, n),
+      array().cast("array<string>"))
 
   /** Linear bag-of-words text score — the PLUMBING of fasttext-class
     * quality classifiers (the CCNet/LLaMA-pipeline filter): score =
@@ -764,22 +766,26 @@ object TextAnalysis {
         col("logp").cast("decimal(18,6)").as("_u_lp")))
     val toks = Dedup.tokens(col(textCol))
     // (context, token) per position, BOS-marked — built inside the scan
-    // stage so only narrow pair rows reach the joins. Token-less docs
-    // must short-circuit: sequence(1, 0) DESCENDS in Spark, which would
-    // reach element_at(toks, 0) (an ANSI error), not an empty array.
-    val pairs = when(size(toks) === 0,
-      array().cast("array<struct<ctx:string,tok:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks)),
-        i => struct(
-          when(i === 1, lit("<s>")).otherwise(element_at(toks, i - 1)).as("ctx"),
-          element_at(toks, i).as("tok"))))
+    // stage so only narrow pair rows reach the joins. The pair at
+    // position i is exactly the i-th word BIGRAM of ("<s>" +: tokens),
+    // so the fused n-gram expression generates all positions in one pass
+    // (the interpreted per-position element_at HOF this replaces was the
+    // dominant cost — see wordNgrams); tokens cannot contain spaces
+    // (they are the output of a space split), so splitting the gram at
+    // its first space recovers (ctx, tok) unambiguously. Token-less docs
+    // fall out naturally: ["<s>"] has no bigram; a NULL text stays one
+    // null pair row through explode_outer, as before.
+    val pairGrams = graft.functions.Ngrams.wordNgramsJoin(
+      concat(array(lit("<s>")), toks), 2)
     val zero = lit(0).cast("decimal(18,6)")
     // Occurrence-level probes, not a (doc, ctx, tok, n) bag pre-agg — same
     // measured decision as [[linearTextScore]] (the bag's extra Exchange
     // costs more than the probe savings at every scale; see the comment
     // there for the sf0.1 numbers).
-    docs.select(col(idCol), explode_outer(pairs).as("_p"))
-      .select(col(idCol), col("_p.ctx").as("_ctx"), col("_p.tok").as("_tok"))
+    docs.select(col(idCol), explode_outer(pairGrams).as("_g"))
+      .select(col(idCol),
+        substring_index(col("_g"), " ", 1).as("_ctx"),
+        substring_index(col("_g"), " ", -1).as("_tok"))
       .join(big, col("_ctx") === col("_b_ctx") && col("_tok") === col("_b_tok"), "left")
       .join(uni, col("_tok") === col("_u_tok"), "left")
       .withColumn("_lp", coalesce(col("_b_lp"),
