@@ -80,8 +80,185 @@ case class WordNgramsJoin(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused ordered-reassembly: sort an array of (position, segment) structs
+  * by position and join the segments — the tail of every "explode → filter
+  * → rebuild the document" operator (boilerplate strip, paragraph dedup,
+  * repeated-span removal). Replaces
+  * `array_join(transform(array_sort(collect_list(struct(...))), _.getField), sep)`,
+  * whose interpreted per-element transform/getField dominated Q-L35's
+  * materialization cost (count() 0.28 s vs full emit 2.81 s at sf0.1 —
+  * the plan's only difference is this projection; `BASELINE.md` round 10).
+  */
+case class JoinOrderedStructs(child: Expression, sep: String) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "join_ordered"
+
+  private lazy val posIsLong: Boolean = child.dataType match {
+    case ArrayType(StructType(fields), _) => fields(0).dataType == LongType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(p, s)), _)
+      if (p.dataType == IntegerType || p.dataType == LongType) && s.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"join_ordered expects ARRAY<STRUCT<pos INT|BIGINT, seg STRING>>, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    route(input.asInstanceOf[ArrayData])
+
+  def route(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val pos = new Array[Long](n)
+    val seg = new Array[UTF8String](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      pos(i) = if (posIsLong) row.getLong(0) else row.getInt(0).toLong
+      seg(i) = if (row.isNullAt(1)) null else row.getUTF8String(1)
+      idx(i) = i
+      i += 1
+    }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+      java.lang.Long.compare(pos(a), pos(b)))
+    val sb = new java.lang.StringBuilder()
+    var first = true
+    i = 0
+    while (i < n) {
+      val s = seg(idx(i))
+      if (s != null) { // array_join parity: null segments omitted
+        if (!first) sb.append(sep)
+        sb.append(s.toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("jos", this, classOf[JoinOrderedStructs].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.route($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused span-removal tail of `Dedup.removeRepeatedSpans`: given the
+  * ORIGINAL token array and the (small) list of hot-span start positions,
+  * compute the difference-array coverage and emit the surviving tokens
+  * re-joined — one pass, per document, inside the scan projection.
+  *
+  * This replaces a shape that shuffled EVERY corpus token twice (the
+  * per-doc coverage window's sort Exchange + the collect_list regroup);
+  * only span starts — hot windows only — now ride any Exchange. NULL
+  * `starts` (left-join miss: no repeated span touches this doc) keeps
+  * every token; NULL tokens (null text) yields NULL.
+  */
+case class RemoveSpans(tokens: Expression, starts: Expression, spanTokens: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = starts
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_spans"
+  override def nullable: Boolean = tokens.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tokens.dataType, starts.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) if spanTokens >= 2 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"remove_spans expects (ARRAY<STRING>, ARRAY<INT>) with spanTokens >= 2, got " +
+          s"(${tokens.dataType.sql}, ${starts.dataType.sql}, spanTokens=$spanTokens)")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) return null
+    val s = starts.eval(input)
+    route(t.asInstanceOf[ArrayData],
+      if (s == null) null else s.asInstanceOf[ArrayData])
+  }
+
+  def route(toks: ArrayData, sp: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val cov = new Array[Int](n + 1)
+    if (sp != null) {
+      var i = 0
+      val m = sp.numElements()
+      while (i < m) {
+        if (!sp.isNullAt(i)) {
+          val p = sp.getInt(i)
+          if (p >= 0 && p < n) {
+            cov(p) += 1
+            val end = p + spanTokens
+            if (end <= n) cov(end) -= 1
+          }
+        }
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder()
+    var first = true
+    var c = 0
+    var p = 0
+    while (p < n) {
+      c += cov(p)
+      if (c <= 0 && !toks.isNullAt(p)) { // array_join parity on null tokens
+        if (!first) sb.append(' ')
+        sb.append(toks.getUTF8String(p).toString)
+        first = false
+      }
+      p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = tokens.genCode(ctx)
+    val r = starts.genCode(ctx)
+    val ref = ctx.addReferenceObj("rsp", this, classOf[RemoveSpans].getName)
+    val u = "org.apache.spark.unsafe.types.UTF8String"
+    ev.copy(code = code"""
+      ${l.code}
+      boolean ${ev.isNull} = ${l.isNull};
+      $u ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${r.code}
+        ${ev.value} = $ref.route(${l.value}, ${r.isNull} ? null : ${r.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(tokens = newLeft, starts = newRight)
+}
+
 object Ngrams {
   /** Column face (token-array input; NULL in → NULL out). */
   def wordNgramsJoin(tokens: Column, n: Int): Column =
     Bridge.column(WordNgramsJoin(Bridge.expression(tokens), n))
+
+  /** Column face: sort (pos, seg) structs by pos and join segs with `sep`. */
+  def joinOrdered(pairs: Column, sep: String): Column =
+    Bridge.column(JoinOrderedStructs(Bridge.expression(pairs), sep))
+
+  /** Column face: drop every token covered by a span starting at one of
+    * `starts` (NULL starts = keep all), re-join survivors with " ".
+    */
+  def removeSpans(tokens: Column, starts: Column, spanTokens: Int): Column =
+    Bridge.column(RemoveSpans(Bridge.expression(tokens),
+      Bridge.expression(starts), spanTokens))
 }

@@ -585,9 +585,8 @@ object Dedup {
     val kept = paras.join(first, Seq("_h"))
       .filter(col(idCol) === col("_f._fid") && col("_idx") === col("_f._fidx"))
     kept.groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("_idx"), col("_p")))), x => x.getField("_p")),
-        sep).as("text_dedup"))
+      .agg(graft.functions.Ngrams.joinOrdered(
+        collect_list(struct(col("_idx"), col("_p"))), sep).as("text_dedup"))
   }
 
   /** Per-source boilerplate line removal — the C4-style cleaning pass:
@@ -622,9 +621,8 @@ object Dedup {
       .filter(col("_df") > maxLineDf).select("_h")
     val kept = lines.join(hot, Seq("_h"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("_idx"), col("_l")))), x => x.getField("_l")),
-        sep).as("text_clean"))
+      .agg(graft.functions.Ngrams.joinOrdered(
+        collect_list(struct(col("_idx"), col("_l"))), sep).as("text_clean"))
     docs.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
@@ -684,35 +682,34 @@ object Dedup {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
     val n = size(col("_tk"))
-    // one row per window start: (id, pos, 16-byte span hash)
+    // one row per window start: (id, pos, 16-byte span hash). Span grams
+    // come from the fused n-gram expression (one pass — the interpreted
+    // per-window slice+join HOF was the same cost class the bigram
+    // scoring fix measured at 80%); md5 runs in the codegen'd projection
+    // AFTER the explode, on one string per row.
     val wins = toks.filter(n >= spanTokens)
-      .select(col(idCol), posexplode(transform(sequence(lit(0), n - spanTokens),
-        p => md5(array_join(slice(col("_tk"), p + 1, lit(spanTokens)), " ").cast("binary"))))
-        .as(Seq("_pos", "_h")))
+      .select(col(idCol),
+        posexplode(graft.functions.Ngrams.wordNgramsJoin(col("_tk"), spanTokens))
+          .as(Seq("_pos", "_g")))
+      .select(col(idCol), col("_pos"), md5(col("_g").cast("binary")).as("_h"))
     val hot = wins.groupBy(col("_h"))
       .agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minCount).select("_h")
     val starts = wins.join(hot, Seq("_h")).select(col(idCol), col("_pos"))
-    // difference array: +1 at a repeated span's start, -1 one past its end
-    val deltas = starts.select(col(idCol), col("_pos"), lit(1).as("_d"))
-      .unionByName(starts.select(col(idCol), (col("_pos") + spanTokens).as("_pos"),
-        lit(-1).as("_d")))
-      .groupBy(col(idCol), col("_pos")).agg(sum(col("_d")).as("_d"))
-    val positions = toks
-      .select(col(idCol), posexplode(col("_tk")).as(Seq("_pos", "_t")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_pos"))
-    val kept = positions
-      .join(deltas, Seq(idCol, "_pos"), "left")
-      .withColumn("_cov", sum(coalesce(col("_d"), lit(0))).over(w))
-      .filter(col("_cov") <= 0)
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("_pos"), col("_t")))),
-          x => x.getField("_t")), " ").as("text_clean"))
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
+    // Coverage + reassembly run INSIDE one fused expression over the
+    // original token array ([[graft.functions.Ngrams.removeSpans]] — the
+    // difference-array prefix sum the relational form computed with a
+    // per-doc window): the only rows that ride an Exchange are HOT span
+    // starts (one small int list per affected doc). The previous shape
+    // shuffled every corpus token twice — a per-doc window sort plus a
+    // collect_list regroup — which at 100 TB is two corpus-sized
+    // shuffles doing per-document work the scan projection can do.
+    val startsByDoc = starts.groupBy(col(idCol))
+      .agg(collect_list(col("_pos")).as("_sp"))
+    toks.join(startsByDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(
+        graft.functions.Ngrams.removeSpans(col("_tk"), col("_sp"), spanTokens),
+        lit("")).as("text_clean"))
   }
 
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
@@ -843,12 +840,17 @@ object Dedup {
       .drop("_cl", "cluster", "_keep")
   }
 
-  /** Word n-gram (shingle) array (same short-input guard as charNgrams). */
+  /** Word n-gram (shingle) array (same short-input guard as charNgrams).
+    * DISTINCT in first-occurrence order — shingle-SET semantics for the
+    * Jaccard/decontamination family. Gram generation is the fused
+    * [[graft.functions.Ngrams.wordNgramsJoin]] expression (the
+    * interpreted transform/slice/array_join HOF it replaces profiled at
+    * ~80% of the bigram scoring wall-clock — `BASELINE.md` round 10);
+    * `array_distinct` preserves the HOF's first-occurrence order.
+    */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array_distinct(graft.functions.Ngrams.wordNgramsJoin(toks, n)))
   }
 }
