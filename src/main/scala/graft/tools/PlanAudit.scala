@@ -75,8 +75,9 @@ object PlanAudit {
       "id-only 2-hop candidate joins + two embedding fetch equi-joins, exact cosine in-join, " +
       "k-bounded partial_topkbysim tails -- per-iteration work O(n*buildK^2*dim), nothing O(n^2)"),
     "ql35_repeated_spans" -> ("window explode -> 16-byte md5 span-df agg (partial+final) -> " +
-      "difference-array join on (id, pos) -> PER-DOCUMENT coverage window (partitioned by id, " +
-      "parallel across docs -- no corpus-wide window) -> ordered reassembly agg"),
+      "hot span STARTS collect to one small int list per affected doc (the only token-derived " +
+      "rows in any Exchange) -> fused remove_spans difference-array coverage + reassembly " +
+      "riding the scan projection -- no corpus-token shuffle, no per-doc window"),
     "ql37_gopher_flags" -> ("the whole rule battery as scan-riding projections in one " +
       "WholeStageCodegen span -- integer-arithmetic comparisons, no shuffle in the operator " +
       "(the only Exchange is the harness ORDER BY)"),
