@@ -2086,10 +2086,12 @@ object Oracle {
     * single copy the ql47b/ql51/ql52 oracles all replay through (ql15's
     * inline original predates it; ql6 generalizes to a variable seed).
     * Input: a CTE `src` exposing `carry` columns plus `v` (the unsigned
-    * 8-byte block). Output CTEs: `ca` with unsigned `uh`, `hs` with
-    * signed `h`.
+    * 8-byte block). Output CTEs: `ca` with unsigned `uh`, plus — when
+    * `signed` (the default) — `hs` with signed `h`; callers that only
+    * read `uh` (ql52's bit votes) skip the dead CTE.
     */
-  private def xxh64Ctes(carry: Seq[String], src: String): String = {
+  private def xxh64Ctes(carry: Seq[String], src: String,
+                        signed: Boolean = true): String = {
     val cs = carry.map(_ + ", ").mkString
     val k1a = mulP2("v")
     val k1b = s"((k1a) * 2147483648 % $M64 + (k1a) // 8589934592) % $M64"
@@ -2112,8 +2114,9 @@ c6 AS (SELECT $cs$x3 AS x3 FROM c5),
 c7 AS (SELECT $cs$a3 AS a3 FROM c6),
 c8 AS (SELECT $cs$x4 AS x4 FROM c7),
 c9 AS (SELECT $cs$a4 AS a4 FROM c8),
-ca AS (SELECT $cs$uh AS uh FROM c9),
-hs AS (SELECT $cs CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca)"""
+ca AS (SELECT $cs$uh AS uh FROM c9)""" + (if (signed)
+      s""",
+hs AS (SELECT $cs CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca)""" else "")
   }
 
   /** Little-endian pack of an 8-ASCII-char string column `g` into the
@@ -2182,7 +2185,7 @@ SELECT dd.doc_id, CASE WHEN dd.text IS NULL THEN NULL ELSE COALESCE(sk.fps, '') 
     s"""WITH d AS (SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x <> ''), tk -> substr(md5(tk), 1, 8)) AS tt FROM documents),
 tok AS (SELECT doc_id, unnest(tt) AS g FROM d WHERE len(tt) > 0),
 vv AS (SELECT doc_id, $gram8V AS v FROM tok),
-${xxh64Ctes(Seq("doc_id"), "vv")},
+${xxh64Ctes(Seq("doc_id"), "vv", signed = false)},
 pw(b, p) AS (VALUES $powVals),
 bt AS (SELECT doc_id, b, SUM(CASE WHEN (uh // p) % 2 = 1 THEN 1 ELSE -1 END) AS votes FROM ca CROSS JOIN pw GROUP BY 1, 2),
 sig AS (SELECT doc_id, string_agg(CASE WHEN votes > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s FROM bt GROUP BY 1),

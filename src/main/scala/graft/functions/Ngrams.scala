@@ -51,19 +51,10 @@ case class WordNgramsJoin(child: Expression, n: Int) extends UnaryExpression {
     val out = new Array[Any](len - n + 1)
     i = 0
     while (i <= len - n) {
-      val sb = new java.lang.StringBuilder()
-      var first = true
-      var j = 0
-      while (j < n) {
-        val t = toks(i + j)
-        if (t != null) { // concat_ws parity: nulls omitted, not rendered
-          if (!first) sb.append(' ')
-          sb.append(t.toString)
-          first = false
-        }
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+      // byte-level join: concatWs skips nulls (concat_ws parity) and never
+      // charset-decodes — the remaining per-token cost after fusing
+      out(i) = UTF8String.concatWs(Ngrams.Space,
+        java.util.Arrays.copyOfRange(toks, i, i + n): _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -110,6 +101,8 @@ case class JoinOrderedStructs(child: Expression, sep: String) extends UnaryExpre
   override def nullSafeEval(input: Any): Any =
     route(input.asInstanceOf[ArrayData])
 
+  @transient private lazy val sepUtf8: UTF8String = UTF8String.fromString(sep)
+
   def route(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     if (n == 0) return UTF8String.EMPTY_UTF8
@@ -118,27 +111,28 @@ case class JoinOrderedStructs(child: Expression, sep: String) extends UnaryExpre
     val idx = new Array[Integer](n)
     var i = 0
     while (i < n) {
-      val row = arr.getStruct(i, 2)
-      pos(i) = if (posIsLong) row.getLong(0) else row.getInt(0).toLong
-      seg(i) = if (row.isNullAt(1)) null else row.getUTF8String(1)
+      // null ENTRIES are skipped (array_sort puts them last, the old
+      // transform/getField extracted null, array_join dropped it); a null
+      // pos with a live segment sorts last instead of silently unboxing
+      // to 0 — callers' positions come from posexplode and are non-null,
+      // but the Column face is public
+      val row = if (arr.isNullAt(i)) null else arr.getStruct(i, 2)
+      if (row == null) { pos(i) = Long.MaxValue; seg(i) = null }
+      else {
+        pos(i) =
+          if (row.isNullAt(0)) Long.MaxValue
+          else if (posIsLong) row.getLong(0) else row.getInt(0).toLong
+        seg(i) = if (row.isNullAt(1)) null else row.getUTF8String(1)
+      }
       idx(i) = i
       i += 1
     }
     java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
       java.lang.Long.compare(pos(a), pos(b)))
-    val sb = new java.lang.StringBuilder()
-    var first = true
+    val ordered = new Array[UTF8String](n)
     i = 0
-    while (i < n) {
-      val s = seg(idx(i))
-      if (s != null) { // array_join parity: null segments omitted
-        if (!first) sb.append(sep)
-        sb.append(s.toString)
-        first = false
-      }
-      i += 1
-    }
-    UTF8String.fromString(sb.toString)
+    while (i < n) { ordered(i) = seg(idx(i)); i += 1 }
+    UTF8String.concatWs(sepUtf8, ordered: _*) // skips nulls, byte-level
   }
 
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -207,20 +201,19 @@ case class RemoveSpans(tokens: Expression, starts: Expression, spanTokens: Int)
         i += 1
       }
     }
-    val sb = new java.lang.StringBuilder()
-    var first = true
+    val keep = new Array[UTF8String](n)
+    var k = 0
     var c = 0
     var p = 0
     while (p < n) {
       c += cov(p)
       if (c <= 0 && !toks.isNullAt(p)) { // array_join parity on null tokens
-        if (!first) sb.append(' ')
-        sb.append(toks.getUTF8String(p).toString)
-        first = false
+        keep(k) = toks.getUTF8String(p)
+        k += 1
       }
       p += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.concatWs(Ngrams.Space, java.util.Arrays.copyOf(keep, k): _*)
   }
 
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -247,6 +240,9 @@ case class RemoveSpans(tokens: Expression, starts: Expression, spanTokens: Int)
 }
 
 object Ngrams {
+  /** Shared single-space separator for the byte-level concatWs joins. */
+  private[functions] val Space: UTF8String = UTF8String.fromString(" ")
+
   /** Column face (token-array input; NULL in → NULL out). */
   def wordNgramsJoin(tokens: Column, n: Int): Column =
     Bridge.column(WordNgramsJoin(Bridge.expression(tokens), n))
