@@ -41,7 +41,7 @@ object Bench {
     "ql50_pretrain_pipeline",
     // round-10 additions
     "ql47b_percentile_buckets_approx", "ql51_winnowing",
-    "ql52_simhash_candidates"
+    "ql52_simhash_candidates", "ql53_ngram_jaccard"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1326,6 +1326,19 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L53 — n-gram Jaccard near-dup pairs
+    * ([[graft.llm.Dedup.ngramJaccardPairs]]): the production LSH →
+    * exact-rescore pipeline in one operator — banded MinHash candidates
+    * (ql6's hashed-token-id configuration, so the oracle replays the
+    * EXACT candidate set) re-scored with word-trigram Jaccard and
+    * thresholded. Complements ql6 (candidates alone) and ql16 (exact
+    * inverted-index join without the LSH cut).
+    */
+  val qlNgramJaccard: Q = (s, dir) =>
+    ordered(graft.llm.Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text",
+      n = 3, threshold = 0.5, numHashes = 64, bands = 4, hashedTokenIds = true))
+
   /** Q-L48 — C4 quality battery ([[graft.llm.TextAnalysis.c4CleanLines]]
     * + [[c4DocFlags]]): organic docs (word soup — no terminal
     * punctuation, so cleaning empties them: the realistic
@@ -2025,6 +2038,7 @@ object Queries {
     "ql47b_percentile_buckets_approx" -> qlPercentileBucketsApprox,
     "ql51_winnowing" -> qlWinnowing,
     "ql52_simhash_candidates" -> qlSimhashCandidates,
+    "ql53_ngram_jaccard" -> qlNgramJaccard,
     "ql48_c4_filters" -> qlC4Filters,
     "ql49_pack_sequences" -> qlPackSequences,
     "ql50_pretrain_pipeline" -> qlPretrainPipeline,
@@ -2202,7 +2216,15 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a JOIN bd b ON a.j 
     * signature slice — the engine joins on `xxhash64(slice)`, identical
     * up to astronomically unlikely 128-byte hash collisions.
     */
-  private def ql6Sql: String = {
+  /** Shared candidate CTE body (ql6 + ql53): hashed-token-id signatures →
+    * 4 × 16-slot bands → `cand(doc_a, doc_b)` distinct collision pairs,
+    * matching the engine's (numHashes = 64, bands = 4, hashedTokenIds)
+    * configuration exactly. `tokCte` supplies the `tok(doc_id, tk)` CTE —
+    * ql6 bands over document tokens, ql53 over shingle-id strings.
+    */
+  private def minhashCandCtes(
+      tokCte: String = "tok AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tk FROM documents)")
+      : String = {
     val seedVals = (0 until 64).map { i =>
       val s = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)
       s"($i, ${java.lang.Long.toUnsignedString(s)}::HUGEINT)"
@@ -2219,7 +2241,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a JOIN bd b ON a.j 
     val x4 = xor64("a3", "a3 // 536870912")
     val a4 = mulP3("x4")
     val uh = xor64("a4", "a4 // 4294967296")
-    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tk FROM documents),
+    s"""$tokCte,
 t64 AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(tk),1,15)) AS UBIGINT) AS HUGEINT) AS v FROM tok),
 seeds(i, s) AS (VALUES $seedVals),
 c0 AS (SELECT doc_id, i, s, $k1a AS k1a FROM t64 CROSS JOIN seeds),
@@ -2235,8 +2257,32 @@ c9 AS (SELECT doc_id, i, $a4 AS a4 FROM c8),
 ca AS (SELECT doc_id, i, $uh AS uh FROM c9),
 hv AS (SELECT doc_id, i, CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca),
 mh AS (SELECT doc_id, i, MIN(h) AS m FROM hv GROUP BY 1, 2),
-bs AS (SELECT doc_id, i // 16 AS band, list(m ORDER BY i) AS bsig FROM mh GROUP BY 1, 2)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+bs AS (SELECT doc_id, i // 16 AS band, list(m ORDER BY i) AS bsig FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+  }
+
+  private def ql6Sql: String =
+    s"""WITH ${minhashCandCtes()}
+SELECT doc_a, doc_b FROM cand ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+
+  /** Q-L53 oracle: the banded-candidate replay at SHINGLE granularity
+    * (tok = decimal string of each distinct trigram's md5-60-bit id —
+    * byte-identical to the engine's `tokenIds64` pseudo-text), re-scored
+    * with exact word-trigram Jaccard (the ql16 convention: distinct
+    * grams, inter/(na+nb−inter) as DOUBLE) and thresholded —
+    * candidate-less or zero-intersection pairs fall out with the >=
+    * filter, matching the engine's `jaccard >= threshold` over its
+    * `uni === 0 → 0.0` guard.
+    */
+  private def ql53Sql: String = {
+    val shingleTok = "tok AS (SELECT DISTINCT doc_id, " +
+      "CAST(CAST(concat('0x', substr(md5(g),1,15)) AS UBIGINT) AS VARCHAR) AS tk FROM sh)"
+    s"""WITH t2 AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END) AS g FROM t2),
+${minhashCandCtes(shingleTok)},
+ns AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+ix AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g GROUP BY 1, 2)
+SELECT ix.doc_a, ix.doc_b, CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) AS jaccard FROM ix JOIN ns na ON ix.doc_a = na.doc_id JOIN ns nb ON ix.doc_b = nb.doc_id WHERE CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
   }
 
   val all: Map[String, String] = Map(
@@ -2457,6 +2503,8 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.ba
     "ql51_winnowing" -> ql51Sql,
     // ql52: simhash votes/signature/bands replayed per token occurrence
     "ql52_simhash_candidates" -> ql52Sql,
+    // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
+    "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id
     // tiebreak, thirds cut by integer arithmetic
     "ql47_percentile_buckets" ->

@@ -322,12 +322,34 @@ object Dedup {
 
   /** N-gram Jaccard near-dup: MinHash-LSH candidates re-scored with exact
     * word-shingle Jaccard — candidates by banding, exactness by re-check;
-    * the scale-safe shape (no cross join).
+    * the scale-safe shape (no cross join). The banding knobs pass through
+    * to [[minHashLshCandidates]] (the RESULT depends on them: a true
+    * high-Jaccard pair the banding never collides is absent — the
+    * documented LSH recall trade, so Q-L53's oracle replays the identical
+    * candidate set via `hashedTokenIds`).
+    *
+    * The signature is computed over the document's SHINGLE-id stream, not
+    * its tokens: banding must estimate the same n-gram similarity the
+    * re-score measures, or candidate volume decouples from output volume.
+    * Measured on the templated sf0.1 corpus: token-set banding produced
+    * 1.5M candidate pairs that reduced to 25 trigram-similar survivors —
+    * a 28 s pair-rescore join; shingle banding keeps candidates ∝ true
+    * near-dups. Shingles ride everywhere as md5-derived 8-byte ids (the
+    * tokenIds64 argument: a 2^-60-scale collision could only merge two
+    * shingles — strictly rarer than the LSH approximation itself).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("sh"))
-    val cands = minHashLshCandidates(df, idCol, textCol)
+                        n: Int = 3, threshold: Double = 0.8,
+                        numHashes: Int = 64, bands: Int = 8,
+                        hashedTokenIds: Boolean = false): DataFrame = {
+    val shingleIds = tokenIds64(wordNgrams(col(textCol), n))
+    val shingled = df.select(col(idCol).as("id"), shingleIds.as("sh"))
+    // shingle ids as a space-joined pseudo-text so the banding machinery
+    // (and its oracle replay) applies verbatim at shingle granularity
+    val pseudo = df.select(col(idCol),
+      array_join(transform(shingleIds, i => i.cast("string")), " ").as(textCol))
+    val cands = minHashLshCandidates(pseudo, idCol, textCol, numHashes, bands,
+      hashedTokenIds = hashedTokenIds)
     cands
       .join(shingled.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(shingled.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -84,8 +84,10 @@ object ScaleBench {
     // round-10 rows: ql51 is a fused scan-riding sketch (must stay ~flat);
     // ql52's banded self-join carries the corpus's duplicate structure —
     // candidate volume, not runtime, is the scale story (BASELINE.md
-    // band-width A/B)
-    "ql51_winnowing", "ql52_simhash_candidates")
+    // band-width A/B); ql53's shingle-level banding must keep candidates
+    // ∝ true near-dups as the corpus grows (the token-banded form it
+    // replaced measured 28 s at 1× — BASELINE.md)
+    "ql51_winnowing", "ql52_simhash_candidates", "ql53_ngram_jaccard")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
