@@ -1329,15 +1329,20 @@ object Queries {
   /** Q-L53 — n-gram Jaccard near-dup pairs
     * ([[graft.llm.Dedup.ngramJaccardPairs]]): the production LSH →
     * exact-rescore pipeline in one operator — banded MinHash candidates
-    * (ql6's hashed-token-id configuration, so the oracle replays the
-    * EXACT candidate set) re-scored with word-trigram Jaccard and
-    * thresholded. Complements ql6 (candidates alone) and ql16 (exact
-    * inverted-index join without the LSH cut).
+    * at SHINGLE granularity, re-scored with word-trigram Jaccard and
+    * thresholded. Banding is MATCHED to the threshold: 16 bands × 4 rows
+    * puts the S-curve knee at (1/16)^(1/4) = 0.5, the rescore cut — a
+    * review probe showed the ql6-style 4 × 16 banding (knee ≈ 0.92)
+    * finds 0% of true pairs at j ≈ 0.5–0.65, silently hollowing out the
+    * declared "jaccard ≥ 0.5" semantics. The oracle replays the EXACT
+    * candidate set (hashed shingle ids, same band width). Complements
+    * ql6 (candidates alone) and ql16 (exact inverted-index join without
+    * the LSH cut).
     */
   val qlNgramJaccard: Q = (s, dir) =>
     ordered(graft.llm.Dedup.ngramJaccardPairs(
       t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text",
-      n = 3, threshold = 0.5, numHashes = 64, bands = 4, hashedTokenIds = true))
+      n = 3, threshold = 0.5, numHashes = 64, bands = 16, hashedTokenIds = true))
 
   /** Q-L48 — C4 quality battery ([[graft.llm.TextAnalysis.c4CleanLines]]
     * + [[c4DocFlags]]): organic docs (word soup — no terminal
@@ -2220,11 +2225,14 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bd a JOIN bd b ON a.j 
     * 4 × 16-slot bands → `cand(doc_a, doc_b)` distinct collision pairs,
     * matching the engine's (numHashes = 64, bands = 4, hashedTokenIds)
     * configuration exactly. `tokCte` supplies the `tok(doc_id, tk)` CTE —
-    * ql6 bands over document tokens, ql53 over shingle-id strings.
+    * ql6 bands over document tokens, ql53 over shingle-id strings — and
+    * `rowsPerBand` the band width r (bands = 64/r): ql6 uses r = 16
+    * (knee ≈ 0.92, tight near-dup candidates), ql53 r = 4 (knee ≈ 0.5,
+    * matched to its 0.5 rescore threshold).
     */
   private def minhashCandCtes(
-      tokCte: String = "tok AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tk FROM documents)")
-      : String = {
+      tokCte: String = "tok AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tk FROM documents)",
+      rowsPerBand: Int = 16): String = {
     val seedVals = (0 until 64).map { i =>
       val s = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)
       s"($i, ${java.lang.Long.toUnsignedString(s)}::HUGEINT)"
@@ -2257,7 +2265,7 @@ c9 AS (SELECT doc_id, i, $a4 AS a4 FROM c8),
 ca AS (SELECT doc_id, i, $uh AS uh FROM c9),
 hv AS (SELECT doc_id, i, CASE WHEN uh >= 9223372036854775808 THEN uh - $M64 ELSE uh END AS h FROM ca),
 mh AS (SELECT doc_id, i, MIN(h) AS m FROM hv GROUP BY 1, 2),
-bs AS (SELECT doc_id, i // 16 AS band, list(m ORDER BY i) AS bsig FROM mh GROUP BY 1, 2),
+bs AS (SELECT doc_id, i // $rowsPerBand AS band, list(m ORDER BY i) AS bsig FROM mh GROUP BY 1, 2),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
   }
 
@@ -2279,7 +2287,7 @@ SELECT doc_a, doc_b FROM cand ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
       "CAST(CAST(concat('0x', substr(md5(g),1,15)) AS UBIGINT) AS VARCHAR) AS tk FROM sh)"
     s"""WITH t2 AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
 sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END) AS g FROM t2),
-${minhashCandCtes(shingleTok)},
+${minhashCandCtes(shingleTok, rowsPerBand = 4)},
 ns AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 ix AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g GROUP BY 1, 2)
 SELECT ix.doc_a, ix.doc_b, CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) AS jaccard FROM ix JOIN ns na ON ix.doc_a = na.doc_id JOIN ns nb ON ix.doc_b = nb.doc_id WHERE CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""

@@ -121,7 +121,11 @@ object PlanAudit {
       "Exchange is the harness ORDER BY)"),
     "ql52_simhash_candidates" -> ("one-hash-per-token fused simhash_bits projection " +
       "riding the scan; 4-band explode to narrow (id, band, bh) rows, band equi-self-join " +
-      "-- never all-pairs; only narrow pair rows reach any Exchange")
+      "-- never all-pairs; only narrow pair rows reach any Exchange"),
+    "ql53_ngram_jaccard" -> ("shingle-id minhash signatures (banding at the SAME " +
+      "granularity the rescore measures), band equi-self-join to narrow candidate pairs, " +
+      "then the exact-Jaccard rescore joins shingle-ID arrays (8-byte ids, never shingle " +
+      "strings) onto candidates only -- candidate volume tracks output volume by design")
   )
 
   def main(args: Array[String]): Unit = {
