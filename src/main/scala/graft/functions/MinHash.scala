@@ -7,6 +7,62 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
+/** Fused md5-derived 60-bit token ids: element j = the first 15 hex
+  * nibbles of md5(token_j) as an unsigned long — bit-identical to the HOF
+  * form `transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10)
+  * .cast(long))` (`Dedup.tokenIds64Hof`, the bit-exactness spec), but one
+  * digest + an 8-byte big-endian read per token instead of five
+  * interpreted expression dispatches plus a hex round-trip (digest →
+  * 32-char hex string → substring → string-parse). Null tokens map to
+  * null ids (md5-of-null parity).
+  */
+case class Md5TokenIds64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "md5_token_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"md5_token_ids expects ARRAY<STRING>, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    route(input.asInstanceOf[ArrayData])
+
+  def route(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 15 hex nibbles = big-endian first 8 bytes >>> 4
+        val top =
+          ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        out(i) = top >>> 4
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("mid", this, classOf[Md5TokenIds64].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.route($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused MinHash signature: entry i = min over tokens of xxhash64(i, token).
   *
   * Bit-identical to the HOF form
@@ -311,6 +367,10 @@ object MinHash {
   /** Column face for the fused SimHash. */
   def simHashBits(tokens: Column): Column =
     Bridge.column(SimHashBits64(Bridge.expression(tokens)))
+
+  /** Column face for the fused md5-derived 60-bit token ids. */
+  def md5TokenIds64(tokens: Column): Column =
+    Bridge.column(Md5TokenIds64(Bridge.expression(tokens)))
 
   /** Per-slot seed prefixes (`xxhash64(i, t)` = hash of t from seed
     * `hashInt(i, 42)`), shared by [[MinHashSignature]], the mergeable

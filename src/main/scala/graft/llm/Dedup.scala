@@ -70,6 +70,12 @@ object Dedup {
     * one 8-byte block.
     */
   def tokenIds64(tokensCol: Column): Column =
+    graft.functions.MinHash.md5TokenIds64(tokensCol)
+
+  /** Reference HOF form (interpreted digest→hex→substring→parse per
+    * token; kept for the bit-exactness spec).
+    */
+  def tokenIds64Hof(tokensCol: Column): Column =
     transform(tokensCol,
       t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
 

@@ -106,6 +106,22 @@ class MinHashSpec extends SparkSpec {
     assert(e.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("fused md5 token ids are bit-exact vs the HOF reference (incl. null tokens)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
+      .select(Dedup.tokens(col("text")).as("toks"))
+    val both = docs.select(
+      Dedup.tokenIds64(col("toks")).as("native"),
+      Dedup.tokenIds64Hof(col("toks")).as("hof"))
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
+    // null tokens map to null ids on both forms
+    import spark.implicits._
+    val withNull = Seq(Tuple1(Seq("a", null, "b"))).toDF("toks")
+    val r = withNull.select(Dedup.tokenIds64(col("toks")).as("native"),
+      Dedup.tokenIds64Hof(col("toks")).as("hof")).head()
+    assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    assert(r.getSeq[Any](0)(1) == null)
+  }
+
   test("native SimHash bits are bit-exact vs the HOF reference on real docs") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
       .select(Dedup.tokens(col("text")).as("toks"))
