@@ -1389,14 +1389,19 @@ object Queries {
   }
 
   /** Q-L50 — the end-to-end pre-training pipeline
-    * ([[graft.llm.Pipelines.pretrainCorpus]]) as a ROWS-ONLY registry
-    * entry (qx6 precedent): the MinHash dedup stage hashes string tokens
-    * (no closed-form DuckDB replay — the ql6 technique needs hashed
-    * token ids), so the driver records the weaker rows check while every
-    * COMPONENT keeps its own hash oracle (ql24/ql37/ql45/ql46/ql47/ql6
-    * family) and the composition is spec-pinned (`PipelinesSpec`).
-    * Organic word-soup docs are correctly gated out (no sentences);
-    * synthetic sentence-shaped docs ride along so survivors exist.
+    * ([[graft.llm.Pipelines.pretrainCorpus]]) with a FULL hash oracle:
+    * `hashedTokenIds = true` runs the MinHash dedup stage on md5-derived
+    * 60-bit token ids ([[graft.llm.Dedup.tokenIds64]] — the exact
+    * technique that promoted ql6 in round 7), so every stage of the
+    * flagship composition is closed-form replayable in DuckDB:
+    * normalize (ql24) → gopher quality + C4 page gates (ql37/ql48) →
+    * repetition gate (ql45) → C4 line clean (ql48) → PII redact (ql46)
+    * → quality score (ql8) → banded MinHash candidates at r=8 with the
+    * est-jaccard ≥ 0.7 cut (ql6 chain) → connected components
+    * (recursive CTE) → keep-best → per-language percentile buckets
+    * (ql47). Organic word-soup docs are correctly gated out (no
+    * sentences); synthetic sentence-shaped docs ride along so survivors
+    * exist.
     */
   val qlPretrainPipeline: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
@@ -1410,7 +1415,8 @@ object Queries {
     val synth = s.range(1, 31).select(
       (-i).as("doc_id"), text.as("text"),
       when(i % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
-    val out = graft.llm.Pipelines.pretrainCorpus(docs.unionByName(synth))
+    val out = graft.llm.Pipelines.pretrainCorpus(docs.unionByName(synth),
+      hashedTokenIds = true)
     ordered(out.select(col("doc_id"), col("lang"), col("score"),
       col("bucket"), col("n_tokens")))
   }
@@ -2293,7 +2299,68 @@ ix AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN sh a ON a.doc
 SELECT ix.doc_a, ix.doc_b, CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) AS jaccard FROM ix JOIN ns na ON ix.doc_a = na.doc_id JOIN ns nb ON ix.doc_b = nb.doc_id WHERE CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
   }
 
+  /** Q-L50 oracle: the WHOLE `pretrainCorpus` composition replayed stage
+    * by stage in DuckDB — each stage is the already-proven component
+    * oracle retargeted at the previous stage's CTE instead of the raw
+    * table: normalize (ql24) → gopher quality + C4 page gates
+    * (ql37/ql48) → Gopher repetition gate (ql45) → C4 line clean (ql48)
+    * → PII redact (ql46) → quality score (ql8) → banded MinHash
+    * candidates over md5 token ids at r = 8 with the est-jaccard ≥ 0.7
+    * cut (the ql6 chain, agreement counted per slot) → connected
+    * components (recursive CTE — the pointer-jumping fixpoint's exact
+    * semantics at oracle scale) → keep-best survivor (max score, ties →
+    * min id) → per-language exact percentile buckets (ql47's integer
+    * arithmetic on rank·3 vs n). The engine runs `hashedTokenIds = true`
+    * so the signature basis is the closed-form 60-bit md5 id on both
+    * sides.
+    */
+  private val ql50SynthText: String = (1 to 5).map { sIdx =>
+    (1 to 12).map(j => s"' s${sIdx}w${j}x' || i").mkString(" || ") + " || '.'"
+  }.mkString(" || ")
+
+  private def ql50Sql: String = {
+    // c4CleanLines(minWords = 5) of a text column expression
+    def cleanedOf(tc: String): String =
+      s"""COALESCE(array_to_string(list_filter(list_filter(list_transform(string_split($tc, chr(10)), x -> trim(x)), x -> x <> ''), l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"')) AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5 AND NOT contains(lower(l), 'javascript')), chr(10)), '')"""
+    raw"""WITH RECURSIVE docs0 AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT -i AS doc_id, $ql50SynthText AS text, CASE WHEN i % 2 = 0 THEN 'en' ELSE 'de' END AS lang FROM generate_series(1, 30) AS g(i)),
+nrm AS (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS text FROM docs0),
+g1 AS (SELECT doc_id, lang, text, list_filter(string_split(text, ' '), x -> x <> '') AS tks, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lns, ${cleanedOf("text")} AS cleaned FROM nrm),
+gate AS (SELECT doc_id, lang, text, cleaned FROM g1 WHERE len(tks) >= 50 AND len(tks) <= 100000 AND len(tks) > 0 AND list_sum(list_transform(tks, x -> len(x))) >= 3*len(tks) AND list_sum(list_transform(tks, x -> len(x))) <= 10*len(tks) AND ((len(text) - len(replace(text,'#',''))) + (len(replace(text,'…','...')) - len(replace(replace(text,'…','...'),'...','')))//3) * 10 < len(tks) AND len(list_filter(lns, x -> x[1:2] = '- ' OR x[1:2] = '* ' OR x[1:1] = '•')) * 10 <= len(lns) * 9 AND len(list_filter(lns, x -> ends_with(x, '...') OR ends_with(x, '…'))) * 10 <= len(lns) * 3 AND len(list_filter(tks, x -> regexp_matches(x, '\p{L}'))) * 5 >= len(tks) * 4 AND (LENGTH(cleaned) - LENGTH(translate(cleaned, '.!?', ''))) >= 3 AND NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')),
+rd AS (SELECT doc_id, text, len(text) AS text_chars, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM gate),
+lraw AS (SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS item FROM rd),
+lc AS (SELECT doc_id, md5(item) AS k, COUNT(*) AS c, MAX(len(item)) AS l FROM lraw GROUP BY 1, 2),
+lst AS (SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dup_lines, SUM((c - 1) * l) AS dup_lines_chars FROM lc GROUP BY 1),
+praw AS (SELECT doc_id, unnest(list_filter(list_transform(string_split_regex(text, '\n\n+'), x -> trim(x)), x -> x <> '')) AS item FROM rd),
+pc AS (SELECT doc_id, md5(item) AS k, COUNT(*) AS c, MAX(len(item)) AS l FROM praw GROUP BY 1, 2),
+pst AS (SELECT doc_id, SUM(c) AS n_paras, SUM(c - 1) AS dup_paras, SUM((c - 1) * l) AS dup_paras_chars FROM pc GROUP BY 1),
+nn AS (SELECT doc_id, toks, unnest([2,3,4,5,6,7,8,9,10]) AS n FROM rd),
+graw AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(toks) - n + 1), i -> array_to_string(toks[i:i+n-1], ' '))) AS gram FROM nn WHERE len(toks) >= n),
+gc AS (SELECT doc_id, n, md5(gram) AS k, COUNT(*) AS c, MAX(len(gram)) AS l FROM graw GROUP BY 1, 2, 3),
+gn AS (SELECT doc_id, n, MAX(l * c) AS top_chars, SUM(CASE WHEN c >= 2 THEN l * c ELSE 0 END) AS dup_chars FROM gc GROUP BY 1, 2),
+gp AS (SELECT doc_id, MAX(CASE WHEN n = 2 THEN top_chars END) AS top2, MAX(CASE WHEN n = 3 THEN top_chars END) AS top3, MAX(CASE WHEN n = 4 THEN top_chars END) AS top4, MAX(CASE WHEN n = 5 THEN dup_chars END) AS dup5, MAX(CASE WHEN n = 6 THEN dup_chars END) AS dup6, MAX(CASE WHEN n = 7 THEN dup_chars END) AS dup7, MAX(CASE WHEN n = 8 THEN dup_chars END) AS dup8, MAX(CASE WHEN n = 9 THEN dup_chars END) AS dup9, MAX(CASE WHEN n = 10 THEN dup_chars END) AS dup10 FROM gn GROUP BY 1),
+repok AS (SELECT rd.doc_id FROM rd LEFT JOIN lst ON rd.doc_id = lst.doc_id LEFT JOIN pst ON rd.doc_id = pst.doc_id LEFT JOIN gp ON rd.doc_id = gp.doc_id WHERE COALESCE(dup_lines, 0) * 10 <= COALESCE(n_lines, 0) * 3 AND COALESCE(dup_paras, 0) * 10 <= COALESCE(n_paras, 0) * 3 AND COALESCE(dup_lines_chars, 0) * 5 <= text_chars AND COALESCE(dup_paras_chars, 0) * 5 <= text_chars AND COALESCE(top2, 0) * 5 <= text_chars AND COALESCE(top3, 0) * 50 <= text_chars * 9 AND COALESCE(top4, 0) * 25 <= text_chars * 4 AND COALESCE(dup5, 0) * 20 <= text_chars * 3 AND COALESCE(dup6, 0) * 50 <= text_chars * 7 AND COALESCE(dup7, 0) * 100 <= text_chars * 13 AND COALESCE(dup8, 0) * 25 <= text_chars * 3 AND COALESCE(dup9, 0) * 100 <= text_chars * 11 AND COALESCE(dup10, 0) * 10 <= text_chars),
+lined AS (SELECT g.doc_id, g.lang, g.cleaned AS text FROM gate g JOIN repok r ON g.doc_id = r.doc_id),
+s1 AS (SELECT doc_id, lang, regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS t1 FROM lined),
+s2 AS (SELECT doc_id, lang, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, lang, regexp_replace(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g') AS t3 FROM s2),
+red AS (SELECT doc_id, lang, regexp_replace(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS text FROM s3),
+scored AS (SELECT doc_id, lang, text, ROUND((CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 WHEN ntok >= 3 THEN 0.5 ELSE 0.0 END)*0.4 + (CASE WHEN len > 0 THEN alpha/len ELSE 0.0 END)*0.3 + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.3 END)*0.3, 4) AS score FROM (SELECT doc_id, lang, text, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS ntok, CAST(LENGTH(text) AS DOUBLE) AS len, CAST(LENGTH(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) AS alpha, CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0 THEN (CAST(LENGTH(text) AS DOUBLE) - (len(list_filter(string_split(text,' '), x -> x <> '')) - 1)) / len(list_filter(string_split(text,' '), x -> x <> '')) ELSE 0.0 END AS mwl FROM red)),
+${minhashCandCtes("tok AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk FROM red)", rowsPerBand = 8)},
+ests AS (SELECT c.doc_a, c.doc_b, SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS agr FROM cand c JOIN mh x ON x.doc_id = c.doc_a JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i GROUP BY 1, 2),
+prs AS (SELECT doc_a, doc_b FROM ests WHERE CAST(agr AS DOUBLE) / 64 >= 0.7),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION ALL SELECT doc_b, doc_a FROM prs),
+rch AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM rch r JOIN edges e ON r.b = e.a),
+cls AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM rch GROUP BY 1),
+wc AS (SELECT s.doc_id, s.lang, s.text, s.score, COALESCE(c.cluster, s.doc_id) AS cl FROM scored s LEFT JOIN cls c ON s.doc_id = c.id),
+mx AS (SELECT cl, MAX(score) AS ms FROM wc GROUP BY 1),
+kp AS (SELECT wc.cl, MIN(wc.doc_id) AS keepid FROM wc JOIN mx ON wc.cl = mx.cl AND wc.score IS NOT DISTINCT FROM mx.ms GROUP BY 1),
+sv AS (SELECT wc.doc_id, wc.lang, wc.text, wc.score FROM wc JOIN kp ON wc.cl = kp.cl AND wc.doc_id = kp.keepid),
+rk AS (SELECT doc_id, lang, text, score, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY -score ASC NULLS LAST, doc_id ASC) AS BIGINT) AS rig, CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS ng FROM sv)
+SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= ng * 2 THEN 'middle' ELSE 'tail' END AS bucket, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM rk ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST"""
+  }
+
   val all: Map[String, String] = Map(
+    "ql50_pretrain_pipeline" -> ql50Sql,
     "ql6_minhash_candidates" -> ql6Sql,
     "qp1_transform" ->
       s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS DOUBLE) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",

@@ -276,29 +276,39 @@ object Dedup {
     * block); signatures from different tokenizations never compare, same
     * contract as BandIndex's parameter pinning.
     *
-    * Scale boundary, stated plainly (the [[Sampling.percentileBuckets]]
+    * Scale boundary, now self-defending (the [[Similarity.autoPlanes]]
     * discipline): a b-bit band key collides RANDOMLY at rate 2^-b per
     * band, so expected noise pairs ≈ bands · n²/2^(b+1) — quadratic in
-    * corpus size once n approaches 2^b. The 16-bit default is a
-    * moderate-corpus tool (n ≲ 10⁵); at larger n drop `bands` (2 × 32-bit
-    * ≈ Hamming ≤ 1, noise-free to n ≈ 10⁹) accepting the tighter distance
-    * guarantee, or prefer [[minHashLshCandidates]] — its band key is a
-    * 16-slot signature slice whose collisions are driven by actual
-    * Jaccard similarity, not key width, which is why it is this library's
-    * primary near-dup path.
+    * corpus size once n approaches 2^b, which made the old fixed 4 × 16
+    * default a moderate-corpus tool (n ≲ 10⁵) that silently degraded
+    * beyond it. The DEFAULT now derives `bands` from the corpus size via
+    * [[autoBands]] (`bands = 0` sentinel; one metadata-cheap `count()`
+    * unless the caller passes `corpusSize`), widening the band key as n
+    * grows — 8 × 8-bit on tiny corpora, 4 × 16 to n ≈ 32k, 2 × 32-bit
+    * (≈ Hamming ≤ 1, noise-free to n ≈ 10⁹) beyond — so noise pairs per
+    * doc stay O(1) at any n. The manual knob remains for callers pinning
+    * a specific S-curve (e.g. an oracle replay). Past n ≈ 4·10⁹ even
+    * 2 × 32 accumulates noise; there prefer [[minHashLshCandidates]] —
+    * its band key is a 16-slot signature slice whose collisions are
+    * driven by actual Jaccard similarity, not key width, which is why it
+    * is this library's primary near-dup path.
     */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         tokensOf: Column => Column = tokens,
-                        bands: Int = 4): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
+                        bands: Int = 0,
+                        corpusSize: Option[Long] = None): DataFrame = {
+    val b0 =
+      if (bands == 0) autoBands(math.max(corpusSize.getOrElse(df.count()), 1L))
+      else bands
+    require(b0 > 0 && 64 % b0 == 0, s"bands must divide 64, got $b0")
+    val width = 64 / b0
     val withBits = df
       .select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("bits", simHashBits(col("toks")))
     val banded = withBits.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      posexplode(transform(sequence(lit(0), lit(b0 - 1)),
         b => xxhash64(slice(col("bits"), b * width + 1, lit(width))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val a = banded.as("a")
@@ -307,6 +317,27 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** SimHash `bands` sized for the corpus (the [[Similarity.autoPlanes]]
+    * sibling): the LARGEST band count (= widest Hamming tolerance) whose
+    * RANDOM band-key collisions stay ≤ `targetNoisePerDoc` expected
+    * pairs per doc — bands · n / 2^(64/bands + 1) ≤ target, checked in
+    * exact integer arithmetic (no floating logs: a 1-ulp wobble at a
+    * power-of-two corpus size must not flip the derivation between
+    * machines). Derives 8 × 8-bit to n = 64·target, 4 × 16-bit to
+    * n = 32768·target, 2 × 32-bit beyond; floored at 2 bands (1 band =
+    * exact-signature equality, no tolerance — past the 2-band bound
+    * (n ≈ 4·10⁹) SimHash banding over a 64-bit signature is the wrong
+    * tool; use [[minHashLshCandidates]]).
+    */
+  def autoBands(corpusSize: Long, targetNoisePerDoc: Long = 1L): Int = {
+    require(corpusSize > 0 && targetNoisePerDoc > 0, "need positive sizes")
+    Seq(8, 4, 2).find { b =>
+      val w = 64 / b
+      // bands·n ≤ target·2^(w+1); w+1 ≤ 33 so the shift fits a Long
+      corpusSize <= (targetNoisePerDoc << (w + 1)) / b
+    }.getOrElse(2)
   }
 
   /** Character n-gram (shingle) set of a text column. Guarded for short

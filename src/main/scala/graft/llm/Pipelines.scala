@@ -43,13 +43,23 @@ object Pipelines {
     * per-language sort boundary is documented on
     * [[Sampling.percentileBuckets]] with the approx form as the
     * full-crawl alternative).
+    *
+    * `hashedTokenIds` switches the MinHash stage onto md5-derived 60-bit
+    * token ids ([[Dedup.tokenIds64]]) instead of raw token strings —
+    * identical dedup semantics (a 2^-60 collision only ever MERGES two
+    * tokens) on the closed-form hash basis that makes the whole pipeline
+    * replayable by an external SQL oracle (the Q-L6 technique, applied
+    * here so Q-L50 hash-checks end to end), and cheaper at scale: each
+    * of the 64 slot hashes drops from multi-block string hashing to one
+    * 8-byte block.
     */
   def pretrainCorpus(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", langCol: String = "lang",
                      useC4Lines: Boolean = true,
                      minJaccard: Double = 0.7,
                      dropTail: Boolean = false,
-                     materialize: Boolean = true): DataFrame = {
+                     materialize: Boolean = true,
+                     hashedTokenIds: Boolean = false): DataFrame = {
     // 1. normalize. The C4 LINE rules apply to survivors AFTER the page
     // gates — the gates must see the RAW page (a brace or "lorem ipsum"
     // on a line the line rules would drop still condemns the page, per
@@ -93,7 +103,7 @@ object Pipelines {
 
     // 4. fuzzy dedup, keep the best-scored copy
     val pairs = Dedup.minHashLshCandidates(scrubbed, idCol, textCol,
-      minJaccard = minJaccard)
+      minJaccard = minJaccard, hashedTokenIds = hashedTokenIds)
     val deduped = Dedup.dedupKeepBest(scrubbed, idCol, pairs, "score")
 
     // 5. per-language buckets. percentileBuckets is ascending (CCNet's

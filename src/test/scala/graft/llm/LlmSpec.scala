@@ -251,6 +251,36 @@ class LlmSpec extends SparkSpec {
       .contains(Seq(1L, 2L)))
   }
 
+  test("simhash auto-banding keeps random band collisions O(1) per doc as the corpus grows") {
+    // derivation pins: thresholds are exact integer arithmetic
+    assert(Dedup.autoBands(1) == 8 && Dedup.autoBands(64) == 8)
+    assert(Dedup.autoBands(65) == 4 && Dedup.autoBands(32768) == 4)
+    assert(Dedup.autoBands(32769) == 2 && Dedup.autoBands(1L << 40) == 2)
+    // the driver corpora both derive the 4 x 16 banding the ql52 oracle
+    // replays — the registry row runs the DEFAULT and stays hash-green
+    assert(Dedup.autoBands(500) == 4 && Dedup.autoBands(5000) == 4)
+    // the noise bound itself: for every derived b, bands·n ≤ 2^(w+1) ⇒
+    // expected random pairs/doc ≤ 1 — up to the documented 2-band floor
+    for (n <- Seq(1L, 10L, 1000L, 100000L, 10000000L, 1L << 31)) {
+      val b = Dedup.autoBands(n)
+      assert(b * n <= (1L << (64 / b + 1)), s"noise bound violated at n=$n (bands=$b)")
+    }
+    // empirical: token-disjoint random corpora straddling the first
+    // threshold (auto = 8 bands at n=60, 4 bands at n=600). With no true
+    // near-dups every candidate is band-key noise; the derived widths
+    // keep it O(1)/doc at BOTH sizes where a fixed 8-band setting would
+    // grow it 10x (0.9 → 9 expected pairs/doc at an 8-bit key)
+    val rnd = new scala.util.Random(7)
+    def corpus(n: Int) = (1 to n).map(i =>
+      (i.toLong, (1 to 30).map(_ => rnd.alphanumeric.take(10).mkString).mkString(" ")))
+      .toDF("doc_id", "text")
+    for (n <- Seq(60, 600)) {
+      val pairs = Dedup.simHashCandidates(corpus(n), "doc_id", "text").count()
+      assert(pairs.toDouble / n <= 3.0,
+        s"auto-banded noise pairs/doc ${pairs.toDouble / n} at n=$n exceeds the O(1) bound")
+    }
+  }
+
   test("jaccardSimilarityJoin equals the all-pairs array-intersect reference") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(100)
     val joined = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
