@@ -41,7 +41,9 @@ object Bench {
     "ql50_pretrain_pipeline",
     // round-10 additions
     "ql47b_percentile_buckets_approx", "ql51_winnowing",
-    "ql52_simhash_candidates", "ql53_ngram_jaccard"
+    "ql52_simhash_candidates", "ql53_ngram_jaccard",
+    // round-11 additions
+    "ql44b_domain_stats_psl", "qt5_first_seen"
   )
 
   def main(args: Array[String]): Unit = {

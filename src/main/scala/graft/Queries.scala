@@ -902,6 +902,22 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-T5 — stateful streaming dedup, batch-parity form
+    * ([[graft.streaming.Stateful.firstSeenBatch]]): the first event per
+    * (user_id, event_type) under the explicit (ts_ns, event_id) total
+    * order — what `Stateful.firstSeen` emits when the stream arrives in
+    * that order (parity spec-pinned in `StatefulSpec`). One struct-min
+    * hash agg (map-side combinable), not a corpus-wide row_number
+    * window; `ts_ns` keeps the comparison exact across both physical
+    * event-time encodings (`Tables.loadEvents`).
+    */
+  val qt5FirstSeen: Q = (s, dir) =>
+    ordered(graft.streaming.Stateful.firstSeenBatch(
+      t(s, dir, "events"),
+      keyCols = Seq("user_id", "event_type"),
+      orderCols = Seq("ts_ns", "event_id"),
+      payloadCols = Seq("value")))
+
   // ------------------------------------------- LLM / training-data ops
 
   /** Q-L1 — exact dedup then distribution by (lang, source). */
@@ -1342,7 +1358,7 @@ object Queries {
   val qlNgramJaccard: Q = (s, dir) =>
     ordered(graft.llm.Dedup.ngramJaccardPairs(
       t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text",
-      n = 3, threshold = 0.5, numHashes = 64, bands = 16, hashedTokenIds = true))
+      n = 3, threshold = 0.5, numHashes = 64, bands = 16))
 
   /** Q-L48 — C4 quality battery ([[graft.llm.TextAnalysis.c4CleanLines]]
     * + [[c4DocFlags]]): organic docs (word soup — no terminal
@@ -1554,6 +1570,36 @@ object Queries {
     val blocklist = Seq("example0.com", "site2.org", "never.seen").toDF("domain")
     val kept = graft.llm.TextAnalysis.filterByDomainBlocklist(docs, "url", blocklist)
     ordered(graft.llm.TextAnalysis.domainStats(kept, "url", "text"))
+  }
+
+  /** Q-L44B — PSL-correct per-domain stats
+    * ([[graft.llm.TextAnalysis.domainStatsPsl]] over
+    * [[graft.llm.TextAnalysis.registrableDomain]]): the synthesized URLs
+    * hit every branch of the Public-Suffix-List matcher that the ql44
+    * last-two-labels heuristic gets WRONG — co.uk/com.au exact
+    * multi-label suffixes, the `*.ck` wildcard, the `!city.kobe.jp`
+    * exception, an unknown TLD falling to the implicit `*`, an IPv4
+    * literal and a non-URL (both → ''). The oracle replays the same
+    * longest-match walk in SQL against the SAME embedded rule subset
+    * (generated from `Psl.DefaultRuleLines`, so the two sides cannot
+    * drift).
+    */
+  val qlDomainStatsPsl: Q = (s, dir) => {
+    val id = col("doc_id")
+    val url = when(id % 7 === 0,
+        concat(lit("https://WWW.Shop"), (id % 3).cast("string"), lit(".co.uk/p?utm_source=z")))
+      .when(id % 7 === 1,
+        concat(lit("http://News"), (id % 3).cast("string"), lit(".com.au:80/x")))
+      .when(id % 7 === 2,
+        concat(lit("https://a"), (id % 2).cast("string"), lit(".b.ck/page")))
+      .when(id % 7 === 3, lit("http://deep.sub.city.kobe.jp/"))
+      .when(id % 7 === 4,
+        concat(lit("https://blog.foo"), (id % 2).cast("string"), lit(".example/post")))
+      .when(id % 7 === 5,
+        when(id % 2 === 0, lit("https://203.0.113.7/x")).otherwise(lit("http://co.uk/")))
+      .otherwise(concat(lit("not a url "), id.cast("string")))
+    val docs = t(s, dir, "documents").select(id, col("text")).withColumn("url", url)
+    ordered(graft.llm.TextAnalysis.domainStatsPsl(docs, "url", "text"))
   }
 
   /** Q-X11 equi-width histogram of l_extendedprice: 20 buckets over
@@ -2043,6 +2089,7 @@ object Queries {
     "ql42_semantic_dedup" -> qlSemanticDedup,
     "ql43_lm_score" -> qlLmScore,
     "ql44_domain_stats" -> qlDomainStats,
+    "ql44b_domain_stats_psl" -> qlDomainStatsPsl,
     "ql45_gopher_repetition" -> qlGopherRepetition,
     "ql46_pii_redact" -> qlPiiRedact,
     "ql47_percentile_buckets" -> qlPerplexityBuckets,
@@ -2060,6 +2107,7 @@ object Queries {
     "ql31_html_strip" -> qlHtmlStrip,
     "ql13_ngram_terms" -> qlNgramTerms,
     "qt4_interval_join" -> qt4IntervalJoin,
+    "qt5_first_seen" -> qt5FirstSeen,
     "qx1_asof_join" -> qx1AsofJoin,
     "qx9_asof_forward" -> qx9AsofForward,
     "qx2_cube" -> qx2Cube,
@@ -2280,8 +2328,8 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bs a JOIN bs 
 SELECT doc_a, doc_b FROM cand ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
 
   /** Q-L53 oracle: the banded-candidate replay at SHINGLE granularity
-    * (tok = decimal string of each distinct trigram's md5-60-bit id —
-    * byte-identical to the engine's `tokenIds64` pseudo-text), re-scored
+    * (v = each distinct trigram's md5-60-bit id, minhashed directly —
+    * byte-identical to the engine's single `tokenIds64` pass), re-scored
     * with exact word-trigram Jaccard (the ql16 convention: distinct
     * grams, inter/(na+nb−inter) as DOUBLE) and thresholded —
     * candidate-less or zero-intersection pairs fall out with the >=
@@ -2289,14 +2337,43 @@ SELECT doc_a, doc_b FROM cand ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
     * `uni === 0 → 0.0` guard.
     */
   private def ql53Sql: String = {
-    val shingleTok = "tok AS (SELECT DISTINCT doc_id, " +
-      "CAST(CAST(concat('0x', substr(md5(g),1,15)) AS UBIGINT) AS VARCHAR) AS tk FROM sh)"
+    // tok CTE name kept for the shared chain's shape: `tk` IS the shingle
+    // string, so the chain's t64 (md5-60-bit of tk) is exactly the
+    // engine's single tokenIds64 pass over the shingle array
+    val shingleTok = "tok AS (SELECT doc_id, g AS tk FROM sh)"
     s"""WITH t2 AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
 sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END) AS g FROM t2),
 ${minhashCandCtes(shingleTok, rowsPerBand = 4)},
 ns AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 ix AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g GROUP BY 1, 2)
 SELECT ix.doc_a, ix.doc_b, CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) AS jaccard FROM ix JOIN ns na ON ix.doc_a = na.doc_id JOIN ns nb ON ix.doc_b = nb.doc_id WHERE CAST(ix.inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - ix.inter AS DOUBLE) >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+  }
+
+  /** Q-L44B oracle: host extraction = the ql44 chain verbatim; then the
+    * PSL longest-match walk replayed relationally — label suffixes
+    * unnested per host, matched against three VALUES dims GENERATED from
+    * `Psl.DefaultRuleLines` (exact / wildcard-base / exception), the
+    * prevailing suffix length = exception first, else longest rule, else
+    * the implicit `*` (1) — and reduced to (domain, n_docs, n_tokens).
+    * IPv4 literals and public-suffix-only hosts yield '' exactly as the
+    * engine's matcher does.
+    */
+  private def ql44bSql: String = {
+    val all = graft.functions.Psl.DefaultRuleLines
+    def values(rs: Seq[String]) = rs.map(r => s"('$r')").mkString(", ")
+    val exacts = values(all.filter(r => !r.startsWith("!") && !r.startsWith("*.")))
+    val wilds = values(all.filter(_.startsWith("*.")).map(_.stripPrefix("*.")))
+    val excs = values(all.filter(_.startsWith("!")).map(_.stripPrefix("!")))
+    raw"""WITH exacts(r) AS (VALUES $exacts), wilds(r) AS (VALUES $wilds), excs(r) AS (VALUES $excs),
+d AS (SELECT doc_id, text, CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'https://WWW.Shop' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk/p?utm_source=z' WHEN 1 THEN 'http://News' || CAST(doc_id % 3 AS VARCHAR) || '.com.au:80/x' WHEN 2 THEN 'https://a' || CAST(doc_id % 2 AS VARCHAR) || '.b.ck/page' WHEN 3 THEN 'http://deep.sub.city.kobe.jp/' WHEN 4 THEN 'https://blog.foo' || CAST(doc_id % 2 AS VARCHAR) || '.example/post' WHEN 5 THEN (CASE WHEN doc_id % 2 = 0 THEN 'https://203.0.113.7/x' ELSE 'http://co.uk/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents),
+n AS (SELECT doc_id, text, regexp_replace(url, '#.*', '', 'g') AS nf FROM d),
+p AS (SELECT doc_id, text, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport FROM n),
+h AS (SELECT doc_id, text, regexp_replace(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '', 'g') ELSE hostport END, '\.+$$', '', 'g'), '^(www\.)+', '', 'g') AS host FROM p),
+hl AS (SELECT doc_id, text, host, string_split(host, '.') AS l, len(string_split(host, '.')) AS n FROM h),
+cs AS (SELECT doc_id, n, i, array_to_string(l[i:n], '.') AS s, CASE WHEN i < n THEN array_to_string(l[i+1:n], '.') ELSE NULL END AS sw FROM (SELECT doc_id, l, n, unnest(generate_series(1, n)) AS i FROM hl WHERE host <> '')),
+m AS (SELECT doc_id, MAX(CASE WHEN s IN (SELECT r FROM excs) THEN n - i END) AS el, MAX(CASE WHEN s IN (SELECT r FROM exacts) OR sw IN (SELECT r FROM wilds) THEN n - i + 1 END) AS rl FROM cs GROUP BY 1),
+dom AS (SELECT hl.doc_id, hl.text, CASE WHEN hl.host = '' THEN '' WHEN regexp_matches(hl.host, '^[0-9]+(\.[0-9]+){3}$$') THEN '' WHEN COALESCE(m.el, COALESCE(m.rl, 1)) >= hl.n THEN '' ELSE array_to_string(hl.l[hl.n - COALESCE(m.el, COALESCE(m.rl, 1)):hl.n], '.') END AS domain FROM hl LEFT JOIN m ON hl.doc_id = m.doc_id)
+SELECT domain, COUNT(*) AS n_docs, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens FROM dom GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
   }
 
   /** Q-L50 oracle: the WHOLE `pretrainCorpus` composition replayed stage
@@ -2572,6 +2649,8 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // ql46: staged per-class counts + the same four RE2 regex passes
     "ql46_pii_redact" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, 'reach user' || i || '@mail' || (i % 5) || '.example.org or visit https://u:p@host' || (i % 3) || '.net/a?x=1 node 10.' || (i % 256) || '.0.' || (i * 7 % 256) || ' bad 999.1.2.3 call ' || CASE CAST(i % 3 AS INT) WHEN 0 THEN '+1 555-' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') WHEN 1 THEN '(555) ' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') ELSE '555.' || lpad(CAST(i * 37 % 1000 AS VARCHAR), 3, '0') || '.' || lpad(CAST(i * 73 % 10000 AS VARCHAR), 4, '0') END AS text FROM generate_series(1, 20) AS g(i)), s1 AS (SELECT doc_id, regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS t1 FROM all_docs), s2 AS (SELECT doc_id, len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1), s3 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) AS n_ips, regexp_replace(t2, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g') AS t3 FROM s2) SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips, CAST(len(regexp_extract_all(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phones, regexp_replace(t3, '(\+1[-. ])?(\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted FROM s3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
+    // ql44b: PSL longest-match replay against the same generated rule dims
+    "ql44b_domain_stats_psl" -> ql44bSql,
     // ql47b: approx-percentile cuts replayed at exact rank (see ql47bSql)
     "ql47b_percentile_buckets_approx" -> ql47bSql,
     // ql51: winnowing sketch replayed via the one-block XXH64 chain
@@ -2659,6 +2738,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
       """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), u AS (SELECT unnest(generate_series(1, len(toks)-1)) AS i, toks FROM t WHERE len(toks) >= 2) SELECT toks[i] || ' ' || toks[i+1] AS ngram, COUNT(*) AS c FROM u GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 40""",
     "qt4_interval_join" ->
       """SELECT a.event_id, b.event_id AS next_id FROM events a JOIN events b ON a.user_id = b.user_id AND date_trunc('microseconds', b.ts) >= date_trunc('microseconds', a.ts) AND date_trunc('microseconds', b.ts) <= date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR AND a.event_id <> b.event_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // qt5: first occurrence per key at the explicit (ts, event_id)
+    // order — epoch_ns keeps parity with the loader's exact ts_ns on
+    // both physical event-time encodings
+    "qt5_first_seen" ->
+      """SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id, value FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     "qx1_asof_join" ->
       """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx9_asof_forward" ->

@@ -33,7 +33,7 @@ case class Md5TokenIds64(child: Expression) extends UnaryExpression {
   def route(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](n)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5TokenIds64.digest.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
@@ -61,6 +61,16 @@ case class Md5TokenIds64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object Md5TokenIds64 {
+  /** One MessageDigest per task thread: the expression object backing the
+    * codegen reference is shared across every row a thread evaluates, so a
+    * per-row `getInstance` would be pure allocation churn in the fused hot
+    * path; `reset()` in the row loop keeps reuse sound.
+    */
+  private[functions] val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** Fused MinHash signature: entry i = min over tokens of xxhash64(i, token).

@@ -117,8 +117,6 @@ object Dedup {
                            hashedTokenIds: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val banded = bandedSignatures(df, idCol, textCol, numHashes, bands, hashedTokenIds)
-    val a = banded.as("a")
-    val b = banded.as("b")
     // (1) score INSIDE the band join (fused agreement expression — 64
     //     comparisons per collision), THEN dedup: a pair colliding in k
     //     bands is scored k≤bands times cheaply, and the pair-dedup
@@ -132,11 +130,7 @@ object Dedup {
     // (2) default bands=8 → r=8: collision prob j^8 per band keeps the
     //     S-curve knee near j≈0.75 — candidates stay near-duplicates
     //     instead of exploding quadratically on small-vocabulary corpora.
-    val scored = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
+    val scored = candidatePairsFromBands(banded, numHashes)
     // no threshold → no filter: callers that prune est_jaccard then pay
     // nothing for scoring (an always-true filter would block column pruning)
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
@@ -149,20 +143,45 @@ object Dedup {
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
                                numHashes: Int, bands: Int,
                                hashedTokenIds: Boolean = false): DataFrame = {
-    val r = numHashes / bands
     // hashedTokenIds: minhash md5-derived 8-byte ids instead of the raw
     // strings — identical banding/scoring semantics on an
     // oracle-expressible hash basis (see [[tokenIds64]])
     val toks =
       if (hashedTokenIds) tokenIds64(tokens(col(textCol)))
       else tokens(col(textCol))
-    df.select(col(idCol).as("id"), toks.as("toks"))
+    bandedFromTokens(df.select(col(idCol).as("id"), toks.as("toks")),
+      numHashes, bands)
+  }
+
+  /** Banding tail over an already-projected `(id, toks)` frame: callers
+    * that hold the token basis (e.g. shingle ids) band it directly
+    * instead of round-tripping through a text column.
+    */
+  private def bandedFromTokens(projected: DataFrame,
+                               numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    projected
       .filter(size(col("toks")) > 0)
       .withColumn("mh", minHash(col("toks"), numHashes))
       .select(col("id"), col("mh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("mh"), b * lit(r) + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  /** Candidate-pair join over a banded-signature table: band-key
+    * collisions scored inside the join (see [[minHashLshCandidates]] for
+    * the why), deduped to one `(doc_a, doc_b, est_jaccard)` row per pair.
+    */
+  private def candidatePairsFromBands(banded: DataFrame,
+                                      numHashes: Int): DataFrame = {
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Persistable LSH band index — the INCREMENTAL entry to the near-dup
@@ -373,20 +392,22 @@ object Dedup {
     * a 28 s pair-rescore join; shingle banding keeps candidates ∝ true
     * near-dups. Shingles ride everywhere as md5-derived 8-byte ids (the
     * tokenIds64 argument: a 2^-60-scale collision could only merge two
-    * shingles — strictly rarer than the LSH approximation itself).
+    * shingles — strictly rarer than the LSH approximation itself), and
+    * the ids themselves ARE the minhash basis: the shingle pipeline
+    * (tokenize → n-grams → md5 ids) is projected ONCE and banded
+    * directly — no pseudo-text round trip, no second md5 pass — which is
+    * also what makes the candidate set closed-form replayable (the
+    * oracle minhashes `id60(shingle)` with the same XXH64 chain).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        numHashes: Int = 64, bands: Int = 8,
-                        hashedTokenIds: Boolean = false): DataFrame = {
+                        numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val shingleIds = tokenIds64(wordNgrams(col(textCol), n))
     val shingled = df.select(col(idCol).as("id"), shingleIds.as("sh"))
-    // shingle ids as a space-joined pseudo-text so the banding machinery
-    // (and its oracle replay) applies verbatim at shingle granularity
-    val pseudo = df.select(col(idCol),
-      array_join(transform(shingleIds, i => i.cast("string")), " ").as(textCol))
-    val cands = minHashLshCandidates(pseudo, idCol, textCol, numHashes, bands,
-      hashedTokenIds = hashedTokenIds)
+    val banded = bandedFromTokens(
+      shingled.select(col("id"), col("sh").as("toks")), numHashes, bands)
+    val cands = candidatePairsFromBands(banded, numHashes)
     cands
       .join(shingled.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(shingled.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -779,6 +779,120 @@ object Similarity {
                excludeSelf: Boolean = true): DataFrame =
       knnGraphSearch(queries, corpus, edges, topK, dim, queryIdCol, idCol,
         beam, hops, entryPlanes, corpusSize, excludeSelf)
+
+    /** INCREMENTAL graph maintenance — the batch-vs-index lifecycle
+      * (`Dedup.BandIndex.minHashLshCandidatesAgainst`'s union contract)
+      * for the graph artifact: a 100 TB graph built once must absorb an
+      * arriving batch without the O(n·buildK²·dim)-per-iteration rebuild.
+      * Cost is ∝ BATCH, not corpus: per refinement iteration the 2-hop
+      * expansion joins the batch-sized affected edge set against the
+      * corpus's NARROW n·k edge table (at fleet scale: keep `edges`
+      * bucketed by id and the expansion join co-locates), and embeddings
+      * enter only through equi-joins, scored in-join and dropped before
+      * the k-bounded ranking shuffle — the [[knnGraphDescent]] shape
+      * restricted to the nodes the batch can change.
+      *
+      * Three candidate seeds, all scored with exact cosine:
+      *  1. PLACEMENT — each new doc beam-searched against the existing
+      *     graph at the build degree (`buildK`): "where would this node
+      *     live" (the HNSW-style insert descent, relationally).
+      *  2. REVERSE placement — every placement edge flipped, so the old
+      *     nodes a new doc landed next to become candidates to ADOPT it
+      *     (without this, new docs are findable but never found FROM).
+      *  3. BATCH-INTERNAL — LSH-bucket pairs among the new docs alone
+      *     (a batch of near-identical crawl re-fetches must dedup
+      *     against itself, not just the old corpus; identical vectors
+      *     collide in every table — the planted-clone certainty).
+      * Old nodes untouched by any seed keep their edges verbatim; the
+      * affected set (new docs + reverse-placement targets) is refined by
+      * `refineIters` NN-Descent rounds reading the full union graph for
+      * 2-hop candidates, then re-cut to top-k.
+      *
+      * `corpus` is the ORIGINAL corpus this graph was built over (the
+      * graph artifact stores no embeddings); `newDocs` must carry ids
+      * disjoint from it and embeddings of the stored `dim`. Recall on
+      * the union is spec-pinned within tolerance of a from-scratch
+      * rebuild (`KnnGraphSpec`).
+      */
+    def insert(newDocs: DataFrame, corpus: DataFrame,
+               idCol: String = "vec_id",
+               refineIters: Int = 1, hops: Int = 2,
+               entryPlanes: Int = 0,
+               corpusSize: Option[Long] = None,
+               batchSize: Option[Long] = None): KnnGraph = {
+      require(refineIters >= 0, "need refineIters >= 0")
+      val newIds = newDocs.select(col(idCol).as("id"), col("embedding"))
+      val ids = corpus.select(col(idCol).as("id"), col("embedding"))
+        .unionByName(newIds)
+      // 1. placement: beam search the existing graph at the BUILD degree
+      val placed = knnGraphSearch(
+        newDocs.select(col(idCol).as("query_id"), col("embedding")),
+        corpus, edges, buildK, dim, "query_id", idCol,
+        beam = math.max(2 * buildK, 16), hops = hops,
+        entryPlanes = entryPlanes, corpusSize = corpusSize,
+        excludeSelf = false)
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("sim"))
+      // 2. reverse placement: candidate adoption edges for old nodes
+      val reversed = placed.select(col("b").as("a"), col("a").as("b"), col("sim"))
+      // 3. batch-internal: bucket pairs among the new docs (plane count
+      // sized to the BATCH — the union's plane count would overshatter a
+      // small batch into singleton buckets and starve seeds 3 of pairs)
+      val bPlanes =
+        if (entryPlanes > 0) entryPlanes
+        else autoPlanes(math.max(batchSize.getOrElse(newIds.count()), 1L),
+          targetBucket = 256L)
+      val batchScored = (0 until 2).map { t =>
+        val s = newIds.withColumn("bucket",
+          hyperplaneSignature(col("embedding"), bPlanes, dim, planeOffset = t * bPlanes))
+        s.as("a").join(s.as("b"), col("a.bucket") === col("b.bucket") &&
+            col("a.id") =!= col("b.id"))
+          .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+          .select(col("a.id").as("a"), col("b.id").as("b"), col("sim"))
+      }.reduce(_.unionByName(_))
+      // affected old nodes enter refinement with their CURRENT edges (the
+      // descent seed the verdict asks for — no re-derivation from LSH)
+      val affectedOld = reversed.select(col("a").as("id")).distinct()
+      val oldSeed = edges.join(affectedOld, col("query_id") === col("id"))
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("sim"))
+      val seed = placed.unionByName(batchScored).unionByName(reversed)
+        .unionByName(oldSeed)
+      val oldEdges = edges.select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      var aff = topKAggTail(seed, buildK, "a", "b")
+        .select(col("a"), col("b"), col("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 1 to refineIters) {
+        val affEdges = aff.select(col("a"), col("b"))
+        // 2-hop candidates through the union graph (old + in-progress),
+        // undirected (the descent's reverse-neighbor trick)
+        val nbr = oldEdges.unionByName(affEdges)
+        val und = nbr.unionByName(nbr.select(col("b").as("a"), col("a").as("b")))
+        val twoHop = affEdges.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+          .select(col("x.a").as("a"), col("y.b").as("b"))
+          .filter(col("a") =!= col("b"))
+        val cand = affEdges.unionByName(twoHop).dropDuplicates("a", "b")
+        val scored = cand
+          .join(ids.select(col("id"), col("embedding").as("q_emb")), col("a") === col("id"))
+          .drop("id")
+          .join(ids.select(col("id"), col("embedding").as("c_emb")), col("b") === col("id"))
+          .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+          .select(col("a"), col("b"), col("sim"))
+        val next = topKAggTail(scored, buildK, "a", "b")
+          .select(col("a"), col("b"), col("sim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        aff.unpersist(blocking = false)
+        aff = next
+      }
+      val affQ = aff.select(col("a").as("id")).distinct()
+      val keptOld = edges.join(affQ, col("query_id") === col("id"), "left_anti")
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      val affTop = topKAggTail(aff, k, "a", "b")
+        .select(col("a").as("query_id"), col("rank"),
+          col("b").as("neighbor_id"), col("sim"))
+      val out = keptOld.unionByName(affTop).localCheckpoint(true)
+      aff.unpersist(blocking = false)
+      KnnGraph(out, k, buildK, iters, dim)
+    }
   }
 
   object KnnGraph {

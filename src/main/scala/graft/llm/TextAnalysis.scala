@@ -593,13 +593,38 @@ object TextAnalysis {
 
   /** Registrable domain by the LAST-TWO-LABELS heuristic ('' when the
     * host has fewer than two labels or the value is not a URL). Documented
-    * boundary: multi-label public suffixes (co.uk, com.au) need a real
-    * public-suffix list — at 100 TB ship one as a broadcast dim and join
-    * on the host instead; this column is the list-free approximation the
-    * crawl-stats pass starts from.
+    * boundary: multi-label public suffixes (co.uk, com.au) aggregate
+    * WRONG here (every co.uk site collapses into one "domain") — use
+    * [[registrableDomain]] (the PSL matcher) when that matters; this
+    * column remains the list-free approximation for quick passes.
     */
   def urlDomain(url: Column): Column =
     regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Public-Suffix-List registrable domain of a URL ('' for non-URLs,
+    * public-suffix-only hosts, and IPv4 literals) — the correct
+    * aggregation key for per-site crawl stats where last-two-labels
+    * breaks (co.uk, com.au, *.ck wildcards, !city.kobe.jp exceptions).
+    * Host extraction is [[urlHost]]'s (same canonicalization family);
+    * matching is [[graft.functions.Psl]]'s native expression — the rule
+    * dim rides the task binary, the column stays in the scan's codegen
+    * stage, no join or shuffle. Default rules are the embedded subset;
+    * pass a [[graft.functions.PslRules]] built from the full published
+    * list at fleet scale.
+    */
+  def registrableDomain(url: Column,
+                        rules: graft.functions.PslRules = graft.functions.Psl.Default): Column =
+    graft.functions.Psl.registrableDomain(urlHost(url), rules)
+
+  /** [[domainStats]] keyed by the PSL [[registrableDomain]] — identical
+    * one-pass bounded-key aggregation shape, correct on multi-label
+    * public suffixes.
+    */
+  def domainStatsPsl(docs: DataFrame, urlCol: String, textCol: String,
+                     rules: graft.functions.PslRules = graft.functions.Psl.Default): DataFrame =
+    docs.groupBy(registrableDomain(col(urlCol), rules).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"))
 
   /** Per-domain corpus stats — the "how much of my crawl is each site"
     * pass that precedes per-domain caps ([[Sampling.perGroup]]) and

@@ -50,7 +50,7 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
@@ -60,7 +60,7 @@ object Tables {
         // (~1.7e18) exceed Double's 2^53 exact-integer range.
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ =>
+      case TimestampType | TimestampNTZType =>
         // timestamp[us]; the scanner yields TIMESTAMP_NTZ for
         // non-UTC-adjusted files — cast to TimestampType (value-preserving
         // under the library's mandatory UTC session) so downstream window
@@ -70,6 +70,12 @@ object Tables {
         // replicate the long branch's order: ts_ns in ts's slot, ts last
         withNs.select((raw.columns.map(c =>
           if (c == "ts") col("ts_ns") else col(c)) :+ col("ts")): _*)
+      case other =>
+        // Anything else (string, int32, ...) is a corrupt file, not a third
+        // encoding — fail loudly instead of letting a cast degrade to NULLs.
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type ${other.sql}; expected " +
+          "TIMESTAMP(NANOS)-as-long (legacy flag) or timestamp[us]")
     }
   }
 }

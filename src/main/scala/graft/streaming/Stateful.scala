@@ -68,6 +68,31 @@ object Stateful {
     ds.groupByKey(key).transformWithState(
       new FirstSeen[K, V](ttl), TimeMode.None(), OutputMode.Update())
 
+  /** BATCH-PARITY form of [[firstSeen]]: the first row per key under an
+    * EXPLICIT total order (`orderCols`, e.g. event time + a unique
+    * tiebreak) — exactly what the streaming operator emits when rows
+    * arrive in that order (spec-pinned in `StatefulSpec`; the Q-T5
+    * driver oracle replays it as row_number = 1). "First" needs the
+    * explicit order because streaming arrival order is not a replayable
+    * batch concept.
+    *
+    * Shape at scale: ONE struct-min hash aggregation — lexicographic
+    * `min(struct(order ++ payload))` is map-side combinable, so ≤ 1 row
+    * per key per map task enters the shuffle; no corpus-wide
+    * row_number window (the window form shuffles every event).
+    */
+  def firstSeenBatch(df: org.apache.spark.sql.DataFrame,
+                     keyCols: Seq[String], orderCols: Seq[String],
+                     payloadCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(orderCols.nonEmpty, "firstSeenBatch needs a total order")
+    val carried = orderCols ++ payloadCols
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(carried.map(col): _*)).as("_first"))
+      .select(keyCols.map(col) ++
+        carried.map(c => col(s"_first.$c").as(c)): _*)
+  }
+
   /** Watermark-bounded streaming dedup over the given columns — the
     * built-in form when duplicates arrive within the watermark delay
     * (state evicts with the watermark; the TTL-free bounded alternative

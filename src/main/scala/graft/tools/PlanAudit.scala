@@ -125,7 +125,77 @@ object PlanAudit {
     "ql53_ngram_jaccard" -> ("shingle-id minhash signatures (banding at the SAME " +
       "granularity the rescore measures), band equi-self-join to narrow candidate pairs, " +
       "then the exact-Jaccard rescore joins shingle-ID arrays (8-byte ids, never shingle " +
-      "strings) onto candidates only -- candidate volume tracks output volume by design")
+      "strings) onto candidates only -- candidate volume tracks output volume by design"),
+    // round-11 coverage completion: every benched query carries an
+    // expected-shape line so BENCH regressions can be plan-diffed
+    "qc1_sequence" -> ("lazy stage fold composes into ONE plan: filter+projection ride the " +
+      "scan in a single WholeStageCodegen span -- no per-stage materialization or shuffle"),
+    "qc2_concurrent" -> ("branches share the SAME persisted input (one InMemoryTableScan per " +
+      "branch, the scan runs once) and union narrow branch results -- no recompute per branch"),
+    "qj2_join_3way" -> ("two BroadcastHashJoins chained (nation, region dims) -- the customer " +
+      "fact side flows through both joins without a single Exchange"),
+    "qj3_semi" -> "BroadcastHashJoin LeftSemi on the dim -- fact side never shuffles, dim never duplicates rows",
+    "qj3_anti" -> "BroadcastHashJoin LeftAnti on the dim -- same no-fact-shuffle shape as the semi",
+    "qj4_range_join" -> ("equi-join on partkey with the quantity>size range predicate as an " +
+      "in-join residual (broadcast part dim) -- the range never degrades to a nested loop " +
+      "over the fact side; partial+final count agg above"),
+    "qj5_bloom_join" -> ("might_contain filter on the fact scan BEFORE its Exchange (bloom " +
+      "built from the selective dim side) -- non-matching fact rows never shuffle"),
+    "ql13_ngram_terms" -> ("Generate (explode_ngrams custom generator) directly over the scan " +
+      "projection, then ONE partial+final count agg on the gram key -- text never shuffles, " +
+      "gram keys do"),
+    "qa2_count_distinct" -> ("exact distinct via two-phase agg (partial on (group, value), " +
+      "final count) -- no corpus-wide dropDuplicates shuffle beyond the keyed Exchange"),
+    "qa3_rollup" -> "Expand feeds ONE partial+final HashAggregate pair -- rollup grouping sets share a single Exchange",
+    "qw1_rank_window" -> ("rank window partitioned by the group key (Exchange on the key, " +
+      "in-partition sort) -- no global sort; WindowGroupLimit prunes map-side where the " +
+      "filter permits"),
+    "qw2_running_sum" -> ("running-sum window partitioned by key ordered by date -- ONE " +
+      "Exchange on the key; no single-partition global window"),
+    "qs1_topk" -> ("TakeOrderedAndProject (limit+sort fused) -- per-partition top-k then a " +
+      "single reduced merge; never a full global sort of the input"),
+    "qu1_intersect" -> ("INTERSECT as a keyed aggregate/semi shape -- one Exchange per side " +
+      "on the compare key, no cross join"),
+    "qu1_except" -> "EXCEPT as the anti analog of qu1_intersect -- same keyed one-Exchange-per-side shape",
+    "qf1_scalars" -> "whole scalar battery rides the scan in one WholeStageCodegen span -- only the harness ORDER BY shuffles",
+    "qf2_dates" -> "date battery rides the scan in one WholeStageCodegen span -- only the harness ORDER BY shuffles",
+    "qt1_tumbling" -> ("window(ts) bucketing is a scan-riding projection; ONE partial+final " +
+      "agg on (window, key) -- the streaming twin adds only watermark state"),
+    "qt2_session" -> ("session_window merge: Exchange on user_id + in-partition sort, " +
+      "MergingSessions aggregation -- per-user state, no global sort"),
+    "qt3_sliding" -> ("sliding window explodes each event into window buckets on the scan, " +
+      "then ONE partial+final agg on (window, key)"),
+    "qt5_first_seen" -> ("struct-min first-row-per-key: partial+final ObjectHashAggregate/" +
+      "HashAggregate min(struct(order,payload)) -- <=1 row per key per map task enters the " +
+      "ONLY Exchange; no corpus-wide row_number window"),
+    "ql1_exact_dedup" -> ("md5-keyed dedup agg (partial+final on the 16-byte hash) feeding " +
+      "the distribution agg -- document text never shuffles, hashes do"),
+    "ql2_text_stats" -> "per-doc stats are scan-riding projections -- only the harness ORDER BY shuffles",
+    "ql3_top_terms" -> ("token explode over the scan, partial+final count on the term key, " +
+      "TakeOrderedAndProject tail -- no global sort of the term table"),
+    "ql5_token_set_dups" -> ("sorted-token-set md5 key agg (partial+final) -- set semantics " +
+      "computed in-projection, only 16-byte keys + counts shuffle"),
+    "ql7_token_count" -> "fused token counting rides the scan -- only the harness ORDER BY shuffles",
+    "ql8_quality" -> "quality score battery rides the scan in one span -- only the harness ORDER BY shuffles",
+    "ql9_fingerprint" -> "rolling-hash fingerprint is a scan-riding fused expression -- only the harness ORDER BY shuffles",
+    "ql10_langid" -> ("per-language model scores via exploded token x broadcast weight-dim " +
+      "join, DECIMAL partial+final sum per (doc, lang), argmax tail -- text never shuffles"),
+    "ql36_url_canonical" -> "canonicalization regex chain rides the scan in one codegen span -- no shuffle in the operator",
+    "ql40_bpe_encode" -> ("fused BPE encode expression (vocab as a reference object) riding " +
+      "the scan -- no per-token join, no shuffle in the operator"),
+    "ql41_linear_bigram" -> ("fused word_ngrams projection feeds the exploded feature x " +
+      "broadcast weights join, DECIMAL partial+final per doc -- one narrow Exchange"),
+    "ql42_semantic_dedup" -> ("IVF assign rides the scan (centroid matrix in-expression), " +
+      "within-cell candidate equi-join (cells corpus-proportional, never all-pairs), " +
+      "pointer-jump cluster joins on narrow ids, keep-best argmax agg"),
+    "qm2_media_fingerprint" -> ("byte-budget repartition: per-partition size stats reduce " +
+      "to the driver (bounded rows), then ONE RoundRobin/range Exchange sized by bytes -- " +
+      "binary payloads shuffle exactly once"),
+    "qx2_cube" -> "CUBE via Expand into ONE partial+final agg pair -- all grouping sets share a single Exchange",
+    "qx5_grouping_sets" -> "grouping sets via Expand into ONE partial+final agg pair (the qx2 shape, explicit sets)",
+    "ql44b_domain_stats_psl" -> ("psl_domain is a scan-riding native expression (rule dims " +
+      "ride the task binary -- no explode/join to match suffixes), then ONE partial+final " +
+      "agg on the bounded registrable-domain key")
   )
 
   def main(args: Array[String]): Unit = {

@@ -49,4 +49,58 @@ class DomainSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "url", "text"))
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
+
+  test("registrableDomain follows PSL semantics where last-two-labels breaks") {
+    val cases = Seq(
+      // multi-label exact suffixes: eTLD+1 keeps THREE labels
+      "https://www.shop.co.uk/p" -> "shop.co.uk",
+      "http://a.b.news.com.au/" -> "news.com.au",
+      // exact suffix equal to the whole host: no registrable domain
+      "http://co.uk/" -> "",
+      // wildcard *.ck: any label under ck is itself a public suffix
+      "https://thing.b.ck/x" -> "thing.b.ck",
+      // exception !city.kobe.jp prevails over *.kobe.jp
+      "http://deep.sub.city.kobe.jp/" -> "city.kobe.jp",
+      "http://city.kobe.jp/" -> "city.kobe.jp",
+      // sibling WITHOUT the exception stays under the wildcard
+      "http://a.other.kobe.jp/" -> "a.other.kobe.jp",
+      // unknown TLD falls to the implicit `*` rule
+      "https://blog.foo.example/post" -> "foo.example",
+      "https://plain.com/" -> "plain.com",
+      // IPv4 literal, single label, and non-URL: none
+      "https://203.0.113.7/x" -> "",
+      "http://localhost/" -> "",
+      "not a url" -> "")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.registrableDomain(col("url")).as("d"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      cases.map(_._1).zip(got).mkString("; "))
+  }
+
+  test("domainStatsPsl aggregates by registrable domain, not by label count") {
+    val docs = Seq(
+      (1L, "https://a.shop.co.uk/x", "one two"),
+      (2L, "https://b.shop.co.uk/y", "three"),
+      (3L, "https://other.co.uk/z", "four five six")
+    ).toDF("doc_id", "url", "text")
+    val stats = TextAnalysis.domainStatsPsl(docs, "url", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // last-two-labels would have collapsed all three into one 'co.uk' row
+    assert(stats == Map(
+      "shop.co.uk" -> ((2L, 3L)), "other.co.uk" -> ((1L, 3L))))
+  }
+
+  test("PslRules.fromRules parses published-list syntax and a custom list overrides the default") {
+    val custom = graft.functions.PslRules.fromRules(Seq(
+      "// comment line", "", "mytld", "*.wild.mytld", "!except.wild.mytld"))
+    assert(custom.exact == Set("mytld") &&
+      custom.wildcard == Set("wild.mytld") &&
+      custom.exception == Set("except.wild.mytld"))
+    val got = Seq("http://a.b.wild.mytld/", "http://x.except.wild.mytld/")
+      .toDF("url")
+      .select(TextAnalysis.registrableDomain(col("url"), custom).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a.b.wild.mytld", "except.wild.mytld"))
+  }
 }

@@ -107,6 +107,71 @@ class KnnGraphSpec extends SparkSpec {
     assert(serve(loaded) == serve(built))
   }
 
+  test("insert: incremental union graph serves within tolerance of a from-scratch rebuild") {
+    val n = emb.count() // 500 at sf0.001: split 400 old / 100 batch
+    val old = emb.filter($"vec_id" < 400)
+    val batch = emb.filter($"vec_id" >= 400)
+    assert(batch.count() == 100, "the inserted batch must be non-empty")
+    val built = Similarity.KnnGraph.build(old, k = 8, dim = 64, iters = 2,
+      corpusSize = Some(old.count()))
+    val inc = built.insert(batch, old, refineIters = 1, corpusSize = Some(n))
+    val scratch = Similarity.KnnGraph.build(emb, k = 8, dim = 64, iters = 2,
+      corpusSize = Some(n))
+    val queries = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = pairs(Similarity.bruteForceTopKAgg(
+      queries, emb.select($"vec_id".as("neighbor_id"), $"embedding"), k = 3))
+    val serve = (g: Similarity.KnnGraph) => pairs(
+      g.search(queries, emb, topK = 3, corpusSize = Some(n)))
+    val recallInc = (exact & serve(inc)).size.toDouble / exact.size
+    val recallScratch = (exact & serve(scratch)).size.toDouble / exact.size
+    // everything is deterministic, so these are fixed numbers for this
+    // corpus; the tolerance states the CONTRACT (insert must not trail a
+    // rebuild materially), not a flake allowance
+    assert(recallInc >= recallScratch - 0.05,
+      s"incremental=$recallInc vs scratch=$recallScratch")
+    // sanity anchor only — the CONTRACT is the parity line above (this
+    // corpus measures scratch ≈ incremental ≈ 0.67 at these settings)
+    assert(recallInc >= 0.60, s"incremental union recall@3 = $recallInc")
+  }
+
+  test("insert: old nodes ADOPT planted clones and clones place on their originals") {
+    val old = emb.filter($"vec_id" < 500)
+    val clones = old.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val built = Similarity.KnnGraph.build(old, k = 3, dim = 64, iters = 1)
+    val g = built.insert(clones, old, refineIters = 1).edges
+    // placement: each clone's rank-1 edge is its original (sim≈1.0 from
+    // seed 1 — placement beam entry shares every plane table bucket)
+    val placedTop1 = g.filter($"query_id" >= 1000000L && $"rank" === 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(placedTop1 == (0L until 10L).map(i => (i + 1000000L) -> i).toMap)
+    // adoption: the original's refreshed edge list now leads with the
+    // clone (reverse placement at sim≈1.0 can never be cut by the top-k)
+    val adoptedTop1 = g.filter($"query_id" < 10 && $"rank" === 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adoptedTop1 == (0L until 10L).map(i => i -> (i + 1000000L)).toMap)
+    // structure: every union node is a query with 1..k contiguous ranks
+    val perNode = g.groupBy($"query_id")
+      .agg(count(lit(1)).as("deg"), max($"rank").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(perNode.length == 510, s"union graph covers old ∪ batch nodes: ${perNode.length}")
+    assert(perNode.forall { case (_, deg, mx) => deg >= 1 && deg <= 3 && mx == deg },
+      "each node carries 1..k contiguously-ranked edges")
+  }
+
+  test("insert is deterministic: two inserts produce the identical graph") {
+    val old = emb.filter($"vec_id" < 450)
+    val batch = emb.filter($"vec_id" >= 450) // 50 vectors, non-empty
+    val built = Similarity.KnnGraph.build(old, k = 3, dim = 64, iters = 1)
+    val asTuples = (g: Similarity.KnnGraph) =>
+      g.edges.select($"query_id", $"rank", $"neighbor_id", $"sim".cast("string"))
+        .collect().map(_.toSeq).toSet
+    assert(asTuples(built.insert(batch, old)) == asTuples(built.insert(batch, old)))
+  }
+
   test("graph search finds planted clones at rank 1 regardless of hops") {
     val corpus = emb.unionByName(emb.filter($"vec_id" < 10)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))

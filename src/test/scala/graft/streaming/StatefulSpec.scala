@@ -56,6 +56,36 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("firstSeen over a ts-ordered replay equals firstSeenBatch (the Q-T5 batch-parity contract)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val ev = Tables.load(spark, sf, "events")
+        .select($"user_id", $"event_type", $"ts_ns", $"event_id", $"value")
+      // the batch form's explicit order IS the replay's arrival order
+      val sorted = ev.orderBy($"ts_ns", $"event_id")
+        .as[(Long, String, Long, Long, Double)].collect().toSeq
+      val stream = MemoryStream[(Long, String, Long, Long, Double)]
+      val deduped = Stateful.firstSeen[(Long, String), (Long, String, Long, Long, Double)](
+        stream.toDS().coalesce(1), v => (v._1, v._2))
+        .toDF("user_id", "event_type", "ts_ns", "event_id", "value")
+      val q = deduped.writeStream.format("memory").queryName("qt5_parity")
+        .outputMode("update").start()
+      try {
+        // several micro-batches: cross-batch keys must stay deduped
+        sorted.grouped(400).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        val streaming = spark.table("qt5_parity")
+          .collect().map(_.toSeq).toSet
+        val batch = Stateful.firstSeenBatch(ev,
+          Seq("user_id", "event_type"), Seq("ts_ns", "event_id"), Seq("value"))
+          .collect().map(_.toSeq).toSet
+        assert(streaming == batch)
+      } finally q.stop()
+    }
+  }
+
   private def withRocksDb(body: => Unit): Unit = {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
