@@ -195,9 +195,11 @@ object Dedup {
     *
     * Scale: the index is `bands` rows per doc carrying the 64-slot
     * signature (~0.5 KB/doc at the defaults) — a small fraction of corpus
-    * text. For repeated incremental joins, write it bucketed by `bh`
-    * (`sources/Bucketing.scala`) so the per-batch band join co-locates
-    * without reshuffling the index side.
+    * text. For repeated incremental joins, persist it with
+    * [[BandIndex.saveBucketed]] (bucketed + sorted on the (band, bh)
+    * join key) so every per-batch band join co-locates without
+    * reshuffling the index side — spec-pinned to plan exactly one
+    * batch-side Exchange (`BucketingSpec`).
     */
   object BandIndex {
     /** `(id, mh, band, bh)` rows for a corpus (same parameters MUST be
@@ -216,6 +218,25 @@ object Dedup {
       index.write.mode("overwrite").parquet(path)
     def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
       spark.read.parquet(path)
+
+    /** Bucketed persistence — the fleet-scale layout the class doc
+      * promises: the index written bucketed AND sorted on the
+      * (band, bh) join key, so every later
+      * [[minHashLshCandidatesAgainst]] run reads the index with the band
+      * join's distribution requirement already satisfied — NO index-side
+      * Exchange, only the (small) arriving batch hashes into place
+      * (spec-pinned via `Bucketing.isShuffleFree`). One write amortizes
+      * over every future increment. Bucketing metadata lives in the
+      * catalog, so reads go through `table`, not the path.
+      */
+    def saveBucketed(index: DataFrame, table: String, path: String,
+                     numBuckets: Int = 64): Unit =
+      graft.sources.Bucketing.writeBucketed(index, table, path,
+        bucketCols = Seq("band", "bh"), numBuckets = numBuckets,
+        sortCols = Seq("band", "bh"))
+    def loadBucketed(spark: org.apache.spark.sql.SparkSession,
+                     table: String): DataFrame =
+      graft.sources.Bucketing.readBucketed(spark, table)
   }
 
   /** Candidate pairs INTRODUCED by a new batch against an indexed corpus:

@@ -762,6 +762,25 @@ object Similarity {
       */
     def save(path: String): Unit = {
       edges.write.mode("overwrite").parquet(s"$path/edges")
+      writeMeta(path)
+    }
+
+    /** Bucketed edge persistence: edges written bucketed+sorted on
+      * `query_id` — the out-edge side of every [[knnGraphSearch]] hop
+      * expansion (`frontier.cand === edges.src`) and of
+      * [[KnnGraph.insert]]'s 2-hop reads then comes pre-partitioned, so
+      * only the (small) frontier/batch side hashes. One write, every
+      * serving job amortizes. Bucketing metadata lives in the catalog:
+      * load via [[KnnGraph.loadBucketed]] with the same table name.
+      */
+    def saveBucketed(table: String, path: String, numBuckets: Int = 64): Unit = {
+      graft.sources.Bucketing.writeBucketed(edges, table, s"$path/edges",
+        bucketCols = Seq("query_id"), numBuckets = numBuckets,
+        sortCols = Seq("query_id"))
+      writeMeta(path)
+    }
+
+    private def writeMeta(path: String): Unit = {
       val spark = edges.sparkSession
       import spark.implicits._
       Seq((k, buildK, iters, dim)).toDF("k", "build_k", "iters", "dim")
@@ -908,10 +927,21 @@ object Similarity {
     }
 
     /** Restore a graph persisted by [[KnnGraph.save]]. */
-    def load(spark: org.apache.spark.sql.SparkSession, path: String): KnnGraph = {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): KnnGraph =
+      fromMeta(spark, path, spark.read.parquet(s"$path/edges"))
+
+    /** Restore a graph persisted by [[KnnGraph#saveBucketed]] — edges
+      * come back through the catalog with their bucketing intact.
+      */
+    def loadBucketed(spark: org.apache.spark.sql.SparkSession,
+                     table: String, path: String): KnnGraph =
+      fromMeta(spark, path, graft.sources.Bucketing.readBucketed(spark, table))
+
+    private def fromMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, edges: DataFrame): KnnGraph = {
       val m = spark.read.parquet(s"$path/meta").collect() // 1 row by contract
       require(m.length == 1, s"expected exactly one meta row at $path/meta, got ${m.length}")
-      KnnGraph(spark.read.parquet(s"$path/edges"),
+      KnnGraph(edges,
         m(0).getAs[Int]("k"), m(0).getAs[Int]("build_k"),
         m(0).getAs[Int]("iters"), m(0).getAs[Int]("dim"))
     }

@@ -76,10 +76,13 @@ object Stateful {
     * explicit order because streaming arrival order is not a replayable
     * batch concept.
     *
-    * Shape at scale: ONE struct-min hash aggregation — lexicographic
+    * Shape at scale: ONE aggregation — lexicographic
     * `min(struct(order ++ payload))` is map-side combinable, so ≤ 1 row
     * per key per map task enters the shuffle; no corpus-wide
-    * row_number window (the window form shuffles every event).
+    * row_number window (the window form shuffles every event). Struct
+    * ordering is not hash-aggregable, so the physical form is a
+    * partial+final SortAggregate pair — the sorts are per map
+    * partition, never a global sort (plan pinned in PLANS.md).
     */
   def firstSeenBatch(df: org.apache.spark.sql.DataFrame,
                      keyCols: Seq[String], orderCols: Seq[String],

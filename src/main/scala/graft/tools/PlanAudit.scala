@@ -154,9 +154,9 @@ object PlanAudit {
       "Exchange on the key; no single-partition global window"),
     "qs1_topk" -> ("TakeOrderedAndProject (limit+sort fused) -- per-partition top-k then a " +
       "single reduced merge; never a full global sort of the input"),
-    "qu1_intersect" -> ("INTERSECT as a keyed aggregate/semi shape -- one Exchange per side " +
-      "on the compare key, no cross join"),
-    "qu1_except" -> "EXCEPT as the anti analog of qu1_intersect -- same keyed one-Exchange-per-side shape",
+    "qu1_intersect" -> ("INTERSECT as BroadcastHashJoin LeftSemi + ONE partial+final distinct " +
+      "agg -- the probe side never shuffles for the join, no cross join"),
+    "qu1_except" -> "EXCEPT as the LeftAnti analog of qu1_intersect -- same broadcast + single-distinct-Exchange shape",
     "qf1_scalars" -> "whole scalar battery rides the scan in one WholeStageCodegen span -- only the harness ORDER BY shuffles",
     "qf2_dates" -> "date battery rides the scan in one WholeStageCodegen span -- only the harness ORDER BY shuffles",
     "qt1_tumbling" -> ("window(ts) bucketing is a scan-riding projection; ONE partial+final " +
@@ -165,21 +165,25 @@ object PlanAudit {
       "MergingSessions aggregation -- per-user state, no global sort"),
     "qt3_sliding" -> ("sliding window explodes each event into window buckets on the scan, " +
       "then ONE partial+final agg on (window, key)"),
-    "qt5_first_seen" -> ("struct-min first-row-per-key: partial+final ObjectHashAggregate/" +
-      "HashAggregate min(struct(order,payload)) -- <=1 row per key per map task enters the " +
-      "ONLY Exchange; no corpus-wide row_number window"),
+    "qt5_first_seen" -> ("struct-min first-row-per-key: partial+final SortAggregate around " +
+      "ONE keyed Exchange (struct ordering is not hash-aggregable -- the sorts are per map " +
+      "partition, and the partial agg still sends <=1 row per key per task into the " +
+      "shuffle); no corpus-wide row_number window"),
     "ql1_exact_dedup" -> ("md5-keyed dedup agg (partial+final on the 16-byte hash) feeding " +
       "the distribution agg -- document text never shuffles, hashes do"),
     "ql2_text_stats" -> "per-doc stats are scan-riding projections -- only the harness ORDER BY shuffles",
     "ql3_top_terms" -> ("token explode over the scan, partial+final count on the term key, " +
       "TakeOrderedAndProject tail -- no global sort of the term table"),
-    "ql5_token_set_dups" -> ("sorted-token-set md5 key agg (partial+final) -- set semantics " +
-      "computed in-projection, only 16-byte keys + counts shuffle"),
+    "ql5_token_set_dups" -> ("equi-self-join on the 16-byte sorted-token-set md5 key " +
+      "(set semantics computed in the scan projection) -- broadcast at audit scale, keyed " +
+      "SMJ at fleet scale; token arrays and text never ride the join"),
     "ql7_token_count" -> "fused token counting rides the scan -- only the harness ORDER BY shuffles",
     "ql8_quality" -> "quality score battery rides the scan in one span -- only the harness ORDER BY shuffles",
     "ql9_fingerprint" -> "rolling-hash fingerprint is a scan-riding fused expression -- only the harness ORDER BY shuffles",
-    "ql10_langid" -> ("per-language model scores via exploded token x broadcast weight-dim " +
-      "join, DECIMAL partial+final sum per (doc, lang), argmax tail -- text never shuffles"),
+    "ql10_langid" -> ("exploded tokens BroadcastHashJoin the weight dim, DECIMAL " +
+      "partial+final HashAggregate per (doc, lang), argmax as a struct-min SortAggregate " +
+      "pair, then a LeftOuter merge keyed by COLUMN-PRUNED doc ids (ReadSchema = doc_id " +
+      "alone) -- text never enters an Exchange"),
     "ql36_url_canonical" -> "canonicalization regex chain rides the scan in one codegen span -- no shuffle in the operator",
     "ql40_bpe_encode" -> ("fused BPE encode expression (vocab as a reference object) riding " +
       "the scan -- no per-token join, no shuffle in the operator"),

@@ -172,6 +172,31 @@ class KnnGraphSpec extends SparkSpec {
     assert(asTuples(built.insert(batch, old)) == asTuples(built.insert(batch, old)))
   }
 
+  test("KnnGraph.saveBucketed: serving reads bucketed edges and answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("knn-bucketed").toString
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val built = Similarity.KnnGraph.build(emb, k = 3, dim = 64, iters = 1)
+    built.saveBucketed("b_knn_edges", dir, numBuckets = 8)
+    val loaded = Similarity.KnnGraph.loadBucketed(spark, "b_knn_edges", dir)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the layout really is query_id: bucket-key agg needs no shuffle —
+      // the hop expansion's edge side comes pre-partitioned
+      assert(graft.sources.Bucketing.isShuffleFree(
+        loaded.edges.groupBy("query_id").agg(count(lit(1)).as("deg"))))
+      assert((loaded.k, loaded.buildK, loaded.iters, loaded.dim) ==
+        (built.k, built.buildK, built.iters, built.dim))
+      val serve = (g: Similarity.KnnGraph) => pairs(
+        g.search(queries, emb, topK = 3, corpusSize = Some(emb.count())))
+      assert(serve(loaded) == serve(built))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_knn_edges")
+    }
+  }
+
   test("graph search finds planted clones at rank 1 regardless of hops") {
     val corpus = emb.unionByName(emb.filter($"vec_id" < 10)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))

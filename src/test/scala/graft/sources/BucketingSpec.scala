@@ -38,6 +38,45 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("BandIndex.saveBucketed: incremental band joins read the index without an Exchange") {
+    val dir = Files.createTempDirectory("bandidx").toString
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    val old = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val idx = graft.llm.Dedup.BandIndex.build(old, "doc_id", "text")
+    graft.llm.Dedup.BandIndex.saveBucketed(idx, "b_bandindex", s"$dir/idx",
+      numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val loaded = graft.llm.Dedup.BandIndex.loadBucketed(spark, "b_bandindex")
+      // the layout really is (band, bh): bucket-key agg needs no shuffle
+      assert(Bucketing.isShuffleFree(
+        loaded.groupBy("band", "bh").agg(count(lit(1)).as("n"))))
+      // the incremental join's shape: ONE Exchange total — the arriving
+      // batch hashes into the index's bucketing; the index side reads
+      // straight from its buckets
+      val batchBands = graft.llm.Dedup.BandIndex.build(batch, "doc_id", "text")
+      val joined = batchBands.as("a").join(loaded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"expected exactly the batch-side Exchange:\n$plan")
+      // and candidate parity with the in-memory index
+      val viaBucketed = rowsOf(graft.llm.Dedup.minHashLshCandidatesAgainst(
+        batch, "doc_id", "text", loaded).select("doc_a", "doc_b"))
+      val viaMem = rowsOf(graft.llm.Dedup.minHashLshCandidatesAgainst(
+        batch, "doc_id", "text", idx).select("doc_a", "doc_b"))
+      assert(viaBucketed == viaMem && viaBucketed.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_bandindex")
+    }
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val dir = Files.createTempDirectory("buckets2").toString
     val events = (1L to 3000L).map(i => (i % 50, i)).toDF("user_id", "v")
