@@ -1249,20 +1249,14 @@ object Queries {
         lit(".0."), (i * 7 % 256).cast("string"),
         lit(" bad 999.1.2.3 call "), phone).as("text"))
     val all = docs.unionByName(synth)
-    // stage-by-stage: count each class on the text with earlier classes
-    // already substituted, then hand the final text to the next stage
-    val t1 = regexp_replace(col("text"), UrlPattern, "<URL>")
+    // fused battery: one traversal per class counts AND substitutes (the
+    // staged-column form this replaced paid seven regex walks per row;
+    // bit-exact parity spec-pinned in LlmSpec, oracle unchanged)
     val out = all
-      .withColumn("n_emails", regexp_count(t1, lit(EmailPattern)))
-      .withColumn("_t2", regexp_replace(t1, EmailPattern, "<EMAIL>"))
-      .withColumn("n_ips", regexp_count(col("_t2"), lit(IpPattern)))
-      .withColumn("_t3", regexp_replace(col("_t2"), IpPattern, "<IP>"))
-      .withColumn("n_phones", regexp_count(col("_t3"), lit(PhonePattern)))
-      // the operator itself produces the emitted text; the staged columns
-      // above only feed the counters (redactPii(text) ≡ one more pass here)
-      .withColumn("redacted", redactPii(col("text")))
-      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
-        col("redacted"))
+      .withColumn("_pii", piiScrub(col("text")))
+      .select(col("doc_id"), col("_pii.n_emails").as("n_emails"),
+        col("_pii.n_ips").as("n_ips"), col("_pii.n_phones").as("n_phones"),
+        col("_pii.redacted").as("redacted"))
     ordered(out)
   }
 

@@ -310,6 +310,20 @@ object TextAnalysis {
         ipPattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  /** Fused PII battery: counts AND redaction in one traversal per class
+    * ([[graft.functions.PiiScrub]] — the relational form pays seven
+    * regex walks per row for the same four classes; bit-exact parity
+    * with the staged columns is spec-pinned). Returns
+    * STRUCT<n_emails, n_ips, n_phones, redacted>; `redacted` is
+    * byte-identical to [[redactPii]] and each count is taken on the
+    * text with earlier classes already substituted (the ql46 staging
+    * convention).
+    */
+  def piiScrub(text: Column,
+      emailPattern: String = EmailPattern, ipPattern: String = IpPattern,
+      phonePattern: String = PhonePattern): Column =
+    graft.functions.PiiScrub(text, UrlPattern, emailPattern, ipPattern, phonePattern)
+
   /** Control characters stripped by [[normalizeText]]: C0 controls plus
     * DEL, EXCEPT tab/newline/CR (document structure worth keeping until a
     * later layout-aware pass). Explicit hex ranges so the Java-regex

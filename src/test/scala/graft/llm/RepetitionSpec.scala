@@ -131,4 +131,38 @@ class RepetitionSpec extends SparkSpec {
     assert(rows(2) == "<PHONE> or <PHONE> or <PHONE> id 5551234567")
     assert(rows(3) == "no pii here")
   }
+
+  test("fused piiScrub is bit-exact vs the staged relational battery") {
+    import TextAnalysis._
+    // every class, mixed per row, plus decoys and a clean row — and the
+    // organic corpus so parity is pinned on real text too
+    val synth = Seq(
+      (-1L, "reach a@b.org or https://u:p@h.net/a?x=1 node 10.1.0.7 bad 999.1.2.3 call +1 555-123-4567"),
+      (-2L, "double x@y.io y@z.io ips 8.8.8.8 8.8.4.4 phones (555) 111-2222 555.333.4444"),
+      (-3L, "url-only https://e.com/p#f then text"),
+      (-4L, "clean row with no contacts at all")).toDF("doc_id", "text")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionByName(synth)
+    val t1 = regexp_replace(col("text"), UrlPattern, "<URL>")
+    val staged = docs
+      .withColumn("n_emails", regexp_count(t1, lit(EmailPattern)))
+      .withColumn("_t2", regexp_replace(t1, EmailPattern, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("_t2"), lit(IpPattern)))
+      .withColumn("_t3", regexp_replace(col("_t2"), IpPattern, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("_t3"), lit(PhonePattern)))
+      .withColumn("redacted", redactPii(col("text")))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"), col("redacted"))
+    val fused = docs.withColumn("_p", piiScrub(col("text")))
+      .select(col("doc_id"), col("_p.n_emails").as("n_emails"),
+        col("_p.n_ips").as("n_ips"), col("_p.n_phones").as("n_phones"),
+        col("_p.redacted").as("redacted"))
+    val a = staged.collect().map(_.toSeq).toSet
+    val b = fused.collect().map(_.toSeq).toSet
+    assert(a == b)
+    // sanity: the synth rows really exercise each counter
+    val byId = fused.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(-1L).getInt(1) == 1 && byId(-1L).getInt(2) == 1 && byId(-1L).getInt(3) == 1)
+    assert(byId(-2L).getInt(1) == 2 && byId(-2L).getInt(2) == 2 && byId(-2L).getInt(3) == 2)
+    assert(byId(-4L).getString(4) == "clean row with no contacts at all")
+  }
 }
