@@ -91,7 +91,13 @@ object Bench {
       files.sortBy(_._1).lastOption.map { case (_, f) =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r.findAllMatchIn(txt)
+        // a prior run at a DIFFERENT scale factor is not a reference:
+        // comparing sf0.1 times against an sf0.01 prior would re-time
+        // the whole battery (or mask real inflation, reversed) — require
+        // the prior to mention this run's sf dir token before trusting it
+        val sfToken = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("")
+        if (sfToken.nonEmpty && !txt.contains(sfToken)) Map.empty[String, Double]
+        else """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     }

@@ -1329,10 +1329,16 @@ object Queries {
     * astronomically unlikely collisions, the ql6 argument).
     */
   val qlSimhashCandidates: Q = (s, dir) => {
+    // bands PINNED to 4×16: the oracle replays 16-bit band slices, so
+    // the registry row must not float with corpus size (autoBands would
+    // silently flip to 2×32 past 32768 docs and hash-mismatch — and its
+    // sizing count() would ride every benched timing); library callers
+    // keep the auto default
     val out = graft.llm.Dedup.simHashCandidates(
       t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text",
       tokensOf = tc => transform(graft.llm.Dedup.tokens(tc),
-        tk => substring(md5(tk.cast("binary")), 1, 8)))
+        tk => substring(md5(tk.cast("binary")), 1, 8)),
+      bands = 4)
     ordered(out)
   }
 

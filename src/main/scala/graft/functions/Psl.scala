@@ -44,7 +44,10 @@ final case class PslRules(exact: Set[String], wildcard: Set[String],
     if (host.isEmpty) return ""
     val labels = host.split('.')
     val n = labels.length
-    if (n == 4 && labels.forall(l => l.nonEmpty && l.forall(_.isDigit)))
+    // ASCII digits only — Character.isDigit accepts Unicode digit classes
+    // (fullwidth, Arabic-Indic, ...) that the oracle's [0-9] regex and the
+    // dotted-quad grammar do not
+    if (n == 4 && labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9')))
       return "" // IPv4 literal: no registrable domain (PSL convention)
     var suffixLen = -1
     // exception rules prevail over everything (PSL spec step 3)
@@ -145,6 +148,11 @@ object Psl {
   /** PSL registrable domain of a host column ('' when none). */
   def registrableDomain(host: Column, rules: PslRules = Default): Column =
     Bridge.column(PslDomain(Bridge.expression(host), rules))
+
+  /** SQL facade: `psl_domain(host)` with the embedded default rules. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "psl_domain", exprs => PslDomain(exprs.head, Default), "scala_udf")
 }
 
 /** Scalar PSL matcher as a native expression: the rule sets ride the

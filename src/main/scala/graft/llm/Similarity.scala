@@ -841,6 +841,16 @@ object Similarity {
                batchSize: Option[Long] = None): KnnGraph = {
       require(refineIters >= 0, "need refineIters >= 0")
       val newIds = newDocs.select(col(idCol).as("id"), col("embedding"))
+      // fail fast on the disjointness precondition (the topKAggTail
+      // id-type convention): an overlapping id would place on itself at
+      // sim 1.0, adopt itself, and duplicate embedding rows through the
+      // refinement joins — silent graph corruption. limit(1) bounds the
+      // probe: it short-circuits at the first collision.
+      val overlap = newIds.select(col("id"))
+        .join(corpus.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0,
+        s"KnnGraph.insert: batch ids must be disjoint from the corpus ('$idCol' overlaps)")
       val ids = corpus.select(col(idCol).as("id"), col("embedding"))
         .unionByName(newIds)
       // 1. placement: beam search the existing graph at the BUILD degree

@@ -324,6 +324,15 @@ object TextAnalysis {
       phonePattern: String = PhonePattern): Column =
     graft.functions.PiiScrub(text, UrlPattern, emailPattern, ipPattern, phonePattern)
 
+  /** SQL facade: `pii_scrub(text)` with the default pattern battery
+    * (the patterns live here, not in `functions` — registration follows
+    * them).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pii_scrub", exprs => new graft.functions.PiiScrub(exprs.head,
+        UrlPattern, EmailPattern, IpPattern, PhonePattern), "scala_udf")
+
   /** Control characters stripped by [[normalizeText]]: C0 controls plus
     * DEL, EXCEPT tab/newline/CR (document structure worth keeping until a
     * later layout-aware pass). Explicit hex ranges so the Java-regex

@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * engine's native functions without touching the Stage API.
   *
   *  - [[install]] registers the native function vocabulary
-  *    (`cosine_similarity`, `dot_product`, `explode_ngrams`) on a session —
-  *    same registrations [[graft.functions.GraftExtensions]] injects when
-  *    configured via `spark.sql.extensions`.
+  *    (`cosine_similarity`, `dot_product`, `explode_ngrams`,
+  *    `nfc_normalize`, signature functions, `psl_domain`, `pii_scrub`)
+  *    on a session — same registrations
+  *    [[graft.functions.GraftExtensions]] injects when configured via
+  *    `spark.sql.extensions`.
   *  - [[view]] publishes a stage's output over an input as a temp view —
   *    the plan stays lazy (a view is a named logical plan, nothing runs
   *    until queried), so SQL over a pipeline costs the same as the
@@ -24,6 +26,8 @@ object GraftSql {
     graft.functions.Native.register(spark)
     graft.functions.Generators.register(spark)
     graft.functions.TextNorm.register(spark)
+    graft.functions.Psl.register(spark)
+    graft.llm.TextAnalysis.registerSql(spark)
   }
 
   /** Publish a pipeline stage's output as a queryable temp view. */

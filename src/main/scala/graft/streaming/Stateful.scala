@@ -74,7 +74,10 @@ object Stateful {
     * arrive in that order (spec-pinned in `StatefulSpec`; the Q-T5
     * driver oracle replays it as row_number = 1). "First" needs the
     * explicit order because streaming arrival order is not a replayable
-    * batch concept.
+    * batch concept. `orderCols` should totally order rows WITHIN a key
+    * (e.g. event time + a unique tiebreak): when it does not, the
+    * payload columns break the remaining ties lexicographically — still
+    * deterministic, but not any arrival order a stream would produce.
     *
     * Shape at scale: ONE aggregation — lexicographic
     * `min(struct(order ++ payload))` is map-side combinable, so ≤ 1 row

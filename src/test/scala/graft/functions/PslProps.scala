@@ -35,7 +35,7 @@ object PslProps extends Properties("Psl") {
     if (host.isEmpty) return ""
     val ls = host.split('.')
     val n = ls.length
-    if (n == 4 && ls.forall(l => l.nonEmpty && l.forall(_.isDigit))) return ""
+    if (n == 4 && ls.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9'))) return ""
     val slices = (0 until n).map(i => i -> ls.drop(i).mkString("."))
     val exc = slices.collect { case (i, s) if rules.exception(s) => n - i - 1 }
     val rule = slices.collect { case (i, s)
