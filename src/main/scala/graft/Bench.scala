@@ -43,7 +43,7 @@ object Bench {
     "ql47b_percentile_buckets_approx", "ql51_winnowing",
     "ql52_simhash_candidates", "ql53_ngram_jaccard",
     // round-11 additions
-    "ql44b_domain_stats_psl", "qt5_first_seen"
+    "ql44b_domain_stats_psl", "qt5_first_seen", "ql54_lm_estimate"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1544,6 +1544,22 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("sum_logp")))
   }
 
+  /** Q-L54 — bigram LM estimation ([[graft.llm.TextAnalysis.lmEstimate]]):
+    * the training half of the ql43 perplexity filter. MLE counts over the
+    * SAME BOS-marked position pairs lmScore scores — bigram rows carry the
+    * context's position count as denominator, unigram rows ('' context)
+    * the corpus token total — pruned at minCount = 2 (the vocabulary
+    * cutoff that keeps a crawl-scale model broadcastable). The hashed
+    * output is the exact integer evidence (cnt, ctx_total); the float
+    * `logp` convenience column is excluded (engine-specific last ulp),
+    * the ql43 perplexity precedent.
+    */
+  val qlLmEstimate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("text"))
+    ordered(graft.llm.TextAnalysis.lmEstimate(docs, "text", minCount = 2)
+      .select(col("context"), col("token"), col("cnt"), col("ctx_total")))
+  }
+
   /** Q-L44 — blocklist-filtered per-domain crawl stats
     * ([[graft.llm.TextAnalysis.filterByDomainBlocklist]] composed into
     * [[graft.llm.TextAnalysis.domainStats]]): the ql36 synthetic URLs are
@@ -2088,6 +2104,7 @@ object Queries {
     "ql41_linear_bigram" -> qlLinearBigram,
     "ql42_semantic_dedup" -> qlSemanticDedup,
     "ql43_lm_score" -> qlLmScore,
+    "ql54_lm_estimate" -> qlLmEstimate,
     "ql44_domain_stats" -> qlDomainStats,
     "ql44b_domain_stats_psl" -> qlDomainStatsPsl,
     "ql45_gopher_repetition" -> qlGopherRepetition,
@@ -2638,6 +2655,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // rule; DECIMAL-exact sums so the hash matches bit for bit
     "ql43_lm_score" ->
       """WITH lm(ctx, tok, lp) AS (VALUES ('', 'the', -1.0), ('', 'data', -1.5), ('', 'spark', -2.0), ('', 'fast', -1.75), ('<s>', 'the', -0.75), ('the', 'data', -0.5), ('fast', 'data', -0.25), ('data', 'spark', -1.0)), all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'the data spark runs fast data row ' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM all_docs), p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t WHERE len(toks) > 0), s AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM p), j AS (SELECT s.doc_id, COALESCE(b.lpd, CAST(-0.4 AS DECIMAL(18,6)) + COALESCE(u.lpd, CAST(-6.0 AS DECIMAL(18,6)))) AS lp FROM s LEFT JOIN (SELECT ctx, tok, CAST(lp AS DECIMAL(18,6)) AS lpd FROM lm WHERE ctx <> '') b ON s.ctx = b.ctx AND s.tok = b.tok LEFT JOIN (SELECT tok, CAST(lp AS DECIMAL(18,6)) AS lpd FROM lm WHERE ctx = '') u ON s.tok = u.tok), a AS (SELECT doc_id, COUNT(*) AS n, SUM(lp) AS sl FROM j GROUP BY 1) SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens, CAST(COALESCE(a.sl, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_logp FROM all_docs d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql54: the ql43 position-pair construction, aggregated instead of
+    // scored — MLE counts with the same BOS rule, pruned at cnt >= 2
+    "ql54_lm_estimate" ->
+      """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), p AS (SELECT unnest(generate_series(1, len(toks))) AS i, toks FROM t WHERE len(toks) > 0), s AS (SELECT CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM p), big AS (SELECT ctx, tok, COUNT(*) AS cnt FROM s GROUP BY 1, 2), ct AS (SELECT ctx, COUNT(*) AS ctx_total FROM s GROUP BY 1), uni AS (SELECT tok, COUNT(*) AS cnt FROM s GROUP BY 1), tot AS (SELECT COUNT(*) AS ctx_total FROM s), o AS (SELECT big.ctx AS context, big.tok AS token, big.cnt, ct.ctx_total FROM big JOIN ct USING (ctx) UNION ALL SELECT '', tok, cnt, ctx_total FROM uni CROSS JOIN tot) SELECT context, token, cnt, ctx_total FROM o WHERE cnt >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     // ql44: the ql36 URL synthesis + the same host rules, reduced to
     // last-two-label domains, blocklist NOT IN, one group-by
     "ql44_domain_stats" ->

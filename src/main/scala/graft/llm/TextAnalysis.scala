@@ -848,6 +848,64 @@ object TextAnalysis {
         when(col("n_tokens") > 0, pow(lit(10.0), -col("sum_logp") / col("n_tokens"))))
   }
 
+  /** Bigram LM ESTIMATION — the training half of the CCNet perplexity
+    * filter (the model [[lmScore]] consumes, so the published
+    * train-on-clean / score-the-crawl loop closes inside the engine
+    * instead of requiring an externally-shipped ARPA file). Maximum
+    * likelihood over the SAME position pairs lmScore scores: per position
+    * i the pair is (context = token(i-1) with BOS `<s>` at i = 1,
+    * token = token(i)), generated by the fused bigram expression inside
+    * the scan stage.
+    *
+    * Output rows (the [[lmFromTsv]] / [[lmScore]] contract plus exact
+    * evidence columns):
+    *   - bigram rows: (context, token, cnt = #(c,t) positions,
+    *     ctx_total = #positions with that context) — MLE denominator is
+    *     the context's position count, so sum(cnt) per context equals
+    *     ctx_total at minCount = 1 (spec-pinned);
+    *   - unigram rows: (context = '', token, cnt = occurrences,
+    *     ctx_total = corpus token count) — the backoff distribution.
+    *   - `logp` = log10(cnt / ctx_total), the DOUBLE convenience column
+    *     lmScore joins on (oracle rows hash the exact integer evidence;
+    *     float log is engine-specific in the last ulp).
+    *
+    * `minCount` prunes rare n-grams BEFORE emit — vocabulary pruning is
+    * what keeps a crawl-scale model broadcastable (the denominators stay
+    * un-pruned MLE totals, the standard count-cutoff convention).
+    *
+    * Scale shape: pair generation rides the scan's codegen stage; the
+    * three hash aggs are map-side-combinable, so every Exchange carries
+    * one row per DISTINCT n-gram (vocabulary-sized, not corpus-sized);
+    * the bigram⋈context-total join shuffles only those compact vocab
+    * tables on the context key, and the corpus token total is a 1-row
+    * broadcast (the [[distinctiveTerms]] convention).
+    */
+  def lmEstimate(docs: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = Dedup.tokens(col(textCol))
+    val pairGrams = graft.functions.Ngrams.wordNgramsJoin(
+      concat(array(lit("<s>")), toks), 2)
+    // tokens are space-split output, so the gram's first space splits
+    // (ctx, tok) unambiguously — the lmScore decoding, verbatim
+    val pairs = docs.select(explode(pairGrams).as("_g"))
+      .select(substring_index(col("_g"), " ", 1).as("_ctx"),
+        substring_index(col("_g"), " ", -1).as("_tok"))
+    val big = pairs.groupBy(col("_ctx"), col("_tok")).agg(count(lit(1)).as("cnt"))
+    val ctxTot = pairs.groupBy(col("_ctx")).agg(count(lit(1)).as("ctx_total"))
+    val bigrams = big.join(ctxTot, Seq("_ctx"))
+      .select(col("_ctx").as("context"), col("_tok").as("token"),
+        col("cnt"), col("ctx_total"))
+    val uni = pairs.groupBy(col("_tok")).agg(count(lit(1)).as("cnt"))
+    val total = pairs.agg(count(lit(1)).as("ctx_total"))
+    val unigrams = uni.crossJoin(broadcast(total))
+      .select(lit("").as("context"), col("_tok").as("token"),
+        col("cnt"), col("ctx_total"))
+    bigrams.unionByName(unigrams)
+      .filter(col("cnt") >= minCount)
+      .withColumn("logp", log10(col("cnt").cast("double") / col("ctx_total")))
+  }
+
   /** `context\ttoken\tlogp` loader for [[lmScore]] (unigram rows carry an
     * empty context field — the flat TSV projection of an ARPA 2-gram
     * model's 1-gram and 2-gram sections).

@@ -199,7 +199,12 @@ object PlanAudit {
     "qx5_grouping_sets" -> "grouping sets via Expand into ONE partial+final agg pair (the qx2 shape, explicit sets)",
     "ql44b_domain_stats_psl" -> ("psl_domain is a scan-riding native expression (rule dims " +
       "ride the task binary -- no explode/join to match suffixes), then ONE partial+final " +
-      "agg on the bounded registrable-domain key")
+      "agg on the bounded registrable-domain key"),
+    "ql54_lm_estimate" -> ("fused bigram-pair generation rides the scan; THREE map-side-" +
+      "combinable hash aggs (bigram, context, unigram) so every Exchange carries one row " +
+      "per DISTINCT n-gram -- vocabulary-sized, never corpus-sized; the bigram/context-" +
+      "total join shuffles only those compact vocab tables and the corpus token total is " +
+      "a 1-row broadcast")
   )
 
   def main(args: Array[String]): Unit = {

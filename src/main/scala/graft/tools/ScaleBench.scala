@@ -94,7 +94,12 @@ object ScaleBench {
     // cached per dir) — the measured work is placement beam search +
     // affected-set refinement, which must scale with the batch and the
     // narrow corpus edge table, never with a rebuild
-    "knn_insert")
+    "knn_insert",
+    // ql54: n-gram counting — every Exchange carries vocabulary rows (one
+    // per distinct n-gram after partial agg), so time tracks the scan and
+    // the vocab growth; token salting makes each copy's vocab disjoint
+    // (worst case for the agg tables — a real corpus grows sub-linearly)
+    "ql54_lm_estimate")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -45,6 +45,60 @@ class LmScoreSpec extends SparkSpec {
     assert(rows(2L).isNullAt(3))
   }
 
+  test("lmEstimate counts MLE bigrams/unigrams over BOS-marked positions") {
+    // doc1 pairs: (<s>,a) (a,b) (b,a); doc2 pairs: (<s>,a) (a,b)
+    val docs = Seq("a b a", "a b", "").toDF("text")
+    val rows = TextAnalysis.lmEstimate(docs, "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(("<s>", "a")) == ((2L, 2L, 0.0)))
+    assert(rows(("a", "b")) == ((2L, 2L, 0.0)))
+    assert(rows(("b", "a"))._1 == 1L && rows(("b", "a"))._2 == 1L)
+    // unigrams: a x3, b x2 over 5 corpus tokens (logp within an ulp —
+    // the engine's log10 codegen need not bit-match scala.math.log10)
+    assert(rows(("", "a"))._1 == 3L && rows(("", "a"))._2 == 5L)
+    assert(math.abs(rows(("", "a"))._3 - math.log10(3.0 / 5.0)) < 1e-12)
+    assert(rows(("", "b"))._1 == 2L && rows(("", "b"))._2 == 5L)
+    assert(math.abs(rows(("", "b"))._3 - math.log10(2.0 / 5.0)) < 1e-12)
+    assert(rows.size == 5)
+  }
+
+  test("lmEstimate denominators are exhaustive: sum(cnt) per context == ctx_total") {
+    val docs = Seq("x y z x y", "y z z", "x", "").toDF("text")
+    val est = TextAnalysis.lmEstimate(docs, "text")
+    val bad = est.groupBy("context", "ctx_total")
+      .agg(sum("cnt").as("s"))
+      .filter(col("s") =!= col("ctx_total")).count()
+    assert(bad == 0L)
+  }
+
+  test("lmEstimate(minCount) prunes rare rows but keeps exact MLE denominators") {
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val est = TextAnalysis.lmEstimate(docs, "text", minCount = 2)
+    val keys = est.select("context", "token").as[(String, String)].collect().toSet
+    // (b,c) cnt 1, (b,a) cnt 1, unigram c cnt 1 all pruned; denominators
+    // keep the full position counts (ctx b has 3 positions)
+    assert(!keys.contains(("b", "c")) && !keys.contains(("", "c")))
+    val ab = est.filter(col("context") === "a" && col("token") === "b")
+      .select("cnt", "ctx_total").as[(Long, Long)].head()
+    assert(ab == ((3L, 3L)))
+    val bTot = est.filter(col("context") === "b").select("ctx_total")
+      .as[Long].collect()
+    assert(bTot.forall(_ == 3L))
+  }
+
+  test("an estimated model plugs straight into lmScore (train->score loop)") {
+    val corpus = Seq("the cat sat", "the cat ran").toDF("text")
+    val model = TextAnalysis.lmEstimate(corpus, "text")
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text", model)
+      .select("sum_logp").as[Double].head()
+    // every bigram of the scored doc is in the model: logp(<s>,the)=log10(2/2),
+    // logp(the,cat)=log10(2/2), logp(cat,sat)=log10(1/2); lmScore sums at
+    // DECIMAL(18,6), so compare at that granularity
+    assert(math.abs(got - math.log10(0.5)) < 1e-5)
+  }
+
   test("lmFromTsv loads unigram (empty-context) and bigram rows") {
     val dir = java.nio.file.Files.createTempDirectory("lm").toFile
     val f = new java.io.File(dir, "lm.tsv")
