@@ -43,7 +43,8 @@ object Bench {
     "ql47b_percentile_buckets_approx", "ql51_winnowing",
     "ql52_simhash_candidates", "ql53_ngram_jaccard",
     // round-11 additions
-    "ql44b_domain_stats_psl", "qt5_first_seen", "ql54_lm_estimate"
+    "ql44b_domain_stats_psl", "qt5_first_seen", "ql54_lm_estimate",
+    "qx13_csv_roundtrip"
   )
 
   def main(args: Array[String]): Unit = {

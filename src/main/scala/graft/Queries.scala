@@ -528,6 +528,30 @@ object Queries {
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
   }
 
+  /** Q-X13 — CSV round trip through the line-oriented flat format
+    * ([[graft.sources.CsvSink]] → [[graft.sources.CsvLines.readWithErrors]]):
+    * a scalar lineitem slice (int64/int32/string/double/timestamp) is
+    * WRITTEN as CSV and read back with the explicit schema + error
+    * channel; the oracle reads the same rows straight from parquet — so
+    * CSV quoting, numeric/timestamp formatting and the parse path are
+    * pinned end to end. All lines are well-formed here, so `_err` is
+    * all-null and dropped before the hash; the corrupt-line dead-letter
+    * path and the embedded-newline boundary are spec-pinned
+    * (`FormatsSpec`).
+    */
+  val qx13CsvRoundtrip: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_shipdate"))
+    val out = "/tmp/graft_qx13_csv/" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    graft.sources.CsvSink(graft.core.StageId("qx13_sink"), out)(li)
+    val back = graft.sources.CsvLines.readWithErrors(s, out, li.schema)
+    ordered(back.filter(col(graft.core.ErrorChannel.ColName).isNull)
+      .select(li.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Q-X8 — unpivot (wide → long): per-order (price, qty-proxy) measures
     * as rows; the inverse of Q-X7's pivot.
     */
@@ -2051,6 +2075,7 @@ object Queries {
     "qa5_string_agg" -> qa5StringAgg,
     "qx8_unpivot" -> qx8Unpivot,
     "qx12_jsonl_roundtrip" -> qx12JsonlRoundtrip,
+    "qx13_csv_roundtrip" -> qx13CsvRoundtrip,
     "ql14_embedding_neardup" -> qlEmbeddingNearDup,
     "ql15_hash_sample" -> qlHashSample,
     "qw1_rank_window" -> qw1RankWindow,
@@ -2534,6 +2559,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // exactly the claim under test
     "qx12_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
+    // qx13: parquet -> csv -> parse on the engine side; the oracle reads
+    // the same scalar slice straight from parquet (lossless round trip)
+    "qx13_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_shipdate FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     "qx8_unpivot" ->
       s"""SELECT o_orderkey, m AS measure, v FROM (SELECT o_orderkey, 'price' AS m, CAST(CAST(o_totalprice AS $D) AS DOUBLE) AS v FROM orders UNION ALL SELECT o_orderkey, 'cust' AS m, CAST(o_custkey AS DOUBLE) AS v FROM orders) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qa3_rollup" ->

@@ -161,6 +161,60 @@ object JsonLines {
   }
 }
 
+/** CSV sink: the flat interchange format for scalar tables. Distributed
+  * write (one file per partition); fields containing the separator/quote
+  * are quoted by the writer. NOT for free-text columns that may embed the
+  * record delimiter — a quoted newline spans lines, and the line-oriented
+  * [[CsvLines.readWithErrors]] reader (by design: splittable at any byte
+  * offset, the 100 TB property) would see two broken records. Ship
+  * free-text as JSONL ([[JsonSink]], `\n` escaped) instead; the boundary
+  * is spec-pinned.
+  */
+final case class CsvSink(id: StageId, path: String, mode: String = "overwrite",
+                         header: Boolean = false, sep: String = ",")
+    extends Stage {
+  def apply(df: DataFrame): DataFrame = {
+    df.write.mode(mode).option("header", header.toString).option("sep", sep).csv(path)
+    df
+  }
+}
+
+object CsvLines {
+  /** CSV source with the row-level ERROR CHANNEL attached — the
+    * [[JsonLines.readWithErrors]] contract for the other interchange
+    * format tabular corpora ship in: well-formed lines parse against the
+    * EXPLICIT schema (inference is a full extra scan — never at 100 TB);
+    * malformed lines (token-count mismatch, unparsable numerics/dates)
+    * become dead-letter rows (`_err` non-null, msg carrying the raw line
+    * for replay) instead of being silently nulled or dropped.
+    *
+    * Same text-scan + `from_csv` projection design as JsonLines (one
+    * scan, parse as an expression, no corrupt-column-only-query
+    * restriction); line-oriented by construction, so every task parses
+    * its own split — which is exactly why embedded-newline fields are
+    * out of contract (see [[CsvSink]]).
+    */
+  def readWithErrors(spark: SparkSession, path: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     stage: String = "csv",
+                     options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val corrupt = "_corrupt_line"
+    val parsed = from_csv(
+      col("value"), schema.add(corrupt, org.apache.spark.sql.types.StringType),
+      options ++ Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+    val errCol = graft.core.ErrorChannel.errValue(
+      StageId(stage), concat(lit("malformed csv: "), col("value")))
+    spark.read.text(path)
+      .withColumn("_parsed", parsed)
+      .withColumn(graft.core.ErrorChannel.ColName,
+        when(col(s"_parsed.$corrupt").isNotNull || col("_parsed").isNull, errCol)
+          .otherwise(lit(null).cast(graft.core.ErrorChannel.errType)))
+      .select(schema.fieldNames.map(f => col(s"_parsed.$f").as(f)) :+
+        col(graft.core.ErrorChannel.ColName): _*)
+  }
+}
+
 /** ORC source (columnar alternative to parquet; same pushdown/pruning). */
 final case class OrcSource(id: StageId, path: String) extends Stage {
   def apply(df: DataFrame): DataFrame = df.sparkSession.read.orc(path)

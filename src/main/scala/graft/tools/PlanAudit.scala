@@ -204,7 +204,11 @@ object PlanAudit {
       "combinable hash aggs (bigram, context, unigram) so every Exchange carries one row " +
       "per DISTINCT n-gram -- vocabulary-sized, never corpus-sized; the bigram/context-" +
       "total join shuffles only those compact vocab tables and the corpus token total is " +
-      "a 1-row broadcast")
+      "a 1-row broadcast"),
+    "qx13_csv_roundtrip" -> ("text scan + from_csv projection with the EXPLICIT schema " +
+      "(no inference scan) -- the parse rides the file scan in one span, splittable at " +
+      "any byte offset; no shuffle in the operator (the only Exchange is the harness " +
+      "ORDER BY)")
   )
 
   def main(args: Array[String]): Unit = {

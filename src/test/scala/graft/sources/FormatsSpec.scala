@@ -74,6 +74,43 @@ class FormatsSpec extends SparkSpec {
     assert(mixed.filter(col("_err").isNull).count() == docs.count() + 1)
   }
 
+  test("CSV sink/readWithErrors: lossless scalar roundtrip, corrupt lines become dead letters") {
+    val dir = Files.createTempDirectory("csv").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_shipdate")
+    CsvSink(graft.core.StageId("cw"), dir)(li)
+    val clean = CsvLines.readWithErrors(spark, dir, li.schema)
+    assert(clean.columns.toSeq == li.columns.toSeq :+ graft.core.ErrorChannel.ColName)
+    assert(clean.filter(col("_err").isNotNull).count() == 0)
+    assert(rowsOf(clean.drop("_err")) == rowsOf(li))
+
+    // poison one extra file: a non-numeric key, a short line, one good line
+    Files.write(Paths.get(dir, "poison.csv"),
+      ("notanumber,1,A,5.0,1995-01-01T00:00:00.000\n" +
+        "7,2\n" +
+        "7,2,N,3.0,1995-01-01T00:00:00.000\n").getBytes)
+    val mixed = CsvLines.readWithErrors(spark, dir, li.schema, stage = "src")
+    val dead = mixed.filter(col("_err").isNotNull)
+    assert(dead.count() == 2)
+    // raw line preserved for replay; stage id on the path
+    val msgs = dead.select(col("_err.msg")).as[String].collect().toSet
+    assert(msgs.exists(_.contains("notanumber")))
+    assert(dead.select(col("_err.path")(0)).as[String].collect().toSet == Set("src"))
+    assert(mixed.filter(col("_err").isNull).count() == li.count() + 1)
+  }
+
+  test("CSV embedded-newline boundary: quoted multi-line fields are OUT of the line reader's contract") {
+    // the writer quotes a field containing \n; the line-oriented reader
+    // then sees two broken records — the documented boundary that routes
+    // free-text columns to JSONL instead
+    val dir = Files.createTempDirectory("csvnl").toString + "/t"
+    val df = Seq((1L, "one\ntwo")).toDF("id", "text")
+    CsvSink(graft.core.StageId("cw2"), dir)(df)
+    val back = CsvLines.readWithErrors(spark, dir, df.schema)
+    assert(back.filter(col("_err").isNull && col("id") === 1L && col("text") === "one\ntwo")
+      .count() == 0)
+  }
+
   test("binaryFile ingestion surfaces bytes + metadata per file") {
     val dir = Files.createTempDirectory("bin")
     Files.write(dir.resolve("x.bin"), Array[Byte](1, 2, 3))
