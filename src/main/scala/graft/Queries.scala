@@ -1917,6 +1917,35 @@ object Queries {
       .select(col("doc_a"), col("doc_b")))
   }
 
+  /** Q-L55 — semantic decontamination
+    * ([[graft.llm.Dedup.semanticDecontaminate]]): the embedding-space
+    * form of ql19's train/test decontamination over the ql30 planted-
+    * clone construction. Benchmark = the first 20 organic vectors; the
+    * corpus carries both those originals AND exact clones (+1e6) of them
+    * — all 40 contaminated rows score cosine 1.0 against the benchmark
+    * and the organic ceiling is ~0.51, so at threshold 0.8 the IVF
+    * candidate path provably equals exact all-pairs (clones share their
+    * nearest centroid; candidates are exact-scored). Survivors are the
+    * closed-form organic remainder.
+    */
+  val qlSemanticDecon: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val benchmark = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(benchmark
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    // same corpus construction as ql30/ql42 — the cached index is shared
+    val n = embCount(s, dir) + 20L
+    val k = math.max(16, math.min(1024, 2 * math.ceil(math.sqrt(n.toDouble)).toInt))
+    val index = ivfIndexCache.computeIfAbsent(
+      (dir, n, tableFingerprint(dir, "embeddings")),
+      _ => graft.llm.Similarity.IvfIndex.train(corpus, "vec_id", k = k))
+    ordered(graft.llm.Dedup.semanticDecontaminate(
+      corpus, benchmark, "vec_id", index, threshold = 0.8, nprobe = 2)
+      .select(col("vec_id")))
+  }
+
   /** Q-L32 — auto-planes hyperplane near-dup: the ql14 construction
     * through [[graft.llm.Similarity.cosineNearDupPairsAuto]], which sizes
     * `planes` from the corpus count instead of a static knob. Oracle
@@ -2121,6 +2150,7 @@ object Queries {
     "ql28_token_chunks" -> qlChunks,
     "ql29_boilerplate" -> qlBoilerplate,
     "ql30_ivf_neardup" -> qlIvfNearDup,
+    "ql55_semantic_decon" -> qlSemanticDecon,
     "ql32_neardup_autoplanes" -> qlNearDupAutoPlanes,
     "ql33_knn_graph" -> qlKnnGraph,
     "ql34_knn_descent" -> qlKnnDescent,
@@ -2659,6 +2689,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // nearest centroid, so approximate == exact on this construction
     "ql30_ivf_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql55: survivors are closed-form on the planted-clone fixture — the
+    // 20 originals and their 20 clones are contaminated (cosine 1.0 vs
+    // the benchmark), every organic vec_id >= 20 survives
+    "ql55_semantic_decon" ->
+      """SELECT vec_id FROM embeddings WHERE vec_id >= 20 ORDER BY 1 NULLS FIRST""",
     // ql32: same exact oracle as ql14/ql30 — the auto-planes LSH result is
     // provably the exact >=0.8 set on the planted-clone fixture (clones
     // collide in every table at any derived planes; candidates re-scored)

@@ -748,6 +748,42 @@ object Dedup {
     dedupKeepBest(df, idCol, pairs, scoreCol)
   }
 
+  /** Semantic train/test DECONTAMINATION — the embedding-space form of
+    * [[decontaminate]]: drop every corpus row whose cosine similarity to
+    * ANY benchmark vector reaches `threshold`, catching paraphrased or
+    * re-rendered eval items that share no exact n-grams with the
+    * benchmark text (the gap the token-overlap form cannot see).
+    *
+    * Scale shape mirrors the n-gram form's broadcast-dim design: the
+    * corpus buckets ONCE by nearest IVF centroid (a scan-riding
+    * assignment — cells ∝ corpus, the ql30 growth-safety argument) and
+    * the BENCHMARK side (an eval suite — thousands of rows, never a
+    * crawl) explodes to its `nprobe` closest buckets and broadcasts, so
+    * the corpus never shuffles for the probe join; exact cosine is
+    * scored in-join, and only narrow contaminated ids reach the
+    * LEFT ANTI subtraction. Recall follows the IVF contract: a
+    * contaminated row is found when any of the benchmark's nprobe
+    * buckets covers the row's assigned cell (exact clones share their
+    * nearest centroid, so clone recall is certain — the Q-L55 oracle
+    * construction).
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String,
+                            index: graft.llm.Similarity.IvfIndex,
+                            threshold: Double, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.k,
+      s"nprobe must be in [1, ${index.k}], got $nprobe")
+    val c = corpus.select(col(idCol), col("embedding"))
+      .withColumn("_bucket", index.assignment(col("embedding")))
+    val b = broadcast(benchmark.select(col("embedding").as("_b_emb"))
+      .withColumn("_bucket", explode(index.probes(col("_b_emb"), nprobe))))
+    val contaminated = c.join(b, Seq("_bucket"))
+      .filter(graft.llm.Similarity.cosine(col("embedding"), col("_b_emb"))
+        >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Repeated-SPAN removal — the distributed analog of suffix-array
     * "ExactSubstr" training-data dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): any `spanTokens`-token

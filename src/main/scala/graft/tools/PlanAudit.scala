@@ -208,7 +208,11 @@ object PlanAudit {
     "qx13_csv_roundtrip" -> ("text scan + from_csv projection with the EXPLICIT schema " +
       "(no inference scan) -- the parse rides the file scan in one span, splittable at " +
       "any byte offset; no shuffle in the operator (the only Exchange is the harness " +
-      "ORDER BY)")
+      "ORDER BY)"),
+    "ql55_semantic_decon" -> ("corpus bucketed by a scan-riding IVF assignment, benchmark " +
+      "probes BROADCAST (BroadcastHashJoin -- the corpus never shuffles for the probe " +
+      "join), exact cosine in-join, then only narrow contaminated ids reach the LEFT " +
+      "ANTI subtraction")
   )
 
   def main(args: Array[String]): Unit = {

@@ -99,7 +99,11 @@ object ScaleBench {
     // per distinct n-gram after partial agg), so time tracks the scan and
     // the vocab growth; token salting makes each copy's vocab disjoint
     // (worst case for the agg tables — a real corpus grows sub-linearly)
-    "ql54_lm_estimate")
+    "ql54_lm_estimate",
+    // ql55: FIXED benchmark (vec_id < 20 lives only in copy 0) broadcast
+    // against a growing corpus — probe-join work is corpus-linear (cells
+    // ∝ corpus keeps per-bucket density constant), anti-join ids narrow
+    "ql55_semantic_decon")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -83,6 +83,33 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("semanticDecontaminate drops clones of benchmark vectors, keeps organics") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val benchmark = emb.filter($"vec_id" < 3)
+    // corpus: the originals, exact clones of them (paraphrase stand-ins),
+    // and the organic remainder (max cosine to benchmark ~0.51)
+    val corpus = emb.unionByName(
+      benchmark.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val index = Similarity.IvfIndex.train(corpus, "vec_id", k = 32)
+    val kept = Dedup.semanticDecontaminate(corpus, benchmark, "vec_id", index,
+      threshold = 0.8, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    (0L until 3L).foreach { i =>
+      assert(!kept.contains(i), s"benchmark original $i must be dropped")
+      assert(!kept.contains(i + 1000000L), s"clone of $i must be dropped")
+    }
+    assert(kept == (3L until emb.count()).toSet)
+    // schema passes through: the anti-join keeps corpus columns untouched
+    val out = Dedup.semanticDecontaminate(corpus, benchmark, "vec_id", index, 0.8)
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    // nprobe beyond the cell count is a loud error, not silent recall loss
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDecontaminate(corpus, benchmark, "vec_id", index, 0.8,
+        nprobe = 1000)
+    }
+  }
+
   test("semanticDedup: IVF candidates -> clusters -> best survivor, end to end") {
     // three exact-clone families (embedding-identical, token-disjoint ids)
     // plus organic vectors; the highest-quality clone survives per family
