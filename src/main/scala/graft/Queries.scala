@@ -1584,6 +1584,23 @@ object Queries {
       .select(col("context"), col("token"), col("cnt"), col("ctx_total")))
   }
 
+  /** Q-L56 — weighted mixture sampling with repetition
+    * ([[graft.llm.Sampling.sampleByRates]]): per-language rates walk
+    * every path — pure downsample (en 0.5), exact integer epochs
+    * (de 2.0), epochs + fractional top-up (fr 2.25), sub-unity keep
+    * (zh 0.4) and an UNLISTED group (es) that must drop. The draw is
+    * `pmod(xxhash64(doc_id), 1e6)` — the ql15/ql47b closed form — so
+    * DuckDB replays every copy count exactly.
+    */
+  val qlMixtureSample: Q = (s, dir) => {
+    import s.implicits._
+    val rates = Seq(("en", 0.5), ("de", 2.0), ("fr", 2.25), ("zh", 0.4))
+      .toDF("lang", "rate")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    ordered(graft.llm.Sampling.sampleByRates(docs, "lang", "doc_id", rates)
+      .select(col("doc_id"), col("lang"), col("copy")))
+  }
+
   /** Q-L44 — blocklist-filtered per-domain crawl stats
     * ([[graft.llm.TextAnalysis.filterByDomainBlocklist]] composed into
     * [[graft.llm.TextAnalysis.domainStats]]): the ql36 synthetic URLs are
@@ -2151,6 +2168,7 @@ object Queries {
     "ql29_boilerplate" -> qlBoilerplate,
     "ql30_ivf_neardup" -> qlIvfNearDup,
     "ql55_semantic_decon" -> qlSemanticDecon,
+    "ql56_mixture_sample" -> qlMixtureSample,
     "ql32_neardup_autoplanes" -> qlNearDupAutoPlanes,
     "ql33_knn_graph" -> qlKnnGraph,
     "ql34_knn_descent" -> qlKnnDescent,
@@ -2289,6 +2307,21 @@ ${xxh64Ctes(Seq("doc_id", "lang"), "src")},
 sc AS (SELECT doc_id, lang, CAST(((h % 1000000) + 1000000) % 1000000 AS DOUBLE) AS score FROM hs),
 cuts AS (SELECT lang, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.3333333333333333) AS BIGINT)] AS c1v, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.6666666666666666) AS BIGINT)] AS c2v FROM sc GROUP BY lang)
 SELECT sc.doc_id, sc.lang, sc.score, CASE WHEN sc.score <= cuts.c1v THEN 'head' WHEN sc.score <= cuts.c2v THEN 'middle' ELSE 'tail' END AS bucket FROM sc JOIN cuts ON sc.lang IS NOT DISTINCT FROM cuts.lang ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-L56 oracle: replay the mixture draw — `pmod(xxhash64(doc_id), 1e6)`
+    * via the closed-form chain (the ql47b basis), copy counts as
+    * floor(rate) + (draw < frac(rate)·1e6), expanded by generate_series.
+    * The rate dim mirrors the engine's literal rates; 'es' is absent on
+    * both sides (unlisted groups drop by contract).
+    */
+  private def ql56Sql: String =
+    s"""WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + $M64 ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents),
+${xxh64Ctes(Seq("doc_id", "lang"), "src")},
+u AS (SELECT doc_id, lang, ((h % 1000000) + 1000000) % 1000000 AS draw FROM hs),
+r(lang, fl, th) AS (VALUES ('en', 0, 500000), ('de', 2, 0), ('fr', 2, 250000), ('zh', 0, 400000)),
+c AS (SELECT u.doc_id, u.lang, r.fl + CASE WHEN u.draw < r.th THEN 1 ELSE 0 END AS copies FROM u JOIN r ON u.lang = r.lang),
+g AS (SELECT doc_id, lang, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS cp FROM c)
+SELECT doc_id, lang, CAST(cp AS BIGINT) AS copy FROM g ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
   /** Q-L51 oracle: replay the winnowing sketch. Token → 2-hex-char md5
     * prefix (both engines agree on md5); k = 3 grams are exactly 8 ASCII
@@ -2738,6 +2771,8 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     "ql44b_domain_stats_psl" -> ql44bSql,
     // ql47b: approx-percentile cuts replayed at exact rank (see ql47bSql)
     "ql47b_percentile_buckets_approx" -> ql47bSql,
+    // ql56: mixture copy counts replayed via the closed-form hash draw
+    "ql56_mixture_sample" -> ql56Sql,
     // ql51: winnowing sketch replayed via the one-block XXH64 chain
     "ql51_winnowing" -> ql51Sql,
     // ql52: simhash votes/signature/bands replayed per token occurrence

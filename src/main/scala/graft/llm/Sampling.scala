@@ -43,6 +43,47 @@ object Sampling {
                  fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Weighted mixture sampling WITH REPETITION — the "epochs per source"
+    * step that turns per-source mixture weights (temperature-flattened
+    * sampling ratios, domain up/down-weighting) into a concrete training
+    * corpus. Each row of group g with rate r emits floor(r) copies plus
+    * one more when its deterministic uniform draw lands under frac(r):
+    * rate 2.25 means every row twice and a 25% hash-chosen quarter a
+    * third time; rate 0.4 keeps a 40% subset once. Expected copies per
+    * row = r exactly.
+    *
+    * Determinism is the [[hashSample]] discipline: the draw is
+    * `pmod(xxhash64(id), 1e6)` — reproducible across runs, partitionings
+    * and engines (the Q-L56 oracle replays it closed-form), and
+    * growth-stable (adding rows never flips an existing row's draw).
+    * The fractional threshold compares that integer against
+    * `frac(rate)·1e6` computed in DECIMAL — exact, no float boundary.
+    *
+    * Rates are a USER-SUPPLIED (group, rate) DataFrame — a handful of
+    * rows, the classic broadcast dim; groups absent from it are DROPPED
+    * (a mixture spec is exhaustive by definition — emitting unlisted
+    * sources at an implicit rate would silently distort the mixture).
+    * Output adds a `copy` index (0-based) so downstream sharding/packing
+    * sees distinct rows per repetition.
+    *
+    * Scale shape: broadcast-join + scan-riding copy arithmetic + a
+    * bounded explode (ceil(rate) rows max per input row) — no shuffle
+    * anywhere in the operator.
+    */
+  def sampleByRates(df: DataFrame, groupCol: String, idCol: String,
+                    rates: DataFrame): DataFrame = {
+    val r = broadcast(rates.select(col(groupCol).as("_mix_g"),
+      col("rate").cast("decimal(12,6)").as("_mix_rate")))
+    val u = pmod(xxhash64(col(idCol)), lit(1000000L))
+    val frac = col("_mix_rate") % lit(1)
+    df.join(r, df(groupCol) === col("_mix_g"))
+      .withColumn("_mix_copies", floor(col("_mix_rate")).cast("long") +
+        when(u < (frac * 1000000).cast("long"), 1L).otherwise(0L))
+      .filter(col("_mix_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_mix_copies") - 1)))
+      .drop("_mix_g", "_mix_rate", "_mix_copies")
+  }
+
   /** Assign every row a training SHARD id such that consecutive documents
     * (in `idCol` order) pack into shards of ≈ `budgetTokens` tokens each —
     * the "fixed-token-count output files" step at the end of a training

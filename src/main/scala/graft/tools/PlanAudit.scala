@@ -212,7 +212,10 @@ object PlanAudit {
     "ql55_semantic_decon" -> ("corpus bucketed by a scan-riding IVF assignment, benchmark " +
       "probes BROADCAST (BroadcastHashJoin -- the corpus never shuffles for the probe " +
       "join), exact cosine in-join, then only narrow contaminated ids reach the LEFT " +
-      "ANTI subtraction")
+      "ANTI subtraction"),
+    "ql56_mixture_sample" -> ("rate dim BroadcastHashJoin + scan-riding copy arithmetic + " +
+      "a bounded Generate (<= ceil(rate) rows per input row) -- no shuffle in the " +
+      "operator (the only Exchange is the harness ORDER BY)")
   )
 
   def main(args: Array[String]): Unit = {

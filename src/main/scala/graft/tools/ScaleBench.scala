@@ -103,7 +103,10 @@ object ScaleBench {
     // ql55: FIXED benchmark (vec_id < 20 lives only in copy 0) broadcast
     // against a growing corpus — probe-join work is corpus-linear (cells
     // ∝ corpus keeps per-bucket density constant), anti-join ids narrow
-    "ql55_semantic_decon")
+    "ql55_semantic_decon",
+    // ql56: broadcast rate dim + scan-riding copy explode — must stay
+    // ~flat per row (output grows with the corpus, work is one scan)
+    "ql56_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

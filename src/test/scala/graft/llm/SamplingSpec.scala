@@ -28,6 +28,44 @@ class SamplingSpec extends SparkSpec {
     assert(smallIds.subsetOf(largeIds))
   }
 
+  test("sampleByRates: integer rates replicate, fractional rates draw by hash, unlisted groups drop") {
+    val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else if (i % 3 == 0) "b" else "c"))
+      .toDF("id", "src")
+    val rates = Seq(("a", 2.0), ("b", 0.5)).toDF("src", "rate")
+    val out = Sampling.sampleByRates(docs, "src", "id", rates)
+    // rate 2.0: every 'a' row exactly twice with copies {0, 1}
+    val aCopies = out.filter($"src" === "a").groupBy("id")
+      .agg(collect_set("copy").as("cs"), count(lit(1)).as("n"))
+    assert(aCopies.filter($"n" =!= 2).count() == 0)
+    assert(out.filter($"src" === "a").count() == docs.filter($"src" === "a").count() * 2)
+    // rate 0.5: exactly the rows whose hash draw lands under 500000, once
+    val expectedB = docs.filter($"src" === "b")
+      .filter(pmod(xxhash64($"id"), lit(1000000L)) < 500000L)
+      .select("id").as[Long].collect().toSet
+    val gotB = out.filter($"src" === "b").select("id").as[Long].collect()
+    assert(gotB.toSet == expectedB && gotB.length == expectedB.size)
+    val fracB = gotB.length.toDouble / docs.filter($"src" === "b").count()
+    assert(fracB > 0.35 && fracB < 0.65, s"~50% expected, got $fracB")
+    // unlisted group 'c' contributes nothing
+    assert(out.filter($"src" === "c").count() == 0)
+  }
+
+  test("sampleByRates: mixed-rate copies are deterministic and partitioning-independent") {
+    val docs = (1L to 600L).map(i => (i, "g")).toDF("id", "src")
+    val rates = Seq(("g", 2.25)).toDF("src", "rate")
+    val out = Sampling.sampleByRates(docs, "src", "id", rates)
+    val perRow = out.groupBy("id").agg(count(lit(1)).as("n"),
+      max("copy").as("mx"), min("copy").as("mn"))
+    // every row 2 or 3 copies, contiguous from 0
+    assert(perRow.filter($"n" < 2 || $"n" > 3).count() == 0)
+    assert(perRow.filter($"mn" =!= 0 || $"mx" =!= $"n" - 1).count() == 0)
+    val total = out.count().toDouble / 600
+    assert(total > 2.1 && total < 2.4, s"~2.25 copies/row expected, got $total")
+    val again = Sampling.sampleByRates(docs.repartition(17), "src", "id", rates)
+      .select("id", "copy").as[(Long, Long)].collect().sorted.toSeq
+    assert(again == out.select("id", "copy").as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("hashSplit: disjoint, complete, proportional, and growth-stable") {
     val docs = (1L to 4000L).toDF("id")
     val split = Sampling.hashSplit(docs, "id",
