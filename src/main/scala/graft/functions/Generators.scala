@@ -62,13 +62,75 @@ case class ExplodeNgrams(child: Expression, n: Expression)
     copy(child = newChildren(0), n = newChildren(1))
 }
 
+/** Per-document term frequencies as generated rows: one (term, tf) row per
+  * DISTINCT token of the input text (space-split, empty tokens dropped —
+  * the `Dedup.tokens` vocabulary), counted in one local hash pass.
+  *
+  * This is the in-scan form of `explode(tokens) → groupBy(id, term)`: the
+  * relational shape pays a corpus-sized Exchange to merge occurrence rows
+  * into (doc, term) counts, while the generator emits the merged counts
+  * directly off the scan — the aggregation is per-document, so no shuffle
+  * is ever needed to compute it. Emission order is first occurrence
+  * (deterministic, though downstream aggs don't depend on it).
+  */
+case class ExplodeTermCounts(child: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"explode_term_counts expects STRING, got ${other.sql}")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val text = child.eval(input)
+    if (text == null) Iterator.empty
+    else {
+      val counts = new java.util.LinkedHashMap[String, Long]()
+      val it = text.asInstanceOf[UTF8String].toString.split(' ').iterator
+      while (it.hasNext) {
+        val t = it.next()
+        if (t.nonEmpty) counts.merge(t, 1L, (a, b) => a + b)
+      }
+      val entries = counts.entrySet().iterator()
+      new Iterator[InternalRow] {
+        def hasNext: Boolean = entries.hasNext
+        def next(): InternalRow = {
+          val e = entries.next()
+          InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 object Generators {
   /** Column face — use in `select` like `explode`. */
   def ngrams(text: Column, n: Int): Column =
     Bridge.column(ExplodeNgrams(Bridge.expression(text), Literal(n)))
 
+  /** Column face for [[ExplodeTermCounts]] — two generated columns, so
+    * `.as(Seq("term", "tf"))` (the posexplode convention).
+    */
+  def termCounts(text: Column): Column =
+    Bridge.column(ExplodeTermCounts(Bridge.expression(text)))
+
   /** SQL registration (`SELECT explode_ngrams(text, 2) FROM t`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "explode_ngrams", exprs => ExplodeNgrams(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "explode_term_counts", exprs => ExplodeTermCounts(exprs.head), "scala_udf")
+  }
 }

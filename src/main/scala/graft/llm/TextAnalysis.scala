@@ -235,6 +235,36 @@ object TextAnalysis {
     */
   def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
                        m: Int = 3): DataFrame = {
+    // (doc, term, tf) rows come straight off the scan via the fused
+    // term-count generator — the per-document aggregation needs no
+    // shuffle, so the relational form's first corpus-sized Exchange
+    // (explode → groupBy(id, term)) disappears. Document frequency is a
+    // COUNT window over the term partitioning instead of a separate
+    // agg + join: one Exchange on term serves both df and the score, and
+    // the per-doc rank window then prunes map-side (WindowGroupLimit)
+    // before the only other corpus-scale Exchange. Requires one row per
+    // id (the prefix-sum convention): duplicate ids would count df per
+    // row, where the relational form merged them per (id, term).
+    val tf = docs.select(col(idCol).as("_did"),
+      graft.functions.Generators.termCounts(col(textCol)).as(Seq("term", "tf")))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val n = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_did")).orderBy(col("score").desc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("_did").as(idCol), col("rank"), col("term"), col("score"))
+  }
+
+  /** Reference relational form of [[distinctiveTerms]] (explode →
+    * (id, term) agg → df agg → join) — kept for the equivalence spec; its
+    * extra Exchange is the measured cost the generator form removes.
+    */
+  def distinctiveTermsRelational(docs: DataFrame, idCol: String, textCol: String,
+                                 m: Int = 3): DataFrame = {
     val tf = docs.select(col(idCol).as("_did"), explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy(col("_did"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

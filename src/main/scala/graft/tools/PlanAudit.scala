@@ -50,10 +50,13 @@ object PlanAudit {
     "qp1_transform" -> "pure projection inside one WholeStageCodegen span over the scan",
     "ql24_normalize" -> ("whole normalization battery (nfc_normalize + regexp chain + trim) " +
       "riding the scan inside one WholeStageCodegen span -- no shuffle, no UDF"),
-    "ql25_tfidf" -> ("inverted-index shape: tf partial+final agg on (doc,term), df agg on term, " +
-      "scalar N as a BroadcastNestedLoopJoin of a 1-row aggregate (never a driver collect); " +
-      "rank <= m prunes MAP-SIDE via WindowGroupLimit BEFORE the per-doc window's Exchange, " +
-      "so at most m rows per (partition, doc) shuffle"),
+    "ql25_tfidf" -> ("(doc, term, tf) rows come straight off the scan via the fused " +
+      "explode_term_counts generator (per-doc counts need NO shuffle -- the relational " +
+      "form's (doc,term) agg Exchange is gone); df is a COUNT window over ONE term " +
+      "Exchange (no separate df agg + join); scalar N as a BroadcastNestedLoopJoin of a " +
+      "1-row aggregate (never a driver collect); rank <= m prunes MAP-SIDE via " +
+      "WindowGroupLimit BEFORE the per-doc window's Exchange, so at most m rows per " +
+      "(partition, doc) shuffle"),
     "ql27_quantized_topk" -> ("quantize projections feed an integer-cosine scored cross join " +
       "(queries broadcast), then the same partial_topkbysim bounded tail as ql4/ql11 -- " +
       "no float OR int8 array column in any Exchange"),

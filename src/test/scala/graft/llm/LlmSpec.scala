@@ -57,6 +57,25 @@ class LlmSpec extends SparkSpec {
     assert(the1._2 == 2 && the1._4 == 2.0)
   }
 
+  test("distinctiveTerms generator form equals the relational reference on the fixture") {
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val fused = rowsOf(TextAnalysis.distinctiveTerms(corpus, "doc_id", "text", m = 3))
+    val rel = rowsOf(TextAnalysis.distinctiveTermsRelational(corpus, "doc_id", "text", m = 3))
+    assert(fused == rel)
+  }
+
+  test("explode_term_counts merges per-doc occurrences with no shuffle and handles edge inputs") {
+    import spark.implicits._
+    val rows = Seq((1L, "a b a  a c"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id", graft.functions.Generators.termCounts($"text").as(Seq("term", "tf")))
+    val got = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 3L), (1L, "b", 1L), (1L, "c", 1L)))
+    // the whole (id, term, tf) projection rides the scan: no Exchange
+    assert(!rows.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("minhash-LSH candidates are a superset of exact token-set pairs (Q-L5 contract)") {
     val exact = rowsOf(Dedup.exactTokenSetPairs(docs, "doc_id", "text"))
     val cands = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text")
