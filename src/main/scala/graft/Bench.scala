@@ -44,7 +44,8 @@ object Bench {
     "ql52_simhash_candidates", "ql53_ngram_jaccard",
     // round-11 additions
     "ql44b_domain_stats_psl", "qt5_first_seen", "ql54_lm_estimate",
-    "qx13_csv_roundtrip", "ql55_semantic_decon", "ql56_mixture_sample"
+    "qx13_csv_roundtrip", "ql55_semantic_decon", "ql56_mixture_sample",
+    "ql57_ccnet_buckets"
   )
 
   def main(args: Array[String]): Unit = {

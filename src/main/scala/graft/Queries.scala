@@ -1601,6 +1601,24 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("copy")))
   }
 
+  /** Q-L57 — the CCNet LM filter end to end
+    * ([[graft.llm.Pipelines.ccnetPerplexityBuckets]]): per-language
+    * bigram models trained on the doc_id % 5 == 0 reference slice (grouped
+    * [[graft.llm.TextAnalysis.lmEstimate]]), every document scored
+    * against its own language's model (grouped lmScore, stupid backoff),
+    * per-language perplexity thirds. The oracle replays ALL THREE stages
+    * — the one float bridge is the model logp, which lmScore casts to
+    * DECIMAL(18,6) (so the two engines' log10, equal to within an ulp,
+    * agree after the cast except on astronomically-unlikely half-ulp
+    * boundaries); sums are DECIMAL-exact from there and the score is one
+    * IEEE double division.
+    */
+  val qlCcnetBuckets: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    ordered(graft.llm.Pipelines.ccnetPerplexityBuckets(docs, ref))
+  }
+
   /** Q-L44 — blocklist-filtered per-domain crawl stats
     * ([[graft.llm.TextAnalysis.filterByDomainBlocklist]] composed into
     * [[graft.llm.TextAnalysis.domainStats]]): the ql36 synthetic URLs are
@@ -2178,6 +2196,7 @@ object Queries {
     "ql42_semantic_dedup" -> qlSemanticDedup,
     "ql43_lm_score" -> qlLmScore,
     "ql54_lm_estimate" -> qlLmEstimate,
+    "ql57_ccnet_buckets" -> qlCcnetBuckets,
     "ql44_domain_stats" -> qlDomainStats,
     "ql44b_domain_stats_psl" -> qlDomainStatsPsl,
     "ql45_gopher_repetition" -> qlGopherRepetition,
@@ -2756,6 +2775,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // scored — MLE counts with the same BOS rule, pruned at cnt >= 2
     "ql54_lm_estimate" ->
       """WITH t AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), p AS (SELECT unnest(generate_series(1, len(toks))) AS i, toks FROM t WHERE len(toks) > 0), s AS (SELECT CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM p), big AS (SELECT ctx, tok, COUNT(*) AS cnt FROM s GROUP BY 1, 2), ct AS (SELECT ctx, COUNT(*) AS ctx_total FROM s GROUP BY 1), uni AS (SELECT tok, COUNT(*) AS cnt FROM s GROUP BY 1), tot AS (SELECT COUNT(*) AS ctx_total FROM s), o AS (SELECT big.ctx AS context, big.tok AS token, big.cnt, ct.ctx_total FROM big JOIN ct USING (ctx) UNION ALL SELECT '', tok, cnt, ctx_total FROM uni CROSS JOIN tot) SELECT context, token, cnt, ctx_total FROM o WHERE cnt >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    // ql57: full three-stage replay — per-language MLE model off the
+    // %5 reference slice, DECIMAL(18,6)-cast logp (the one float bridge),
+    // BOS/backoff/OOV scoring, rank thirds with doc_id tiebreak
+    "ql57_ccnet_buckets" ->
+      """WITH ref AS (SELECT lang, text FROM documents WHERE doc_id % 5 = 0), rt AS (SELECT lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM ref), rp AS (SELECT lang, unnest(generate_series(1, len(toks))) AS i, toks FROM rt WHERE len(toks) > 0), rs AS (SELECT lang, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM rp), big AS (SELECT lang, ctx, tok, COUNT(*) AS cnt FROM rs GROUP BY 1, 2, 3), ct AS (SELECT lang, ctx, COUNT(*) AS ctx_total FROM rs GROUP BY 1, 2), uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM rs GROUP BY 1, 2), tot AS (SELECT lang, COUNT(*) AS ctx_total FROM rs GROUP BY 1), lmb AS (SELECT big.lang, big.ctx, big.tok, CAST(log10(CAST(big.cnt AS DOUBLE) / ct.ctx_total) AS DECIMAL(18,6)) AS lp FROM big JOIN ct ON big.lang = ct.lang AND big.ctx = ct.ctx), lmu AS (SELECT uni.lang, uni.tok, CAST(log10(CAST(uni.cnt AS DOUBLE) / tot.ctx_total) AS DECIMAL(18,6)) AS lp FROM uni JOIN tot ON uni.lang = tot.lang), t2 AS (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), p2 AS (SELECT doc_id, lang, unnest(generate_series(1, len(toks))) AS i, toks FROM t2 WHERE len(toks) > 0), s2 AS (SELECT doc_id, lang, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM p2), j AS (SELECT s2.doc_id, s2.lang, COALESCE(lmb.lp, CAST(-0.4 AS DECIMAL(18,6)) + COALESCE(lmu.lp, CAST(-6.0 AS DECIMAL(18,6)))) AS lp FROM s2 LEFT JOIN lmb ON s2.lang = lmb.lang AND s2.ctx = lmb.ctx AND s2.tok = lmb.tok LEFT JOIN lmu ON s2.lang = lmu.lang AND s2.tok = lmu.tok), a AS (SELECT doc_id, lang, COUNT(*) AS n, SUM(lp) AS sl FROM j GROUP BY 1, 2), sc AS (SELECT d.doc_id, d.lang, COALESCE(a.n, 0) AS n_tokens, CASE WHEN COALESCE(a.n, 0) > 0 THEN -CAST(a.sl AS DOUBLE) / a.n ELSE 0.0 END AS score FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id AND d.lang = a.lang), r AS (SELECT doc_id, lang, n_tokens, score, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score ASC NULLS LAST, doc_id ASC) AS BIGINT) AS rank_in_group, CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group FROM sc) SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score, rank_in_group, n_group, CASE WHEN rank_in_group * 3 <= n_group THEN 'head' WHEN rank_in_group * 3 <= n_group * 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""",
     // ql44: the ql36 URL synthesis + the same host rules, reduced to
     // last-two-label domains, blocklist NOT IN, one group-by
     "ql44_domain_stats" ->

@@ -127,4 +127,45 @@ object Pipelines {
       out
     } else result
   }
+
+  /** The CCNet language-model filter, end to end (Wenzek et al., LREC
+    * 2020): train one bigram LM PER LANGUAGE on a clean reference corpus
+    * ([[TextAnalysis.lmEstimate]] grouped by `langCol` — the paper's
+    * per-language Wikipedia models), score every document against its
+    * own language's model ([[TextAnalysis.lmScore]], stupid backoff),
+    * and split each language into head/middle/tail perplexity thirds
+    * ([[Sampling.percentileBuckets]] — head = lowest perplexity, the
+    * paper's keep set). `dropTail` applies the cut.
+    *
+    * The ranking score is mean negative log-prob (`-sum_logp/n_tokens` —
+    * perplexity's log, monotone-identical ordering without the pow);
+    * token-less documents score 0 by convention and rank with the
+    * nulls-last discipline documented on percentileBuckets.
+    *
+    * Scale posture is inherited: vocabulary-sized model Exchanges
+    * (lmEstimate), the model as a broadcast dim probed by scan-exploded
+    * position pairs (lmScore — text never shuffles), and the bucket
+    * stage's per-language sort boundary documented on percentileBuckets
+    * with the approx form as the full-crawl alternative. Every stage is
+    * oracle-checked alone; the composition itself is driver-replayable
+    * end to end (Q-L57) because all three stages are closed-form.
+    */
+  def ccnetPerplexityBuckets(docs: DataFrame, reference: DataFrame,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             langCol: String = "lang", minCount: Long = 1L,
+                             backoff: Double = -0.4, oov: Double = -6.0,
+                             dropTail: Boolean = false): DataFrame = {
+    val model = TextAnalysis.lmEstimate(
+      reference.select(col(langCol), col(textCol)), textCol, minCount,
+      groupCols = Seq(langCol))
+    val scored = TextAnalysis.lmScore(docs, idCol, textCol, model, backoff, oov,
+      groupCols = Seq(langCol))
+      .withColumn("score",
+        when(col("n_tokens") > 0, -col("sum_logp") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+    val bucketed = Sampling.percentileBuckets(scored, langCol, "score", idCol)
+      .select(col(idCol), col(langCol), col("n_tokens"), col("score"),
+        col("rank_in_group"), col("n_group"), col("bucket"))
+    if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
+  }
 }

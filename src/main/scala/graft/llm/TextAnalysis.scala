@@ -835,13 +835,20 @@ object TextAnalysis {
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
               lm: DataFrame, backoff: Double = -0.4,
-              oov: Double = -6.0): DataFrame = {
+              oov: Double = -6.0,
+              groupCols: Seq[String] = Nil): DataFrame = {
+    // `groupCols` selects the per-group model (CCNet: one LM per
+    // language): both broadcast dims carry the group key and every probe
+    // matches it, so a document only ever scores against its own
+    // language's model — same join shape, wider key.
     val big = broadcast(lm.filter(col("context") =!= "")
-      .select(col("context").as("_b_ctx"), col("token").as("_b_tok"),
-        col("logp").cast("decimal(18,6)").as("_b_lp")))
+      .select(groupCols.map(c => col(c).as(s"_b_$c")) ++ Seq(
+        col("context").as("_b_ctx"), col("token").as("_b_tok"),
+        col("logp").cast("decimal(18,6)").as("_b_lp")): _*))
     val uni = broadcast(lm.filter(col("context") === "")
-      .select(col("token").as("_u_tok"),
-        col("logp").cast("decimal(18,6)").as("_u_lp")))
+      .select(groupCols.map(c => col(c).as(s"_u_$c")) ++ Seq(
+        col("token").as("_u_tok"),
+        col("logp").cast("decimal(18,6)").as("_u_lp")): _*))
     val toks = Dedup.tokens(col(textCol))
     // (context, token) per position, BOS-marked — built inside the scan
     // stage so only narrow pair rows reach the joins. The pair at
@@ -860,16 +867,20 @@ object TextAnalysis {
     // measured decision as [[linearTextScore]] (the bag's extra Exchange
     // costs more than the probe savings at every scale; see the comment
     // there for the sf0.1 numbers).
-    docs.select(col(idCol), explode_outer(pairGrams).as("_g"))
-      .select(col(idCol),
+    val bigCond = (col("_ctx") === col("_b_ctx") && col("_tok") === col("_b_tok")) +:
+      groupCols.map(c => col(c) === col(s"_b_$c"))
+    val uniCond = (col("_tok") === col("_u_tok")) +:
+      groupCols.map(c => col(c) === col(s"_u_$c"))
+    docs.select(col(idCol) +: groupCols.map(col) :+ explode_outer(pairGrams).as("_g"): _*)
+      .select(col(idCol) +: groupCols.map(col) ++: Seq(
         substring_index(col("_g"), " ", 1).as("_ctx"),
-        substring_index(col("_g"), " ", -1).as("_tok"))
-      .join(big, col("_ctx") === col("_b_ctx") && col("_tok") === col("_b_tok"), "left")
-      .join(uni, col("_tok") === col("_u_tok"), "left")
+        substring_index(col("_g"), " ", -1).as("_tok")): _*)
+      .join(big, bigCond.reduce(_ && _), "left")
+      .join(uni, uniCond.reduce(_ && _), "left")
       .withColumn("_lp", coalesce(col("_b_lp"),
         lit(backoff).cast("decimal(18,6)")
           + coalesce(col("_u_lp"), lit(oov).cast("decimal(18,6)"))))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol) +: groupCols.map(col): _*)
       .agg(
         count(col("_tok")).as("n_tokens"),
         coalesce(sum(when(col("_tok").isNotNull, col("_lp"))), zero)
@@ -911,26 +922,39 @@ object TextAnalysis {
     * broadcast (the [[distinctiveTerms]] convention).
     */
   def lmEstimate(docs: DataFrame, textCol: String,
-                 minCount: Long = 1L): DataFrame = {
+                 minCount: Long = 1L,
+                 groupCols: Seq[String] = Nil): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def g = groupCols.map(col)
     val toks = Dedup.tokens(col(textCol))
     val pairGrams = graft.functions.Ngrams.wordNgramsJoin(
       concat(array(lit("<s>")), toks), 2)
     // tokens are space-split output, so the gram's first space splits
-    // (ctx, tok) unambiguously — the lmScore decoding, verbatim
-    val pairs = docs.select(explode(pairGrams).as("_g"))
-      .select(substring_index(col("_g"), " ", 1).as("_ctx"),
-        substring_index(col("_g"), " ", -1).as("_tok"))
-    val big = pairs.groupBy(col("_ctx"), col("_tok")).agg(count(lit(1)).as("cnt"))
-    val ctxTot = pairs.groupBy(col("_ctx")).agg(count(lit(1)).as("ctx_total"))
-    val bigrams = big.join(ctxTot, Seq("_ctx"))
-      .select(col("_ctx").as("context"), col("_tok").as("token"),
-        col("cnt"), col("ctx_total"))
-    val uni = pairs.groupBy(col("_tok")).agg(count(lit(1)).as("cnt"))
-    val total = pairs.agg(count(lit(1)).as("ctx_total"))
-    val unigrams = uni.crossJoin(broadcast(total))
-      .select(lit("").as("context"), col("_tok").as("token"),
-        col("cnt"), col("ctx_total"))
+    // (ctx, tok) unambiguously — the lmScore decoding, verbatim.
+    // `groupCols` (e.g. the language column) partitions the corpus into
+    // independent models — the CCNet one-LM-per-language convention —
+    // by simply widening every agg/join key; the Exchanges stay
+    // vocabulary-sized per group.
+    val pairs = docs.select(g :+ explode(pairGrams).as("_g"): _*)
+      .select(g ++ Seq(substring_index(col("_g"), " ", 1).as("_ctx"),
+        substring_index(col("_g"), " ", -1).as("_tok")): _*)
+    val big = pairs.groupBy(g ++ Seq(col("_ctx"), col("_tok")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val ctxTot = pairs.groupBy(g :+ col("_ctx"): _*)
+      .agg(count(lit(1)).as("ctx_total"))
+    val bigrams = big.join(ctxTot, groupCols :+ "_ctx")
+      .select(g ++ Seq(col("_ctx").as("context"), col("_tok").as("token"),
+        col("cnt"), col("ctx_total")): _*)
+    val uni = pairs.groupBy(g :+ col("_tok"): _*).agg(count(lit(1)).as("cnt"))
+    // corpus token total: a 1-row broadcast ungrouped, a per-group
+    // broadcast dim otherwise
+    val unigrams = (if (groupCols.isEmpty)
+      uni.crossJoin(broadcast(pairs.agg(count(lit(1)).as("ctx_total"))))
+    else
+      uni.join(broadcast(pairs.groupBy(g: _*).agg(count(lit(1)).as("ctx_total"))),
+        groupCols))
+      .select(g ++ Seq(lit("").as("context"), col("_tok").as("token"),
+        col("cnt"), col("ctx_total")): _*)
     bigrams.unionByName(unigrams)
       .filter(col("cnt") >= minCount)
       .withColumn("logp", log10(col("cnt").cast("double") / col("ctx_total")))

@@ -218,7 +218,12 @@ object PlanAudit {
       "ANTI subtraction"),
     "ql56_mixture_sample" -> ("rate dim BroadcastHashJoin + scan-riding copy arithmetic + " +
       "a bounded Generate (<= ceil(rate) rows per input row) -- no shuffle in the " +
-      "operator (the only Exchange is the harness ORDER BY)")
+      "operator (the only Exchange is the harness ORDER BY)"),
+    "ql57_ccnet_buckets" -> ("three composed stages, each its own audited shape: lmEstimate's " +
+      "vocabulary-sized aggs over the reference slice, the resulting per-language model as " +
+      "BROADCAST dims probed by scan-exploded position pairs (text never shuffles), one " +
+      "narrow DECIMAL sum Exchange per doc, then the per-language rank window (the " +
+      "documented percentileBuckets sort boundary)")
   )
 
   def main(args: Array[String]): Unit = {

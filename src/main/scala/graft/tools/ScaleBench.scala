@@ -106,7 +106,11 @@ object ScaleBench {
     "ql55_semantic_decon",
     // ql56: broadcast rate dim + scan-riding copy explode — must stay
     // ~flat per row (output grows with the corpus, work is one scan)
-    "ql56_mixture_sample")
+    "ql56_mixture_sample",
+    // ql57: LM train + score + bucket — model aggs vocabulary-sized,
+    // scoring probes broadcast dims, the per-language sort is the
+    // documented boundary; time must track the scan, never pairs
+    "ql57_ccnet_buckets")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -99,6 +99,38 @@ class LmScoreSpec extends SparkSpec {
     assert(math.abs(got - math.log10(0.5)) < 1e-5)
   }
 
+  test("grouped lmEstimate builds independent per-language models") {
+    val docs = Seq(("en", "a b"), ("en", "a c"), ("de", "a a")).toDF("lang", "text")
+    val rows = TextAnalysis.lmEstimate(docs, "text", groupCols = Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // en: pairs (<s>,a)x2 (a,b) (a,c); de: (<s>,a) (a,a)
+    assert(rows(("en", "<s>", "a")) == ((2L, 2L)))
+    assert(rows(("en", "a", "b")) == ((1L, 2L)))
+    assert(rows(("de", "a", "a")) == ((1L, 1L)))
+    // unigram totals are per language: en 4 tokens, de 2
+    assert(rows(("en", "", "a")) == ((2L, 4L)))
+    assert(rows(("de", "", "a")) == ((2L, 2L)))
+    // no cross-language rows
+    assert(!rows.contains(("de", "a", "b")))
+  }
+
+  test("grouped lmScore only probes the document's own language model") {
+    val lmg = Seq(
+      ("en", "", "the", -1.0), ("en", "<s>", "the", -0.5),
+      ("de", "", "the", -3.0), ("de", "<s>", "the", -2.5))
+      .toDF("lang", "context", "token", "logp")
+    val docs = Seq((1L, "en", "the"), (2L, "de", "the"), (3L, "fr", "the"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text", lmg,
+      groupCols = Seq("lang")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == -0.5)
+    assert(out(2L) == -2.5)
+    // fr has no model: bigram miss AND unigram miss -> backoff + oov
+    assert(out(3L) == -6.4)
+  }
+
   test("lmFromTsv loads unigram (empty-context) and bigram rows") {
     val dir = java.nio.file.Files.createTempDirectory("lm").toFile
     val f = new java.io.File(dir, "lm.tsv")

@@ -68,6 +68,43 @@ class PipelinesSpec extends SparkSpec {
     assert(kept == Set("head", "middle"))
   }
 
+  test("ccnetPerplexityBuckets: per-language train -> score -> thirds, closed-form") {
+    // reference trains the models; 'en' reference vocabulary is {the, cat}
+    val ref = Seq(("en", "the cat"), ("en", "the cat"), ("de", "der hund"))
+      .toDF("lang", "text")
+    // corpus: an in-distribution en doc (every bigram a model hit, low
+    // mean neg-logp), an OOV-heavy en doc (backoff everywhere, high),
+    // a middling one, and a token-less doc (score 0 by convention)
+    val docs = Seq(
+      (1L, "en", "the cat"),
+      (2L, "en", "zz qq ww"),
+      (3L, "en", "the zz"),
+      (4L, "en", ""),
+      (5L, "de", "der hund"),
+      (6L, "de", "der zz"),
+      (7L, "de", "qq ww"))
+      .toDF("doc_id", "lang", "text")
+    val out = Pipelines.ccnetPerplexityBuckets(docs, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getString(6)))).toMap
+    // doc 1: logp(<s>,the)=log10(2/2)=0, logp(the,cat)=log10(2/2)=0 -> score 0
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2) < 1e-9)
+    // doc 4: token-less -> score 0 exactly
+    assert(out(4L)._1 == 0L && out(4L)._2 == 0.0)
+    // doc 2: every position backoff+oov (-6.4) -> score 6.4
+    assert(math.abs(out(2L)._2 - 6.4) < 1e-9)
+    // en ranking: {1 (0), 4 (0, id tiebreak), 3, 2} -> 4 docs, thirds:
+    // rank1=head, rank2=middle(2*3<=4*2), ranks 3,4=tail... verify order
+    assert(out(1L)._3 == "head")
+    assert(out(2L)._3 == "tail")
+    // de: its own model scores its own reference exactly, independent of en
+    assert(math.abs(out(5L)._2) < 1e-9)
+    assert(out(5L)._3 == "head")
+    // dropTail removes the tail bucket only
+    val cut = Pipelines.ccnetPerplexityBuckets(docs, ref, dropTail = true)
+    assert(cut.filter(col("bucket") === "tail").count() == 0)
+    assert(cut.count() == out.values.count(_._3 != "tail"))
+  }
+
   test("written-sink lifecycle leaves no cached blocks behind (100 TB calling convention)") {
     val docs = ((1 to 8).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
     // materialize = true (default): the pipeline owns the cache and must
