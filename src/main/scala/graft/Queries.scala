@@ -1981,6 +1981,21 @@ object Queries {
       .select(col("vec_id")))
   }
 
+  /** Q-L58 — per-group mean embedding
+    * ([[graft.llm.Similarity.meanEmbedding]]): 50 hash-partitioned
+    * groups of ~10 vectors pooled to centroids. DECIMAL(28,12)
+    * per-component sums are order-independent, so the mean (one double
+    * division each) hash-matches; the centroid array unpivots to long
+    * (grp, pos, mean) rows for the harness (scalar-column convention).
+    */
+  val qlMeanEmbedding: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+      .select((col("vec_id") % 50).as("grp"), col("embedding"))
+    val cent = graft.llm.Similarity.meanEmbedding(emb, "grp")
+    ordered(cent.select(col("grp"), col("n_vectors"),
+      posexplode(col("centroid")).as(Seq("pos", "mean"))))
+  }
+
   /** Q-L32 — auto-planes hyperplane near-dup: the ql14 construction
     * through [[graft.llm.Similarity.cosineNearDupPairsAuto]], which sizes
     * `planes` from the corpus count instead of a static knob. Oracle
@@ -2187,6 +2202,7 @@ object Queries {
     "ql30_ivf_neardup" -> qlIvfNearDup,
     "ql55_semantic_decon" -> qlSemanticDecon,
     "ql56_mixture_sample" -> qlMixtureSample,
+    "ql58_mean_embedding" -> qlMeanEmbedding,
     "ql32_neardup_autoplanes" -> qlNearDupAutoPlanes,
     "ql33_knn_graph" -> qlKnnGraph,
     "ql34_knn_descent" -> qlKnnDescent,
@@ -2741,6 +2757,16 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // nearest centroid, so approximate == exact on this construction
     "ql30_ivf_neardup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20) SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM u a JOIN u b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql58: same DECIMAL component sums, same double division; positions
+    // via the generate_series subscript pattern (0-based like posexplode).
+    // The float must take Spark's exact conversion path: widen to DOUBLE,
+    // print the shortest round-trip repr (identical in both engines),
+    // parse THAT as decimal (ties round away from zero in both). A
+    // direct FLOAT->DECIMAL or DOUBLE->DECIMAL cast rounds the exact
+    // binary expansion instead and loses on repr-tie boundaries
+    // (observed: one component in 30k differing by 1e-12)
+    "ql58_mean_embedding" ->
+      """WITH g AS (SELECT vec_id % 50 AS grp, embedding FROM embeddings), c AS (SELECT grp, i - 1 AS pos, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(28,12)) AS v FROM g, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)), s AS (SELECT grp, pos, SUM(v) AS sm, COUNT(*) AS n FROM c GROUP BY 1, 2), nv AS (SELECT grp, MAX(n) AS n_vectors FROM s GROUP BY 1) SELECT s.grp, CAST(nv.n_vectors AS BIGINT) AS n_vectors, CAST(s.pos AS INT) AS pos, CAST(s.sm AS DOUBLE) / s.n AS mean FROM s JOIN nv ON s.grp = nv.grp ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     // ql55: survivors are closed-form on the planted-clone fixture — the
     // 20 originals and their 20 clones are contaminated (cosine 1.0 vs
     // the benchmark), every organic vec_id >= 20 survives

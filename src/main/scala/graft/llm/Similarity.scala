@@ -976,6 +976,42 @@ object Similarity {
     * identical sim, so dedup-after-score is exact and no embedding rides
     * the dedup Exchange.
     */
+  /** Per-group MEAN EMBEDDING (centroid pooling): chunk→document pooling
+    * (one vector per doc from its chunk vectors), cluster centroids over
+    * an assignment column, class prototypes for prototype-based data
+    * curation. Returns (group, n_vectors, centroid ARRAY<DOUBLE>).
+    *
+    * Determinism: per-component sums run in DECIMAL(28,12) (float32
+    * inputs cast exactly except ties at the 12th decimal — a float's
+    * finite binary expansion virtually never lands there), so the
+    * distributed partial-sum ORDER cannot change the result and the mean
+    * (one IEEE double division per component at the end) hash-matches
+    * the Q-L58 oracle. 16 integer digits of headroom ⇒ safe past 1e15
+    * vectors per group.
+    *
+    * Scale shape: posexplode to (group, pos, v) rides the scan; ONE
+    * partial+final agg on (group, pos) — dim rows per group in the
+    * Exchange, embeddings themselves never shuffle whole; the final
+    * per-group assembly carries dim narrow rows. NULL/empty embeddings
+    * contribute nothing (posexplode drops them).
+    */
+  def meanEmbedding(df: DataFrame, groupCol: String,
+                    embCol: String = "embedding"): DataFrame = {
+    val comps = df.select(col(groupCol).as("_g"),
+      posexplode(col(embCol)).as(Seq("_pos", "_v")))
+    val sums = comps.groupBy(col("_g"), col("_pos"))
+      .agg(sum(col("_v").cast("decimal(28,12)")).as("_s"),
+        count(lit(1)).as("_n"))
+    sums.groupBy(col("_g"))
+      .agg(
+        max(col("_n")).as("n_vectors"),
+        transform(
+          array_sort(collect_list(struct(col("_pos"),
+            (col("_s").cast("double") / col("_n")).as("_m")))),
+          x => x("_m")).as("centroid"))
+      .select(col("_g").as(groupCol), col("n_vectors"), col("centroid"))
+  }
+
   def ivfNearDupPairs(df: DataFrame, idCol: String, index: IvfIndex,
                       threshold: Double, nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1 && nprobe <= index.k,

@@ -223,7 +223,11 @@ object PlanAudit {
       "vocabulary-sized aggs over the reference slice, the resulting per-language model as " +
       "BROADCAST dims probed by scan-exploded position pairs (text never shuffles), one " +
       "narrow DECIMAL sum Exchange per doc, then the per-language rank window (the " +
-      "documented percentileBuckets sort boundary)")
+      "documented percentileBuckets sort boundary)"),
+    "ql58_mean_embedding" -> ("posexplode to (group, pos, v) rides the scan; ONE " +
+      "partial+final DECIMAL-sum agg on (group, pos) -- dim rows per group in the " +
+      "Exchange, whole embeddings never shuffle; the per-group assembly agg carries dim " +
+      "narrow rows")
   )
 
   def main(args: Array[String]): Unit = {

@@ -110,7 +110,10 @@ object ScaleBench {
     // ql57: LM train + score + bucket — model aggs vocabulary-sized,
     // scoring probes broadcast dims, the per-language sort is the
     // documented boundary; time must track the scan, never pairs
-    "ql57_ccnet_buckets")
+    "ql57_ccnet_buckets",
+    // ql58: component explode + (group, pos) agg — Exchange rows ∝
+    // groups × dim, so time tracks the scan as the corpus grows
+    "ql58_mean_embedding")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

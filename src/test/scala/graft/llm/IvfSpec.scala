@@ -11,6 +11,30 @@ class IvfSpec extends SparkSpec {
     .select(col("vec_id").as("query_id"), col("embedding"))
   private lazy val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
 
+  test("meanEmbedding pools per-group centroids exactly; empty/null vectors contribute nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (1L, Seq(3.0f, 6.0f)),
+      (2L, Seq(-1.5f, 0.5f)),
+      (3L, Seq.empty[Float]),
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("grp", "embedding")
+    val out = Similarity.meanEmbedding(df, "grp").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(out(1L) == ((2L, Seq(2.0, 4.0))))
+    assert(out(2L) == ((1L, Seq(-1.5, 0.5))))
+    // groups with only empty/null embeddings produce no row (posexplode)
+    assert(!out.contains(3L))
+    // partitioning-independence: DECIMAL sums make the mean order-exact
+    val a = Similarity.meanEmbedding(emb.select((col("vec_id") % 7).as("grp"), col("embedding")), "grp")
+    val b = Similarity.meanEmbedding(emb.repartition(13).select((col("vec_id") % 7).as("grp"), col("embedding")), "grp")
+    assert(rowsOf(a.select(col("grp"), col("n_vectors"),
+        posexplode(col("centroid")).as(Seq("pos", "mean")))) ==
+      rowsOf(b.select(col("grp"), col("n_vectors"),
+        posexplode(col("centroid")).as(Seq("pos", "mean")))))
+  }
+
   test("IVF training is deterministic and buckets are non-degenerate") {
     val i1 = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
     val i2 = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
