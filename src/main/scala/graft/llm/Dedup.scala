@@ -781,7 +781,13 @@ object Dedup {
       .filter(graft.llm.Similarity.cosine(col("embedding"), col("_b_emb"))
         >= threshold)
       .select(col(idCol)).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
+    // BROADCAST the contaminated ids (the filterByDomainBlocklist anti-join
+    // convention): contamination is bounded by benchmark-similar rows — a
+    // tiny fraction of any real corpus — and without the hint the LEFT
+    // ANTI plans as a SortMergeJoin that shuffles the ENTIRE corpus
+    // (embeddings included) on the id key, the exact full-corpus Exchange
+    // this operator exists to avoid (observed in the sf0.001 plan audit).
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
   /** Repeated-SPAN removal — the distributed analog of suffix-array

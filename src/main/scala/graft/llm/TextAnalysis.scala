@@ -914,12 +914,15 @@ object TextAnalysis {
     * what keeps a crawl-scale model broadcastable (the denominators stay
     * un-pruned MLE totals, the standard count-cutoff convention).
     *
-    * Scale shape: pair generation rides the scan's codegen stage; the
-    * three hash aggs are map-side-combinable, so every Exchange carries
-    * one row per DISTINCT n-gram (vocabulary-sized, not corpus-sized);
-    * the bigram⋈context-total join shuffles only those compact vocab
-    * tables on the context key, and the corpus token total is a 1-row
-    * broadcast (the [[distinctiveTerms]] convention).
+    * Scale shape: pair generation rides the scan's codegen stage into
+    * ONE map-side-combinable bigram-count agg — the only corpus-sized
+    * input anywhere; context totals, unigram counts and the corpus total
+    * are vocabulary-sized re-aggregations of that table (a position
+    * belongs to exactly one pair, so bigram counts are a sufficient
+    * statistic), its Exchange reused across branches. The
+    * bigram⋈context-total join shuffles only compact vocab tables and
+    * the corpus token total is a broadcast (the [[distinctiveTerms]]
+    * convention).
     */
   def lmEstimate(docs: DataFrame, textCol: String,
                  minCount: Long = 1L,
@@ -938,20 +941,25 @@ object TextAnalysis {
     val pairs = docs.select(g :+ explode(pairGrams).as("_g"): _*)
       .select(g ++ Seq(substring_index(col("_g"), " ", 1).as("_ctx"),
         substring_index(col("_g"), " ", -1).as("_tok")): _*)
+    // ONE corpus pass: every position appears in exactly one (ctx, tok)
+    // pair, so the bigram-count table is a sufficient statistic — context
+    // totals, unigram counts and the corpus total are all vocabulary-sized
+    // re-aggregations of `big` (its Exchange is reused across the
+    // branches), never a second scan of the corpus.
     val big = pairs.groupBy(g ++ Seq(col("_ctx"), col("_tok")): _*)
       .agg(count(lit(1)).as("cnt"))
-    val ctxTot = pairs.groupBy(g :+ col("_ctx"): _*)
-      .agg(count(lit(1)).as("ctx_total"))
+    val ctxTot = big.groupBy(g :+ col("_ctx"): _*)
+      .agg(sum(col("cnt")).as("ctx_total"))
     val bigrams = big.join(ctxTot, groupCols :+ "_ctx")
       .select(g ++ Seq(col("_ctx").as("context"), col("_tok").as("token"),
         col("cnt"), col("ctx_total")): _*)
-    val uni = pairs.groupBy(g :+ col("_tok"): _*).agg(count(lit(1)).as("cnt"))
+    val uni = big.groupBy(g :+ col("_tok"): _*).agg(sum(col("cnt")).as("cnt"))
     // corpus token total: a 1-row broadcast ungrouped, a per-group
     // broadcast dim otherwise
     val unigrams = (if (groupCols.isEmpty)
-      uni.crossJoin(broadcast(pairs.agg(count(lit(1)).as("ctx_total"))))
+      uni.crossJoin(broadcast(big.agg(sum(col("cnt")).as("ctx_total"))))
     else
-      uni.join(broadcast(pairs.groupBy(g: _*).agg(count(lit(1)).as("ctx_total"))),
+      uni.join(broadcast(big.groupBy(g: _*).agg(sum(col("cnt")).as("ctx_total"))),
         groupCols))
       .select(g ++ Seq(lit("").as("context"), col("_tok").as("token"),
         col("cnt"), col("ctx_total")): _*)

@@ -203,19 +203,20 @@ object PlanAudit {
     "ql44b_domain_stats_psl" -> ("psl_domain is a scan-riding native expression (rule dims " +
       "ride the task binary -- no explode/join to match suffixes), then ONE partial+final " +
       "agg on the bounded registrable-domain key"),
-    "ql54_lm_estimate" -> ("fused bigram-pair generation rides the scan; THREE map-side-" +
-      "combinable hash aggs (bigram, context, unigram) so every Exchange carries one row " +
-      "per DISTINCT n-gram -- vocabulary-sized, never corpus-sized; the bigram/context-" +
-      "total join shuffles only those compact vocab tables and the corpus token total is " +
-      "a 1-row broadcast"),
+    "ql54_lm_estimate" -> ("ONE corpus scan: fused bigram-pair generation rides it into a " +
+      "single map-side-combinable bigram-count agg (the only corpus-sized input anywhere, " +
+      "Exchange REUSED across branches); context totals, unigram counts and the corpus " +
+      "total are vocabulary-sized re-aggregations of that table; the context-total join " +
+      "and the token total are broadcasts"),
     "qx13_csv_roundtrip" -> ("text scan + from_csv projection with the EXPLICIT schema " +
       "(no inference scan) -- the parse rides the file scan in one span, splittable at " +
       "any byte offset; no shuffle in the operator (the only Exchange is the harness " +
       "ORDER BY)"),
     "ql55_semantic_decon" -> ("corpus bucketed by a scan-riding IVF assignment, benchmark " +
       "probes BROADCAST (BroadcastHashJoin -- the corpus never shuffles for the probe " +
-      "join), exact cosine in-join, then only narrow contaminated ids reach the LEFT " +
-      "ANTI subtraction"),
+      "join), exact cosine in-join, and the contaminated ids BROADCAST back for the LEFT " +
+      "ANTI (BroadcastHashJoin LeftAnti -- without the hint this planned as a " +
+      "SortMergeJoin shuffling the whole corpus, embeddings included)"),
     "ql56_mixture_sample" -> ("rate dim BroadcastHashJoin + scan-riding copy arithmetic + " +
       "a bounded Generate (<= ceil(rate) rows per input row) -- no shuffle in the " +
       "operator (the only Exchange is the harness ORDER BY)"),
