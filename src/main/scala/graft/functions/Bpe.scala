@@ -163,6 +163,134 @@ object BpeVocab {
   }
 }
 
+/** Byte-BPE vocabulary TRAINING — the missing half of the tokenizer
+  * lifecycle ([[BpeVocab]] loads published merges; this LEARNS them from
+  * a corpus, Sennrich et al. 2016). Architecture is the one every real
+  * trainer uses: the corpus-scale work is ONE distributed pre-token
+  * count aggregation (vocabulary-sized output — the Zipf head is all
+  * that matters), and the merge loop runs on the DRIVER over that
+  * bounded word-frequency table, never over the corpus.
+  *
+  * Determinism: the next merge is the pair with the highest weighted
+  * count, ties broken by the lexicographically smallest (left, right) —
+  * a pure function of the word counts, so training is reproducible
+  * across runs/partitionings (spec-pinned). The learned table
+  * round-trips through the GPT-2 `merges.txt` lines ([[mergesLines]] →
+  * [[BpeVocab.parseMerges]], spec-pinned) and drops straight into
+  * [[BpeTokenCount]]/[[BpeEncoder]]/budget operators.
+  *
+  * No DuckDB oracle BY DESIGN: the GPT-2 pre-tokenizer needs lookahead
+  * (`\s+(?!\S)`), which RE2-based engines cannot express — the same
+  * documented boundary class as stripHtml's entity handling. Evidence is
+  * the spec battery (hand-computed merges, serialization parity,
+  * round-trip into counting, partitioning-independence).
+  */
+object BpeTrain {
+
+  /** Distributed pre-token counts: the GPT-2 pre-tokenizer as an inline-
+    * flagged Java regex inside `regexp_extract_all` — scan-riding and
+    * codegen'd, ONE partial+final count agg on the word key. `(?U)` =
+    * UNICODE_CHARACTER_CLASS, matching [[BpeVocab]]'s matcher exactly.
+    */
+  def wordCounts(docs: org.apache.spark.sql.DataFrame,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pat = """(?U)'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    docs.select(explode(regexp_extract_all(col(textCol),
+        lit(pat), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Train `numMerges` merges on a corpus. `minWordCount` prunes the
+    * frequency tail before collect; `maxWords` caps driver memory with a
+    * deterministic (count desc, word) cut — both standard trainer knobs.
+    */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+            numMerges: Int, minWordCount: Long = 1L,
+            maxWords: Int = 1000000): BpeVocab = {
+    import org.apache.spark.sql.functions._
+    val wc = wordCounts(docs, textCol)
+      .filter(col("cnt") >= minWordCount)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxWords) // TakeOrderedAndProject — bounded driver collect
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    trainFromCounts(wc, numMerges)
+  }
+
+  /** The driver-side merge loop over a word-frequency table (the part
+    * HF/SentencePiece also run single-node). Cost O(numMerges · affected
+    * symbols) — pair counts update incrementally, only words containing
+    * the merged pair are rewritten.
+    */
+  def trainFromCounts(words: Seq[(String, Long)], numMerges: Int): BpeVocab = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => String.valueOf(BpeVocab.byteToChar(b & 0xff))), c)
+    }.toArray
+    val pairCounts = new java.util.HashMap[(String, String), Long]()
+    def addWord(syms: Array[String], c: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        pairCounts.merge((syms(i), syms(i + 1)), c, (a, b) => a + b)
+        i += 1
+      }
+    }
+    def removeWord(syms: Array[String], c: Long): Unit = addWord(syms, -c)
+    seqs.foreach { case (s, c) => addWord(s, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      // deterministic argmax: highest count, then smallest (left, right)
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCounts.forEach { (p, c) =>
+        if (c > bestC || (c == bestC && c > 0 && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC <= 0) done = true
+      else {
+        merges += best
+        val (l, r) = best
+        seqs = seqs.map { case (syms, c) =>
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) has = true
+            i += 1
+          }
+          if (!has) (syms, c)
+          else {
+            removeWord(syms, c)
+            val out = Array.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += (l + r); j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            val merged = out.result()
+            addWord(merged, c)
+            (merged, c)
+          }
+        }
+        pairCounts.remove(best)
+      }
+    }
+    require(merges.nonEmpty, "no pairs to merge — corpus too small")
+    BpeVocab(merges.zipWithIndex.toMap)
+  }
+
+  /** Serialize a vocabulary to GPT-2 `merges.txt` lines (rank order,
+    * `#version` header) — [[BpeVocab.parseMerges]] round-trips them.
+    */
+  def mergesLines(vocab: BpeVocab): Seq[String] =
+    "#version: 0.2" +:
+      vocab.ranks.toSeq.sortBy(_._2).map { case ((l, r), _) => s"$l $r" }
+}
+
 /** Byte-BPE TOKENIZER — [[BpeVocab]]'s merge table plus the id
   * vocabulary (`vocab.json` in the public GPT-2 format: token-in-byte-
   * alphabet → id), emitting the `ARRAY<INT>` id sequence a training-data

@@ -182,4 +182,54 @@ class BpeSpec extends SparkSpec {
     assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L), s"got $shards")
     kept.count() // smoke: the BPE column also flows through takeByTokenBudget
   }
+
+  test("BpeTrain learns hand-computed merges in weighted-count order") {
+    val docs = Seq("aa aa aa b").toDF("text")
+    // pre-tokens: "aa" x1, " aa" x2, " b" x1; pairs (a,a):3 > (Ġ,a):2 >
+    // (Ġ,b):1; after (a,a)->aa the next is (Ġ,aa):2, then (Ġ,b):1
+    val v = BpeTrain.train(docs, "text", numMerges = 3)
+    assert(v.ranks == Map(
+      ("a", "a") -> 0, ("Ġ", "aa") -> 1, ("Ġ", "b") -> 2))
+    // round-trip into counting: every pre-token fully merges -> 4 tokens
+    assert(v.countTokens("aa aa aa b") == 4)
+    // fewer merges leave more symbols: 1 + 2 + 2 + 2
+    val v1 = BpeTrain.train(docs, "text", numMerges = 1)
+    assert(v1.countTokens("aa aa aa b") == 7)
+    // the loop stops when no pair remains (asking for more is safe)
+    assert(BpeTrain.train(docs, "text", numMerges = 100).ranks.size == 3)
+  }
+
+  test("BpeTrain ties break to the lexicographically smallest pair") {
+    val docs = Seq("ab cd ab cd").toDF("text")
+    // (a,b):2, (Ġ,c):2, (c,d):2 all tie; 'a' < 'c' < 'Ġ' (U+0120)
+    val v = BpeTrain.train(docs, "text", numMerges = 1)
+    assert(v.ranks.keySet == Set(("a", "b")))
+  }
+
+  test("BpeTrain is partitioning-independent and round-trips merges.txt") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text")
+    val a = BpeTrain.train(docs, "text", numMerges = 40)
+    val b = BpeTrain.train(docs.repartition(13), "text", numMerges = 40)
+    assert(a.ranks == b.ranks)
+    // serialization parity: lines -> parseMerges -> identical table
+    val reparsed = BpeVocab.parseMerges(BpeTrain.mergesLines(a).iterator)
+    assert(reparsed.ranks == a.ranks)
+    // the trained vocabulary compresses its own corpus vs untrained bytes
+    val sample = docs.limit(5).as[String].collect().mkString(" ")
+    val untrained = BpeTrain.trainFromCounts(Seq((" stub", 1L)), 1)
+    assert(a.countTokens(sample) < untrained.countTokens(sample))
+  }
+
+  test("BpeTrain minWordCount and maxWords prune the collected vocabulary") {
+    val docs = Seq("hot hot hot hot cold").toDF("text")
+    // " hot" x3 + "hot" x1 + " cold" x1; minWordCount=2 keeps only " hot"
+    val v = BpeTrain.train(docs, "text", numMerges = 10, minWordCount = 2)
+    // merges only ever involve " hot"'s symbols: Ġ,h,o,t
+    assert(v.ranks.keys.forall { case (l, r) =>
+      (l + r).forall("Ġhot".contains(_)) })
+    val capped = BpeTrain.train(docs, "text", numMerges = 10, maxWords = 1)
+    assert(capped.ranks.keys.forall { case (l, r) =>
+      (l + r).forall("Ġhot".contains(_)) })
+  }
 }
