@@ -1619,6 +1619,33 @@ object Queries {
     ordered(graft.llm.Pipelines.ccnetPerplexityBuckets(docs, ref))
   }
 
+  /** Q-L59 — sentence segmentation ([[graft.llm.TextAnalysis.sentences]]):
+    * synthetic docs walk the rule edges — multi-terminal runs kept
+    * ("Ellipsis..."), a fragment without terminal punctuation, a
+    * punctuation-only doc (emits nothing), the empty doc, and the
+    * documented abbreviation boundary ("Dr." splits). Both engines run
+    * the identical RE2-compatible pattern; sentences unpivot to
+    * (doc_id, idx, sentence) rows.
+    */
+  val qlSentences: Q = (s, dir) => {
+    val synth = (1 to 6).map { i =>
+      (-i.toLong, i match {
+        case 1 => "One. Two! Three?"
+        case 2 => "No terminal punctuation here"
+        case 3 => "Ellipsis... then more."
+        case 4 => "!!!"
+        case 5 => "Dr. Smith went. Home."
+        case _ => ""
+      })
+    }
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(synth.toDF("doc_id", "text"))
+    ordered(docs.select(col("doc_id"),
+      posexplode(graft.llm.TextAnalysis.sentences(col("text")))
+        .as(Seq("idx", "sentence"))))
+  }
+
   /** Q-L44 — blocklist-filtered per-domain crawl stats
     * ([[graft.llm.TextAnalysis.filterByDomainBlocklist]] composed into
     * [[graft.llm.TextAnalysis.domainStats]]): the ql36 synthetic URLs are
@@ -2213,6 +2240,7 @@ object Queries {
     "ql43_lm_score" -> qlLmScore,
     "ql54_lm_estimate" -> qlLmEstimate,
     "ql57_ccnet_buckets" -> qlCcnetBuckets,
+    "ql59_sentences" -> qlSentences,
     "ql44_domain_stats" -> qlDomainStats,
     "ql44b_domain_stats_psl" -> qlDomainStatsPsl,
     "ql45_gopher_repetition" -> qlGopherRepetition,
@@ -2806,6 +2834,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // BOS/backoff/OOV scoring, rank thirds with doc_id tiebreak
     "ql57_ccnet_buckets" ->
       """WITH ref AS (SELECT lang, text FROM documents WHERE doc_id % 5 = 0), rt AS (SELECT lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM ref), rp AS (SELECT lang, unnest(generate_series(1, len(toks))) AS i, toks FROM rt WHERE len(toks) > 0), rs AS (SELECT lang, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM rp), big AS (SELECT lang, ctx, tok, COUNT(*) AS cnt FROM rs GROUP BY 1, 2, 3), ct AS (SELECT lang, ctx, COUNT(*) AS ctx_total FROM rs GROUP BY 1, 2), uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM rs GROUP BY 1, 2), tot AS (SELECT lang, COUNT(*) AS ctx_total FROM rs GROUP BY 1), lmb AS (SELECT big.lang, big.ctx, big.tok, CAST(log10(CAST(big.cnt AS DOUBLE) / ct.ctx_total) AS DECIMAL(18,6)) AS lp FROM big JOIN ct ON big.lang = ct.lang AND big.ctx = ct.ctx), lmu AS (SELECT uni.lang, uni.tok, CAST(log10(CAST(uni.cnt AS DOUBLE) / tot.ctx_total) AS DECIMAL(18,6)) AS lp FROM uni JOIN tot ON uni.lang = tot.lang), t2 AS (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), p2 AS (SELECT doc_id, lang, unnest(generate_series(1, len(toks))) AS i, toks FROM t2 WHERE len(toks) > 0), s2 AS (SELECT doc_id, lang, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM p2), j AS (SELECT s2.doc_id, s2.lang, COALESCE(lmb.lp, CAST(-0.4 AS DECIMAL(18,6)) + COALESCE(lmu.lp, CAST(-6.0 AS DECIMAL(18,6)))) AS lp FROM s2 LEFT JOIN lmb ON s2.lang = lmb.lang AND s2.ctx = lmb.ctx AND s2.tok = lmb.tok LEFT JOIN lmu ON s2.lang = lmu.lang AND s2.tok = lmu.tok), a AS (SELECT doc_id, lang, COUNT(*) AS n, SUM(lp) AS sl FROM j GROUP BY 1, 2), sc AS (SELECT d.doc_id, d.lang, COALESCE(a.n, 0) AS n_tokens, CASE WHEN COALESCE(a.n, 0) > 0 THEN -CAST(a.sl AS DOUBLE) / a.n ELSE 0.0 END AS score FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id AND d.lang = a.lang), r AS (SELECT doc_id, lang, n_tokens, score, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score ASC NULLS LAST, doc_id ASC) AS BIGINT) AS rank_in_group, CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group FROM sc) SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score, rank_in_group, n_group, CASE WHEN rank_in_group * 3 <= n_group THEN 'head' WHEN rank_in_group * 3 <= n_group * 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""",
+    // ql59: identical RE2 alternation on both sides; trim + empty filter
+    // via list lambdas, unnest with the generate_series subscript pattern
+    "ql59_sentences" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, CASE CAST(i AS INT) WHEN 1 THEN 'One. Two! Three?' WHEN 2 THEN 'No terminal punctuation here' WHEN 3 THEN 'Ellipsis... then more.' WHEN 4 THEN '!!!' WHEN 5 THEN 'Dr. Smith went. Home.' ELSE '' END FROM generate_series(1, 6) AS g(i)), s AS (SELECT doc_id, list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+'), x -> trim(x)), x -> x <> '') AS sents FROM all_docs), e AS (SELECT doc_id, i - 1 AS idx, sents[i] AS sentence FROM s, LATERAL unnest(generate_series(1, len(sents))) AS t(i)) SELECT doc_id, CAST(idx AS INT) AS idx, sentence FROM e ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql44: the ql36 URL synthesis + the same host rules, reduced to
     // last-two-label domains, blocklist NOT IN, one group-by
     "ql44_domain_stats" ->

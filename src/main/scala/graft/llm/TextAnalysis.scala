@@ -396,6 +396,25 @@ object TextAnalysis {
   def stripHtml(text: Column): Column =
     regexp_replace(text, "<[^>]*>", " ")
 
+  /** Rule-based sentence segmentation: maximal runs ending in terminal
+    * punctuation (`.!?`, runs kept — "wait..." is one sentence), plus a
+    * trailing fragment with no terminal punctuation; segments trimmed,
+    * empties dropped. The granularity between [[c4CleanLines]]' lines and
+    * [[graft.llm.Dedup.dropDuplicateParagraphs]]' paragraphs — the unit
+    * sentence-level filters and dedup build on.
+    *
+    * RE2-compatible BY DESIGN (alternation of character-class runs, no
+    * lookaround — the [[stripHtml]] discipline) so the Q-L59 oracle
+    * replays the split identically. Deliberately NOT abbreviation-aware
+    * ("Dr. Smith" splits) — that needs a language model, not a regex;
+    * documented boundary shared with every published rule-based splitter.
+    * Scan-riding Column expression: no shuffle at any scale.
+    */
+  val SentencePattern = "[^.!?]+[.!?]+|[^.!?]+"
+  def sentences(text: Column): Column =
+    filter(transform(regexp_extract_all(text, lit(SentencePattern), lit(0)),
+      s => trim(s)), s => s =!= "")
+
   /** Gopher-style quality rules (Rae et al., the published web-corpus
     * filter battery) as a struct of per-rule booleans — callers compose
     * their own gate (`ok_length AND ok_alpha ...`) or keep the flags as

@@ -228,7 +228,10 @@ object PlanAudit {
     "ql58_mean_embedding" -> ("posexplode to (group, pos, v) rides the scan; ONE " +
       "partial+final DECIMAL-sum agg on (group, pos) -- dim rows per group in the " +
       "Exchange, whole embeddings never shuffle; the per-group assembly agg carries dim " +
-      "narrow rows")
+      "narrow rows"),
+    "ql59_sentences" -> ("RE2-alternation extract + trim/filter lambdas + posexplode, all " +
+      "riding the scan in one Generate span -- no shuffle in the operator (the only " +
+      "Exchange is the harness ORDER BY)")
   )
 
   def main(args: Array[String]): Unit = {

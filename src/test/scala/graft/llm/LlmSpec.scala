@@ -76,6 +76,23 @@ class LlmSpec extends SparkSpec {
     assert(!rows.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("sentences splits on terminal-punctuation runs, keeps fragments, drops empties") {
+    import spark.implicits._
+    val got = Seq(
+      "One. Two! Three?", "No terminal punctuation here",
+      "Ellipsis... then more.", "!!!", "", "Dr. Smith went. Home.")
+      .toDF("text")
+      .select(col("text"), TextAnalysis.sentences(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("One. Two! Three?") == List("One.", "Two!", "Three?"))
+    assert(got("No terminal punctuation here") == List("No terminal punctuation here"))
+    assert(got("Ellipsis... then more.") == List("Ellipsis...", "then more."))
+    // punctuation-only and empty docs emit nothing
+    assert(got("!!!") == Nil && got("") == Nil)
+    // the documented abbreviation boundary: "Dr." is its own segment
+    assert(got("Dr. Smith went. Home.") == List("Dr.", "Smith went.", "Home."))
+  }
+
   test("minhash-LSH candidates are a superset of exact token-set pairs (Q-L5 contract)") {
     val exact = rowsOf(Dedup.exactTokenSetPairs(docs, "doc_id", "text"))
     val cands = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text")
