@@ -154,7 +154,8 @@ object Pipelines {
                              idCol: String = "doc_id", textCol: String = "text",
                              langCol: String = "lang", minCount: Long = 1L,
                              backoff: Double = -0.4, oov: Double = -6.0,
-                             dropTail: Boolean = false): DataFrame = {
+                             dropTail: Boolean = false,
+                             approxCuts: Boolean = false): DataFrame = {
     val model = TextAnalysis.lmEstimate(
       reference.select(col(langCol), col(textCol)), textCol, minCount,
       groupCols = Seq(langCol))
@@ -163,9 +164,20 @@ object Pipelines {
       .withColumn("score",
         when(col("n_tokens") > 0, -col("sum_logp") / col("n_tokens"))
           .otherwise(lit(0.0)))
-    val bucketed = Sampling.percentileBuckets(scored, langCol, "score", idCol)
-      .select(col(idCol), col(langCol), col("n_tokens"), col("score"),
-        col("rank_in_group"), col("n_group"), col("bucket"))
+    // `approxCuts` is the full-crawl path: per-language approx-percentile
+    // cut VALUES as a broadcast dim — no per-language sort Exchange (the
+    // boundary documented on Sampling.percentileBuckets); CCNet itself
+    // cuts by value, so this is the paper's own semantics. The exact rank
+    // form stays the oracle-checkable default.
+    val bucketed =
+      if (approxCuts)
+        Sampling.percentileBucketsApprox(scored, langCol, "score")
+          .select(col(idCol), col(langCol), col("n_tokens"), col("score"),
+            col("bucket"))
+      else
+        Sampling.percentileBuckets(scored, langCol, "score", idCol)
+          .select(col(idCol), col(langCol), col("n_tokens"), col("score"),
+            col("rank_in_group"), col("n_group"), col("bucket"))
     if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
   }
 }

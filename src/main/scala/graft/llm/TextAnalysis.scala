@@ -987,6 +987,47 @@ object TextAnalysis {
       .withColumn("logp", log10(col("cnt").cast("double") / col("ctx_total")))
   }
 
+  /** INCREMENTAL model maintenance — the BandIndex/KnnGraph.insert
+    * lifecycle convention applied to LMs: MLE counts are additive, so a
+    * model estimated on an arriving batch merges into an existing model
+    * without re-reading the old corpus. Row counts add per
+    * (group, context, token); denominators add per (group, context) — a
+    * context present in only one side keeps its total. Exact contract
+    * (spec-pinned): `lmMerge(lmEstimate(A), lmEstimate(B)) ==
+    * lmEstimate(A ∪ B)` at minCount = 1; merging PRUNED models is
+    * approximate (pruned tail counts are unrecoverable — the standard
+    * trade, documented not hidden).
+    *
+    * Scale: both inputs are vocabulary-sized model tables — every agg
+    * and join here is model-sized, never corpus-sized.
+    */
+  def lmMerge(a: DataFrame, b: DataFrame,
+              groupCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = groupCols ++ Seq("context", "token")
+    def slim(m: DataFrame) = m.select(keyCols.map(col) :+ col("cnt"): _*)
+    val cnt = slim(a).unionByName(slim(b))
+      .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+    def totals(m: DataFrame) = m
+      .select((groupCols :+ "context").map(col) :+ col("ctx_total"): _*)
+      .distinct()
+    val tot = totals(a).unionByName(totals(b))
+      .groupBy((groupCols :+ "context").map(col): _*)
+      .agg(sum(col("ctx_total")).as("ctx_total"))
+    cnt.join(tot, groupCols :+ "context")
+      .select(keyCols.map(col) ++ Seq(col("cnt"), col("ctx_total")): _*)
+      .withColumn("logp", log10(col("cnt").cast("double") / col("ctx_total")))
+  }
+
+  /** Persist a model in the [[lmFromTsv]] TSV format (context\ttoken\t
+    * logp; distributed write — the [[graft.sources.CsvSink]] path with a
+    * tab separator). `lmFromTsv(lmSaveTsv'd path)` scores identically
+    * (spec-pinned): doubles round-trip through their shortest repr, and
+    * the loader's `na.fill` restores the unigram rows' empty context.
+    */
+  def lmSaveTsv(lm: DataFrame, path: String): Unit =
+    lm.select(col("context"), col("token"), col("logp"))
+      .write.mode("overwrite").option("sep", "\t").csv(path)
+
   /** `context\ttoken\tlogp` loader for [[lmScore]] (unigram rows carry an
     * empty context field — the flat TSV projection of an ARPA 2-gram
     * model's 1-gram and 2-gram sections).

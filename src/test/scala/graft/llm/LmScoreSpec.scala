@@ -131,6 +131,45 @@ class LmScoreSpec extends SparkSpec {
     assert(out(3L) == -6.4)
   }
 
+  test("lmMerge(estimate(A), estimate(B)) == estimate(A union B) at minCount 1") {
+    val a = Seq("the cat sat", "a cat").toDF("text")
+    val b = Seq("the cat ran", "the end").toDF("text")
+    val merged = TextAnalysis.lmMerge(
+      TextAnalysis.lmEstimate(a, "text"), TextAnalysis.lmEstimate(b, "text"))
+    val direct = TextAnalysis.lmEstimate(a.unionByName(b), "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("context", "token", "cnt", "ctx_total")
+        .as[(String, String, Long, Long)].collect().toSet
+    assert(key(merged) == key(direct))
+    // grouped form merges per language independently
+    val ga = Seq(("en", "x y"), ("de", "u v")).toDF("lang", "text")
+    val gb = Seq(("en", "x z")).toDF("lang", "text")
+    val gm = TextAnalysis.lmMerge(
+      TextAnalysis.lmEstimate(ga, "text", groupCols = Seq("lang")),
+      TextAnalysis.lmEstimate(gb, "text", groupCols = Seq("lang")),
+      groupCols = Seq("lang"))
+    val gd = TextAnalysis.lmEstimate(ga.unionByName(gb), "text",
+      groupCols = Seq("lang"))
+    def gkey(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "context", "token", "cnt", "ctx_total")
+        .as[(String, String, String, Long, Long)].collect().toSet
+    assert(gkey(gm) == gkey(gd))
+  }
+
+  test("lmSaveTsv -> lmFromTsv round-trips a model; scores are identical") {
+    val corpus = Seq("the cat sat", "the cat ran").toDF("text")
+    val model = TextAnalysis.lmEstimate(corpus, "text")
+    val dir = java.nio.file.Files.createTempDirectory("lmrt").toString + "/m"
+    TextAnalysis.lmSaveTsv(model, dir)
+    val loaded = TextAnalysis.lmFromTsv(spark, dir)
+    val docs = Seq((1L, "the cat sat"), (2L, "zz the")).toDF("doc_id", "text")
+    def scores(lm: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.lmScore(docs, "doc_id", "text", lm)
+        .select("doc_id", "n_tokens", "sum_logp")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(scores(loaded) == scores(model))
+  }
+
   test("lmFromTsv loads unigram (empty-context) and bigram rows") {
     val dir = java.nio.file.Files.createTempDirectory("lm").toFile
     val f = new java.io.File(dir, "lm.tsv")

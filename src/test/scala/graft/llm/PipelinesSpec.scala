@@ -105,6 +105,23 @@ class PipelinesSpec extends SparkSpec {
     assert(cut.count() == out.values.count(_._3 != "tail"))
   }
 
+  test("ccnetPerplexityBuckets approxCuts agrees with the exact form on continuous scores") {
+    val ref = Seq(("en", "the cat"), ("en", "the dog ran")).toDF("lang", "text")
+    // distinct OOV/hit mixes per doc -> continuous, untied scores
+    val docs = (1 to 12).map(i =>
+      (i.toLong, "en", ("the cat " * (i % 4 + 1)) + ("zz " * (i % 3)) + s"w$i"))
+      .toDF("doc_id", "lang", "text")
+    val exact = Pipelines.ccnetPerplexityBuckets(docs, ref)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approx = Pipelines.ccnetPerplexityBuckets(docs, ref, approxCuts = true)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    // value cuts == rank cuts away from ties; allow the documented
+    // boundary row but require broad agreement
+    val agree = exact.keys.count(k => exact(k) == approx(k))
+    assert(agree >= exact.size - 2, s"only $agree/${exact.size} agree")
+    assert(approx.values.toSet.subsetOf(Set("head", "middle", "tail")))
+  }
+
   test("written-sink lifecycle leaves no cached blocks behind (100 TB calling convention)") {
     val docs = ((1 to 8).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
     // materialize = true (default): the pipeline owns the cache and must
