@@ -68,6 +68,9 @@ object PlanAudit {
     "ql29_boilerplate" -> ("line explode -> 16-byte md5-keyed df agg -> LEFT ANTI join -> ordered " +
       "reassembly agg: partial+final around each Exchange, keys are hashes not line text, " +
       "no corpus-wide window"),
+    "ql30_ivf_neardup" -> ("within-cell candidate equi-self-join on the IVF bucket key " +
+      "(cells corpus-proportional -- never an all-pairs join), exact cosine scored " +
+      "in-join, narrow (doc_a, doc_b) dedup"),
     "ql32_neardup_autoplanes" -> ("multi-table banded hyperplane self-join: per table one equi-join " +
       "on the 8-byte bucket key (corpus-sized planes -- NEVER an all-pairs join), exact cosine " +
       "scored in-join, narrow (doc_a, doc_b, sim) union + dedup -- no embedding in the dedup Exchange"),
@@ -232,6 +235,69 @@ object PlanAudit {
     "ql59_sentences" -> ("RE2-alternation extract + trim/filter lambdas + posexplode, all " +
       "riding the scan in one Generate span -- no shuffle in the operator (the only " +
       "Exchange is the harness ORDER BY)")
+  )
+
+  /** Machine-checked subset of the prose claims above: a shuffle budget
+    * plus required/forbidden physical operators, asserted by
+    * `PlanShapeSpec` over the sf0.001 plans — the audit's English turned
+    * into a regression gate (round 11: reading the regenerated plans
+    * caught ql55's anti-join silently planning as a corpus-shuffling
+    * SortMergeJoin; this spec makes that class of drift a red test).
+    * `maxShuffles` counts ShuffleExchange nodes (Broadcast/Reused
+    * excluded); scan-riding operators budget exactly 1 — the harness
+    * ORDER BY.
+    */
+  final case class Shape(maxShuffles: Int = Int.MaxValue,
+                         forbid: Seq[String] = Nil,
+                         require: Seq[String] = Nil)
+
+  private val bhj = Seq("BroadcastHashJoin")
+  private val noSmj = Seq("SortMergeJoin")
+  private val noCross = Seq("CartesianProduct")
+
+  val shapes: Map[String, Shape] = Map(
+    // "only Exchange is the harness ORDER BY" claims
+    "qp1_transform" -> Shape(1),
+    "qc1_sequence" -> Shape(1),
+    "qf1_scalars" -> Shape(1),
+    "qf2_dates" -> Shape(2), // date agg + ORDER BY
+    "ql7_token_count" -> Shape(1),
+    "ql8_quality" -> Shape(1),
+    "ql9_fingerprint" -> Shape(1),
+    "ql24_normalize" -> Shape(1),
+    "ql28_token_chunks" -> Shape(1),
+    "ql36_url_canonical" -> Shape(1),
+    "ql37_gopher_flags" -> Shape(1),
+    "ql40_bpe_encode" -> Shape(1),
+    "ql46_pii_redact" -> Shape(1),
+    "ql48_c4_filters" -> Shape(1),
+    "ql51_winnowing" -> Shape(1),
+    "qx12_jsonl_roundtrip" -> Shape(1),
+    "qx13_csv_roundtrip" -> Shape(1),
+    "ql56_mixture_sample" -> Shape(1, forbid = noSmj, require = bhj),
+    "ql59_sentences" -> Shape(1),
+    // broadcast-dim claims: the fact/corpus side must not shuffle for
+    // the join (SMJ would mean both sides Exchange)
+    "qj1_join_broadcast" -> Shape(forbid = noSmj, require = bhj),
+    "qj3_semi" -> Shape(forbid = noSmj, require = bhj),
+    "qj3_anti" -> Shape(forbid = noSmj, require = bhj),
+    "ql19_decontaminate" -> Shape(forbid = noSmj, require = bhj),
+    "ql38_linear_score" -> Shape(forbid = noSmj, require = bhj),
+    "ql41_linear_bigram" -> Shape(forbid = noSmj, require = bhj),
+    "ql43_lm_score" -> Shape(forbid = noSmj, require = bhj),
+    "ql44_domain_stats" -> Shape(forbid = noSmj, require = bhj),
+    "ql55_semantic_decon" -> Shape(forbid = noSmj, require = bhj),
+    "ql57_ccnet_buckets" -> Shape(require = bhj),
+    // "never all-pairs" claims (exact baselines ql4/ql27/ql33 excluded —
+    // their cartesian IS the documented design)
+    "ql6_minhash_candidates" -> Shape(forbid = noCross),
+    "ql11_ann_topk" -> Shape(forbid = noCross),
+    "ql12_ivf_topk" -> Shape(forbid = noCross),
+    "ql30_ivf_neardup" -> Shape(forbid = noCross),
+    "ql32_neardup_autoplanes" -> Shape(forbid = noCross),
+    "ql42_semantic_dedup" -> Shape(forbid = noCross),
+    "ql52_simhash_candidates" -> Shape(forbid = noCross),
+    "ql53_ngram_jaccard" -> Shape(forbid = noCross)
   )
 
   def main(args: Array[String]): Unit = {
