@@ -1646,6 +1646,32 @@ object Queries {
         .as(Seq("idx", "sentence"))))
   }
 
+  /** Q-L60 — Naive Bayes classifier training
+    * ([[graft.llm.Classify.nbTrain]]): the documents table with `lang` as
+    * the class label. The model is pure counts — every column exact
+    * integers, fully replayed in DuckDB over the same lowercased
+    * whitespace vocabulary.
+    */
+  val qlNbTrain: Q = (s, dir) => {
+    val labeled = t(s, dir, "documents")
+      .select(col("lang").as("label"), col("text"))
+    ordered(graft.llm.Classify.nbTrain(labeled, "label", "text"))
+  }
+
+  /** Q-L61 — Naive Bayes classification ([[graft.llm.Classify.nbClassify]]
+    * over the ql60 model): per-(doc, label) scores are prior + Σ add-1
+    * log-likelihoods, each log computed from exact integer evidence and
+    * DECIMAL(18,6)-cast (the ql57 bridge), summed exactly; argmax with
+    * ties to the greater label (the ql10 convention). The oracle replays
+    * training AND scoring end to end, emitted score as DOUBLE.
+    */
+  val qlNbClassify: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val model = graft.llm.Classify.nbTrain(
+      docs.select(col("lang").as("label"), col("text")), "label", "text")
+    ordered(graft.llm.Classify.nbClassify(docs, "doc_id", "text", model))
+  }
+
   /** Q-L44 — blocklist-filtered per-domain crawl stats
     * ([[graft.llm.TextAnalysis.filterByDomainBlocklist]] composed into
     * [[graft.llm.TextAnalysis.domainStats]]): the ql36 synthetic URLs are
@@ -2241,6 +2267,8 @@ object Queries {
     "ql54_lm_estimate" -> qlLmEstimate,
     "ql57_ccnet_buckets" -> qlCcnetBuckets,
     "ql59_sentences" -> qlSentences,
+    "ql60_nb_train" -> qlNbTrain,
+    "ql61_nb_classify" -> qlNbClassify,
     "ql44_domain_stats" -> qlDomainStats,
     "ql44b_domain_stats_psl" -> qlDomainStatsPsl,
     "ql45_gopher_repetition" -> qlGopherRepetition,
@@ -2838,6 +2866,13 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // via list lambdas, unnest with the generate_series subscript pattern
     "ql59_sentences" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i, CASE CAST(i AS INT) WHEN 1 THEN 'One. Two! Three?' WHEN 2 THEN 'No terminal punctuation here' WHEN 3 THEN 'Ellipsis... then more.' WHEN 4 THEN '!!!' WHEN 5 THEN 'Dr. Smith went. Home.' ELSE '' END FROM generate_series(1, 6) AS g(i)), s AS (SELECT doc_id, list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+'), x -> trim(x)), x -> x <> '') AS sents FROM all_docs), e AS (SELECT doc_id, i - 1 AS idx, sents[i] AS sentence FROM s, LATERAL unnest(generate_series(1, len(sents))) AS t(i)) SELECT doc_id, CAST(idx AS INT) AS idx, sentence FROM e ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql60: pure-count model replay — same lowercased split, exact joins
+    "ql60_nb_train" ->
+      """WITH tk AS (SELECT lang AS label, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token FROM documents), cnt AS (SELECT label, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2), lt AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS label_total FROM cnt GROUP BY 1), v AS (SELECT COUNT(DISTINCT token) AS vocab FROM cnt), dl AS (SELECT lang AS label, COUNT(*) AS n_docs FROM documents GROUP BY 1), dt AS (SELECT COUNT(*) AS n_docs_total FROM documents) SELECT cnt.label, cnt.token, cnt.cnt, lt.label_total, v.vocab, dl.n_docs, dt.n_docs_total FROM cnt JOIN lt USING (label) CROSS JOIN v JOIN dl ON cnt.label = dl.label CROSS JOIN dt ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""",
+    // ql61: train + score replay — DECIMAL(18,6)-cast logs (the ql57
+    // bridge), exact sums, argmax with ties to the greater label
+    "ql61_nb_classify" ->
+      """WITH tk AS (SELECT lang AS label, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token FROM documents), cnt AS (SELECT label, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2), lt AS (SELECT label, SUM(cnt) AS label_total FROM cnt GROUP BY 1), v AS (SELECT COUNT(DISTINCT token) AS vocab FROM cnt), dl AS (SELECT lang AS label, COUNT(*) AS n_docs FROM documents GROUP BY 1), dt AS (SELECT COUNT(*) AS n_docs_total FROM documents), labd AS (SELECT lt.label, CAST(log10(CAST(dl.n_docs AS DOUBLE) / dt.n_docs_total) AS DECIMAL(18,6)) AS prior, CAST(log10(1.0 / (lt.label_total + 1.0 * v.vocab)) AS DECIMAL(18,6)) AS oov FROM lt JOIN dl USING (label) CROSS JOIN v CROSS JOIN dt), lp AS (SELECT cnt.label, cnt.token, CAST(log10((cnt.cnt + 1.0) / (lt.label_total + 1.0 * v.vocab)) AS DECIMAL(18,6)) AS lp FROM cnt JOIN lt USING (label) CROSS JOIN v), dtk AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok FROM documents), x AS (SELECT d.doc_id, l.label, COALESCE(lp.lp, l.oov) AS wlp FROM dtk d CROSS JOIN labd l LEFT JOIN lp ON l.label = lp.label AND d.tok = lp.token), sm AS (SELECT doc_id, label, SUM(wlp) AS sm FROM x GROUP BY 1, 2), sc AS (SELECT d.doc_id, l.label, l.prior + COALESCE(sm.sm, CAST(0 AS DECIMAL(18,6))) AS score FROM documents d CROSS JOIN labd l LEFT JOIN sm ON d.doc_id = sm.doc_id AND l.label = sm.label), b AS (SELECT doc_id, label, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn FROM sc) SELECT doc_id, label AS pred_label, CAST(score AS DOUBLE) AS score FROM b WHERE rn = 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql44: the ql36 URL synthesis + the same host rules, reduced to
     // last-two-label domains, blocklist NOT IN, one group-by
     "ql44_domain_stats" ->

@@ -234,7 +234,15 @@ object PlanAudit {
       "narrow rows"),
     "ql59_sentences" -> ("RE2-alternation extract + trim/filter lambdas + posexplode, all " +
       "riding the scan in one Generate span -- no shuffle in the operator (the only " +
-      "Exchange is the harness ORDER BY)")
+      "Exchange is the harness ORDER BY)"),
+    "ql60_nb_train" -> ("one token-explode scan into a map-side-combinable (label, token) " +
+      "count agg (the only corpus-sized input); label totals and vocab size are " +
+      "vocabulary-sized re-aggregations; doc counts prune to the label column; all label " +
+      "dims broadcast onto the count rows"),
+    "ql61_nb_classify" -> ("model dims BROADCAST (label metadata + token likelihoods -- " +
+      "the corpus never shuffles for either probe); per-label fan-out is |labels|; " +
+      "DECIMAL partial+final sum per (doc, label), then the struct-max argmax agg -- " +
+      "only narrow (id, label, decimal) rows in any Exchange")
   )
 
   /** Machine-checked subset of the prose claims above: a shuffle budget
@@ -297,7 +305,8 @@ object PlanAudit {
     "ql32_neardup_autoplanes" -> Shape(forbid = noCross),
     "ql42_semantic_dedup" -> Shape(forbid = noCross),
     "ql52_simhash_candidates" -> Shape(forbid = noCross),
-    "ql53_ngram_jaccard" -> Shape(forbid = noCross)
+    "ql53_ngram_jaccard" -> Shape(forbid = noCross),
+    "ql61_nb_classify" -> Shape(forbid = noSmj, require = bhj)
   )
 
   def main(args: Array[String]): Unit = {

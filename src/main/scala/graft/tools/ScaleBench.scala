@@ -113,7 +113,10 @@ object ScaleBench {
     "ql57_ccnet_buckets",
     // ql58: component explode + (group, pos) agg — Exchange rows ∝
     // groups × dim, so time tracks the scan as the corpus grows
-    "ql58_mean_embedding")
+    "ql58_mean_embedding",
+    // ql61: NB train + classify — count aggs vocabulary-sized, scoring
+    // probes broadcast model dims; time must track the scan
+    "ql61_nb_classify")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
