@@ -90,6 +90,35 @@ object Classify {
         (col("_prior") + coalesce(col("_sum"), dec(lit(0)))).as("score"))
   }
 
+  /** INCREMENTAL model maintenance (the lmMerge convention): counts are
+    * additive per (label, token), label totals and doc counts add per
+    * label, and the shared `vocab` is recomputed as the DISTINCT token
+    * count of the merged rows (token sets can overlap, so it is NOT a
+    * sum — the one non-additive column, recomputed at model-sized cost).
+    * Spec-pinned: `nbMerge(nbTrain(A), nbTrain(B)) == nbTrain(A ∪ B)`.
+    * Every agg/join here is model-sized, never corpus-sized.
+    */
+  def nbMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    def slim(m: DataFrame) = m.select(col("label"), col("token"), col("cnt"))
+    val cnt = slim(a).unionByName(slim(b))
+      .groupBy(col("label"), col("token")).agg(sum(col("cnt")).as("cnt"))
+    val labelTot = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("label_total"))
+    val vocab = cnt.select(col("token")).distinct().agg(count(lit(1)).as("vocab"))
+    def docsDim(m: DataFrame) = m
+      .select(col("label"), col("n_docs"), col("n_docs_total")).distinct()
+    val perLabel = docsDim(a).unionByName(docsDim(b))
+      .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+    // n_docs_total: one total per source model, summed once — distinct on
+    // the total alone would collapse two models that happen to share it
+    def total(m: DataFrame) = m.select(col("n_docs_total")).distinct()
+    val docsTotal = total(a).unionByName(total(b))
+      .agg(sum(col("n_docs_total")).as("n_docs_total"))
+    cnt.join(broadcast(labelTot), "label")
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(perLabel), "label")
+      .crossJoin(broadcast(docsTotal))
+  }
+
   /** Argmax classification over [[nbScoreAll]]: per doc the best label
     * (DECIMAL-exact compare; ties → lexicographically GREATER label, the
     * [[TextAnalysis.langIdLinear]] convention) and its score as DOUBLE.

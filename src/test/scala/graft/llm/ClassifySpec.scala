@@ -63,6 +63,22 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("nbMerge(nbTrain(A), nbTrain(B)) == nbTrain(A union B)") {
+    val a = Seq(("good", "fresh clean"), ("bad", "spam")).toDF("label", "text")
+    val b = Seq(("good", "clean bright"), ("meh", "plain")).toDF("label", "text")
+    val merged = Classify.nbMerge(
+      Classify.nbTrain(a, "label", "text"), Classify.nbTrain(b, "label", "text"))
+    val direct = Classify.nbTrain(a.unionByName(b), "label", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "token", "cnt", "label_total", "vocab", "n_docs", "n_docs_total")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(key(merged) == key(direct))
+    // and the merged model CLASSIFIES identically to the direct one
+    val docs = Seq((1L, "clean"), (2L, "spam"), (3L, "plain")).toDF("doc_id", "text")
+    assert(rowsOf(Classify.nbClassify(docs, "doc_id", "text", merged)) ==
+      rowsOf(Classify.nbClassify(docs, "doc_id", "text", direct)))
+  }
+
   test("scores are partitioning-independent (DECIMAL sums)") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
