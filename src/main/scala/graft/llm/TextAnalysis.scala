@@ -358,10 +358,19 @@ object TextAnalysis {
     * (the patterns live here, not in `functions` — registration follows
     * them).
     */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pii_scrub", exprs => new graft.functions.PiiScrub(exprs.head,
         UrlPattern, EmailPattern, IpPattern, PhonePattern), "scala_udf")
+    // composed from built-ins, so it registers as a SQL scalar function
+    // (the expression-builder path mangles Column-API lambda variables);
+    // the body interpolates SentencePattern so the two forms cannot drift
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION split_sentences(t STRING)
+         |RETURNS ARRAY<STRING>
+         |RETURN filter(transform(regexp_extract_all(t, '$SentencePattern', 0),
+         |  s -> trim(s)), s -> s != '')""".stripMargin)
+  }
 
   /** Control characters stripped by [[normalizeText]]: C0 controls plus
     * DEL, EXCEPT tab/newline/CR (document structure worth keeping until a

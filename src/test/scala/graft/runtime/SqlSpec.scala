@@ -112,6 +112,21 @@ class SqlSpec extends SparkSpec {
       "mail <EMAIL> node <IP> call <PHONE>")
   }
 
+  test("split_sentences is SQL-reachable and matches the Column form") {
+    GraftSql.install(spark)
+    val docs = Seq((1L, "One. Two! rest"), (2L, "")).toDF("doc_id", "text")
+    GraftSql.view("sent_docs", docs)
+    val viaSql = GraftSql.sql(spark,
+      "SELECT doc_id, array_join(split_sentences(text), '|') AS s FROM sent_docs ORDER BY doc_id")
+      .collect()
+    val viaCol = docs.select(col("doc_id"),
+      array_join(graft.llm.TextAnalysis.sentences(col("text")), "|"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+    assert(viaSql(0).getString(1) == "One.|Two!|rest")
+    assert(viaSql(1).getString(1) == "")
+  }
+
   test("text-analysis SQL functions reject wrong arity instead of dropping args") {
     GraftSql.install(spark)
     GraftSql.view("arity_docs", Seq(Tuple1("t")).toDF("text"))
