@@ -800,6 +800,27 @@ object Queries {
     ordered(stage(t(s, dir, "events")))
   }
 
+  /** Q-X14 — tolerance-bounded as-of join
+    * ([[graft.analytics.Joins.asOfBackwardAggWithin]]): the qx1
+    * construction with a 9000-day lookback, chosen INSIDE the fixture's
+    * 8190–9799-day gap range so the window genuinely splits: most
+    * events keep their qx1 match, events whose nearest order is staler
+    * than the tolerance drop to no match —
+    * pinning both the half-open window semantics and the no-stale-match
+    * rule. Same one-shuffle aggregation shape; the range predicate
+    * bounds the per-key candidates.
+    */
+  val qx14AsofTolerance: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val stage = Joins.asOfBackwardAggWithin("asof_tol", orders,
+      leftKey = col("user_id"), rightKey = orders("o_custkey"),
+      leftTime = col("ts"), rightTime = orders("o_orderdate"),
+      leftPk = Seq("event_id"), rightTieBreak = orders("o_orderkey"),
+      lookback = expr("INTERVAL 9000 DAYS"),
+      "match_key" -> orders("o_orderkey"))
+    ordered(stage(t(s, dir, "events")))
+  }
+
   /** Forward as-of join: for each order, the EARLIEST event of the same
     * customer at-or-after the order date; ties on the timestamp break to
     * the min event id. Same one-shuffle aggregation shape as Q-X1. Sides
@@ -2290,6 +2311,7 @@ object Queries {
     "qt4_interval_join" -> qt4IntervalJoin,
     "qt5_first_seen" -> qt5FirstSeen,
     "qx1_asof_join" -> qx1AsofJoin,
+    "qx14_asof_tolerance" -> qx14AsofTolerance,
     "qx9_asof_forward" -> qx9AsofForward,
     "qx2_cube" -> qx2Cube,
     "qx3_lag_lead" -> qx3LagLead,
@@ -2984,6 +3006,9 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
       """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx9_asof_forward" ->
       """WITH j AS (SELECT o.o_orderkey, e.event_id, e.ts FROM orders o JOIN events e ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate), mn AS (SELECT o_orderkey, MIN(ts) d FROM j GROUP BY 1) SELECT j.o_orderkey, MIN(j.event_id) AS match_event FROM j JOIN mn ON j.o_orderkey = mn.o_orderkey AND j.ts = mn.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // qx14: qx1 with the half-open lookback window on the join predicate
+    "qx14_asof_tolerance" ->
+      """WITH j AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts AND o.o_orderdate > e.ts - INTERVAL 9000 DAY), mx AS (SELECT event_id, MAX(o_orderdate) d FROM j GROUP BY 1) SELECT j.event_id, MAX(j.o_orderkey) AS match_key FROM j JOIN mx ON j.event_id = mx.event_id AND j.o_orderdate = mx.d GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "qx2_cube" ->
       """SELECT c_mktsegment, n_name, COUNT(*) AS cnt FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey GROUP BY CUBE(c_mktsegment, n_name) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "qx3_lag_lead" ->

@@ -80,6 +80,32 @@ object Joins {
       override protected def kind: String = "AsOfJoinAgg"
     }
 
+  /** [[asOfBackwardAgg]] with a LOOKBACK TOLERANCE: only right rows in
+    * the half-open window `(leftTime - lookback, leftTime]` match — rows
+    * whose nearest predecessor is older than the tolerance get NO match
+    * (stale quotes/profiles must not join forward in time-series
+    * practice). As important at scale: the extra range predicate BOUNDS
+    * the per-key candidate set the join materializes before the
+    * map-side-combining aggregate — an unbounded as-of against a hot key
+    * joins that key's entire history per probe row.
+    */
+  def asOfBackwardAggWithin(name: String, right: DataFrame, leftKey: Column,
+                            rightKey: Column, leftTime: Column, rightTime: Column,
+                            leftPk: Seq[String], rightTieBreak: Column,
+                            lookback: Column, payload: (String, Column)*): Stage =
+    new Stage {
+      val id: StageId = StageId(name)
+      def apply(df: DataFrame): DataFrame = {
+        val joined = df.join(right, leftKey === rightKey &&
+          rightTime <= leftTime && rightTime > leftTime - lookback, "inner")
+        val ord = struct(rightTime, rightTieBreak)
+        joined.groupBy(leftPk.map(col): _*)
+          .agg(max_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
+          .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
+      }
+      override protected def kind: String = "AsOfJoinAggWithin"
+    }
+
   /** As-of join (forward): the EARLIEST right row with `rightTime >=
     * leftTime` per key — the "next event after" complement of
     * [[asOfBackwardAgg]]; same single-shuffle map-side-combining shape

@@ -242,7 +242,10 @@ object PlanAudit {
     "ql61_nb_classify" -> ("model dims BROADCAST (label metadata + token likelihoods -- " +
       "the corpus never shuffles for either probe); per-label fan-out is |labels|; " +
       "DECIMAL partial+final sum per (doc, label), then the struct-max argmax agg -- " +
-      "only narrow (id, label, decimal) rows in any Exchange")
+      "only narrow (id, label, decimal) rows in any Exchange"),
+    "qx14_asof_tolerance" -> ("the qx1 max_by aggregation form with BOTH time bounds as " +
+      "in-join residuals -- the lookback predicate cuts candidates before the partial " +
+      "aggregate, so the one keyed Exchange still carries <=1 row per (task, left-pk)")
   )
 
   /** Machine-checked subset of the prose claims above: a shuffle budget

@@ -33,6 +33,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(stage(trades).select("px").head().getDouble(0) == 5.0) // max tiebreak wins
   }
 
+  test("asOfBackwardAggWithin drops matches staler than the lookback; boundary is half-open") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0),
+      ("B", 5L, 9.0)
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      (1L, "A", 25L), // nearest quote at 20, gap 5  -> kept (5 < 10)
+      (2L, "B", 40L), // nearest quote at 5, gap 35  -> stale, NO match
+      (3L, "A", 30L)  // nearest quote at 20, gap 10 -> boundary: 20 > 30-10 is FALSE -> dropped
+    ).toDF("tid", "tsym", "tt")
+    val stage = Joins.asOfBackwardAggWithin("asof_tol", quotes,
+      leftKey = col("tsym"), rightKey = col("sym"),
+      leftTime = col("tt"), rightTime = col("qt"),
+      leftPk = Seq("tid"), rightTieBreak = col("px"),
+      lookback = lit(10L),
+      "px" -> col("px"))
+    assert(rowsOf(stage(trades)) == Set(Seq(1L, 2.0)))
+    // a wide-enough window reproduces the unbounded form exactly
+    val wide = Joins.asOfBackwardAggWithin("asof_tol", quotes,
+      col("tsym"), col("sym"), col("tt"), col("qt"), Seq("tid"), col("px"),
+      lookback = lit(1000L), "px" -> col("px"))
+    val unbounded = Joins.asOfBackwardAgg("asof", quotes,
+      col("tsym"), col("sym"), col("tt"), col("qt"), Seq("tid"), col("px"),
+      "px" -> col("px"))
+    assert(rowsOf(wide(trades)) == rowsOf(unbounded(trades)))
+  }
+
   test("asOfForwardAgg picks the earliest right row at-or-after the left time") {
     val quotes = Seq(
       ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
