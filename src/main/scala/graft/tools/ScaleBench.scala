@@ -216,6 +216,16 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    // loadavg bookends (the Bench.scala round-11 convention): three
+    // separate rounds needed judge adjudication of battery ratios that
+    // re-measured at band on a quiet floor — make residual machine load
+    // diagnosable from the artifact itself
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
     val rows = queries.map { q =>
       val t1 = time(q, base1x)
       val tN = time(q, out)
@@ -223,7 +233,8 @@ object ScaleBench {
     }
     val json = rows.map { case (q, t1, tN, r) =>
       f""""$q":{"sec_1x":$t1%.2f,"sec_${copies}x":$tN%.2f,"ratio":$r%.2f}"""
-    }.mkString("{", ",", s""","copies":$copies}""")
+    }.mkString("{", ",",
+      s""","copies":$copies,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}""")
     println(json)
     spark.stop()
   }
