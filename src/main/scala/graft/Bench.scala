@@ -46,7 +46,8 @@ object Bench {
     "ql44b_domain_stats_psl", "qt5_first_seen", "ql54_lm_estimate",
     "qx13_csv_roundtrip", "ql55_semantic_decon", "ql56_mixture_sample",
     "ql57_ccnet_buckets", "ql58_mean_embedding", "ql59_sentences",
-    "ql60_nb_train", "ql61_nb_classify", "qx14_asof_tolerance"
+    "ql60_nb_train", "ql61_nb_classify", "qx14_asof_tolerance",
+    "ql62_winnow_pairs"
   )
 
   def main(args: Array[String]): Unit = {

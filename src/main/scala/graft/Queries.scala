@@ -1693,6 +1693,26 @@ object Queries {
     ordered(graft.llm.Classify.nbClassify(docs, "doc_id", "text", model))
   }
 
+  /** Q-L62 — winnowing-sketch near-dup pairs
+    * ([[graft.llm.Dedup.winnowingNearDupPairs]]): the ql51 sketch basis
+    * (token → 2-hex md5 surrogate so the oracle's XXH64 closed form
+    * applies; k = 3, window = 4) joined into MOSS resemblance pairs at
+    * threshold 0.5. Organic exact-dup documents give resemblance-1.0
+    * rows, near-dups the fractional band; inter/size counts are exact
+    * integers and the score is one IEEE double division.
+    */
+  val qlWinnowPairs: Q = (s, dir) => {
+    // 2-hex md5 token surrogates re-joined with spaces: surrogates are
+    // space-free, so the operator's internal split recovers them exactly
+    // (the ql51 basis as a text column)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), array_join(
+        transform(graft.llm.Dedup.tokens(col("text")),
+          tk => substring(md5(tk.cast("binary")), 1, 2)), " ").as("text"))
+    ordered(graft.llm.Dedup.winnowingNearDupPairs(
+      docs, "doc_id", "text", k = 3, window = 4, threshold = 0.5))
+  }
+
   /** Q-L44 — blocklist-filtered per-domain crawl stats
     * ([[graft.llm.TextAnalysis.filterByDomainBlocklist]] composed into
     * [[graft.llm.TextAnalysis.domainStats]]): the ql36 synthetic URLs are
@@ -2297,6 +2317,7 @@ object Queries {
     "ql47_percentile_buckets" -> qlPerplexityBuckets,
     "ql47b_percentile_buckets_approx" -> qlPercentileBucketsApprox,
     "ql51_winnowing" -> qlWinnowing,
+    "ql62_winnow_pairs" -> qlWinnowPairs,
     "ql52_simhash_candidates" -> qlSimhashCandidates,
     "ql53_ngram_jaccard" -> qlNgramJaccard,
     "ql48_c4_filters" -> qlC4Filters,
@@ -2448,7 +2469,11 @@ SELECT doc_id, lang, CAST(cp AS BIGINT) AS copy FROM g ORDER BY 1 NULLS FIRST, 2
     * engine's empty-array `array_join`; a NULL text stays NULL (the
     * engine's null-intolerant expression chain), not ''.
     */
-  private def ql51Sql: String =
+  /** Shared winnowing CTE chain (documents → per-doc sliding-window
+    * minima in `mins`): the ql51 sketch and ql62 pair oracles both
+    * replay it — one copy so they cannot drift.
+    */
+  private def winnowMinsCtes: String =
     s"""WITH d AS (SELECT doc_id, list_transform(list_filter(string_split(text, ' '), x -> x <> ''), tk -> substr(md5(tk), 1, 2)) AS tt FROM documents),
 pr AS (SELECT doc_id, unnest(list_transform(range(1, len(tt) - 1), i -> {'g': tt[i] || ' ' || tt[i + 1] || ' ' || tt[i + 2], 'i': i})) AS u FROM d),
 fl AS (SELECT doc_id, u.g AS g, u.i AS i FROM pr),
@@ -2458,9 +2483,25 @@ vv AS (SELECT doc_id, seq, $gram8V AS v FROM sq),
 ${xxh64Ctes(Seq("doc_id", "seq"), "vv")},
 nn AS (SELECT doc_id, COUNT(*) AS m FROM hs GROUP BY 1),
 wm AS (SELECT hs.doc_id, seq, m, MIN(h) OVER (PARTITION BY hs.doc_id ORDER BY seq ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id),
-mins AS (SELECT doc_id, wmin FROM wm WHERE m > 4 AND seq >= 4 UNION ALL SELECT hs.doc_id, MIN(h) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id WHERE m <= 4 GROUP BY 1),
+mins AS (SELECT doc_id, wmin FROM wm WHERE m > 4 AND seq >= 4 UNION ALL SELECT hs.doc_id, MIN(h) AS wmin FROM hs JOIN nn ON hs.doc_id = nn.doc_id WHERE m <= 4 GROUP BY 1)"""
+
+  private def ql51Sql: String =
+    s"""$winnowMinsCtes,
 sk AS (SELECT doc_id, array_to_string(list_transform(list_sort(list(DISTINCT wmin)), x -> CAST(x AS VARCHAR)), ',') AS fps FROM mins GROUP BY 1)
 SELECT dd.doc_id, CASE WHEN dd.text IS NULL THEN NULL ELSE COALESCE(sk.fps, '') END AS fps FROM documents dd LEFT JOIN sk ON dd.doc_id = sk.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"""
+
+  /** Q-L62 oracle: the same minima chain, distinct per doc (the engine's
+    * sketch-set semantics), inverted-index self-join, resemblance =
+    * inter / (szA + szB − inter) as one IEEE double division over exact
+    * integers, thresholded at 0.5.
+    */
+  private def ql62Sql: String =
+    s"""$winnowMinsCtes,
+skd AS (SELECT DISTINCT doc_id, wmin FROM mins),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM skd GROUP BY 1),
+pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM skd a JOIN skd b ON a.wmin = b.wmin AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sc AS (SELECT pp.doc_a, pp.doc_b, CAST(pp.inter AS DOUBLE) / (sa.sz + sb.sz - pp.inter) AS resemblance FROM pp JOIN sz sa ON pp.doc_a = sa.doc_id JOIN sz sb ON pp.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, resemblance FROM sc WHERE resemblance >= 0.5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
   /** Q-L52 oracle: replay the SimHash candidate set. Token → 8-hex-char
     * md5 prefix → one-block XXH64 (the ql51 chain, seed 42) per token
@@ -2914,6 +2955,8 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     "ql56_mixture_sample" -> ql56Sql,
     // ql51: winnowing sketch replayed via the one-block XXH64 chain
     "ql51_winnowing" -> ql51Sql,
+    // ql62: the same minima chain joined into MOSS resemblance pairs
+    "ql62_winnow_pairs" -> ql62Sql,
     // ql52: simhash votes/signature/bands replayed per token occurrence
     "ql52_simhash_candidates" -> ql52Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score

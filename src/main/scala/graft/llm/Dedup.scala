@@ -748,6 +748,50 @@ object Dedup {
     dedupKeepBest(df, idCol, pairs, scoreCol)
   }
 
+  /** Winnowing-sketch near-duplicate pairs — the MOSS resemblance
+    * (Schleimer/Wilkerson/Aiken): document similarity estimated from the
+    * overlap of winnowing fingerprints instead of full shingle sets, so
+    * the join input is SKETCH-sized (≈ tokens/window distinct 8-byte
+    * longs per doc), not corpus-token-sized — the sub-linear sibling of
+    * [[jaccardSimilarityJoin]] for edit-robust plagiarism/boilerplate
+    * pair detection. Resemblance = |A∩B| / |A∪B| over sketch sets,
+    * thresholded.
+    *
+    * Shape: fingerprints explode off the scan (fused `Winnow`
+    * expression), inverted-index equi-self-join on the 8-byte value,
+    * ONE partial+final count Exchange per surviving pair; document text
+    * never shuffles. `maxDf` optionally drops fingerprints shared by
+    * more than `maxDf` documents BEFORE the join (ubiquitous boilerplate
+    * sketches are the hot keys at crawl scale) — the df-cut changes the
+    * denominator consistently (both sketch sizes count only surviving
+    * fingerprints), so scores stay well-defined and deterministic.
+    */
+  def winnowingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, window: Int = 4,
+                            threshold: Double = 0.5,
+                            maxDf: Long = Long.MaxValue): DataFrame = {
+    val fp0 = docs.select(col(idCol).as("_id"),
+      explode(graft.llm.TextAnalysis.winnowingFingerprints(
+        col(textCol), k, window)).as("_fp"))
+    val fp = if (maxDf == Long.MaxValue) fp0 else {
+      val hot = fp0.groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select(col("_fp"))
+      fp0.join(hot, Seq("_fp"), "left_anti")
+    }
+    val sizes = fp.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    val inter = fp.as("a").join(fp.as("b"),
+        col("a._fp") === col("b._fp") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("_id").as("doc_a"), col("_sz").as("_sza")), "doc_a")
+      .join(sizes.select(col("_id").as("doc_b"), col("_sz").as("_szb")), "doc_b")
+      .withColumn("resemblance", col("_inter").cast("double") /
+        (col("_sza") + col("_szb") - col("_inter")))
+      .filter(col("resemblance") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("resemblance"))
+  }
+
   /** Semantic train/test DECONTAMINATION — the embedding-space form of
     * [[decontaminate]]: drop every corpus row whose cosine similarity to
     * ANY benchmark vector reaches `threshold`, catching paraphrased or

@@ -245,7 +245,11 @@ object PlanAudit {
       "only narrow (id, label, decimal) rows in any Exchange"),
     "qx14_asof_tolerance" -> ("the qx1 max_by aggregation form with BOTH time bounds as " +
       "in-join residuals -- the lookback predicate cuts candidates before the partial " +
-      "aggregate, so the one keyed Exchange still carries <=1 row per (task, left-pk)")
+      "aggregate, so the one keyed Exchange still carries <=1 row per (task, left-pk)"),
+    "ql62_winnow_pairs" -> ("fused winnowing sketch rides the scan; inverted-index " +
+      "equi-self-join on the 8-byte fingerprint (SKETCH-sized input, never corpus " +
+      "tokens; never all-pairs), ONE partial+final count Exchange per surviving pair, " +
+      "sketch sizes join back narrow -- document text never shuffles")
   )
 
   /** Machine-checked subset of the prose claims above: a shuffle budget
@@ -309,7 +313,8 @@ object PlanAudit {
     "ql42_semantic_dedup" -> Shape(forbid = noCross),
     "ql52_simhash_candidates" -> Shape(forbid = noCross),
     "ql53_ngram_jaccard" -> Shape(forbid = noCross),
-    "ql61_nb_classify" -> Shape(forbid = noSmj, require = bhj)
+    "ql61_nb_classify" -> Shape(forbid = noSmj, require = bhj),
+    "ql62_winnow_pairs" -> Shape(forbid = noCross)
   )
 
   def main(args: Array[String]): Unit = {

@@ -116,7 +116,10 @@ object ScaleBench {
     "ql58_mean_embedding",
     // ql61: NB train + classify — count aggs vocabulary-sized, scoring
     // probes broadcast model dims; time must track the scan
-    "ql61_nb_classify")
+    "ql61_nb_classify",
+    // ql62: sketch-sized inverted-index join — token salting keeps
+    // cross-copy sketches disjoint, so pairs track true near-dups
+    "ql62_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
