@@ -46,6 +46,19 @@ class WinnowingSpec extends SparkSpec {
     assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("winnowing pairs compose with dedupKeepBest (MOSS-based dedup end to end)") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      (1L, base, 0.2), (2L, base, 0.9), // exact dups: higher score survives
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", 0.1) // unrelated singleton
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Dedup.winnowingNearDupPairs(docs, "doc_id", "text",
+      k = 3, window = 2, threshold = 0.5).select("doc_a", "doc_b")
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", pairs, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("winnowingNearDupPairs maxDf drops ubiquitous sketches with consistent denominators") {
     // fingerprint(s) of the shared boilerplate run appear in ALL 4 docs;
     // with maxDf = 3 those hot sketches vanish from counts AND sizes

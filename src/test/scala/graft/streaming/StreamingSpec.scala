@@ -248,6 +248,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless round-11 ops run unchanged on a stream (sentences + mixture)") {
+    // sentence splitting and the hash-drawn mixture explode are per-row
+    // projections (+ a static broadcast rate dim) — streaming must
+    // replay the batch result exactly. NB scoring aggregates per doc, so
+    // on streams it goes through the foreachBatch bridge like any agg.
+    import StreamingSpec.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (1 to 40).map(i =>
+      Doc(i.toLong, s"Sent one about tok${i % 5}. Sent two tok${i % 3}! tail"))
+    val rates = Seq(("en", 2.5)).toDF("grp", "rate").localCheckpoint(true)
+    val stream = MemoryStream[Doc]
+    def stage(df: org.apache.spark.sql.DataFrame) = {
+      val withSents = df
+        .withColumn("sents", array_join(
+          graft.llm.TextAnalysis.sentences(col("text")), "|"))
+        .withColumn("grp", lit("en"))
+      graft.llm.Sampling.sampleByRates(withSents, "grp", "doc_id", rates)
+        .select(col("doc_id"), col("copy"), col("sents"))
+    }
+    val q = stage(stream.toDF()).writeStream
+      .format("memory").queryName("r11_stateless").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(20)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+      val streamed = rowsOf(spark.table("r11_stateless"))
+      val batch = rowsOf(stage(docs.toDF()))
+      assert(streamed == batch, "streamed round-11 ops != batch after replay")
+      assert(batch.nonEmpty)
+      // the 2.5 rate really replicated on the stream: 2 or 3 copies per doc
+      assert(streamed.size > 2 * docs.size)
+    } finally q.stop()
+  }
+
   test("watermark stage is streaming-only passthrough in batch") {
     val events = Tables.load(spark, sf, "events")
     val out = Windowed.watermark("wm", "ts", "10 minutes")(events)
