@@ -47,7 +47,7 @@ object Bench {
     "qx13_csv_roundtrip", "ql55_semantic_decon", "ql56_mixture_sample",
     "ql57_ccnet_buckets", "ql58_mean_embedding", "ql59_sentences",
     "ql60_nb_train", "ql61_nb_classify", "qx14_asof_tolerance",
-    "ql62_winnow_pairs"
+    "ql62_winnow_pairs", "ql63_url_dedup"
   )
 
   def main(args: Array[String]): Unit = {

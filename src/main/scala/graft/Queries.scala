@@ -1208,6 +1208,29 @@ object Queries {
         graft.llm.TextAnalysis.canonicalizeUrl(col("url"))))
   }
 
+  /** Q-L63 — URL-level keep-best dedup
+    * ([[graft.llm.Dedup.dedupByCanonicalUrl]]): the ql36 URL synthesis
+    * collapses many docs onto shared canonical forms (35 distinct
+    * example/site urls across the %3∈{0,1} docs; "not a url" rows are
+    * their own identity), and per canonical url the max-`n_chars` doc
+    * survives with ties → min doc_id — all exact integers, fully
+    * replayed through the identical canonicalization chain.
+    */
+  val qlUrlDedup: Q = (s, dir) => {
+    val id = col("doc_id")
+    val url = when(id % 3 === 0,
+      concat(lit("HTTPS://WWW.Example"), (id % 5).cast("string"),
+        lit(".com:443/p"), (id % 7).cast("string"),
+        lit("/?utm_source=x&id="), id.cast("string"), lit("&utm_campaign=y#frag")))
+      .when(id % 3 === 1,
+        concat(lit("http://Site"), (id % 5).cast("string"),
+          lit(".org:80/dir"), (id % 7).cast("string"),
+          when(id % 2 === 0, lit("//")).otherwise(lit("/"))))
+      .otherwise(concat(lit("not a url "), id.cast("string")))
+    val docs = t(s, dir, "documents").select(id, url.as("url"), col("n_chars"))
+    ordered(graft.llm.Dedup.dedupByCanonicalUrl(docs, "doc_id", "url", "n_chars"))
+  }
+
   /** Q-L37 — Gopher quality rules: the published web-filter battery as
     * per-rule boolean columns. All thresholds compare in INTEGER
     * arithmetic (count·10 < n, never count/n < 0.1), so the flags are
@@ -2318,6 +2341,7 @@ object Queries {
     "ql47b_percentile_buckets_approx" -> qlPercentileBucketsApprox,
     "ql51_winnowing" -> qlWinnowing,
     "ql62_winnow_pairs" -> qlWinnowPairs,
+    "ql63_url_dedup" -> qlUrlDedup,
     "ql52_simhash_candidates" -> qlSimhashCandidates,
     "ql53_ngram_jaccard" -> qlNgramJaccard,
     "ql48_c4_filters" -> qlC4Filters,
@@ -2900,6 +2924,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // needs explicit 'g' flags and \1 backrefs where Spark is global/$1)
     "ql36_url_canonical" ->
       """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, url, scheme, regexp_replace(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '\.+$', '', 'g'), '^(www\.)+', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q) SELECT doc_id, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN regexp_replace(rest3, '/+$', '', 'g') = '' AND rest3[1:1] = '/' THEN '/' ELSE regexp_replace(rest3, '/+$', '', 'g') END) END AS canonical_url FROM r ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql63: the ql36 canonical chain + keep-best per canonical url
+    // (max n_chars, ties -> min doc_id) — all exact integers
+    "ql63_url_dedup" ->
+      """WITH d AS (SELECT doc_id, n_chars, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag' WHEN 1 THEN 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.org:80/dir' || CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '//' ELSE '/' END) ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), n AS (SELECT doc_id, n_chars, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM d), p AS (SELECT doc_id, n_chars, url, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0 FROM n), q AS (SELECT doc_id, n_chars, url, scheme, regexp_replace(regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '', 'g') WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '', 'g') ELSE hostport END, '\.+$', '', 'g'), '^(www\.)+', '', 'g') AS host, regexp_replace(regexp_replace(regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\1', 'g'), '\?&', '?', 'g'), '&&+', '&', 'g') AS rest2 FROM p), r AS (SELECT doc_id, n_chars, url, scheme, host, regexp_replace(rest2, '[?&]+$', '', 'g') AS rest3 FROM q), c AS (SELECT doc_id, n_chars, url, CASE WHEN scheme = '' THEN trim(url) ELSE scheme || '://' || host || (CASE WHEN regexp_replace(rest3, '/+$', '', 'g') = '' AND rest3[1:1] = '/' THEN '/' ELSE regexp_replace(rest3, '/+$', '', 'g') END) END AS curl FROM r), g AS (SELECT curl, MAX(n_chars) AS ms FROM c GROUP BY 1), k AS (SELECT c.curl, MIN(c.doc_id) AS keep FROM c JOIN g ON c.curl = g.curl AND c.n_chars = g.ms GROUP BY 1) SELECT c.doc_id, c.url, c.n_chars FROM c JOIN k ON c.curl = k.curl AND c.doc_id = k.keep ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql37: identical integer-arithmetic rule battery; list ops mirror the
     // engine's HOF definitions term for term
     "ql37_gopher_flags" ->

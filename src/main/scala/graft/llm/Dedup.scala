@@ -1027,6 +1027,37 @@ object Dedup {
       .drop("_cl", "cluster", "_keep")
   }
 
+  /** URL-level dedup — the crawl-identity step BEFORE any content dedup:
+    * one survivor per CANONICAL url ([[TextAnalysis.canonicalizeUrl]]
+    * collapses case/www/port/fragment/tracking-param/slash variants), the
+    * highest-`scoreCol` copy winning with ties → minimum id (the
+    * [[dedupKeepBest]] discipline, keyed by the canonical form instead
+    * of pair clusters — re-crawls of one page need no similarity join at
+    * all). Rows with a NULL url survive untouched (no identity to
+    * collapse on). Same two partial-combining aggregations as
+    * dedupKeepBest: max score per canonical url, then min id among the
+    * max-score rows — O(1) per-key state, no windows, text never
+    * shuffles (only the canonical key, score and id do).
+    */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
+                          scoreCol: String): DataFrame = {
+    val keyed = df.withColumn("_curl",
+      graft.llm.TextAnalysis.canonicalizeUrl(col(urlCol)))
+    val withKey = keyed.filter(col("_curl").isNotNull)
+    val bestScore = withKey.groupBy(col("_curl"))
+      .agg(max(col(scoreCol)).as("_ms"))
+    // null-safe <=> as in dedupKeepBest: an all-null-score url group
+    // still keeps its min-id survivor
+    val keep = withKey.join(bestScore, Seq("_curl"))
+      .filter(col(scoreCol) <=> col("_ms"))
+      .groupBy(col("_curl")).agg(min(col(idCol)).as("_keep"))
+    withKey.join(keep, Seq("_curl"))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_keep")
+      .unionByName(keyed.filter(col("_curl").isNull))
+      .drop("_curl")
+  }
+
   /** Word n-gram (shingle) array (same short-input guard as charNgrams).
     * DISTINCT in first-occurrence order — shingle-SET semantics for the
     * Jaccard/decontamination family. Gram generation is the fused

@@ -249,7 +249,11 @@ object PlanAudit {
     "ql62_winnow_pairs" -> ("fused winnowing sketch rides the scan; inverted-index " +
       "equi-self-join on the 8-byte fingerprint (SKETCH-sized input, never corpus " +
       "tokens; never all-pairs), ONE partial+final count Exchange per surviving pair, " +
-      "sketch sizes join back narrow -- document text never shuffles")
+      "sketch sizes join back narrow -- document text never shuffles"),
+    "ql63_url_dedup" -> ("canonicalization regex chain rides the scan; two partial-" +
+      "combining aggs keyed by the canonical url (max score, then min id among " +
+      "max-score rows) -- O(1) per-key state, no windows; text never shuffles, the " +
+      "canonical key/score/id do")
   )
 
   /** Machine-checked subset of the prose claims above: a shuffle budget

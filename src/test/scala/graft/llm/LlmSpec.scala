@@ -93,6 +93,26 @@ class LlmSpec extends SparkSpec {
     assert(got("Dr. Smith went. Home.") == List("Dr.", "Smith went.", "Home."))
   }
 
+  test("dedupByCanonicalUrl keeps the best copy per canonical form; null urls pass") {
+    import spark.implicits._
+    val docs = Seq(
+      // same page in three crawl spellings: highest score wins
+      (1L, "HTTPS://WWW.Example.com:443/a?utm_source=x", 5.0),
+      (2L, "https://example.com/a", 9.0),
+      (3L, "https://example.com/a/", 7.0),
+      // tie on score -> min id survives
+      (4L, "http://site.org/b", 3.0), (5L, "http://site.org/b", 3.0),
+      // null url: no identity, survives untouched
+      (6L, null.asInstanceOf[String], 0.0)
+    ).toDF("doc_id", "url", "score")
+    val kept = Dedup.dedupByCanonicalUrl(docs, "doc_id", "url", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+    // output schema matches the input (no helper columns leak)
+    assert(Dedup.dedupByCanonicalUrl(docs, "doc_id", "url", "score")
+      .columns.toSeq == docs.columns.toSeq)
+  }
+
   test("minhash-LSH candidates are a superset of exact token-set pairs (Q-L5 contract)") {
     val exact = rowsOf(Dedup.exactTokenSetPairs(docs, "doc_id", "text"))
     val cands = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text")
