@@ -119,7 +119,9 @@ object ScaleBench {
     "ql61_nb_classify",
     // ql62: sketch-sized inverted-index join — token salting keeps
     // cross-copy sketches disjoint, so pairs track true near-dups
-    "ql62_winnow_pairs")
+    "ql62_winnow_pairs",
+    // ql63: canonical-key aggs — O(1) per-key state, time tracks the scan
+    "ql63_url_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
