@@ -236,7 +236,19 @@ object BpeTrain {
         i += 1
       }
     }
-    def removeWord(syms: Array[String], c: Long): Unit = addWord(syms, -c)
+    // decrement DROPS keys reaching zero (ADVICE r11): the per-merge
+    // argmax below scans every live entry, so retaining dead pairs makes
+    // the driver loop degrade toward O(pairs-ever-seen) per merge at
+    // large vocab/merge counts; eviction keeps it O(live pairs).
+    def removeWord(syms: Array[String], c: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val nv = pairCounts.getOrDefault(k, 0L) - c
+        if (nv == 0L) pairCounts.remove(k) else pairCounts.put(k, nv)
+        i += 1
+      }
+    }
     seqs.foreach { case (s, c) => addWord(s, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false

@@ -31,13 +31,22 @@ object Classify {
     * prunes to the label column. Label dims broadcast.
     */
   def nbTrain(docs: DataFrame, labelCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(labelCol).as("label"),
+    // loud-error discipline (ADVICE r11): groupBy retains the null group,
+    // so an unlabeled row would silently train a real NULL class (and
+    // nbClassify could then emit pred_label = NULL). Guard the label in
+    // the scan projection — raise_error rides the existing passes, no
+    // extra validation job (the nprobe-bounds / meanEmbedding convention).
+    val lbl = when(col(labelCol).isNull,
+      raise_error(lit(s"nbTrain: NULL $labelCol — every training row must " +
+        "be labeled (filter unlabeled rows first)")))
+      .otherwise(col(labelCol))
+    val toks = docs.select(lbl.as("label"),
       explode(Dedup.tokens(lower(col(textCol)))).as("token"))
     val cnt = toks.groupBy(col("label"), col("token")).agg(count(lit(1)).as("cnt"))
     val labelTot = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("label_total"))
     val vocab = cnt.select(col("token")).distinct()
       .agg(count(lit(1)).as("vocab"))
-    val docsPerLabel = docs.groupBy(col(labelCol).as("label"))
+    val docsPerLabel = docs.groupBy(lbl.as("label"))
       .agg(count(lit(1)).as("n_docs"))
     val docsTotal = docs.agg(count(lit(1)).as("n_docs_total"))
     cnt.join(broadcast(labelTot), "label")

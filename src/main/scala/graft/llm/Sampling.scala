@@ -72,6 +72,17 @@ object Sampling {
     */
   def sampleByRates(df: DataFrame, groupCol: String, idCol: String,
                     rates: DataFrame): DataFrame = {
+    // loud-error discipline (ADVICE r11): `copy` is the operator's output
+    // column and `_mix_*` are its temporaries — an input already carrying
+    // one would be silently clobbered by the withColumn/join below; and a
+    // rates dim without a `rate` column would fail deep in analysis with
+    // an unattributable message.
+    require(rates.columns.contains("rate"),
+      s"sampleByRates: rates must carry a 'rate' column, got ${rates.columns.mkString(", ")}")
+    val reserved = df.columns.filter(c => c == "copy" || c.startsWith("_mix_"))
+    require(reserved.isEmpty,
+      s"sampleByRates: input columns ${reserved.mkString(", ")} collide with " +
+        "the operator's output/temporary names ('copy', '_mix_*') — rename them first")
     val r = broadcast(rates.select(col(groupCol).as("_mix_g"),
       col("rate").cast("decimal(12,6)").as("_mix_rate")))
     val u = pmod(xxhash64(col(idCol)), lit(1000000L))

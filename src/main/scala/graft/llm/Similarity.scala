@@ -1002,9 +1002,21 @@ object Similarity {
     val sums = comps.groupBy(col("_g"), col("_pos"))
       .agg(sum(col("_v").cast("decimal(28,12)")).as("_s"),
         count(lit(1)).as("_n"))
+    // ragged-dimension guard (ADVICE r11): mixed embedding lengths within
+    // a group give every position a different denominator — a
+    // plausible-looking but ill-defined centroid. Vectors are contiguous
+    // prefixes of positions, so ANY length mix makes per-position counts
+    // unequal; min(_n) == max(_n) is therefore a complete detector, and it
+    // rides the existing final aggregate at zero extra shuffle. raise_error
+    // fires lazily at execution (the loud-error discipline — scoring a
+    // malformed group as a plausible number is the failure mode this
+    // operator exists to avoid).
     sums.groupBy(col("_g"))
       .agg(
-        max(col("_n")).as("n_vectors"),
+        when(min(col("_n")) =!= max(col("_n")),
+          raise_error(concat(lit("meanEmbedding: ragged embedding dimensions in group "),
+            col("_g").cast("string"))).cast("long"))
+          .otherwise(max(col("_n"))).as("n_vectors"),
         transform(
           array_sort(collect_list(struct(col("_pos"),
             (col("_s").cast("double") / col("_n")).as("_m")))),

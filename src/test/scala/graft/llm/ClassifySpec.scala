@@ -89,4 +89,15 @@ class ClassifySpec extends SparkSpec {
     val b = rowsOf(Classify.nbClassify(docs.repartition(13), "doc_id", "text", m))
     assert(a == b)
   }
+  test("nbTrain fails loudly on NULL labels instead of training a NULL class") {
+    val bad = Seq((Option("good"), "clean"), (Option.empty[String], "stray"))
+      .toDF("label", "text")
+    val e = intercept[Exception] {
+      Classify.nbTrain(bad, "label", "text").collect()
+    }
+    assert(e.getMessage.contains("NULL label") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL label")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
 }

@@ -99,4 +99,17 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains("partial_topkbysim"), s"no partial TopKBySim phase in:\n$plan")
     assertNoEmbeddingInExchange(agg)
   }
+  test("meanEmbedding fails loudly on ragged embedding dimensions within a group") {
+    import spark.implicits._
+    val ragged = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(1.0f, 2.0f))).toDF("grp", "embedding")
+    val e = intercept[Exception] {
+      Similarity.meanEmbedding(ragged, "grp").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ragged")), s"unexpected error: ${e.getMessage}")
+  }
+
 }

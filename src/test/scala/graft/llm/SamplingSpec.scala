@@ -255,4 +255,21 @@ class SamplingSpec extends SparkSpec {
       .select(col("bucket")).as[String].collect()
     assert(ta.forall(_ == "head"))
   }
+  test("sampleByRates fails loudly on reserved columns and a missing rate column") {
+    val docs = Seq((1L, "a")).toDF("id", "src")
+    val rates = Seq(("a", 2.0)).toDF("src", "rate")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.sampleByRates(docs.withColumn("copy", lit(0)), "src", "id", rates)
+    }
+    assert(e1.getMessage.contains("copy"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.sampleByRates(docs.withColumn("_mix_g", lit(0)), "src", "id", rates)
+    }
+    assert(e2.getMessage.contains("_mix_g"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.sampleByRates(docs, "src", "id", Seq(("a", 2.0)).toDF("src", "r"))
+    }
+    assert(e3.getMessage.contains("rate"))
+  }
+
 }
