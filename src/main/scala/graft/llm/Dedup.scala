@@ -1034,28 +1034,43 @@ object Dedup {
     * [[dedupKeepBest]] discipline, keyed by the canonical form instead
     * of pair clusters — re-crawls of one page need no similarity join at
     * all). Rows with a NULL url survive untouched (no identity to
-    * collapse on). Same two partial-combining aggregations as
-    * dedupKeepBest: max score per canonical url, then min id among the
-    * max-score rows — O(1) per-key state, no windows, text never
-    * shuffles (only the canonical key, score and id do).
+    * collapse on).
+    *
+    * ONE-PASS shape (VERDICT r11 #3 — the two-agg + union form scanned
+    * the corpus FOUR times, re-running the ~10-regex canonicalization
+    * chain on every scan): the winner per canonical url is a SINGLE
+    * partial-combining aggregation over a narrow (curl, score, id)
+    * projection — `max(struct(score, -id))` encodes "max score, ties →
+    * min id" in one lexicographic struct ordering (a null score sorts
+    * below any value, so mixed groups pick a scored row and all-null
+    * groups still keep their min-id survivor) — then ONE join-back
+    * selects survivors, so the canonicalization chain runs exactly TWICE
+    * (winner derivation + join-back; shape-gated ≤2 scans,
+    * `PlanShapeSpec`). O(1) per-key agg state, no windows; the agg
+    * Exchange carries only (curl, score, id), and the join-back is the
+    * operator's one full-row hash join (the winner dim broadcasts below
+    * the threshold; keyed beyond it).
+    *
+    * `idCol` must be NUMERIC and non-null (the tie-break negates it);
+    * every id column in this library is a long.
     */
   def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
                           scoreCol: String): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dedupByCanonicalUrl: $idCol must be numeric (the keep-best tie-break " +
+        s"negates it), got ${df.schema(idCol).dataType.sql}")
     val keyed = df.withColumn("_curl",
       graft.llm.TextAnalysis.canonicalizeUrl(col(urlCol)))
-    val withKey = keyed.filter(col("_curl").isNotNull)
-    val bestScore = withKey.groupBy(col("_curl"))
-      .agg(max(col(scoreCol)).as("_ms"))
-    // null-safe <=> as in dedupKeepBest: an all-null-score url group
-    // still keeps its min-id survivor
-    val keep = withKey.join(bestScore, Seq("_curl"))
-      .filter(col(scoreCol) <=> col("_ms"))
-      .groupBy(col("_curl")).agg(min(col(idCol)).as("_keep"))
-    withKey.join(keep, Seq("_curl"))
-      .filter(col(idCol) === col("_keep"))
-      .drop("_keep")
-      .unionByName(keyed.filter(col("_curl").isNull))
-      .drop("_curl")
+    val keep = keyed.filter(col("_curl").isNotNull)
+      .groupBy(col("_curl"))
+      .agg(max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_ni"))).as("_w"))
+      .select(col("_curl"), (-col("_w._ni")).as("_keep"))
+    // LEFT join: null-curl rows have no join partner (null keys never
+    // match) and pass the isNull arm untouched; every non-null curl has
+    // exactly one winner row
+    keyed.join(keep, Seq("_curl"), "left")
+      .filter(col("_curl").isNull || col(idCol) === col("_keep"))
+      .drop("_curl", "_keep")
   }
 
   /** Word n-gram (shingle) array (same short-input guard as charNgrams).

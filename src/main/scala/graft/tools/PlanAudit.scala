@@ -250,10 +250,11 @@ object PlanAudit {
       "equi-self-join on the 8-byte fingerprint (SKETCH-sized input, never corpus " +
       "tokens; never all-pairs), ONE partial+final count Exchange per surviving pair, " +
       "sketch sizes join back narrow -- document text never shuffles"),
-    "ql63_url_dedup" -> ("canonicalization regex chain rides the scan; two partial-" +
-      "combining aggs keyed by the canonical url (max score, then min id among " +
-      "max-score rows) -- O(1) per-key state, no windows; text never shuffles, the " +
-      "canonical key/score/id do")
+    "ql63_url_dedup" -> ("one-pass keep-best: ONE partial-combining max(struct(score, " +
+      "-id)) agg over a narrow (curl, score, id) projection + ONE join-back -- the " +
+      "canonicalization regex chain runs exactly twice (machine-checked: <=2 corpus " +
+      "scans), O(1) per-key agg state, no windows; the agg Exchange carries only " +
+      "(curl, score, id)")
   )
 
   /** Machine-checked subset of the prose claims above: a shuffle budget
@@ -268,7 +269,8 @@ object PlanAudit {
     */
   final case class Shape(maxShuffles: Int = Int.MaxValue,
                          forbid: Seq[String] = Nil,
-                         require: Seq[String] = Nil)
+                         require: Seq[String] = Nil,
+                         maxScans: Int = Int.MaxValue)
 
   private val bhj = Seq("BroadcastHashJoin")
   private val noSmj = Seq("SortMergeJoin")
@@ -318,7 +320,10 @@ object PlanAudit {
     "ql52_simhash_candidates" -> Shape(forbid = noCross),
     "ql53_ngram_jaccard" -> Shape(forbid = noCross),
     "ql61_nb_classify" -> Shape(forbid = noSmj, require = bhj),
-    "ql62_winnow_pairs" -> Shape(forbid = noCross)
+    "ql62_winnow_pairs" -> Shape(forbid = noCross),
+    // one-pass keep-best: the canonicalization chain runs at most twice
+    // (winner agg + join-back) — the VERDICT r11 #3 contract
+    "ql63_url_dedup" -> Shape(maxScans = 2, forbid = noCross)
   )
 
   def main(args: Array[String]): Unit = {

@@ -24,11 +24,19 @@ class PlanShapeSpec extends SparkSpec {
           if (shuffles > shape.maxShuffles)
             Seq(s"$name: $shuffles shuffles > budget ${shape.maxShuffles}")
           else Nil
+        // scan budget: "FileScan parquet" occurrences — the ql63 class of
+        // claim ("the expensive scan-riding projection runs at most N
+        // times") machine-checked like the shuffle budget
+        val scans = "FileScan parquet".r.findAllIn(plan).size
+        val overScans =
+          if (scans > shape.maxScans)
+            Seq(s"$name: $scans parquet scans > budget ${shape.maxScans}")
+          else Nil
         val missing = shape.require.filterNot(plan.contains)
           .map(op => s"$name: required operator $op absent")
         val present = shape.forbid.filter(plan.contains)
           .map(op => s"$name: forbidden operator $op present")
-        over ++ missing ++ present
+        over ++ overScans ++ missing ++ present
       } catch {
         case e: Exception => Seq(s"$name: failed to plan: ${e.getMessage}")
       }
