@@ -173,6 +173,82 @@ object Multimodal {
       .select(col("path"), col("length"), col("content").as("bytes"),
         col("modificationTime"))
 
+  /** Perceptual 64-bit dHash of a decoded grayscale grid — see
+    * [[graft.functions.DHash64]] for the construction and the
+    * NULL-on-undecodable contract. This is the media analog of
+    * [[graft.llm.Dedup.simHashBits]]: the signature that lets the banded
+    * candidate machinery find RE-ENCODED copies (resize, brightness,
+    * re-compression) that the exact byte fingerprint (Q-M2) cannot see.
+    */
+  def dHash64(bytes: org.apache.spark.sql.Column,
+              width: org.apache.spark.sql.Column,
+              height: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PerceptualHash.dHash64(bytes, width, height)
+
+  /** Near-duplicate media pairs from a 64-bit perceptual hash column —
+    * the [[graft.llm.Dedup.simHashCandidates]] shape on a LongType
+    * signature: the hash splits into `bands` contiguous bit slices, docs
+    * colliding on ANY slice become candidates (bands=4 → 16-bit slices ≈
+    * a Hamming≤3 guarantee), and candidates are re-scored with the EXACT
+    * Hamming distance (`bit_count(xor)`) and cut at `maxHamming`. Rows
+    * with a NULL hash (undecodable media) never pair.
+    *
+    * Scale: the self-join keys on an 8-byte (band, slice) pair — never
+    * all-pairs; only narrow (id, hash) rows ride the Exchange (the hash
+    * IS the content here, 8 bytes/row — media bytes never shuffle). The
+    * default `bands = 0` derives the band count from the corpus size via
+    * [[graft.llm.Dedup.autoBands]] (identical noise math — a b-bit slice
+    * collides randomly at 2^-b, so fixed 16-bit slices degrade
+    * quadratically past n ≈ 10^5; pass `corpusSize` to skip the count).
+    * A pinned `bands` stays available for oracle replay (the Q-L52
+    * convention; Q-M3 pins 4).
+    */
+  def perceptualNearDupPairs(media: DataFrame, idCol: String, hashCol: String,
+                             bands: Int = 0, maxHamming: Int = 3,
+                             corpusSize: Option[Long] = None): DataFrame = {
+    val b0 =
+      if (bands == 0)
+        graft.llm.Dedup.autoBands(math.max(corpusSize.getOrElse(media.count()), 1L))
+      else bands
+    require(b0 > 0 && 64 % b0 == 0, s"bands must divide 64, got $b0")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val width = 64 / b0
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    val hashed = media.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val banded = hashed.select(col("id"), col("h"),
+      posexplode(array((0 until b0).map(b =>
+        shiftrightunsigned(col("h"), b * width).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      // exact distance scored INSIDE the band join (one xor+popcount per
+      // collision), narrow (doc_a, doc_b, hamming) rows into the dedup
+      // Exchange — the minHashLshCandidates discipline
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** One-call perceptual media dedup: hash → banded pairs → keep-best
+    * ([[graft.llm.Dedup.dedupKeepBest]] — highest `scoreCol` per
+    * duplicate cluster, ties → min id). The media dedup entry a crawl
+    * pipeline calls between ingest and feature extraction.
+    */
+  def dedupMediaPerceptual(media: DataFrame, idCol: String,
+                           bytesCol: String, widthCol: String, heightCol: String,
+                           scoreCol: String, bands: Int = 0,
+                           maxHamming: Int = 3): DataFrame = {
+    val hashed = media.withColumn("_dhash",
+      dHash64(col(bytesCol), col(widthCol), col(heightCol)))
+    val pairs = perceptualNearDupPairs(hashed, idCol, "_dhash", bands, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    graft.llm.Dedup.dedupKeepBest(hashed, idCol, pairs, scoreCol).drop("_dhash")
+  }
+
   /** Frame sampling stage (video): every `stride`-th frame index up to
     * `maxFrames`, as (media_id, frame_idx) rows ready for per-frame decode.
     */
