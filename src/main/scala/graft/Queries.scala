@@ -461,6 +461,46 @@ object Queries {
       md5(col("bytes")).as("fp")))
   }
 
+  /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
+    * every document becomes a synthetic grayscale image (pixel = 1 +
+    * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
+    * XXH64 block per pixel, replayed in DuckDB through the shared
+    * `xxh64Ctes` chain), with planted re-encodes: a 2× integer upscale
+    * for every 3rd doc and a +10 global brightness shift for every 5th.
+    * The grid flows through the REAL [[graft.functions.DHash64]]
+    * expression on a BinaryType column (built via hex/`unhex` so the
+    * byte values are exact), then
+    * [[graft.sources.Multimodal.perceptualNearDupPairs]] (bands = 4
+    * pinned for replay, maxHamming = 3). dHash is exactly invariant
+    * under both planted transforms (uniform blocks: 18 and 36 divide by
+    * 9, 16 and 32 by 8 — spec-pinned in `DHashSpec`), so every planted
+    * pair surfaces at Hamming 0; the oracle recomputes block sums,
+    * comparison bits, 16-bit band slices and exact string Hamming from
+    * the same closed form. Pixel values are a hash of the (doc, x, y)
+    * triple, so distinct docs are independent — organic collisions are
+    * possible but identical in both engines.
+    */
+  val qm3PerceptualNeardup: Q = (s, dir) => {
+    def grid(w: Int, h: Int, scale: Int, bright: Int): Column =
+      expr(s"""unhex(array_join(transform(sequence(0, ${w * h - 1}), p ->
+        lpad(hex(${1 + bright} + pmod(xxhash64(base_id * 4096 +
+          ((p % $w) div $scale) * 64 + ((p div $w) div $scale)), 100)),
+        2, '0')), ''))""")
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select(col("base_id").as("media_id"),
+      grid(18, 16, 1, 0).as("bytes"), lit(18).as("w"), lit(16).as("h"))
+    val up = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select((col("base_id") + 100000L).as("media_id"),
+        grid(36, 32, 2, 0).as("bytes"), lit(36).as("w"), lit(32).as("h"))
+    val br = docs.filter(pmod(col("base_id"), lit(5)) === 0)
+      .select((col("base_id") + 200000L).as("media_id"),
+        grid(18, 16, 1, 10).as("bytes"), lit(18).as("w"), lit(16).as("h"))
+    val media = orig.unionAll(up).unionAll(br).withColumn("dh",
+      graft.sources.Multimodal.dHash64(col("bytes"), col("w"), col("h")))
+    ordered(graft.sources.Multimodal.perceptualNearDupPairs(
+      media, "media_id", "dh", bands = 4, maxHamming = 3))
+  }
+
   /** Q-A1 — TPC-H Q1 shape: multi-aggregate grouped scan. */
   val qa1GroupedAgg: Q = (s, dir) => {
     val pipe = Sequence("qa1")(
@@ -2264,6 +2304,7 @@ object Queries {
     "qj6_salted_join" -> qj6SaltedJoin,
     "qm1_upsert" -> qm1Upsert,
     "qm2_media_fingerprint" -> qm2MediaFingerprint,
+    "qm3_perceptual_neardup" -> qm3PerceptualNeardup,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -2535,6 +2576,31 @@ SELECT doc_a, doc_b, resemblance FROM sc WHERE resemblance >= 0.5 ORDER BY 1 NUL
     * pairs collide on any band (engine joins on xxhash64 of the 16-long
     * slice — equal iff the substring is equal, up to hash collision).
     */
+  /** Q-M3 oracle: replay the synthetic grids (pixel = 1 + br +
+    * `xxh64(doc·4096 + x·64 + y) mod 100` via the shared closed-form
+    * chain — height carried as `ht` because the chain's own output is
+    * named `h`), then dHash itself: block sums over the uniform
+    * `(ht/8)`-row × `(w/9)`-col grid (every fixture dim divides evenly,
+    * so the cross-multiplied mean compare reduces to a raw sum compare),
+    * bit b = r·8+j set iff block (r,j) outshines (r,j+1), the 64-bit
+    * signature as a bit-string (position 1 = bit 0, the ql52
+    * convention), 16-char band slices, and exact string `hamming` as the
+    * rescore — byte-identical to the engine's integer-only
+    * `bit_count(xor)` on the packed long.
+    */
+  private def qm3Sql: String =
+    s"""WITH imgs AS (SELECT doc_id AS base, doc_id AS mid, 18 AS w, 16 AS ht, 1 AS sc, 0 AS br FROM documents UNION ALL SELECT doc_id, doc_id + 100000, 36, 32, 2, 0 FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id, doc_id + 200000, 18, 16, 1, 10 FROM documents WHERE doc_id % 5 = 0),
+pos(p) AS (SELECT unnest(range(0, 1152))),
+px AS (SELECT mid, w, ht, br, p, CAST(base * 4096 + ((p % w) // sc) * 64 + ((p // w) // sc) AS HUGEINT) AS v FROM imgs JOIN pos ON p < w * ht),
+${xxh64Ctes(Seq("mid", "w", "ht", "br", "p"), "px")},
+pv AS (SELECT mid, w, ht, p, ((h % 100) + 100) % 100 + 1 + br AS pxv FROM hs),
+blk AS (SELECT mid, (p // w) // (ht // 8) AS r, (p % w) // (w // 9) AS c, SUM(pxv) AS sm FROM pv GROUP BY 1, 2, 3),
+bits AS (SELECT l.mid, l.r * 8 + l.c AS b, CASE WHEN l.sm > r2.sm THEN '1' ELSE '0' END AS bit FROM blk l JOIN blk r2 ON l.mid = r2.mid AND l.r = r2.r AND r2.c = l.c + 1 WHERE l.c < 8),
+sig AS (SELECT mid, string_agg(bit, '' ORDER BY b) AS s FROM bits GROUP BY 1),
+bd AS (SELECT mid, s, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)),
+cand AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, hamming(a.s, b.s) AS hd FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid)
+SELECT doc_a, doc_b, CAST(hd AS INTEGER) AS hamming FROM cand WHERE hd <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
   private def ql52Sql: String = {
     val powVals = (0 until 64).map(b =>
       s"($b, ${java.math.BigInteger.valueOf(2L).pow(b)}::HUGEINT)").mkString(", ")
@@ -2987,6 +3053,7 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     "ql62_winnow_pairs" -> ql62Sql,
     // ql52: simhash votes/signature/bands replayed per token occurrence
     "ql52_simhash_candidates" -> ql52Sql,
+    "qm3_perceptual_neardup" -> qm3Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

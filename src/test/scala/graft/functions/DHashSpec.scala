@@ -13,12 +13,24 @@ import org.apache.spark.sql.functions._
 class DHashSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Deterministic synthetic grayscale grid (pattern varied by seed). */
+  /** Deterministic synthetic grayscale grid (pattern varied by seed).
+    * Pixels are a splitmix64-style hash of the (seed, x, y) TRIPLE — the
+    * round-12 fixture was linear in seed mod 241, so seeds 5 apart were
+    * uniform −1 brightness shifts of each other and dHash (brightness-
+    * invariant by design, pinned below) correctly paired "distinct"
+    * grids; hashing makes grids for different seeds independent. Values
+    * stay in [0, 240] so the +10 brightness transform never clamps.
+    */
   private def grid(seed: Long, w: Int, h: Int,
                    f: (Int, Int, Int) => Int = (v, _, _) => v): Array[Byte] =
     Array.tabulate(w * h) { p =>
       val x = p % w; val y = p / w
-      val v = (((seed % 239) * 31 + (seed % 233) * 17 + x * 7 + y * 13) % 241).toInt
+      var z = seed * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+        y * 0x165667B19E3779F9L
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      val v = ((z & 0x7FFFFFFFFFFFFFFFL) % 241L).toInt
       f(v, x, y).toByte
     }
 

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.Bench.selectPrior]] — the bench's load self-defense depends on a
+  * usable prior map, and round 12 proved the failure mode: the newest
+  * `BENCH_r*.json` by round number was the driver's own in-progress
+  * (query-less) wrapper, so the 1.4× re-measure trigger silently no-op'd
+  * while two rows ran 4.7–5.5× their priors. This spec replays that exact
+  * file set synthetically and pins the selection rules.
+  */
+class BenchPriorSpec extends AnyFunSuite {
+
+  private def dirWith(files: (String, String)*): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("benchprior").toFile
+    d.deleteOnExit()
+    files.foreach { case (name, txt) =>
+      java.nio.file.Files.write(new java.io.File(d, name).toPath,
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    d
+  }
+
+  /** A plausible completed-round payload: ≥ 20 headline keys at sf0.1. */
+  private def completed(sec: Double): String = {
+    val qs = graft.Bench.headline.take(25)
+      .map(q => s""""$q":$sec""").mkString(",")
+    s"""{"metric":"total","value":50.0,"queries":{$qs},"sf":"/root/testdata/sf0.1"}"""
+  }
+
+  test("the current round's empty in-progress file is skipped in favor of the last completed round") {
+    val d = dirWith(
+      "BENCH_r12.json" -> completed(0.5),
+      "BENCH_r13.json" -> "") // driver's own wrapper, no queries yet
+    val (file, prior) = graft.Bench.selectPrior(d, "/root/testdata/sf0.1")
+    assert(file == "BENCH_r12.json")
+    assert(prior.size >= 20 && prior.values.forall(_ == 0.5))
+  }
+
+  test("a wrapper with too few parsed keys is skipped too (partial write)") {
+    val d = dirWith(
+      "BENCH_r11.json" -> completed(1.0),
+      "BENCH_r12.json" -> """{"queries":{"qa1_grouped_agg":9.9},"sf":"/root/testdata/sf0.1"}""")
+    val (file, prior) = graft.Bench.selectPrior(d, "/root/testdata/sf0.1")
+    assert(file == "BENCH_r11.json")
+    assert(prior("qa1_grouped_agg") == 1.0)
+  }
+
+  test("a prior at a different scale factor is not a reference") {
+    val d = dirWith("BENCH_r12.json" ->
+      completed(0.5).replace("sf0.1", "sf0.01"))
+    val (file, prior) = graft.Bench.selectPrior(d, "/root/testdata/sf0.1")
+    assert(file == "none" && prior.isEmpty)
+  }
+
+  test("no files at all degrades to an empty map, never throws") {
+    val d = java.nio.file.Files.createTempDirectory("benchprior").toFile
+    assert(graft.Bench.selectPrior(d, "/root/testdata/sf0.1") ==
+      ("none" -> Map.empty[String, Double]))
+  }
+
+  test("the real round-12 driver wrapper (nested tail string) still parses") {
+    // the driver wraps the bench stdout in {n, rc, tail, parsed} — keys
+    // live inside the escaped tail string; the regex extraction must see
+    // through that, because those wrappers ARE the on-disk prior format
+    val inner = completed(0.7).replace("\"", "\\\"")
+    val d = dirWith("BENCH_r12.json" ->
+      s"""{"n": 12, "rc": 0, "tail": "$inner", "parsed": null}""")
+    val (file, prior) = graft.Bench.selectPrior(d, "/root/testdata/sf0.1")
+    assert(file == "BENCH_r12.json")
+    assert(prior.size >= 20)
+  }
+}
