@@ -37,8 +37,11 @@ object Dedup {
     */
   def exactTokenSetPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), tokenSetSignature(col(textCol)).as("sig"))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
+    // shuffle_hash so both sides share ONE Exchange(hashpartitioning(sig))
+    // via AQE reuse: the sort+md5 signature chain computes once, not once
+    // per side (see candidatePairsFromBands for the full argument)
+    val a = sigs.hint("shuffle_hash").as("a")
+    val b = sigs.hint("shuffle_hash").as("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
   }
@@ -175,8 +178,17 @@ object Dedup {
     */
   private def candidatePairsFromBands(banded: DataFrame,
                                       numHashes: Int): DataFrame = {
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle_hash, not the planner's default broadcast: both sides of
+    // the self-join then want the SAME Exchange(hashpartitioning(band,
+    // bh)) and AQE reuses it, so the signature chain (tokenize → ids →
+    // minhash) computes ONCE for the pair stage instead of once per
+    // side — broadcast materializes the build side as a SECOND full
+    // compute of the chain, and at 100 TB the banded table outgrows any
+    // broadcast threshold anyway. No sort: SHJ hashes the narrow
+    // (band, bh) key; signatures ride the exchange exactly once (the
+    // BandIndex row format).
+    val a = banded.hint("shuffle_hash").as("a")
+    val b = banded.hint("shuffle_hash").as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
@@ -351,8 +363,11 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(b0 - 1)),
         b => xxhash64(slice(col("bits"), b * width + 1, lit(width))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle_hash → one reused Exchange for both sides: the simhash
+    // bit-vote chain computes once, not once per side (see
+    // candidatePairsFromBands)
+    val a = banded.hint("shuffle_hash").as("a")
+    val b = banded.hint("shuffle_hash").as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -429,10 +444,22 @@ object Dedup {
     val banded = bandedFromTokens(
       shingled.select(col("id"), col("sh").as("toks")), numHashes, bands)
     val cands = candidatePairsFromBands(banded, numHashes)
+    // Both rescore join-backs consume the SAME unrenamed (id, sh)
+    // projection keyed on id, so their Exchanges canonicalize
+    // identically and AQE plans the second as a ReusedExchange — the
+    // tokenize → wordNgrams → md5 → tokenIds64 chain runs exactly TWICE
+    // (banding + one join-back) instead of three times. Renaming the
+    // columns BEFORE the join (the old shape) made the two subtrees
+    // distinct and re-ran the chain per join-back — at 100 TB the
+    // largest avoidable compute multiplier in the dedup family
+    // (runtime-gated at <=2 corpus scans in PlanShapeSpec, the ql54
+    // stage-dedup convention).
+    val sa = shingled.as("sa")
+    val sb = shingled.as("sb")
     cands
-      .join(shingled.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(shingled.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(sa, col("doc_a") === col("sa.id"))
+      .join(sb, col("doc_b") === col("sb.id"))
+      .withColumn("jaccard", jaccard(col("sa.sh"), col("sb.sh")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -779,7 +806,11 @@ object Dedup {
       fp0.join(hot, Seq("_fp"), "left_anti")
     }
     val sizes = fp.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
-    val inter = fp.as("a").join(fp.as("b"),
+    // shuffle_hash → the fingerprint explode computes once for both
+    // sides of the intersection self-join (reused Exchange; see
+    // candidatePairsFromBands). The `sizes` aggregate still scans
+    // separately — its shuffle key (_id) differs from the join's (_fp).
+    val inter = fp.hint("shuffle_hash").as("a").join(fp.hint("shuffle_hash").as("b"),
         col("a._fp") === col("b._fp") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
       .agg(count(lit(1)).as("_inter"))

@@ -206,10 +206,26 @@ object Multimodal {
   def perceptualNearDupPairs(media: DataFrame, idCol: String, hashCol: String,
                              bands: Int = 0, maxHamming: Int = 3,
                              corpusSize: Option[Long] = None): DataFrame = {
+    // Derived bands are CLAMPED to the pigeonhole bound: maxHamming
+    // differing bits can split across at most maxHamming+1 contiguous
+    // slices, so fewer bands than that silently drops true pairs —
+    // autoBands can return 2 (32-bit slices, Hamming<=1 guarantee) for
+    // large corpora while the default maxHamming is 3. The clamp trades
+    // band-collision noise (cost: more candidates into the exact
+    // rescore) for the documented recall guarantee, never the reverse.
+    val sizeBound = {
+      // prune to the id column before counting: the hash/decode chain
+      // must not execute a full corpus pass just to SIZE the bands
+      lazy val counted = media.select(col(idCol)).count()
+      math.max(corpusSize.getOrElse(counted), 1L)
+    }
     val b0 =
-      if (bands == 0)
-        graft.llm.Dedup.autoBands(math.max(corpusSize.getOrElse(media.count()), 1L))
-      else bands
+      if (bands == 0) {
+        val derived = graft.llm.Dedup.autoBands(sizeBound)
+        val floor = Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1)
+          .getOrElse(64)
+        math.max(derived, floor)
+      } else bands
     require(b0 > 0 && 64 % b0 == 0, s"bands must divide 64, got $b0")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val width = 64 / b0
@@ -220,8 +236,12 @@ object Multimodal {
       posexplode(array((0 until b0).map(b =>
         shiftrightunsigned(col("h"), b * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle_hash → both sides share one reused Exchange, so the hash
+    // projection (and, upstream, the decode) computes ONCE for the pair
+    // stage (the Dedup.candidatePairsFromBands argument — for media the
+    // avoided recompute is the decode itself)
+    val a = banded.hint("shuffle_hash").as("a")
+    val b = banded.hint("shuffle_hash").as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       // exact distance scored INSIDE the band join (one xor+popcount per
@@ -242,11 +262,17 @@ object Multimodal {
                            bytesCol: String, widthCol: String, heightCol: String,
                            scoreCol: String, bands: Int = 0,
                            maxHamming: Int = 3): DataFrame = {
+    require(!media.columns.contains("_dhash"),
+      "dedupMediaPerceptual reserves the _dhash column; rename or drop the input's _dhash")
     val hashed = media.withColumn("_dhash",
       dHash64(col(bytesCol), col(widthCol), col(heightCol)))
     val pairs = perceptualNearDupPairs(hashed, idCol, "_dhash", bands, maxHamming)
       .select(col("doc_a"), col("doc_b"))
-    graft.llm.Dedup.dedupKeepBest(hashed, idCol, pairs, scoreCol).drop("_dhash")
+    // keep-best joins back to the RAW media — the hash column exists
+    // only inside the pair path (where the reused Exchange computes it
+    // once); feeding `hashed` here would decode+hash the full corpus a
+    // second time just to drop the column afterwards
+    graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
   }
 
   /** Frame sampling stage (video): every `stride`-th frame index up to
