@@ -166,12 +166,18 @@ object Bench {
     // trigger to catch. Re-time the whole battery once on the same
     // process floor and keep per-query minima — the artifact then
     // self-resolves instead of costing a judge adjudication.
-    // Threshold 4.0, not cpus/4 = 8: round 12 started at loadavg 5.65 and
-    // every row came out 1.3-5x inflated while the old trigger stayed
-    // silent — the judge's quiet-machine re-run was the only corrective.
+    // Floor 4.0 scaled by core count (max(4, cpus/8)): round 12 started
+    // at loadavg 5.65 and every row came out 1.3-5x inflated while the
+    // old cpus/4 = 8 trigger stayed silent — but a flat 4.0 would bake in
+    // this 32-cpu machine's idle band (on a 128-core host loadavg 4-5 IS
+    // idle and would double every battery). SPARK_GRAFT_LOAD_THRESH
+    // overrides for hosts where neither heuristic fits.
+    val loadThresh = sys.env.get("SPARK_GRAFT_LOAD_THRESH")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(math.max(4.0, cpus.toDouble / 8))
     val highLoad = loadStart.split(" ").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .exists(_ > 4.0)
+      .exists(_ > loadThresh)
     val results =
       if (highLoad) firstPass.map { case (n, t1) =>
         val t2 = timeOnce(n)

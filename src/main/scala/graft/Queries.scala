@@ -486,7 +486,15 @@ object Queries {
         lpad(hex(${1 + bright} + pmod(xxhash64(base_id * 4096 +
           ((p % $w) div $scale) * 64 + ((p div $w) div $scale)), 100)),
         2, '0')), ''))""")
-    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    // the re-encode media_id offsets (+100000/+200000) are collision-free
+    // only while doc_id < 100000 — beyond that a colliding media_id would
+    // silently merge distinct images in the engine's pair dedup while the
+    // oracle's DISTINCT keeps both (divergence, not an error). Fail loud
+    // instead: the guard rides the one base_id projection.
+    val docs = t(s, dir, "documents").select(
+      when(col("doc_id") >= 100000L, raise_error(lit(
+        "qm3: doc_id >= 100000 collides with the re-encode media_id offsets"))
+        .cast("long")).otherwise(col("doc_id")).as("base_id"))
     val orig = docs.select(col("base_id").as("media_id"),
       grid(18, 16, 1, 0).as("bytes"), lit(18).as("w"), lit(16).as("h"))
     val up = docs.filter(pmod(col("base_id"), lit(3)) === 0)

@@ -451,9 +451,10 @@ object Dedup {
     // (banding + one join-back) instead of three times. Renaming the
     // columns BEFORE the join (the old shape) made the two subtrees
     // distinct and re-ran the chain per join-back — at 100 TB the
-    // largest avoidable compute multiplier in the dedup family
-    // (runtime-gated at <=2 corpus scans in PlanShapeSpec, the ql54
-    // stage-dedup convention).
+    // largest avoidable compute multiplier in the dedup family.
+    // Machine-checked: PlanShapeSpec's shuffle_hash-family test pins the
+    // finalized adaptive plan at <=2 corpus scans with >=1 ReusedExchange
+    // (the ql54 stage-dedup convention).
     val sa = shingled.as("sa")
     val sb = shingled.as("sb")
     cands
@@ -1082,8 +1083,14 @@ object Dedup {
     * operator's one full-row hash join (the winner dim broadcasts below
     * the threshold; keyed beyond it).
     *
-    * `idCol` must be NUMERIC and non-null (the tie-break negates it);
-    * every id column in this library is a long.
+    * `idCol` must be NUMERIC, non-null and (for longs) above
+    * `Long.MinValue` — the tie-break negates it. LOUD-GUARDED (the
+    * nbTrain raise_error convention, ADVICE r13): a NULL id would make
+    * the group's winner `_keep` NULL and the join-back filter would then
+    * silently drop the ENTIRE canonical-url group (every copy of that
+    * page, not just the bad row), and `-Long.MinValue` overflows back to
+    * `Long.MinValue`, silently inverting the min-id tie-break. Both now
+    * raise at execution instead.
     */
   def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
                           scoreCol: String): DataFrame = {
@@ -1092,9 +1099,19 @@ object Dedup {
         s"negates it), got ${df.schema(idCol).dataType.sql}")
     val keyed = df.withColumn("_curl",
       graft.llm.TextAnalysis.canonicalizeUrl(col(urlCol)))
+    // the guard rides the one id read inside the winner aggregation, so
+    // it costs nothing extra and cannot be pruned away from the path
+    // whose correctness it protects
+    val guardedId = when(col(idCol).isNull || col(idCol) === lit(Long.MinValue),
+      raise_error(concat(
+        lit(s"dedupByCanonicalUrl: $idCol must be non-null and > Long.MinValue " +
+          "(the keep-best tie-break negates it), got "),
+        coalesce(col(idCol).cast("string"), lit("NULL"))))
+        .cast(df.schema(idCol).dataType))
+      .otherwise(col(idCol))
     val keep = keyed.filter(col("_curl").isNotNull)
       .groupBy(col("_curl"))
-      .agg(max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_ni"))).as("_w"))
+      .agg(max(struct(col(scoreCol).as("_s"), (-guardedId).as("_ni"))).as("_w"))
       .select(col("_curl"), (-col("_w._ni")).as("_keep"))
     // LEFT join: null-curl rows have no join partner (null keys never
     // match) and pass the isNull arm untouched; every non-null curl has

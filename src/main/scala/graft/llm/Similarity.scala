@@ -1011,16 +1011,22 @@ object Similarity {
     // fires lazily at execution (the loud-error discipline — scoring a
     // malformed group as a plausible number is the failure mode this
     // operator exists to avoid).
+    // the guard rides BOTH output columns: anchored only to n_vectors,
+    // column pruning of n_vectors (select(groupCol, "centroid")) deleted
+    // the raise_error and re-enabled silent ill-defined centroids
+    // (ADVICE r13) — a malformed group must error no matter which output
+    // the caller keeps
+    def raggedGuard(castTo: String) =
+      when(min(col("_n")) =!= max(col("_n")),
+        raise_error(concat(lit("meanEmbedding: ragged embedding dimensions in group "),
+          col("_g").cast("string"))).cast(castTo))
     sums.groupBy(col("_g"))
       .agg(
-        when(min(col("_n")) =!= max(col("_n")),
-          raise_error(concat(lit("meanEmbedding: ragged embedding dimensions in group "),
-            col("_g").cast("string"))).cast("long"))
-          .otherwise(max(col("_n"))).as("n_vectors"),
-        transform(
+        raggedGuard("long").otherwise(max(col("_n"))).as("n_vectors"),
+        raggedGuard("array<double>").otherwise(transform(
           array_sort(collect_list(struct(col("_pos"),
             (col("_s").cast("double") / col("_n")).as("_m")))),
-          x => x("_m")).as("centroid"))
+          x => x("_m"))).as("centroid"))
       .select(col("_g").as(groupCol), col("n_vectors"), col("centroid"))
   }
 

@@ -213,14 +213,14 @@ object Multimodal {
     // large corpora while the default maxHamming is 3. The clamp trades
     // band-collision noise (cost: more candidates into the exact
     // rescore) for the documented recall guarantee, never the reverse.
-    val sizeBound = {
-      // prune to the id column before counting: the hash/decode chain
-      // must not execute a full corpus pass just to SIZE the bands
-      lazy val counted = media.select(col(idCol)).count()
-      math.max(corpusSize.getOrElse(counted), 1L)
-    }
     val b0 =
       if (bands == 0) {
+        // the sizing count lives INSIDE this branch: pinned-bands callers
+        // (and pinned-corpusSize ones) must never pay a corpus pass just
+        // to size bands they didn't ask for — and when it does run it
+        // counts the id-pruned projection, not the hash/decode chain
+        val sizeBound = math.max(
+          corpusSize.getOrElse(media.select(col(idCol)).count()), 1L)
         val derived = graft.llm.Dedup.autoBands(sizeBound)
         val floor = Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1)
           .getOrElse(64)

@@ -110,6 +110,14 @@ class IvfSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("ragged")), s"unexpected error: ${e.getMessage}")
+    // the guard must survive column pruning (ADVICE r13): anchored only
+    // to n_vectors, selecting just the centroid deleted the raise_error
+    // and returned a plausible-looking ill-defined centroid
+    val e2 = intercept[Exception] {
+      Similarity.meanEmbedding(ragged, "grp").select("centroid").collect()
+    }
+    assert(msgs(e2).exists(_.contains("ragged")),
+      s"centroid-only projection pruned the ragged guard: ${e2.getMessage}")
   }
 
 }

@@ -113,6 +113,32 @@ class LlmSpec extends SparkSpec {
       .columns.toSeq == docs.columns.toSeq)
   }
 
+  test("dedupByCanonicalUrl raises loudly on NULL ids and Long.MinValue (no silent group drop)") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // a NULL id inside a url group used to make the group's winner NULL,
+    // silently dropping EVERY copy of that page from the output
+    val withNull = Seq(
+      (java.lang.Long.valueOf(1L), "https://example.com/a", 5.0),
+      (null.asInstanceOf[java.lang.Long], "https://example.com/a", 9.0)
+    ).toDF("doc_id", "url", "score")
+    val e1 = intercept[Exception] {
+      Dedup.dedupByCanonicalUrl(withNull, "doc_id", "url", "score").collect()
+    }
+    assert(msgs(e1).exists(_.contains("non-null")), s"unexpected: ${e1.getMessage}")
+    // -Long.MinValue overflows back to Long.MinValue, inverting the
+    // min-id tie-break — loud, not wrong
+    val minVal = Seq(
+      (Long.MinValue, "https://example.com/a", 3.0),
+      (2L, "https://example.com/a", 3.0)
+    ).toDF("doc_id", "url", "score")
+    val e2 = intercept[Exception] {
+      Dedup.dedupByCanonicalUrl(minVal, "doc_id", "url", "score").collect()
+    }
+    assert(msgs(e2).exists(_.contains("Long.MinValue")), s"unexpected: ${e2.getMessage}")
+  }
+
   test("minhash-LSH candidates are a superset of exact token-set pairs (Q-L5 contract)") {
     val exact = rowsOf(Dedup.exactTokenSetPairs(docs, "doc_id", "text"))
     val cands = rowsOf(Dedup.minHashLshCandidates(docs, "doc_id", "text")

@@ -44,20 +44,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  /** Executed-plan stats under AQE: run the query, split the finalized
+    * adaptive plan at `== Initial Plan ==` and count "FileScan parquet" /
+    * "ReusedExchange" tokens in the FINAL section — the ql54 stage-dedup
+    * convention, generalized so every "the Exchange is reused, the chain
+    * computes once" claim gets a machine check instead of a comment.
+    */
+  private def finalPlanStats(name: String): (Int, Int) = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect() // force execution so AQE finalizes and dedupes stages
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.contains("isFinalPlan=true"),
+      s"$name: adaptive plan did not finalize")
+    ("FileScan parquet".r.findAllIn(finalSection).size,
+      "ReusedExchange".r.findAllIn(finalSection).size)
+  }
+
   test("ql54's four static aggregation branches dedupe to ONE scan at runtime") {
     // the static plan prints four Generate+scan subtrees; the claim is
     // that AQE dedupes the identical bigram-count shuffle stages, so the
     // corpus is scanned ONCE and the other three branches read
     // ReusedExchange — assert on the finalized adaptive plan
-    val df = graft.SparkEntry.queries("ql54_lm_estimate")(spark, sf)
-    df.collect() // force execution so AQE finalizes and dedupes stages
-    val finalPlan = df.queryExecution.executedPlan.toString
-    val finalSection = finalPlan.split("== Initial Plan ==")(0)
-    assert(finalSection.contains("isFinalPlan=true"))
-    val scans = "FileScan parquet".r.findAllIn(finalSection).size
-    val reused = "ReusedExchange".r.findAllIn(finalSection).size
+    val (scans, reused) = finalPlanStats("ql54_lm_estimate")
     assert(scans == 1, s"expected ONE corpus scan in the final plan, got $scans")
     assert(reused >= 3, s"expected >=3 reused bigram-count stages, got $reused")
+  }
+
+  test("shuffle_hash self-join family: both sides share ONE reused Exchange at runtime") {
+    // the r13 shuffle_hash conversion's whole point: the signature /
+    // decode chain below the pair join computes ONCE because the two
+    // join sides canonicalize to the same Exchange and AQE reuses it.
+    // The static gate cannot see this (ReusedExchange only exists in the
+    // finalized adaptive plan), and an unchecked comment claiming it is
+    // how r13 shipped a phantom gate — so each conversion pins its
+    // measured (scan budget, >=1 reuse) here. A rename/hint change that
+    // breaks canonicalization re-runs the chain per side and goes red.
+    val budgets = Seq(
+      // banding scan + ONE rescore join-back scan (the second join-back
+      // reads the ReusedExchange) — the chain computes 2x, not 3x
+      "ql53_ngram_jaccard" -> 2,
+      // single scan: the md5-set projection feeds both join sides via
+      // the reused Exchange
+      "ql5_token_set_dups" -> 1,
+      "ql52_simhash_candidates" -> 1,
+      // sketch scan + pair-count join-back scan
+      "ql62_winnow_pairs" -> 2,
+      // three fixture branches (orig/upscale/brightness) each scan the
+      // docs table; the pair stage's banded self-join reads ONE reused
+      // Exchange so the decode+hash never runs per side
+      "qm3_perceptual_neardup" -> 3)
+    val failures = budgets.flatMap { case (q, maxScans) =>
+      val (scans, reused) = finalPlanStats(q)
+      val over = if (scans > maxScans)
+        Seq(s"$q: $scans corpus scans > budget $maxScans") else Nil
+      val noReuse = if (reused < 1)
+        Seq(s"$q: no ReusedExchange in the final plan — the shared " +
+          "Exchange stopped canonicalizing and the chain now computes per join side") else Nil
+      over ++ noReuse
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("every shape key is a registered query with an audit claim") {
