@@ -254,7 +254,15 @@ object PlanAudit {
       "-id)) agg over a narrow (curl, score, id) projection + ONE join-back -- the " +
       "canonicalization regex chain runs exactly twice (machine-checked: <=2 corpus " +
       "scans), O(1) per-key agg state, no windows; the agg Exchange carries only " +
-      "(curl, score, id)")
+      "(curl, score, id)"),
+    "qm3_perceptual_neardup" -> ("perceptual near-dup: the fused dhash64 projection " +
+      "rides the scan (media bytes exist only INSIDE scan-local expressions -- the " +
+      "typed gate pins no binary column in any Exchange), 4-band posexplode to narrow " +
+      "(id, hash, band, slice) rows, banded ShuffledHashJoin self-join on the 8-byte " +
+      "(band, slice) key -- never all-pairs, never a corpus broadcast; exact Hamming " +
+      "scored in-join, only narrow (doc_a, doc_b, hamming) rows reach the dedup " +
+      "Exchange; AQE reuses ONE Exchange for both join sides so the decode+hash chain " +
+      "computes once (machine-checked in PlanShapeSpec's shuffle_hash family gate)")
   )
 
   /** Machine-checked subset of the prose claims above: a shuffle budget
@@ -267,10 +275,17 @@ object PlanAudit {
     * excluded); scan-riding operators budget exactly 1 — the harness
     * ORDER BY.
     */
+  /** `noWideShuffle` adds the TYPED check (executed, AQE-walked): no
+    * embedding-array or binary column may ride any ShuffleExchange — the
+    * string-level gate can't see column types, and "bytes/embeddings
+    * never shuffle" is the load-bearing 100 TB claim for the media and
+    * pooling operators.
+    */
   final case class Shape(maxShuffles: Int = Int.MaxValue,
                          forbid: Seq[String] = Nil,
                          require: Seq[String] = Nil,
-                         maxScans: Int = Int.MaxValue)
+                         maxScans: Int = Int.MaxValue,
+                         noWideShuffle: Boolean = false)
 
   private val bhj = Seq("BroadcastHashJoin")
   private val noSmj = Seq("SortMergeJoin")
@@ -323,7 +338,44 @@ object PlanAudit {
     "ql62_winnow_pairs" -> Shape(forbid = noCross),
     // one-pass keep-best: the canonicalization chain runs at most twice
     // (winner agg + join-back) — the VERDICT r11 #3 contract
-    "ql63_url_dedup" -> Shape(maxScans = 2, forbid = noCross)
+    "ql63_url_dedup" -> Shape(maxScans = 2, forbid = noCross),
+    // round-14 extension (VERDICT r13 #5): the remaining prose-only
+    // claims with machine-checkable tokens. "Window [" is the window
+    // OPERATOR's print form — bare "Window" would also match the
+    // WindowGroupLimit pruning node and the window() bucketing function.
+    //
+    // ql35: hot-span starts + the md5 span-df agg are the ONLY shuffles
+    // besides the harness ORDER BY (budget 3); the coverage pass is the
+    // fused remove_spans expression, never a per-doc window
+    "ql35_repeated_spans" -> Shape(3, forbid = Seq("Window ["),
+      require = Seq("remove_spans")),
+    // ql58: (group, pos) partial+final + assembly + harness ORDER BY;
+    // the typed check pins that whole embeddings never ride an Exchange
+    "ql58_mean_embedding" -> Shape(3, require = Seq("partial_sum"),
+      noWideShuffle = true),
+    // qx14: bounded as-of — the partial max_by combines candidates
+    // map-side (<=1 row per key per task into the ONE keyed Exchange);
+    // a windowed or sort-merge form would shuffle every candidate
+    "qx14_asof_tolerance" -> Shape(2,
+      forbid = Seq("Window [", "SortMergeJoin"),
+      require = Seq("partial_max_by", "BroadcastHashJoin")),
+    // qx1 carries the same claim without the tolerance residual
+    "qx1_asof_join" -> Shape(forbid = Seq("Window ["),
+      require = Seq("partial_max_by")),
+    // qm3: banded 8-byte-key self-join (shuffle_hash, never all-pairs,
+    // never a broadcast of the corpus); the fused dhash64 projection and
+    // the typed check together pin that media bytes exist only inside
+    // scan-riding expressions, never in any Exchange
+    "qm3_perceptual_neardup" -> Shape(4, forbid = noCross ++ noSmj,
+      require = Seq("ShuffledHashJoin", "dhash64"), noWideShuffle = true),
+    // k-bounded aggregate tails: the partial TopKBySim phase IS the
+    // "<=k rows per map task enter the shuffle" claim
+    "ql4_cosine_topk" -> Shape(require = Seq("partial_topkbysim")),
+    "ql27_quantized_topk" -> Shape(require = Seq("partial_topkbysim")),
+    "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
+    // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
+    // window anywhere
+    "ql29_boilerplate" -> Shape(forbid = Seq("Window ["))
   )
 
   def main(args: Array[String]): Unit = {

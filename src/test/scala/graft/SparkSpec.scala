@@ -25,15 +25,16 @@ abstract class SparkSpec extends AnyFunSuite {
   def rowsOf(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
-  /** Asserts no float-array (embedding) column rides any shuffle in the
-    * executed plan — the 100 TB contract for the similarity-search tails:
-    * score, project to ids+sim, THEN shuffle.
+  /** Asserts no float-array (embedding), int8-array, or raw-binary
+    * (media bytes) column rides any shuffle in the executed plan — the
+    * 100 TB contract for the similarity-search tails and the multimodal
+    * operators: score/hash, project to narrow ids, THEN shuffle.
     */
   def assertNoEmbeddingInExchange(df: DataFrame): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, FloatType}
     df.collect() // force execution so AQE finalizes the plan
     // AQE hides the final plan behind AdaptiveSparkPlanExec/QueryStageExec,
     // which TreeNode.collect does not descend into — walk them explicitly
@@ -54,6 +55,11 @@ abstract class SparkSpec extends AnyFunSuite {
         case a => a.dataType match {
           case ArrayType(FloatType, _) => true
           case ArrayType(ByteType, _) => true // int8-quantized embeddings
+          // media payloads — but NOT ObjectHashAggregate's serialized
+          // partial buffer ("buf"), which prints as binary and is bounded
+          // by the aggregate's own semantics (e.g. dim structs per group
+          // for the centroid collect_list), not a payload column
+          case BinaryType => a.name != "buf"
           case _ => false
         }
       }

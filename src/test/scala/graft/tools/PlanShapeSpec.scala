@@ -44,6 +44,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("noWideShuffle shapes: no embedding/binary column in any executed Exchange") {
+    for ((name, shape) <- PlanAudit.shapes.toSeq.sortBy(_._1) if shape.noWideShuffle)
+      assertNoEmbeddingInExchange(graft.SparkEntry.queries(name)(spark, sf))
+  }
+
+  test("ql50's lazy form persists exactly ONE gate boundary that downstream branches share") {
+    // the registry query localCheckpoints (materialize = true), which
+    // collapses the plan to an ExistingRDD scan — the persist-cut claim
+    // is only visible on the lazy form, so gate it directly: the corpus
+    // gate prefix closes at a cached boundary and BOTH the repetition
+    // branch and the main flow (plus the dedup self-join sides and the
+    // bucket window downstream) read InMemoryTableScan, never the raw
+    // scan chain. A refactor that silently drops the persist returns the
+    // measured 10x recompute fan-out (66 s -> 6 s at sf0.1, BASELINE.md).
+    spark.sqlContext.clearCache()
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+    val lazyPipe = graft.llm.Pipelines.pretrainCorpus(docs, materialize = false)
+    try {
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "pretrainCorpus(materialize=false) no longer persists its gate boundary")
+      val plan = lazyPipe.queryExecution.executedPlan.toString
+      val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(cacheReads >= 2,
+        s"expected >=2 InMemoryTableScan readers of the shared gate cache, got $cacheReads")
+    } finally spark.sqlContext.clearCache()
+  }
+
   /** Executed-plan stats under AQE: run the query, split the finalized
     * adaptive plan at `== Initial Plan ==` and count "FileScan parquet" /
     * "ReusedExchange" tokens in the FINAL section — the ql54 stage-dedup
