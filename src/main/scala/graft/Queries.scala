@@ -486,22 +486,19 @@ object Queries {
         lpad(hex(${1 + bright} + pmod(xxhash64(base_id * 4096 +
           ((p % $w) div $scale) * 64 + ((p div $w) div $scale)), 100)),
         2, '0')), ''))""")
-    // the re-encode media_id offsets (+100000/+200000) are collision-free
-    // only while doc_id < 100000 — beyond that a colliding media_id would
-    // silently merge distinct images in the engine's pair dedup while the
-    // oracle's DISTINCT keeps both (divergence, not an error). Fail loud
-    // instead: the guard rides the one base_id projection.
-    val docs = t(s, dir, "documents").select(
-      when(col("doc_id") >= 100000L, raise_error(lit(
-        "qm3: doc_id >= 100000 collides with the re-encode media_id offsets"))
-        .cast("long")).otherwise(col("doc_id")).as("base_id"))
-    val orig = docs.select(col("base_id").as("media_id"),
+    // media_id = base_id * 4 + variant (0 original, 1 upscale, 2
+    // brightness): collision-free at ANY corpus size (the additive
+    // +100000/+200000 offsets collided past 100k docs — at which point
+    // the engine's pair dedup and the oracle's DISTINCT would silently
+    // diverge; ScaleBench's 10x corpus shifts doc_id to ~1e9)
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select((col("base_id") * 4).as("media_id"),
       grid(18, 16, 1, 0).as("bytes"), lit(18).as("w"), lit(16).as("h"))
     val up = docs.filter(pmod(col("base_id"), lit(3)) === 0)
-      .select((col("base_id") + 100000L).as("media_id"),
+      .select((col("base_id") * 4 + 1).as("media_id"),
         grid(36, 32, 2, 0).as("bytes"), lit(36).as("w"), lit(32).as("h"))
     val br = docs.filter(pmod(col("base_id"), lit(5)) === 0)
-      .select((col("base_id") + 200000L).as("media_id"),
+      .select((col("base_id") * 4 + 2).as("media_id"),
         grid(18, 16, 1, 10).as("bytes"), lit(18).as("w"), lit(16).as("h"))
     val media = orig.unionAll(up).unionAll(br).withColumn("dh",
       graft.sources.Multimodal.dHash64(col("bytes"), col("w"), col("h")))
@@ -2597,7 +2594,7 @@ SELECT doc_a, doc_b, resemblance FROM sc WHERE resemblance >= 0.5 ORDER BY 1 NUL
     * `bit_count(xor)` on the packed long.
     */
   private def qm3Sql: String =
-    s"""WITH imgs AS (SELECT doc_id AS base, doc_id AS mid, 18 AS w, 16 AS ht, 1 AS sc, 0 AS br FROM documents UNION ALL SELECT doc_id, doc_id + 100000, 36, 32, 2, 0 FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id, doc_id + 200000, 18, 16, 1, 10 FROM documents WHERE doc_id % 5 = 0),
+    s"""WITH imgs AS (SELECT doc_id AS base, doc_id * 4 AS mid, 18 AS w, 16 AS ht, 1 AS sc, 0 AS br FROM documents UNION ALL SELECT doc_id, doc_id * 4 + 1, 36, 32, 2, 0 FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id, doc_id * 4 + 2, 18, 16, 1, 10 FROM documents WHERE doc_id % 5 = 0),
 pos(p) AS (SELECT unnest(range(0, 1152))),
 px AS (SELECT mid, w, ht, br, p, CAST(base * 4096 + ((p % w) // sc) * 64 + ((p // w) // sc) AS HUGEINT) AS v FROM imgs JOIN pos ON p < w * ht),
 ${xxh64Ctes(Seq("mid", "w", "ht", "br", "p"), "px")},

@@ -121,7 +121,31 @@ object ScaleBench {
     // cross-copy sketches disjoint, so pairs track true near-dups
     "ql62_winnow_pairs",
     // ql63: canonical-key aggs — O(1) per-key state, time tracks the scan
-    "ql63_url_dedup")
+    "ql63_url_dedup",
+    // round-14 rows (VERDICT r13 #4 — the six argued-not-measured ops):
+    // qx13: splittable text scan + from_csv projection — the round-trip
+    // (write + parse) is the cost; must track bytes, never worse
+    "qx13_csv_roundtrip",
+    // qt5: struct-min first-row-per-key — partial agg sends <=1 row per
+    // key per task into ONE keyed Exchange; keys grow linearly (per-copy
+    // user shift), so time must track the scan
+    "qt5_first_seen",
+    // ql44b: PSL longest-match rides the scan (rule dim in the task
+    // binary), ONE bounded registrable-domain agg — near-flat per row
+    "ql44b_domain_stats_psl",
+    // ql59: RE2 sentence extraction + posexplode riding the scan — pure
+    // per-row work, linear
+    "ql59_sentences",
+    // ql60: token-explode count agg with vocabulary-sized Exchanges —
+    // token salting makes each copy's vocab disjoint (worst case for the
+    // count tables, the ql54 argument)
+    "ql60_nb_train",
+    // qm3: the banded perceptual pair join — media ids are bit-shifted
+    // (collision-free at the 10x id range), per-copy pixel hashes are
+    // independent so cross-copy candidates are noise-level; fixture
+    // synthesis (1,152 XXH64 pixels/image) dominates the row and is
+    // itself per-row work, so the whole chain must scale ~linearly
+    "qm3_perceptual_neardup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
