@@ -139,6 +139,21 @@ object Dedup {
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
   }
 
+  /** Candidate pairs over an existing [[BandIndex]] table — the same
+    * band self-join + fused scoring tail as [[minHashLshCandidates]],
+    * entered from persisted `(id, mh, band, bh)` rows instead of text
+    * (so `minHashLshCandidates(docs) ==
+    * minHashLshCandidatesFromIndex(BandIndex.build(docs))` by
+    * construction — they share this code). The incremental-lifecycle
+    * building block: a state that carries its index derives the pair
+    * set without ever re-signing.
+    */
+  def minHashLshCandidatesFromIndex(index: DataFrame, numHashes: Int = 64,
+                                    minJaccard: Double = 0.0): DataFrame = {
+    val scored = candidatePairsFromBands(index, numHashes)
+    if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
+  }
+
   /** Shared banding projection: `(id, mh, band, bh)` — one row per (doc,
     * band), `bh` = xxhash64 of the band's signature slice. The join key of
     * every LSH candidate path and the ROW FORMAT of [[BandIndex]].

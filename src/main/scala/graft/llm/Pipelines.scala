@@ -53,13 +53,14 @@ object Pipelines {
     * of the 64 slot hashes drops from multi-block string hashing to one
     * 8-byte block.
     */
-  def pretrainCorpus(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text", langCol: String = "lang",
-                     useC4Lines: Boolean = true,
-                     minJaccard: Double = 0.7,
-                     dropTail: Boolean = false,
-                     materialize: Boolean = true,
-                     hashedTokenIds: Boolean = false): DataFrame = {
+  /** The gate prefix shared by [[pretrainCorpus]] and the incremental
+    * [[appendCrawlBatch]] — steps 1–3 of the recipe: normalize → page
+    * gates (persisted cut) → repetition semi-join → optional C4 line
+    * clean → PII scrub → quality score. Returns (staged rows, the
+    * persisted gate handle) so the caller owns the cache lifecycle.
+    */
+  private def stageDocs(docs: DataFrame, idCol: String, textCol: String,
+                        useC4Lines: Boolean): (DataFrame, DataFrame) = {
     // 1. normalize. The C4 LINE rules apply to survivors AFTER the page
     // gates — the gates must see the RAW page (a brace or "lorem ipsum"
     // on a line the line rules would drop still condemns the page, per
@@ -78,7 +79,8 @@ object Pipelines {
     // self-join, the cluster joins, the bucket window. Without the cut
     // each re-derivation re-ran the whole prefix: measured 66 s → 6 s at
     // sf0.1. MEMORY_AND_DISK so a large survivor set spills, not OOMs;
-    // released deterministically below when `materialize` is on.
+    // released deterministically by pretrainCorpus when `materialize` is
+    // on.
     val qualityOk = normed
       .withColumn("_q", q).withColumn("_c4", c4)
       .filter(col("_q.ok_length") && col("_q.ok_word_len") && col("_q.ok_symbols") &&
@@ -100,20 +102,40 @@ object Pipelines {
     val scrubbed = lined
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .withColumn("score", TextAnalysis.qualityScore(col(textCol)))
+    (scrubbed, qualityOk)
+  }
+
+  /** Step 5 of the recipe (shared with [[emitPretrainCorpus]]):
+    * per-language thirds on the quality score + token counts.
+    */
+  private def bucketStage(deduped: DataFrame, idCol: String, textCol: String,
+                          langCol: String, dropTail: Boolean): DataFrame = {
+    // percentileBuckets is ascending (CCNet's convention: LOW perplexity
+    // = head); qualityScore is high = good, so rank its negation to keep
+    // head = best third
+    val bucketed = Sampling.percentileBuckets(
+      deduped.withColumn("_badness", -col("score")), langCol, "_badness", idCol)
+      .drop("_badness")
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
+    if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
+  }
+
+  def pretrainCorpus(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", langCol: String = "lang",
+                     useC4Lines: Boolean = true,
+                     minJaccard: Double = 0.7,
+                     dropTail: Boolean = false,
+                     materialize: Boolean = true,
+                     hashedTokenIds: Boolean = false): DataFrame = {
+    val (scrubbed, qualityOk) = stageDocs(docs, idCol, textCol, useC4Lines)
 
     // 4. fuzzy dedup, keep the best-scored copy
     val pairs = Dedup.minHashLshCandidates(scrubbed, idCol, textCol,
       minJaccard = minJaccard, hashedTokenIds = hashedTokenIds)
     val deduped = Dedup.dedupKeepBest(scrubbed, idCol, pairs, "score")
 
-    // 5. per-language buckets. percentileBuckets is ascending (CCNet's
-    // convention: LOW perplexity = head); qualityScore is high = good,
-    // so rank its negation to keep head = best third
-    val bucketed = Sampling.percentileBuckets(
-      deduped.withColumn("_badness", -col("score")), langCol, "_badness", idCol)
-      .drop("_badness")
-      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
-    val result = if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
+    // 5. per-language buckets
+    val result = bucketStage(deduped, idCol, textCol, langCol, dropTail)
     // `materialize` (default): compute the survivors eagerly
     // (localCheckpoint) and RELEASE the hidden intermediate cache —
     // disk-resident persisted blocks are NOT LRU-evicted, so a lazy
@@ -126,6 +148,119 @@ object Pipelines {
       qualityOk.unpersist(blocking = false)
       out
     } else result
+  }
+
+  /** Parameters pinned per incremental corpus state — signatures, pair
+    * thresholds and token bases from different parameter sets never
+    * compare (the [[Dedup.BandIndex]] contract), so they travel WITH the
+    * state instead of being re-passed per call.
+    */
+  final case class CrawlParams(idCol: String = "doc_id", textCol: String = "text",
+                               langCol: String = "lang", useC4Lines: Boolean = true,
+                               minJaccard: Double = 0.7,
+                               hashedTokenIds: Boolean = false,
+                               numHashes: Int = 64, bands: Int = 8)
+
+  /** The incremental pre-training corpus state — everything a crawl
+    * pipeline must carry between batches so that NO batch ever re-reads
+    * old corpus text:
+    *
+    *  - `staged`: gated + scrubbed + scored rows so far (the
+    *    [[pretrainCorpus]] step-1..3 output) — the only corpus-sized
+    *    frame, and it is only ever UNIONED, never recomputed;
+    *  - `index`: [[Dedup.BandIndex]] rows of `staged` (~0.5 KB/doc) —
+    *    what arriving batches dedup against;
+    *  - `pairs`: the accumulated near-dup candidate pairs (narrow
+    *    (doc_a, doc_b) rows) — the dedup cluster evidence;
+    *  - `langModel`: per-language bigram LM of `staged`
+    *    ([[TextAnalysis.lmEstimate]] at minCount = 1, advanced by
+    *    [[TextAnalysis.lmMerge]] — model-sized work per batch);
+    *  - `nbModel`: language NB classifier of `staged`
+    *    ([[Classify.nbTrain]] on `langCol`, advanced by
+    *    [[Classify.nbMerge]]).
+    *
+    * At fleet scale each frame is written to parquet between batches
+    * (the index via [[Dedup.BandIndex.saveBucketed]] so per-batch band
+    * joins are index-Exchange-free); the case class is the in-session
+    * view of that layout. The embedding-side sibling
+    * ([[Similarity.KnnGraph.insert]]) composes the same way when the
+    * caller maintains a vector index alongside — it is not part of this
+    * text-only state.
+    */
+  final case class CrawlState(params: CrawlParams, staged: DataFrame,
+                              index: DataFrame, pairs: DataFrame,
+                              langModel: DataFrame, nbModel: DataFrame)
+
+  /** Build the initial [[CrawlState]] from a first corpus — the same
+    * staging prefix as [[pretrainCorpus]], with the pair set derived
+    * from the index it will keep (so `pairs` is definitionally the
+    * [[Dedup.minHashLshCandidates]] set of the staged corpus).
+    */
+  def initCrawlState(docs: DataFrame,
+                     params: CrawlParams = CrawlParams()): CrawlState = {
+    import params._
+    val (staged, _) = stageDocs(docs, idCol, textCol, useC4Lines)
+    val index = Dedup.BandIndex.build(staged, idCol, textCol,
+      numHashes, bands, hashedTokenIds)
+    val pairs = Dedup.minHashLshCandidatesFromIndex(index, numHashes, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    CrawlState(params, staged, index, pairs,
+      TextAnalysis.lmEstimate(staged.select(col(langCol), col(textCol)),
+        textCol, minCount = 1L, groupCols = Seq(langCol)),
+      Classify.nbTrain(staged, langCol, textCol))
+  }
+
+  /** Advance the corpus state by one crawl batch at BATCH cost — the
+    * incremental lifecycle entry (VERDICT r11–r13 carried ask). Work per
+    * call: the staging gates run over the BATCH only; the batch is
+    * signed and banded ([[Dedup.BandIndex.build]]) and its new pairs
+    * come from ONE band join against the narrow index
+    * ([[Dedup.minHashLshCandidatesAgainst]] — cross + within-batch;
+    * old text is never re-read, old signatures never recomputed); the
+    * models advance by [[TextAnalysis.lmMerge]] / [[Classify.nbMerge]]
+    * at model-sized cost. Old state frames are referenced, not
+    * recomputed.
+    *
+    * EXACT convergence contract (spec-pinned in `PipelinesSpec`):
+    *
+    * `emitPretrainCorpus(appendCrawlBatch(initCrawlState(A), B))
+    *    == pretrainCorpus(A ∪ B)`           (ids disjoint, same params)
+    *
+    * and `langModel == lmEstimate(staged(A ∪ B))`, `nbModel ==
+    * nbTrain(staged(A ∪ B))` — each by the already-pinned union
+    * contracts of its increment primitive (BandIndex union,
+    * lmMerge/nbMerge additivity).
+    */
+  def appendCrawlBatch(state: CrawlState, batch: DataFrame): CrawlState = {
+    import state.params._
+    val (stagedBatch, _) = stageDocs(batch, idCol, textCol, useC4Lines)
+    val newPairs = Dedup.minHashLshCandidatesAgainst(stagedBatch, idCol, textCol,
+      state.index, numHashes, bands, minJaccard,
+      withinNew = true, hashedTokenIds = hashedTokenIds)
+      .select(col("doc_a"), col("doc_b"))
+    CrawlState(state.params,
+      staged = state.staged.unionByName(stagedBatch),
+      index = state.index.unionByName(Dedup.BandIndex.build(stagedBatch,
+        idCol, textCol, numHashes, bands, hashedTokenIds)),
+      pairs = state.pairs.unionByName(newPairs),
+      langModel = TextAnalysis.lmMerge(state.langModel,
+        TextAnalysis.lmEstimate(stagedBatch.select(col(langCol), col(textCol)),
+          textCol, minCount = 1L, groupCols = Seq(langCol)),
+        groupCols = Seq(langCol)),
+      nbModel = Classify.nbMerge(state.nbModel,
+        Classify.nbTrain(stagedBatch, langCol, textCol)))
+  }
+
+  /** The [[pretrainCorpus]] result view of a [[CrawlState]]: keep-best
+    * dedup over the accumulated pair evidence + per-language buckets.
+    * Survivor-narrow work (cluster joins on ids, the bucket window on
+    * (id, lang, score) rows) — corpus TEXT is only touched to emit the
+    * surviving rows themselves.
+    */
+  def emitPretrainCorpus(state: CrawlState, dropTail: Boolean = false): DataFrame = {
+    import state.params._
+    val deduped = Dedup.dedupKeepBest(state.staged, idCol, state.pairs, "score")
+    bucketStage(deduped, idCol, textCol, langCol, dropTail)
   }
 
   /** The CCNet language-model filter, end to end (Wenzek et al., LREC

@@ -145,7 +145,15 @@ object ScaleBench {
     // independent so cross-copy candidates are noise-level; fixture
     // synthesis (1,152 XXH64 pixels/image) dominates the row and is
     // itself per-row work, so the whole chain must scale ~linearly
-    "qm3_perceptual_neardup")
+    "qm3_perceptual_neardup",
+    // incremental pretrain lifecycle: a FIXED batch (doc_id < 500, copy 0
+    // only) appended to a crawl state whose frames live ON PARQUET (the
+    // production layout; building them is untimed setup). The timed work
+    // is the batch gates + ONE band join against the narrow index + the
+    // model merges — old corpus TEXT is never re-read, so time must track
+    // the batch plus narrow index/model scans, never the corpus re-stage
+    // that pretrainCorpus(union) would pay
+    "pretrain_append")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -224,10 +232,50 @@ object ScaleBench {
         .edges.write.format("noop").mode("overwrite").save()
     }
 
+    // pretrain_append: state frames are materialized to parquet ONCE per
+    // dir (setup, untimed — a production crawl state exists on disk
+    // before any batch arrives); the timed run appends the fixed batch
+    // and noop-writes the advanced evidence frames (pairs + both
+    // models — the new index/staged rows are the batch's own, computed
+    // on the pairs path). clearCache bounds the per-call gate persists.
+    def appendState(dir: String): (graft.llm.Pipelines.CrawlState, DataFrame) = {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val batch = docs.filter(col("doc_id") < 500)
+      // state lives under /tmp keyed by the source dir — never beside
+      // read-only corpora (the warm pass runs against /root/testdata)
+      val stateDir = s"/tmp/graft_crawlstate${dir.replace('/', '_')}"
+      if (!new java.io.File(s"$stateDir/_DONE").exists()) {
+        val st = graft.llm.Pipelines.initCrawlState(docs.filter(col("doc_id") >= 500))
+        st.staged.write.mode("overwrite").parquet(s"$stateDir/staged")
+        st.index.write.mode("overwrite").parquet(s"$stateDir/index")
+        st.pairs.write.mode("overwrite").parquet(s"$stateDir/pairs")
+        st.langModel.write.mode("overwrite").parquet(s"$stateDir/lm")
+        st.nbModel.write.mode("overwrite").parquet(s"$stateDir/nb")
+        spark.sqlContext.clearCache()
+        new java.io.File(s"$stateDir/_DONE").createNewFile()
+      }
+      (graft.llm.Pipelines.CrawlState(graft.llm.Pipelines.CrawlParams(),
+        spark.read.parquet(s"$stateDir/staged"),
+        spark.read.parquet(s"$stateDir/index"),
+        spark.read.parquet(s"$stateDir/pairs"),
+        spark.read.parquet(s"$stateDir/lm"),
+        spark.read.parquet(s"$stateDir/nb")), batch)
+    }
+    def runAppend(dir: String): Unit = {
+      val (st, batch) = appendState(dir)
+      val st2 = graft.llm.Pipelines.appendCrawlBatch(st, batch)
+      st2.pairs.write.format("noop").mode("overwrite").save()
+      st2.langModel.write.format("noop").mode("overwrite").save()
+      st2.nbModel.write.format("noop").mode("overwrite").save()
+      spark.sqlContext.clearCache()
+    }
+
     // warm plan shapes (codegen/classloading is per-shape, not per-size)
     for (q <- queries)
       if (q == "ql50_pretrain_sink") runSink("/root/testdata/sf0.001")
       else if (q == "knn_insert") runKnnInsert("/root/testdata/sf0.001")
+      else if (q == "pretrain_append") runAppend("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
 
@@ -240,6 +288,7 @@ object ScaleBench {
         val t0 = System.nanoTime()
         if (q == "ql50_pretrain_sink") runSink(dir)
         else if (q == "knn_insert") runKnnInsert(dir)
+        else if (q == "pretrain_append") runAppend(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

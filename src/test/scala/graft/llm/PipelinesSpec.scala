@@ -122,6 +122,72 @@ class PipelinesSpec extends SparkSpec {
     assert(approx.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("appendCrawlBatch converges exactly to the from-scratch union run") {
+    // A: the initial corpus — good docs + junk the gates must drop, and
+    // an internal near-dup pair (20 ~ 21)
+    val a1 = goodDoc(20)
+    val docsA = (Seq(
+      (20L, a1, "en"), (21L, a1.replace("w20x0y1", "changed"), "en"),
+      (22L, "tiny doc.", "en"),
+      (23L, Array.fill(20)("The quick brown fox jumps.").mkString(" "), "en")) ++
+      (30 to 36).map(i => (i.toLong, goodDoc(i), if (i % 2 == 0) "en" else "de")))
+      .toDF("doc_id", "text", "lang")
+    // B: the arriving batch — a CROSS near-dup of an A doc (40 ~ 30), a
+    // within-batch near-dup pair (41 ~ 42), junk, and fresh docs
+    val b1 = goodDoc(41)
+    val docsB = (Seq(
+      (40L, goodDoc(30).replace("w30x0y1", "altered"), "en"),
+      (41L, b1, "de"), (42L, b1.replace("w41x0y1", "changed"), "de"),
+      (43L, "Lorem ipsum dolor sit amet. " + goodDoc(43), "en")) ++
+      (50 to 54).map(i => (i.toLong, goodDoc(i), if (i % 2 == 0) "en" else "de")))
+      .toDF("doc_id", "text", "lang")
+
+    spark.sqlContext.clearCache()
+    val incremental = Pipelines.appendCrawlBatch(Pipelines.initCrawlState(docsA), docsB)
+    val scratch = Pipelines.initCrawlState(docsA.unionByName(docsB))
+
+    // every state frame equals its from-scratch twin: the staged corpus,
+    // the band index (compared on the join key — mh rides both), the
+    // accumulated pair evidence, and both incremental models
+    assert(rowsOf(incremental.staged) == rowsOf(scratch.staged))
+    assert(rowsOf(incremental.index.select("id", "band", "bh")) ==
+      rowsOf(scratch.index.select("id", "band", "bh")))
+    assert(rowsOf(incremental.pairs) == rowsOf(scratch.pairs))
+    assert(rowsOf(incremental.langModel) == rowsOf(scratch.langModel))
+    assert(rowsOf(incremental.nbModel) == rowsOf(scratch.nbModel))
+
+    // and the emitted corpus equals pretrainCorpus(A ∪ B) — the headline
+    // convergence contract: dedup collapses the cross pair (40 vs 30) and
+    // the batch-internal pair (41 vs 42) exactly as the union run does
+    val emitted = Pipelines.emitPretrainCorpus(incremental)
+    val union = Pipelines.pretrainCorpus(docsA.unionByName(docsB), materialize = false)
+    assert(rowsOf(emitted) == rowsOf(union))
+    // sanity on the fixture: both near-dup pairs really collapsed
+    val ids = emitted.select("doc_id").as[Long].collect().toSet
+    assert(Seq(Set(20L, 21L), Set(30L, 40L), Set(41L, 42L))
+      .forall(p => p.intersect(ids).size == 1),
+      s"each near-dup pair must keep exactly one survivor: $ids")
+    // junk gated out of both sides
+    assert(!ids.contains(22L) && !ids.contains(23L) && !ids.contains(43L))
+    spark.sqlContext.clearCache()
+  }
+
+  test("two successive appends equal one union run (multi-batch convergence)") {
+    val base = (60 to 64).map(i => (i.toLong, goodDoc(i), "en")).toDF("doc_id", "text", "lang")
+    val b1 = (70 to 72).map(i => (i.toLong, goodDoc(i), "en")).toDF("doc_id", "text", "lang")
+    // second batch carries a near-dup reaching BACK to the first batch
+    val b2 = (Seq((80L, goodDoc(70).replace("w70x0y1", "altered"), "en")) ++
+      (81 to 82).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
+    spark.sqlContext.clearCache()
+    val st = Pipelines.appendCrawlBatch(
+      Pipelines.appendCrawlBatch(Pipelines.initCrawlState(base), b1), b2)
+    val all = base.unionByName(b1).unionByName(b2)
+    assert(rowsOf(Pipelines.emitPretrainCorpus(st)) ==
+      rowsOf(Pipelines.pretrainCorpus(all, materialize = false)))
+    assert(rowsOf(st.pairs) == rowsOf(Pipelines.initCrawlState(all).pairs))
+    spark.sqlContext.clearCache()
+  }
+
   test("written-sink lifecycle leaves no cached blocks behind (100 TB calling convention)") {
     val docs = ((1 to 8).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
     // materialize = true (default): the pipeline owns the cache and must
