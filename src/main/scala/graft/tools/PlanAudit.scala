@@ -375,7 +375,51 @@ object PlanAudit {
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere
-    "ql29_boilerplate" -> Shape(forbid = Seq("Window ["))
+    "ql29_boilerplate" -> Shape(forbid = Seq("Window [")),
+    // round-14 second batch: budgets pinned at the audited sf0.001
+    // values — any plan drift (a lost pushdown, a join strategy flip, an
+    // extra scan) goes red and gets adjudicated instead of shipping
+    "qa1_grouped_agg" -> Shape(2, maxScans = 1, require = Seq("partial_")),
+    "qa2_count_distinct" -> Shape(2, maxScans = 1, require = Seq("partial_")),
+    "qa3_rollup" -> Shape(2, forbid = noSmj, require = Seq("Expand") ++ bhj),
+    "qw1_rank_window" -> Shape(2, maxScans = 1,
+      require = Seq("Window [", "WindowGroupLimit")),
+    "qw2_running_sum" -> Shape(2, maxScans = 1, require = Seq("Window [")),
+    // top-k NEVER globally sorts: limit+sort fuse into TakeOrdered with
+    // ZERO Exchanges (per-partition top-k, reduced merge on the driver)
+    "qs1_topk" -> Shape(0, require = Seq("TakeOrderedAndProject")),
+    "qt1_tumbling" -> Shape(2, maxScans = 1, require = Seq("partial_")),
+    "qt3_sliding" -> Shape(2, maxScans = 1, require = Seq("Expand")),
+    "ql3_top_terms" -> Shape(1, require = Seq("TakeOrderedAndProject", "Generate")),
+    "ql13_ngram_terms" -> Shape(1, require = Seq("TakeOrderedAndProject", "Generate")),
+    "qj2_join_3way" -> Shape(2, forbid = noSmj, require = bhj),
+    "qj4_range_join" -> Shape(2, forbid = noSmj ++ noCross, require = bhj),
+    "qj5_bloom_join" -> Shape(2, forbid = noSmj, require = bhj :+ "might_contain"),
+    // the sample is a scan-riding predicate: one scan, only the harness
+    // ORDER BY shuffles
+    "ql15_hash_sample" -> Shape(1, maxScans = 1),
+    "ql16_jaccard_pairs" -> Shape(8, forbid = noCross, require = bhj),
+    "qx2_cube" -> Shape(2, require = Seq("Expand")),
+    "qx5_grouping_sets" -> Shape(2, require = Seq("Expand")),
+    // the whole profile in ONE scan (Expand only for exact distinct)
+    "qx10_profile" -> Shape(2, maxScans = 1, require = Seq("Expand", "Generate")),
+    // binary payloads shuffle exactly once (the byte-budget placement)
+    "qm2_media_fingerprint" -> Shape(1),
+    "ql45_gopher_repetition" -> Shape(5, maxScans = 3, forbid = noSmj,
+      require = Seq("Generate") ++ bhj),
+    "ql49_pack_sequences" -> Shape(2, forbid = noSmj,
+      require = Seq("Window [") ++ bhj),
+    // ql10's LeftOuter id-merge legitimately plans as a narrow SMJ — the
+    // pinned tokens are the DECIMAL agg + broadcast weight dim instead
+    "ql10_langid" -> Shape(4, require = Seq("SortAggregate", "Generate") ++ bhj),
+    "qc2_concurrent" -> Shape(3, require = Seq("InMemoryTableScan")),
+    "ql21_token_shards" -> Shape(2, maxScans = 1,
+      require = Seq("Window [") ++ bhj),
+    "ql22_mix_budget" -> Shape(4, require = Seq("Window [") ++ bhj),
+    "ql25_tfidf" -> Shape(5, maxScans = 2,
+      require = Seq("WindowGroupLimit", "Generate")),
+    "ql1_exact_dedup" -> Shape(3, maxScans = 1, require = Seq("partial_")),
+    "ql2_text_stats" -> Shape(2, maxScans = 1)
   )
 
   def main(args: Array[String]): Unit = {
