@@ -1550,6 +1550,37 @@ object Queries {
       col("bucket"), col("n_tokens")))
   }
 
+  /** Q-L50b — the INCREMENTAL lifecycle through the SAME oracle: the
+    * ql50 input split by doc_id parity into an initial corpus and an
+    * arriving batch, run through [[graft.llm.Pipelines.initCrawlState]]
+    * → [[graft.llm.Pipelines.appendCrawlBatch]] →
+    * [[graft.llm.Pipelines.emitPretrainCorpus]]. The convergence
+    * contract (spec-pinned in `PipelinesSpec`) says this equals
+    * `pretrainCorpus(union)` EXACTLY, so the row reuses ql50's DuckDB
+    * replay verbatim — driver-level oracle evidence that the append
+    * path converges, not just a unit spec.
+    */
+  val qlPretrainIncremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val i = col("id")
+    val text = concat((1 to 5).map { sIdx =>
+      concat(concat((1 to 12).map(j =>
+        concat(lit(s" s${sIdx}w${j}x"), i.cast("string"))): _*), lit("."))
+    }: _*)
+    val synth = s.range(1, 31).select(
+      (-i).as("doc_id"), text.as("text"),
+      when(i % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
+    val all = docs.unionByName(synth)
+    val params = graft.llm.Pipelines.CrawlParams(hashedTokenIds = true)
+    val state = graft.llm.Pipelines.appendCrawlBatch(
+      graft.llm.Pipelines.initCrawlState(all.filter(pmod(col("doc_id"), lit(2)) === 0),
+        params),
+      all.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+    ordered(graft.llm.Pipelines.emitPretrainCorpus(state)
+      .select(col("doc_id"), col("lang"), col("score"),
+        col("bucket"), col("n_tokens")))
+  }
+
   /** Q-L38 — linear bag-of-words scoring (the fasttext-linear quality
     * classifier shape): broadcast weights dim, exploded-token join,
     * DECIMAL-exact summation (order-independent, so the distributed
@@ -2393,6 +2424,7 @@ object Queries {
     "ql48_c4_filters" -> qlC4Filters,
     "ql49_pack_sequences" -> qlPackSequences,
     "ql50_pretrain_pipeline" -> qlPretrainPipeline,
+    "ql50b_pretrain_incremental" -> qlPretrainIncremental,
     "ql35_repeated_spans" -> qlRepeatedSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
@@ -2792,6 +2824,9 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
 
   val all: Map[String, String] = Map(
     "ql50_pretrain_pipeline" -> ql50Sql,
+    // ql50b: the incremental path converges EXACTLY to the union run
+    // (spec-pinned), so the oracle is ql50's replay verbatim
+    "ql50b_pretrain_incremental" -> ql50Sql,
     "ql6_minhash_candidates" -> ql6Sql,
     "qp1_transform" ->
       s"""SELECT l_orderkey, l_linenumber, CAST(CAST(ROUND(CAST(l_extendedprice AS $D)*(1-CAST(l_discount AS $R)),2) AS $D) AS DOUBLE) AS net FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
