@@ -419,7 +419,36 @@ object PlanAudit {
     "ql25_tfidf" -> Shape(5, maxScans = 2,
       require = Seq("WindowGroupLimit", "Generate")),
     "ql1_exact_dedup" -> Shape(3, maxScans = 1, require = Seq("partial_")),
-    "ql2_text_stats" -> Shape(2, maxScans = 1)
+    "ql2_text_stats" -> Shape(2, maxScans = 1),
+    // round-14 third batch — every audited claim except ql50 now has a
+    // machine row (ql50's registry form localCheckpoints, collapsing the
+    // static plan; its persist-cut claim is the dedicated executed-plan
+    // test in PlanShapeSpec instead)
+    "ql44b_domain_stats_psl" -> Shape(2, maxScans = 1,
+      require = Seq("psl_domain", "partial_")),
+    // exact form: the ONE documented per-language sort boundary
+    "ql47_percentile_buckets" -> Shape(2, maxScans = 1, require = Seq("Window [")),
+    // approx form: two scan passes (cuts agg + probe), cuts broadcast
+    // back, NO per-language sort anywhere
+    "ql47b_percentile_buckets_approx" -> Shape(2, maxScans = 2,
+      forbid = Seq("Window ["),
+      require = Seq("approx_percentile") ++ bhj),
+    // static budget only — the one-scan stage-dedup claim is the
+    // executed-plan test (AQE reuse is invisible statically)
+    "ql54_lm_estimate" -> Shape(8, maxScans = 4, forbid = noCross,
+      require = Seq("Generate")),
+    "ql5_token_set_dups" -> Shape(3, maxScans = 2, forbid = noCross,
+      require = Seq("ShuffledHashJoin")),
+    "ql60_nb_train" -> Shape(8, maxScans = 5, forbid = noSmj,
+      require = Seq("Generate") ++ bhj),
+    "qt2_session" -> Shape(2, maxScans = 1, require = Seq("MergingSessions")),
+    "qt5_first_seen" -> Shape(2, maxScans = 1, forbid = Seq("Window ["),
+      require = Seq("SortAggregate", "partial_min")),
+    "qu1_intersect" -> Shape(2, maxScans = 2, forbid = noSmj, require = bhj),
+    "qu1_except" -> Shape(2, maxScans = 2, forbid = noSmj, require = bhj),
+    // post-checkpoint tail of the iterative build: the final stage must
+    // still never cross-join
+    "ql34_knn_descent" -> Shape(1, forbid = noCross)
   )
 
   def main(args: Array[String]): Unit = {
