@@ -255,6 +255,12 @@ object PlanAudit {
       "canonicalization regex chain runs exactly twice (machine-checked: <=2 corpus " +
       "scans), O(1) per-key agg state, no windows; the agg Exchange carries only " +
       "(curl, score, id)"),
+    "ql50b_pretrain_incremental" -> ("the incremental lifecycle's LAZY plan (unlike " +
+      "ql50's checkpointed registry form): both batches' gate batteries ride their " +
+      "scans to persisted cuts, the arriving batch signs ONCE and band-joins the " +
+      "initial corpus's index (narrow (id, mh, band, bh) rows — old text never " +
+      "re-enters a join), cluster joins on ids, keep-best agg, per-language bucket " +
+      "window over survivors — never a cross join anywhere"),
     "qm3_perceptual_neardup" -> ("perceptual near-dup: the fused dhash64 projection " +
       "rides the scan (media bytes exist only INSIDE scan-local expressions -- the " +
       "typed gate pins no binary column in any Exchange), 4-band posexplode to narrow " +
@@ -448,7 +454,11 @@ object PlanAudit {
     "qu1_except" -> Shape(2, maxScans = 2, forbid = noSmj, require = bhj),
     // post-checkpoint tail of the iterative build: the final stage must
     // still never cross-join
-    "ql34_knn_descent" -> Shape(1, forbid = noCross)
+    "ql34_knn_descent" -> Shape(1, forbid = noCross),
+    // the lazy incremental pipeline: never all-pairs, and the window
+    // stage is the one documented per-language sort
+    "ql50b_pretrain_incremental" -> Shape(forbid = noCross,
+      require = Seq("Window ["))
   )
 
   def main(args: Array[String]): Unit = {
