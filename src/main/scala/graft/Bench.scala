@@ -92,6 +92,17 @@ object Bench {
     }.find(_._2.size >= 20).getOrElse("none" -> Map.empty[String, Double])
   }
 
+  /** Battery-rerun loadavg trigger: max(4, cpus/8), overridable via
+    * SPARK_GRAFT_LOAD_THRESH. Floor 4.0 catches the measured r12 failure
+    * (loadavg 5.65 inflated every row on the 32-cpu box while cpus/4 = 8
+    * stayed silent); the cpus/8 term keeps a many-core host's idle band
+    * from double-timing every battery (ADVICE r13).
+    */
+  def loadThreshold(cpus: Int, env: String => Option[String]): Double =
+    env("SPARK_GRAFT_LOAD_THRESH")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(math.max(4.0, cpus.toDouble / 8))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -166,15 +177,7 @@ object Bench {
     // trigger to catch. Re-time the whole battery once on the same
     // process floor and keep per-query minima — the artifact then
     // self-resolves instead of costing a judge adjudication.
-    // Floor 4.0 scaled by core count (max(4, cpus/8)): round 12 started
-    // at loadavg 5.65 and every row came out 1.3-5x inflated while the
-    // old cpus/4 = 8 trigger stayed silent — but a flat 4.0 would bake in
-    // this 32-cpu machine's idle band (on a 128-core host loadavg 4-5 IS
-    // idle and would double every battery). SPARK_GRAFT_LOAD_THRESH
-    // overrides for hosts where neither heuristic fits.
-    val loadThresh = sys.env.get("SPARK_GRAFT_LOAD_THRESH")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .getOrElse(math.max(4.0, cpus.toDouble / 8))
+    val loadThresh = loadThreshold(cpus.toInt, sys.env.get)
     val highLoad = loadStart.split(" ").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .exists(_ > loadThresh)

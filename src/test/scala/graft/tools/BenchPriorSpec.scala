@@ -59,6 +59,19 @@ class BenchPriorSpec extends AnyFunSuite {
       ("none" -> Map.empty[String, Double]))
   }
 
+  test("load-rerun threshold scales with the core count, env overrides") {
+    // floor 4.0 catches the measured r12 failure (loadavg 5.65 on 32
+    // cpus, old cpus/4 = 8 trigger silent); a many-core host's idle band
+    // must not double-time every battery (ADVICE r13)
+    assert(graft.Bench.loadThreshold(32, _ => None) == 4.0)
+    assert(graft.Bench.loadThreshold(4, _ => None) == 4.0)
+    assert(graft.Bench.loadThreshold(128, _ => None) == 16.0)
+    assert(graft.Bench.loadThreshold(32,
+      k => if (k == "SPARK_GRAFT_LOAD_THRESH") Some("2.5") else None) == 2.5)
+    // malformed override falls back to the heuristic, never throws
+    assert(graft.Bench.loadThreshold(32, _ => Some("not-a-number")) == 4.0)
+  }
+
   test("the real round-12 driver wrapper (nested tail string) still parses") {
     // the driver wraps the bench stdout in {n, rc, tail, parsed} — keys
     // live inside the escaped tail string; the regex extraction must see
