@@ -226,4 +226,72 @@ object Stateful {
     banded.groupByKey(row => (row._1, row._2)).transformWithState(
       new LshBucketPairs, TimeMode.None(), OutputMode.Update())
   }
+
+  /** Bucket membership with the member's FULL 64-bit hash in state, so
+    * arrivals score the EXACT Hamming distance against every existing
+    * member in-processor and only pairs within `maxHamming` emit — the
+    * streaming tail of [[graft.sources.Multimodal.perceptualNearDupPairs]]
+    * (same state-size argument as [[LshBucketPairs]]: per-bucket member
+    * lists ride the state store at 16 bytes/member; occupancy follows
+    * the batch operator's band-width noise math).
+    */
+  final class PerceptualBucketPairs(maxHamming: Int)
+      extends StatefulProcessor[(Int, Long), (Int, Long, Long, Long), (Long, Long, Int)] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[(Long, Long)]("members",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Int)] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val it = members.get()
+      while (it.hasNext) existing += it.next()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      rows.foreach { case (_, _, id, h) =>
+        if (!existing.exists(_._1 == id)) { // idempotent under replays
+          existing.foreach { case (eid, eh) =>
+            val hd = java.lang.Long.bitCount(h ^ eh)
+            if (hd <= maxHamming)
+              out += (if (eid < id) (eid, id, hd) else (id, eid, hd))
+          }
+          existing += ((id, h))
+          members.appendValue((id, h))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming perceptual near-dup pairs over `(mediaId, dHash64)` rows —
+    * the crawl-ingest twin of the batch
+    * [[graft.sources.Multimodal.perceptualNearDupPairs]]: the banding
+    * projection is the SAME contiguous-slice arithmetic (a bucket key
+    * here is a bucket key there), and the stateful tail emits exact
+    * Hamming-scored pairs as buckets fill. Pairs may emit once per
+    * colliding band — compare as sets or dedup downstream, the
+    * [[minHashLshCandidatePairsStream]] contract. NULL hashes
+    * (undecodable media) never enter a bucket, matching batch.
+    */
+  def perceptualNearDupPairsStream(media: Dataset[(Long, Long)],
+                                   bands: Int = 4,
+                                   maxHamming: Int = 3): Dataset[(Long, Long, Int)] = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val width = 64 / bands
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    val banded = media.toDF("id", "h")
+      .filter(col("h").isNotNull)
+      .select(col("id"), col("h"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("h"), b * width).bitwiseAND(mask)): _*)))
+      .select(col("pos").cast("int").as("band"), col("col").as("bh"),
+        col("id"), col("h"))
+      .as[(Int, Long, Long, Long)]
+    banded.groupByKey(row => (row._1, row._2)).transformWithState(
+      new PerceptualBucketPairs(maxHamming), TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -155,6 +155,42 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("streaming perceptual near-dup pairs equal the batch operator after replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      // 120 independent pseudo-random hashes + planted re-encodes: every
+      // 3rd id gets a copy with ONE bit flipped (Hamming 1 — a band must
+      // collide by pigeonhole at bands=4, maxHamming=3)
+      val base = (1 to 120).map(i => (i.toLong, new scala.util.Random(i).nextLong()))
+      val flips = base.filter(_._1 % 3 == 0)
+        .map { case (id, h) => (id + 10000L, h ^ (1L << (id % 64).toInt)) }
+      val rows = base ++ flips
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val stream = MemoryStream[(Long, Long)]
+      val pairs = Stateful.perceptualNearDupPairsStream(stream.toDS())
+        .toDF("doc_a", "doc_b", "hamming")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Int)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+        }.start()
+      try {
+        stream.addData(b1: _*)
+        q.processAllAvailable()
+        stream.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val want = graft.sources.Multimodal.perceptualNearDupPairs(
+        rows.toDF("id", "h"), "id", "h", bands = 4, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == want,
+        s"streamed ${got.size} pairs != batch ${want.size}")
+      // every planted flip found (organic collisions, if any, are in both)
+      assert(want.size >= flips.size, s"only ${want.size} pairs for ${flips.size} plants")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes dups arriving inside the delay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long)]
