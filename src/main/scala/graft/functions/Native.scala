@@ -492,6 +492,10 @@ object Native {
       "minhash_agreement",
       exprs => arity("minhash_agreement", 2, exprs)(
         MinHashAgreement(exprs.head, exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dhash64",
+      exprs => arity("dhash64", 3, exprs)(
+        DHash64(exprs.head, exprs(1), exprs(2))), "scala_udf")
     // Column-composed text-analysis vocabulary: SQL users get the same
     // expressions the Stage API builds (resolved at analysis like any
     // built-in composition — codegen'd, no UDF wrapper).

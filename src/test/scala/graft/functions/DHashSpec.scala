@@ -121,6 +121,17 @@ class DHashSpec extends SparkSpec {
     assert(!plan.matches("(?s).*Exchange[^\\n]*bytes.*"), "media bytes entered a shuffle")
   }
 
+  test("SQL registration exposes dhash64 (same value as the column API)") {
+    graft.functions.Native.register(spark)
+    val base = grid(42L, 18, 16)
+    Seq((base, 18, 16)).toDF("bytes", "w", "h").createOrReplaceTempView("dhash_sql_in")
+    val viaSql = spark.sql("SELECT dhash64(bytes, w, h) AS dh FROM dhash_sql_in")
+      .collect()(0).getLong(0)
+    assert(viaSql == hashOf(base, 18, 16).get)
+    // exact arity enforced, not silently truncated
+    intercept[Exception] { spark.sql("SELECT dhash64(bytes, w) FROM dhash_sql_in").collect() }
+  }
+
   test("auto bands widen with corpus size (the Dedup.autoBands derivation)") {
     val media = Seq((1L, grid(1L, 18, 16), 18, 16), (2L, grid(2L, 18, 16), 18, 16))
       .toDF("media_id", "bytes", "w", "h")
