@@ -95,6 +95,39 @@ object Sampling {
       .drop("_mix_g", "_mix_rate", "_mix_copies")
   }
 
+  /** Temperature-scaled mixture rates — the published multilingual /
+    * multi-source mixing convention (mT5 §3.1, PaLM data mixtures):
+    * group i gets sampling weight `n_i^alpha / Σ n_j^alpha`, so
+    * `alpha = 1` reproduces natural proportions and `alpha → 0`
+    * approaches uniform-over-groups; the returned per-group `rate` =
+    * (budget · weight_i) / n_i feeds [[sampleByRates]] directly (rates
+    * > 1 mean upsampling of small groups — exactly the low-resource
+    * boost temperature sampling exists for).
+    *
+    * `sizes` is one row per group (e.g. `docs.groupBy(lang).count()` or
+    * a token-count agg) — group-sized, so the Σ n^alpha aggregate and
+    * the broadcast join back are both dim-sized; nothing corpus-sized
+    * runs here. Zero/negative sizes raise (a rate against an empty
+    * group is undefined, and a silent 0 would hide a broken upstream
+    * count).
+    */
+  def mixtureRatesByTemperature(sizes: DataFrame, groupCol: String,
+                                sizeCol: String, totalBudget: Double,
+                                alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (alpha=1 is natural proportions), got $alpha")
+    require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
+    val n = when(col(sizeCol).isNull || col(sizeCol) <= 0,
+      raise_error(concat(lit(s"mixtureRatesByTemperature: $sizeCol must be positive for group "),
+        col(groupCol).cast("string"))).cast("double"))
+      .otherwise(col(sizeCol).cast("double"))
+    val weighted = sizes.select(col(groupCol), n.as("_n"),
+      pow(n, lit(alpha)).as("_w"))
+    val tot = weighted.agg(sum(col("_w")).as("_wsum"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        (lit(totalBudget) * col("_w") / col("_wsum") / col("_n")).as("rate"))
+  }
+
   /** Assign every row a training SHARD id such that consecutive documents
     * (in `idCol` order) pack into shards of ≈ `budgetTokens` tokens each —
     * the "fixed-token-count output files" step at the end of a training

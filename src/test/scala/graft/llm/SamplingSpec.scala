@@ -272,4 +272,39 @@ class SamplingSpec extends SparkSpec {
     assert(e3.getMessage.contains("rate"))
   }
 
+  test("mixtureRatesByTemperature: natural proportions at alpha=1, hand-computed alpha=0.5, zero-size raises") {
+    val sizes = Seq(("en", 900L), ("de", 100L)).toDF("lang", "n")
+    // alpha = 1: weight_i = n_i/Σn -> rate = budget/Σn for EVERY group
+    val nat = Sampling.mixtureRatesByTemperature(sizes, "lang", "n", 500.0, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(nat("en") - 0.5) < 1e-12 && math.abs(nat("de") - 0.5) < 1e-12)
+    // alpha = 0.5: w = (30, 10), wsum = 40 -> rate_en = B*0.75/900,
+    // rate_de = B*0.25/100; B = 1200 gives exactly (1.0, 3.0) — the
+    // low-resource group upsampled 3x, the published temperature effect
+    val t = Sampling.mixtureRatesByTemperature(sizes, "lang", "n", 1200.0, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(t("en") - 1.0) < 1e-12 && math.abs(t("de") - 3.0) < 1e-12)
+    // zero-size group: loud, not a silent 0/NaN rate
+    val bad = Seq(("en", 900L), ("xx", 0L)).toDF("lang", "n")
+    val e = intercept[Exception] {
+      Sampling.mixtureRatesByTemperature(bad, "lang", "n", 100.0, 0.5).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("must be positive")))
+  }
+
+  test("temperature rates compose with sampleByRates to hit the budget exactly on integer rates") {
+    val docs = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (1001 to 1100).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val sizes = docs.groupBy("lang").count()
+    val rates = Sampling.mixtureRatesByTemperature(sizes, "lang", "count", 1200.0, 0.5)
+    val out = Sampling.sampleByRates(docs, "lang", "doc_id", rates)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates are exactly (en 1.0, de 3.0): no fractional draw, so the
+    // emitted mixture is exact — 900 + 300 = the 1200 budget
+    assert(byLang == Map("en" -> 900L, "de" -> 300L))
+  }
+
 }
