@@ -290,6 +290,23 @@ object Dedup {
     // runs the union contract compares against) — mixed bases silently
     // produce disjoint signatures and zero cross candidates
     val nb = bandedSignatures(newDocs, idCol, textCol, numHashes, bands, hashedTokenIds)
+    minHashLshCandidatesAgainstIndex(nb, index, numHashes, minJaccard, withinNew)
+  }
+
+  /** The index-vs-index core of [[minHashLshCandidatesAgainst]]: cross
+    * pairs between a NEW banded table and an existing one, plus
+    * (optionally) the new table's internal pairs. Callers that already
+    * hold the batch's [[BandIndex]] rows (the incremental
+    * [[graft.llm.Pipelines.appendCrawlBatch]]) enter here so the batch
+    * is signed and banded exactly ONCE — re-deriving signatures from
+    * text per consumer is the avoidable corpus-scale compute this split
+    * exists to prevent.
+    */
+  def minHashLshCandidatesAgainstIndex(newIndex: DataFrame, index: DataFrame,
+                                       numHashes: Int = 64,
+                                       minJaccard: Double = 0.0,
+                                       withinNew: Boolean = true): DataFrame = {
+    val nb = newIndex
     val a = nb.as("a")
     val b = index.as("b")
     // least/greatest = the batch form's a.id < b.id orientation, reachable
@@ -1116,11 +1133,22 @@ object Dedup {
       graft.llm.TextAnalysis.canonicalizeUrl(col(urlCol)))
     // the guard rides the one id read inside the winner aggregation, so
     // it costs nothing extra and cannot be pruned away from the path
-    // whose correctness it protects
-    val guardedId = when(col(idCol).isNull || col(idCol) === lit(Long.MinValue),
+    // whose correctness it protects. The overflow bound is the id TYPE's
+    // own MinValue (negating Int.MinValue overflows at integer width —
+    // comparing only against Long.MinValue would miss it)
+    import org.apache.spark.sql.types._
+    val negOverflow = df.schema(idCol).dataType match {
+      case LongType => Some(lit(Long.MinValue))
+      case IntegerType => Some(lit(Int.MinValue))
+      case ShortType => Some(lit(Short.MinValue))
+      case ByteType => Some(lit(Byte.MinValue))
+      case _ => None // fractional types negate without overflow
+    }
+    val badId = negOverflow.foldLeft(col(idCol).isNull)((c, m) => c || col(idCol) === m)
+    val guardedId = when(badId,
       raise_error(concat(
-        lit(s"dedupByCanonicalUrl: $idCol must be non-null and > Long.MinValue " +
-          "(the keep-best tie-break negates it), got "),
+        lit(s"dedupByCanonicalUrl: $idCol must be non-null and above the id " +
+          "type's MinValue (the keep-best tie-break negates it), got "),
         coalesce(col(idCol).cast("string"), lit("NULL"))))
         .cast(df.schema(idCol).dataType))
       .otherwise(col(idCol))

@@ -186,10 +186,25 @@ object Pipelines {
     * ([[Similarity.KnnGraph.insert]]) composes the same way when the
     * caller maintains a vector index alongside — it is not part of this
     * text-only state.
+    *
+    * CACHE LIFECYCLE: each staging pass persists its gate boundary (the
+    * pretrainCorpus `materialize = false` convention — the caller owns
+    * the cache). The handles accumulate in `gateCaches`; call
+    * [[CrawlState.release]] once the state frames are written to
+    * parquet (or no longer needed) — disk-resident persisted blocks are
+    * NOT LRU-evicted, so dropping the state without releasing leaks one
+    * survivor-set copy per staging pass for the life of the app.
     */
   final case class CrawlState(params: CrawlParams, staged: DataFrame,
                               index: DataFrame, pairs: DataFrame,
-                              langModel: DataFrame, nbModel: DataFrame)
+                              langModel: DataFrame, nbModel: DataFrame,
+                              gateCaches: Seq[DataFrame] = Nil) {
+    /** Unpersist every gate cache this state (and its ancestors)
+      * created. Call AFTER materializing/writing whatever you need —
+      * the state's lazy frames recompute from scratch afterwards.
+      */
+    def release(): Unit = gateCaches.foreach(_.unpersist(blocking = false))
+  }
 
   /** Build the initial [[CrawlState]] from a first corpus — the same
     * staging prefix as [[pretrainCorpus]], with the pair set derived
@@ -199,7 +214,7 @@ object Pipelines {
   def initCrawlState(docs: DataFrame,
                      params: CrawlParams = CrawlParams()): CrawlState = {
     import params._
-    val (staged, _) = stageDocs(docs, idCol, textCol, useC4Lines)
+    val (staged, gateCache) = stageDocs(docs, idCol, textCol, useC4Lines)
     val index = Dedup.BandIndex.build(staged, idCol, textCol,
       numHashes, bands, hashedTokenIds)
     val pairs = Dedup.minHashLshCandidatesFromIndex(index, numHashes, minJaccard)
@@ -207,7 +222,8 @@ object Pipelines {
     CrawlState(params, staged, index, pairs,
       TextAnalysis.lmEstimate(staged.select(col(langCol), col(textCol)),
         textCol, minCount = 1L, groupCols = Seq(langCol)),
-      Classify.nbTrain(staged, langCol, textCol))
+      Classify.nbTrain(staged, langCol, textCol),
+      gateCaches = Seq(gateCache))
   }
 
   /** Advance the corpus state by one crawl batch at BATCH cost — the
@@ -231,24 +247,44 @@ object Pipelines {
     * contracts of its increment primitive (BandIndex union,
     * lmMerge/nbMerge additivity).
     */
-  def appendCrawlBatch(state: CrawlState, batch: DataFrame): CrawlState = {
+  /** `assumeDisjointIds = true` (default) keeps the call fully lazy and
+    * trusts the documented precondition that batch ids never repeat
+    * state ids; pass `false` to pay ONE eager id-narrow intersect check
+    * that raises on overlap — a crawl re-delivering an existing doc_id
+    * would otherwise make the convergence contract silently diverge
+    * (both copies survive keep-best; the self-pair is suppressed by the
+    * `a.id < b.id` predicates).
+    */
+  def appendCrawlBatch(state: CrawlState, batch: DataFrame,
+                       assumeDisjointIds: Boolean = true): CrawlState = {
     import state.params._
-    val (stagedBatch, _) = stageDocs(batch, idCol, textCol, useC4Lines)
-    val newPairs = Dedup.minHashLshCandidatesAgainst(stagedBatch, idCol, textCol,
-      state.index, numHashes, bands, minJaccard,
-      withinNew = true, hashedTokenIds = hashedTokenIds)
+    val (stagedBatch, gateCache) = stageDocs(batch, idCol, textCol, useC4Lines)
+    // signed and banded exactly ONCE: the same banded frame is the pair
+    // join's new side AND the index increment
+    val newIdx = Dedup.BandIndex.build(stagedBatch, idCol, textCol,
+      numHashes, bands, hashedTokenIds)
+    if (!assumeDisjointIds) {
+      val dups = state.index.select(col("id"))
+        .intersect(newIdx.select(col("id"))).limit(5)
+        .collect().map(_.getLong(0))
+      require(dups.isEmpty,
+        s"appendCrawlBatch: batch re-delivers state ids ${dups.mkString(", ")}" +
+          " — the convergence contract needs disjoint ids (dedup or re-key the batch)")
+    }
+    val newPairs = Dedup.minHashLshCandidatesAgainstIndex(newIdx, state.index,
+      numHashes, minJaccard, withinNew = true)
       .select(col("doc_a"), col("doc_b"))
     CrawlState(state.params,
       staged = state.staged.unionByName(stagedBatch),
-      index = state.index.unionByName(Dedup.BandIndex.build(stagedBatch,
-        idCol, textCol, numHashes, bands, hashedTokenIds)),
+      index = state.index.unionByName(newIdx),
       pairs = state.pairs.unionByName(newPairs),
       langModel = TextAnalysis.lmMerge(state.langModel,
         TextAnalysis.lmEstimate(stagedBatch.select(col(langCol), col(textCol)),
           textCol, minCount = 1L, groupCols = Seq(langCol)),
         groupCols = Seq(langCol)),
       nbModel = Classify.nbMerge(state.nbModel,
-        Classify.nbTrain(stagedBatch, langCol, textCol)))
+        Classify.nbTrain(stagedBatch, langCol, textCol)),
+      gateCaches = state.gateCaches :+ gateCache)
   }
 
   /** The [[pretrainCorpus]] result view of a [[CrawlState]]: keep-best

@@ -250,11 +250,20 @@ object Stateful {
       while (it.hasNext) existing += it.next()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
       rows.foreach { case (_, _, id, h) =>
-        if (!existing.exists(_._1 == id)) { // idempotent under replays
+        // idempotency keys on the full (id, hash) MEMBER, not the id: a
+        // replay of the same row is dropped, but a re-delivery of an id
+        // with a DIFFERENT hash (re-encoded media) still scores against
+        // the bucket — the batch operator bands both rows, and keying on
+        // id alone silently lost exactly the re-encode pairs this
+        // operator exists to catch. Self-pairs (same id, both hashes in
+        // the bucket) are suppressed like the batch a.id < b.id form.
+        if (!existing.contains((id, h))) {
           existing.foreach { case (eid, eh) =>
-            val hd = java.lang.Long.bitCount(h ^ eh)
-            if (hd <= maxHamming)
-              out += (if (eid < id) (eid, id, hd) else (id, eid, hd))
+            if (eid != id) {
+              val hd = java.lang.Long.bitCount(h ^ eh)
+              if (hd <= maxHamming)
+                out += (if (eid < id) (eid, id, hd) else (id, eid, hd))
+            }
           }
           existing += ((id, h))
           members.appendValue((id, h))

@@ -282,6 +282,10 @@ object ScaleBench {
     // pay the graph builds BEFORE the timed loop (the batch's graph
     // exists before the batch arrives — timing must cover insert only)
     if (queries.contains("knn_insert")) { knnInsertSetup(base1x); knnInsertSetup(out) }
+    // likewise the crawl states: the parquet state build is setup, and
+    // paying it inside sample 1 would burn one of the two min-of-2
+    // samples on a corpus-scale write
+    if (queries.contains("pretrain_append")) { appendState(base1x); appendState(out) }
 
     def time(q: String, dir: String): Double =
       (1 to 2).map { _ =>

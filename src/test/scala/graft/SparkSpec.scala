@@ -46,20 +46,31 @@ abstract class SparkSpec extends AnyFunSuite {
       }
       p +: inner.flatMap(walk)
     }
-    val exchanges = walk(df.queryExecution.executedPlan).collect {
-      case e: ShuffleExchangeLike => e
-    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case e: ShuffleExchangeLike => e }
     assert(exchanges.nonEmpty, "expected at least one shuffle in the plan under test")
+    // PARTIAL-mode aggregate buffers print as binary in the partial →
+    // final Exchange but are bounded by the aggregate's own semantics
+    // (e.g. dim structs per group for a centroid collect_list), not
+    // payload columns. Exempt them STRUCTURALLY (attributes a partial
+    // aggregate emits beyond its grouping keys) — a name-based exemption
+    // would both miss renamed buffers and silently pass a real bytes
+    // column that happened to share the name
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val partialBufferIds = nodes.collect {
+      case agg: BaseAggregateExec
+          if agg.aggregateExpressions.exists(e =>
+            e.mode == Partial || e.mode == PartialMerge) =>
+        agg.output.map(_.exprId).toSet --
+          agg.groupingExpressions.map(_.toAttribute.exprId)
+    }.flatten.toSet
     exchanges.foreach { e =>
       val wide = e.output.filter {
         case a => a.dataType match {
           case ArrayType(FloatType, _) => true
           case ArrayType(ByteType, _) => true // int8-quantized embeddings
-          // media payloads — but NOT ObjectHashAggregate's serialized
-          // partial buffer ("buf"), which prints as binary and is bounded
-          // by the aggregate's own semantics (e.g. dim structs per group
-          // for the centroid collect_list), not a payload column
-          case BinaryType => a.name != "buf"
+          case BinaryType => !partialBufferIds.contains(a.exprId) // media payloads
           case _ => false
         }
       }

@@ -127,8 +127,8 @@ class LlmSpec extends SparkSpec {
       Dedup.dedupByCanonicalUrl(withNull, "doc_id", "url", "score").collect()
     }
     assert(msgs(e1).exists(_.contains("non-null")), s"unexpected: ${e1.getMessage}")
-    // -Long.MinValue overflows back to Long.MinValue, inverting the
-    // min-id tie-break — loud, not wrong
+    // -MinValue overflows back to MinValue at the id's OWN width,
+    // inverting the min-id tie-break — loud, not wrong, for long AND int
     val minVal = Seq(
       (Long.MinValue, "https://example.com/a", 3.0),
       (2L, "https://example.com/a", 3.0)
@@ -136,7 +136,15 @@ class LlmSpec extends SparkSpec {
     val e2 = intercept[Exception] {
       Dedup.dedupByCanonicalUrl(minVal, "doc_id", "url", "score").collect()
     }
-    assert(msgs(e2).exists(_.contains("Long.MinValue")), s"unexpected: ${e2.getMessage}")
+    assert(msgs(e2).exists(_.contains("MinValue")), s"unexpected: ${e2.getMessage}")
+    val minInt = Seq(
+      (Int.MinValue, "https://example.com/a", 3.0),
+      (2, "https://example.com/a", 3.0)
+    ).toDF("doc_id", "url", "score")
+    val e3 = intercept[Exception] {
+      Dedup.dedupByCanonicalUrl(minInt, "doc_id", "url", "score").collect()
+    }
+    assert(msgs(e3).exists(_.contains("MinValue")), s"unexpected: ${e3.getMessage}")
   }
 
   test("minhash-LSH candidates are a superset of exact token-set pairs (Q-L5 contract)") {

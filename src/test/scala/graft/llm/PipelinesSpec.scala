@@ -169,6 +169,21 @@ class PipelinesSpec extends SparkSpec {
       s"each near-dup pair must keep exactly one survivor: $ids")
     // junk gated out of both sides
     assert(!ids.contains(22L) && !ids.contains(23L) && !ids.contains(43L))
+
+    // cache lifecycle: one gate cache per staging pass, all released by
+    // release() — dropping the state without it would leak one
+    // non-evictable survivor-set copy per batch for the life of the app
+    assert(incremental.gateCaches.size == 2 && scratch.gateCaches.size == 1)
+    incremental.release(); scratch.release()
+
+    // the disjoint-ids precondition is loud on request: a batch
+    // re-delivering a state id raises instead of silently double-keeping
+    val st0 = Pipelines.initCrawlState(docsA)
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.appendCrawlBatch(st0, docsA.limit(3), assumeDisjointIds = false)
+    }
+    assert(e.getMessage.contains("re-delivers"))
+    st0.release()
     spark.sqlContext.clearCache()
   }
 

@@ -164,8 +164,12 @@ class StatefulSpec extends SparkSpec {
       val base = (1 to 120).map(i => (i.toLong, new scala.util.Random(i).nextLong()))
       val flips = base.filter(_._1 % 3 == 0)
         .map { case (id, h) => (id + 10000L, h ^ (1L << (id % 64).toInt)) }
-      val rows = base ++ flips
-      val (b1, b2) = rows.splitAt(rows.length / 2)
+      // id 7 RE-DELIVERED with a different hash (a near-copy of id 60's):
+      // batch bands both rows of the id, so the stream must score the
+      // re-delivery too — keying idempotency on id alone lost this pair
+      val redelivered = Seq((7L, base(59)._2 ^ 1L))
+      val rows = base ++ flips ++ redelivered
+      val (b1, b2) = (base ++ flips).splitAt(rows.length / 2)
       val stream = MemoryStream[(Long, Long)]
       val pairs = Stateful.perceptualNearDupPairsStream(stream.toDS())
         .toDF("doc_a", "doc_b", "hamming")
@@ -179,6 +183,8 @@ class StatefulSpec extends SparkSpec {
         q.processAllAvailable()
         stream.addData(b2: _*)
         q.processAllAvailable()
+        stream.addData(redelivered: _*)
+        q.processAllAvailable()
       } finally q.stop()
       val want = graft.sources.Multimodal.perceptualNearDupPairs(
         rows.toDF("id", "h"), "id", "h", bands = 4, maxHamming = 3)
@@ -188,6 +194,8 @@ class StatefulSpec extends SparkSpec {
         s"streamed ${got.size} pairs != batch ${want.size}")
       // every planted flip found (organic collisions, if any, are in both)
       assert(want.size >= flips.size, s"only ${want.size} pairs for ${flips.size} plants")
+      // the re-delivered hash really paired across ids
+      assert(want.contains((7L, 60L, 1)), s"re-delivery pair missing from $want")
     }
   }
 
