@@ -1636,6 +1636,35 @@ object Queries {
           ",").as("ids")))
   }
 
+  /** Q-L64 — BPE detokenize (the inverse lifecycle half of Q-L40): the
+    * engine runs the REAL encode → decode chain over the fixture texts
+    * ([[graft.llm.TextAnalysis.textFromTokenIds]], fused expression) and
+    * the decoded text must equal the input VERBATIM — the oracle emits
+    * the same closed-form id lists plus the original text, so the
+    * roundtrip identity hash-checks end to end. Synthetic probe rows
+    * (doc_id −1..−5) decode an id absent from the vocabulary and pin the
+    * loud U+FFFD convention (DuckDB replays it as `chr(65533)`).
+    */
+  val qlBpeDecode: Q = (s, dir) => {
+    val id = col("doc_id")
+    def w(i: Column): Column =
+      when(pmod(i, lit(3)) === 0, lit("hello"))
+        .when(pmod(i, lit(3)) === 1, lit("the"))
+        .otherwise(lit("he"))
+    val text = concat_ws(" ", w(id), w(id + 1), w(id + 2))
+    val docs = t(s, dir, "documents").select(id, text.as("text_bpe"))
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.tokenIdsBpe(col("text_bpe"), bpeFixtureEncoder)
+          .as("ids"))
+    val probes = s.range(1, 6).select(
+      (-col("id")).cast("long").as("doc_id"),
+      array(lit(9), (lit(1000) + col("id")).cast("int")).as("ids"))
+    ordered(docs.unionByName(probes).select(col("doc_id"),
+      array_join(col("ids"), ",").as("ids"),
+      graft.llm.TextAnalysis.textFromTokenIds(col("ids"), bpeFixtureEncoder)
+        .as("text_rt")))
+  }
+
   /** Q-L41 — linear scoring with word-BIGRAM features (ngramMax = 2):
     * the ql38 shape with the feature bag widened to tokens + space-joined
     * bigrams, the way fasttext-class quality filters ship their models.
@@ -2402,6 +2431,7 @@ object Queries {
     "ql34_knn_descent" -> qlKnnDescent,
     "ql39_graph_search" -> qlKnnSearch,
     "ql40_bpe_encode" -> qlBpeEncode,
+    "ql64_bpe_decode" -> qlBpeDecode,
     "ql41_linear_bigram" -> qlLinearBigram,
     "ql42_semantic_dedup" -> qlSemanticDedup,
     "ql43_lm_score" -> qlLmScore,
@@ -3143,6 +3173,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // scaladoc); the oracle concatenates per-position lists
     "ql40_bpe_encode" ->
       """WITH w AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN [9] WHEN 1 THEN [4,6] ELSE [6] END AS w0, CASE (doc_id+1) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w1, CASE (doc_id+2) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w2 FROM documents) SELECT doc_id, array_to_string(CAST(w0 || w1 || w2 AS INT[]), ',') AS ids FROM w ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql64: the ql40 id closed form PLUS the roundtrip identity — the
+    // decoded text is the constructed input verbatim; probe rows pin the
+    // unknown-id U+FFFD convention (chr(65533))
+    "ql64_bpe_decode" ->
+      """WITH w AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN [9] WHEN 1 THEN [4,6] ELSE [6] END AS w0, CASE (doc_id+1) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w1, CASE (doc_id+2) % 3 WHEN 0 THEN [5,9] WHEN 1 THEN [5,4,6] ELSE [5,6] END AS w2 FROM documents), d AS (SELECT doc_id, array_to_string(CAST(w0 || w1 || w2 AS INT[]), ',') AS ids, (CASE doc_id % 3 WHEN 0 THEN 'hello' WHEN 1 THEN 'the' ELSE 'he' END) || ' ' || (CASE (doc_id+1) % 3 WHEN 0 THEN 'hello' WHEN 1 THEN 'the' ELSE 'he' END) || ' ' || (CASE (doc_id+2) % 3 WHEN 0 THEN 'hello' WHEN 1 THEN 'the' ELSE 'he' END) AS text_rt FROM w UNION ALL SELECT -i AS doc_id, '9,' || CAST(1000 + i AS VARCHAR) AS ids, 'hello' || chr(65533) AS text_rt FROM generate_series(1, 5) AS g(i)) SELECT doc_id, ids, text_rt FROM d ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     // ql27: identical clones quantize identically, so the clone proof of
     // ql11/ql12 carries over to the int8 path unchanged
     "ql27_quantized_topk" ->

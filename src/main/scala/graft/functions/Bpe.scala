@@ -119,6 +119,13 @@ object BpeVocab {
     out
   }
 
+  /** Inverse of [[byteToChar]]: alphabet char → original byte. The
+    * remap is a bijection on its 256-char image, so decode is exact for
+    * every char an encoder-produced token can contain.
+    */
+  lazy val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
   /** Parse GPT-2 `merges.txt` content: rank = line order; the
     * `#version` header line and blanks are skipped. ONLY the version
     * header — real GPT-2 merges contain lines like `# #` and `## #`
@@ -345,6 +352,61 @@ final case class BpeEncoder(vocab: BpeVocab, ids: Map[String, Int])
     }
     out.result()
   }
+
+  // id → token string, deterministic under degenerate hand-built
+  // vocabularies: if two tokens share an id, the lexicographically
+  // smallest wins (a published vocab.json is bijective, so this only
+  // matters for test fixtures)
+  @transient private lazy val tokenById: Map[Int, String] =
+    ids.toSeq.groupBy(_._2).map { case (i, ts) => i -> ts.map(_._1).min }
+
+  /** Detokenize: the exact inverse of [[encode]] — id → token string
+    * through the id vocabulary, concatenate, then byte-alphabet chars
+    * back to bytes and UTF-8 decode. Pre-tokens partition the input and
+    * carry their leading space as `Ġ`, so
+    * `decode(encode(text)) == text` whenever every symbol has an id (a
+    * complete published (merges, vocab) pair). An id absent from the
+    * vocabulary (including encode's own `-1` unknown marker) decodes as
+    * U+FFFD — visible, mirroring encode's loud-unknown convention, never
+    * silently dropped.
+    */
+  def decode(tokenIds: Array[Int]): String = {
+    if (tokenIds.isEmpty) return ""
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < tokenIds.length) {
+      sb.append(tokenById.getOrElse(tokenIds(i), "\uFFFD"))
+      i += 1
+    }
+    val chars = sb.toString
+    val bytes = new java.io.ByteArrayOutputStream(chars.length)
+    var j = 0
+    while (j < chars.length) {
+      BpeVocab.charToByte.get(chars.charAt(j)) match {
+        case Some(b) => bytes.write(b & 0xff)
+        // a char outside the byte alphabet can only come from an
+        // unknown-id marker (or a foreign vocab.json token): keep it
+        // visible as U+FFFD's own UTF-8 bytes
+        case None => bytes.write(0xef); bytes.write(0xbf); bytes.write(0xbd)
+      }
+      j += 1
+    }
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Catalyst-facing [[decode]]: tolerates null elements (decoded as
+    * unknown) so the expression accepts any `ARRAY<INT>` input.
+    */
+  def decodeArrayData(a: org.apache.spark.sql.catalyst.util.ArrayData): String = {
+    val n = a.numElements()
+    val ids = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = if (a.isNullAt(i)) Int.MinValue else a.getInt(i)
+      i += 1
+    }
+    decode(ids)
+  }
 }
 
 object BpeEncoder {
@@ -447,6 +509,47 @@ case class BpeEncodeIds(child: Expression, encoder: BpeEncoder)
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
         s".fromPrimitiveArray($ref.encode($s.toString()));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scan-riding BPE DETOKENIZE — the inverse of [[BpeEncodeIds]], closing
+  * the tokenizer lifecycle (train → encode → pack → decode): `ARRAY<INT>`
+  * ids back to the text they encode, via [[BpeEncoder.decode]]'s exact
+  * byte-alphabet inversion. The step every pipeline needs to INSPECT its
+  * id shards (spot-check packed sequences, render eval samples) without
+  * keeping a text copy alongside. Null in → null out; null elements and
+  * unknown ids decode as U+FFFD (visible, never dropped); empty array →
+  * empty string. Same expression-field vocabulary discipline as the rest
+  * of the family.
+  */
+case class BpeDecodeIds(child: Expression, encoder: BpeEncoder)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode expects ARRAY<INT>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      encoder.decodeArrayData(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEnc", encoder, classOf[BpeEncoder].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String" +
+        s".fromString($ref.decodeArrayData($s));")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

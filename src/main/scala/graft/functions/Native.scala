@@ -433,6 +433,9 @@ object Native {
   def bpeEncode(text: Column, encoder: BpeEncoder): Column =
     Bridge.column(BpeEncodeIds(Bridge.expression(text), encoder))
 
+  def bpeDecode(ids: Column, encoder: BpeEncoder): Column =
+    Bridge.column(BpeDecodeIds(Bridge.expression(ids), encoder))
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case _ => throw new IllegalArgumentException(s"$what must be an INT literal, got $e")
@@ -550,6 +553,23 @@ object Native {
             s"bpe_encode $what must be a STRING literal, got $other")
         }
         BpeEncodeIds(exprs.head,
+          BpeEncoder.cached(strLit(exprs(1), "merges path"), strLit(exprs(2), "vocab path")))
+      }, "scala_udf")
+    // bpe_decode(ids, '/merges.txt', '/vocab.json'): the exact inverse —
+    // ARRAY<INT> ids back to text; same literal-path expression-state rule
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_decode",
+      exprs => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"bpe_decode expects (ids, merges_path, vocab_path), got ${exprs.length} arguments")
+        def strLit(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
+            if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_decode $what must be a STRING literal, got $other")
+        }
+        BpeDecodeIds(exprs.head,
           BpeEncoder.cached(strLit(exprs(1), "merges path"), strLit(exprs(2), "vocab path")))
       }, "scala_udf")
   }

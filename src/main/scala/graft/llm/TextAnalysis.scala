@@ -71,6 +71,17 @@ object TextAnalysis {
   def tokenIdsBpe(text: Column, encoder: graft.functions.BpeEncoder): Column =
     graft.functions.Native.bpeEncode(text, encoder)
 
+  /** Byte-BPE DETOKENIZE — the exact inverse of [[tokenIdsBpe]], closing
+    * the tokenizer lifecycle: `ARRAY<INT>` ids back to text through the
+    * id vocabulary and the reversible GPT-2 byte alphabet
+    * ([[graft.functions.BpeDecodeIds]]). What a pipeline uses to inspect
+    * its id shards (spot-check packed sequences, render eval samples)
+    * without carrying a text copy alongside; unknown ids surface as
+    * U+FFFD, never silently dropped.
+    */
+  def textFromTokenIds(ids: Column, encoder: graft.functions.BpeEncoder): Column =
+    graft.functions.Native.bpeDecode(ids, encoder)
+
   /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
     * Deterministic and self-contained (no model files).
     */

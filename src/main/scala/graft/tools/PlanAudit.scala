@@ -193,6 +193,9 @@ object PlanAudit {
     "ql36_url_canonical" -> "canonicalization regex chain rides the scan in one codegen span -- no shuffle in the operator",
     "ql40_bpe_encode" -> ("fused BPE encode expression (vocab as a reference object) riding " +
       "the scan -- no per-token join, no shuffle in the operator"),
+    "ql64_bpe_decode" -> ("encode -> decode roundtrip rides the ONE documents scan in a " +
+      "single codegen span (both vocabularies are expression reference objects) -- no " +
+      "per-id join, no shuffle in the operator, ONE FileScan (probe rows come from Range)"),
     "ql41_linear_bigram" -> ("fused word_ngrams projection feeds the exploded feature x " +
       "broadcast weights join, DECIMAL partial+final per doc -- one narrow Exchange"),
     "ql42_semantic_dedup" -> ("IVF assign rides the scan (centroid matrix in-expression), " +
@@ -311,6 +314,7 @@ object PlanAudit {
     "ql36_url_canonical" -> Shape(1),
     "ql37_gopher_flags" -> Shape(1),
     "ql40_bpe_encode" -> Shape(1),
+    "ql64_bpe_decode" -> Shape(1, maxScans = 1),
     "ql46_pii_redact" -> Shape(1),
     "ql48_c4_filters" -> Shape(1),
     "ql51_winnowing" -> Shape(1),

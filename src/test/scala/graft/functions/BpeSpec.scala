@@ -132,6 +132,66 @@ class BpeSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("decode inverts encode exactly; unknown ids surface as U+FFFD") {
+    // roundtrip over vocab-covered texts — pre-tokens partition the
+    // input and carry their leading space as Ġ, so identity is exact
+    Seq("hello hello", "the the", "he", "hello the he", "").foreach { s =>
+      assert(encoder.decode(encoder.encode(s)) == s, s"roundtrip '$s'")
+    }
+    assert(encoder.decode(Array(9, 5, 9)) == "hello hello")
+    assert(encoder.decode(Array.emptyIntArray) == "")
+    // an id with no token (77) and encode's own -1 marker both decode
+    // loud, not dropped
+    assert(encoder.decode(Array(9, 77)) == "hello�")
+    assert(encoder.decode(encoder.encode("hello x")) == "hello �")
+    // degenerate duplicate-id vocab: lexicographically smallest token
+    // wins, deterministically
+    val dup = BpeEncoder(vocab, Map("b" -> 0, "a" -> 0))
+    assert(dup.decode(Array(0)) == "a")
+  }
+
+  test("decode round-trips multi-byte UTF-8 through a complete base alphabet") {
+    // every byte has an id => every text round-trips, merges or not
+    val ids = BpeVocab.byteToChar.map(String.valueOf(_)).zipWithIndex.toMap
+    val full = BpeEncoder(BpeVocab.parseMerges(Seq("h e").iterator),
+      ids + ("he" -> 256))
+    Seq("héllo wörld", "日本語 text", "café ✓ naïve", "a\nb\tc").foreach { s =>
+      assert(full.decode(full.encode(s)) == s, s"utf8 roundtrip '$s'")
+    }
+  }
+
+  test("the decode Column face rides the scan and agrees with the driver side") {
+    val texts = Seq("hello hello", "the the", "", "hello the he")
+    val rt = texts.toDF("text")
+      .select(Native.bpeDecode(
+        Native.bpeEncode(col("text"), encoder), encoder).as("rt"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rt == texts)
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(Native.bpeDecode(Native.bpeEncode(col("text"), encoder), encoder))
+      .head()
+    assert(nullRow.isNullAt(0))
+    // null ELEMENTS decode as unknown, not as a crash
+    val withNullElem = Seq(Seq(Some(9), None)).toDF("ids")
+      .select(Native.bpeDecode(col("ids"), encoder)).head().getString(0)
+    assert(withNullElem == "hello�")
+  }
+
+  test("SQL facade exposes bpe_decode and the encode/decode SQL chain round-trips") {
+    Native.register(spark)
+    val url = getClass.getResource("/bpe/merges.txt").getPath
+    val vurl = getClass.getResource("/bpe/vocab.json").getPath
+    Seq("hello the he").toDF("text").createOrReplaceTempView("bpe_dec_docs")
+    val rt = spark.sql(
+      s"SELECT bpe_decode(bpe_encode(text, '$url', '$vurl'), '$url', '$vurl') " +
+        "FROM bpe_dec_docs").head().getString(0)
+    assert(rt == "hello the he")
+    val e = intercept[Exception](spark.sql(
+      "SELECT bpe_decode(bpe_encode(text, text, text), text, text) FROM bpe_dec_docs")
+      .collect())
+    assert(e.getMessage.contains("STRING literal"))
+  }
+
   test("SQL facade exposes bpe_encode with literal merges + vocab paths") {
     Native.register(spark)
     val url = getClass.getResource("/bpe/merges.txt").getPath
