@@ -49,7 +49,11 @@ object Bench {
     "ql60_nb_train", "ql61_nb_classify", "qx14_asof_tolerance",
     "ql62_winnow_pairs", "ql63_url_dedup",
     // round-13 additions
-    "qm3_perceptual_neardup"
+    "qm3_perceptual_neardup",
+    // round-14 additions (ql50b incremental pretrain is measured in
+    // ScaleBench's pretrain_append row — its parquet state build would
+    // dominate this wall-clock, like ql34/ql39)
+    "ql64_bpe_decode"
   )
 
   /** Prior-round per-query reference: newest `BENCH_r*.json` in `dir`
