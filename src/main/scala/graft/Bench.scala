@@ -53,7 +53,7 @@ object Bench {
     // round-14 additions (ql50b incremental pretrain is measured in
     // ScaleBench's pretrain_append row — its parquet state build would
     // dominate this wall-clock, like ql34/ql39)
-    "ql64_bpe_decode"
+    "ql64_bpe_decode", "ql65_pq_topk"
   )
 
   /** Prior-round per-query reference: newest `BENCH_r*.json` in `dir`

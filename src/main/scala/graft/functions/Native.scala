@@ -427,6 +427,15 @@ object Native {
   def nearestCentroids(emb: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nprobe))
 
+  def pqEncode(emb: Column, centroids: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(emb), centroids))
+
+  def pqQueryTables(emb: Column, centroids: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqQueryTables(Bridge.expression(emb), centroids))
+
+  def pqAdcCosine(tables: Column, codes: Column, centroids: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqAdcCosine(Bridge.expression(tables), Bridge.expression(codes), centroids))
+
   def bpeTokenCount(text: Column, vocab: BpeVocab): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text), vocab))
 

@@ -372,6 +372,173 @@ object Similarity {
     }
   }
 
+  /** Product-quantization codebook (Jégou/Douze/Schmid 2011): `m`
+    * per-subspace k-means codebooks over contiguous `dim/m`-dim slices,
+    * trained exactly like [[IvfIndex]] — a BOUNDED deterministic
+    * hash-ordered sample on the driver, fixed Lloyd iterations (L2, the
+    * paper's quantization objective), float64 accumulation — then
+    * encode/score run distributed through fused native expressions
+    * ([[graft.functions.PqEncode]] / [[graft.functions.PqQueryTables]] /
+    * [[graft.functions.PqAdcCosine]]).
+    *
+    * The PQ contract at 100 TB: the corpus is encoded ONCE to `m` bytes
+    * per vector (16× narrower than float32 at d=64, m=16 — 4d/m× in
+    * general), later jobs score CODES through per-query lookup tables
+    * (ADC: `m` adds + lookups per pair instead of a d-dim dot) and the
+    * raw embeddings never leave their parquet. Composes with the IVF
+    * coarse quantizer ([[ivfPqTopK]]) into the inverted-file+PQ layout
+    * every production ANN system (FAISS IVFPQ lineage) runs.
+    */
+  final case class PqCodebook(centroids: Array[Array[Array[Float]]]) {
+    require(centroids.nonEmpty && centroids.forall(_.nonEmpty),
+      "PqCodebook needs >= 1 centroid per subspace")
+    def m: Int = centroids.length
+    def ksub: Int = centroids(0).length
+    def dim: Int = centroids.map(_(0).length).sum
+
+    /** Column: `ARRAY<BYTE>` code (m bytes) of an `ARRAY<FLOAT>` embedding. */
+    def encode(emb: Column): Column =
+      graft.functions.Native.pqEncode(emb, centroids)
+
+    /** Column: the per-query ADC tables (dots + query norm) — compute on
+      * the QUERY side, before any join, never per pair.
+      */
+    def queryTables(emb: Column): Column =
+      graft.functions.Native.pqQueryTables(emb, centroids)
+
+    /** Column: ADC cosine of (query tables, corpus code). */
+    def adcCosine(tables: Column, codes: Column): Column =
+      graft.functions.Native.pqAdcCosine(tables, codes, centroids)
+
+    /** Driver-side reconstruction of a code — the spec/debug face. */
+    def reconstruct(code: Array[Int]): Array[Float] = {
+      require(code.length == m, s"code length ${code.length} != m=$m")
+      code.zipWithIndex.flatMap { case (c, j) => centroids(j)(c) }
+    }
+
+    /** Persist (one row per (subspace, centroid)) — the IVF lifecycle:
+      * train → save → encode+write corpus once → N query jobs `load`.
+      */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      (for (j <- centroids.indices; c <- centroids(j).indices)
+        yield (j, c, centroids(j)(c))).toDF("sub_id", "centroid_id", "embedding")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  object PqCodebook {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): PqCodebook = {
+      val rows = spark.read.parquet(path)
+        .orderBy(col("sub_id"), col("centroid_id"))
+        .collect() // bounded by m*ksub — the training-size driver class
+      require(rows.nonEmpty, s"no PQ centroids at $path")
+      PqCodebook(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+        .map(_.getSeq[Float](2).toArray).toArray).toArray)
+    }
+
+    /** Deterministic training: the [[IvfIndex.train]] sample discipline
+      * (xxhash64(id)-ordered TakeOrdered — bounded, unbiased, never a
+      * full sort) with per-subspace Lloyd under L2. Empty clusters keep
+      * their previous centroid. `dim % m == 0` required — PQ's contiguous
+      * equal slices.
+      */
+    def train(corpus: DataFrame, idCol: String, m: Int, ksub: Int,
+              sampleSize: Int = 2048, iters: Int = 8,
+              embCol: String = "embedding"): PqCodebook = {
+      val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
+        .select(col(embCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(sample.length >= ksub, s"need >= $ksub sample vectors, got ${sample.length}")
+      val dim = sample(0).length
+      require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+      val dsub = dim / m
+      val books = Array.tabulate(m) { j =>
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        var cents = sub.take(ksub).map(_.map(_.toDouble))
+        for (_ <- 1 to iters) {
+          val sums = Array.fill(ksub)(new Array[Double](dsub))
+          val counts = new Array[Int](ksub)
+          sub.foreach { v =>
+            var best = 0
+            var bestDist = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              var d = 0.0
+              var i = 0
+              while (i < dsub) {
+                val dl = v(i) - cents(c)(i); d += dl * dl; i += 1
+              }
+              if (d < bestDist) { bestDist = d; best = c }
+              c += 1
+            }
+            counts(best) += 1
+            var i = 0
+            while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          }
+          cents = cents.zipWithIndex.map { case (c, i) =>
+            if (counts(i) == 0) c else sums(i).map(_ / counts(i))
+          }
+        }
+        cents.map(_.map(_.toFloat))
+      }
+      PqCodebook(books)
+    }
+  }
+
+  /** PQ-ADC approximate top-k over an ALREADY-ENCODED corpus — the
+    * production entry point: `codes` is (corpusId, `codeCol` ARRAY<BYTE>)
+    * written once by `corpus.select(id, codebook.encode(embedding))`;
+    * this job never touches raw corpus embeddings. Queries compute their
+    * ADC tables once each (broadcast — the [[int8TopKAgg]] small-query
+    * convention), every (query, code) pair scores with m adds + lookups,
+    * and the bounded [[graft.functions.Aggregators.TopKBySim]] tail keeps
+    * the only Exchange at ≤ k narrow rows per query per map task.
+    */
+  def pqTopKOnCodes(queries: DataFrame, codes: DataFrame, codebook: PqCodebook, k: Int,
+                    queryId: String = "query_id", corpusId: String = "neighbor_id",
+                    codeCol: String = "pq_code", excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queryId),
+      codebook.queryTables(col("embedding")).as("_pq_t")))
+    val joined = codes.select(col(corpusId), col(codeCol)).crossJoin(q)
+    val kept = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    val scored = kept.withColumn("sim",
+      codebook.adcCosine(col("_pq_t"), col(codeCol)))
+    topKAggTail(scored, k, queryId, corpusId)
+  }
+
+  /** [[pqTopKOnCodes]] with the encode fused in — the one-job form. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: PqCodebook, k: Int,
+             queryId: String = "query_id", corpusId: String = "neighbor_id",
+             excludeSelf: Boolean = true): DataFrame =
+    pqTopKOnCodes(queries,
+      corpus.select(col(corpusId), codebook.encode(col("embedding")).as("pq_code")),
+      codebook, k, queryId, corpusId, excludeSelf = excludeSelf)
+
+  /** IVFPQ: the FAISS-lineage composition — IVF coarse quantizer prunes
+    * the candidate set to `nprobe` of `k` cells, PQ-ADC scores the
+    * survivors against 16×-compressed codes. At 100 TB this is THE
+    * serving layout: corpus bucketed + encoded once (narrow (id, bucket,
+    * m-byte code) rows), each query job scans nprobe/k of the corpus and
+    * never reads a raw embedding.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, ivf: Similarity.IvfIndex,
+                codebook: PqCodebook, topK: Int, nprobe: Int,
+                queryId: String = "query_id", corpusId: String = "neighbor_id",
+                broadcastQueries: Boolean = true, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(corpusId),
+      ivf.assignment(col("embedding")).as("bucket"),
+      codebook.encode(col("embedding")).as("pq_code"))
+    val q0 = queries.select(col(queryId),
+      codebook.queryTables(col("embedding")).as("_pq_t"),
+      explode(ivf.probes(col("embedding"), nprobe)).as("bucket"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val joined = c.join(q, Seq("bucket"))
+    val kept = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    val scored = kept.withColumn("sim", codebook.adcCosine(col("_pq_t"), col("pq_code")))
+    topKAggTail(scored, topK, queryId, corpusId)
+  }
+
   /** IVF candidates for [[ivfTopK]]: corpus bucketed by nearest centroid,
     * broadcast queries probe their `nprobe` closest buckets.
     */

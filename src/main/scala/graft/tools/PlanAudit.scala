@@ -60,6 +60,10 @@ object PlanAudit {
     "ql27_quantized_topk" -> ("quantize projections feed an integer-cosine scored cross join " +
       "(queries broadcast), then the same partial_topkbysim bounded tail as ql4/ql11 -- " +
       "no float OR int8 array column in any Exchange"),
+    "ql65_pq_topk" -> ("PQ-ADC: the corpus side is a 16-byte-code projection riding its scan, " +
+      "queries broadcast their per-query ADC tables (computed ONCE each, never per pair), " +
+      "the scored cross join is m adds + lookups per pair, then the partial_topkbysim " +
+      "bounded tail -- neither embeddings nor codes in any shuffle Exchange"),
     "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
       "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
     "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
@@ -382,6 +386,8 @@ object PlanAudit {
     // "<=k rows per map task enter the shuffle" claim
     "ql4_cosine_topk" -> Shape(require = Seq("partial_topkbysim")),
     "ql27_quantized_topk" -> Shape(require = Seq("partial_topkbysim")),
+    "ql65_pq_topk" -> Shape(require = Seq("partial_topkbysim", "pq_adc_cosine"),
+      noWideShuffle = true),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere

@@ -40,6 +40,11 @@ object ScaleBench {
     // chunking stays a pure map; the quantized ANN query set is fixed
     // (vec_id < 10 lives only in copy 0) against a 10x corpus
     "ql25_tfidf", "ql28_token_chunks", "ql29_boilerplate", "ql27_quantized_topk",
+    // ql65: the PQ sibling of ql27 — fixed query set (vec_id < 10, copy 0
+    // only) ADC-scored against a 10x corpus of 16-byte codes; train is a
+    // bounded 2048-sample TakeOrdered + driver Lloyd, encode+score ride
+    // the scan, so the row must track the scan near-linearly
+    "ql65_pq_topk",
     // round-7 scale evidence: ql30 (IVF cells ∝ n — the growth-safety
     // flagship) and ql32 (auto-derived planes) are the two designed fixes
     // for ql14's fixed-planes super-linear; ql22/ql26 are budget/cap ops
