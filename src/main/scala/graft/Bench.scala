@@ -53,7 +53,15 @@ object Bench {
     // round-14 additions (ql50b incremental pretrain is measured in
     // ScaleBench's pretrain_append row — its parquet state build would
     // dominate this wall-clock, like ql34/ql39)
-    "ql64_bpe_decode", "ql65_pq_topk"
+    "ql64_bpe_decode", "ql65_pq_topk",
+    // ql66: the composed IVFPQ serving layout (round 15) — IVF bucket
+    // pruning on top of ql65's ADC scoring; train cost (IVF + PQ Lloyd
+    // on bounded samples) rides inside the row like ql12/ql65
+    "ql66_ivfpq_topk",
+    // ql67: BM25 sparse retrieval (round 15) — the query-vocab-pruned
+    // inverted-index shape; work tracks the corpus scan plus the pruned
+    // posting lists, never a corpus shuffle
+    "ql67_bm25_topk"
   )
 
   /** Prior-round per-query reference: newest `BENCH_r*.json` in `dir`

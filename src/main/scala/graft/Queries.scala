@@ -1576,9 +1576,17 @@ object Queries {
       graft.llm.Pipelines.initCrawlState(all.filter(pmod(col("doc_id"), lit(2)) === 0),
         params),
       all.filter(pmod(col("doc_id"), lit(2)) =!= 0))
-    ordered(graft.llm.Pipelines.emitPretrainCorpus(state)
+    // materialize-then-release (the pretrainCorpus `materialize` path):
+    // init + append pin one MEMORY_AND_DISK gate cache each, and
+    // disk-resident persisted blocks are never LRU-evicted — without the
+    // release every execution of this row leaked two survivor-set copies
+    // for the life of the app (ADVICE r14)
+    val out = graft.llm.Pipelines.emitPretrainCorpus(state)
       .select(col("doc_id"), col("lang"), col("score"),
-        col("bucket"), col("n_tokens")))
+        col("bucket"), col("n_tokens"))
+      .localCheckpoint(true)
+    state.release()
+    ordered(out)
   }
 
   /** Q-L38 — linear bag-of-words scoring (the fasttext-linear quality
@@ -1933,6 +1941,24 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L67 BM25 retrieval top-k ([[graft.llm.TextAnalysis.bm25TopK]]):
+    * the first 8 documents replayed as queries against the full corpus,
+    * top-5 each at the Okapi defaults (k1=1.2, b=0.75). Every input to
+    * the per-term double arithmetic is an exact integer (tf, df, dl, N,
+    * Σdl), contributions round to DECIMAL(18,6) and SUM in DECIMAL
+    * (order-independent — the ql43 convention), and the log10 idf rides
+    * the ql54 oracle bridge, so the full (query, rank, doc, score)
+    * output hash-checks against DuckDB running the same expression tree.
+    */
+  val qlBm25TopK: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val out = graft.llm.TextAnalysis.bm25TopK(docs, queries,
+      "doc_id", "text", "query_id", "text", k = 5)
+    ordered(out)
+  }
+
   /** Q-L31 HTML strip + normalization — the crawled-corpus cleaning
     * composition: tags become spaces, then the ql24 battery runs. The
     * fixture has no markup, so synthetic docs (ids -1..-20) carrying
@@ -2132,6 +2158,32 @@ object Queries {
     val cb = graft.llm.Similarity.PqCodebook.train(corpus, "neighbor_id",
       m = 16, ksub = 16)
     val out = graft.llm.Similarity.pqTopK(queries, corpus, cb, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    ordered(out)
+  }
+
+  /** Q-L66 IVFPQ top-k ([[graft.llm.Similarity.ivfPqTopK]]) — the
+    * composed FAISS serving layout the registry's halves already prove
+    * separately (ql12 = IVF pruning, ql65 = PQ-ADC scoring): the coarse
+    * quantizer prunes to nprobe of k cells, ADC scores the survivors
+    * against 16-byte codes. The clone proof COMPOSES: an exact clone
+    * shares its query's bytes, hence its IVF assignment (probe #1 always
+    * reaches all three clones at any nprobe ≥ 1) AND its PQ code (ADC
+    * sim == the query's self-reconstruction cosine, above every organic
+    * vector by the measured ≥0.37 ql65 margin) — so each query's top-3
+    * is provably its clones at the ascending-id tiebreak.
+    */
+  val qlIvfPqTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = annCloneCorpus(emb)
+    val ivf = graft.llm.Similarity.IvfIndex.train(corpus, "neighbor_id", k = 8,
+      sampleSize = 256, iters = 4)
+    val cb = graft.llm.Similarity.PqCodebook.train(corpus, "neighbor_id",
+      m = 16, ksub = 16)
+    val out = graft.llm.Similarity.ivfPqTopK(queries, corpus, ivf, cb,
+      topK = 3, nprobe = 2)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     ordered(out)
   }
@@ -2439,11 +2491,13 @@ object Queries {
     "ql23_hash_split" -> qlHashSplit,
     "ql24_normalize" -> qlNormalize,
     "ql25_tfidf" -> qlTfidf,
+    "ql67_bm25_topk" -> qlBm25TopK,
     "ql26_source_cap" -> qlSourceCap,
     "qx10_profile" -> qx10Profile,
     "qx11_histogram" -> qx11Histogram,
     "ql27_quantized_topk" -> qlQuantizedTopK,
     "ql65_pq_topk" -> qlPqTopK,
+    "ql66_ivfpq_topk" -> qlIvfPqTopK,
     "ql28_token_chunks" -> qlChunks,
     "ql29_boilerplate" -> qlBoilerplate,
     "ql30_ivf_neardup" -> qlIvfNearDup,
@@ -3052,6 +3106,13 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // multiply-then-divide in both engines so the doubles hash-match
     "ql25_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM r WHERE rank <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    // ql67: the Okapi BM25 expression tree replayed verbatim — every
+    // factor is IEEE double arithmetic over exact integers (tf, df, dl,
+    // N, sum_dl) with explicit casts/parentheses matching the Spark
+    // form; per-term contributions round to DECIMAL(18,6) and SUM in
+    // DECIMAL (order-independent), log10 is the ql54 libm bridge
+    "ql67_bm25_topk" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), postings AS (SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf FROM (SELECT doc_id, toks, unnest(toks) AS term FROM tk) GROUP BY 1, 2, 3), stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM tk), qt AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 8)), pr AS (SELECT p.doc_id, p.dl, p.term, p.tf, COUNT(*) OVER (PARTITION BY p.term) AS df FROM postings p JOIN (SELECT DISTINCT term FROM qt) qv USING (term)), sc AS (SELECT qt.query_id, pr.doc_id, CAST(log10(CAST(1.0 AS DOUBLE) + ((CAST(s.n_docs AS DOUBLE) - CAST(pr.df AS DOUBLE)) + CAST(0.5 AS DOUBLE)) / (CAST(pr.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * ((CAST(pr.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(pr.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(pr.dl AS DOUBLE)) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS DECIMAL(18,6)) AS contrib FROM pr JOIN qt USING (term) CROSS JOIN stats s), ag AS (SELECT query_id, doc_id, SUM(contrib) AS score_d FROM sc GROUP BY 1, 2), r AS (SELECT query_id, doc_id, score_d, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_d DESC, doc_id) AS rank FROM ag) SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_d AS DOUBLE) AS score FROM r WHERE rank <= 5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
     // ql31: tags -> single space, then the ql24 normalization chain
     "ql31_html_strip" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, '<html><p class="x">Hello ' || CAST(i AS VARCHAR) || '</p><br/>world <b>bold</b></html>' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS clean_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
@@ -3210,6 +3271,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // clone equals the self-reconstruction cosine — above every organic
     // vector by a measured >=0.37 margin on this fixture (see qlPqTopK)
     "ql65_pq_topk" ->
+      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
+    // ql66: the ql12 + ql65 clone proofs COMPOSE — a clone shares its
+    // query's IVF bucket (probe #1 reaches it at any nprobe) and its PQ
+    // code (ADC sim == self-reconstruction cosine, ≥0.37 above organic)
+    "ql66_ivfpq_topk" ->
       """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, vec_id + r*1000000 AS neighbor_id FROM embeddings, generate_series(1,3) AS t(r) WHERE vec_id < 10 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",
     "ql21_token_shards" ->
       """WITH t AS (SELECT doc_id, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents) SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 5000 AS shard FROM t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",

@@ -23,10 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Fl
 
 /** Encode: `ARRAY<FLOAT>` embedding → `ARRAY<BYTE>` of `m` centroid
   * indices, subspace j's code = argmin L2 distance over its `ksub`
-  * centroids (deterministic ties → lower index; a null/NaN slot poisons
-  * its subspace's distances so the code falls back to index 0 rather
-  * than routing on a fabricated 0.0f). `ksub <= 256`; codes are the raw
-  * byte of the index (read back with `& 0xff`).
+  * centroids (deterministic ties → lower index). `ksub <= 256`; codes
+  * are the raw byte of the index (read back with `& 0xff`).
+  *
+  * MALFORMED VECTORS (wrong length, or a null/NaN slot poisoning every
+  * centroid distance in some subspace) encode to the EMPTY code — the
+  * corpus-side rank-last sentinel: [[PqAdcCosine]]'s length check scores
+  * any code of length ≠ m at -2.0, strictly below every real cosine, so
+  * a poisoned corpus row can never enter a top-k (mirrors the query-side
+  * NaN-poisoning convention; silently routing the bad subspace to code 0
+  * produced a valid-looking code with a plausible ADC similarity).
   */
 case class PqEncode(child: Expression, centroids: Array[Array[Array[Float]]])
     extends UnaryExpression {
@@ -43,9 +49,15 @@ case class PqEncode(child: Expression, centroids: Array[Array[Array[Float]]])
         s"got ${child.dataType.sql} with m=${centroids.length}")
   }
 
+  @transient private lazy val expectedDim = centroids.map(_.head.length).sum
+
   def route(arr: ArrayData): ArrayData = {
     val m = centroids.length
     val out = new Array[Byte](m)
+    // wrong-length vectors can never route honestly — sentinel up front
+    if (arr.numElements() != expectedDim)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyByteArray)
     var off = 0
     var j = 0
     while (j < m) {
@@ -61,7 +73,7 @@ case class PqEncode(child: Expression, centroids: Array[Array[Array[Float]]])
         while (i < dsub) {
           val idx = off + i
           val x =
-            if (idx >= arr.numElements() || arr.isNullAt(idx)) Double.NaN
+            if (arr.isNullAt(idx)) Double.NaN
             else arr.getFloat(idx).toDouble
           val dl = x - cent(i)
           dist += dl * dl
@@ -71,6 +83,11 @@ case class PqEncode(child: Expression, centroids: Array[Array[Array[Float]]])
         if (dist < bestDist) { bestDist = dist; best = c }
         c += 1
       }
+      // no centroid won — every distance NaN/∞ (a null/NaN slot poisons
+      // the whole subspace): the vector is unencodable, sentinel out
+      if (bestDist == Double.MaxValue)
+        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(Array.emptyByteArray)
       out(j) = best.toByte
       off += dsub
       j += 1
@@ -177,7 +194,9 @@ case class PqQueryTables(child: Expression, centroids: Array[Array[Array[Float]]
   * pair: `m` adds + `m` lookups (the d-dim dot never happens). A zero
   * or NaN denominator (zero-norm query/reconstruction, poisoned slots)
   * scores `-2.0` — strictly below every real cosine, the
-  * [[NearestCentroids]] rank-last convention.
+  * [[NearestCentroids]] rank-last convention. The length guard covers
+  * [[PqEncode]]'s empty-code corpus sentinel the same way: a malformed
+  * corpus vector's code scores -2.0 on every query.
   */
 case class PqAdcCosine(left: Expression, right: Expression,
                        centroids: Array[Array[Array[Float]]])

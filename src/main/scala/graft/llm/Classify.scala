@@ -128,6 +128,52 @@ object Classify {
       .crossJoin(broadcast(docsTotal))
   }
 
+  /** INCREMENTAL model maintenance, the delete half (the
+    * [[TextAnalysis.lmSubtract]] mirror): NB counts are additive over
+    * documents, so the model of a removed sub-corpus subtracts exactly.
+    * Contract (spec-pinned): `nbSubtract(nbTrain(A ∪ B), nbTrain(B)) ==
+    * nbTrain(A)` for disjoint doc sets. Token rows reaching zero drop;
+    * labels whose doc count reaches zero disappear entirely (nbTrain(A)
+    * never saw them); `label_total` is recomputed as the per-label sum
+    * of surviving counts and `vocab` as their distinct token count (the
+    * two non-carryable columns, recomputed at model-sized cost exactly
+    * like [[nbMerge]]). A subtrahend count exceeding the minuend's
+    * raises loudly — it means `b` was never trained into `a`.
+    *
+    * Scale: every agg/join is model-sized, never corpus-sized.
+    */
+  def nbSubtract(a: DataFrame, b: DataFrame): DataFrame = {
+    def slim(m: DataFrame, sign: Int) =
+      m.select(col("label"), col("token"), (col("cnt") * lit(sign)).as("cnt"))
+    val cnt = slim(a, 1).unionByName(slim(b, -1))
+      .groupBy(col("label"), col("token")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cnt",
+        when(col("cnt") < 0, raise_error(concat(
+          lit("nbSubtract: negative count for ("), col("label"), lit(", "),
+          col("token"),
+          lit(") — the subtrahend model was never trained into the minuend"))))
+          .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+    val labelTot = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("label_total"))
+    val vocab = cnt.select(col("token")).distinct().agg(count(lit(1)).as("vocab"))
+    def docsDim(m: DataFrame, sign: Int) = m
+      .select(col("label"), col("n_docs"), col("n_docs_total")).distinct()
+      .select(col("label"), (col("n_docs") * lit(sign)).as("n_docs"),
+        (col("n_docs_total") * lit(sign)).as("n_docs_total"))
+    val perLabel = docsDim(a, 1).unionByName(docsDim(b, -1))
+      .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    def total(m: DataFrame, sign: Int) = m
+      .select(col("n_docs_total")).distinct()
+      .select((col("n_docs_total") * lit(sign)).as("n_docs_total"))
+    val docsTotal = total(a, 1).unionByName(total(b, -1))
+      .agg(sum(col("n_docs_total")).as("n_docs_total"))
+    cnt.join(broadcast(labelTot), "label")
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(perLabel), "label")
+      .crossJoin(broadcast(docsTotal))
+  }
+
   /** Argmax classification over [[nbScoreAll]]: per doc the best label
     * (DECIMAL-exact compare; ties → lexicographically GREATER label, the
     * [[TextAnalysis.langIdLinear]] convention) and its score as DOUBLE.

@@ -179,10 +179,12 @@ object Pipelines {
     *    ([[Classify.nbTrain]] on `langCol`, advanced by
     *    [[Classify.nbMerge]]).
     *
-    * At fleet scale each frame is written to parquet between batches
-    * (the index via [[Dedup.BandIndex.saveBucketed]] so per-batch band
-    * joins are index-Exchange-free); the case class is the in-session
-    * view of that layout. The embedding-side sibling
+    * At fleet scale each frame is written to parquet between batches —
+    * [[CrawlState.save]] / [[CrawlState.load]] own that round trip
+    * (the index via [[Dedup.BandIndex.saveBucketed]] when `indexTable`
+    * is given, so per-batch band joins are index-Exchange-free), with
+    * the write-then-release cache discipline built in; the case class
+    * is the in-session view of that layout. The embedding-side sibling
     * ([[Similarity.KnnGraph.insert]]) composes the same way when the
     * caller maintains a vector index alongside — it is not part of this
     * text-only state.
@@ -204,6 +206,93 @@ object Pipelines {
       * the state's lazy frames recompute from scratch afterwards.
       */
     def release(): Unit = gateCaches.foreach(_.unpersist(blocking = false))
+
+    /** Persist every frame to parquet under `path` (the nightly-crawl
+      * layout the class doc describes) and RELEASE the gate caches —
+      * writes materialize everything the caches fed, so save owns the
+      * write-then-release discipline the prose used to delegate to the
+      * caller. `indexTable`: when given, the index is written bucketed +
+      * sorted on (band, bh) via [[Dedup.BandIndex.saveBucketed]] so every
+      * later append's band join reads it Exchange-free; the table name
+      * travels in the meta frame, so [[CrawlState.load]] needs only the
+      * path. Round-trip contract (spec-pinned in `PipelinesSpec`):
+      * `load(save(state))` then `appendCrawlBatch` / `emitPretrainCorpus`
+      * equals the in-memory chain row-for-row.
+      */
+    def save(path: String, indexTable: Option[String] = None): Unit = {
+      val spark = staged.sparkSession
+      staged.write.mode("overwrite").parquet(s"$path/staged")
+      indexTable match {
+        case Some(tbl) => Dedup.BandIndex.saveBucketed(index, tbl, s"$path/index")
+        case None      => index.write.mode("overwrite").parquet(s"$path/index")
+      }
+      pairs.write.mode("overwrite").parquet(s"$path/pairs")
+      langModel.write.mode("overwrite").parquet(s"$path/lang_model")
+      nbModel.write.mode("overwrite").parquet(s"$path/nb_model")
+      import spark.implicits._
+      Seq((params.idCol, params.textCol, params.langCol, params.useC4Lines,
+        params.minJaccard, params.hashedTokenIds, params.numHashes,
+        params.bands, indexTable.orNull))
+        .toDF("id_col", "text_col", "lang_col", "use_c4_lines", "min_jaccard",
+          "hashed_token_ids", "num_hashes", "bands", "index_table")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      release()
+    }
+
+    /** The in-session sibling of [[save]]: eagerly compute every frame
+      * (localCheckpoint — cluster-resident blocks, not durable parquet)
+      * and release the gate caches, cutting both the lineage chains and
+      * the `gateCaches` growth a long-running append session accrues.
+      *
+      * CADENCE: [[appendCrawlBatch]] already cuts the model frames
+      * eagerly (the exponential merge-chain hazard — see its doc), so
+      * what accrues between checkpoints is the LINEAR growth of the
+      * staged/index/pairs chains (one batch staging chain per append,
+      * the index referenced by both the union and the next pair join)
+      * plus one pinned gate cache per append. A modest cadence (the
+      * spec pins every 3 over a 12-append session) keeps analysis cost
+      * and cache count flat. Production crawls that [[save]] between
+      * batches get the cut for free — depth never exceeds 1.
+      */
+    def checkpoint(): CrawlState = {
+      val out = copy(
+        staged = staged.localCheckpoint(true),
+        index = index.localCheckpoint(true),
+        pairs = pairs.localCheckpoint(true),
+        langModel = langModel.localCheckpoint(true),
+        nbModel = nbModel.localCheckpoint(true),
+        gateCaches = Nil)
+      release()
+      out
+    }
+  }
+
+  object CrawlState {
+    /** Reassemble a [[CrawlState]] from a [[CrawlState.save]] layout:
+      * params come from the meta frame, the index reads bucketed (via
+      * the catalog table recorded at save time) or plain, and
+      * `gateCaches` starts empty — parquet frames have nothing pinned.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): CrawlState = {
+      val meta = spark.read.parquet(s"$path/meta").head()
+      val params = CrawlParams(
+        idCol = meta.getAs[String]("id_col"),
+        textCol = meta.getAs[String]("text_col"),
+        langCol = meta.getAs[String]("lang_col"),
+        useC4Lines = meta.getAs[Boolean]("use_c4_lines"),
+        minJaccard = meta.getAs[Double]("min_jaccard"),
+        hashedTokenIds = meta.getAs[Boolean]("hashed_token_ids"),
+        numHashes = meta.getAs[Int]("num_hashes"),
+        bands = meta.getAs[Int]("bands"))
+      val index = Option(meta.getAs[String]("index_table")) match {
+        case Some(tbl) => Dedup.BandIndex.loadBucketed(spark, tbl)
+        case None      => spark.read.parquet(s"$path/index")
+      }
+      CrawlState(params, spark.read.parquet(s"$path/staged"), index,
+        spark.read.parquet(s"$path/pairs"),
+        spark.read.parquet(s"$path/lang_model"),
+        spark.read.parquet(s"$path/nb_model"))
+    }
   }
 
   /** Build the initial [[CrawlState]] from a first corpus — the same
@@ -237,6 +326,18 @@ object Pipelines {
     * at model-sized cost. Old state frames are referenced, not
     * recomputed.
     *
+    * MODEL FRAMES ARE EAGERLY CUT (localCheckpoint) per append, and the
+    * corpus-sized frames stay lazy. The asymmetry is structural, not
+    * stylistic: the merges reference the prior model 2–3× (counts,
+    * doc dims, totals), so a lazy merge chain's optimizer tree grows
+    * ~3^appends — by append ~5 the ANALYZER is the bottleneck (measured:
+    * minutes of catalyst time, then OOM, on 1-row toy batches). Cutting
+    * the model each append costs exactly the model-sized job the
+    * contract already budgets and keeps every later append flat. The
+    * staged/index/pairs chains grow only linearly per append and are
+    * bounded by the caller's [[CrawlState.save]]/[[CrawlState.checkpoint]]
+    * cadence.
+    *
     * EXACT convergence contract (spec-pinned in `PipelinesSpec`):
     *
     * `emitPretrainCorpus(appendCrawlBatch(initCrawlState(A), B))
@@ -247,7 +348,8 @@ object Pipelines {
     * contracts of its increment primitive (BandIndex union,
     * lmMerge/nbMerge additivity).
     */
-  /** `assumeDisjointIds = true` (default) keeps the call fully lazy and
+  /** `assumeDisjointIds = true` (default) keeps the corpus-sized frames
+    * fully lazy (the model cut above is the only eager work) and
     * trusts the documented precondition that batch ids never repeat
     * state ids; pass `false` to pay ONE eager id-narrow intersect check
     * that raises on overlap — a crawl re-delivering an existing doc_id
@@ -264,9 +366,12 @@ object Pipelines {
     val newIdx = Dedup.BandIndex.build(stagedBatch, idCol, textCol,
       numHashes, bands, hashedTokenIds)
     if (!assumeDisjointIds) {
+      // Row.get + String.valueOf, not getLong: idCol's type is the
+      // caller's (CrawlParams.idCol is configurable) — the validation
+      // path must report the overlap, not throw its own ClassCastException
       val dups = state.index.select(col("id"))
         .intersect(newIdx.select(col("id"))).limit(5)
-        .collect().map(_.getLong(0))
+        .collect().map(r => String.valueOf(r.get(0)))
       require(dups.isEmpty,
         s"appendCrawlBatch: batch re-delivers state ids ${dups.mkString(", ")}" +
           " — the convergence contract needs disjoint ids (dedup or re-key the batch)")
@@ -278,13 +383,61 @@ object Pipelines {
       staged = state.staged.unionByName(stagedBatch),
       index = state.index.unionByName(newIdx),
       pairs = state.pairs.unionByName(newPairs),
+      // eager model cut (see the class doc): the merge references its
+      // left side 2-3x, so a lazy chain grows ~3^appends — the cut keeps
+      // every later append flat at exactly the model-sized job the
+      // contract budgets (and warms gateCache for the staged union)
       langModel = TextAnalysis.lmMerge(state.langModel,
         TextAnalysis.lmEstimate(stagedBatch.select(col(langCol), col(textCol)),
           textCol, minCount = 1L, groupCols = Seq(langCol)),
-        groupCols = Seq(langCol)),
+        groupCols = Seq(langCol)).localCheckpoint(true),
       nbModel = Classify.nbMerge(state.nbModel,
-        Classify.nbTrain(stagedBatch, langCol, textCol)),
+        Classify.nbTrain(stagedBatch, langCol, textCol)).localCheckpoint(true),
       gateCaches = state.gateCaches :+ gateCache)
+  }
+
+  /** Retract documents from the corpus state at REMOVED-SET cost — the
+    * lifecycle's delete half (takedowns / right-to-be-forgotten sweeps,
+    * the other real fleet requirement beside [[appendCrawlBatch]]).
+    * Work per call: staged/index narrow by one id anti-join each, pairs
+    * by two (either endpoint removed kills the pair — its dedup evidence
+    * is gone with the doc); the models retreat by
+    * [[TextAnalysis.lmSubtract]] / [[Classify.nbSubtract]] — counts are
+    * pure sums over documents, so subtraction is EXACT, at model-sized
+    * cost plus one semi-join to re-read only the removed rows' text.
+    *
+    * EXACT convergence contract (spec-pinned in `PipelinesSpec`, the
+    * [[appendCrawlBatch]] convention):
+    *
+    * `removeCrawlBatch(state(A ∪ B), ids(B)) == initCrawlState(A)`
+    *
+    * frame for frame — staging gates are per-doc (staged/index rows of A
+    * are untouched by B's presence), banding is a pure pairwise function
+    * (a surviving pair collides iff it collided without B), and the
+    * subtraction contracts close the models. Ids absent from the state
+    * (never crawled, or already gated out) subtract nothing — the sweep
+    * can replay its takedown list idempotently.
+    */
+  def removeCrawlBatch(state: CrawlState, removeIds: DataFrame): CrawlState = {
+    import state.params._
+    val ids = removeIds.select(col(idCol)).distinct()
+    // only the REMOVED rows' text is re-read — the model subtrahends
+    val removedStaged = state.staged.join(ids, Seq(idCol), "left_semi")
+    CrawlState(state.params,
+      staged = state.staged.join(ids, Seq(idCol), "left_anti"),
+      index = state.index.join(ids.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti"),
+      pairs = state.pairs
+        .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"), "left_anti"),
+      // same eager model cut as appendCrawlBatch — the subtractions
+      // reference their left side 2-3x, the 3^calls lazy-chain hazard
+      langModel = TextAnalysis.lmSubtract(state.langModel,
+        TextAnalysis.lmEstimate(removedStaged.select(col(langCol), col(textCol)),
+          textCol, minCount = 1L, groupCols = Seq(langCol)),
+        groupCols = Seq(langCol)).localCheckpoint(true),
+      nbModel = Classify.nbSubtract(state.nbModel,
+        Classify.nbTrain(removedStaged, langCol, textCol)).localCheckpoint(true),
+      gateCaches = state.gateCaches)
   }
 
   /** The [[pretrainCorpus]] result view of a [[CrawlState]]: keep-best

@@ -290,6 +290,96 @@ object TextAnalysis {
       .select(col("_did").as(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** BM25 sparse retrieval: for each query, the top-`k` documents by
+    * Okapi BM25 (Robertson/Spärck Jones; the lexical-retrieval baseline
+    * every training-data pipeline runs — BM25-based decontamination,
+    * eval-set leakage sweeps, retrieval-augmented data selection) —
+    * a beyond-reference LLM-surface row; the scoring model is the
+    * published Okapi formula.
+    *
+    * Per (query q, doc d): `score = Σ_{t ∈ distinct(q)} idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf(t) = log10(1 + (N − df + 0.5)/(df + 0.5))` — log10 instead of
+    * the classic ln scales every score by the constant 1/ln 10, so
+    * rankings are identical and the idf rides the repo's log10 oracle
+    * bridge (the ql54/ql57 convention). Query term frequency is ignored
+    * (distinct query terms — the standard short-query form). `N` counts
+    * ALL docs (empty ones too); `avgdl = Σ dl / N` with dl = token count.
+    *
+    * HASH-EXACT float discipline (the lmScore convention): each term's
+    * contribution is IEEE double arithmetic (deterministic given (tf, df,
+    * dl, N, sum_dl) — all exact integers) rounded to DECIMAL(18,6); the
+    * per-(query, doc) SUM runs in DECIMAL, so partition order can never
+    * change the result, and the final top-k compares DECIMAL exactly
+    * (ties → ascending doc id).
+    *
+    * PLAN: postings (did, dl, term, tf) ride the scan via the fused
+    * term-count generator (per-doc aggregation needs no shuffle — and
+    * the document TEXT never enters an Exchange); a broadcast semi-join
+    * against the DISTINCT query vocabulary prunes posting lists BEFORE
+    * anything shuffles, so every Exchange after the scan is
+    * matched-postings-sized, not corpus-sized. df is a PARTIAL-COMBINING
+    * count agg over the pruned postings, broadcast back — deliberately
+    * NOT [[distinctiveTerms]]'s COUNT-window-over-term: a window must
+    * co-locate a term's ENTIRE posting list in one task, and a stopword
+    * in one query would turn that into a single-task hot partition at
+    * corpus scale, where the agg's map-side combine ships one partial
+    * count per task per term (valid because the generator emits exactly
+    * one row per (doc, term)). The df branch costs one extra
+    * column-pruned corpus scan — the buy-out of the hot-term window.
+    * Queries then fan out by a second broadcast join, DECIMAL
+    * contributions aggregate on (query, doc), and the per-query rank
+    * window prunes map-side (WindowGroupLimit). Corpus stats (N, Σ dl)
+    * are one scalar-agg scan, broadcast. At 100 TB the corpus is touched
+    * by exactly three column-pruned scans and zero corpus-sized
+    * shuffles, with no single-task partition anywhere. Requires one row
+    * per doc id (the [[distinctiveTerms]] prefix-sum convention) and a
+    * query set that is dim-sized (it is broadcast twice).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               idCol: String, textCol: String,
+               queryIdCol: String, queryTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val postings = docs.select(col(idCol).as("_did"),
+      size(Dedup.tokens(col(textCol))).as("_dl"),
+      graft.functions.Generators.termCounts(col(textCol)).as(Seq("term", "tf")))
+    val qterms = queries.select(col(queryIdCol).as("_qid"),
+      explode(array_distinct(Dedup.tokens(col(queryTextCol)))).as("term"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(Dedup.tokens(col(textCol)))).as("sum_dl"))
+    val qvocab = broadcast(qterms.select(col("term")).distinct())
+    val dfreq = postings.join(qvocab, Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score_d").desc, col("_did"))
+    postings
+      .join(qvocab, Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      // every factor below is IEEE double arithmetic over exact integers,
+      // written with explicit parentheses so the DuckDB oracle evaluates
+      // the same expression tree bit-for-bit; log10 is the one libm
+      // bridge, absorbed by the DECIMAL(18,6) rounding (ql54 convention)
+      .withColumn("idf", log10(lit(1.0) +
+        ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + (lit(b) * col("_dl").cast("double")) /
+              (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+      .withColumn("contrib", (col("idf") * col("tfn")).cast("decimal(18,6)"))
+      .groupBy(col("_qid"), col("_did"))
+      .agg(sum(col("contrib")).as("score_d"))
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(queryIdCol), col("rank"),
+        col("_did").as(idCol), col("score_d").cast("double").as("score"))
+  }
+
   /** Contact-info signals — the PII pre-scrub pass of a training-data
     * pipeline. Counting and redaction use lookaround-free patterns so
     * RE2-based engines (the DuckDB oracle) match identically.
@@ -1033,6 +1123,44 @@ object TextAnalysis {
     val tot = totals(a).unionByName(totals(b))
       .groupBy((groupCols :+ "context").map(col): _*)
       .agg(sum(col("ctx_total")).as("ctx_total"))
+    cnt.join(tot, groupCols :+ "context")
+      .select(keyCols.map(col) ++ Seq(col("cnt"), col("ctx_total")): _*)
+      .withColumn("logp", log10(col("cnt").cast("double") / col("ctx_total")))
+  }
+
+  /** INCREMENTAL model maintenance, the delete half (takedown sweeps /
+    * right-to-be-forgotten): MLE counts are additive over documents, so
+    * the model of a REMOVED sub-corpus subtracts exactly. Exact contract
+    * (spec-pinned, the [[lmMerge]] mirror):
+    * `lmSubtract(lmEstimate(A ∪ B), lmEstimate(B)) == lmEstimate(A)` for
+    * disjoint doc sets at minCount = 1 — rows whose count reaches zero
+    * drop, `ctx_total` is recomputed as the per-(group, context) sum of
+    * the surviving counts (exactly what lmEstimate computes at
+    * minCount = 1; subtracting a PRUNED model is approximate the same
+    * way merging one is — documented, not hidden). A subtrahend count
+    * exceeding the minuend's raises loudly (`raise_error` riding the
+    * one model-sized agg): it means `b` was never merged into `a`, and
+    * silently clamping would desynchronize every downstream score.
+    *
+    * Scale: both inputs are vocabulary-sized model tables — every agg
+    * and join here is model-sized, never corpus-sized.
+    */
+  def lmSubtract(a: DataFrame, b: DataFrame,
+                 groupCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = groupCols ++ Seq("context", "token")
+    def slim(m: DataFrame, sign: Int) =
+      m.select(keyCols.map(col) :+ (col("cnt") * lit(sign)).as("cnt"): _*)
+    val cnt = slim(a, 1).unionByName(slim(b, -1))
+      .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cnt",
+        when(col("cnt") < 0, raise_error(concat(
+          lit("lmSubtract: negative count for ("),
+          concat_ws(", ", keyCols.map(col): _*),
+          lit(") — the subtrahend model was never merged into the minuend"))))
+          .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+    val tot = cnt.groupBy((groupCols :+ "context").map(col): _*)
+      .agg(sum(col("cnt")).as("ctx_total"))
     cnt.join(tot, groupCols :+ "context")
       .select(keyCols.map(col) ++ Seq(col("cnt"), col("ctx_total")): _*)
       .withColumn("logp", log10(col("cnt").cast("double") / col("ctx_total")))

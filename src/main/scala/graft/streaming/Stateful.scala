@@ -164,35 +164,71 @@ object Stateful {
       new MinHashSketchState(numHashes), TimeMode.None(), OutputMode.Update())
   }
 
+  /** The (time mode, output mode) pair a TTL choice implies: value-level
+    * TTL needs the processing-time clock; TTL-free processors stay on
+    * TimeMode.None.
+    */
+  private def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
   /** LSH bucket membership state: keyed by `(band, bandHash)`, the state
     * is the doc ids already seen in the bucket; each newly-arriving doc
     * emits one candidate pair per existing member (a<b normalized), then
     * joins the membership. After any prefix of the stream the emitted
     * pair set equals the batch `Dedup.minHashLshCandidates` pair set over
     * the documents ingested so far (spec-pinned) — the same banding
-    * collision semantics, incrementally. Per-bucket state is the bucket's
-    * membership list — the same blowup bound as the batch band join;
-    * production use pairs this with a TTL/watermark eviction policy when
-    * the corpus is unbounded.
+    * collision semantics, incrementally.
+    *
+    * BOUNDED STATE (the batch family's `maxDf` hot-key-cut convention,
+    * [[graft.llm.Dedup.jaccardSimilarityJoin]], applied to the stream —
+    * the reference never lets cross-call state grow unbounded either:
+    * the limiter's bucket is capped by burst, reference/ratelimiter.go:82-94):
+    * once a bucket holds `maxBucketSize` members it is SATURATED — later
+    * arrivals are dropped (no pairs, no membership; logged once per
+    * trigger), so per-bucket state and per-arrival work are both bounded
+    * at the cap. A saturated bucket is band-collision noise by
+    * construction: real near-dup clusters are small, hot buckets are
+    * ubiquitous-content artifacts (the same argument that lets batch
+    * `maxDf` drop hot shingles). Spec-pinned recall contract
+    * (`StatefulSpec`): with cap C, the emitted pair set sits between the
+    * df-cut batch result and the uncut batch result —
+    * `batchPairs(buckets with ≤ C members) ⊆ streamed(C) ⊆ batchPairs` —
+    * because a bucket that never exceeds C is replayed exactly, and a
+    * saturated bucket emits only its first-C prefix pairs (each a real
+    * uncut-batch pair). `ttl` additionally expires members by processing
+    * time (RocksDB value TTL), capping state at (members per TTL window)
+    * for unbounded corpora: pairs emit only between docs whose bucket
+    * residencies overlap — the replay-window recall trade, spec-pinned.
     */
-  final class LshBucketPairs
+  final class LshBucketPairs(maxBucketSize: Int = Int.MaxValue,
+                             ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[(Int, Long), (Int, Long, Long), (Long, Long)] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
+      members = getHandle.getListState[Long]("members", Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[(Int, Long, Long)],
                                  timers: TimerValues): Iterator[(Long, Long)] = {
-      val existing = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val existing = scala.collection.mutable.LinkedHashSet.empty[Long]
       val it = members.get()
       while (it.hasNext) existing += it.next()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var warned = false
       rows.foreach { case (_, _, id) =>
         if (!existing.contains(id)) { // idempotent under doc replays
-          existing.foreach(e => out += (if (e < id) (e, id) else (id, e)))
-          existing += id
-          members.appendValue(id)
+          if (existing.size >= maxBucketSize) {
+            if (!warned) {
+              logger.warn(s"LshBucketPairs: bucket $key saturated at " +
+                s"$maxBucketSize members — dropping arrivals (df-cut)")
+              warned = true
+            }
+          } else {
+            existing.foreach(e => out += (if (e < id) (e, id) else (id, e)))
+            existing += id
+            members.appendValue(id)
+          }
         }
       }
       out.iterator
@@ -206,13 +242,20 @@ object Stateful {
     * stateful tail emits pairs as buckets fill. Candidate pairs may emit
     * once per colliding band — compare as sets or dedup downstream,
     * exactly like the batch path's pre-score `dropDuplicates`.
+    *
+    * Unbounded-corpus knobs (see [[LshBucketPairs]] for the pinned
+    * contracts): `maxBucketSize` df-cuts saturated buckets at the cap;
+    * `ttl` expires membership by processing time.
     */
   def minHashLshCandidatePairsStream(docs: Dataset[(Long, String)],
                                      numHashes: Int = 64,
-                                     bands: Int = 8): Dataset[(Long, Long)] = {
+                                     bands: Int = 8,
+                                     maxBucketSize: Int = Int.MaxValue,
+                                     ttl: TTLConfig = TTLConfig.NONE): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     val r = numHashes / bands
     val banded = docs.toDF("id", "text")
       .select(col("id"), graft.llm.Dedup.tokens(col("text")).as("toks"))
@@ -224,7 +267,7 @@ object Stateful {
       .select(col("pos").cast("int").as("band"), col("col").as("bh"), col("id"))
       .as[(Int, Long, Long)]
     banded.groupByKey(row => (row._1, row._2)).transformWithState(
-      new LshBucketPairs, TimeMode.None(), OutputMode.Update())
+      new LshBucketPairs(maxBucketSize, ttl), timeModeFor(ttl), OutputMode.Update())
   }
 
   /** Bucket membership with the member's FULL 64-bit hash in state, so
@@ -234,21 +277,31 @@ object Stateful {
     * (same state-size argument as [[LshBucketPairs]]: per-bucket member
     * lists ride the state store at 16 bytes/member; occupancy follows
     * the batch operator's band-width noise math).
+    *
+    * BOUNDED STATE: same `maxBucketSize` df-cut + `ttl` eviction
+    * contracts as [[LshBucketPairs]] (spec-pinned in `StatefulSpec`) — a
+    * hot band bucket here is logo-class repeated media / near-constant
+    * images, exactly the content a crawl wants cut, and without the cap
+    * it degrades to O(n) state and O(n²) pair emission per bucket.
     */
-  final class PerceptualBucketPairs(maxHamming: Int)
+  final class PerceptualBucketPairs(maxHamming: Int,
+                                    maxBucketSize: Int = Int.MaxValue,
+                                    ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[(Int, Long), (Int, Long, Long, Long), (Long, Long, Int)] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[(Long, Long)]("members",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
                                  timers: TimerValues): Iterator[(Long, Long, Int)] = {
-      val existing = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val existing = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
       val it = members.get()
       while (it.hasNext) existing += it.next()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var warned = false
       rows.foreach { case (_, _, id, h) =>
         // idempotency keys on the full (id, hash) MEMBER, not the id: a
         // replay of the same row is dropped, but a re-delivery of an id
@@ -258,15 +311,23 @@ object Stateful {
         // operator exists to catch. Self-pairs (same id, both hashes in
         // the bucket) are suppressed like the batch a.id < b.id form.
         if (!existing.contains((id, h))) {
-          existing.foreach { case (eid, eh) =>
-            if (eid != id) {
-              val hd = java.lang.Long.bitCount(h ^ eh)
-              if (hd <= maxHamming)
-                out += (if (eid < id) (eid, id, hd) else (id, eid, hd))
+          if (existing.size >= maxBucketSize) {
+            if (!warned) {
+              logger.warn(s"PerceptualBucketPairs: bucket $key saturated at " +
+                s"$maxBucketSize members — dropping arrivals (df-cut)")
+              warned = true
             }
+          } else {
+            existing.foreach { case (eid, eh) =>
+              if (eid != id) {
+                val hd = java.lang.Long.bitCount(h ^ eh)
+                if (hd <= maxHamming)
+                  out += (if (eid < id) (eid, id, hd) else (id, eid, hd))
+              }
+            }
+            existing += ((id, h))
+            members.appendValue((id, h))
           }
-          existing += ((id, h))
-          members.appendValue((id, h))
         }
       }
       out.iterator
@@ -282,14 +343,21 @@ object Stateful {
     * colliding band — compare as sets or dedup downstream, the
     * [[minHashLshCandidatePairsStream]] contract. NULL hashes
     * (undecodable media) never enter a bucket, matching batch.
+    *
+    * Unbounded-corpus knobs (see [[LshBucketPairs]] for the pinned
+    * contracts): `maxBucketSize` df-cuts saturated buckets at the cap;
+    * `ttl` expires membership by processing time.
     */
   def perceptualNearDupPairsStream(media: Dataset[(Long, Long)],
                                    bands: Int = 4,
-                                   maxHamming: Int = 3): Dataset[(Long, Long, Int)] = {
+                                   maxHamming: Int = 3,
+                                   maxBucketSize: Int = Int.MaxValue,
+                                   ttl: TTLConfig = TTLConfig.NONE): Dataset[(Long, Long, Int)] = {
     import media.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     val width = 64 / bands
     val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
     val banded = media.toDF("id", "h")
@@ -301,6 +369,7 @@ object Stateful {
         col("id"), col("h"))
       .as[(Int, Long, Long, Long)]
     banded.groupByKey(row => (row._1, row._2)).transformWithState(
-      new PerceptualBucketPairs(maxHamming), TimeMode.None(), OutputMode.Update())
+      new PerceptualBucketPairs(maxHamming, maxBucketSize, ttl),
+      timeModeFor(ttl), OutputMode.Update())
   }
 }

@@ -64,6 +64,22 @@ object PlanAudit {
       "queries broadcast their per-query ADC tables (computed ONCE each, never per pair), " +
       "the scored cross join is m adds + lookups per pair, then the partial_topkbysim " +
       "bounded tail -- neither embeddings nor codes in any shuffle Exchange"),
+    "ql66_ivfpq_topk" -> ("IVFPQ, the composed FAISS serving layout: corpus projects " +
+      "(id, nearest_centroids bucket, 16-byte code) riding its scan; queries broadcast " +
+      "(ADC tables, exploded probe buckets) so the bucket equi-join prunes candidates " +
+      "to nprobe/k of the corpus BEFORE any ADC scoring; then the partial_topkbysim " +
+      "bounded tail -- neither embeddings nor codes in any shuffle Exchange"),
+    "ql67_bm25_topk" -> ("BM25 sparse retrieval: postings (did, dl, term, tf) ride the " +
+      "corpus scan via the fused term-count generator (document text never enters an " +
+      "Exchange), a broadcast semi-join against the DISTINCT query vocabulary prunes " +
+      "posting lists BEFORE anything shuffles, df is a PARTIAL-COMBINING count agg " +
+      "over the pruned postings broadcast back (NOT a term window -- a stopword query " +
+      "term would make that a single-task hot partition at corpus scale; the combine " +
+      "ships one partial count per task per term), queries fan out by a second " +
+      "broadcast join, DECIMAL contributions aggregate on (query, doc), and the " +
+      "per-query rank window prunes map-side (WindowGroupLimit) -- three " +
+      "column-pruned corpus scans (postings, the df branch, the scalar N/sum_dl agg), " +
+      "zero corpus-sized shuffles, no single-task partition anywhere"),
     "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
       "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
     "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
@@ -262,12 +278,14 @@ object PlanAudit {
       "canonicalization regex chain runs exactly twice (machine-checked: <=2 corpus " +
       "scans), O(1) per-key agg state, no windows; the agg Exchange carries only " +
       "(curl, score, id)"),
-    "ql50b_pretrain_incremental" -> ("the incremental lifecycle's LAZY plan (unlike " +
-      "ql50's checkpointed registry form): both batches' gate batteries ride their " +
-      "scans to persisted cuts, the arriving batch signs ONCE and band-joins the " +
-      "initial corpus's index (narrow (id, mh, band, bh) rows — old text never " +
-      "re-enters a join), cluster joins on ids, keep-best agg, per-language bucket " +
-      "window over survivors — never a cross join anywhere"),
+    "ql50b_pretrain_incremental" -> ("the incremental lifecycle; the REGISTRY form is " +
+      "checkpoint-collapsed like ql50's (materialize-then-release — the r14 ADVICE " +
+      "gate-cache-leak fix), so the shape claims are gated on the LAZY chain in " +
+      "PlanShapeSpec: both batches' gate batteries ride their scans to persisted " +
+      "cuts, the arriving batch signs ONCE and band-joins the initial corpus's " +
+      "index (narrow (id, mh, band, bh) rows — old text never re-enters a join), " +
+      "cluster joins on ids, keep-best agg, per-language bucket window over " +
+      "survivors — never a cross join anywhere"),
     "qm3_perceptual_neardup" -> ("perceptual near-dup: the fused dhash64 projection " +
       "rides the scan (media bytes exist only INSIDE scan-local expressions -- the " +
       "typed gate pins no binary column in any Exchange), 4-band posexplode to narrow " +
@@ -388,6 +406,18 @@ object PlanAudit {
     "ql27_quantized_topk" -> Shape(require = Seq("partial_topkbysim")),
     "ql65_pq_topk" -> Shape(require = Seq("partial_topkbysim", "pq_adc_cosine"),
       noWideShuffle = true),
+    // ql66: the composed FAISS layout — IVF assignment prunes the scan
+    // side, ADC scores codes, bounded top-k tail; neither embeddings nor
+    // codes ride any Exchange
+    "ql66_ivfpq_topk" -> Shape(require =
+      Seq("partial_topkbysim", "pq_adc_cosine", "nearest_centroids"),
+      noWideShuffle = true),
+    // ql67: postings + df-branch + scalar-stats corpus scans plus three
+    // pushed-down query-side scans (doc_id < 8) = 6 static; every join
+    // broadcasts, the rank window prunes map-side, contributions are the
+    // fused generator's rows — never a sort-merge or cartesian join
+    "ql67_bm25_topk" -> Shape(maxScans = 6, forbid = noSmj ++ noCross,
+      require = Seq("WindowGroupLimit", "BroadcastHashJoin", "explodetermcounts")),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere
@@ -465,10 +495,12 @@ object PlanAudit {
     // post-checkpoint tail of the iterative build: the final stage must
     // still never cross-join
     "ql34_knn_descent" -> Shape(1, forbid = noCross),
-    // the lazy incremental pipeline: never all-pairs, and the window
-    // stage is the one documented per-language sort
-    "ql50b_pretrain_incremental" -> Shape(forbid = noCross,
-      require = Seq("Window ["))
+    // ql50b has NO static row: the registry form localCheckpoints
+    // (materialize-then-release, the r14 ADVICE gate-cache-leak fix), so
+    // its plan collapses to an ExistingRDD scan exactly like ql50's — the
+    // lazy chain's shape (never a cross join, the one per-language bucket
+    // window) is gated directly in PlanShapeSpec on the un-collapsed
+    // chain, the ql50 convention
   )
 
   def main(args: Array[String]): Unit = {

@@ -45,6 +45,16 @@ object ScaleBench {
     // bounded 2048-sample TakeOrdered + driver Lloyd, encode+score ride
     // the scan, so the row must track the scan near-linearly
     "ql65_pq_topk",
+    // ql66: the composed IVFPQ layout — the IVF bucket join prunes the
+    // ADC scoring to nprobe/k of the corpus, so the row must track the
+    // scan like ql65 while doing strictly less pair work per candidate
+    "ql66_ivfpq_topk",
+    // ql67: BM25 retrieval — postings ride the scan, the query-vocab
+    // prune bounds every Exchange by matched posting lists (which grow
+    // linearly with the corpus for a fixed query set), so the row must
+    // track the scan near-linearly; a super-linear ratio would mean the
+    // df window or the (query, doc) agg stopped pruning
+    "ql67_bm25_topk",
     // round-7 scale evidence: ql30 (IVF cells ∝ n — the growth-safety
     // flagship) and ql32 (auto-derived planes) are the two designed fixes
     // for ql14's fixed-planes super-linear; ql22/ql26 are budget/cap ops
@@ -158,7 +168,14 @@ object ScaleBench {
     // model merges — old corpus TEXT is never re-read, so time must track
     // the batch plus narrow index/model scans, never the corpus re-stage
     // that pretrainCorpus(union) would pay
-    "pretrain_append")
+    "pretrain_append",
+    // the delete half: a FIXED takedown list (500 ids) retracted from the
+    // same on-parquet state. The timed work is the model subtraction
+    // (model-sized aggs) plus ONE column-pruned semi-join scan of staged
+    // to re-read only the removed rows' text — so time tracks the narrow
+    // staged scan, never a re-stage; the anti-join narrows are lazy
+    // projections the next consumer pays
+    "pretrain_remove")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -276,11 +293,27 @@ object ScaleBench {
       spark.sqlContext.clearCache()
     }
 
+    // pretrain_remove: retract a fixed takedown list from the on-parquet
+    // state (the setup appendState already built); the advanced evidence
+    // frames noop-write like runAppend — pairs force the anti-join
+    // narrows, the models force the subtraction (model aggs + ONE
+    // column-pruned semi-join scan of staged for the removed rows' text)
+    def runRemove(dir: String): Unit = {
+      val (st, _) = appendState(dir)
+      val ids = st.staged.select(col("doc_id")).filter(col("doc_id") < 1000)
+      val st2 = graft.llm.Pipelines.removeCrawlBatch(st, ids)
+      st2.pairs.write.format("noop").mode("overwrite").save()
+      st2.langModel.write.format("noop").mode("overwrite").save()
+      st2.nbModel.write.format("noop").mode("overwrite").save()
+      spark.sqlContext.clearCache()
+    }
+
     // warm plan shapes (codegen/classloading is per-shape, not per-size)
     for (q <- queries)
       if (q == "ql50_pretrain_sink") runSink("/root/testdata/sf0.001")
       else if (q == "knn_insert") runKnnInsert("/root/testdata/sf0.001")
       else if (q == "pretrain_append") runAppend("/root/testdata/sf0.001")
+      else if (q == "pretrain_remove") runRemove("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
 
@@ -290,7 +323,9 @@ object ScaleBench {
     // likewise the crawl states: the parquet state build is setup, and
     // paying it inside sample 1 would burn one of the two min-of-2
     // samples on a corpus-scale write
-    if (queries.contains("pretrain_append")) { appendState(base1x); appendState(out) }
+    if (queries.contains("pretrain_append") || queries.contains("pretrain_remove")) {
+      appendState(base1x); appendState(out)
+    }
 
     def time(q: String, dir: String): Double =
       (1 to 2).map { _ =>
@@ -298,6 +333,7 @@ object ScaleBench {
         if (q == "ql50_pretrain_sink") runSink(dir)
         else if (q == "knn_insert") runKnnInsert(dir)
         else if (q == "pretrain_append") runAppend(dir)
+        else if (q == "pretrain_remove") runRemove(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

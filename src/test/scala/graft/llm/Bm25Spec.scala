@@ -1,0 +1,93 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // The operator's exact arithmetic, recomputed scalar-side: per-term
+  // IEEE double contribution rounded to DECIMAL(18,6) HALF_UP, summed
+  // exactly — what the distributed plan must reproduce bit-for-bit.
+  private def contrib(tf: Long, df: Long, dl: Long, n: Long, sumDl: Long,
+                      k1: Double = 1.2, b: Double = 0.75): BigDecimal = {
+    val idf = math.log10(1.0 + ((n.toDouble - df.toDouble) + 0.5) / (df.toDouble + 0.5))
+    val tfn = (tf.toDouble * (k1 + 1.0)) /
+      (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / (sumDl.toDouble / n.toDouble)))
+    BigDecimal(idf * tfn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  }
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),          // dl=3: apple tf=2, banana tf=1
+    (2L, "banana cherry"),               // dl=2
+    (3L, "cherry cherry cherry durian")  // dl=4
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK matches the hand-computed Okapi scores and ranking") {
+    val queries = Seq((10L, "apple cherry")).toDF("query_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+      "query_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // N=3, sum_dl=9; df(apple)=1, df(cherry)=2
+    val d1 = contrib(tf = 2, df = 1, dl = 3, n = 3, sumDl = 9) // doc1: apple
+    val d2 = contrib(tf = 1, df = 2, dl = 2, n = 3, sumDl = 9) // doc2: cherry
+    val d3 = contrib(tf = 3, df = 2, dl = 4, n = 3, sumDl = 9) // doc3: cherry
+    assert(d1 > d3 && d3 > d2, s"fixture must rank 1 > 3 > 2, got $d1 $d3 $d2")
+    assert(out.toSeq == Seq(
+      (10L, 1, 1L, d1.toDouble),
+      (10L, 2, 3L, d3.toDouble),
+      (10L, 3, 2L, d2.toDouble)))
+  }
+
+  test("bm25TopK sums multi-term matches in DECIMAL (order-independent)") {
+    val queries = Seq((10L, "banana cherry")).toDF("query_id", "text")
+    val base = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+      "query_id", "text", k = 5)
+    val rows = rowsOf(base)
+    // doc2 matches BOTH terms: its score is the exact DECIMAL sum
+    val d2 = contrib(tf = 1, df = 2, dl = 2, n = 3, sumDl = 9) + // banana
+      contrib(tf = 1, df = 2, dl = 2, n = 3, sumDl = 9)          // cherry (same tf/df/dl here)
+    assert(rows.exists(r => r(0) == 10L && r(2) == 2L && r(3) == d2.toDouble))
+    // partition layout must never change a score or a rank
+    val repart = TextAnalysis.bm25TopK(corpus.repartition(7), queries,
+      "doc_id", "text", "query_id", "text", k = 5)
+    assert(rowsOf(repart) == rows)
+  }
+
+  test("bm25TopK caps at k with dense ranks and ascending-id ties") {
+    val docs = Seq.tabulate(6)(i => (i.toLong, "same same text")).toDF("doc_id", "text")
+    val queries = Seq((1L, "same")).toDF("query_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+      "query_id", "text", k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // all six docs tie exactly — survivors are the 4 smallest ids, ranked by id
+    assert(out.toSeq == Seq((1, 0L), (2, 1L), (3, 2L), (4, 3L)))
+  }
+
+  test("bm25TopK edge cases: empty query, OOV-only query, null-text doc") {
+    val docs = corpus.union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val queries = Seq(
+      (10L, "apple"), (11L, ""), (12L, "zzz-not-in-corpus")).toDF("query_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+      "query_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // empty and OOV queries emit nothing; the null-text doc emits no
+    // postings but DOES count in N and is skipped by sum_dl — idf and
+    // avgdl shift accordingly (N=4, sum_dl=9)
+    assert(out.map(_._1).toSet == Set(10L))
+    val expected = contrib(tf = 2, df = 1, dl = 3, n = 4, sumDl = 9)
+    assert(out.toSeq == Seq((10L, 1L, expected.toDouble)))
+  }
+
+  test("bm25TopK plan: query joins broadcast, postings prune before any shuffle") {
+    val queries = Seq((10L, "apple cherry")).toDF("query_id", "text")
+    val df = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+      "query_id", "text", k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "query vocabulary and fan-out must broadcast, never shuffle the corpus")
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-query top-k window must prune map-side")
+  }
+}

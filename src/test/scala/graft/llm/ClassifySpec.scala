@@ -79,6 +79,34 @@ class ClassifySpec extends SparkSpec {
       rowsOf(Classify.nbClassify(docs, "doc_id", "text", direct)))
   }
 
+  test("nbSubtract(nbTrain(A ∪ B), nbTrain(B)) == nbTrain(A) (the nbMerge inverse)") {
+    val a = Seq(("good", "fresh clean"), ("bad", "spam")).toDF("label", "text")
+    // b carries a label absent from a ("meh") — after subtraction the
+    // label must disappear entirely, as nbTrain(a) never saw it
+    val b = Seq(("good", "clean bright"), ("meh", "plain")).toDF("label", "text")
+    val sub = Classify.nbSubtract(
+      Classify.nbTrain(a.unionByName(b), "label", "text"),
+      Classify.nbTrain(b, "label", "text"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("label", "token", "cnt", "label_total", "vocab", "n_docs", "n_docs_total")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(key(sub) == key(Classify.nbTrain(a, "label", "text")))
+    // and the subtracted model CLASSIFIES identically to a direct train
+    val docs = Seq((1L, "clean"), (2L, "spam")).toDF("doc_id", "text")
+    assert(rowsOf(Classify.nbClassify(docs, "doc_id", "text", sub)) ==
+      rowsOf(Classify.nbClassify(docs, "doc_id", "text",
+        Classify.nbTrain(a, "label", "text"))))
+    // subtracting a model never trained in raises loudly, not a clamp
+    val e = intercept[Exception] {
+      Classify.nbSubtract(
+        Classify.nbTrain(a, "label", "text"),
+        Classify.nbTrain(Seq(("good", "zz zz")).toDF("label", "text"),
+          "label", "text")).collect()
+    }
+    assert(e.getMessage.contains("nbSubtract") ||
+      Option(e.getCause).exists(_.getMessage.contains("nbSubtract")))
+  }
+
   test("scores are partitioning-independent (DECIMAL sums)") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))

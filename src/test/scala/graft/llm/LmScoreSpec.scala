@@ -156,6 +156,45 @@ class LmScoreSpec extends SparkSpec {
     assert(gkey(gm) == gkey(gd))
   }
 
+  test("lmSubtract(estimate(A ∪ B), estimate(B)) == estimate(A) at minCount 1 (the lmMerge inverse)") {
+    val a = Seq("the cat sat", "a cat").toDF("text")
+    val b = Seq("the cat ran", "the end").toDF("text")
+    val sub = TextAnalysis.lmSubtract(
+      TextAnalysis.lmEstimate(a.unionByName(b), "text"),
+      TextAnalysis.lmEstimate(b, "text"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("context", "token", "cnt", "ctx_total")
+        .as[(String, String, Long, Long)].collect().toSet
+    assert(key(sub) == key(TextAnalysis.lmEstimate(a, "text")))
+    // logp recomputes from the exact subtracted integers — bit-identical
+    val lp = sub.select("context", "token", "logp")
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val want = TextAnalysis.lmEstimate(a, "text").select("context", "token", "logp")
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(lp == want)
+    // grouped form subtracts per language independently — a language
+    // entirely removed disappears from the model
+    val ga = Seq(("en", "x y"), ("de", "u v")).toDF("lang", "text")
+    val gb = Seq(("de", "u v")).toDF("lang", "text")
+    val gs = TextAnalysis.lmSubtract(
+      TextAnalysis.lmEstimate(ga, "text", groupCols = Seq("lang")),
+      TextAnalysis.lmEstimate(gb, "text", groupCols = Seq("lang")),
+      groupCols = Seq("lang"))
+    def gkey(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "context", "token", "cnt", "ctx_total")
+        .as[(String, String, String, Long, Long)].collect().toSet
+    assert(gkey(gs) == gkey(TextAnalysis.lmEstimate(
+      Seq(("en", "x y")).toDF("lang", "text"), "text", groupCols = Seq("lang"))))
+    // subtracting a model never merged in raises loudly, not a clamp
+    val e = intercept[Exception] {
+      TextAnalysis.lmSubtract(
+        TextAnalysis.lmEstimate(a, "text"),
+        TextAnalysis.lmEstimate(Seq("zz zz zz zz").toDF("text"), "text")).collect()
+    }
+    assert(e.getMessage.contains("lmSubtract") ||
+      Option(e.getCause).exists(_.getMessage.contains("lmSubtract")))
+  }
+
   test("lmSaveTsv -> lmFromTsv round-trips a model; scores are identical") {
     val corpus = Seq("the cat sat", "the cat ran").toDF("text")
     val model = TextAnalysis.lmEstimate(corpus, "text")

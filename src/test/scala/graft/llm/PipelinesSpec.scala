@@ -203,6 +203,131 @@ class PipelinesSpec extends SparkSpec {
     spark.sqlContext.clearCache()
   }
 
+  test("removeCrawlBatch converges exactly to initCrawlState on the complement corpus") {
+    import spark.implicits._
+    // A: survivors + junk; B: the batch to retract, carrying a CROSS
+    // near-dup of an A doc (so removal must also retract pair evidence)
+    val docsA = (Seq((22L, "tiny doc.", "en")) ++
+      (30 to 36).map(i => (i.toLong, goodDoc(i), if (i % 2 == 0) "en" else "de")))
+      .toDF("doc_id", "text", "lang")
+    val docsB = (Seq((40L, goodDoc(30).replace("w30x0y1", "altered"), "en")) ++
+      (50 to 53).map(i => (i.toLong, goodDoc(i), if (i % 2 == 0) "en" else "de")))
+      .toDF("doc_id", "text", "lang")
+    spark.sqlContext.clearCache()
+    // checkpoint() the input state: every comparison below re-derives the
+    // remove frames, and without the lineage cut the nested staging
+    // chains blow the driver heap (each rowsOf recompiles the whole
+    // init→append→remove plan) — this is also the production shape: a
+    // takedown sweep runs against a SAVED state, not a live lazy chain
+    val full = Pipelines.appendCrawlBatch(Pipelines.initCrawlState(docsA), docsB)
+      .checkpoint()
+    // the takedown list: all of B, an id the gates dropped (22), and an
+    // id never crawled (999) — idempotent-sweep semantics
+    val ids = (docsB.select("doc_id").as[Long].collect().toSeq ++ Seq(22L, 999L))
+      .toDF("doc_id")
+    val removed = Pipelines.removeCrawlBatch(full, ids)
+    val scratch = Pipelines.initCrawlState(docsA).checkpoint()
+    assert(rowsOf(removed.staged) == rowsOf(scratch.staged))
+    assert(rowsOf(removed.index.select("id", "band", "bh")) ==
+      rowsOf(scratch.index.select("id", "band", "bh")))
+    assert(rowsOf(removed.pairs) == rowsOf(scratch.pairs))
+    assert(rowsOf(removed.langModel) == rowsOf(scratch.langModel))
+    assert(rowsOf(removed.nbModel) == rowsOf(scratch.nbModel))
+    assert(rowsOf(Pipelines.emitPretrainCorpus(removed)) ==
+      rowsOf(Pipelines.emitPretrainCorpus(scratch)))
+    // fixture sanity: the cross pair really existed before the removal
+    assert(full.pairs.count() > scratch.pairs.count())
+    // partial removal works too: retracting HALF of B equals the state
+    // built from A plus the other half
+    val keep = docsB.filter(col("doc_id") >= 51L)
+    val partial = Pipelines.removeCrawlBatch(full,
+      docsB.filter(col("doc_id") < 51L).select("doc_id"))
+    val direct = Pipelines.appendCrawlBatch(Pipelines.initCrawlState(docsA), keep)
+      .checkpoint()
+    assert(rowsOf(partial.staged) == rowsOf(direct.staged))
+    assert(rowsOf(partial.pairs) == rowsOf(direct.pairs))
+    assert(rowsOf(partial.langModel) == rowsOf(direct.langModel))
+    assert(rowsOf(partial.nbModel) == rowsOf(direct.nbModel))
+    spark.sqlContext.clearCache()
+  }
+
+  test("CrawlState.save/load round-trips: the loaded state appends and emits like the in-memory one") {
+    import spark.implicits._
+    val docsA = (30 to 36).map(i => (i.toLong, goodDoc(i), if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val docsB = (Seq((40L, goodDoc(30).replace("w30x0y1", "altered"), "en")) ++
+      (50 to 52).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("crawl_state").toString
+    spark.sqlContext.clearCache()
+    val params = Pipelines.CrawlParams(hashedTokenIds = true, numHashes = 32, bands = 4)
+    Pipelines.initCrawlState(docsA, params).save(s"$dir/plain")
+    // save owns write-then-release: no cached blocks survive it
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "save must release the gate caches after writing")
+    val loaded = Pipelines.CrawlState.load(spark, s"$dir/plain")
+    assert(loaded.params == params, "params must travel with the state")
+    val viaDisk = Pipelines.appendCrawlBatch(loaded, docsB)
+    val inMem = Pipelines.appendCrawlBatch(Pipelines.initCrawlState(docsA, params), docsB)
+      .checkpoint() // lineage cut (the removeCrawlBatch-test heap argument)
+    assert(rowsOf(viaDisk.staged) == rowsOf(inMem.staged))
+    assert(rowsOf(viaDisk.index.select("id", "band", "bh")) ==
+      rowsOf(inMem.index.select("id", "band", "bh")))
+    assert(rowsOf(viaDisk.pairs) == rowsOf(inMem.pairs))
+    assert(rowsOf(viaDisk.langModel) == rowsOf(inMem.langModel))
+    assert(rowsOf(viaDisk.nbModel) == rowsOf(inMem.nbModel))
+    assert(rowsOf(Pipelines.emitPretrainCorpus(viaDisk)) ==
+      rowsOf(Pipelines.emitPretrainCorpus(inMem)))
+    viaDisk.release()
+    // the bucketed layout: index through the catalog, same chain result
+    spark.sql("DROP TABLE IF EXISTS crawl_idx_spec")
+    Pipelines.initCrawlState(docsA, params)
+      .save(s"$dir/bucketed", indexTable = Some("crawl_idx_spec"))
+    val loadedB = Pipelines.CrawlState.load(spark, s"$dir/bucketed")
+    val viaBucket = Pipelines.appendCrawlBatch(loadedB, docsB)
+    val inMem2 = Pipelines.appendCrawlBatch(Pipelines.initCrawlState(docsA, params), docsB)
+      .checkpoint()
+    assert(rowsOf(viaBucket.pairs) == rowsOf(inMem2.pairs))
+    assert(rowsOf(Pipelines.emitPretrainCorpus(viaBucket)) ==
+      rowsOf(Pipelines.emitPretrainCorpus(inMem2)))
+    viaBucket.release()
+    spark.sql("DROP TABLE IF EXISTS crawl_idx_spec")
+    spark.sqlContext.clearCache()
+  }
+
+  test("checkpoint() bounds gateCaches across a 12-append session (no unbounded growth)") {
+    import spark.implicits._
+    spark.sqlContext.clearCache()
+    var state = Pipelines.initCrawlState(
+      Seq((0L, goodDoc(0), "en")).toDF("doc_id", "text", "lang"))
+    var maxCaches = state.gateCaches.size
+    // checkpoint every 3 appends — the cadence the checkpoint() scaladoc
+    // prescribes: the model frames are already cut per append (the
+    // exponential merge-chain hazard lives in appendCrawlBatch itself),
+    // so the cadence bounds the LINEAR staged/index/pairs chain growth
+    // and the gate-cache count. The session END is a checkpoint (12 % 3
+    // == 0) — only then is "no cached blocks remain" a fair assertion:
+    // between checkpoints the live appends legitimately pin their gate
+    // caches (that is the point of the cadence bound)
+    (1 to 12).foreach { i =>
+      state = Pipelines.appendCrawlBatch(state,
+        Seq((i.toLong, goodDoc(i), "en")).toDF("doc_id", "text", "lang"))
+      maxCaches = math.max(maxCaches, state.gateCaches.size)
+      if (i % 3 == 0) {
+        state = state.checkpoint()
+        assert(state.gateCaches.isEmpty, "checkpoint must clear the cache handles")
+      }
+    }
+    // the session never held more than init + one checkpoint interval
+    assert(maxCaches <= 4, s"gateCaches grew to $maxCaches — unbounded growth")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "every gate cache must be unpersisted after the final checkpoint")
+    // and the checkpointed chain still converges to the from-scratch run
+    val all = (0 to 12).map(i => (i.toLong, goodDoc(i), "en")).toDF("doc_id", "text", "lang")
+    assert(rowsOf(Pipelines.emitPretrainCorpus(state)) ==
+      rowsOf(Pipelines.pretrainCorpus(all, materialize = false)))
+    spark.sqlContext.clearCache()
+  }
+
   test("written-sink lifecycle leaves no cached blocks behind (100 TB calling convention)") {
     val docs = ((1 to 8).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
     // materialize = true (default): the pipeline owns the cache and must

@@ -135,6 +135,33 @@ class PqSpec extends SparkSpec {
     assert(s2 == -2.0, "truncated vector poisons to rank-last, not a crash")
   }
 
+  test("malformed CORPUS vectors encode to the empty sentinel code and rank last (never top-k)") {
+    val cb = Similarity.PqCodebook.train(emb, "vec_id", m = 16, ksub = 16)
+    // corpus: 50 organic rows + a NaN-slot row + a truncated row — before
+    // the sentinel these encoded to a VALID-LOOKING code (bad subspaces
+    // fell back to code 0) that could score a plausible ADC similarity
+    val nanVec = Seq.tabulate(64)(i => if (i == 7) Float.NaN else 0.5f)
+    val bad = Seq((90001L, nanVec), (90002L, Seq(1.0f, 2.0f)))
+      .toDF("neighbor_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .unionByName(bad)
+    val codes = bad.select(col("neighbor_id"), cb.encode(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).length).toMap
+    assert(codes == Map(90001L -> 0, 90002L -> 0),
+      s"malformed corpus vectors must encode to the EMPTY sentinel, got $codes")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // k = 49 forces every rankable corpus row into each query's top-k —
+    // the ONLY rows that may be absent are the two sentinels
+    val got = Similarity.pqTopK(queries, corpus, cb, k = 49)
+      .select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(90001L) && !got.contains(90002L),
+      "poisoned corpus rows must rank below every organic row")
+    assert(got.size >= 40, s"organic rows should fill the top-k, got ${got.size}")
+  }
+
   test("codebook save/load round-trips and loaded codes match") {
     val cb = Similarity.PqCodebook.train(emb, "vec_id", m = 8, ksub = 16)
     val dir = java.nio.file.Files.createTempDirectory("pq_cb").toString

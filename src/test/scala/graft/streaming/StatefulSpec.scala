@@ -199,6 +199,153 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("capped LSH bucket state df-cuts a hot bucket at maxBucketSize (batchCut ⊆ streamed ⊆ batchUncut)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      // 8 docs with IDENTICAL text — every band bucket goes hot; fed in
+      // TWO micro-batches split exactly at the cap, so which members a
+      // cap of 4 admits is deterministic without pinning in-batch order
+      // (batch 1 all fit, batch 2 all drop)
+      val hotText = "the quick brown fox jumps over the lazy dog again"
+      val hot = (1 to 8).map(i => (i.toLong, hotText))
+      // a cold identical pair arriving AFTER saturation — its bucket has
+      // 2 members, far under the cap, so the df-cut contract says its
+      // pair must still emit (batchCut ⊆ streamed)
+      val coldText = "completely different words entirely unique content here now"
+      val cold = Seq((101L, coldText), (102L, coldText))
+      val stream = MemoryStream[(Long, String)]
+      val pairs = Stateful.minHashLshCandidatePairsStream(
+        stream.toDS(), maxBucketSize = 4).toDF("doc_a", "doc_b")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        }.start()
+      try {
+        stream.addData(hot.take(4): _*) // exactly the cap — all admitted
+        q.processAllAvailable()
+        stream.addData(hot.drop(4): _*) // saturated — all dropped
+        q.processAllAvailable()
+        stream.addData(cold: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val streamed = got.asScala.toSet
+      val hotPrefix = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet
+      // saturated buckets emit EXACTLY their first-cap prefix pairs —
+      // proof the membership stopped growing at the cap (a 5th member
+      // would have paired with the 6th..8th arrivals; none did)
+      assert(streamed == hotPrefix + ((101L, 102L)),
+        s"expected prefix pairs + cold pair, got $streamed")
+      // streamed ⊆ uncut batch over the same replay
+      val uncut = graft.llm.Dedup.minHashLshCandidates(
+        (hot ++ cold).toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.subsetOf(uncut), s"streamed pairs not in batch: ${streamed -- uncut}")
+    }
+  }
+
+  // TimeMode.ProcessingTime (what value TTL requires) keeps the query
+  // triggering micro-batches so timers can fire — processAllAvailable
+  // never settles under that churn, so TTL tests poll for the POSITIVE
+  // emission instead (absence is then implied by set equality: the
+  // pair proving batch N processed arrives after every earlier batch)
+  private def pollUntil(cond: => Boolean, what: String): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(cond, s"timed out waiting for $what")
+  }
+
+  test("TTL evicts LSH bucket membership — pairs emit only within overlapping residencies") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val text = "shared near duplicate text for ttl eviction checks here"
+      val stream = MemoryStream[(Long, String)]
+      val pairs = Stateful.minHashLshCandidatePairsStream(
+        stream.toDS(), ttl = org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(2))).toDF("doc_a", "doc_b")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        }.start()
+      import scala.jdk.CollectionConverters._
+      try {
+        stream.addData((1L, text), (2L, text))
+        pollUntil(got.contains((1L, 2L)), "the within-window pair (1,2)")
+        Thread.sleep(4500) // let the 2s value TTL lapse
+        stream.addData((3L, text)) // members 1, 2 expired — no cross pair
+        stream.addData((4L, text)) // 3 resident — (3,4) pairs
+        pollUntil(got.contains((3L, 4L)), "the post-eviction pair (3,4)")
+      } finally q.stop()
+      // (3,4) emitted only after 3's arrival processed, so the absence of
+      // every cross-window pair is a settled fact, not a race
+      assert(got.asScala.toSet == Set((1L, 2L), (3L, 4L)),
+        s"TTL window pairs wrong: ${got.asScala.toSet}")
+    }
+  }
+
+  test("capped perceptual bucket state df-cuts a hot bucket at maxBucketSize") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      // 7 media rows with the SAME hash (logo-class repeated media) fed
+      // in two micro-batches split at the cap; cap 3 → pairs among the
+      // first batch's 3 only
+      val h0 = 0x1234abcd5678ef90L
+      val stream = MemoryStream[(Long, Long)]
+      val pairs = Stateful.perceptualNearDupPairsStream(
+        stream.toDS(), maxBucketSize = 3).toDF("doc_a", "doc_b", "hamming")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Int)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+        }.start()
+      try {
+        stream.addData((1 to 3).map(i => (i.toLong, h0)): _*)
+        q.processAllAvailable()
+        stream.addData((4 to 7).map(i => (i.toLong, h0)): _*)
+        q.processAllAvailable()
+        // a cold near-dup pair post-saturation: its buckets hold 2
+        // members — pairs must still emit (batchCut ⊆ streamed)
+        stream.addData((201L, 0x0f0f0f0f0f0f0f0fL), (202L, 0x0f0f0f0f0f0f0f0eL))
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val streamed = got.asScala.toSet
+      val hotPrefix = (for (a <- 1L to 3L; b <- (a + 1) to 3L) yield (a, b, 0)).toSet
+      assert(streamed == hotPrefix + ((201L, 202L, 1)),
+        s"expected prefix pairs + cold pair, got $streamed")
+    }
+  }
+
+  test("TTL evicts perceptual bucket membership") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val h0 = 0x7777000011112222L
+      val stream = MemoryStream[(Long, Long)]
+      val pairs = Stateful.perceptualNearDupPairsStream(
+        stream.toDS(), ttl = org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(2))).toDF("doc_a", "doc_b", "hamming")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Int)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+        }.start()
+      import scala.jdk.CollectionConverters._
+      try {
+        stream.addData((1L, h0), (2L, h0 ^ 1L))
+        pollUntil(got.contains((1L, 2L, 1)), "the within-window pair (1,2)")
+        Thread.sleep(4500)
+        stream.addData((3L, h0))
+        stream.addData((4L, h0 ^ 2L))
+        pollUntil(got.contains((3L, 4L, 1)), "the post-eviction pair (3,4)")
+      } finally q.stop()
+      assert(got.asScala.toSet == Set((1L, 2L, 1), (3L, 4L, 1)),
+        s"TTL window pairs wrong: ${got.asScala.toSet}")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes dups arriving inside the delay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long)]

@@ -74,6 +74,38 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.sqlContext.clearCache()
   }
 
+  test("ql50b's lazy incremental chain never cross-joins and buckets through the one window") {
+    // the registry query localCheckpoints (materialize-then-release, the
+    // r14 ADVICE gate-cache-leak fix), which collapses its plan to an
+    // ExistingRDD scan — so gate the shape claims on the LAZY chain the
+    // prose describes: init + append + emit, never a cross join, the one
+    // per-language bucket window present
+    spark.sqlContext.clearCache()
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+    val even = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(2)) === 0)
+    val odd = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(2)) =!= 0)
+    val state = graft.llm.Pipelines.appendCrawlBatch(
+      graft.llm.Pipelines.initCrawlState(even), odd)
+    try {
+      val plan = graft.llm.Pipelines.emitPretrainCorpus(state)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "the incremental chain must never cross-join")
+      assert(plan.contains("Window ["),
+        "the per-language bucket window is absent from the lazy chain")
+    } finally {
+      state.release()
+      spark.sqlContext.clearCache()
+    }
+  }
+
   /** Executed-plan stats under AQE: run the query, split the finalized
     * adaptive plan at `== Initial Plan ==` and count "FileScan parquet" /
     * "ReusedExchange" tokens in the FINAL section — the ql54 stage-dedup
