@@ -61,7 +61,13 @@ object Bench {
     // ql67: BM25 sparse retrieval (round 15) — the query-vocab-pruned
     // inverted-index shape; work tracks the corpus scan plus the pruned
     // posting lists, never a corpus shuffle
-    "ql67_bm25_topk"
+    "ql67_bm25_topk",
+    // ql68: DSIR selection (round 15) — two in-row LM estimations plus
+    // the one-pass four-dim ratio scoring and the bounded top-n tail
+    "ql68_dsir_select",
+    // ql69: E-S weighted sampling (round 15) — scan-riding key, one
+    // window Exchange, map-side group prune
+    "ql69_weighted_sample"
   )
 
   /** Prior-round per-query reference: newest `BENCH_r*.json` in `dir`

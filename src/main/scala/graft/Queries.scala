@@ -1959,6 +1959,38 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L68 DSIR importance-resampled selection
+    * ([[graft.llm.Pipelines.dsirSelect]]): target = the English docs,
+    * raw = the full corpus, top-200 by Gumbel key. Every model count is
+    * an exact integer, both log-prob sums and their difference are
+    * DECIMAL-exact, the Gumbel draw replays through the ql15 closed-form
+    * XXH64 chain, and the key's two log10 calls ride the ql54 libm
+    * bridge under DECIMAL(18,6) rounding — so the full
+    * (doc, n_tokens, log_w, score) output hash-checks.
+    */
+  val qlDsirSelect: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val out = graft.llm.Pipelines.dsirSelect(
+      docs, docs.filter(col("lang") === "en"), n = 200)
+    ordered(out)
+  }
+
+  /** Q-L69 weighted sampling without replacement
+    * ([[graft.llm.Sampling.weightedSamplePerGroup]], Efraimidis–Spirakis
+    * via Gumbel-top-k): top-8 docs per source weighted by `n_chars`.
+    * The key — log10(weight) + the closed-form hash-Gumbel noise —
+    * replays through the ql15 XXH64 chain; the rank window compares the
+    * DECIMAL(18,6)-rounded key exactly, so the full selected set and
+    * both float columns hash-check.
+    */
+  val qlWeightedSample: Q = (s, dir) => {
+    val out = graft.llm.Sampling.weightedSamplePerGroup(
+      t(s, dir, "documents"), Seq(col("source")), "doc_id", "n_chars",
+      nPerGroup = 8)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("sample_key"))
+    ordered(out)
+  }
+
   /** Q-L31 HTML strip + normalization — the crawled-corpus cleaning
     * composition: tags become spaces, then the ql24 battery runs. The
     * fixture has no markup, so synthetic docs (ids -1..-20) carrying
@@ -2492,6 +2524,8 @@ object Queries {
     "ql24_normalize" -> qlNormalize,
     "ql25_tfidf" -> qlTfidf,
     "ql67_bm25_topk" -> qlBm25TopK,
+    "ql68_dsir_select" -> qlDsirSelect,
+    "ql69_weighted_sample" -> qlWeightedSample,
     "ql26_source_cap" -> qlSourceCap,
     "qx10_profile" -> qx10Profile,
     "qx11_histogram" -> qx11Histogram,
@@ -2651,6 +2685,57 @@ ${xxh64Ctes(Seq("doc_id", "lang"), "src")},
 sc AS (SELECT doc_id, lang, CAST(((h % 1000000) + 1000000) % 1000000 AS DOUBLE) AS score FROM hs),
 cuts AS (SELECT lang, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.3333333333333333) AS BIGINT)] AS c1v, list_sort(list(score))[CAST(ceil(COUNT(*) * 0.6666666666666666) AS BIGINT)] AS c2v FROM sc GROUP BY lang)
 SELECT sc.doc_id, sc.lang, sc.score, CASE WHEN sc.score <= cuts.c1v THEN 'head' WHEN sc.score <= cuts.c2v THEN 'middle' ELSE 'tail' END AS bucket FROM sc JOIN cuts ON sc.lang IS NOT DISTINCT FROM cuts.lang ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-L68 oracle: DSIR selection replayed end to end — both bigram LMs
+    * re-estimated from their position sets (the ql54 MLE construction),
+    * every raw position probed against all four model dims with the
+    * ql43 stupid-backoff COALESCE rule, DECIMAL log-prob sums and their
+    * DECIMAL difference, the Gumbel draw through the ql15 closed-form
+    * XXH64 chain, key = log_w + (−log10(−log10 u)) rounded DECIMAL(18,6),
+    * top-200 by (key DESC, doc_id).
+    */
+  private def ql68Sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+rp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM tk WHERE len(toks) > 0),
+ps AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx, toks[i] AS tok FROM rp),
+tp AS (SELECT ps.ctx, ps.tok FROM ps JOIN tk USING (doc_id) WHERE tk.lang = 'en'),
+bigt AS (SELECT ctx, tok, COUNT(*) AS cnt FROM tp GROUP BY 1, 2),
+ctt AS (SELECT ctx, COUNT(*) AS ctx_total FROM tp GROUP BY 1),
+unit AS (SELECT tok, COUNT(*) AS cnt FROM tp GROUP BY 1),
+tott AS (SELECT COUNT(*) AS ctx_total FROM tp),
+lmbt AS (SELECT bigt.ctx, bigt.tok, CAST(log10(CAST(bigt.cnt AS DOUBLE) / ctt.ctx_total) AS DECIMAL(18,6)) AS lp FROM bigt JOIN ctt USING (ctx)),
+lmut AS (SELECT unit.tok, CAST(log10(CAST(unit.cnt AS DOUBLE) / tott.ctx_total) AS DECIMAL(18,6)) AS lp FROM unit CROSS JOIN tott),
+bigr AS (SELECT ctx, tok, COUNT(*) AS cnt FROM ps GROUP BY 1, 2),
+ctr AS (SELECT ctx, COUNT(*) AS ctx_total FROM ps GROUP BY 1),
+unir AS (SELECT tok, COUNT(*) AS cnt FROM ps GROUP BY 1),
+totr AS (SELECT COUNT(*) AS ctx_total FROM ps),
+lmbr AS (SELECT bigr.ctx, bigr.tok, CAST(log10(CAST(bigr.cnt AS DOUBLE) / ctr.ctx_total) AS DECIMAL(18,6)) AS lp FROM bigr JOIN ctr USING (ctx)),
+lmur AS (SELECT unir.tok, CAST(log10(CAST(unir.cnt AS DOUBLE) / totr.ctx_total) AS DECIMAL(18,6)) AS lp FROM unir CROSS JOIN totr),
+j AS (SELECT ps.doc_id,
+  COALESCE(lt.lp, CAST(-0.4 AS DECIMAL(18,6)) + COALESCE(ut.lp, CAST(-6.0 AS DECIMAL(18,6)))) AS lpt,
+  COALESCE(lr.lp, CAST(-0.4 AS DECIMAL(18,6)) + COALESCE(ur.lp, CAST(-6.0 AS DECIMAL(18,6)))) AS lpr
+  FROM ps LEFT JOIN lmbt lt ON ps.ctx = lt.ctx AND ps.tok = lt.tok LEFT JOIN lmut ut ON ps.tok = ut.tok
+  LEFT JOIN lmbr lr ON ps.ctx = lr.ctx AND ps.tok = lr.tok LEFT JOIN lmur ur ON ps.tok = ur.tok),
+a AS (SELECT doc_id, COUNT(*) AS n, SUM(lpt) AS st, SUM(lpr) AS sr FROM j GROUP BY 1),
+w AS (SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens, CAST(COALESCE(a.st, CAST(0 AS DECIMAL(18,6))) - COALESCE(a.sr, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS log_w FROM documents d LEFT JOIN a USING (doc_id)),
+src AS (SELECT doc_id, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + $M64 ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents),
+${xxh64Ctes(Seq("doc_id"), "src")},
+gu AS (SELECT doc_id, (CAST(((h % 1000000) + 1000000) % 1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS u FROM hs),
+k AS (SELECT w.doc_id, w.n_tokens, w.log_w, CAST(w.log_w + (-log10(-log10(gu.u))) AS DECIMAL(18,6)) AS score_d FROM w JOIN gu USING (doc_id)),
+r AS (SELECT doc_id, n_tokens, log_w, score_d, ROW_NUMBER() OVER (ORDER BY score_d DESC, doc_id ASC) AS rn FROM k)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_w, CAST(score_d AS DOUBLE) AS score FROM r WHERE rn <= 200 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-L69 oracle: Efraimidis–Spirakis per-group sampling — the ql15
+    * hash chain feeds the Gumbel noise, key = log10(n_chars) + g rounded
+    * DECIMAL(18,6), rank window per source (ties → id).
+    */
+  private def ql69Sql: String =
+    s"""WITH src AS (SELECT doc_id, source, n_chars, CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + $M64 ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents),
+${xxh64Ctes(Seq("doc_id", "source", "n_chars"), "src")},
+gu AS (SELECT doc_id, source, n_chars, (CAST(((h % 1000000) + 1000000) % 1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS u FROM hs),
+k AS (SELECT doc_id, source, n_chars, CAST(log10(CAST(n_chars AS DOUBLE)) + (-log10(-log10(u))) AS DECIMAL(18,6)) AS sample_key FROM gu),
+r AS (SELECT doc_id, source, n_chars, sample_key, ROW_NUMBER() OVER (PARTITION BY source ORDER BY sample_key DESC, doc_id ASC) AS rn FROM k)
+SELECT doc_id, source, n_chars, CAST(sample_key AS DOUBLE) AS sample_key FROM r WHERE rn <= 8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
 
   /** Q-L56 oracle: replay the mixture draw — `pmod(xxhash64(doc_id), 1e6)`
     * via the closed-form chain (the ql47b basis), copy counts as
@@ -3113,6 +3198,13 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // DECIMAL (order-independent), log10 is the ql54 libm bridge
     "ql67_bm25_topk" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), postings AS (SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf FROM (SELECT doc_id, toks, unnest(toks) AS term FROM tk) GROUP BY 1, 2, 3), stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM tk), qt AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 8)), pr AS (SELECT p.doc_id, p.dl, p.term, p.tf, COUNT(*) OVER (PARTITION BY p.term) AS df FROM postings p JOIN (SELECT DISTINCT term FROM qt) qv USING (term)), sc AS (SELECT qt.query_id, pr.doc_id, CAST(log10(CAST(1.0 AS DOUBLE) + ((CAST(s.n_docs AS DOUBLE) - CAST(pr.df AS DOUBLE)) + CAST(0.5 AS DOUBLE)) / (CAST(pr.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * ((CAST(pr.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(pr.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(pr.dl AS DOUBLE)) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS DECIMAL(18,6)) AS contrib FROM pr JOIN qt USING (term) CROSS JOIN stats s), ag AS (SELECT query_id, doc_id, SUM(contrib) AS score_d FROM sc GROUP BY 1, 2), r AS (SELECT query_id, doc_id, score_d, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_d DESC, doc_id) AS rank FROM ag) SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_d AS DOUBLE) AS score FROM r WHERE rank <= 5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    // ql68: DSIR selection — both LMs re-estimated, four-dim backoff
+    // probes, DECIMAL sums/difference, ql15 hash chain for the Gumbel
+    // draw, DECIMAL-ranked top-200
+    "ql68_dsir_select" -> ql68Sql,
+    // ql69: E-S per-group sampling — ql15 hash chain + log10 Gumbel key,
+    // DECIMAL-ranked per source
+    "ql69_weighted_sample" -> ql69Sql,
     // ql31: tags -> single space, then the ql24 normalization chain
     "ql31_html_strip" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, '<html><p class="x">Hello ' || CAST(i AS VARCHAR) || '</p><br/>world <b>bold</b></html>' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS clean_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",

@@ -504,4 +504,58 @@ object Pipelines {
             col("rank_in_group"), col("n_group"), col("bucket"))
     if (dropTail) bucketed.filter(col("bucket") =!= "tail") else bucketed
   }
+
+  /** Importance-resampled data selection — the DSIR shape (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every raw document by how much more likely a
+    * TARGET-distribution model finds it than a RAW-distribution model,
+    * then sample without replacement by Gumbel-top-k. Here the two
+    * feature models are the engine's bigram LMs (the paper's hashed
+    * n-gram multinomials approximate exactly this bigram likelihood
+    * ratio; [[TextAnalysis.lmEstimate]]'s minCount pruning is the
+    * broadcast-size bound that hashing buys there), so the whole loop is
+    * the CCNet machinery pointed at selection instead of filtering:
+    *
+    *   log w(x) = logp_target(x) − logp_raw(x)     (one-pass
+    *              [[TextAnalysis.lmScoreRatio]], DECIMAL-exact)
+    *   key(x)   = log w(x) + g(x),  top-n by (key, id)
+    *
+    * GUMBEL-TOP-K, EXACTLY, FROM THE HASH DRAW: the noise is
+    * `g = −log10(−log10(u))` with `u = (pmod(xxhash64(id), 10^6) + 0.5)
+    * / 10^6` — the engine's reproducible-uniform convention
+    * ([[Sampling.sampleByRates]]). Since −log10(−log10 u) =
+    * (G + ln ln 10) / ln 10 for G = −ln(−ln u) (a TRUE standard Gumbel
+    * draw when u is uniform), and log w here is log BASE 10 (= ln w /
+    * ln 10), the key is an affine map `(ln w + G + c) / ln 10` of the
+    * paper's ln-scale Gumbel key — top-n is IDENTICAL. Ranking compares
+    * the DECIMAL(18,6)-rounded key (exact, engine-independent), ties →
+    * ascending id.
+    *
+    * Scale: the models are vocabulary-sized broadcast dims; scoring is
+    * one corpus scan into narrow position probes ([[TextAnalysis
+    * .lmScoreRatio]]); the hash draw rides the aggregated (id, log_w)
+    * rows. `limit(n)` plans as a map-side-bounded TakeOrdered — fine up
+    * to driver-merge of n × partitions rows; for fleet-scale budgets
+    * select by THRESHOLD instead: feed `key` to
+    * [[Sampling.percentileBucketsApprox]] (broadcast value cuts, no
+    * per-group sort) and keep the head share — the ql47b path.
+    *
+    * Output: the n selected (id, n_tokens, log_w, score) rows, score =
+    * the rounded Gumbel key as DOUBLE.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 minCount: Long = 1L,
+                 backoff: Double = -0.4, oov: Double = -6.0): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val lmT = TextAnalysis.lmEstimate(target.select(col(textCol)), textCol, minCount)
+    val lmR = TextAnalysis.lmEstimate(raw.select(col(textCol)), textCol, minCount)
+    TextAnalysis.lmScoreRatio(raw, idCol, textCol, lmT, lmR, backoff, oov)
+      .withColumn("score_d",
+        (col("log_w") + Sampling.hashGumbel10(col(idCol))).cast("decimal(18,6)"))
+      .orderBy(col("score_d").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col("n_tokens"), col("log_w"),
+        col("score_d").cast("double").as("score"))
+  }
 }

@@ -35,6 +35,76 @@ object Sampling {
       .drop("_smp_rn")
   }
 
+  /** The reproducible Gumbel noise behind weighted sampling WITHOUT
+    * replacement: `−log10(−log10 u)` over the engine's closed-form
+    * uniform `u = (pmod(xxhash64(id), 10^6) + 0.5) / 10^6`. Since
+    * `−log10(−log10 u) = (G + ln ln 10)/ln 10` for the true standard
+    * Gumbel `G = −ln(−ln u)` (spec-pinned identity, `DsirSpec`), a key
+    * of `log10(w) + hashGumbel10(id)` is an affine map of the classic
+    * `ln w + G` — so top-k under it IS Efraimidis–Spirakis / Gumbel-top-k
+    * sampling without replacement, exactly, while staying replayable in
+    * the DuckDB oracle through the ql15 hash chain + the log10 bridge.
+    */
+  def hashGumbel10(id: Column): Column = {
+    val u = (pmod(xxhash64(id), lit(1000000L)).cast("double") + lit(0.5)) /
+      lit(1000000.0)
+    -log10(-log10(u))
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006 via
+    * the Gumbel-top-k formulation): keep the top-`n` rows by
+    * `log10(weight) + hashGumbel10(id)`, so each subset of size n is
+    * drawn with the probability the sequential weighted scheme assigns —
+    * the principled "sample 1M docs preferring high quality-score" step
+    * ([[sampleByRates]] is the with-repetition sibling; this is the
+    * without-replacement one). Deterministic given ids, replayable in
+    * the oracle; ranking compares the DECIMAL(18,6)-rounded key (ties →
+    * ascending id).
+    *
+    * NULL or non-positive weights raise loudly — a zero weight has
+    * log10 = −∞ (it could silently never be sampled, hiding an upstream
+    * scoring bug), the repo's loud-guard discipline.
+    *
+    * Scale: the key is a scan-riding projection; the global-n tail is a
+    * map-side-bounded TakeOrdered (driver merge of n × partitions rows —
+    * fine for dim-sized n; for fleet budgets use [[weightedSamplePerGroup]]
+    * whose per-group window prunes map-side, or a threshold on the key
+    * via [[percentileBucketsApprox]]).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.withColumn("sample_key", weightedKey(col(idCol), col(weightCol)))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+      .withColumn("sample_key", col("sample_key").cast("double"))
+  }
+
+  /** [[weightedSample]] per group: the top-`nPerGroup` rows of each
+    * group by the same Gumbel key — one rank window whose
+    * WindowGroupLimit prunes map-side, so no group ever materializes
+    * beyond nPerGroup rows per task.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[Column],
+                             idCol: String, weightCol: String,
+                             nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1, s"nPerGroup must be >= 1, got $nPerGroup")
+    val w = Window.partitionBy(groupCols: _*)
+      .orderBy(col("sample_key").desc, col(idCol))
+    df.withColumn("sample_key", weightedKey(col(idCol), col(weightCol)))
+      .withColumn("_smp_rn", row_number().over(w))
+      .filter(col("_smp_rn") <= nPerGroup)
+      .drop("_smp_rn")
+      .withColumn("sample_key", col("sample_key").cast("double"))
+  }
+
+  private def weightedKey(id: Column, weight: Column): Column =
+    (log10(when(weight.isNull || weight <= 0,
+      raise_error(concat(lit("weightedSample: weight must be positive, got "),
+        coalesce(weight.cast("string"), lit("NULL")))))
+      .otherwise(weight.cast("double")))
+      + hashGumbel10(id)).cast("decimal(18,6)")
+
   /** Per-stratum fractions via seeded `sampleBy` (deterministic for a
     * fixed seed AND input partitioning — prefer [[hashSample]] when the
     * partitioning itself may change).

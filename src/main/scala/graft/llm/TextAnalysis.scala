@@ -1018,6 +1018,57 @@ object TextAnalysis {
         when(col("n_tokens") > 0, pow(lit(10.0), -col("sum_logp") / col("n_tokens"))))
   }
 
+  /** [[lmScore]] against TWO models in ONE corpus pass — the
+    * likelihood-ratio probe importance-based data selection needs
+    * (DSIR-shape, see [[Pipelines.dsirSelect]]): per document,
+    * `log_w = Σ logp_target(pos) − Σ logp_raw(pos)` with each position
+    * scored by the stupid-backoff rule under its own model. Running
+    * [[lmScore]] twice would scan the corpus twice AND pay an (id)-keyed
+    * join of two corpus-sized score frames; here the positions explode
+    * once and probe FOUR broadcast dims (target/raw × bigram/unigram),
+    * so the only corpus-sized flow is the one narrow position stream
+    * into the per-doc aggregation. Both sums are DECIMAL(18,6)-exact and
+    * the difference is computed in DECIMAL (partition order can never
+    * move a weight). Output: (id, n_tokens, logp_target, logp_raw,
+    * log_w) — all three scores DOUBLE casts of exact decimals.
+    */
+  def lmScoreRatio(docs: DataFrame, idCol: String, textCol: String,
+                   lmTarget: DataFrame, lmRaw: DataFrame,
+                   backoff: Double = -0.4, oov: Double = -6.0): DataFrame = {
+    def dims(lm: DataFrame, tag: String) = (
+      broadcast(lm.filter(col("context") =!= "").select(
+        col("context").as(s"_b_ctx_$tag"), col("token").as(s"_b_tok_$tag"),
+        col("logp").cast("decimal(18,6)").as(s"_b_lp_$tag"))),
+      broadcast(lm.filter(col("context") === "").select(
+        col("token").as(s"_u_tok_$tag"),
+        col("logp").cast("decimal(18,6)").as(s"_u_lp_$tag"))))
+    val (bigT, uniT) = dims(lmTarget, "t")
+    val (bigR, uniR) = dims(lmRaw, "r")
+    def lp(tag: String) = coalesce(col(s"_b_lp_$tag"),
+      lit(backoff).cast("decimal(18,6)")
+        + coalesce(col(s"_u_lp_$tag"), lit(oov).cast("decimal(18,6)")))
+    val pairGrams = graft.functions.Ngrams.wordNgramsJoin(
+      concat(array(lit("<s>")), Dedup.tokens(col(textCol))), 2)
+    val zero = lit(0).cast("decimal(18,6)")
+    docs.select(col(idCol), explode_outer(pairGrams).as("_g"))
+      .select(col(idCol),
+        substring_index(col("_g"), " ", 1).as("_ctx"),
+        substring_index(col("_g"), " ", -1).as("_tok"))
+      .join(bigT, col("_ctx") === col("_b_ctx_t") && col("_tok") === col("_b_tok_t"), "left")
+      .join(uniT, col("_tok") === col("_u_tok_t"), "left")
+      .join(bigR, col("_ctx") === col("_b_ctx_r") && col("_tok") === col("_b_tok_r"), "left")
+      .join(uniR, col("_tok") === col("_u_tok_r"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_tok")).as("n_tokens"),
+        coalesce(sum(when(col("_tok").isNotNull, lp("t"))), zero).as("_sum_t"),
+        coalesce(sum(when(col("_tok").isNotNull, lp("r"))), zero).as("_sum_r"))
+      .select(col(idCol), col("n_tokens"),
+        col("_sum_t").cast("double").as("logp_target"),
+        col("_sum_r").cast("double").as("logp_raw"),
+        (col("_sum_t") - col("_sum_r")).cast("double").as("log_w"))
+  }
+
   /** Bigram LM ESTIMATION — the training half of the CCNet perplexity
     * filter (the model [[lmScore]] consumes, so the published
     * train-on-clean / score-the-crawl loop closes inside the engine

@@ -80,6 +80,19 @@ object PlanAudit {
       "per-query rank window prunes map-side (WindowGroupLimit) -- three " +
       "column-pruned corpus scans (postings, the df branch, the scalar N/sum_dl agg), " +
       "zero corpus-sized shuffles, no single-task partition anywhere"),
+    "ql68_dsir_select" -> ("DSIR selection: positions explode ONCE off the raw scan and " +
+      "probe FOUR broadcast model dims (target/raw x bigram/unigram, LeftOuter) -- " +
+      "running lmScore twice would rescan the corpus and pay an (id)-keyed join of two " +
+      "corpus-sized score frames; both log-prob sums partial-combine in ONE (doc) " +
+      "aggregation Exchange, the Gumbel key is a scan-riding projection off the " +
+      "closed-form hash draw, and the top-n tail is a map-side-bounded " +
+      "TakeOrderedAndProject. The model-estimation subtrees print 13 static scans " +
+      "that AQE dedupes at runtime (the machine-checked ql54 stage-dedup behavior " +
+      "they inherit -- same lmEstimate construction)"),
+    "ql69_weighted_sample" -> ("Efraimidis-Spirakis per-group sampling: the Gumbel key " +
+      "(log10 weight + closed-form hash noise) is a scan-riding projection -- ONE scan, " +
+      "the only Exchange is the rank window's group partitioning, and WindowGroupLimit " +
+      "prunes every task to nPerGroup rows before the shuffle"),
     "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
       "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
     "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
@@ -418,6 +431,13 @@ object PlanAudit {
     // fused generator's rows — never a sort-merge or cartesian join
     "ql67_bm25_topk" -> Shape(maxScans = 6, forbid = noSmj ++ noCross,
       require = Seq("WindowGroupLimit", "BroadcastHashJoin", "explodetermcounts")),
+    // ql68: four broadcast probes, one (doc) agg, bounded top-n tail;
+    // 13 static scans are the lmEstimate branches AQE dedupes (ql54)
+    "ql68_dsir_select" -> Shape(maxScans = 13, forbid = noSmj ++ noCross,
+      require = Seq("TakeOrderedAndProject", "partial_sum")),
+    // ql69: one scan, the rank window's Exchange, map-side group prune
+    "ql69_weighted_sample" -> Shape(maxScans = 1, forbid = noSmj ++ noCross,
+      require = Seq("WindowGroupLimit", "xxhash64")),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere

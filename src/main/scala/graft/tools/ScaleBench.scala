@@ -55,6 +55,17 @@ object ScaleBench {
     // track the scan near-linearly; a super-linear ratio would mean the
     // df window or the (query, doc) agg stopped pruning
     "ql67_bm25_topk",
+    // ql68: DSIR selection — position probes and both model estimations
+    // grow with the corpus but stay map-side-combinable; the models are
+    // vocab-sized broadcasts and the tail is bounded TakeOrdered, so the
+    // row must track the scan near-linearly (a super-linear ratio would
+    // mean a model dim outgrew its broadcast or the agg stopped
+    // combining)
+    "ql68_dsir_select",
+    // ql69: E-S weighted sampling — scan-riding key + one rank-window
+    // Exchange whose WindowGroupLimit bounds every task to nPerGroup
+    // rows, so the row must track the scan
+    "ql69_weighted_sample",
     // round-7 scale evidence: ql30 (IVF cells ∝ n — the growth-safety
     // flagship) and ql32 (auto-derived planes) are the two designed fixes
     // for ql14's fixed-planes super-linear; ql22/ql26 are budget/cap ops

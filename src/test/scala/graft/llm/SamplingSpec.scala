@@ -307,4 +307,56 @@ class SamplingSpec extends SparkSpec {
     assert(byLang == Map("en" -> 900L, "de" -> 300L))
   }
 
+  test("weightedSamplePerGroup caps each group, dominant weights always win") {
+    // one 1e12-weight row per group: its log10 edge (12) exceeds the
+    // whole hash-Gumbel range (~[-0.81, 6.3] over u in [5e-7, 1)), so it
+    // must be selected in EVERY group regardless of the draw
+    val rows = (1 to 40).map(i => (i.toLong, s"g${i % 4}", 10.0)) ++
+      (41 to 44).map(i => (i.toLong, s"g${i % 4}", 1e13))
+    val df = rows.toDF("doc_id", "grp", "w")
+    val out = Sampling.weightedSamplePerGroup(df, Seq(col("grp")), "doc_id", "w", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(out.keySet == Set("g0", "g1", "g2", "g3"))
+    out.foreach { case (g, picked) =>
+      assert(picked.length == 3, s"group $g: expected 3, got ${picked.length}")
+      val heavy = (41 to 44).find(i => s"g${i % 4}" == g).get.toLong
+      assert(picked.map(_._2).contains(heavy), s"group $g dropped its 1e13 row")
+    }
+    // a group smaller than nPerGroup survives whole
+    val tiny = Seq((1L, "solo", 2.0)).toDF("doc_id", "grp", "w")
+    assert(Sampling.weightedSamplePerGroup(tiny, Seq(col("grp")), "doc_id", "w", 5)
+      .count() == 1)
+  }
+
+  test("weightedSample global form: size cap, determinism, key parity with per-group") {
+    val df = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "w")
+    val a = Sampling.weightedSample(df, "doc_id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(a.size == 10)
+    val b = Sampling.weightedSample(df.repartition(7), "doc_id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(a == b, "selection must be partition-layout independent")
+    // the global and per-group forms compute the SAME key for a row
+    val keysGlobal = Sampling.weightedSample(df, "doc_id", "w", 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val keysGrouped = Sampling.weightedSamplePerGroup(
+      df.withColumn("g", lit("x")), Seq(col("g")), "doc_id", "w", 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(keysGlobal == keysGrouped)
+  }
+
+  test("weightedSample raises loudly on null and non-positive weights") {
+    val bad0 = Seq((1L, 0.0), (2L, 1.0)).toDF("doc_id", "w")
+    val e0 = intercept[Exception] {
+      Sampling.weightedSample(bad0, "doc_id", "w", 1).collect()
+    }
+    assert(e0.getMessage.contains("weight must be positive"))
+    val badNull = Seq((1L, Some(1.0)), (2L, None))
+      .toDF("doc_id", "w")
+    val eN = intercept[Exception] {
+      Sampling.weightedSample(badNull, "doc_id", "w", 1).collect()
+    }
+    assert(eN.getMessage.contains("weight must be positive"))
+  }
+
 }
