@@ -67,7 +67,10 @@ object Bench {
     "ql68_dsir_select",
     // ql69: E-S weighted sampling (round 15) — scan-riding key, one
     // window Exchange, map-side group prune
-    "ql69_weighted_sample"
+    "ql69_weighted_sample",
+    // ql70: PMI collocations (round 15) — two generator-agg scan
+    // families into vocab-sized count joins, bounded top-K tail
+    "ql70_collocations"
   )
 
   /** Prior-round per-query reference: newest `BENCH_r*.json` in `dir`

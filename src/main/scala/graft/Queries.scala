@@ -1991,6 +1991,20 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L70 PMI collocations ([[graft.llm.TextAnalysis.collocations]]):
+    * top-50 adjacent word pairs by pointwise mutual information at
+    * `cnt_ab ≥ 5`. Every PMI input is an exact integer (bigram count,
+    * both unigram counts, both position totals); the one libm bridge is
+    * the final log10, DECIMAL(18,6)-rounded, and the top-K boundary is
+    * resolved by the exact (DECIMAL pmi, gram) order — so the selected
+    * set and all five columns hash-check.
+    */
+  val qlCollocations: Q = (s, dir) => {
+    val out = graft.llm.TextAnalysis.collocations(
+      t(s, dir, "documents"), "text", minCount = 5L, topK = 50)
+    ordered(out)
+  }
+
   /** Q-L31 HTML strip + normalization — the crawled-corpus cleaning
     * composition: tags become spaces, then the ql24 battery runs. The
     * fixture has no markup, so synthetic docs (ids -1..-20) carrying
@@ -2526,6 +2540,7 @@ object Queries {
     "ql67_bm25_topk" -> qlBm25TopK,
     "ql68_dsir_select" -> qlDsirSelect,
     "ql69_weighted_sample" -> qlWeightedSample,
+    "ql70_collocations" -> qlCollocations,
     "ql26_source_cap" -> qlSourceCap,
     "qx10_profile" -> qx10Profile,
     "qx11_histogram" -> qx11Histogram,
@@ -3205,6 +3220,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // ql69: E-S per-group sampling — ql15 hash chain + log10 Gumbel key,
     // DECIMAL-ranked per source
     "ql69_weighted_sample" -> ql69Sql,
+    // ql70: PMI collocations — exact counts off the same bigram/unigram
+    // constructions, one log10 bridge, DECIMAL-ranked top-50
+    "ql70_collocations" ->
+      """WITH tk AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), bi AS (SELECT toks[i] || ' ' || toks[i+1] AS gram FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tk WHERE len(toks) > 1)), un AS (SELECT unnest(toks) AS tok FROM tk), bc AS (SELECT gram, COUNT(*) AS cnt_ab FROM bi GROUP BY 1), uc AS (SELECT tok, COUNT(*) AS cnt_tok FROM un GROUP BY 1), tb AS (SELECT COUNT(*) AS t_bi FROM bi), tu AS (SELECT COUNT(*) AS t_uni FROM un), p AS (SELECT bc.gram, bc.cnt_ab, ua.cnt_tok AS cnt_a, ub.cnt_tok AS cnt_b, CAST(log10((CAST(bc.cnt_ab AS DOUBLE) / CAST(tb.t_bi AS DOUBLE)) / ((CAST(ua.cnt_tok AS DOUBLE) / CAST(tu.t_uni AS DOUBLE)) * (CAST(ub.cnt_tok AS DOUBLE) / CAST(tu.t_uni AS DOUBLE)))) AS DECIMAL(18,6)) AS pmi FROM bc JOIN uc ua ON split_part(bc.gram, ' ', 1) = ua.tok JOIN uc ub ON split_part(bc.gram, ' ', 2) = ub.tok CROSS JOIN tb CROSS JOIN tu WHERE bc.cnt_ab >= 5), r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, gram ASC) AS rn FROM p) SELECT gram, cnt_ab, cnt_a, cnt_b, CAST(pmi AS DOUBLE) AS pmi FROM r WHERE rn <= 50 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""",
     // ql31: tags -> single space, then the ql24 normalization chain
     "ql31_html_strip" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, '<html><p class="x">Hello ' || CAST(i AS VARCHAR) || '</p><br/>world <b>bold</b></html>' AS text FROM generate_series(1, 20) AS g(i)) SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS clean_text FROM all_docs ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",

@@ -342,42 +342,192 @@ object TextAnalysis {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
-    val postings = docs.select(col(idCol).as("_did"),
-      size(Dedup.tokens(col(textCol))).as("_dl"),
-      graft.functions.Generators.termCounts(col(textCol)).as(Seq("term", "tf")))
-    val qterms = queries.select(col(queryIdCol).as("_qid"),
-      explode(array_distinct(Dedup.tokens(col(queryTextCol)))).as("term"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(Dedup.tokens(col(textCol)))).as("sum_dl"))
-    val qvocab = broadcast(qterms.select(col("term")).distinct())
-    val dfreq = postings.join(qvocab, Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val wQ = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_qid")).orderBy(col("score_d").desc, col("_did"))
-    postings
-      .join(qvocab, Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
-      .crossJoin(broadcast(stats))
-      // every factor below is IEEE double arithmetic over exact integers,
-      // written with explicit parentheses so the DuckDB oracle evaluates
-      // the same expression tree bit-for-bit; log10 is the one libm
-      // bridge, absorbed by the DECIMAL(18,6) rounding (ql54 convention)
-      .withColumn("idf", log10(lit(1.0) +
-        ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))))
-      .withColumn("tfn",
-        (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") + lit(k1) *
-            (lit(1.0 - b) + (lit(b) * col("_dl").cast("double")) /
-              (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
-      .withColumn("contrib", (col("idf") * col("tfn")).cast("decimal(18,6)"))
-      .groupBy(col("_qid"), col("_did"))
-      .agg(sum(col("contrib")).as("score_d"))
-      .withColumn("rank", row_number().over(wQ))
-      .filter(col("rank") <= k)
-      .select(col("_qid").as(queryIdCol), col("rank"),
-        col("_did").as(idCol), col("score_d").cast("double").as("score"))
+    val index = Bm25Index(
+      docs.select(col(idCol).as("id"),
+        size(Dedup.tokens(col(textCol))).as("dl"),
+        graft.functions.Generators.termCounts(col(textCol)).as(Seq("term", "tf")))
+        .select(col("term"), col("id"), col("tf"), col("dl")),
+      docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col(textCol)))).as("sum_dl")))
+    Bm25Index.search(index, queries, queryIdCol, queryTextCol, k, k1, b)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Persistable BM25 inverted index — the build-once/serve-many
+    * lifecycle for lexical retrieval (the [[Similarity.KnnGraph]] /
+    * [[Dedup.BandIndex]] / [[Similarity.IvfIndex]] persistence
+    * convention applied to [[bm25TopK]]'s internals): `postings`
+    * (term, id, tf, dl) plus the scalar `stats` frame (n_docs, Σ dl).
+    * Building the index IS the expensive half of every BM25 query —
+    * tokenizing 100 TB of text — so a crawl that serves many query
+    * batches builds once, [[Bm25Index.save]]s, and every later
+    * [[Bm25Index.search]] reads narrow posting rows without ever
+    * touching document text again.
+    *
+    * INCREMENTAL: BM25's sufficient statistics are all additive —
+    * postings union, df re-counts from the union, N and Σ dl add — so
+    * [[Bm25Index.append]] absorbs a batch at BATCH cost and is
+    * spec-pinned EXACTLY equal to rebuilding on the union (the lmMerge
+    * convention; no tolerance, unlike KnnGraph.insert).
+    */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  object Bm25Index {
+    def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
+      Bm25Index(
+        docs.select(col(idCol).as("id"),
+          size(Dedup.tokens(col(textCol))).as("dl"),
+          graft.functions.Generators.termCounts(col(textCol)).as(Seq("term", "tf")))
+          .select(col("term"), col("id"), col("tf"), col("dl")),
+        docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(Dedup.tokens(col(textCol)))).as("sum_dl")))
+
+    /** The [[bm25TopK]] pipeline from index frames: broadcast query-vocab
+      * prune, partial-combining df agg broadcast back, DECIMAL
+      * contributions, map-side-pruned rank window. Output:
+      * (queryIdCol, rank, id, score).
+      */
+    def search(index: Bm25Index, queries: DataFrame,
+               queryIdCol: String, queryTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val qterms = queries.select(col(queryIdCol).as("_qid"),
+        explode(array_distinct(Dedup.tokens(col(queryTextCol)))).as("term"))
+      val qvocab = broadcast(qterms.select(col("term")).distinct())
+      val dfreq = index.postings.join(qvocab, Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_qid")).orderBy(col("score_d").desc, col("id"))
+      index.postings
+        .join(qvocab, Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        .join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(index.stats))
+        // every factor below is IEEE double arithmetic over exact
+        // integers, written with explicit parentheses so the DuckDB
+        // oracle evaluates the same expression tree bit-for-bit; log10
+        // is the one libm bridge, absorbed by the DECIMAL(18,6)
+        // rounding (ql54 convention)
+        .withColumn("idf", log10(lit(1.0) +
+          ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("tfn",
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) /
+                (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+        .withColumn("contrib", (col("idf") * col("tfn")).cast("decimal(18,6)"))
+        .groupBy(col("_qid"), col("id"))
+        .agg(sum(col("contrib")).as("score_d"))
+        .withColumn("rank", row_number().over(wQ))
+        .filter(col("rank") <= k)
+        .select(col("_qid").as(queryIdCol), col("rank"),
+          col("id"), col("score_d").cast("double").as("score"))
+    }
+
+    /** Absorb a batch at batch cost: postings union, stats add. EXACT —
+      * `search(append(build(A), B)) == search(build(A ∪ B))` row for row
+      * (spec-pinned): df re-counts over the unioned postings and every
+      * other statistic is additive. `batch` ids must be disjoint from
+      * the indexed corpus (the build-side unique-id convention) —
+      * guarded on posting-bearing docs (an all-empty-text duplicate is
+      * invisible to postings and only double-counts N; the guard scans
+      * the NARROW id projection, never text).
+      */
+    def append(index: Bm25Index, batch: DataFrame,
+               idCol: String, textCol: String,
+               checkDisjoint: Boolean = true): Bm25Index = {
+      val add = build(batch, idCol, textCol)
+      if (checkDisjoint) {
+        val dup = index.postings.select(col("id")).distinct()
+          .join(add.postings.select(col("id")).distinct(), Seq("id"), "left_semi")
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"Bm25Index.append: batch re-delivers already-indexed id ${dup.head.get(0)} " +
+            "— appending it would double-count df/N; dedup the batch first")
+      }
+      Bm25Index(
+        index.postings.unionByName(add.postings),
+        index.stats.unionByName(add.stats)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl")))
+    }
+
+    /** Plain parquet layout: `path/postings` + `path/stats`. */
+    def save(index: Bm25Index, path: String): Unit = {
+      index.postings.write.mode("overwrite").parquet(s"$path/postings")
+      index.stats.write.mode("overwrite").parquet(s"$path/stats")
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index =
+      Bm25Index(spark.read.parquet(s"$path/postings"),
+        spark.read.parquet(s"$path/stats"))
+
+    /** Bucketed + sorted on `term` through the catalog
+      * ([[graft.sources.Bucketing]]): a loaded bucketed index gives the
+      * per-search df aggregation a plan whose scan ALREADY satisfies the
+      * term distribution — no Exchange (spec-asserted), the
+      * [[Dedup.BandIndex.saveBucketed]] convention.
+      */
+    def saveBucketed(index: Bm25Index, table: String, path: String,
+                     numBuckets: Int = 64): Unit = {
+      graft.sources.Bucketing.writeBucketed(index.postings, table,
+        s"$path/postings", Seq("term"), numBuckets, Seq("term"))
+      index.stats.write.mode("overwrite").parquet(s"$path/stats")
+    }
+
+    def loadBucketed(spark: org.apache.spark.sql.SparkSession,
+                     table: String, path: String): Bm25Index =
+      Bm25Index(graft.sources.Bucketing.readBucketed(spark, table),
+        spark.read.parquet(s"$path/stats"))
+  }
+
+  /** PMI collocations — phrase mining (the word2vec-phrases /
+    * tokenizer-vocabulary step: which adjacent word pairs co-occur far
+    * more than chance). Per bigram (a, b) with `cnt_ab ≥ minCount`:
+    *
+    *   pmi = log10( (cnt_ab / T_bi) / ((cnt_a / T_uni) · (cnt_b / T_uni)) )
+    *
+    * with T_bi = total bigram positions, T_uni = total tokens, and
+    * cnt_a/cnt_b unigram occurrence counts — all exact integers off two
+    * generator scans, so the one libm bridge is the final log10
+    * (DECIMAL(18,6)-rounded, the ql54 convention). Top-`topK` by
+    * (pmi DESC — compared as the rounded DECIMAL, ties → gram ASC).
+    *
+    * Scale shape: bigram and unigram counts are map-side-combinable aggs
+    * over scan-riding generators (the corpus never shuffles — only
+    * vocabulary-sized count tables do); the minCount cut prunes the
+    * bigram table BEFORE its two unigram joins; totals broadcast; the
+    * tail is a bounded TakeOrdered.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = Dedup.tokens(col(textCol))
+    val bi = docs.select(explode(
+      graft.functions.Ngrams.wordNgramsJoin(toks, 2)).as("gram"))
+    val uni = docs.select(explode(toks).as("tok"))
+    val biCnt = bi.groupBy(col("gram")).agg(count(lit(1)).as("cnt_ab"))
+    val uniCnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("cnt_tok"))
+    val tBi = bi.agg(count(lit(1)).as("t_bi"))
+    val tUni = uni.agg(count(lit(1)).as("t_uni"))
+    biCnt.filter(col("cnt_ab") >= minCount)
+      .withColumn("tok_a", substring_index(col("gram"), " ", 1))
+      .withColumn("tok_b", substring_index(col("gram"), " ", -1))
+      .join(uniCnt.select(col("tok").as("tok_a"), col("cnt_tok").as("cnt_a")), Seq("tok_a"))
+      .join(uniCnt.select(col("tok").as("tok_b"), col("cnt_tok").as("cnt_b")), Seq("tok_b"))
+      .crossJoin(broadcast(tBi))
+      .crossJoin(broadcast(tUni))
+      .withColumn("pmi", log10(
+        (col("cnt_ab").cast("double") / col("t_bi").cast("double")) /
+          ((col("cnt_a").cast("double") / col("t_uni").cast("double")) *
+            (col("cnt_b").cast("double") / col("t_uni").cast("double"))))
+        .cast("decimal(18,6)"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(topK)
+      .select(col("gram"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+        col("pmi").cast("double").as("pmi"))
   }
 
   /** Contact-info signals — the PII pre-scrub pass of a training-data

@@ -93,6 +93,11 @@ object PlanAudit {
       "(log10 weight + closed-form hash noise) is a scan-riding projection -- ONE scan, " +
       "the only Exchange is the rank window's group partitioning, and WindowGroupLimit " +
       "prunes every task to nPerGroup rows before the shuffle"),
+    "ql70_collocations" -> ("PMI collocations: bigram and unigram counts are " +
+      "map-side-combinable aggs over scan-riding generators (the corpus never " +
+      "shuffles -- only vocabulary-sized count tables do), the minCount cut prunes " +
+      "the bigram table BEFORE its two unigram joins, totals broadcast, and the " +
+      "top-K tail is a bounded TakeOrderedAndProject"),
     "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
       "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
     "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
@@ -438,6 +443,13 @@ object PlanAudit {
     // ql69: one scan, the rank window's Exchange, map-side group prune
     "ql69_weighted_sample" -> Shape(maxScans = 1, forbid = noSmj ++ noCross,
       require = Seq("WindowGroupLimit", "xxhash64")),
+    // ql70: two generator scan families — bigram (count agg + total) and
+    // unigram (the count table referenced by BOTH unigram joins + the
+    // total) = 5 static scans; AQE dedupes the identical unigram-count
+    // stages at runtime (the ql54 convention). Never a cross join,
+    // bounded top-K tail
+    "ql70_collocations" -> Shape(maxScans = 5, forbid = noCross,
+      require = Seq("TakeOrderedAndProject")),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere

@@ -53,7 +53,7 @@ object ScaleBench {
     // prune bounds every Exchange by matched posting lists (which grow
     // linearly with the corpus for a fixed query set), so the row must
     // track the scan near-linearly; a super-linear ratio would mean the
-    // df window or the (query, doc) agg stopped pruning
+    // df agg or the (query, doc) agg stopped pruning
     "ql67_bm25_topk",
     // ql68: DSIR selection — position probes and both model estimations
     // grow with the corpus but stay map-side-combinable; the models are
@@ -66,6 +66,10 @@ object ScaleBench {
     // Exchange whose WindowGroupLimit bounds every task to nPerGroup
     // rows, so the row must track the scan
     "ql69_weighted_sample",
+    // ql70: PMI collocations — generator count aggs grow with the
+    // corpus but partial-combine into vocab-sized tables, so the row
+    // must track the scan
+    "ql70_collocations",
     // round-7 scale evidence: ql30 (IVF cells ∝ n — the growth-safety
     // flagship) and ql32 (auto-derived planes) are the two designed fixes
     // for ql14's fixed-planes super-linear; ql22/ql26 are budget/cap ops

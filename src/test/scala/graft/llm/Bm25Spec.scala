@@ -79,6 +79,55 @@ class Bm25Spec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1L, expected.toDouble)))
   }
 
+  test("Bm25Index lifecycle: build==inline, save/load, bucketed shuffle-free df") {
+    val queries = Seq((10L, "apple cherry"), (11L, "banana")).toDF("query_id", "text")
+    val inline = rowsOf(TextAnalysis.bm25TopK(corpus, queries,
+      "doc_id", "text", "query_id", "text", k = 5))
+    val idx = TextAnalysis.Bm25Index.build(corpus, "doc_id", "text")
+    val served = rowsOf(TextAnalysis.Bm25Index.search(idx, queries,
+      "query_id", "text", k = 5))
+    assert(served == inline, "index search must equal the inline operator")
+    // plain parquet round trip
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.Bm25Index.save(idx, s"$dir/plain")
+    val loaded = TextAnalysis.Bm25Index.load(spark, s"$dir/plain")
+    assert(rowsOf(TextAnalysis.Bm25Index.search(loaded, queries,
+      "query_id", "text", k = 5)) == inline)
+    // bucketed: identical serving AND the per-term df agg needs no Exchange
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_spec")
+    TextAnalysis.Bm25Index.saveBucketed(idx, "bm25_idx_spec", s"$dir/bucketed",
+      numBuckets = 4)
+    val bucketed = TextAnalysis.Bm25Index.loadBucketed(spark, "bm25_idx_spec", s"$dir/bucketed")
+    assert(rowsOf(TextAnalysis.Bm25Index.search(bucketed, queries,
+      "query_id", "text", k = 5)) == inline)
+    assert(graft.sources.Bucketing.isShuffleFree(
+      bucketed.postings.groupBy(col("term")).count()),
+      "a bucketed index must aggregate by term without an Exchange")
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_spec")
+  }
+
+  test("Bm25Index.append equals the union rebuild exactly; re-delivered ids raise") {
+    val batch = Seq(
+      (10L, "apple durian"), (11L, "cherry cherry banana")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry durian")).toDF("query_id", "text")
+    val appended = TextAnalysis.Bm25Index.append(
+      TextAnalysis.Bm25Index.build(corpus, "doc_id", "text"),
+      batch, "doc_id", "text")
+    val rebuilt = TextAnalysis.Bm25Index.build(
+      corpus.unionByName(batch), "doc_id", "text")
+    assert(rowsOf(TextAnalysis.Bm25Index.search(appended, queries,
+      "query_id", "text", k = 10)) ==
+      rowsOf(TextAnalysis.Bm25Index.search(rebuilt, queries,
+        "query_id", "text", k = 10)),
+      "append must converge to the union rebuild row for row")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.Bm25Index.append(
+        TextAnalysis.Bm25Index.build(corpus, "doc_id", "text"),
+        Seq((2L, "banana")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("re-delivers already-indexed id"))
+  }
+
   test("bm25TopK plan: query joins broadcast, postings prune before any shuffle") {
     val queries = Seq((10L, "apple cherry")).toDF("query_id", "text")
     val df = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",

@@ -57,6 +57,30 @@ class LlmSpec extends SparkSpec {
     assert(the1._2 == 2 && the1._4 == 2.0)
   }
 
+  test("collocations: hand-computed PMI, minCount prune, topK boundary order") {
+    val corpus = ((1 to 5).map(i => (i.toLong, "alpha beta")) :+
+      (6L, "alpha gamma beta")).toDF("doc_id", "text")
+    // T_bi = 7 (5 + 2), T_uni = 13; cnt(alpha)=6, cnt(beta)=6, cnt(gamma)=1
+    val out = TextAnalysis.collocations(corpus, "text", minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // only "alpha beta" survives the minCount=5 cut
+    assert(out.map(_._1).toSeq == Seq("alpha beta"))
+    val expected = BigDecimal(
+      math.log10((5.0 / 7.0) / ((6.0 / 13.0) * (6.0 / 13.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head == ("alpha beta", 5L, 6L, 6L, expected))
+    // at minCount=1 all three bigrams emit; the rarer pair ranks higher
+    // (PMI rewards co-occurrence beyond chance, not raw frequency)
+    val all = TextAnalysis.collocations(corpus, "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(4))).toMap
+    assert(all.keySet == Set("alpha beta", "alpha gamma", "gamma beta"))
+    assert(all("alpha gamma") > all("alpha beta"),
+      "a once-only pair of a rare token must out-PMI the frequent pair")
+    // topK caps deterministically
+    assert(TextAnalysis.collocations(corpus, "text", 1L, topK = 2).count() == 2)
+  }
+
   test("distinctiveTerms generator form equals the relational reference on the fixture") {
     val corpus = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
