@@ -133,6 +133,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(reused >= 3, s"expected >=3 reused bigram-count stages, got $reused")
   }
 
+  test("ql68's 13 static lmEstimate scans dedupe to <=5 at runtime") {
+    // the audited prose claims the two model-estimation subtrees inherit
+    // ql54's AQE stage dedup — inheriting the construction does not
+    // inherit the machine check, so pin it on THIS query's finalized
+    // plan: 13 static scans collapse to <=5 with >=4 ReusedExchange
+    val (scans, reused) = finalPlanStats("ql68_dsir_select")
+    assert(scans <= 5, s"expected <=5 scans in the final plan, got $scans")
+    assert(reused >= 4, s"expected >=4 reused model stages, got $reused")
+  }
+
+  test("ql70's twice-referenced unigram-count stage dedupes at runtime") {
+    // 5 static scans (bigram count + total, unigram count x2 + total);
+    // the duplicated unigram-count subtree must read ReusedExchange
+    val (scans, reused) = finalPlanStats("ql70_collocations")
+    assert(scans <= 4, s"expected <=4 scans in the final plan, got $scans")
+    assert(reused >= 1, s"expected the unigram-count stage reused, got $reused")
+  }
+
   test("shuffle_hash self-join family: both sides share ONE reused Exchange at runtime") {
     // the r13 shuffle_hash conversion's whole point: the signature /
     // decode chain below the pair join computes ONCE because the two
