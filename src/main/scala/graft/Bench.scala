@@ -70,7 +70,10 @@ object Bench {
     "ql69_weighted_sample",
     // ql70: PMI collocations (round 15) — two generator-agg scan
     // families into vocab-sized count joins, bounded top-K tail
-    "ql70_collocations"
+    "ql70_collocations",
+    // qm4: byte-level frame sampling (round 15) — pure scan-riding
+    // slice projection, zero shuffles
+    "qm4_frame_sample"
   )
 
   /** Prior-round per-query reference: newest `BENCH_r*.json` in `dir`

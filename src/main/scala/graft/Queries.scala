@@ -461,6 +461,29 @@ object Queries {
       md5(col("bytes")).as("fp")))
   }
 
+  /** Q-M4 — byte-level video frame sampling
+    * ([[graft.sources.Multimodal.sliceFrames]]): every document becomes
+    * a synthetic raw-frame container (n_frames = 2 + pmod(doc_id, 4)
+    * frames of 64 bytes; byte = 1 + pmod(xxhash64(doc_id·65536 + g),
+    * 100) — one closed-form XXH64 block per byte, the qm3 fixture
+    * technique), sampled at everyK = 2. Every sampled frame's BYTES are
+    * pinned exactly: the output carries lower(hex(frame)) and the
+    * oracle rebuilds the identical hex string from the closed form —
+    * so the slicing arithmetic (offsets, frame count, sampling stride)
+    * hash-checks byte for byte.
+    */
+  val qm4FrameSample: Q = (s, dir) => {
+    val videos = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      expr("""unhex(array_join(transform(sequence(bigint(0), (2 + pmod(doc_id, 4)) * 64 - 1), g ->
+        lpad(hex(1 + pmod(xxhash64(doc_id * 65536 + g), 100)), 2, '0')), ''))""").as("bytes"))
+    val out = graft.sources.Multimodal.sliceFrames(videos, "media_id", "bytes",
+      frameBytes = 64, everyK = 2)
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+        lower(hex(col("frame"))).as("frame_hex"))
+    ordered(out)
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2491,6 +2514,7 @@ object Queries {
     "qm1_upsert" -> qm1Upsert,
     "qm2_media_fingerprint" -> qm2MediaFingerprint,
     "qm3_perceptual_neardup" -> qm3PerceptualNeardup,
+    "qm4_frame_sample" -> qm4FrameSample,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -2751,6 +2775,21 @@ gu AS (SELECT doc_id, source, n_chars, (CAST(((h % 1000000) + 1000000) % 1000000
 k AS (SELECT doc_id, source, n_chars, CAST(log10(CAST(n_chars AS DOUBLE)) + (-log10(-log10(u))) AS DECIMAL(18,6)) AS sample_key FROM gu),
 r AS (SELECT doc_id, source, n_chars, sample_key, ROW_NUMBER() OVER (PARTITION BY source ORDER BY sample_key DESC, doc_id ASC) AS rn FROM k)
 SELECT doc_id, source, n_chars, CAST(sample_key AS DOUBLE) AS sample_key FROM r WHERE rn <= 8 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-M4 oracle: the container bytes replayed from the closed form —
+    * the sampled frame set (stride 2, capped by n_frames) and each
+    * frame's 128-char hex string rebuilt byte for byte through the
+    * shared XXH64 chain.
+    */
+  private def qm4Sql: String =
+    s"""WITH base AS (SELECT doc_id, 2 + (doc_id % 4) AS nf FROM documents),
+fr AS (SELECT doc_id, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f FROM base),
+px AS (SELECT doc_id, nf, f, unnest(generate_series(0, 63)) AS p FROM fr),
+src AS (SELECT doc_id, nf, f, p, CAST(doc_id * 65536 + f * 64 + p AS HUGEINT) AS v FROM px),
+${xxh64Ctes(Seq("doc_id", "nf", "f", "p"), "src")},
+pxv AS (SELECT doc_id, nf, f, p, 1 + ((h % 100) + 100) % 100 AS b FROM hs),
+fx AS (SELECT doc_id, nf, f, string_agg(lpad(lower(hex(b)), 2, '0'), '' ORDER BY p) AS frame_hex FROM pxv GROUP BY 1, 2, 3)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, frame_hex FROM fx ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
 
   /** Q-L56 oracle: replay the mixture draw — `pmod(xxhash64(doc_id), 1e6)`
     * via the closed-form chain (the ql47b basis), copy counts as
@@ -3320,6 +3359,8 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // ql52: simhash votes/signature/bands replayed per token occurrence
     "ql52_simhash_candidates" -> ql52Sql,
     "qm3_perceptual_neardup" -> qm3Sql,
+    // qm4: sampled-frame bytes replayed from the closed form
+    "qm4_frame_sample" -> qm4Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

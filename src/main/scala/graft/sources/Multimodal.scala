@@ -275,6 +275,54 @@ object Multimodal {
     graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
   }
 
+  /** BYTE-level frame sampling over a packed binary video column — the
+    * missing half of [[sampleFrames]] (which emits only metadata-derived
+    * frame INDICES): slice every `everyK`-th fixed-size frame out of the
+    * container, up to `maxFrames` samples per video. The container
+    * convention is raw concatenated frames of exactly `frameBytes` each
+    * (the synthetic-media fixture layout; a real codec would decode to
+    * this shape first — the decode step is the documented external
+    * boundary, the slicing/explode/partitioning plumbing here is real).
+    *
+    * Output: (idCol, frame_idx INT, n_frames INT, frame BINARY). Each
+    * frame then feeds the real per-frame feature extractors ([[dHash64]]
+    * → [[perceptualNearDupPairs]] composes directly — spec-pinned).
+    *
+    * LOUD GUARD: a byte length that is not a multiple of `frameBytes`
+    * raises (a truncated/corrupt container silently losing its tail is
+    * exactly the bug class the guard discipline exists for). Zero-byte
+    * videos emit no frames (documented, not an error — an empty
+    * container has nothing to sample).
+    *
+    * Scale: slicing is a scan-riding projection (substring on the
+    * binary column inside the Generate stage — no shuffle anywhere, and
+    * the full container bytes never ride an Exchange; pair the output
+    * with [[repartitionByBytes]] when downstream work is per-frame).
+    */
+  def sliceFrames(media: DataFrame, idCol: String, bytesCol: String,
+                  frameBytes: Int, everyK: Int = 1,
+                  maxFrames: Int = Int.MaxValue): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val lastIdx = least(col("_nf") - 1,
+      lit(maxFrames.toLong - 1L) * everyK).cast("int")
+    media.select(col(idCol), col(bytesCol).as("_vb"),
+      length(col(bytesCol)).as("_len"))
+      .withColumn("_nf",
+        when(pmod(col("_len"), lit(frameBytes)) =!= 0, raise_error(concat(
+          lit(s"sliceFrames: container length is not a multiple of frameBytes=$frameBytes (got "),
+          col("_len").cast("string"),
+          lit(" bytes) — truncated or corrupt media"))))
+          .otherwise((col("_len") / lit(frameBytes)).cast("int")))
+      .filter(col("_nf") > 0)
+      .select(col(idCol), col("_vb"), col("_nf"),
+        explode(sequence(lit(0), lastIdx, lit(everyK))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"), col("_nf").as("n_frames"),
+        col("_vb").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)).as("frame"))
+  }
+
   /** Frame sampling stage (video): every `stride`-th frame index up to
     * `maxFrames`, as (media_id, frame_idx) rows ready for per-frame decode.
     */

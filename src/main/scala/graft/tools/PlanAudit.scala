@@ -98,6 +98,11 @@ object PlanAudit {
       "shuffles -- only vocabulary-sized count tables do), the minCount cut prunes " +
       "the bigram table BEFORE its two unigram joins, totals broadcast, and the " +
       "top-K tail is a bounded TakeOrderedAndProject"),
+    "qm4_frame_sample" -> ("byte-level frame sampling: the fixture container builds in a " +
+      "scan-riding projection, frame indices explode from a bounded sequence, and each " +
+      "frame is a substring slice INSIDE the Generate stage -- zero shuffles beyond the " +
+      "harness ORDER BY, and the container bytes never enter an Exchange (the slice " +
+      "projects before anything wide could shuffle)"),
     "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
       "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
     "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
@@ -450,6 +455,9 @@ object PlanAudit {
     // bounded top-K tail
     "ql70_collocations" -> Shape(maxScans = 5, forbid = noCross,
       require = Seq("TakeOrderedAndProject")),
+    // qm4: one scan, explode + substring projection, only the harness
+    // ORDER BY shuffles
+    "qm4_frame_sample" -> Shape(1, maxScans = 1, forbid = noCross),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere

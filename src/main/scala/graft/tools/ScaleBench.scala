@@ -66,6 +66,10 @@ object ScaleBench {
     // Exchange whose WindowGroupLimit bounds every task to nPerGroup
     // rows, so the row must track the scan
     "ql69_weighted_sample",
+    // qm4: frame slicing is a pure scan-riding projection (container
+    // synthesis + substring per sampled frame), so the row must track
+    // the corpus scan with zero shuffle growth
+    "qm4_frame_sample",
     // ql70: PMI collocations — generator count aggs grow with the
     // corpus but partial-combine into vocab-sized tables, so the row
     // must track the scan

@@ -66,4 +66,48 @@ class MultimodalSpec extends SparkSpec {
     assert(byId.nonEmpty)
     byId.values.foreach { case (n, mx) => assert(n >= 1 && mx % 5 == 0) }
   }
+
+  test("sliceFrames: exact byte slices, stride, maxFrames cap, edge containers") {
+    import spark.implicits._
+    // 3 frames of 4 bytes: [0..3][4..7][8..11]
+    val container = Array.tabulate[Byte](12)(_.toByte)
+    val media = Seq((1L, container), (2L, Array.emptyByteArray))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.sliceFrames(media, "media_id", "bytes",
+      frameBytes = 4, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq))
+    // video 1 samples frames 0 and 2 with EXACT bytes; the empty
+    // container emits nothing
+    assert(out.toSeq.sortBy(_._2) == Seq(
+      (1L, 0, 3, Seq[Byte](0, 1, 2, 3)),
+      (1L, 2, 3, Seq[Byte](8, 9, 10, 11))))
+    // maxFrames caps the SAMPLE count (not the index range)
+    val capped = Multimodal.sliceFrames(media, "media_id", "bytes",
+      frameBytes = 4, everyK = 1, maxFrames = 2)
+      .collect().map(r => r.getInt(1)).sorted
+    assert(capped.toSeq == Seq(0, 1))
+    // a ragged container raises loudly instead of dropping tail bytes
+    val ragged = Seq((3L, Array.tabulate[Byte](10)(_.toByte))).toDF("media_id", "bytes")
+    val e = intercept[Exception] {
+      Multimodal.sliceFrames(ragged, "media_id", "bytes", frameBytes = 4).collect()
+    }
+    assert(e.getMessage.contains("not a multiple of frameBytes"))
+  }
+
+  test("sliceFrames composes with the real per-frame dHash extractor") {
+    import spark.implicits._
+    // two videos sharing frame 0 byte-for-byte: their sampled frame-0
+    // dHashes must collide; 72-byte frames are the 9x8 minimum grid
+    // dHash64 accepts (width >= 9, height >= 8)
+    val shared = Array.tabulate[Byte](72)(i => (i * 7 % 97).toByte)
+    val other = Array.tabulate[Byte](72)(i => (i * 13 % 89 + 1).toByte)
+    val media = Seq(
+      (1L, shared ++ other), (2L, shared ++ shared)).toDF("media_id", "bytes")
+    val hashed = Multimodal.sliceFrames(media, "media_id", "bytes", frameBytes = 72)
+      .withColumn("dh", Multimodal.dHash64(col("frame"), lit(9), lit(8)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(hashed((1L, 0)) == hashed((2L, 0)), "shared frame must hash equal")
+    assert(hashed((2L, 0)) == hashed((2L, 1)), "identical frames within a video too")
+  }
 }
