@@ -160,14 +160,29 @@ object Classify {
       .select(col("label"), col("n_docs"), col("n_docs_total")).distinct()
       .select(col("label"), (col("n_docs") * lit(sign)).as("n_docs"),
         (col("n_docs_total") * lit(sign)).as("n_docs_total"))
+    // the doc-count dimensions get the SAME loud-guard as token counts:
+    // a subtrahend claiming more docs than the minuend (possible with
+    // ZERO token evidence — all-empty-text docs produce no cnt rows, so
+    // the cnt raise alone cannot catch it) must raise, never silently
+    // drop a label or let a negative total corrupt every prior downstream
     val perLabel = docsDim(a, 1).unionByName(docsDim(b, -1))
       .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+      .withColumn("n_docs",
+        when(col("n_docs") < 0, raise_error(concat(
+          lit("nbSubtract: negative doc count for label "), col("label"),
+          lit(" — the subtrahend model was never trained into the minuend"))))
+          .otherwise(col("n_docs")))
       .filter(col("n_docs") > 0)
     def total(m: DataFrame, sign: Int) = m
       .select(col("n_docs_total")).distinct()
       .select((col("n_docs_total") * lit(sign)).as("n_docs_total"))
     val docsTotal = total(a, 1).unionByName(total(b, -1))
       .agg(sum(col("n_docs_total")).as("n_docs_total"))
+      .withColumn("n_docs_total",
+        when(col("n_docs_total") < 0, raise_error(
+          lit("nbSubtract: negative total doc count — the subtrahend model " +
+            "was never trained into the minuend")))
+          .otherwise(col("n_docs_total")))
     cnt.join(broadcast(labelTot), "label")
       .crossJoin(broadcast(vocab))
       .join(broadcast(perLabel), "label")

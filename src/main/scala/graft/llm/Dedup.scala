@@ -993,7 +993,12 @@ object Dedup {
     // no edges → no clusters: skip the loop's per-iteration jobs (a
     // pipeline whose dedup stage finds nothing still paid them — pure
     // scheduling overhead on an empty frame)
-    if (labels.isEmpty) { edges.unpersist(blocking = false); return labels }
+    if (labels.isEmpty) {
+      edges.unpersist(blocking = false)
+      val out = labels.localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      return out
+    }
     var i = 0
     var converged = false
     try {
@@ -1037,7 +1042,16 @@ object Dedup {
         s"duplicateClusters: no fixpoint after $maxIters iterations " +
           s"(graph diameter > 2^$maxIters is implausible; check the pair input)")
     }
-    labels
+    // MATERIALIZE-THEN-RELEASE (the ql50b/CrawlState.save discipline):
+    // returning the persisted generation pins a MEMORY_AND_DISK cache
+    // for the life of the app PER CALL — every keep-best dedup
+    // (ql42/ql50/ql63, emitPretrainCorpus) would leak one cluster cache
+    // per invocation. The converged labels are pair-ids-sized and
+    // already computed (the fixpoint count ran them), so the eager
+    // localCheckpoint is one small job and the cache entry dies here.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Keep one survivor per duplicate cluster: the minimum doc id. Docs not

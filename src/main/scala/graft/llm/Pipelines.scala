@@ -220,15 +220,26 @@ object Pipelines {
       * equals the in-memory chain row-for-row.
       */
     def save(path: String, indexTable: Option[String] = None): Unit = {
-      val spark = staged.sparkSession
-      staged.write.mode("overwrite").parquet(s"$path/staged")
+      // CUT LINEAGE FIRST (eager localCheckpoint via [[checkpoint]]):
+      // the nightly loop this API exists for loads from `path`, appends,
+      // and saves BACK to `path` — but a frame whose lazy lineage still
+      // READS `path/staged` cannot mode(overwrite) the same path (Spark
+      // refuses: "Cannot overwrite a path that is also being read
+      // from"). After the cut every frame reads cluster-resident blocks,
+      // so same-path saves work; checkpoint() also owns the gate-cache
+      // release, and the checkpoint blocks are context-cleaned once the
+      // cut state goes unreachable at return. Spec-pinned: the full
+      // load → append → save-to-the-SAME-path → load loop round-trips.
+      val cut = checkpoint()
+      val spark = cut.staged.sparkSession
+      cut.staged.write.mode("overwrite").parquet(s"$path/staged")
       indexTable match {
-        case Some(tbl) => Dedup.BandIndex.saveBucketed(index, tbl, s"$path/index")
-        case None      => index.write.mode("overwrite").parquet(s"$path/index")
+        case Some(tbl) => Dedup.BandIndex.saveBucketed(cut.index, tbl, s"$path/index")
+        case None      => cut.index.write.mode("overwrite").parquet(s"$path/index")
       }
-      pairs.write.mode("overwrite").parquet(s"$path/pairs")
-      langModel.write.mode("overwrite").parquet(s"$path/lang_model")
-      nbModel.write.mode("overwrite").parquet(s"$path/nb_model")
+      cut.pairs.write.mode("overwrite").parquet(s"$path/pairs")
+      cut.langModel.write.mode("overwrite").parquet(s"$path/lang_model")
+      cut.nbModel.write.mode("overwrite").parquet(s"$path/nb_model")
       import spark.implicits._
       Seq((params.idCol, params.textCol, params.langCol, params.useC4Lines,
         params.minJaccard, params.hashedTokenIds, params.numHashes,
@@ -236,7 +247,6 @@ object Pipelines {
         .toDF("id_col", "text_col", "lang_col", "use_c4_lines", "min_jaccard",
           "hashed_token_ids", "num_hashes", "bands", "index_table")
         .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-      release()
     }
 
     /** The in-session sibling of [[save]]: eagerly compute every frame

@@ -342,14 +342,8 @@ object TextAnalysis {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
-    val index = Bm25Index(
-      docs.select(col(idCol).as("id"),
-        size(Dedup.tokens(col(textCol))).as("dl"),
-        graft.functions.Generators.termCounts(col(textCol)).as(Seq("term", "tf")))
-        .select(col("term"), col("id"), col("tf"), col("dl")),
-      docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(Dedup.tokens(col(textCol)))).as("sum_dl")))
-    Bm25Index.search(index, queries, queryIdCol, queryTextCol, k, k1, b)
+    Bm25Index.search(Bm25Index.build(docs, idCol, textCol),
+      queries, queryIdCol, queryTextCol, k, k1, b)
       .withColumnRenamed("id", idCol)
   }
 
@@ -391,6 +385,7 @@ object TextAnalysis {
                queryIdCol: String, queryTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
       require(k >= 1, s"k must be >= 1, got $k")
+      require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
       val qterms = queries.select(col(queryIdCol).as("_qid"),
         explode(array_distinct(Dedup.tokens(col(queryTextCol)))).as("term"))
       val qvocab = broadcast(qterms.select(col("term")).distinct())
@@ -429,21 +424,24 @@ object TextAnalysis {
       * `search(append(build(A), B)) == search(build(A ∪ B))` row for row
       * (spec-pinned): df re-counts over the unioned postings and every
       * other statistic is additive. `batch` ids must be disjoint from
-      * the indexed corpus (the build-side unique-id convention) —
-      * guarded on posting-bearing docs (an all-empty-text duplicate is
-      * invisible to postings and only double-counts N; the guard scans
-      * the NARROW id projection, never text).
+      * the indexed corpus (the build-side unique-id convention) — the
+      * guard probes the BATCH's raw id column (never its text — probing
+      * `add.postings` would re-tokenize the batch AND miss an empty-text
+      * re-delivery) against the index's posting ids; a re-delivered doc
+      * that was all-empty-text on the INDEX side has no posting to
+      * collide with and only double-counts N (documented boundary — the
+      * index stores no docless id list).
       */
     def append(index: Bm25Index, batch: DataFrame,
                idCol: String, textCol: String,
                checkDisjoint: Boolean = true): Bm25Index = {
       val add = build(batch, idCol, textCol)
       if (checkDisjoint) {
-        val dup = index.postings.select(col("id")).distinct()
-          .join(add.postings.select(col("id")).distinct(), Seq("id"), "left_semi")
+        val dup = batch.select(col(idCol).as("id")).distinct()
+          .join(index.postings.select(col("id")).distinct(), Seq("id"), "left_semi")
           .limit(1).collect()
         require(dup.isEmpty,
-          s"Bm25Index.append: batch re-delivers already-indexed id ${dup.head.get(0)} " +
+          s"Bm25Index.append: batch re-delivers already-indexed id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
             "— appending it would double-count df/N; dedup the batch first")
       }
       Bm25Index(

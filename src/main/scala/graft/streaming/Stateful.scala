@@ -65,8 +65,11 @@ object Stateful {
   /** Streaming exact dedup by `key` via [[FirstSeen]]. */
   def firstSeen[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
                                         ttl: TTLConfig = TTLConfig.NONE): Dataset[V] =
+    // timeModeFor, not TimeMode.None(): a value-level TTL under
+    // TimeMode.None throws at stream start (Spark validates the pair),
+    // which would make the documented state-bound knob unusable
     ds.groupByKey(key).transformWithState(
-      new FirstSeen[K, V](ttl), TimeMode.None(), OutputMode.Update())
+      new FirstSeen[K, V](ttl), timeModeFor(ttl), OutputMode.Update())
 
   /** BATCH-PARITY form of [[firstSeen]]: the first row per key under an
     * EXPLICIT total order (`orderCols`, e.g. event time + a unique

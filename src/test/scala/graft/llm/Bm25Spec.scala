@@ -126,6 +126,14 @@ class Bm25Spec extends SparkSpec {
         Seq((2L, "banana")).toDF("doc_id", "text"), "doc_id", "text")
     }
     assert(e.getMessage.contains("re-delivers already-indexed id"))
+    // the guard probes the batch's RAW id column, so even an EMPTY-TEXT
+    // re-delivery (no postings to collide with) is caught
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.Bm25Index.append(
+        TextAnalysis.Bm25Index.build(corpus, "doc_id", "text"),
+        Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("re-delivers already-indexed id"))
   }
 
   test("bm25TopK plan: query joins broadcast, postings prune before any shuffle") {

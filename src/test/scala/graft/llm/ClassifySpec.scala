@@ -107,6 +107,28 @@ class ClassifySpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("nbSubtract")))
   }
 
+  test("nbSubtract doc-count guards fire even with ZERO token evidence") {
+    // empty-text docs produce no cnt rows, so the token-count raise alone
+    // cannot see them: a subtrahend whose token counts all fit inside the
+    // minuend's (zz: 1 ≤ 1 — differences 0 or positive, no cnt raise) but
+    // which claims MORE docs must still raise on the doc-count dimension
+    // (silently filtering the negative n_docs would delete a surviving
+    // label; a negative total would sign-flip every downstream prior)
+    val a = Seq(("good", "fresh zz"), ("good", ""), ("good", ""))
+      .toDF("label", "text")
+    val b = Seq(("good", "zz"), ("good", ""), ("good", ""), ("good", ""))
+      .toDF("label", "text")
+    val e = intercept[Exception] {
+      Classify.nbSubtract(
+        Classify.nbTrain(a, "label", "text"),
+        Classify.nbTrain(b, "label", "text")).collect()
+    }
+    def msg(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(_.getMessage).getOrElse("")
+    assert(msg(e).contains("doc count"),
+      s"expected the doc-count guard, got: ${msg(e)}")
+  }
+
   test("scores are partitioning-independent (DECIMAL sums)") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))

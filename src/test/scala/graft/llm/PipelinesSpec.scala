@@ -278,6 +278,22 @@ class PipelinesSpec extends SparkSpec {
     assert(rowsOf(Pipelines.emitPretrainCorpus(viaDisk)) ==
       rowsOf(Pipelines.emitPretrainCorpus(inMem)))
     viaDisk.release()
+    // THE NIGHTLY LOOP ITSELF: load from a path, append, save back to
+    // the SAME path (what the save scaladoc prescribes) — without the
+    // eager pre-write lineage cut this throws "Cannot overwrite a path
+    // that is also being read from"; then the re-loaded state must equal
+    // the chain
+    val looped = Pipelines.appendCrawlBatch(
+      Pipelines.CrawlState.load(spark, s"$dir/plain"), docsB)
+    looped.save(s"$dir/plain")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the same-path save must still release every cache")
+    val reloaded = Pipelines.CrawlState.load(spark, s"$dir/plain")
+    assert(rowsOf(reloaded.staged) == rowsOf(inMem.staged))
+    assert(rowsOf(reloaded.pairs) == rowsOf(inMem.pairs))
+    assert(rowsOf(Pipelines.emitPretrainCorpus(reloaded)) ==
+      rowsOf(Pipelines.emitPretrainCorpus(inMem)))
+    reloaded.release()
     // the bucketed layout: index through the catalog, same chain result
     spark.sql("DROP TABLE IF EXISTS crawl_idx_spec")
     Pipelines.initCrawlState(docsA, params)

@@ -257,6 +257,36 @@ class StatefulSpec extends SparkSpec {
     assert(cond, s"timed out waiting for $what")
   }
 
+  test("firstSeen with a value TTL starts and re-emits after eviction") {
+    // the TTL knob must be USABLE: passing a non-NONE TTL requires
+    // TimeMode.ProcessingTime (a TTL under TimeMode.None throws at
+    // stream start — the bug class this pin exists for); after the TTL
+    // lapses, a re-delivered key is first-seen again
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val stream = MemoryStream[(Long, String)]
+      val out = Stateful.firstSeen[Long, (Long, String)](stream.toDS(), _._1,
+        ttl = org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(2))).toDF("id", "payload")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+      val q = out.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+        }.start()
+      import scala.jdk.CollectionConverters._
+      try {
+        stream.addData((1L, "a"))
+        pollUntil(got.contains((1L, "a")), "the first delivery of key 1")
+        stream.addData((1L, "b")) // within TTL — suppressed as a dup
+        Thread.sleep(4500) // let the 2s value TTL lapse
+        stream.addData((1L, "c")) // state evicted — first-seen again
+        pollUntil(got.contains((1L, "c")), "the post-eviction re-delivery")
+      } finally q.stop()
+      assert(got.asScala.toSet == Set((1L, "a"), (1L, "c")),
+        s"firstSeen TTL emissions wrong: ${got.asScala.toSet}")
+    }
+  }
+
   test("TTL evicts LSH bucket membership — pairs emit only within overlapping residencies") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     withRocksDb {
