@@ -2782,7 +2782,7 @@ SELECT doc_id, source, n_chars, CAST(sample_key AS DOUBLE) AS sample_key FROM r 
     * shared XXH64 chain.
     */
   private def qm4Sql: String =
-    s"""WITH base AS (SELECT doc_id, 2 + (doc_id % 4) AS nf FROM documents),
+    s"""WITH base AS (SELECT doc_id, 2 + ((doc_id % 4) + 4) % 4 AS nf FROM documents),
 fr AS (SELECT doc_id, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f FROM base),
 px AS (SELECT doc_id, nf, f, unnest(generate_series(0, 63)) AS p FROM fr),
 src AS (SELECT doc_id, nf, f, p, CAST(doc_id * 65536 + f * 64 + p AS HUGEINT) AS v FROM px),

@@ -138,7 +138,12 @@ object Classify {
     * of surviving counts and `vocab` as their distinct token count (the
     * two non-carryable columns, recomputed at model-sized cost exactly
     * like [[nbMerge]]). A subtrahend count exceeding the minuend's
-    * raises loudly — it means `b` was never trained into `a`.
+    * raises loudly — it means `b` was never trained into `a`. DETECTION
+    * IS PARTIAL (the [[TextAnalysis.lmSubtract]] caveat): only
+    * over-subtraction is catchable from counts — a `b` that was never
+    * trained into `a` but whose per-key counts all fit under the
+    * minuend's subtracts cleanly and yields a silently corrupted model;
+    * full membership verification is impossible from count tables.
     *
     * Scale: every agg/join is model-sized, never corpus-sized.
     */

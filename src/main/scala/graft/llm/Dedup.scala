@@ -264,6 +264,17 @@ object Dedup {
     def loadBucketed(spark: org.apache.spark.sql.SparkSession,
                      table: String): DataFrame =
       graft.sources.Bucketing.readBucketed(spark, table)
+
+    /** [[loadBucketed]] that survives a fresh application (the nightly
+      * load → append → save loop's real entry): when `table` died with
+      * the previous app's in-memory catalog, re-register it over the
+      * files at `path` from the `_bucketspec` sidecar
+      * ([[graft.sources.Bucketing.readBucketedOrRegister]]) — the band
+      * join stays index-Exchange-free across restarts.
+      */
+    def loadBucketed(spark: org.apache.spark.sql.SparkSession,
+                     table: String, path: String): DataFrame =
+      graft.sources.Bucketing.readBucketedOrRegister(spark, table, path)
   }
 
   /** Candidate pairs INTRODUCED by a new batch against an indexed corpus:

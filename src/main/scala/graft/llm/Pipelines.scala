@@ -294,8 +294,12 @@ object Pipelines {
         hashedTokenIds = meta.getAs[Boolean]("hashed_token_ids"),
         numHashes = meta.getAs[Int]("num_hashes"),
         bands = meta.getAs[Int]("bands"))
+      // path-aware loadBucketed: a fresh application's in-memory catalog
+      // has no `index_table` entry — re-register from the _bucketspec
+      // sidecar so the nightly load → append → save loop works across
+      // app restarts, not just same-session (ADVICE r15)
       val index = Option(meta.getAs[String]("index_table")) match {
-        case Some(tbl) => Dedup.BandIndex.loadBucketed(spark, tbl)
+        case Some(tbl) => Dedup.BandIndex.loadBucketed(spark, tbl, s"$path/index")
         case None      => spark.read.parquet(s"$path/index")
       }
       CrawlState(params, spark.read.parquet(s"$path/staged"), index,

@@ -342,9 +342,15 @@ object TextAnalysis {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    // positional rename (toDF) instead of withColumnRenamed: the output
+    // MUST have 4 distinct names or every downstream select is ambiguous
+    // (decontamination keys docs and queries both 'doc_id')
+    require(Seq(queryIdCol, "rank", idCol, "score").distinct.size == 4,
+      s"bm25TopK: output columns ($queryIdCol, rank, $idCol, score) must be " +
+        "distinct — rename idCol/queryIdCol on the way in")
     Bm25Index.search(Bm25Index.build(docs, idCol, textCol),
       queries, queryIdCol, queryTextCol, k, k1, b)
-      .withColumnRenamed("id", idCol)
+      .toDF(queryIdCol, "rank", idCol, "score")
   }
 
   /** Persistable BM25 inverted index — the build-once/serve-many
@@ -386,6 +392,9 @@ object TextAnalysis {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
       require(k >= 1, s"k must be >= 1, got $k")
       require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
+      require(!Set("rank", "id", "score").contains(queryIdCol),
+        s"Bm25Index.search: queryIdCol '$queryIdCol' collides with a fixed " +
+          "output column (rank, id, score) — rename it on the way in")
       val qterms = queries.select(col(queryIdCol).as("_qid"),
         explode(array_distinct(Dedup.tokens(col(queryTextCol)))).as("term"))
       val qvocab = broadcast(qterms.select(col("term")).distinct())
@@ -437,8 +446,15 @@ object TextAnalysis {
                checkDisjoint: Boolean = true): Bm25Index = {
       val add = build(batch, idCol, textCol)
       if (checkDisjoint) {
-        val dup = batch.select(col(idCol).as("id")).distinct()
-          .join(index.postings.select(col("id")).distinct(), Seq("id"), "left_semi")
+        // membership probe shaped for a 100 TB index: broadcast the
+        // batch's (dim-sized) id set and STREAM the index's column-pruned
+        // posting ids through it — ONE narrow scan, zero index-side
+        // Exchange. (The previous right-side-distinct form reshuffled the
+        // entire index to answer a yes/no question.) Measured at 10× in
+        // ScaleBench's bm25_append row.
+        val dup = index.postings.select(col("id"))
+          .join(broadcast(batch.select(col(idCol).as("id")).distinct()),
+            Seq("id"), "left_semi")
           .limit(1).collect()
         require(dup.isEmpty,
           s"Bm25Index.append: batch re-delivers already-indexed id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
@@ -474,9 +490,16 @@ object TextAnalysis {
       index.stats.write.mode("overwrite").parquet(s"$path/stats")
     }
 
+    /** Survives a fresh application: the catalog entry is re-registered
+      * from the `_bucketspec` sidecar when absent
+      * ([[graft.sources.Bucketing.readBucketedOrRegister]]), so the
+      * nightly build-elsewhere/serve-here split works without a shared
+      * metastore.
+      */
     def loadBucketed(spark: org.apache.spark.sql.SparkSession,
                      table: String, path: String): Bm25Index =
-      Bm25Index(graft.sources.Bucketing.readBucketed(spark, table),
+      Bm25Index(graft.sources.Bucketing.readBucketedOrRegister(
+          spark, table, s"$path/postings"),
         spark.read.parquet(s"$path/stats"))
   }
 
@@ -1340,6 +1363,11 @@ object TextAnalysis {
     * exceeding the minuend's raises loudly (`raise_error` riding the
     * one model-sized agg): it means `b` was never merged into `a`, and
     * silently clamping would desynchronize every downstream score.
+    * DETECTION IS PARTIAL: counts are the only evidence available, so
+    * only OVER-subtraction is catchable — a wrong `b` whose per-key
+    * counts all happen to fit under the minuend's subtracts cleanly and
+    * yields a silently corrupted model. Full membership verification is
+    * impossible from count tables; keep provenance outside the model.
     *
     * Scale: both inputs are vocabulary-sized model tables — every agg
     * and join here is model-sized, never corpus-sized.

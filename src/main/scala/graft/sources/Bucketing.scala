@@ -11,12 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * requirement, and the sort order feeds SortMergeJoin directly. One write
   * amortizes over every downstream query — the canonical warehouse layout
   * for repeatedly-joined big tables.
+  *
+  * CATALOG LIFETIME: `saveAsTable` records the bucket spec in the
+  * session catalog, which is per-application for the default in-memory
+  * catalog — a FRESH application cannot `spark.table(name)` what a
+  * previous one registered. [[writeBucketed]] therefore also writes a
+  * `_bucketspec` sidecar (underscore-prefixed → invisible to the table's
+  * own file listing) carrying (bucketCols, numBuckets, sortCols), and
+  * [[readBucketedOrRegister]] re-issues the external-table DDL from it
+  * when the name is absent — so persisted bucketed indexes survive
+  * application restarts without a Hive metastore.
   */
 object Bucketing {
 
   /** Write `df` as a bucketed, sorted table backed by parquet at `path`.
     * `numBuckets` should be sized so a bucket fits an executor's working
     * memory at full scale (buckets = parallelism unit for later reads).
+    * Also writes the `_bucketspec` sidecar [[readBucketedOrRegister]]
+    * re-registers from in a fresh application.
     */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     bucketCols: Seq[String], numBuckets: Int,
@@ -27,6 +39,13 @@ object Bucketing {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+    // sidecar AFTER the table write (overwrite wipes the directory);
+    // comma-joined names are safe — bucket keys are identifier columns
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((bucketCols.mkString(","), numBuckets, sortCols.mkString(",")))
+      .toDF("bucket_cols", "num_buckets", "sort_cols")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/_bucketspec")
   }
 
   /** Read a bucketed table (bucketing metadata lives in the catalog, so
@@ -34,6 +53,44 @@ object Bucketing {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** [[readBucketed]] that survives a fresh application: when `table` is
+    * absent from the catalog (the default in-memory catalog dies with
+    * the app), re-register it as an EXTERNAL bucketed table over the
+    * files at `path` using the `_bucketspec` sidecar, then read through
+    * the catalog so the bucket spec is honored (scan satisfies the
+    * bucket-key distribution — no Exchange). Falls back to a plain
+    * parquet read (correct, but bucketing-blind — joins will reshuffle)
+    * when no sidecar exists, i.e. the layout predates the sidecar.
+    */
+  def readBucketedOrRegister(spark: SparkSession, table: String,
+                             path: String): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val specPath = s"$path/_bucketspec"
+      val hasSpec =
+        try { spark.read.parquet(specPath).head(); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!hasSpec) return spark.read.parquet(path)
+      val spec = spark.read.parquet(specPath).head()
+      val bucketCols = spec.getAs[String]("bucket_cols").split(',').toSeq
+      val numBuckets = spec.getAs[Int]("num_buckets")
+      val sortCols = spec.getAs[String]("sort_cols").split(',').toSeq
+        .filter(_.nonEmpty)
+      // schema from the data files themselves (the sidecar dir is
+      // underscore-hidden, so it never pollutes the inference)
+      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      def q(id: String) = s"`${id.replace("`", "``")}`"
+      val qualified = table.split('.').map(q).mkString(".")
+      val sorted =
+        if (sortCols.nonEmpty) s"SORTED BY (${sortCols.map(q).mkString(", ")}) "
+        else ""
+      spark.sql(
+        s"CREATE TABLE $qualified ($schemaDdl) USING parquet " +
+          s"CLUSTERED BY (${bucketCols.map(q).mkString(", ")}) " +
+          sorted + s"INTO $numBuckets BUCKETS LOCATION '$path'")
+    }
+    spark.table(table)
+  }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketing is supposed to buy. Exposed for tests and

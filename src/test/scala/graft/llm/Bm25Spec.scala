@@ -103,7 +103,38 @@ class Bm25Spec extends SparkSpec {
     assert(graft.sources.Bucketing.isShuffleFree(
       bucketed.postings.groupBy(col("term")).count()),
       "a bucketed index must aggregate by term without an Exchange")
+    // fresh-application path (ADVICE r15): drop the catalog entry, load
+    // again — re-registers from the sidecar, serving and bucketing intact
+    spark.sql("DROP TABLE bm25_idx_spec")
+    val fresh = TextAnalysis.Bm25Index.loadBucketed(spark, "bm25_idx_spec", s"$dir/bucketed")
+    assert(spark.catalog.tableExists("bm25_idx_spec"))
+    assert(rowsOf(TextAnalysis.Bm25Index.search(fresh, queries,
+      "query_id", "text", k = 5)) == inline)
+    assert(graft.sources.Bucketing.isShuffleFree(
+      fresh.postings.groupBy(col("term")).count()))
     spark.sql("DROP TABLE IF EXISTS bm25_idx_spec")
+  }
+
+  test("bm25TopK: colliding output column names raise instead of duplicating") {
+    // decontamination shape: docs and queries both keyed 'doc_id'
+    val queries = Seq((10L, "apple cherry")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", "doc_id", "text")
+    }
+    assert(e.getMessage.contains("distinct"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(corpus, queries, "score", "text", "query_id", "text")
+    }
+    intercept[IllegalArgumentException] { // fixed names guarded in search too
+      TextAnalysis.Bm25Index.search(
+        TextAnalysis.Bm25Index.build(corpus, "doc_id", "text"),
+        queries.withColumnRenamed("doc_id", "rank"), "rank", "text")
+    }
+    // non-colliding renames still work and carry the caller's names
+    val ok = TextAnalysis.bm25TopK(corpus, queries.withColumnRenamed("doc_id", "qid"),
+      "doc_id", "text", "qid", "text", k = 2)
+    assert(ok.columns.toSeq == Seq("qid", "rank", "doc_id", "score"))
+    assert(ok.count() > 0)
   }
 
   test("Bm25Index.append equals the union rebuild exactly; re-delivered ids raise") {

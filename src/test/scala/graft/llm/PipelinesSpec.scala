@@ -306,6 +306,18 @@ class PipelinesSpec extends SparkSpec {
     assert(rowsOf(Pipelines.emitPretrainCorpus(viaBucket)) ==
       rowsOf(Pipelines.emitPretrainCorpus(inMem2)))
     viaBucket.release()
+    // FRESH-APPLICATION path (ADVICE r15): the in-memory catalog dies
+    // with the app — drop the table and load again; the index must
+    // re-register from the _bucketspec sidecar and the chain still match
+    spark.sql("DROP TABLE crawl_idx_spec")
+    val loadedFresh = Pipelines.CrawlState.load(spark, s"$dir/bucketed")
+    assert(spark.catalog.tableExists("crawl_idx_spec"),
+      "load must re-register the bucketed index table in a fresh catalog")
+    val viaFresh = Pipelines.appendCrawlBatch(loadedFresh, docsB)
+    assert(rowsOf(viaFresh.pairs) == rowsOf(inMem2.pairs))
+    assert(rowsOf(Pipelines.emitPretrainCorpus(viaFresh)) ==
+      rowsOf(Pipelines.emitPretrainCorpus(inMem2)))
+    viaFresh.release()
     spark.sql("DROP TABLE IF EXISTS crawl_idx_spec")
     spark.sqlContext.clearCache()
   }

@@ -77,6 +77,53 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("readBucketedOrRegister: a dropped catalog entry re-registers from the sidecar (fresh-application path)") {
+    val dir = Files.createTempDirectory("bandidx_fresh").toString
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    val old = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val idx = graft.llm.Dedup.BandIndex.build(old, "doc_id", "text")
+    graft.llm.Dedup.BandIndex.saveBucketed(idx, "b_bandindex_fresh", s"$dir/idx",
+      numBuckets = 8)
+    val viaCatalog = rowsOf(graft.llm.Dedup.minHashLshCandidatesAgainst(
+      batch, "doc_id", "text",
+      graft.llm.Dedup.BandIndex.loadBucketed(spark, "b_bandindex_fresh"))
+      .select("doc_a", "doc_b"))
+    // simulate a fresh application: the default in-memory catalog dies
+    // with the app, so the table name resolves to nothing
+    spark.sql("DROP TABLE b_bandindex_fresh")
+    assert(!spark.catalog.tableExists("b_bandindex_fresh"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val reloaded = graft.llm.Dedup.BandIndex.loadBucketed(
+        spark, "b_bandindex_fresh", s"$dir/idx")
+      assert(spark.catalog.tableExists("b_bandindex_fresh"),
+        "load must re-register the external bucketed table")
+      // the re-registered spec is HONORED, not just recorded: the
+      // bucket-key agg plans with no Exchange
+      assert(Bucketing.isShuffleFree(
+        reloaded.groupBy("band", "bh").agg(count(lit(1)).as("n"))),
+        "re-registered bucketing must satisfy the (band, bh) distribution")
+      assert(rowsOf(graft.llm.Dedup.minHashLshCandidatesAgainst(
+        batch, "doc_id", "text", reloaded).select("doc_a", "doc_b")) == viaCatalog)
+      // idempotent when the entry exists (the same-session path)
+      assert(rowsOf(graft.llm.Dedup.BandIndex.loadBucketed(
+        spark, "b_bandindex_fresh", s"$dir/idx")) == rowsOf(reloaded))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_bandindex_fresh")
+    }
+    // sidecar-less layout (predates the sidecar): falls back to a plain
+    // parquet read — correct rows, no catalog entry
+    val plainDir = s"$dir/plain"
+    idx.write.mode("overwrite").parquet(plainDir)
+    val fallback = Bucketing.readBucketedOrRegister(spark, "b_no_such_table", plainDir)
+    assert(!spark.catalog.tableExists("b_no_such_table"))
+    assert(rowsOf(fallback.select("id", "band", "bh")) ==
+      rowsOf(idx.select("id", "band", "bh")))
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val dir = Files.createTempDirectory("buckets2").toString
     val events = (1L to 3000L).map(i => (i % 50, i)).toDF("user_id", "v")
