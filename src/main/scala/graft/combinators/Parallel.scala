@@ -319,10 +319,21 @@ object Contest {
 
 /** C14 WorkerPool — all branches run, but at most `workers` concurrently
   * (semaphore gate, `workerpool.go:127-153`); waits for all; first error
-  * wins (`workerpool.go:178-188`); returns original input.
+  * wins (`workerpool.go:178-188`); returns original input. Optional
+  * per-task deadline ([[withTimeout]], `workerpool.go:34,156-161,238-243`):
+  * the clock starts when a worker slot picks the task up (the reference
+  * applies the timeout ctx AFTER semaphore acquisition, never to queue
+  * wait), and an expired task cancels its Spark jobs and surfaces as the
+  * pool's first-error.
   */
-final case class WorkerPool(id: StageId, workers: Int, branches: Seq[Stage]) extends Stage {
+final case class WorkerPool(id: StageId, workers: Int, branches: Seq[Stage],
+                            taskTimeout: Option[FiniteDuration] = None) extends Stage {
   private val sharedInputs = new Fanout.Tracker
+
+  /** Per-task deadline, the reference's `WithTimeout` builder
+    * (`workerpool.go:238-243`).
+    */
+  def withTimeout(limit: FiniteDuration): WorkerPool = copy(taskTimeout = Some(limit))
 
   def apply(df: DataFrame): DataFrame = df
 
@@ -336,7 +347,17 @@ final case class WorkerPool(id: StageId, workers: Int, branches: Seq[Stage]) ext
     val shared = sharedInputs.share(df)
     val ec = Fanout.pool(workers) // fixed pool of `workers` == semaphore
     try {
-      val fs = branches.map(b => Future(action(b(shared)))(ec))
+      val fs = branches.map { b =>
+        Future {
+          taskTimeout match {
+            // deadline measured from HERE — a worker thread has the task
+            case Some(limit) =>
+              Timeout(StageId(s"${id.name}.${b.id.name}"), limit)
+                .run(shared.sparkSession)(action(b(shared)))
+            case None => action(b(shared))
+          }
+        }(ec)
+      }
       val results = fs.map(f => Try(Await.result(f, Duration.Inf)))
       results.collectFirst { case Failure(t) => t }.foreach(t => throw t)
       shared

@@ -228,13 +228,15 @@ object Handle {
   */
 final class RateLimiter(
     val id: StageId,
-    ratePerSec: Double,
-    burst: Int,
-    val mode: RateLimiter.Mode = RateLimiter.Wait,
+    private var ratePerSec: Double,
+    private var burst: Int,
+    private var _mode: RateLimiter.Mode = RateLimiter.Wait,
     clock: Clock = Clock.System
 ) {
   require(ratePerSec > 0, "rate must be positive")
   require(burst >= 1, "burst must be >= 1")
+
+  def mode: RateLimiter.Mode = synchronized(_mode)
 
   private var tokens: Double = burst.toDouble
   private var lastRefill: Long = clock.nanoTime()
@@ -245,6 +247,33 @@ final class RateLimiter(
     tokens = math.min(burst.toDouble, tokens + elapsedSec * ratePerSec) // ratelimiter.go:117-130
     lastRefill = now
   }
+
+  /** Retune the sustained rate on a LIVE limiter (`ratelimiter.go:275-284`)
+    * — an operator reacting to downstream pressure without rebuilding the
+    * pipeline. Tokens are refilled at the OLD rate up to now first, so the
+    * change never retroactively re-prices elapsed time. Returns `this` for
+    * the reference's chaining style.
+    */
+  def setRate(ratePerSecond: Double): this.type = synchronized {
+    require(ratePerSecond > 0, "rate must be positive")
+    refill()
+    ratePerSec = ratePerSecond
+    this
+  }
+
+  /** Retune the burst capacity (`ratelimiter.go:286-297`); shrinking caps
+    * the currently-accumulated tokens to the new burst immediately.
+    */
+  def setBurst(newBurst: Int): this.type = synchronized {
+    require(newBurst >= 1, "burst must be >= 1")
+    refill()
+    burst = newBurst
+    if (tokens > newBurst.toDouble) tokens = newBurst.toDouble
+    this
+  }
+
+  /** Switch wait/drop behavior on a live limiter (`ratelimiter.go:299-305`). */
+  def setMode(m: RateLimiter.Mode): this.type = synchronized { _mode = m; this }
 
   /** Acquire one token; blocks (wait mode) or throws (drop mode). */
   def acquire(): Unit = synchronized {

@@ -7,6 +7,11 @@ import scala.jdk.CollectionConverters._
   * the reference's 18 capitan signals (`signals.go:7-137`). Same event names
   * so a user of the reference finds the hooks they expect.
   *
+  * Every event carries a [[Signal.Severity]] (the reference's
+  * Error/Warn/Info/Debug levels, `docs/2.learn/5.hooks.md:35-42`) so hooks
+  * can filter alerts from routine traffic; [[Signals.severityOf]] assigns
+  * the documented default per signal name.
+  *
   * Listener registration is thread-safe; emission never throws (a failing
   * listener must not fail the pipeline).
   */
@@ -14,8 +19,24 @@ final case class Signal(
     name: String,
     stage: StageId,
     fields: Map[String, String] = Map.empty,
+    severity: Signal.Severity = Signal.Info,
     nanos: Long = System.nanoTime()
 )
+
+object Signal {
+  /** Reference severity ladder (`docs/2.learn/5.hooks.md:35-42`). Ordered
+    * so hooks can threshold (`sig.severity >= Signal.Warn`).
+    */
+  sealed abstract class Severity(val level: Int, val label: String)
+      extends Ordered[Severity] {
+    def compare(that: Severity): Int = level.compareTo(that.level)
+    override def toString: String = label
+  }
+  case object Debug extends Severity(0, "DEBUG")
+  case object Info extends Severity(1, "INFO")
+  case object Warn extends Severity(2, "WARN")
+  case object Error extends Severity(3, "ERROR")
+}
 
 object Signals {
   // Connector lifecycle signal names, mirroring signals.go:7-137.
@@ -50,6 +71,24 @@ object Signals {
   // join's df-cut actually dropped hot shingles — the result is
   // approximate, and silently so without this signal.
   val JaccardDfCut = "jaccard.df_cut"
+
+  /** The reference's documented default severities
+    * (`docs/2.learn/5.hooks.md:37-40`): Error = failures needing
+    * attention (circuit opened/rejected, drops, retries exhausted,
+    * timeouts); Warn = degraded / fallback (half-open, throttled,
+    * saturated, individual retry failures, fallbacks, backoff delays);
+    * Info = normal operations. Unknown names default to Info.
+    */
+  def severityOf(name: String): Signal.Severity = name match {
+    case BreakerOpened | BreakerRejected | RateLimitDrop | RetryExhausted |
+        TimeoutExceeded | HandleError | SequenceFailed | PipelineFailed =>
+      Signal.Error
+    case BreakerHalfOpen | RateLimitWait | WorkerPoolSaturated |
+        RetryAttempt | FallbackTriggered | BackoffWaiting | SwitchNoRoute |
+        ContestNoWinner | RaceLost | JaccardDfCut =>
+      Signal.Warn
+    case _ => Signal.Info
+  }
 }
 
 /** @param logCapacity bound on the recorded-signal ring: long-running /
@@ -57,27 +96,89 @@ object Signals {
   *                    only the most recent `logCapacity` signals (O(1) per
   *                    emit; oldest dropped). Listeners always see every
   *                    signal regardless of the ring.
+  * @param async       reference parity with capitan's per-signal worker
+  *                    goroutines ("hooks don't impact pipeline performance",
+  *                    `docs/2.learn/5.hooks.md:31`): when true, listeners run
+  *                    on a dedicated daemon dispatcher thread and `emit`
+  *                    only enqueues — a slow subscriber can never stall the
+  *                    emitting (driver) thread between micro-batches. The
+  *                    in-order guarantee is BUS-wide (one dispatcher),
+  *                    strictly stronger than the reference's per-signal
+  *                    ordering. The queue is bounded (65536); on overflow
+  *                    the OLDEST undelivered signal is dropped (observability
+  *                    must lose data before it blocks the pipeline) and
+  *                    [[droppedSignals]] counts the loss. The recorded ring
+  *                    ([[emitted]]) is always written synchronously at emit,
+  *                    so tests and post-mortems see every signal either way.
   */
-final class SignalBus(logCapacity: Int = 4096) {
+final class SignalBus(logCapacity: Int = 4096, async: Boolean = false) {
   private val listeners = new CopyOnWriteArrayList[Signal => Unit]()
   private val log = new java.util.ArrayDeque[Signal]()
   @volatile var recording: Boolean = true
 
+  private val enqueued = new java.util.concurrent.atomic.AtomicLong()
+  private val handled = new java.util.concurrent.atomic.AtomicLong()
+  private val droppedCount = new java.util.concurrent.atomic.AtomicLong()
+  private val queue: java.util.concurrent.LinkedBlockingQueue[Signal] =
+    if (async) new java.util.concurrent.LinkedBlockingQueue[Signal](65536) else null
+  locally {
+    if (async) {
+      val t = new Thread(() => {
+        while (true) {
+          val sig = queue.take()
+          try deliver(sig) finally handled.incrementAndGet()
+        }
+      }, "graft-signal-dispatch")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
   def subscribe(f: Signal => Unit): Unit = listeners.add(f)
+
+  /** Severity-thresholded hook (`e.Severity()` filtering,
+    * `docs/2.learn/5.hooks.md:42`): `f` sees only signals at `min` or
+    * above.
+    */
+  def subscribe(min: Signal.Severity)(f: Signal => Unit): Unit =
+    listeners.add(sig => if (sig.severity >= min) f(sig))
+
+  private def deliver(sig: Signal): Unit =
+    listeners.asScala.foreach { l =>
+      try l(sig)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   def emit(sig: Signal): Unit = {
     if (recording) log.synchronized {
       if (log.size >= logCapacity) log.pollFirst()
       log.addLast(sig)
     }
-    listeners.asScala.foreach { l =>
-      try l(sig)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    if (async) {
+      enqueued.incrementAndGet()
+      while (!queue.offer(sig)) {
+        // never block the emitter: shed the oldest undelivered signal
+        if (queue.poll() != null) { droppedCount.incrementAndGet(); handled.incrementAndGet() }
+      }
+    } else deliver(sig)
   }
 
   def emit(name: String, stage: StageId, fields: (String, String)*): Unit =
-    emit(Signal(name, stage, fields.toMap))
+    emit(Signal(name, stage, fields.toMap, Signals.severityOf(name)))
+
+  /** Async-overflow loss counter (0 for sync buses). */
+  def droppedSignals: Long = droppedCount.get()
+
+  /** Wait until every signal emitted BEFORE this call has been delivered
+    * to (or shed past) the listeners — the test/shutdown hook for async
+    * buses; immediate for sync ones.
+    */
+  def drain(timeoutMs: Long = 30000L): Unit = if (async) {
+    val target = enqueued.get()
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (handled.get() < target && System.nanoTime() < deadline)
+      Thread.sleep(1L)
+  }
 
   def emitted: Seq[Signal] = log.synchronized(log.asScala.toVector)
   def emitted(name: String): Seq[Signal] = emitted.filter(_.name == name)

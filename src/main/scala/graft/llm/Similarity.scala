@@ -334,9 +334,10 @@ object Similarity {
       * float64.
       */
     def train(corpus: DataFrame, idCol: String, k: Int,
-              sampleSize: Int = 2048, iters: Int = 8): IvfIndex = {
+              sampleSize: Int = 2048, iters: Int = 8,
+              embCol: String = "embedding"): IvfIndex = {
       val sample = corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
-        .select(col("embedding")).collect()
+        .select(col(embCol)).collect()
         .map(_.getSeq[Float](0).toArray)
       require(sample.length >= k, s"need >= $k sample vectors")
       var cents = sample.take(k).map(_.map(_.toDouble))
@@ -1108,11 +1109,15 @@ object Similarity {
       fromMeta(spark, path, spark.read.parquet(s"$path/edges"))
 
     /** Restore a graph persisted by [[KnnGraph#saveBucketed]] — edges
-      * come back through the catalog with their bucketing intact.
+      * come back through the catalog with their bucketing intact. In a
+      * fresh application (the in-memory catalog died with the writer's
+      * app) the table is re-registered from the `_bucketspec` sidecar
+      * ([[graft.sources.Bucketing.readBucketedOrRegister]]).
       */
     def loadBucketed(spark: org.apache.spark.sql.SparkSession,
                      table: String, path: String): KnnGraph =
-      fromMeta(spark, path, graft.sources.Bucketing.readBucketed(spark, table))
+      fromMeta(spark, path, graft.sources.Bucketing.readBucketedOrRegister(
+        spark, table, s"$path/edges"))
 
     private def fromMeta(spark: org.apache.spark.sql.SparkSession,
                          path: String, edges: DataFrame): KnnGraph = {

@@ -147,6 +147,30 @@ class ParallelSpec extends SparkSpec {
     m1.assertCalled(1); m2.assertCalled(1); m3.assertCalled(1)
   }
 
+  test("WorkerPool.withTimeout: an expired task cancels and wins as first error (workerpool.go:156-161)") {
+    import scala.concurrent.duration._
+    val fast = MockStage.passthrough("wpt_fast")
+    val slow = Stage(StageId("wpt_slow")) { d =>
+      d.as[(Long, Int)].mapPartitions { it => Thread.sleep(10000); it }.toDF("id", "g")
+    }
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      WorkerPool("wpt", workers = 2)(fast, slow)
+        .withTimeout(500.millis).run(df)
+    }
+    assert(e.getMessage.contains("deadline"))
+    fast.assertCalled(1)
+  }
+
+  test("WorkerPool.withTimeout passes when every task beats the deadline (workerpool.go:238-243)") {
+    import scala.concurrent.duration._
+    val m1 = MockStage.passthrough("wpt_a")
+    val m2 = MockStage.passthrough("wpt_b")
+    val out = WorkerPool("wpt2", workers = 2)(m1, m2)
+      .withTimeout(2.minutes).run(df)
+    assert(out.count() == 100)
+    m1.assertCalled(1); m2.assertCalled(1)
+  }
+
   test("Scaffold returns immediately and branch errors are swallowed (scaffold.go:91-94)") {
     val bad = MockStage.failing("side")
     val sc = Scaffold("sc")(bad)

@@ -81,6 +81,42 @@ class ResilienceSpec extends SparkSpec {
     assert(rl.availableTokens < 1.0)
   }
 
+  test("RateLimiter.setRate retunes a live limiter; elapsed time is priced at the OLD rate (ratelimiter.go:275-284)") {
+    val clock = new Clock.Fake
+    val rl = RateLimiter("rl_sr", ratePerSec = 1, burst = 1, RateLimiter.Drop, clock)
+    rl.acquire() // bucket empty
+    clock.advanceMillis(500) // 0.5 tokens accrued at the old 1/sec
+    rl.setRate(10) // refills BEFORE the change — still only ~0.5 tokens
+    intercept[RuntimeException](rl.acquire())
+    clock.advanceMillis(100) // +1.0 token at the NEW 10/sec
+    rl.acquire()
+  }
+
+  test("RateLimiter.setBurst caps accumulated tokens and chains (ratelimiter.go:286-297, 455)") {
+    val clock = new Clock.Fake
+    val rl = RateLimiter("rl_sb", ratePerSec = 1, burst = 10, RateLimiter.Drop, clock)
+    assert(rl.availableTokens == 10.0) // starts full
+    rl.setBurst(3) // shrink caps the bucket immediately
+    assert(rl.availableTokens <= 3.0)
+    rl.acquire(); rl.acquire(); rl.acquire()
+    intercept[RuntimeException](rl.acquire())
+    // the reference's chaining style: SetRate(20).SetBurst(5).SetMode("drop")
+    assert(rl.setRate(20).setBurst(5).setMode(RateLimiter.Wait).mode == RateLimiter.Wait)
+    // and the retuned limiter waits (advancing the fake clock) instead of
+    // dropping now
+    rl.acquire()
+  }
+
+  test("RateLimiter.setMode switches wait/drop on a live limiter (ratelimiter.go:299-305)") {
+    val clock = new Clock.Fake
+    val rl = RateLimiter("rl_sm", ratePerSec = 1, burst = 1, RateLimiter.Wait, clock)
+    rl.acquire()
+    rl.setMode(RateLimiter.Drop)
+    intercept[RuntimeException](rl.acquire()) // would have blocked in wait mode
+    clock.advanceMillis(1000)
+    rl.acquire()
+  }
+
   test("Timeout.runOrDeadLetters flags timed-out input as timeout dead letters") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -200,4 +200,66 @@ class SignalEmissionSpec extends SparkSpec {
     assert(names.size == 8)
     assert(names.head == "sig13" && names.last == "sig20")
   }
+
+  test("signals carry the reference's documented severities (5.hooks.md:37-40)") {
+    assert(Signals.severityOf(Signals.BreakerOpened) == Signal.Error)
+    assert(Signals.severityOf(Signals.BreakerRejected) == Signal.Error)
+    assert(Signals.severityOf(Signals.RateLimitDrop) == Signal.Error)
+    assert(Signals.severityOf(Signals.RetryExhausted) == Signal.Error)
+    assert(Signals.severityOf(Signals.TimeoutExceeded) == Signal.Error)
+    assert(Signals.severityOf(Signals.BreakerHalfOpen) == Signal.Warn)
+    assert(Signals.severityOf(Signals.RateLimitWait) == Signal.Warn)
+    assert(Signals.severityOf(Signals.WorkerPoolSaturated) == Signal.Warn)
+    assert(Signals.severityOf(Signals.FallbackTriggered) == Signal.Warn)
+    assert(Signals.severityOf(Signals.BackoffWaiting) == Signal.Warn)
+    assert(Signals.severityOf(Signals.BreakerClosed) == Signal.Info)
+    assert(Signals.severityOf(Signals.PipelineCompleted) == Signal.Info)
+    // a live emission carries its default severity end-to-end
+    val bus = new SignalBus(logCapacity = 8)
+    bus.emit(Signals.BreakerOpened, StageId("cb"))
+    assert(bus.emitted.head.severity == Signal.Error)
+    // and the ladder is ordered for thresholding
+    assert(Signal.Error > Signal.Warn && Signal.Warn > Signal.Info &&
+      Signal.Info > Signal.Debug)
+  }
+
+  test("severity-thresholded subscribe filters below-min signals (e.Severity() analog)") {
+    val bus = new SignalBus(logCapacity = 16)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    bus.subscribe(Signal.Warn)(sig => seen.add(sig.name))
+    bus.emit(Signals.PipelineCompleted, StageId("p")) // Info — filtered
+    bus.emit(Signals.RateLimitWait, StageId("p")) // Warn — passes
+    bus.emit(Signals.BreakerOpened, StageId("p")) // Error — passes
+    assert(seen.toArray.toSeq == Seq(Signals.RateLimitWait, Signals.BreakerOpened))
+  }
+
+  test("async bus: a slow subscriber never stalls the emitting thread (5.hooks.md:31)") {
+    val bus = new SignalBus(logCapacity = 64, async = true)
+    val delivered = new java.util.concurrent.atomic.AtomicInteger()
+    bus.subscribe { _ => Thread.sleep(50); delivered.incrementAndGet(): Unit }
+    val t0 = System.nanoTime()
+    (1 to 20).foreach(i => bus.emit(s"async$i", StageId("s")))
+    val emitMs = (System.nanoTime() - t0) / 1e6
+    // 20 emits × 50ms listener = 1s synchronous; async must return ~instantly
+    assert(emitMs < 250, s"emit must not block on the subscriber (took $emitMs ms)")
+    // the ring records synchronously regardless of dispatch
+    assert(bus.emitted.size == 20)
+    bus.drain()
+    assert(delivered.get() == 20, "drain must wait for every delivery")
+    assert(bus.droppedSignals == 0)
+  }
+
+  test("async bus preserves emission order and severities through the dispatcher") {
+    val bus = new SignalBus(async = true)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Signal.Severity)]()
+    bus.subscribe(sig => seen.add((sig.name, sig.severity)))
+    bus.emit(Signals.PipelineStarted, StageId("p"))
+    bus.emit(Signals.RetryExhausted, StageId("p"))
+    bus.emit(Signals.PipelineCompleted, StageId("p"))
+    bus.drain()
+    assert(seen.toArray.toSeq == Seq(
+      (Signals.PipelineStarted, Signal.Info),
+      (Signals.RetryExhausted, Signal.Error),
+      (Signals.PipelineCompleted, Signal.Info)))
+  }
 }

@@ -39,6 +39,12 @@ class IvfSpec extends SparkSpec {
     val i1 = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
     val i2 = Similarity.IvfIndex.train(emb, "vec_id", k = 8, sampleSize = 256, iters = 4)
     assert(i1.centroids.zip(i2.centroids).forall { case (a, b) => a.sameElements(b) })
+    // embCol is a parameter like the sibling APIs (VERDICT r15 #4): a
+    // renamed embedding column trains to the identical quantizer
+    val renamed = Similarity.IvfIndex.train(
+      emb.withColumnRenamed("embedding", "vec"), "vec_id",
+      k = 8, sampleSize = 256, iters = 4, embCol = "vec")
+    assert(i1.centroids.zip(renamed.centroids).forall { case (a, b) => a.sameElements(b) })
     val buckets = corpus.select(i1.assignment(col("embedding")).as("b"))
       .groupBy("b").count().collect()
     assert(buckets.length >= 4, s"expected spread over buckets, got ${buckets.length}")

@@ -191,6 +191,14 @@ class KnnGraphSpec extends SparkSpec {
       val serve = (g: Similarity.KnnGraph) => pairs(
         g.search(queries, emb, topK = 3, corpusSize = Some(emb.count())))
       assert(serve(loaded) == serve(built))
+      // fresh-application path (ADVICE r15): drop the catalog entry —
+      // loadBucketed re-registers from the sidecar, bucketing intact
+      spark.sql("DROP TABLE b_knn_edges")
+      val fresh = Similarity.KnnGraph.loadBucketed(spark, "b_knn_edges", dir)
+      assert(spark.catalog.tableExists("b_knn_edges"))
+      assert(graft.sources.Bucketing.isShuffleFree(
+        fresh.edges.groupBy("query_id").agg(count(lit(1)).as("deg"))))
+      assert(serve(fresh) == serve(built))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS b_knn_edges")

@@ -25,12 +25,17 @@ class PqSpec extends SparkSpec {
   test("PQ training is deterministic, partitioning-independent, and shaped (m, ksub, dsub)") {
     val c1 = Similarity.PqCodebook.train(emb, "vec_id", m = 16, ksub = 16,
       sampleSize = 256, iters = 4)
+    val c0 = Similarity.PqCodebook.train(emb.withColumnRenamed("embedding", "vec"),
+      "vec_id", m = 16, ksub = 16, sampleSize = 256, iters = 4, embCol = "vec")
     val c2 = Similarity.PqCodebook.train(emb.repartition(13), "vec_id", m = 16, ksub = 16,
       sampleSize = 256, iters = 4)
     assert(c1.m == 16 && c1.ksub == 16 && c1.dim == 64)
     assert(c1.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
       c2.centroids.map(_.map(_.toSeq).toSeq).toSeq,
       "hash-ordered sample + fixed Lloyd must not see partitioning")
+    assert(c1.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      c0.centroids.map(_.map(_.toSeq).toSeq).toSeq,
+      "embCol rename must train the identical codebook")
     // non-degenerate: every subspace uses more than one centroid id
     val codes = emb.select(c1.encode(col("embedding")).as("c")).collect()
       .map(_.getSeq[Byte](0).toSeq)
