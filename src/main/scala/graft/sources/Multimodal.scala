@@ -173,6 +173,121 @@ object Multimodal {
       .select(col("path"), col("length"), col("content").as("bytes"),
         col("modificationTime"))
 
+  /** Decode REAL image bytes (PNG/JPEG/BMP/GIF — whatever the JDK's
+    * `javax.imageio` registry reads) to the row-major 8-bit grayscale
+    * grid [[dHash64]] consumes — the codec boundary made real for the
+    * image modality (the class doc's "swap the stub for the codec call"
+    * point, exercised end-to-end; audio/video codecs remain the
+    * documented external boundary). Appends (`widthCol` INT,
+    * `heightCol` INT, `grayCol` BINARY) to the input row; undecodable
+    * bytes (truncated file, unknown format, NULL) yield NULL in all
+    * three — the [[graft.functions.DHash64]] filterable-NULL contract,
+    * so one corrupt blob can never kill a 100 TB ingest.
+    *
+    * Grayscale conversion is ENGINE-OWNED integer luma
+    * (`(299·R + 587·G + 114·B + 500) / 1000`, the ITU-R 601 weights) —
+    * deterministic across JDKs, unlike `Graphics2D`-drawn
+    * `TYPE_BYTE_GRAY` conversion which routes through an ICC colorspace.
+    * Images that are ALREADY single-channel skip conversion entirely and
+    * take raw raster samples (a gray PNG round-trips byte-exact —
+    * spec-pinned against hand-written fixture pixels).
+    *
+    * Scale shape: decode runs inside `mapPartitions` (one iterator pass,
+    * per-partition codec init amortized — the [[extractFeatures]]
+    * boundary), media bytes never ride an Exchange, and the output is a
+    * scan-side projection; pair with [[repartitionByBytes]] upstream so
+    * skewed blobs don't starve tasks.
+    */
+  def decodeImage(df: DataFrame, bytesCol: String,
+                  widthCol: String = "width", heightCol: String = "height",
+                  grayCol: String = "gray"): DataFrame = {
+    val clash = Seq(widthCol, heightCol, grayCol).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"decodeImage output column(s) ${clash.mkString(", ")} already exist — rename or drop them first")
+    val outSchema = df.schema
+      .add(widthCol, IntegerType).add(heightCol, IntegerType).add(grayCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      // per-partition codec init would go here (ImageIO is stateless);
+      // disk-backed ImageIO caches would thrash executor-local disks
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        decodeToGray(r.getAs[Array[Byte]](idx)) match {
+          case Some((w, h, g)) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(w, h, g))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** The per-blob decode [[decodeImage]] distributes: bytes → (width,
+    * height, row-major 8-bit luma grid), None when unreadable. Exposed
+    * for tests and driver-side probes.
+    */
+  def decodeToGray(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) return None
+    val gray = new Array[Byte](w * h)
+    if (img.getColorModel.getNumComponents == 1) {
+      // single-channel: raw samples — no ICC gray→sRGB surprise
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { gray(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
+      }
+    } else {
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        val r = (p >>> 16) & 0xff
+        val g = (p >>> 8) & 0xff
+        val b = p & 0xff
+        gray(i) = ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+        i += 1
+      }
+    }
+    Some((w, h, gray))
+  }
+
+  /** One-call perceptual dedup over REAL image bytes:
+    * [[decodeImage]] → [[dedupMediaPerceptual]] — keeps the best-scored
+    * survivor per near-dup cluster exactly like the grid-column entry,
+    * but starting from encoded PNG/JPEG blobs. Decode columns are
+    * internal; the output carries the input schema. A re-encoded /
+    * integer-resized / brightness-shifted copy of the same picture
+    * collapses (spec-pinned on committed fixture images); undecodable
+    * rows survive untouched (NULL hash never pairs).
+    */
+  def dedupImagesPerceptual(media: DataFrame, idCol: String, bytesCol: String,
+                            scoreCol: String, bands: Int = 0,
+                            maxHamming: Int = 3): DataFrame = {
+    // decode ONLY the narrow (id, bytes) projection, and only inside the
+    // pair path: mapPartitions is a pruning barrier, so the explicit
+    // select keeps meta/score columns out of the decode stage, and the
+    // keep-best below joins back to the RAW media — the decode runs once
+    // (inside the pair stage's reused Exchange), never a second time for
+    // the survivors (the dedupMediaPerceptual argument, one level up)
+    val decoded = decodeImage(media.select(col(idCol), col(bytesCol)), bytesCol,
+      widthCol = "_dec_w", heightCol = "_dec_h", grayCol = "_dec_gray")
+    val hashed = decoded.withColumn("_dhash",
+      dHash64(col("_dec_gray"), col("_dec_w"), col("_dec_h")))
+    val pairs = perceptualNearDupPairs(hashed, idCol, "_dhash", bands, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
+  }
+
   /** Perceptual 64-bit dHash of a decoded grayscale grid — see
     * [[graft.functions.DHash64]] for the construction and the
     * NULL-on-undecodable contract. This is the media analog of
