@@ -168,6 +168,27 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8).trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
 
+    // QUIET-FLOOR GATE (VERDICT r15 #3): the committed BENCH artifact must
+    // BE a quiet-floor run, not a loaded run plus a BASELINE footnote —
+    // wait for the 1-minute loadavg to clear the threshold before the
+    // timed loop starts. This also absorbs the decay of THIS process's
+    // own warmup burst (the r15 artifact's 7.06 start was partly
+    // self-inflicted). Bounded by SPARK_GRAFT_LOAD_WAIT_SEC (default
+    // 1200 s); if the floor never clears, proceed and stamp
+    // quiet_floor:false so the artifact self-declares for adjudication
+    // instead of masquerading as clean.
+    def load1(): Double = loadavg().split(" ").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val gateThresh = loadThreshold(cpus.toInt, sys.env.get)
+    val waitBudgetSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1200)
+    var gateWaitedSec = 0
+    while (load1() > gateThresh && gateWaitedSec < waitBudgetSec) {
+      Thread.sleep(15000)
+      gateWaitedSec += 15
+    }
+    val quietFloor = load1() <= gateThresh
+
     val loadStart = loadavg()
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -215,7 +236,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val rm = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","remeasured":$rm,"load_rerun":$highLoad,"prior_file":"$priorFile"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","remeasured":$rm,"load_rerun":$highLoad,"quiet_floor":$quietFloor,"quiet_gate_waited_sec":$gateWaitedSec,"prior_file":"$priorFile"}"""
     println(json)
     // Belt-and-braces for the driver: stdout can be decorated by the build
     // tool, the file cannot.

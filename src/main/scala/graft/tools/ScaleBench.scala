@@ -188,6 +188,16 @@ object ScaleBench {
     // the batch plus narrow index/model scans, never the corpus re-stage
     // that pretrainCorpus(union) would pay
     "pretrain_append",
+    // bm25_append: a FIXED batch (500 docs) absorbed into an on-parquet
+    // BM25 index built from the remainder (setup, untimed — a production
+    // index exists before any batch arrives). Timed work: the
+    // disjointness guard's ONE column-pruned id scan of the index
+    // (streamed against the broadcast batch-id set — no index-side
+    // Exchange), the batch's own postings build (tokenize 500 docs), and
+    // the stats add. The index-sized term is a narrow scan, so the 10×
+    // ratio must stay far under 10 — a ratio near 10 would mean an
+    // index-sized shuffle crept back into the append path
+    "bm25_append",
     // the delete half: a FIXED takedown list (500 ids) retracted from the
     // same on-parquet state. The timed work is the model subtraction
     // (model-sized aggs) plus ONE column-pruned semi-join scan of staged
@@ -312,6 +322,37 @@ object ScaleBench {
       spark.sqlContext.clearCache()
     }
 
+    // bm25_append: the index over the scaled remainder is SETUP (built
+    // and parqueted once per dir, untimed); the timed run appends the
+    // fixed 500-doc batch — guard probe + batch postings + stats add —
+    // and noop-writes the batch-sized evidence frames (the production
+    // append writes exactly the batch's postings as a new partition;
+    // noop-writing the full union would time an index rewrite no real
+    // append performs)
+    val bm25Setups = scala.collection.mutable.Map[String,
+      (graft.llm.TextAnalysis.Bm25Index, DataFrame)]()
+    def bm25Setup(dir: String) = bm25Setups.getOrElseUpdate(dir, {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") < 500)
+      val idxDir = s"/tmp/graft_bm25idx${dir.replace('/', '_')}"
+      if (!new java.io.File(s"$idxDir/_DONE").exists()) {
+        graft.llm.TextAnalysis.Bm25Index.save(
+          graft.llm.TextAnalysis.Bm25Index.build(
+            docs.filter(col("doc_id") >= 500), "doc_id", "text"), idxDir)
+        new java.io.File(s"$idxDir/_DONE").createNewFile()
+      }
+      (graft.llm.TextAnalysis.Bm25Index.load(spark, idxDir), batch)
+    })
+    def runBm25Append(dir: String): Unit = {
+      val (idx, batch) = bm25Setup(dir)
+      val appended = graft.llm.TextAnalysis.Bm25Index.append(
+        idx, batch, "doc_id", "text") // guard probe collects eagerly here
+      appended.stats.write.format("noop").mode("overwrite").save()
+      graft.llm.TextAnalysis.Bm25Index.build(batch, "doc_id", "text")
+        .postings.write.format("noop").mode("overwrite").save()
+    }
+
     // pretrain_remove: retract a fixed takedown list from the on-parquet
     // state (the setup appendState already built); the advanced evidence
     // frames noop-write like runAppend — pairs force the anti-join
@@ -332,6 +373,7 @@ object ScaleBench {
       if (q == "ql50_pretrain_sink") runSink("/root/testdata/sf0.001")
       else if (q == "knn_insert") runKnnInsert("/root/testdata/sf0.001")
       else if (q == "pretrain_append") runAppend("/root/testdata/sf0.001")
+      else if (q == "bm25_append") runBm25Append("/root/testdata/sf0.001")
       else if (q == "pretrain_remove") runRemove("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
@@ -345,6 +387,7 @@ object ScaleBench {
     if (queries.contains("pretrain_append") || queries.contains("pretrain_remove")) {
       appendState(base1x); appendState(out)
     }
+    if (queries.contains("bm25_append")) { bm25Setup(base1x); bm25Setup(out) }
 
     def time(q: String, dir: String): Double =
       (1 to 2).map { _ =>
@@ -352,6 +395,7 @@ object ScaleBench {
         if (q == "ql50_pretrain_sink") runSink(dir)
         else if (q == "knn_insert") runKnnInsert(dir)
         else if (q == "pretrain_append") runAppend(dir)
+        else if (q == "bm25_append") runBm25Append(dir)
         else if (q == "pretrain_remove") runRemove(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
