@@ -61,7 +61,7 @@ object Listeners {
       override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
         bus.emit(Signal(QueryFailed, StageId(funcName), Map(
           "error" -> String.valueOf(error.getMessage).take(256)
-        )))
+        ), severity = Signal.Error))
     }
     spark.listenerManager.register(l)
     l

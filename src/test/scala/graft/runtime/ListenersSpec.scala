@@ -20,6 +20,26 @@ class ListenersSpec extends SparkSpec {
       val sigs = bus.emitted(Listeners.QueryCompleted)
       assert(sigs.nonEmpty)
       assert(sigs.head.fields("durationNs").toLong > 0)
+      assert(sigs.head.severity == graft.core.Signal.Info)
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("failed queries surface as Error-severity signals") {
+    val bus = new SignalBus
+    val l = Listeners.attach(spark, bus)
+    try {
+      intercept[Throwable] {
+        Seq("1", "boom").toDF("x")
+          .select(expr("raise_error(x)")).collect()
+      }
+      var tries = 0
+      while (bus.emitted(Listeners.QueryFailed).isEmpty && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val sigs = bus.emitted(Listeners.QueryFailed)
+      assert(sigs.nonEmpty, "onFailure must emit query.failed")
+      assert(sigs.head.severity == graft.core.Signal.Error)
+      assert(sigs.head.fields("error").nonEmpty)
     } finally spark.listenerManager.unregister(l)
   }
 
