@@ -317,7 +317,17 @@ class PipelinesSpec extends SparkSpec {
     assert(rowsOf(viaFresh.pairs) == rowsOf(inMem2.pairs))
     assert(rowsOf(Pipelines.emitPretrainCorpus(viaFresh)) ==
       rowsOf(Pipelines.emitPretrainCorpus(inMem2)))
+    // and the restarted app's nightly loop CLOSES: save back over the
+    // re-registered external table (saveAsTable overwrite must coexist
+    // with the CREATE TABLE ... LOCATION entry load just made), reload,
+    // chain still equal
+    viaFresh.save(s"$dir/bucketed", indexTable = Some("crawl_idx_spec"))
+    val reloadedFresh = Pipelines.CrawlState.load(spark, s"$dir/bucketed")
+    assert(rowsOf(reloadedFresh.pairs) == rowsOf(inMem2.pairs))
+    assert(rowsOf(Pipelines.emitPretrainCorpus(reloadedFresh)) ==
+      rowsOf(Pipelines.emitPretrainCorpus(inMem2)))
     viaFresh.release()
+    reloadedFresh.release()
     spark.sql("DROP TABLE IF EXISTS crawl_idx_spec")
     spark.sqlContext.clearCache()
   }
