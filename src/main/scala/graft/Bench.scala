@@ -177,17 +177,20 @@ object Bench {
     // 1200 s); if the floor never clears, proceed and stamp
     // quiet_floor:false so the artifact self-declares for adjudication
     // instead of masquerading as clean.
-    def load1(): Double = loadavg().split(" ").headOption
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    // None = loadavg unreadable (no /proc): the gate must stamp
+    // quiet_floor FALSE, not pass vacuously — an unmeasurable floor
+    // masquerading as clean is the exact failure the stamp exists for
+    def load1(): Option[Double] = loadavg().split(" ").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
     val gateThresh = loadThreshold(cpus.toInt, sys.env.get)
     val waitBudgetSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1200)
     var gateWaitedSec = 0
-    while (load1() > gateThresh && gateWaitedSec < waitBudgetSec) {
+    while (load1().exists(_ > gateThresh) && gateWaitedSec < waitBudgetSec) {
       Thread.sleep(15000)
       gateWaitedSec += 15
     }
-    val quietFloor = load1() <= gateThresh
+    val quietFloor = load1().exists(_ <= gateThresh)
 
     val loadStart = loadavg()
     def timeOnce(name: String): Double = {

@@ -275,27 +275,34 @@ final class RateLimiter(
   /** Switch wait/drop behavior on a live limiter (`ratelimiter.go:299-305`). */
   def setMode(m: RateLimiter.Mode): this.type = synchronized { _mode = m; this }
 
-  /** Acquire one token; blocks (wait mode) or throws (drop mode). */
-  def acquire(): Unit = synchronized {
-    refill()
-    if (tokens >= 1.0) { tokens -= 1.0; return }
-    mode match {
-      case RateLimiter.Drop =>
-        SignalBus.global.emit(Signals.RateLimitDrop, id)
-        throw new RuntimeException(s"${id.name}: rate limit exceeded (drop mode)") // ratelimiter.go:243-261
-      case RateLimiter.Wait =>
-        // loop until a full token is actually available: a single
-        // sleep-then-clamp would grant the permit even when the refill
-        // under-delivered (clock jitter / thread contention), letting
-        // sustained throughput exceed ratePerSec
-        while (tokens < 1.0) {
-          val needed = 1.0 - tokens
-          val waitMs = math.max(1L, math.ceil(needed / ratePerSec * 1000).toLong) // ratelimiter.go:147-160
-          SignalBus.global.emit(Signals.RateLimitWait, id, "waitMs" -> waitMs.toString)
-          clock.sleep(waitMs)
-          refill()
+  /** Acquire one token; blocks (wait mode) or throws (drop mode).
+    *
+    * The wait SLEEPS OUTSIDE the monitor: a waiter parked inside
+    * `synchronized` would starve [[setRate]]/[[setBurst]]/[[setMode]] for
+    * the whole sleep — the live-retuning knobs exist precisely for the
+    * moment something is waiting. Each loop iteration re-enters the
+    * monitor, refills, and re-checks under the CURRENT rate/burst/mode,
+    * so a retune (or a mode switch to Drop) takes effect at the next
+    * wake-up; the loop grants only on a full token (a single
+    * sleep-then-clamp would let sustained throughput exceed ratePerSec
+    * when a refill under-delivers).
+    */
+  def acquire(): Unit = {
+    while (true) {
+      val waitMs = synchronized {
+        refill()
+        if (tokens >= 1.0) { tokens -= 1.0; return }
+        _mode match {
+          case RateLimiter.Drop =>
+            SignalBus.global.emit(Signals.RateLimitDrop, id)
+            throw new RuntimeException(s"${id.name}: rate limit exceeded (drop mode)") // ratelimiter.go:243-261
+          case RateLimiter.Wait =>
+            val needed = 1.0 - tokens
+            math.max(1L, math.ceil(needed / ratePerSec * 1000).toLong) // ratelimiter.go:147-160
         }
-        tokens -= 1.0
+      }
+      SignalBus.global.emit(Signals.RateLimitWait, id, "waitMs" -> waitMs.toString)
+      clock.sleep(waitMs)
     }
   }
 

@@ -19,7 +19,11 @@ final case class Signal(
     name: String,
     stage: StageId,
     fields: Map[String, String] = Map.empty,
-    severity: Signal.Severity = Signal.Info,
+    // null = "derive from the name at emit" ([[Signals.severityOf]]), so
+    // direct Signal(...) construction sites (Dedup's jaccard.df_cut,
+    // RowSignals forwarding) carry the documented severity without each
+    // caller passing one; pass explicitly to override
+    severity: Signal.Severity = null,
     nanos: Long = System.nanoTime()
 )
 
@@ -124,9 +128,20 @@ final class SignalBus(logCapacity: Int = 4096, async: Boolean = false) {
   locally {
     if (async) {
       val t = new Thread(() => {
-        while (true) {
-          val sig = queue.take()
-          try deliver(sig) finally handled.incrementAndGet()
+        // the dispatcher must survive ANYTHING a listener throws —
+        // deliver's per-listener catch covers NonFatal, but a
+        // ControlThrowable (non-local return, Breaks) would otherwise
+        // kill the thread and silently end all async delivery for the
+        // bus's lifetime; only an interrupt exits the loop
+        var running = true
+        while (running) {
+          try {
+            val sig = queue.take()
+            try deliver(sig) finally handled.incrementAndGet()
+          } catch {
+            case _: InterruptedException => running = false
+            case _: Throwable => ()
+          }
         }
       }, "graft-signal-dispatch")
       t.setDaemon(true)
@@ -149,7 +164,12 @@ final class SignalBus(logCapacity: Int = 4096, async: Boolean = false) {
       catch { case scala.util.control.NonFatal(_) => () }
     }
 
-  def emit(sig: Signal): Unit = {
+  def emit(raw: Signal): Unit = {
+    // a null severity means "derive from the name" — every signal that
+    // reaches a listener or the ring carries its documented level
+    val sig =
+      if (raw.severity == null) raw.copy(severity = Signals.severityOf(raw.name))
+      else raw
     if (recording) log.synchronized {
       if (log.size >= logCapacity) log.pollFirst()
       log.addLast(sig)

@@ -443,7 +443,8 @@ object TextAnalysis {
       */
     def append(index: Bm25Index, batch: DataFrame,
                idCol: String, textCol: String,
-               checkDisjoint: Boolean = true): Bm25Index = {
+               checkDisjoint: Boolean = true,
+               broadcastIdLimit: Long = 1000000L): Bm25Index = {
       val add = build(batch, idCol, textCol)
       if (checkDisjoint) {
         // membership probe shaped for a 100 TB index: broadcast the
@@ -451,11 +452,21 @@ object TextAnalysis {
         // posting ids through it — ONE narrow scan, zero index-side
         // Exchange. (The previous right-side-distinct form reshuffled the
         // entire index to answer a yes/no question.) Measured at 10× in
-        // ScaleBench's bm25_append row.
-        val dup = index.postings.select(col("id"))
-          .join(broadcast(batch.select(col(idCol).as("id")).distinct()),
-            Seq("id"), "left_semi")
-          .limit(1).collect()
+        // ScaleBench's bm25_append row. The broadcast is size-guarded
+        // (`broadcastIdLimit`): a bulk backfill pushed through the append
+        // API (a rebuild-scale "batch") must not collect a multi-GB id
+        // set to the driver, so past the limit the probe falls back to
+        // the shuffle semi-join — index-sized work for an index-sized
+        // batch, and the sizing count itself is batch-cost (spec-pinned:
+        // both probe shapes raise on a re-delivered id)
+        val ids = batch.select(col(idCol).as("id")).distinct()
+        val indexIds = index.postings.select(col("id"))
+        val dup =
+          (if (ids.limit(math.min(broadcastIdLimit + 1, Int.MaxValue.toLong).toInt)
+              .count() <= broadcastIdLimit)
+            indexIds.join(broadcast(ids), Seq("id"), "left_semi")
+          else ids.join(indexIds, Seq("id"), "left_semi"))
+            .limit(1).collect()
         require(dup.isEmpty,
           s"Bm25Index.append: batch re-delivers already-indexed id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
             "— appending it would double-count df/N; dedup the batch first")

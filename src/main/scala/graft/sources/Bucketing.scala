@@ -67,27 +67,29 @@ object Bucketing {
                              path: String): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
       val specPath = s"$path/_bucketspec"
-      val hasSpec =
-        try { spark.read.parquet(specPath).head(); true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      if (!hasSpec) return spark.read.parquet(path)
-      val spec = spark.read.parquet(specPath).head()
-      val bucketCols = spec.getAs[String]("bucket_cols").split(',').toSeq
-      val numBuckets = spec.getAs[Int]("num_buckets")
-      val sortCols = spec.getAs[String]("sort_cols").split(',').toSeq
-        .filter(_.nonEmpty)
-      // schema from the data files themselves (the sidecar dir is
-      // underscore-hidden, so it never pollutes the inference)
-      val schemaDdl = spark.read.parquet(path).schema.toDDL
-      def q(id: String) = s"`${id.replace("`", "``")}`"
-      val qualified = table.split('.').map(q).mkString(".")
-      val sorted =
-        if (sortCols.nonEmpty) s"SORTED BY (${sortCols.map(q).mkString(", ")}) "
-        else ""
-      spark.sql(
-        s"CREATE TABLE $qualified ($schemaDdl) USING parquet " +
-          s"CLUSTERED BY (${bucketCols.map(q).mkString(", ")}) " +
-          sorted + s"INTO $numBuckets BUCKETS LOCATION '$path'")
+      // one read job probes existence AND yields the row
+      val specOpt = scala.util.Try(spark.read.parquet(specPath).head()).toOption
+      specOpt match {
+        case None => return spark.read.parquet(path)
+        case Some(spec) =>
+          val bucketCols = spec.getAs[String]("bucket_cols").split(',').toSeq
+          val numBuckets = spec.getAs[Int]("num_buckets")
+          val sortCols = spec.getAs[String]("sort_cols").split(',').toSeq
+            .filter(_.nonEmpty)
+          // schema from the data files themselves (the sidecar dir is
+          // underscore-hidden, so it never pollutes the inference)
+          val schemaDdl = spark.read.parquet(path).schema.toDDL
+          def q(id: String) = s"`${id.replace("`", "``")}`"
+          val qualified = table.split('.').map(q).mkString(".")
+          val sorted =
+            if (sortCols.nonEmpty) s"SORTED BY (${sortCols.map(q).mkString(", ")}) "
+            else ""
+          spark.sql(
+            s"CREATE TABLE $qualified ($schemaDdl) USING parquet " +
+              s"CLUSTERED BY (${bucketCols.map(q).mkString(", ")}) " +
+              sorted +
+              s"INTO $numBuckets BUCKETS LOCATION '${path.replace("'", "''")}'")
+      }
     }
     spark.table(table)
   }

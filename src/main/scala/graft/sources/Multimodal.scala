@@ -238,12 +238,25 @@ object Multimodal {
     if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) return None
     val gray = new Array[Byte](w * h)
     if (img.getColorModel.getNumComponents == 1) {
-      // single-channel: raw samples — no ICC gray→sRGB surprise
+      // single-channel: raw samples — no ICC gray→sRGB surprise. Samples
+      // are rescaled to 8 bits by the bit depth (a 16-bit gray PNG's
+      // 0–65535 range maps linearly to 0–255); a bare .toByte would keep
+      // only the low byte and invert luma ordering — wrong-but-non-NULL,
+      // the exact failure the NULL contract exists to avoid
       val raster = img.getRaster
+      val bits = raster.getSampleModel.getSampleSize(0)
+      if (bits <= 0 || bits > 31) return None
+      val maxVal = (1L << bits) - 1L
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { gray(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+        while (x < w) {
+          val s = raster.getSample(x, y, 0).toLong
+          gray(y * w + x) =
+            if (bits == 8) s.toByte
+            else ((s * 255L + maxVal / 2) / maxVal).toByte
+          x += 1
+        }
         y += 1
       }
     } else {

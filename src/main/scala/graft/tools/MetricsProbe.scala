@@ -73,8 +73,8 @@ object MetricsProbe {
         sec
       }
       println(f"== $n min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")} sfDir=$sfDir")
-      if (captured == null) { println("   (no QueryExecution captured)"); return }
-      walk(captured.executedPlan, 0).foreach { case (d, node) =>
+      if (captured == null) println("   (no QueryExecution captured)")
+      else walk(captured.executedPlan, 0).foreach { case (d, node) =>
         val ms = node.metrics.toSeq
           .filter(_._2.value > 0)
           .sortBy(_._1)

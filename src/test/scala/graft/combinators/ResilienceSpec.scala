@@ -107,6 +107,35 @@ class ResilienceSpec extends SparkSpec {
     rl.acquire()
   }
 
+  test("a parked waiter does not starve the runtime knobs (sleep is outside the monitor)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val clock = new Clock {
+      def nanoTime(): Long = java.lang.System.nanoTime()
+      def sleep(millis: Long): Unit = {
+        entered.countDown()
+        release.await(10, TimeUnit.SECONDS); ()
+      }
+    }
+    val rl = RateLimiter("rl_park", ratePerSec = 0.001, burst = 1, RateLimiter.Wait, clock)
+    rl.acquire() // empty the bucket; the next acquire must park
+    val dropped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val waiter = new Thread(() =>
+      try rl.acquire() catch { case _: RuntimeException => dropped.set(true) })
+    waiter.start()
+    assert(entered.await(10, TimeUnit.SECONDS), "waiter never reached the sleep")
+    // the retune MUST complete while the waiter is parked — if acquire
+    // slept inside the monitor this would block (old behavior) and the
+    // waiter would finish at the old price first
+    rl.setMode(RateLimiter.Drop)
+    release.countDown()
+    waiter.join(10000)
+    assert(!waiter.isAlive, "waiter must terminate")
+    assert(dropped.get,
+      "the parked waiter must re-check under the NEW mode and drop")
+  }
+
   test("RateLimiter.setMode switches wait/drop on a live limiter (ratelimiter.go:299-305)") {
     val clock = new Clock.Fake
     val rl = RateLimiter("rl_sm", ratePerSec = 1, burst = 1, RateLimiter.Wait, clock)

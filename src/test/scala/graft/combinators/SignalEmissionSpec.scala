@@ -223,6 +223,19 @@ class SignalEmissionSpec extends SparkSpec {
       Signal.Info > Signal.Debug)
   }
 
+  test("direct Signal(...) construction derives its severity from the name at emit") {
+    // the Dedup.jaccard.df_cut / RowSignals-forwarding shape: no explicit
+    // severity — the bus must attach the documented one, not default-Info
+    val bus = new SignalBus(logCapacity = 8)
+    bus.emit(Signal(Signals.JaccardDfCut, StageId("j"), Map("cut" -> "3")))
+    bus.emit(Signal(Signals.FallbackTriggered, StageId("f")))
+    bus.emit(Signal(Signals.PipelineCompleted, StageId("p")))
+    assert(bus.emitted.map(_.severity) == Seq(Signal.Warn, Signal.Warn, Signal.Info))
+    // an explicit severity is never overridden
+    bus.emit(Signal("custom.event", StageId("c"), severity = Signal.Error))
+    assert(bus.emitted.last.severity == Signal.Error)
+  }
+
   test("severity-thresholded subscribe filters below-min signals (e.Severity() analog)") {
     val bus = new SignalBus(logCapacity = 16)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -115,6 +115,22 @@ class Bm25Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_idx_spec")
   }
 
+  test("append's disjointness probe: the big-batch fallback path raises and passes like the broadcast path") {
+    val idx = TextAnalysis.Bm25Index.build(corpus, "doc_id", "text")
+    val dupBatch = Seq((1L, "apple redelivered")).toDF("doc_id", "text")
+    val okBatch = Seq((10L, "apple durian")).toDF("doc_id", "text")
+    // broadcastIdLimit = 0 forces the shuffle semi-join fallback
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.Bm25Index.append(idx, dupBatch, "doc_id", "text",
+        broadcastIdLimit = 0L)
+    }
+    assert(e.getMessage.contains("re-delivers"))
+    val viaFallback = TextAnalysis.Bm25Index.append(idx, okBatch, "doc_id", "text",
+      broadcastIdLimit = 0L)
+    val viaBroadcast = TextAnalysis.Bm25Index.append(idx, okBatch, "doc_id", "text")
+    assert(rowsOf(viaFallback.postings) == rowsOf(viaBroadcast.postings))
+  }
+
   test("bm25TopK: colliding output column names raise instead of duplicating") {
     // decontamination shape: docs and queries both keyed 'doc_id'
     val queries = Seq((10L, "apple cherry")).toDF("doc_id", "text")
