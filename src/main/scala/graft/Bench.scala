@@ -73,7 +73,10 @@ object Bench {
     "ql70_collocations",
     // qm4: byte-level frame sampling (round 15) — pure scan-riding
     // slice projection, zero shuffles
-    "qm4_frame_sample"
+    "qm4_frame_sample",
+    // ql71: cross-doc span removal keep-first (round 16) — the ql35
+    // machinery with the min/max keeper cut; same corpus-linear shape
+    "ql71_crossdoc_spans"
   )
 
   /** Prior-round per-query reference: newest `BENCH_r*.json` in `dir`

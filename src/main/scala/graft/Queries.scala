@@ -1253,6 +1253,30 @@ object Queries {
       "doc_id", "text", spanTokens = 20, minCount = 2))
   }
 
+  /** Q-L71 — CROSS-DOC duplicated-span removal, keep-first (the
+    * ExactSubstr recipe at window granularity — Lee et al. 2021): a
+    * 20-token window shared by ≥2 distinct docs survives verbatim in the
+    * minimum-id doc and vanishes everywhere else. Same planted fixture
+    * as Q-L35 so the two semantics contrast directly: there the shared
+    * 23-token span is removed from ALL 20 synthetic docs; here doc -20
+    * (the minimum id) keeps it and the other 19 lose exactly the span.
+    * Organic duplicate texts exercise the keeper path too — the oracle
+    * replays the identical pipeline (windows → min/max keeper cut →
+    * non-keeper starts → difference-array coverage → ordered
+    * reassembly) either way.
+    */
+  val qlCrossDocSpans: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val span = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm mat near the old oak tree today"
+    val synth = s.range(1, 21).select(
+      (-col("id")).as("doc_id"),
+      concat(lit(span + " unique"), col("id").cast("string"),
+        lit(" tail"), col("id").cast("string")).as("text"))
+    ordered(graft.llm.Dedup.removeCrossDocSpans(docs.unionByName(synth),
+      "doc_id", "text", spanTokens = 20))
+  }
+
   /** Q-L36 — URL canonicalization: three fixture shapes per doc (full
     * tracking-laden URL, default-port + trailing-slash URL, non-URL
     * passthrough), canonicalized by the RE2-composable chain. The oracle
@@ -2607,6 +2631,7 @@ object Queries {
     "ql50_pretrain_pipeline" -> qlPretrainPipeline,
     "ql50b_pretrain_incremental" -> qlPretrainIncremental,
     "ql35_repeated_spans" -> qlRepeatedSpans,
+    "ql71_crossdoc_spans" -> qlCrossDocSpans,
     "ql36_url_canonical" -> qlUrlCanonical,
     "ql37_gopher_flags" -> qlGopherFlags,
     "ql38_linear_score" -> qlLinearScore,
@@ -3385,6 +3410,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // engines), so plain md5(text) suffices on this side
     "ql35_repeated_spans" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the old oak tree today unique' || CAST(i AS VARCHAR) || ' tail' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tks FROM all_docs), wins AS (SELECT doc_id, unnest(generate_series(0, len(tks) - 20)) AS pos, tks FROM tk WHERE len(tks) >= 20), wh AS (SELECT doc_id, pos, md5(array_to_string(tks[pos+1 : pos+20], ' ')) AS h FROM wins), hot AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2), starts AS (SELECT doc_id, pos FROM wh JOIN hot USING (h)), deltas AS (SELECT doc_id, pos, SUM(d) AS d FROM (SELECT doc_id, pos, 1 AS d FROM starts UNION ALL SELECT doc_id, pos + 20, -1 FROM starts) GROUP BY 1, 2), p AS (SELECT doc_id, unnest(generate_series(0, len(tks) - 1)) AS pos, tks FROM tk WHERE len(tks) > 0), pt AS (SELECT doc_id, pos, tks[pos+1] AS t FROM p), cov AS (SELECT pt.doc_id, pt.pos, pt.t, SUM(COALESCE(dl.d, 0)) OVER (PARTITION BY pt.doc_id ORDER BY pt.pos) AS c FROM pt LEFT JOIN deltas dl ON pt.doc_id = dl.doc_id AND pt.pos = dl.pos), r AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_clean FROM cov WHERE c <= 0 GROUP BY 1) SELECT a.doc_id, COALESCE(r.text_clean, '') AS text_clean FROM all_docs a LEFT JOIN r ON a.doc_id = r.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    // ql71: the ql35 CTE chain with the keep-first cut — duplicated =
+    // min(doc_id) < max(doc_id) per window hash, starts exclude the
+    // keeper, coverage/reassembly identical (one copy, cannot drift)
+    "ql71_crossdoc_spans" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT -i AS doc_id, 'the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the old oak tree today unique' || CAST(i AS VARCHAR) || ' tail' || CAST(i AS VARCHAR) AS text FROM generate_series(1, 20) AS g(i)), tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tks FROM all_docs), wins AS (SELECT doc_id, unnest(generate_series(0, len(tks) - 20)) AS pos, tks FROM tk WHERE len(tks) >= 20), wh AS (SELECT doc_id, pos, md5(array_to_string(tks[pos+1 : pos+20], ' ')) AS h FROM wins), dup AS (SELECT h, MIN(doc_id) AS keeper FROM wh GROUP BY h HAVING MIN(doc_id) < MAX(doc_id)), starts AS (SELECT wh.doc_id, wh.pos FROM wh JOIN dup USING (h) WHERE wh.doc_id <> dup.keeper), deltas AS (SELECT doc_id, pos, SUM(d) AS d FROM (SELECT doc_id, pos, 1 AS d FROM starts UNION ALL SELECT doc_id, pos + 20, -1 FROM starts) GROUP BY 1, 2), p AS (SELECT doc_id, unnest(generate_series(0, len(tks) - 1)) AS pos, tks FROM tk WHERE len(tks) > 0), pt AS (SELECT doc_id, pos, tks[pos+1] AS t FROM p), cov AS (SELECT pt.doc_id, pt.pos, pt.t, SUM(COALESCE(dl.d, 0)) OVER (PARTITION BY pt.doc_id ORDER BY pt.pos) AS c FROM pt LEFT JOIN deltas dl ON pt.doc_id = dl.doc_id AND pt.pos = dl.pos), r AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_clean FROM cov WHERE c <= 0 GROUP BY 1) SELECT a.doc_id, COALESCE(r.text_clean, '') AS text_clean FROM all_docs a LEFT JOIN r ON a.doc_id = r.doc_id ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // ql33: ql4's window construction over ALL vectors as queries
     "ql33_knn_graph" ->
       """WITH j AS (SELECT a.vec_id qid, b.vec_id nid, list_cosine_similarity(a.embedding, b.embedding) sim FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM j) SELECT qid AS query_id, rn AS rank, nid AS neighbor_id FROM r WHERE rn <= 3 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""",

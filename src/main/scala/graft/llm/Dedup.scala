@@ -974,6 +974,65 @@ object Dedup {
         lit("")).as("text_clean"))
   }
 
+  /** CROSS-DOCUMENT duplicated-span removal with KEEP-FIRST semantics —
+    * the ExactSubstr recipe of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better") at fixed window granularity:
+    * a `spanTokens`-token window shared by ≥ 2 DISTINCT documents is a
+    * verbatim cross-doc duplicate; the minimum-id document carrying it
+    * (the "keeper") keeps its text verbatim, and every other document
+    * loses the covered tokens. [[removeRepeatedSpans]] is the
+    * remove-ALL-occurrences sibling (corpus-frequency cut, no survivor);
+    * this form preserves exactly one copy of the duplicated content —
+    * what a training corpus wants (the information survives once, the
+    * gradient-skewing repeats go).
+    *
+    * Exactness note: a shared window IS a shared `spanTokens`-token
+    * substring, so this finds precisely the duplicates ExactSubstr finds
+    * at threshold = spanTokens, located by window membership rather than
+    * a suffix array — runs of longer overlap are covered by their
+    * overlapping windows. Per-gram keep-first means a document can be
+    * keeper for one span and lose another (documented; the spec pins it).
+    * Output text is the space-joined surviving token stream (whitespace
+    * normalizes — the [[removeRepeatedSpans]] convention), docs shorter
+    * than `spanTokens` pass through (normalized), emptied docs keep `''`.
+    *
+    * Scale shape (all corpus-linear, NO pairwise joins anywhere): windows
+    * ride the scan via the fused n-gram expression and only (id, pos,
+    * 16-byte md5) rows reach the ONE gram Exchange; "≥ 2 distinct docs +
+    * keeper" is `min(id) < max(id)` — a single partial-combining agg,
+    * deliberately NOT count-distinct (no Expand, no second shuffle);
+    * non-keeper starts join back on the 16-byte hash (the ql35 hot-join
+    * shape) and coverage + reassembly run inside the fused
+    * difference-array expression, so the only per-doc regroup ships one
+    * small int list per AFFECTED doc. Worst-case total work is
+    * O(spanTokens × corpus tokens) with uniform keys — no hot-key
+    * quadratic blowup is possible because occurrences never pair.
+    */
+  def removeCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 20): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
+    val n = size(col("_tk"))
+    val wins = toks.filter(n >= spanTokens)
+      .select(col(idCol),
+        posexplode(graft.functions.Ngrams.wordNgramsJoin(col("_tk"), spanTokens))
+          .as(Seq("_pos", "_g")))
+      .select(col(idCol), col("_pos"), md5(col("_g").cast("binary")).as("_h"))
+    val dup = wins.groupBy(col("_h"))
+      .agg(min(col(idCol)).as("_keeper"), max(col(idCol)).as("_mx"))
+      .filter(col("_mx") > col("_keeper"))
+      .select(col("_h"), col("_keeper"))
+    val starts = wins.join(dup, Seq("_h"))
+      .filter(col(idCol) =!= col("_keeper"))
+      .select(col(idCol), col("_pos"))
+    val startsByDoc = starts.groupBy(col(idCol))
+      .agg(collect_list(col("_pos")).as("_sp"))
+    toks.join(startsByDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(
+        graft.functions.Ngrams.removeSpans(col("_tk"), col("_sp"), spanTokens),
+        lit("")).as("text_clean"))
+  }
+
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
     * assign every doc the minimum id reachable through the pair graph
     * (connected components) — the survivor selection step a real dedup

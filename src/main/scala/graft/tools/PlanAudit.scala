@@ -127,6 +127,11 @@ object PlanAudit {
       "hot span STARTS collect to one small int list per affected doc (the only token-derived " +
       "rows in any Exchange) -> fused remove_spans difference-array coverage + reassembly " +
       "riding the scan projection -- no corpus-token shuffle, no per-doc window"),
+    "ql71_crossdoc_spans" -> ("the ql35 shape with the keep-first cut: window explode -> " +
+      "16-byte md5 agg computing min/max doc id per gram (ONE partial-combining agg, " +
+      "deliberately not count-distinct -- no Expand) -> non-keeper starts join back on the " +
+      "16-byte hash -> same fused remove_spans coverage; occurrences never pair, so no " +
+      "hot-gram quadratic blowup is possible (total work O(spanTokens x corpus tokens))"),
     "ql37_gopher_flags" -> ("the whole rule battery as scan-riding projections in one " +
       "WholeStageCodegen span -- integer-arithmetic comparisons, no shuffle in the operator " +
       "(the only Exchange is the harness ORDER BY)"),
@@ -403,6 +408,11 @@ object PlanAudit {
     // besides the harness ORDER BY (budget 3); the coverage pass is the
     // fused remove_spans expression, never a per-doc window
     "ql35_repeated_spans" -> Shape(3, forbid = Seq("Window ["),
+      require = Seq("remove_spans")),
+    // ql71: the ql35 budget + one more keyed Exchange (the non-keeper
+    // starts join back on the 16-byte gram hash); still no per-doc
+    // window, coverage stays the fused expression
+    "ql71_crossdoc_spans" -> Shape(4, forbid = Seq("Window ["),
       require = Seq("remove_spans")),
     // ql58: (group, pos) partial+final + assembly + harness ORDER BY;
     // the typed check pins that whole embeddings never ride an Exchange

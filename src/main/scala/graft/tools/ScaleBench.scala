@@ -187,6 +187,12 @@ object ScaleBench {
     // model merges — old corpus TEXT is never re-read, so time must track
     // the batch plus narrow index/model scans, never the corpus re-stage
     // that pretrainCorpus(union) would pay
+    // ql71: cross-doc span removal — window hashes ride the scan, the
+    // keeper cut is one partial-combining min/max agg, coverage is the
+    // fused difference-array; salted copies share no cross-copy grams,
+    // so work (and the within-copy organic dup sets) grows linearly —
+    // a super-linear ratio would mean the gram join stopped pruning
+    "ql71_crossdoc_spans",
     "pretrain_append",
     // bm25_append: a FIXED batch (500 docs) absorbed into an on-parquet
     // BM25 index built from the remainder (setup, untimed — a production

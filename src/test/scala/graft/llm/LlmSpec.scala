@@ -197,6 +197,38 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == "")
   }
 
+  test("removeCrossDocSpans keeps the duplicated span in the MIN-id doc only (ExactSubstr keep-first)") {
+    val span = "a b c d e f" // 6 tokens, spanTokens=5 -> 2 windows inside
+    val docs = Seq(
+      (1L, s"$span x1 y1"), // keeper: the minimum id sharing the span
+      (2L, s"$span x2 y2"), // loses the span
+      (3L, "totally different words here indeed"), // untouched
+      (4L, span)) // non-keeper, reduced to nothing -> ''
+      .toDF("doc_id", "text")
+    val out = Dedup.removeCrossDocSpans(docs, "doc_id", "text", spanTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"$span x1 y1", "the keeper keeps the span verbatim")
+    assert(out(2L) == "x2 y2")
+    assert(out(3L) == "totally different words here indeed")
+    assert(out(4L) == "")
+    // within-doc repetition alone is NOT cross-doc (removeRepeatedSpans'
+    // territory): a solo doc repeating its own span stays whole
+    val solo = Dedup.removeCrossDocSpans(
+      Seq((7L, s"$span $span")).toDF("doc_id", "text"), "doc_id", "text",
+      spanTokens = 5).collect()
+    assert(solo.head.getString(1) == s"$span $span")
+    // per-gram keep-first: a doc can be keeper of one span and lose another
+    val mixed = Dedup.removeCrossDocSpans(Seq(
+      (10L, "p q r s t u"), // keeper of span A
+      (11L, "v w x y z k"), // keeper of span B
+      (12L, "p q r s t u v w x y z k")) // loses BOTH -> ''
+      .toDF("doc_id", "text"), "doc_id", "text", spanTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mixed(10L) == "p q r s t u")
+    assert(mixed(11L) == "v w x y z k")
+    assert(mixed(12L) == "")
+  }
+
   test("canonicalizeUrl collapses case/www/port/fragment/tracking/trailing-slash variants") {
     val urls = Seq(
       "HTTPS://WWW.Example.COM:443/a/?utm_source=x&id=7&utm_campaign=y#frag",
