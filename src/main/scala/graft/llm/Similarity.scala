@@ -14,8 +14,32 @@ import org.apache.spark.sql.functions._
   * Scale path: brute force is the exactness baseline (broadcast the query
   * set, never the corpus); the LSH variant buckets by random-hyperplane
   * signature so the per-bucket search is local to a shuffle partition.
+  *
+  * COLUMN CONVENTION: every query-side API here reads the vector from a
+  * column named `embedding` (a missing column fails loudly at analysis,
+  * never silently). Corpora keyed differently go through
+  * [[withEmbedding]] on the way in — a guarded rename, not a per-API
+  * parameter forest; the training entries ([[IvfIndex.train]],
+  * [[PqCodebook.train]], [[meanEmbedding]]) take an explicit `embCol`
+  * because their sampling happens inside.
   */
 object Similarity {
+
+  /** Adapter for frames whose vector column is not named `embedding` —
+    * the object-level column convention made callable:
+    * `Similarity.bruteForceTopKAgg(withEmbedding(q, "vec"),
+    * withEmbedding(c, "vec"), ...)`. Raises loudly when `embCol` is
+    * absent or when a DIFFERENT `embedding` column already exists
+    * (renaming beside it would silently shadow).
+    */
+  def withEmbedding(df: DataFrame, embCol: String): DataFrame = {
+    if (embCol == "embedding") return df
+    require(df.columns.contains(embCol),
+      s"withEmbedding: column '$embCol' not found (have: ${df.columns.mkString(", ")})")
+    require(!df.columns.contains("embedding"),
+      s"withEmbedding: an 'embedding' column already exists alongside '$embCol' — drop one first")
+    df.withColumnRenamed(embCol, "embedding")
+  }
 
   /** Float64 dot product, sequential in index order. */
   def dot(a: Column, b: Column): Column =

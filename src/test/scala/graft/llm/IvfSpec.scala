@@ -45,6 +45,21 @@ class IvfSpec extends SparkSpec {
       emb.withColumnRenamed("embedding", "vec"), "vec_id",
       k = 8, sampleSize = 256, iters = 4, embCol = "vec")
     assert(i1.centroids.zip(renamed.centroids).forall { case (a, b) => a.sameElements(b) })
+    // the query-side convention's adapter: withEmbedding routes a
+    // renamed corpus through any search API unchanged, and its guards
+    // fire loudly on absence / silent-shadow hazards
+    val vec = emb.withColumnRenamed("embedding", "vec")
+    assert(rowsOf(Similarity.bruteForceTopKAgg(
+        Similarity.withEmbedding(vec.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("vec")), "vec"),
+        Similarity.withEmbedding(vec
+          .select(col("vec_id").as("neighbor_id"), col("vec")), "vec"), 3)) ==
+      rowsOf(Similarity.bruteForceTopKAgg(
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding")), 3)))
+    intercept[IllegalArgumentException](Similarity.withEmbedding(emb, "nope"))
+    intercept[IllegalArgumentException](
+      Similarity.withEmbedding(emb.withColumn("vec", col("embedding")), "vec"))
     val buckets = corpus.select(i1.assignment(col("embedding")).as("b"))
       .groupBy("b").count().collect()
     assert(buckets.length >= 4, s"expected spread over buckets, got ${buckets.length}")
