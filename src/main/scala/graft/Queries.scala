@@ -1241,16 +1241,22 @@ object Queries {
     * pass through (or lose any organically repeated 20-gram — the oracle
     * replays the identical pipeline either way).
     */
-  val qlRepeatedSpans: Q = (s, dir) => {
+  val qlRepeatedSpans: Q = (s, dir) =>
+    ordered(graft.llm.Dedup.removeRepeatedSpans(spanFixture(s, dir),
+      "doc_id", "text", spanTokens = 20, minCount = 2))
+
+  /** Shared Q-L35/Q-L71 fixture (one copy — the two semantics must
+    * contrast on IDENTICAL input): organic docs plus 20 synthetic docs
+    * sharing a 23-token span with per-doc unique 2-token tails.
+    */
+  private def spanFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val span = "the quick brown fox jumps over the lazy dog while the cat " +
       "sleeps on the warm mat near the old oak tree today"
-    val synth = s.range(1, 21).select(
+    docs.unionByName(s.range(1, 21).select(
       (-col("id")).as("doc_id"),
       concat(lit(span + " unique"), col("id").cast("string"),
-        lit(" tail"), col("id").cast("string")).as("text"))
-    ordered(graft.llm.Dedup.removeRepeatedSpans(docs.unionByName(synth),
-      "doc_id", "text", spanTokens = 20, minCount = 2))
+        lit(" tail"), col("id").cast("string")).as("text")))
   }
 
   /** Q-L71 — CROSS-DOC duplicated-span removal, keep-first (the
@@ -1265,17 +1271,9 @@ object Queries {
     * non-keeper starts → difference-array coverage → ordered
     * reassembly) either way.
     */
-  val qlCrossDocSpans: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val span = "the quick brown fox jumps over the lazy dog while the cat " +
-      "sleeps on the warm mat near the old oak tree today"
-    val synth = s.range(1, 21).select(
-      (-col("id")).as("doc_id"),
-      concat(lit(span + " unique"), col("id").cast("string"),
-        lit(" tail"), col("id").cast("string")).as("text"))
-    ordered(graft.llm.Dedup.removeCrossDocSpans(docs.unionByName(synth),
+  val qlCrossDocSpans: Q = (s, dir) =>
+    ordered(graft.llm.Dedup.removeCrossDocSpans(spanFixture(s, dir),
       "doc_id", "text", spanTokens = 20))
-  }
 
   /** Q-L36 — URL canonicalization: three fixture shapes per doc (full
     * tracking-laden URL, default-port + trailing-slash URL, non-URL

@@ -746,12 +746,14 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("_idx", "_p")))
       .withColumn("_p", trim(col("_p")))
       .filter(col("_p") =!= "")
-      // 16-byte shuffle key instead of the document-sized paragraph
-      // string (the tokenSetSignature convention): the argmin groupBy and
-      // the join back both key on the md5, so most of the shuffle volume
-      // is the hash, not the text. 128-bit md5 ⇒ collisions negligible
-      // even at 10^11 paragraphs (xxhash64 would collide at that scale).
-      .withColumn("_h", md5(col("_p").cast("binary")))
+      // 16-byte BINARY shuffle key instead of the document-sized
+      // paragraph string (the tokenSetSignature convention): the argmin
+      // groupBy and the join back both key on the hash, so most of the
+      // shuffle volume is the hash, not the text. The unhex matters —
+      // bare md5() is a 32-char hex string, double the key bytes.
+      // 128-bit md5 ⇒ collisions negligible even at 10^11 paragraphs
+      // (xxhash64 would collide at that scale).
+      .withColumn("_h", unhex(md5(col("_p").cast("binary"))))
     val first = paras.groupBy(col("_h"))
       .agg(min(struct(col(idCol).as("_fid"), col("_idx").as("_fidx"))).as("_f"))
     val kept = paras.join(first, Seq("_h"))
@@ -787,7 +789,8 @@ object Dedup {
       // separator it was split on, so (src, line) identity is unambiguous
       // even for sources embedding spaces -- and the literal stays
       // printable in plan dumps (a NUL here turned PLANS.md binary)
-      .withColumn("_h", md5(concat(col("_src"), lit(sep), col("_lt")).cast("binary")))
+      .withColumn("_h",
+        unhex(md5(concat(col("_src"), lit(sep), col("_lt")).cast("binary"))))
     val hot = lines.filter(col("_lt") =!= "")
       .groupBy(col("_h")).agg(count_distinct(col(idCol)).as("_df"))
       .filter(col("_df") > maxLineDf).select("_h")
@@ -943,29 +946,45 @@ object Dedup {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
-    val n = size(col("_tk"))
-    // one row per window start: (id, pos, 16-byte span hash). Span grams
-    // come from the fused n-gram expression (one pass — the interpreted
-    // per-window slice+join HOF was the same cost class the bigram
-    // scoring fix measured at 80%); md5 runs in the codegen'd projection
-    // AFTER the explode, on one string per row.
-    val wins = toks.filter(n >= spanTokens)
-      .select(col(idCol),
-        posexplode(graft.functions.Ngrams.wordNgramsJoin(col("_tk"), spanTokens))
-          .as(Seq("_pos", "_g")))
-      .select(col(idCol), col("_pos"), md5(col("_g").cast("binary")).as("_h"))
+    val wins = spanWindowHashes(toks, idCol, spanTokens)
+    // the remove-ALL cut: every occurrence of a corpus-frequent window
     val hot = wins.groupBy(col("_h"))
       .agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minCount).select("_h")
     val starts = wins.join(hot, Seq("_h")).select(col(idCol), col("_pos"))
-    // Coverage + reassembly run INSIDE one fused expression over the
-    // original token array ([[graft.functions.Ngrams.removeSpans]] — the
-    // difference-array prefix sum the relational form computed with a
-    // per-doc window): the only rows that ride an Exchange are HOT span
-    // starts (one small int list per affected doc). The previous shape
-    // shuffled every corpus token twice — a per-doc window sort plus a
-    // collect_list regroup — which at 100 TB is two corpus-sized
-    // shuffles doing per-document work the scan projection can do.
+    removeAtStarts(toks, starts, idCol, spanTokens)
+  }
+
+  /** Shared window stage of the two span-removal forms: one row per
+    * window start — (id, pos, 16-byte binary span hash). Span grams come
+    * from the fused n-gram expression (one pass — the interpreted
+    * per-window slice+join HOF was the same cost class the bigram
+    * scoring fix measured at 80%); `unhex(md5(...))` runs in the
+    * codegen'd projection AFTER the explode, and the unhex matters: a
+    * bare `md5()` is a 32-char HEX STRING, double the bytes in every
+    * gram Exchange and join-back key (round-16 review finding).
+    */
+  private def spanWindowHashes(toks: DataFrame, idCol: String,
+                               spanTokens: Int): DataFrame =
+    toks.filter(size(col("_tk")) >= spanTokens)
+      .select(col(idCol),
+        posexplode(graft.functions.Ngrams.wordNgramsJoin(col("_tk"), spanTokens))
+          .as(Seq("_pos", "_g")))
+      .select(col(idCol), col("_pos"),
+        unhex(md5(col("_g").cast("binary"))).as("_h"))
+
+  /** Shared tail of the two span-removal forms: coverage + reassembly run
+    * INSIDE one fused expression over the original token array
+    * ([[graft.functions.Ngrams.removeSpans]] — the difference-array
+    * prefix sum the relational form computed with a per-doc window): the
+    * only rows that ride an Exchange are the cut's span STARTS (one
+    * small int list per affected doc). The pre-round-7 shape shuffled
+    * every corpus token twice — a per-doc window sort plus a
+    * collect_list regroup — which at 100 TB is two corpus-sized
+    * shuffles doing per-document work the scan projection can do.
+    */
+  private def removeAtStarts(toks: DataFrame, starts: DataFrame,
+                             idCol: String, spanTokens: Int): DataFrame = {
     val startsByDoc = starts.groupBy(col(idCol))
       .agg(collect_list(col("_pos")).as("_sp"))
     toks.join(startsByDoc, Seq(idCol), "left")
@@ -1012,12 +1031,9 @@ object Dedup {
                           spanTokens: Int = 20): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
-    val n = size(col("_tk"))
-    val wins = toks.filter(n >= spanTokens)
-      .select(col(idCol),
-        posexplode(graft.functions.Ngrams.wordNgramsJoin(col("_tk"), spanTokens))
-          .as(Seq("_pos", "_g")))
-      .select(col(idCol), col("_pos"), md5(col("_g").cast("binary")).as("_h"))
+    val wins = spanWindowHashes(toks, idCol, spanTokens)
+    // the KEEP-FIRST cut: ≥2 distinct docs (min < max — one
+    // partial-combining agg, no count-distinct Expand), keeper exempt
     val dup = wins.groupBy(col("_h"))
       .agg(min(col(idCol)).as("_keeper"), max(col(idCol)).as("_mx"))
       .filter(col("_mx") > col("_keeper"))
@@ -1025,12 +1041,7 @@ object Dedup {
     val starts = wins.join(dup, Seq("_h"))
       .filter(col(idCol) =!= col("_keeper"))
       .select(col(idCol), col("_pos"))
-    val startsByDoc = starts.groupBy(col(idCol))
-      .agg(collect_list(col("_pos")).as("_sp"))
-    toks.join(startsByDoc, Seq(idCol), "left")
-      .select(col(idCol), coalesce(
-        graft.functions.Ngrams.removeSpans(col("_tk"), col("_sp"), spanTokens),
-        lit("")).as("text_clean"))
+    removeAtStarts(toks, starts, idCol, spanTokens)
   }
 
   /** Duplicate-cluster resolution: given candidate pairs (doc_a, doc_b),
