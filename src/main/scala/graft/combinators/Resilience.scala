@@ -286,6 +286,19 @@ final class RateLimiter(
     * wake-up; the loop grants only on a full token (a single
     * sleep-then-clamp would let sustained throughput exceed ratePerSec
     * when a refill under-delivers).
+    *
+    * FAIRNESS TRADE (documented, deliberate): sleeping outside the
+    * monitor removes the old implicit serialization of waiters — N
+    * parked callers wake after similar waits and RACE for the next
+    * token, so under sustained contention an individual caller's
+    * acquire latency is unbounded even though aggregate throughput
+    * stays exactly capped (the property the limiter exists for, and
+    * the one the reference guarantees — `ratelimiter.go:200-261` makes
+    * no per-caller ordering promise either). If bounded per-caller
+    * latency ever matters, the fix is a ticket queue (wait/notify with
+    * FIFO handoff) — costlier per grant and unneeded for the
+    * driver-side throttling this combinator serves, where callers are
+    * a handful of pipeline threads, not an open request population.
     */
   def acquire(): Unit = {
     while (true) {

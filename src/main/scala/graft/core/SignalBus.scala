@@ -19,13 +19,21 @@ final case class Signal(
     name: String,
     stage: StageId,
     fields: Map[String, String] = Map.empty,
-    // null = "derive from the name at emit" ([[Signals.severityOf]]), so
-    // direct Signal(...) construction sites (Dedup's jaccard.df_cut,
-    // RowSignals forwarding) carry the documented severity without each
-    // caller passing one; pass explicitly to override
+    // null = "derive from the name" (a default expression cannot
+    // reference `name` in the same parameter list). NEVER read this
+    // field for comparisons — use [[severityOrDefault]]: every bus path
+    // (emit fill-in, thresholded subscribe) already does, so a Signal
+    // constructed outside the bus can't NPE a `>=` anywhere in the
+    // engine; pass explicitly to override the documented level
     severity: Signal.Severity = null,
     nanos: Long = System.nanoTime()
-)
+) {
+  /** Never-null severity: the constructor value, or the name's documented
+    * default when a null slipped through a copy.
+    */
+  def severityOrDefault: Signal.Severity =
+    if (severity != null) severity else Signals.severityOf(name)
+}
 
 object Signal {
   /** Reference severity ladder (`docs/2.learn/5.hooks.md:35-42`). Ordered
@@ -156,7 +164,7 @@ final class SignalBus(logCapacity: Int = 4096, async: Boolean = false) {
     * above.
     */
   def subscribe(min: Signal.Severity)(f: Signal => Unit): Unit =
-    listeners.add(sig => if (sig.severity >= min) f(sig))
+    listeners.add(sig => if (sig.severityOrDefault >= min) f(sig))
 
   private def deliver(sig: Signal): Unit =
     listeners.asScala.foreach { l =>

@@ -342,15 +342,17 @@ object TextAnalysis {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1; got k1=$k1 b=$b")
-    // positional rename (toDF) instead of withColumnRenamed: the output
-    // MUST have 4 distinct names or every downstream select is ambiguous
-    // (decontamination keys docs and queries both 'doc_id')
+    // the output MUST have 4 distinct names or every downstream select is
+    // ambiguous (decontamination keys docs and queries both 'doc_id')
     require(Seq(queryIdCol, "rank", idCol, "score").distinct.size == 4,
       s"bm25TopK: output columns ($queryIdCol, rank, $idCol, score) must be " +
         "distinct — rename idCol/queryIdCol on the way in")
+    // rename BY NAME, never positionally: search's contract is its output
+    // NAMES (queryIdCol, rank, id, score) — a toDF here would silently
+    // mislabel all four columns if a refactor ever reordered them
     Bm25Index.search(Bm25Index.build(docs, idCol, textCol),
       queries, queryIdCol, queryTextCol, k, k1, b)
-      .toDF(queryIdCol, "rank", idCol, "score")
+      .select(col(queryIdCol), col("rank"), col("id").as(idCol), col("score"))
   }
 
   /** Persistable BM25 inverted index — the build-once/serve-many

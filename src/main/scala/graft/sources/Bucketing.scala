@@ -84,14 +84,47 @@ object Bucketing {
           val sorted =
             if (sortCols.nonEmpty) s"SORTED BY (${sortCols.map(q).mkString(", ")}) "
             else ""
+          // IF NOT EXISTS closes the check-then-create race: two sessions
+          // (or threads sharing one catalog) that both passed the
+          // tableExists probe must not fail the second CREATE — the loser
+          // falls through to spark.table and the location check below
+          // still validates whatever entry won
           spark.sql(
-            s"CREATE TABLE $qualified ($schemaDdl) USING parquet " +
+            s"CREATE TABLE IF NOT EXISTS $qualified ($schemaDdl) USING parquet " +
               s"CLUSTERED BY (${bucketCols.map(q).mkString(", ")}) " +
               sorted +
               s"INTO $numBuckets BUCKETS LOCATION '${path.replace("'", "''")}'")
       }
     }
+    // NEVER trust a pre-existing catalog entry blindly: a stale name from
+    // an earlier registration pointing at a DIFFERENT path would silently
+    // serve wrong data — the worst failure class. Loud mismatch beats
+    // silent wrong rows; callers wanting both layouts use distinct names.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    require(sameLocation(loc, path),
+      s"readBucketedOrRegister: catalog entry '$table' points at $loc, " +
+        s"not the requested $path — a stale registration from another " +
+        "dataset; drop the table or use a per-path table name")
     spark.table(table)
+  }
+
+  /** Location equality tolerant of scheme/normalization differences
+    * (`file:/a/b` vs `/a/b` vs `/a/b/`): local paths compare canonical
+    * file paths, non-local URIs compare string forms sans trailing slash.
+    */
+  private[sources] def sameLocation(loc: java.net.URI, path: String): Boolean = {
+    def norm(s: String, scheme: String): String =
+      if (scheme == null || scheme == "file")
+        try new java.io.File(s).getCanonicalPath
+        catch { case _: java.io.IOException => s.stripSuffix("/") }
+      else s.stripSuffix("/")
+    val want = java.net.URI.create(
+      new org.apache.hadoop.fs.Path(path).toUri.toString)
+    norm(if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+         else loc.toString, loc.getScheme) ==
+      norm(if (want.getScheme == null || want.getScheme == "file") want.getPath
+           else want.toString, want.getScheme)
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —

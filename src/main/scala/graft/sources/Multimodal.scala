@@ -285,18 +285,28 @@ object Multimodal {
     */
   def dedupImagesPerceptual(media: DataFrame, idCol: String, bytesCol: String,
                             scoreCol: String, bands: Int = 0,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3,
+                            corpusSize: Option[Long] = None): DataFrame = {
+    // bands=0 sizing count runs on the RAW media frame, never the decoded
+    // one: mapPartitions is a pruning barrier, so a count placed after
+    // decodeImage would decode every image just to derive a band count —
+    // here it prunes to the id column on the source scan (and a caller
+    // who knows the corpus size skips even that via corpusSize)
+    val sizing =
+      if (bands == 0) Some(corpusSize.getOrElse(media.select(col(idCol)).count()))
+      else None
     // decode ONLY the narrow (id, bytes) projection, and only inside the
-    // pair path: mapPartitions is a pruning barrier, so the explicit
-    // select keeps meta/score columns out of the decode stage, and the
-    // keep-best below joins back to the RAW media — the decode runs once
-    // (inside the pair stage's reused Exchange), never a second time for
-    // the survivors (the dedupMediaPerceptual argument, one level up)
+    // pair path: the explicit select keeps meta/score columns out of the
+    // decode stage, and the keep-best below joins back to the RAW media —
+    // the decode runs once (inside the pair stage's reused Exchange),
+    // never a second time for the survivors (the dedupMediaPerceptual
+    // argument, one level up)
     val decoded = decodeImage(media.select(col(idCol), col(bytesCol)), bytesCol,
       widthCol = "_dec_w", heightCol = "_dec_h", grayCol = "_dec_gray")
     val hashed = decoded.withColumn("_dhash",
       dHash64(col("_dec_gray"), col("_dec_w"), col("_dec_h")))
-    val pairs = perceptualNearDupPairs(hashed, idCol, "_dhash", bands, maxHamming)
+    val pairs = perceptualNearDupPairs(hashed, idCol, "_dhash", bands, maxHamming,
+        corpusSize = sizing)
       .select(col("doc_a"), col("doc_b"))
     graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
   }

@@ -236,6 +236,24 @@ class SignalEmissionSpec extends SparkSpec {
     assert(bus.emitted.last.severity == Signal.Error)
   }
 
+  test("severityOrDefault never NPEs for signals constructed outside the bus") {
+    // the r16 ADVICE hole: Signal(...) defaults severity to null, so any
+    // comparison on a signal that never passed through emit NPE'd.
+    // severityOrDefault is the non-null read every engine comparison
+    // (including the thresholded subscribe) routes through.
+    assert(Signal(Signals.JaccardDfCut, StageId("j")).severityOrDefault == Signal.Warn)
+    assert(Signal("custom.unknown", StageId("c")).severityOrDefault == Signal.Info)
+    // a null smuggled via copy still resolves to the documented level
+    val smuggled = Signal(Signals.BreakerOpened, StageId("b")).copy(severity = null)
+    assert(smuggled.severityOrDefault == Signal.Error)
+    // and a thresholded listener fed such a signal filters without NPE
+    val bus = new SignalBus(logCapacity = 4)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    bus.subscribe(Signal.Warn)(sig => seen.add(sig.name))
+    bus.emit(smuggled)
+    assert(seen.toArray.toSeq == Seq(Signals.BreakerOpened))
+  }
+
   test("severity-thresholded subscribe filters below-min signals (e.Severity() analog)") {
     val bus = new SignalBus(logCapacity = 16)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()

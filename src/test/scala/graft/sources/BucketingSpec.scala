@@ -124,6 +124,28 @@ class BucketingSpec extends SparkSpec {
       rowsOf(idx.select("id", "band", "bh")))
   }
 
+  test("readBucketedOrRegister: a stale catalog entry at a DIFFERENT path fails loudly") {
+    val dir = Files.createTempDirectory("bucket_stale").toString
+    val a = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+    val b = (1L to 50L).map(i => (i, i * 3)).toDF("k", "v")
+    Bucketing.writeBucketed(a, "b_stale_check", s"$dir/a", Seq("k"), numBuckets = 4)
+    try {
+      // same path: the existing entry is validated and served
+      assert(Bucketing.readBucketedOrRegister(spark, "b_stale_check", s"$dir/a")
+        .count() == 100)
+      // normalization variants of the SAME location still pass
+      assert(Bucketing.readBucketedOrRegister(spark, "b_stale_check", s"$dir/a/")
+        .count() == 100)
+      // a different dataset behind the same name: loud failure — the r16
+      // ADVICE hole was this case silently serving the OLD table's rows
+      b.write.mode("overwrite").parquet(s"$dir/b")
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.readBucketedOrRegister(spark, "b_stale_check", s"$dir/b").count()
+      }
+      assert(e.getMessage.contains("stale registration"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS b_stale_check")
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val dir = Files.createTempDirectory("buckets2").toString
     val events = (1L to 3000L).map(i => (i % 50, i)).toDF("user_id", "v")
