@@ -72,6 +72,44 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(graft.Bench.loadThreshold(32, _ => Some("not-a-number")) == 4.0)
   }
 
+  /** A plausible committed full artifact (round 17+ format): per-pass maps
+    * carry DECOY values — only the top-level "queries" minima may win.
+    */
+  private def completedFull(minSec: Double): String = {
+    val keys = graft.Bench.headline.take(25)
+    def m(sec: Double) = keys.map(q => s""""$q":$sec""").mkString("{", ",", "}")
+    s"""{"schema":"graft-bench-full/1","sf":"/root/testdata/sf0.1","passes":2,""" +
+      s""""pass1":${m(9.0)},"pass2":${m(8.0)},"prior":${m(7.0)},""" +
+      s""""queries":${m(minSec)}}"""
+  }
+
+  test("a committed full artifact is preferred over the same round's wrapper") {
+    val d = dirWith(
+      "BENCH_r12.json" -> completed(1.0),
+      "BENCH_FULL_r12.json" -> completedFull(0.5))
+    val (file, prior) = graft.Bench.selectPrior(d, "/root/testdata/sf0.1")
+    assert(file == "BENCH_FULL_r12.json")
+    // the REAL JSON parse reads the top-level minima, never the per-pass
+    // decoys a regex scan over the same file would have matched
+    assert(prior.size >= 20 && prior.values.forall(_ == 0.5))
+  }
+
+  test("a newer wrapper still beats an older full artifact (recency first)") {
+    val d = dirWith(
+      "BENCH_FULL_r11.json" -> completedFull(0.5),
+      "BENCH_r12.json" -> completed(1.0))
+    val (file, prior) = graft.Bench.selectPrior(d, "/root/testdata/sf0.1")
+    assert(file == "BENCH_r12.json")
+    assert(prior("qa1_grouped_agg") == 1.0)
+  }
+
+  test("parseFullQueries tolerates malformed input and non-full shapes") {
+    assert(graft.Bench.parseFullQueries("not json at all").isEmpty)
+    assert(graft.Bench.parseFullQueries("""{"queries":[1,2]}""").isEmpty)
+    assert(graft.Bench.parseFullQueries("""{"queries":{"q":1.5,"r":2}}""") ==
+      Map("q" -> 1.5, "r" -> 2.0))
+  }
+
   test("the real round-12 driver wrapper (nested tail string) still parses") {
     // the driver wraps the bench stdout in {n, rc, tail, parsed} — keys
     // live inside the escaped tail string; the regex extraction must see
