@@ -90,7 +90,10 @@ object Bench {
     "qm4_frame_sample",
     // ql71: cross-doc span removal keep-first (round 16) — the ql35
     // machinery with the min/max keeper cut; same corpus-linear shape
-    "ql71_crossdoc_spans"
+    "ql71_crossdoc_spans",
+    // qm5: ragged frame sampling (round 17) — qm4's plan family with a
+    // per-frame (offset, length) index; scan-riding slice, zero shuffles
+    "qm5_frame_sample_ragged"
   )
 
   /** Box-drift control: a stable scan+agg row whose plan hasn't changed

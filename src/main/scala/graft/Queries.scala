@@ -484,6 +484,38 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-M5 — RAGGED frame slicing
+    * ([[graft.sources.Multimodal.sliceFramesRagged]]): the qm4
+    * construction with variable-size frames — the shape real extractor
+    * output has (compressed frames differ per frame, so a demuxer emits
+    * a per-frame (offset, length) index next to the blob, never qm4's
+    * fixed packing). Every document becomes a container of
+    * n_frames = 2 + pmod(doc_id, 4) frames where frame f is
+    * 16 + pmod(doc_id + 7·f, 48) bytes (closed-form ragged lengths),
+    * offsets are the in-plan prefix sums, and byte g of the container is
+    * 1 + pmod(xxhash64(doc_id·65536 + g), 100) — the qm4/qm3 fixture
+    * technique, one XXH64 block per byte. Sampled at everyK = 2; the
+    * oracle rebuilds each sampled frame's exact hex from the same closed
+    * form (window-sum offsets), so the ragged offset/length arithmetic
+    * hash-checks byte for byte.
+    */
+  val qm5FrameSampleRagged: Q = (s, dir) => {
+    val videos = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("lens", expr(
+        "transform(sequence(0, int(1 + pmod(media_id, 4))), f -> int(16 + pmod(media_id + 7 * f, 48)))"))
+      .withColumn("offs", expr(
+        "transform(sequence(0, int(1 + pmod(media_id, 4))), f -> int(aggregate(slice(lens, 1, f), 0, (a, x) -> a + x)))"))
+      .withColumn("bytes", expr(
+        """unhex(array_join(transform(sequence(0, aggregate(lens, 0, (a, x) -> a + x) - 1), g ->
+          lpad(hex(1 + pmod(xxhash64(media_id * 65536 + g), 100)), 2, '0')), ''))"""))
+    val out = graft.sources.Multimodal.sliceFramesRagged(videos, "media_id",
+      "bytes", "offs", "lens", everyK = 2)
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+        lower(hex(col("frame"))).as("frame_hex"))
+    ordered(out)
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2537,6 +2569,7 @@ object Queries {
     "qm2_media_fingerprint" -> qm2MediaFingerprint,
     "qm3_perceptual_neardup" -> qm3PerceptualNeardup,
     "qm4_frame_sample" -> qm4FrameSample,
+    "qm5_frame_sample_ragged" -> qm5FrameSampleRagged,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -2812,6 +2845,25 @@ src AS (SELECT doc_id, nf, f, p, CAST(doc_id * 65536 + f * 64 + p AS HUGEINT) AS
 ${xxh64Ctes(Seq("doc_id", "nf", "f", "p"), "src")},
 pxv AS (SELECT doc_id, nf, f, p, 1 + ((h % 100) + 100) % 100 AS b FROM hs),
 fx AS (SELECT doc_id, nf, f, string_agg(lpad(lower(hex(b)), 2, '0'), '' ORDER BY p) AS frame_hex FROM pxv GROUP BY 1, 2, 3)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, frame_hex FROM fx ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-M5 oracle: the qm4 chain with ragged lengths — per-frame length
+    * from the closed form, offsets as a window prefix sum over ALL
+    * frames (sampled frames need their predecessors' lengths), byte
+    * values through the shared XXH64 CTE chain, frame hex re-agg'd per
+    * sampled frame.
+    */
+  private def qm5Sql: String =
+    s"""WITH base AS (SELECT doc_id, 2 + ((doc_id % 4) + 4) % 4 AS nf FROM documents),
+allf AS (SELECT doc_id, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS j FROM base),
+lens AS (SELECT doc_id, nf, j, 16 + (((doc_id + 7 * j) % 48) + 48) % 48 AS ln FROM allf),
+offs AS (SELECT doc_id, nf, j, ln, COALESCE(SUM(ln) OVER (PARTITION BY doc_id ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM lens),
+sp AS (SELECT doc_id, nf, j AS f, off, ln FROM offs WHERE j % 2 = 0),
+px AS (SELECT doc_id, nf, f, unnest(generate_series(CAST(off AS BIGINT), CAST(off + ln - 1 AS BIGINT))) AS g FROM sp),
+src AS (SELECT doc_id, nf, f, g, CAST(doc_id * 65536 + g AS HUGEINT) AS v FROM px),
+${xxh64Ctes(Seq("doc_id", "nf", "f", "g"), "src")},
+pxv AS (SELECT doc_id, nf, f, g, 1 + ((h % 100) + 100) % 100 AS b FROM hs),
+fx AS (SELECT doc_id, nf, f, string_agg(lpad(lower(hex(b)), 2, '0'), '' ORDER BY g) AS frame_hex FROM pxv GROUP BY 1, 2, 3)
 SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, frame_hex FROM fx ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
 
   /** Q-L56 oracle: replay the mixture draw — `pmod(xxhash64(doc_id), 1e6)`
@@ -3384,6 +3436,8 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     "qm3_perceptual_neardup" -> qm3Sql,
     // qm4: sampled-frame bytes replayed from the closed form
     "qm4_frame_sample" -> qm4Sql,
+    // qm5: ragged frame spans replayed with window-sum offsets
+    "qm5_frame_sample_ragged" -> qm5Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -461,6 +461,77 @@ object Multimodal {
           lit(frameBytes)).as("frame"))
   }
 
+  /** RAGGED-container frame slicing — the shape real extractor output
+    * has: per-frame byte spans in parallel `offsetsCol`/`lengthsCol`
+    * array columns (a frame index), not [[sliceFrames]]'s fixed
+    * `frameBytes` packing. Compressed frames differ in size per frame
+    * (I-frames ≫ P/B-frames), so a real demuxer emits exactly this
+    * (offset, length) index next to the blob; everyK/maxFrames sampling
+    * matches the fixed-size form.
+    *
+    * Output: (idCol, frame_idx INT, n_frames INT, frame BINARY), where
+    * n_frames = the index length and frame_idx walks 0, everyK, 2·everyK…
+    *
+    * CONTRACTS (spec-pinned):
+    *  - LOUD GUARD on a corrupt index: offsets/lengths arrays of
+    *    different sizes, a NULL/negative offset or length, or a span
+    *    past the container's end all raise with the offending id — a
+    *    truncated container silently losing frames is the bug class the
+    *    guard discipline exists for.
+    *  - zero-LENGTH frames emit as empty BINARY (an empty frame is
+    *    data, not corruption — extractors emit them for dropped
+    *    frames); zero-ENTRY indexes and NULL bytes/index columns emit
+    *    no rows (nothing to sample).
+    *  - OVERLAPPING spans are allowed (frame indexes legitimately share
+    *    bytes — headers, reference frames); this slicer never assumes
+    *    the spans partition the container.
+    *
+    * Scale: identical plan family to [[sliceFrames]] — the sampled
+    * index explodes in a Generate and each frame is a substring
+    * projection riding the scan; zero shuffles, container bytes never
+    * enter an Exchange.
+    */
+  def sliceFramesRagged(media: DataFrame, idCol: String, bytesCol: String,
+                        offsetsCol: String, lengthsCol: String,
+                        everyK: Int = 1,
+                        maxFrames: Int = Int.MaxValue): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val lastIdx = least(col("_nf") - 1,
+      lit(maxFrames.toLong - 1L) * everyK).cast("int")
+    val off = element_at(col("_off"), col("frame_idx") + 1).cast("long")
+    val len = element_at(col("_ln"), col("frame_idx") + 1).cast("long")
+    val corrupt = off.isNull || len.isNull || off < 0 || len < 0 ||
+      (off + len) > col("_cap")
+    media.select(col(idCol), col(bytesCol).as("_vb"),
+        col(offsetsCol).as("_off"), col(lengthsCol).as("_ln"),
+        coalesce(length(col(bytesCol)).cast("long"), lit(0L)).as("_cap"))
+      .filter(col("_vb").isNotNull && col("_off").isNotNull && col("_ln").isNotNull)
+      .withColumn("_nf",
+        when(size(col("_off")) =!= size(col("_ln")), raise_error(concat(
+          lit("sliceFramesRagged: offsets/lengths disagree ("),
+          size(col("_off")).cast("string"), lit(" vs "),
+          size(col("_ln")).cast("string"), lit(") for id "),
+          col(idCol).cast("string"), lit(" — corrupt frame index"))))
+          .otherwise(size(col("_off"))))
+      .filter(col("_nf") > 0)
+      .select(col(idCol), col("_vb"), col("_off"), col("_ln"), col("_cap"),
+        col("_nf"), explode(sequence(lit(0), lastIdx, lit(everyK))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"), col("_nf").as("n_frames"),
+        when(corrupt, raise_error(concat(
+          lit("sliceFramesRagged: frame "), col("frame_idx").cast("string"),
+          lit(" of id "), coalesce(col(idCol).cast("string"), lit("null")),
+          lit(" spans ["),
+          // a NULL index entry must not null the whole message (concat
+          // is null-intolerant) — the guard text is the diagnosis
+          coalesce(off.cast("string"), lit("null")), lit(", +"),
+          coalesce(len.cast("string"), lit("null")),
+          lit(") past the "), col("_cap").cast("string"),
+          lit("-byte container — truncated or corrupt media"))))
+          .otherwise(col("_vb").substr((off + 1L).cast("int"), len.cast("int")))
+          .as("frame"))
+  }
+
   /** Frame sampling stage (video): every `stride`-th frame index up to
     * `maxFrames`, as (media_id, frame_idx) rows ready for per-frame decode.
     */

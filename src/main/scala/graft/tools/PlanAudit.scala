@@ -103,6 +103,11 @@ object PlanAudit {
       "frame is a substring slice INSIDE the Generate stage -- zero shuffles beyond the " +
       "harness ORDER BY, and the container bytes never enter an Exchange (the slice " +
       "projects before anything wide could shuffle)"),
+    "qm5_frame_sample_ragged" -> ("RAGGED frame sampling (per-frame offset/length index, " +
+      "the real-extractor shape): identical plan family to qm4 -- the sampled index " +
+      "explodes in a Generate, each frame is an element_at + substring projection riding " +
+      "the scan, the span guards are when/raise_error expressions in the same projection, " +
+      "zero shuffles beyond the harness ORDER BY, container bytes never enter an Exchange"),
     "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
       "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
     "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
@@ -468,6 +473,8 @@ object PlanAudit {
     // qm4: one scan, explode + substring projection, only the harness
     // ORDER BY shuffles
     "qm4_frame_sample" -> Shape(1, maxScans = 1, forbid = noCross),
+    // qm5: the ragged sibling — same one-scan explode+substring budget
+    "qm5_frame_sample_ragged" -> Shape(1, maxScans = 1, forbid = noCross),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere

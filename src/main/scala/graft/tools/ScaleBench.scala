@@ -70,6 +70,10 @@ object ScaleBench {
     // synthesis + substring per sampled frame), so the row must track
     // the corpus scan with zero shuffle growth
     "qm4_frame_sample",
+    // qm5: the ragged sibling — element_at + substring over the same
+    // Generate; the per-frame index adds two narrow array columns to the
+    // projection and nothing to any Exchange, so the row must track qm4
+    "qm5_frame_sample_ragged",
     // ql70: PMI collocations — generator count aggs grow with the
     // corpus but partial-combine into vocab-sized tables, so the row
     // must track the scan

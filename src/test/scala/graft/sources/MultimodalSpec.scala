@@ -95,6 +95,58 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("not a multiple of frameBytes"))
   }
 
+  test("sliceFramesRagged: exact spans, overlap, empty frames, stride/cap, null index") {
+    import spark.implicits._
+    val container = Array.tabulate[Byte](12)(_.toByte)
+    // frames: [0,+3) [3,+5) [8,+4) — genuinely ragged; plus an
+    // OVERLAPPING span re-reading the head, and a ZERO-LENGTH frame
+    val media = Seq(
+      (1L, container, Seq(0, 3, 8), Seq(3, 5, 4)),
+      (2L, container, Seq(0, 1), Seq(4, 4)), // overlap: [0,+4) and [1,+4)
+      (3L, container, Seq(6), Seq(0)), // empty frame is data
+      (4L, container, Seq.empty[Int], Seq.empty[Int]), // no frames
+      (5L, null.asInstanceOf[Array[Byte]], Seq(0), Seq(1)), // null bytes
+      (6L, container, null.asInstanceOf[Seq[Int]], Seq(1)) // null index
+    ).toDF("media_id", "bytes", "offs", "lens")
+    val out = Multimodal.sliceFramesRagged(media, "media_id", "bytes",
+      "offs", "lens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq)).toSeq.sortBy(t => (t._1, t._2))
+    assert(out == Seq(
+      (1L, 0, 3, Seq[Byte](0, 1, 2)),
+      (1L, 1, 3, Seq[Byte](3, 4, 5, 6, 7)),
+      (1L, 2, 3, Seq[Byte](8, 9, 10, 11)),
+      (2L, 0, 2, Seq[Byte](0, 1, 2, 3)),
+      (2L, 1, 2, Seq[Byte](1, 2, 3, 4)),
+      (3L, 0, 1, Seq.empty[Byte])))
+    // stride + cap sample the index like the fixed-size form
+    val sampled = Multimodal.sliceFramesRagged(
+      Seq((1L, container, Seq(0, 3, 8), Seq(3, 5, 4))).toDF("media_id", "bytes", "offs", "lens"),
+      "media_id", "bytes", "offs", "lens", everyK = 2)
+      .collect().map(r => r.getInt(1)).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+    val capped = Multimodal.sliceFramesRagged(
+      Seq((1L, container, Seq(0, 3, 8), Seq(3, 5, 4))).toDF("media_id", "bytes", "offs", "lens"),
+      "media_id", "bytes", "offs", "lens", maxFrames = 2)
+      .collect().map(r => r.getInt(1)).sorted
+    assert(capped.toSeq == Seq(0, 1))
+    // LOUD GUARDS: span past the container, negative span, index-size
+    // mismatch, null entry inside the index — never silent truncation
+    def raises(offs: Seq[Integer], lens: Seq[Integer], msg: String): Unit = {
+      val e = intercept[Exception] {
+        Multimodal.sliceFramesRagged(
+          Seq((9L, container, offs, lens)).toDF("media_id", "bytes", "offs", "lens"),
+          "media_id", "bytes", "offs", "lens").collect()
+      }
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+    }
+    raises(Seq(10), Seq(5), "past the 12-byte container")
+    raises(Seq(-1), Seq(3), "truncated or corrupt media")
+    raises(Seq(0), Seq(-2), "truncated or corrupt media")
+    raises(Seq(0, 4), Seq(4), "offsets/lengths disagree")
+    raises(Seq(0, null), Seq(2, 2), "truncated or corrupt media")
+  }
+
   test("sliceFrames composes with the real per-frame dHash extractor") {
     import spark.implicits._
     // two videos sharing frame 0 byte-for-byte: their sampled frame-0
