@@ -76,6 +76,11 @@ object Bench {
     // inverted-index shape; work tracks the corpus scan plus the pruned
     // posting lists, never a corpus shuffle
     "ql67_bm25_topk",
+    // ql67b: the BM25 SERVING path (round 17) — searches a persisted
+    // bucketed index; pass 1 pays the one-time build+save (a production
+    // deployment's nightly job), pass 2 serves, the committed minimum
+    // prices serving — the build-once/serve-many claim, measured
+    "ql67b_bm25_serve",
     // ql68: DSIR selection (round 15) — two in-row LM estimations plus
     // the one-pass four-dim ratio scoring and the bounded top-n tail
     "ql68_dsir_select",

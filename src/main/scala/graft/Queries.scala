@@ -2036,6 +2036,43 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-L67B — the BM25 SERVING path: identical retrieval to Q-L67 but
+    * through the build-once/serve-many lifecycle the production claim is
+    * about — the index is built, persisted BUCKETED+sorted on term
+    * ([[graft.llm.TextAnalysis.Bm25Index.saveBucketed]]), reloaded
+    * through the catalog (Exchange-free df agg), and only then searched.
+    * Q-L67 bills a per-call index BUILD (tokenizing the corpus) that no
+    * serving deployment repeats per query batch; this row prices what
+    * production queries actually pay. The layout lives under /tmp keyed
+    * by the source dir (built on first call, reused after), so a fresh
+    * Verify process exercises the full save → re-register → search
+    * chain while the bench's second pass times pure serving. The oracle
+    * is Q-L67's verbatim: save/load round-trips exact integer
+    * postings/stats, so the scored expression tree is identical.
+    */
+  val qlBm25Serve: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("text"))
+    // v1 layout stamp: a later round changing tokenization or the index
+    // schema must bump it, or stale /tmp state would fail the oracle
+    // confusingly instead of rebuilding
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_bm25_serve_v1$safe"
+    val path = s"/tmp/graft_bm25_serve_v1$safe"
+    if (!new java.io.File(s"$path/_DONE").exists()) {
+      graft.llm.TextAnalysis.Bm25Index.saveBucketed(
+        graft.llm.TextAnalysis.Bm25Index.build(docs, "doc_id", "text"),
+        table, path, numBuckets = 32)
+      new java.io.File(s"$path/_DONE").createNewFile()
+    }
+    val idx = graft.llm.TextAnalysis.Bm25Index.loadBucketed(s, table, path)
+    val out = graft.llm.TextAnalysis.Bm25Index.search(idx, queries,
+      "query_id", "text", k = 5)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("score"))
+    ordered(out)
+  }
+
   /** Q-L68 DSIR importance-resampled selection
     * ([[graft.llm.Pipelines.dsirSelect]]): target = the English docs,
     * raw = the full corpus, top-200 by Gumbel key. Every model count is
@@ -2617,6 +2654,7 @@ object Queries {
     "ql24_normalize" -> qlNormalize,
     "ql25_tfidf" -> qlTfidf,
     "ql67_bm25_topk" -> qlBm25TopK,
+    "ql67b_bm25_serve" -> qlBm25Serve,
     "ql68_dsir_select" -> qlDsirSelect,
     "ql69_weighted_sample" -> qlWeightedSample,
     "ql70_collocations" -> qlCollocations,
@@ -2865,6 +2903,18 @@ ${xxh64Ctes(Seq("doc_id", "nf", "f", "g"), "src")},
 pxv AS (SELECT doc_id, nf, f, g, 1 + ((h % 100) + 100) % 100 AS b FROM hs),
 fx AS (SELECT doc_id, nf, f, string_agg(lpad(lower(hex(b)), 2, '0'), '' ORDER BY g) AS frame_hex FROM pxv GROUP BY 1, 2, 3)
 SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, frame_hex FROM fx ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-L67/Q-L67B oracle: the Okapi BM25 expression tree replayed
+    * verbatim — every factor is IEEE double arithmetic over exact
+    * integers (tf, df, dl, N, sum_dl) with explicit casts/parentheses
+    * matching the Spark form; per-term contributions round to
+    * DECIMAL(18,6) and SUM in DECIMAL (order-independent), log10 is the
+    * ql54 libm bridge. The serving row (ql67b) replays the SAME SQL:
+    * save/load round-trips exact integer postings/stats, so the scored
+    * tree is identical — one copy, cannot drift.
+    */
+  private def ql67Sql: String =
+    """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), postings AS (SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf FROM (SELECT doc_id, toks, unnest(toks) AS term FROM tk) GROUP BY 1, 2, 3), stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM tk), qt AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 8)), pr AS (SELECT p.doc_id, p.dl, p.term, p.tf, COUNT(*) OVER (PARTITION BY p.term) AS df FROM postings p JOIN (SELECT DISTINCT term FROM qt) qv USING (term)), sc AS (SELECT qt.query_id, pr.doc_id, CAST(log10(CAST(1.0 AS DOUBLE) + ((CAST(s.n_docs AS DOUBLE) - CAST(pr.df AS DOUBLE)) + CAST(0.5 AS DOUBLE)) / (CAST(pr.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * ((CAST(pr.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(pr.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(pr.dl AS DOUBLE)) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS DECIMAL(18,6)) AS contrib FROM pr JOIN qt USING (term) CROSS JOIN stats s), ag AS (SELECT query_id, doc_id, SUM(contrib) AS score_d FROM sc GROUP BY 1, 2), r AS (SELECT query_id, doc_id, score_d, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_d DESC, doc_id) AS rank FROM ag) SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_d AS DOUBLE) AS score FROM r WHERE rank <= 5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
 
   /** Q-L56 oracle: replay the mixture draw — `pmod(xxhash64(doc_id), 1e6)`
     * via the closed-form chain (the ql47b basis), copy counts as
@@ -3325,8 +3375,11 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // N, sum_dl) with explicit casts/parentheses matching the Spark
     // form; per-term contributions round to DECIMAL(18,6) and SUM in
     // DECIMAL (order-independent), log10 is the ql54 libm bridge
-    "ql67_bm25_topk" ->
-      """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents), postings AS (SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf FROM (SELECT doc_id, toks, unnest(toks) AS term FROM tk) GROUP BY 1, 2, 3), stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM tk), qt AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 8)), pr AS (SELECT p.doc_id, p.dl, p.term, p.tf, COUNT(*) OVER (PARTITION BY p.term) AS df FROM postings p JOIN (SELECT DISTINCT term FROM qt) qv USING (term)), sc AS (SELECT qt.query_id, pr.doc_id, CAST(log10(CAST(1.0 AS DOUBLE) + ((CAST(s.n_docs AS DOUBLE) - CAST(pr.df AS DOUBLE)) + CAST(0.5 AS DOUBLE)) / (CAST(pr.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * ((CAST(pr.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(pr.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(pr.dl AS DOUBLE)) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS DECIMAL(18,6)) AS contrib FROM pr JOIN qt USING (term) CROSS JOIN stats s), ag AS (SELECT query_id, doc_id, SUM(contrib) AS score_d FROM sc GROUP BY 1, 2), r AS (SELECT query_id, doc_id, score_d, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_d DESC, doc_id) AS rank FROM ag) SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_d AS DOUBLE) AS score FROM r WHERE rank <= 5 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""",
+    "ql67_bm25_topk" -> ql67Sql,
+    // ql67b: the SERVING path — save/load round-trips exact integer
+    // postings/stats, so the scored expression tree (and the oracle) is
+    // ql67's verbatim; one copy, cannot drift
+    "ql67b_bm25_serve" -> ql67Sql,
     // ql68: DSIR selection — both LMs re-estimated, four-dim backoff
     // probes, DECIMAL sums/difference, ql15 hash chain for the Gumbel
     // draw, DECIMAL-ranked top-200

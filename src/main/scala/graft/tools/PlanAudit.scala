@@ -69,6 +69,13 @@ object PlanAudit {
       "(ADC tables, exploded probe buckets) so the bucket equi-join prunes candidates " +
       "to nprobe/k of the corpus BEFORE any ADC scoring; then the partial_topkbysim " +
       "bounded tail -- neither embeddings nor codes in any shuffle Exchange"),
+    "ql67b_bm25_serve" -> ("BM25 SERVING path: postings and stats read from the " +
+      "persisted bucketed index -- narrow (term, id, tf, dl) parquet, document text " +
+      "never read and never re-tokenized (the term-count generator is FORBIDDEN in " +
+      "this plan -- its absence is the machine proof); query vocabulary broadcasts to " +
+      "prune posting lists at the scan, df partial-combines over the pruned postings, " +
+      "contributions broadcast-join and aggregate on (query, doc), rank window prunes " +
+      "map-side -- the build-once/serve-many half of ql67, priced separately"),
     "ql67_bm25_topk" -> ("BM25 sparse retrieval: postings (did, dl, term, tf) ride the " +
       "corpus scan via the fused term-count generator (document text never enters an " +
       "Exchange), a broadcast semi-join against the DISTINCT query vocabulary prunes " +
@@ -456,6 +463,15 @@ object PlanAudit {
     // fused generator's rows — never a sort-merge or cartesian join
     "ql67_bm25_topk" -> Shape(maxScans = 6, forbid = noSmj ++ noCross,
       require = Seq("WindowGroupLimit", "BroadcastHashJoin", "explodetermcounts")),
+    // ql67b: the SERVING plan — postings/stats read from the persisted
+    // index (narrow parquet, NO term-count generator anywhere: the text
+    // was tokenized at build time, which is the whole point), query-side
+    // doc scans pushed down, every join broadcasts, rank window prunes
+    // map-side. The generator's absence is the machine proof that
+    // serving never re-tokenizes the corpus.
+    "ql67b_bm25_serve" -> Shape(maxScans = 7, forbid =
+      noSmj ++ noCross ++ Seq("explodetermcounts"),
+      require = Seq("WindowGroupLimit", "BroadcastHashJoin")),
     // ql68: four broadcast probes, one (doc) agg, bounded top-n tail;
     // 13 static scans are the lmEstimate branches AQE dedupes (ql54)
     "ql68_dsir_select" -> Shape(maxScans = 13, forbid = noSmj ++ noCross,
