@@ -101,12 +101,17 @@ object Bench {
     "qm5_frame_sample_ragged"
   )
 
-  /** Box-drift control: a stable scan+agg row whose plan hasn't changed
-    * since round 1 — any ratio it shows against its prior is the MACHINE's
-    * drift, not the code's. Stamped into both artifacts so a script can
-    * normalize every other ratio by it.
+  /** Box-drift controls: stable scan+agg rows whose plans haven't changed
+    * in many rounds — any ratio one shows against its prior is the
+    * MACHINE's drift, not the code's. The first candidate with a usable
+    * prior wins (qa1 is the canonical control, but r16's wrapper
+    * truncated it out of the tail, so ql7/qx1 — both present in that
+    * tail, both stable since round 2 — back it up); the chosen name is
+    * stamped into both artifacts so a script can normalize every other
+    * ratio by it.
     */
-  val controlQuery: String = "qa1_grouped_agg"
+  val controlCandidates: Seq[String] =
+    Seq("qa1_grouped_agg", "ql7_token_count", "qx1_asof_join")
 
   /** Prior-round per-query reference: newest bench artifact in `dir` that
     * actually parses ≥ 20 headline query keys at this run's scale factor.
@@ -294,6 +299,9 @@ object Bench {
     // 15-20% afternoon baseline on this host) moves the control exactly
     // like every other row; a real regression moves one row and not the
     // control. drift = control_sec / control_prior (-1 when no prior).
+    val controlQuery = controlCandidates
+      .find(c => resMap.getOrElse(c, -1.0) > 0 && prior.getOrElse(c, -1.0) > 0)
+      .getOrElse(controlCandidates.head)
     val ctrlSec = resMap.getOrElse(controlQuery, -1.0)
     val ctrlPrior = prior.getOrElse(controlQuery, -1.0)
     val ctrlDrift = if (ctrlSec > 0 && ctrlPrior > 0) ctrlSec / ctrlPrior else -1.0

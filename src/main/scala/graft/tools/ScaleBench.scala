@@ -198,6 +198,25 @@ object ScaleBench {
     // a super-linear ratio would mean the gram join stopped pruning
     "ql71_crossdoc_spans",
     "pretrain_append",
+    // image_decode: REAL PNG bytes (setup-generated from the documents
+    // ids, planted 2x-upscale + brightness re-encodes) through
+    // decodeImage's mapPartitions codec boundary + dHash — the decode
+    // throughput row (MB/s/core in the detail object) the 100 TB sizing
+    // needs; per-row work, must scale ~linearly
+    "image_decode",
+    // image_dedup: the one-call dedupImagesPerceptual over the same real
+    // PNGs — decode + banded pair join + keep-best end to end; pairs
+    // track planted copies (ids are collision-free at any scale), so the
+    // row must track the decode scan, never pairs
+    "image_dedup",
+    // nightly_loop: the COMPOSED nightly lifecycle against a 10x
+    // on-parquet CrawlState — load -> append(fixed batch) -> takedown
+    // (fixed id list) -> write the advanced evidence + batch-sized
+    // staged delta + model snapshots to a real parquet sink. Per-phase
+    // walls in the detail object. Production appends write batch
+    // partitions, never a corpus rewrite (the bm25_append argument), so
+    // the row must track batch + narrow index/model scans — far under 10
+    "nightly_loop",
     // bm25_append: a FIXED batch (500 docs) absorbed into an on-parquet
     // BM25 index built from the remainder (setup, untimed — a production
     // index exists before any batch arrives). Timed work: the
@@ -363,6 +382,107 @@ object ScaleBench {
         .postings.write.format("noop").mode("overwrite").save()
     }
 
+    // image rows: REAL PNG bytes, setup-generated once per dir (untimed —
+    // a production corpus arrives encoded; generation is the fixture).
+    // Planted copies mirror qm3: every 3rd id a 2x nearest-neighbor
+    // upscale, every 5th a +10 brightness shift — both dHash-invariant by
+    // the uniform-block argument (72/144 divide by 9, 64/128 by 8;
+    // pixel values stay <= 209 so brightness never clamps), so the dedup
+    // really collapses re-encodes of the same picture.
+    val imageSetups = scala.collection.mutable.Map[String, (String, Long, Long)]()
+    def imageSetup(dir: String): (String, Long, Long) =
+      imageSetups.getOrElseUpdate(dir, {
+        val path = s"/tmp/graft_images${dir.replace('/', '_')}"
+        if (!new java.io.File(s"$path/_DONE").exists()) {
+          generateImages(spark, dir, path)
+          new java.io.File(s"$path/_DONE").createNewFile()
+        }
+        val agg = spark.read.parquet(path)
+          .agg(count(lit(1)), sum(length(col("bytes")))).head()
+        (path, agg.getLong(0), agg.getLong(1))
+      })
+    def runImageDecode(dir: String): Unit = {
+      val (path, _, _) = imageSetup(dir)
+      val media = spark.read.parquet(path).select(col("media_id"), col("bytes"))
+      val dec = graft.sources.Multimodal.decodeImage(media, "bytes")
+      dec.select(col("media_id"),
+          graft.sources.Multimodal.dHash64(col("gray"), col("width"), col("height"))
+            .as("dh"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def runImageDedup(dir: String): Unit = {
+      val (path, n, _) = imageSetup(dir)
+      val media = spark.read.parquet(path)
+      graft.sources.Multimodal.dedupImagesPerceptual(media, "media_id", "bytes",
+        "score", corpusSize = Some(n))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // nightly_loop: state built + saved once per dir via the REAL
+    // CrawlState.save API (untimed — the production state exists on disk
+    // before any nightly run); the timed loop is load -> append ->
+    // takedown -> evidence/delta/model writes. Phases keep their own
+    // minima across the min-of-2 runs.
+    val nightlySetups = scala.collection.mutable.Map[String, String]()
+    def nightlySetup(dir: String): String = nightlySetups.getOrElseUpdate(dir, {
+      val stateDir = s"/tmp/graft_nightly${dir.replace('/', '_')}"
+      if (!new java.io.File(s"$stateDir/_DONE").exists()) {
+        val docs = graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        graft.llm.Pipelines.initCrawlState(docs.filter(col("doc_id") >= 1500))
+          .save(stateDir)
+        spark.sqlContext.clearCache()
+        new java.io.File(s"$stateDir/_DONE").createNewFile()
+      }
+      stateDir
+    })
+    val nightlyPhases = scala.collection.mutable.Map[(String, String), Double]()
+    def runNightly(dir: String): Unit = {
+      val stateDir = nightlySetup(dir)
+      val scratch = s"/tmp/graft_nightly_out${dir.replace('/', '_')}"
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val batch = docs.filter(col("doc_id") < 500)
+      def phase[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        val k = (dir, name)
+        nightlyPhases(k) = math.min(nightlyPhases.getOrElse(k, Double.MaxValue), sec)
+        r
+      }
+      val st = phase("load") {
+        graft.llm.Pipelines.CrawlState.load(spark, stateDir)
+      }
+      // append: the advanced evidence frames force (pairs = ONE band join
+      // against the narrow index; models = model-sized merges), and the
+      // BATCH's staged rows land in a real parquet sink — production
+      // appends write batch partitions, never a corpus rewrite
+      val st2 = phase("append") {
+        val s2 = graft.llm.Pipelines.appendCrawlBatch(st, batch)
+        s2.pairs.write.format("noop").mode("overwrite").save()
+        s2.staged.filter(col("doc_id") < 500).write.mode("overwrite")
+          .parquet(s"$scratch/staged_delta")
+        s2
+      }
+      // takedown: a fixed 500-id retraction — models retreat by exact
+      // subtraction (ONE column-pruned semi-join re-reads only the
+      // removed rows' text), pairs die by anti-join
+      val st3 = phase("takedown") {
+        val ids = docs.filter(col("doc_id") >= 1500 && col("doc_id") < 2000)
+          .select(col("doc_id"))
+        val s3 = graft.llm.Pipelines.removeCrawlBatch(st2, ids)
+        s3.pairs.write.format("noop").mode("overwrite").save()
+        s3
+      }
+      // model snapshots to a real sink (vocab-sized writes)
+      phase("save_models") {
+        st3.langModel.write.mode("overwrite").parquet(s"$scratch/lm")
+        st3.nbModel.write.mode("overwrite").parquet(s"$scratch/nb")
+      }
+      spark.sqlContext.clearCache()
+    }
+
     // pretrain_remove: retract a fixed takedown list from the on-parquet
     // state (the setup appendState already built); the advanced evidence
     // frames noop-write like runAppend — pairs force the anti-join
@@ -385,6 +505,9 @@ object ScaleBench {
       else if (q == "pretrain_append") runAppend("/root/testdata/sf0.001")
       else if (q == "bm25_append") runBm25Append("/root/testdata/sf0.001")
       else if (q == "pretrain_remove") runRemove("/root/testdata/sf0.001")
+      else if (q == "image_decode") runImageDecode("/root/testdata/sf0.001")
+      else if (q == "image_dedup") runImageDedup("/root/testdata/sf0.001")
+      else if (q == "nightly_loop") runNightly("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
 
@@ -398,6 +521,16 @@ object ScaleBench {
       appendState(base1x); appendState(out)
     }
     if (queries.contains("bm25_append")) { bm25Setup(base1x); bm25Setup(out) }
+    // encoded fixtures / on-parquet state are setup: generate BEFORE the
+    // timed loop so sample 1 never pays a corpus-scale encode or write
+    if (queries.contains("image_decode") || queries.contains("image_dedup")) {
+      imageSetup(base1x); imageSetup(out)
+    }
+    if (queries.contains("nightly_loop")) {
+      nightlySetup(base1x); nightlySetup(out)
+      // the warm pass above timed nothing at this dir yet — clear the
+      // phase minima it recorded at sf0.001 only (keyed by dir, so no-op)
+    }
 
     def time(q: String, dir: String): Double =
       (1 to 2).map { _ =>
@@ -407,6 +540,9 @@ object ScaleBench {
         else if (q == "pretrain_append") runAppend(dir)
         else if (q == "bm25_append") runBm25Append(dir)
         else if (q == "pretrain_remove") runRemove(dir)
+        else if (q == "image_decode") runImageDecode(dir)
+        else if (q == "image_dedup") runImageDedup(dir)
+        else if (q == "nightly_loop") runNightly(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -427,12 +563,79 @@ object ScaleBench {
       val tN = time(q, out)
       (q, t1, tN, tN / t1)
     }
+    // per-row detail objects: image decode throughput (the number the
+    // 100 TB sizing needs) and the nightly loop's phase breakdown
+    val details = scala.collection.mutable.ListBuffer.empty[String]
+    if (rows.exists(_._1 == "image_decode")) {
+      val (_, n1, b1) = imageSetup(base1x)
+      val (_, nN, bN) = imageSetup(out)
+      val tN = rows.find(_._1 == "image_decode").get._3
+      val mbpsCore = bN / 1e6 / tN / cpus.toInt
+      details += f""""image_decode_detail":{"images_1x":$n1,"mb_1x":${b1 / 1e6}%.1f,"images_${copies}x":$nN,"mb_${copies}x":${bN / 1e6}%.1f,"decode_mb_per_sec_per_core_${copies}x":$mbpsCore%.2f}"""
+    }
+    if (nightlyPhases.nonEmpty) {
+      def ph(dir: String, tag: String): String =
+        Seq("load", "append", "takedown", "save_models").map { p =>
+          f""""${p}_$tag":${nightlyPhases.getOrElse((dir, p), -1.0)}%.2f"""
+        }.mkString(",")
+      details += s""""nightly_loop_detail":{${ph(base1x, "1x")},${ph(out, s"${copies}x")}}"""
+    }
     val json = rows.map { case (q, t1, tN, r) =>
       f""""$q":{"sec_1x":$t1%.2f,"sec_${copies}x":$tN%.2f,"ratio":$r%.2f}"""
     }.mkString("{", ",",
-      s""","copies":$copies,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}""")
+      details.map("," + _).mkString +
+        s""","copies":$copies,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}""")
     println(json)
     spark.stop()
+  }
+
+  /** REAL encoded-image fixture: one 72×64 grayscale-content PNG per
+    * document id, plus planted re-encodes (2× nearest-neighbor upscale
+    * for every 3rd id, +10 brightness for every 5th — both exactly
+    * dHash-invariant: uniform blocks, no clamping). Pixel values are a
+    * per-(id, x, y) hash, so distinct ids are independent and the corpus
+    * grows linearly with no cross-copy similarity. media_id = id·4 +
+    * variant (the qm3 collision-free convention). Encoding runs inside
+    * mapPartitions (the codec boundary) and is SETUP, not measurement.
+    */
+  def generateImages(spark: SparkSession, dir: String, out: String): Unit = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        def png(w: Int, h: Int, scale: Int, bright: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var hsh = id * 1315423911L + (x / scale).toLong * 2654435761L +
+                (y / scale).toLong * 97531L
+              hsh ^= hsh >>> 33
+              hsh *= -49064778989728563L // xxhash-style avalanche constant
+              hsh ^= hsh >>> 33
+              val v = (((hsh % 200) + 200) % 200).toInt + bright // <= 209
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val rows = scala.collection.mutable.ArrayBuffer(
+          (id * 4, png(72, 64, 1, 0)))
+        if (id % 3 == 0) rows += ((id * 4 + 1, png(144, 128, 2, 0)))
+        if (id % 5 == 0) rows += ((id * 4 + 2, png(72, 64, 1, 10)))
+        rows
+      }
+    }.toDF("media_id", "bytes")
+      .withColumn("score", pmod(col("media_id"), lit(997)).cast("double"))
+    media.repartition(32).write.mode("overwrite").parquet(out)
   }
 
   /** Build the scaled corpus. Key shifts are far above any real id range. */
