@@ -480,6 +480,50 @@ object TextAnalysis {
             sum(col("sum_dl")).as("sum_dl")))
     }
 
+    /** The takedown half of [[append]] — retract documents at
+      * REMOVED-SET cost (the [[Pipelines.removeCrawlBatch]] /
+      * `lmSubtract` convention brought to the lexical index): postings
+      * die by an id anti-join, N retreats by the removed-doc count and
+      * Σ dl by the removed docs' summed lengths — BOTH recovered from
+      * the index's own postings (one column-pruned semi-join scan; the
+      * index is the source of truth, so the caller needs no text).
+      * EXACT: `remove(build(A ∪ B), ids(B)) == build(A)` row for row
+      * (spec-pinned — BM25's statistics are additive, so subtraction is
+      * closed). Ids never indexed subtract nothing and are silently
+      * ignored (idempotent replay, the removeCrawlBatch contract).
+      *
+      * BOUNDARY (documented): a doc indexed with EMPTY text has no
+      * posting rows, so its N contribution cannot be recovered from
+      * postings and survives removal — the same docless-id boundary
+      * append's guard documents; real corpora gate empty docs out
+      * before indexing.
+      */
+    def remove(index: Bm25Index, removeIds: DataFrame,
+               broadcastIdLimit: Long = 1000000L): Bm25Index = {
+      val ids = removeIds.toDF("id").select(col("id")).distinct()
+      // takedown lists are dim-sized and broadcast; a rebuild-scale
+      // "removal" falls back to the shuffle joins (the append guard's
+      // size-guarded pattern — never collect a multi-GB id set)
+      val fits = ids.limit(math.min(broadcastIdLimit + 1, Int.MaxValue.toLong).toInt)
+        .count() <= broadcastIdLimit
+      val idSide = if (fits) broadcast(ids) else ids
+      // sufficient statistics of the REMOVED docs, from the index itself:
+      // dl repeats per posting row of a doc, so per-doc first(dl) then sum
+      val removed = index.postings.join(idSide, Seq("id"), "left_semi")
+        .groupBy(col("id")).agg(first(col("dl")).as("dl"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_gone"),
+          coalesce(sum(col("dl")), lit(0L)).as("dl_gone"))
+      Bm25Index(
+        // the USING-key join fronts `id`; restore build's canonical
+        // (term, id, tf, dl) order so save layouts never depend on
+        // whether an index passed through a removal
+        index.postings.join(idSide, Seq("id"), "left_anti")
+          .select(col("term"), col("id"), col("tf"), col("dl")),
+        index.stats.crossJoin(removed)
+          .select((col("n_docs") - col("n_gone")).as("n_docs"),
+            (col("sum_dl") - col("dl_gone")).as("sum_dl")))
+    }
+
     /** Plain parquet layout: `path/postings` + `path/stats`. */
     def save(index: Bm25Index, path: String): Unit = {
       index.postings.write.mode("overwrite").parquet(s"$path/postings")

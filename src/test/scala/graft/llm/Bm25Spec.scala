@@ -183,6 +183,43 @@ class Bm25Spec extends SparkSpec {
     assert(e2.getMessage.contains("re-delivers already-indexed id"))
   }
 
+  test("Bm25Index.remove equals the complement rebuild exactly; absent ids are idempotent") {
+    val extra = Seq(
+      (10L, "apple durian"), (11L, "cherry cherry banana")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry durian banana")).toDF("query_id", "text")
+    val full = TextAnalysis.Bm25Index.build(
+      corpus.unionByName(extra), "doc_id", "text")
+    // retract the extra docs: scores/ranks/stats must equal the index
+    // that never saw them — BM25's statistics subtract exactly
+    val removed = TextAnalysis.Bm25Index.remove(
+      full, Seq(10L, 11L).toDF("id"))
+    val complement = TextAnalysis.Bm25Index.build(corpus, "doc_id", "text")
+    assert(rowsOf(TextAnalysis.Bm25Index.search(removed, queries,
+      "query_id", "text", k = 10)) ==
+      rowsOf(TextAnalysis.Bm25Index.search(complement, queries,
+        "query_id", "text", k = 10)),
+      "remove must converge to the complement rebuild row for row")
+    assert(rowsOf(removed.stats) == rowsOf(complement.stats))
+    // ids never indexed subtract nothing (idempotent takedown replay)
+    val noop = TextAnalysis.Bm25Index.remove(
+      complement, Seq(999L, 10L).toDF("id"))
+    assert(rowsOf(noop.stats) == rowsOf(complement.stats))
+    assert(rowsOf(noop.postings) == rowsOf(complement.postings))
+    // append-then-remove round-trips (the full lifecycle)
+    val roundTrip = TextAnalysis.Bm25Index.remove(
+      TextAnalysis.Bm25Index.append(complement, extra, "doc_id", "text"),
+      extra.select(col("doc_id")))
+    assert(rowsOf(TextAnalysis.Bm25Index.search(roundTrip, queries,
+      "query_id", "text", k = 10)) ==
+      rowsOf(TextAnalysis.Bm25Index.search(complement, queries,
+        "query_id", "text", k = 10)))
+    // the big-list fallback path (shuffle joins) subtracts identically
+    val fallback = TextAnalysis.Bm25Index.remove(
+      full, Seq(10L, 11L).toDF("id"), broadcastIdLimit = 1L)
+    assert(rowsOf(fallback.stats) == rowsOf(complement.stats))
+    assert(rowsOf(fallback.postings) == rowsOf(complement.postings))
+  }
+
   test("bm25TopK plan: query joins broadcast, postings prune before any shuffle") {
     val queries = Seq((10L, "apple cherry")).toDF("query_id", "text")
     val df = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
