@@ -233,7 +233,14 @@ object ScaleBench {
     // to re-read only the removed rows' text — so time tracks the narrow
     // staged scan, never a re-stage; the anti-join narrows are lazy
     // projections the next consumer pays
-    "pretrain_remove")
+    "pretrain_remove",
+    // bm25_remove: the lexical-index takedown — a FIXED 500-id list
+    // retracted from the same on-parquet index bm25_append uses (setup,
+    // untimed). Timed work: ONE column-pruned semi-join recovers the
+    // removed docs' (N, Σdl) from the index's own postings, the
+    // anti-join narrows the postings, stats subtract — index-sized terms
+    // are narrow scans, so the 10× ratio must stay far under 10
+    "bm25_remove")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -382,6 +389,20 @@ object ScaleBench {
         .postings.write.format("noop").mode("overwrite").save()
     }
 
+    // bm25_remove: reuses bm25_append's on-parquet index; the takedown
+    // list is the indexed half of the append fixture's id space. The
+    // advanced frames noop-write — stats force the semi-join recovery,
+    // postings force the anti-join narrow.
+    def runBm25Remove(dir: String): Unit = {
+      val (idx, _) = bm25Setup(dir)
+      val ids = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id").as("id"))
+        .filter(col("id") >= 500 && col("id") < 1000)
+      val rem = graft.llm.TextAnalysis.Bm25Index.remove(idx, ids)
+      rem.stats.write.format("noop").mode("overwrite").save()
+      rem.postings.write.format("noop").mode("overwrite").save()
+    }
+
     // image rows: REAL PNG bytes, setup-generated once per dir (untimed —
     // a production corpus arrives encoded; generation is the fixture).
     // Planted copies mirror qm3: every 3rd id a 2x nearest-neighbor
@@ -505,6 +526,7 @@ object ScaleBench {
       else if (q == "pretrain_append") runAppend("/root/testdata/sf0.001")
       else if (q == "bm25_append") runBm25Append("/root/testdata/sf0.001")
       else if (q == "pretrain_remove") runRemove("/root/testdata/sf0.001")
+      else if (q == "bm25_remove") runBm25Remove("/root/testdata/sf0.001")
       else if (q == "image_decode") runImageDecode("/root/testdata/sf0.001")
       else if (q == "image_dedup") runImageDedup("/root/testdata/sf0.001")
       else if (q == "nightly_loop") runNightly("/root/testdata/sf0.001")
@@ -520,7 +542,9 @@ object ScaleBench {
     if (queries.contains("pretrain_append") || queries.contains("pretrain_remove")) {
       appendState(base1x); appendState(out)
     }
-    if (queries.contains("bm25_append")) { bm25Setup(base1x); bm25Setup(out) }
+    if (queries.contains("bm25_append") || queries.contains("bm25_remove")) {
+      bm25Setup(base1x); bm25Setup(out)
+    }
     // encoded fixtures / on-parquet state are setup: generate BEFORE the
     // timed loop so sample 1 never pays a corpus-scale encode or write
     if (queries.contains("image_decode") || queries.contains("image_dedup")) {
@@ -540,6 +564,7 @@ object ScaleBench {
         else if (q == "pretrain_append") runAppend(dir)
         else if (q == "bm25_append") runBm25Append(dir)
         else if (q == "pretrain_remove") runRemove(dir)
+        else if (q == "bm25_remove") runBm25Remove(dir)
         else if (q == "image_decode") runImageDecode(dir)
         else if (q == "image_dedup") runImageDedup(dir)
         else if (q == "nightly_loop") runNightly(dir)
