@@ -98,7 +98,11 @@ object Bench {
     "ql71_crossdoc_spans",
     // qm5: ragged frame sampling (round 17) — qm4's plan family with a
     // per-frame (offset, length) index; scan-riding slice, zero shuffles
-    "qm5_frame_sample_ragged"
+    "qm5_frame_sample_ragged",
+    // qm6: real WAV decode + audio fingerprint (round 17) — in-plan
+    // container synthesis (the qm4 convention) through the mapPartitions
+    // RIFF parser and the codegen'd audiohash64; one scan, no shuffles
+    "qm6_audio_fingerprint"
   )
 
   /** Box-drift controls: stable scan+agg rows whose plans haven't changed

@@ -516,6 +516,40 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-M6 — REAL WAV decode + energy-envelope audio fingerprint
+    * ([[graft.sources.Multimodal.decodeWavPcm]] +
+    * [[graft.functions.AudioHash64]]): every document becomes a
+    * byte-complete RIFF/PCM WAV built IN-PLAN (constant 44-byte header
+    * for n = 260 mono 16-bit samples at 16 kHz; sample i =
+    * pmod(xxhash64(doc_id·131072 + i), 16384) − 8192 — one closed-form
+    * XXH64 block per sample, LE16-packed by hex-pair swap), parsed by
+    * the REAL RIFF chunk walker inside the mapPartitions codec
+    * boundary, then fingerprinted. The oracle never parses bytes — it
+    * recomputes frame energies (65 frames × 4 samples, all integer)
+    * and the 64 comparison bits from the same closed form, so the hash
+    * check covers the full synthesize → pack → parse → hash chain: any
+    * endianness, offset, sign-extension, or frame-boundary slip breaks
+    * the 64-bit signature.
+    */
+  val qm6AudioFingerprint: Q = (s, dir) => {
+    val n = 260
+    def le16(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    def le32(v: Int) = le16(v & 0xffff) + le16(v >>> 16)
+    def ascii(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    val header = ascii("RIFF") + le32(36 + 2 * n) + ascii("WAVE") +
+      ascii("fmt ") + le32(16) + le16(1) + le16(1) + le32(16000) +
+      le32(32000) + le16(2) + le16(16) + ascii("data") + le32(2 * n)
+    val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("bytes", expr(
+        s"""unhex(concat('$header', array_join(transform(sequence(0, ${n - 1}), i ->
+          concat(substring(lpad(hex(pmod(pmod(xxhash64(media_id * 131072 + i), 16384) - 8192, 65536)), 4, '0'), 3, 2),
+                 substring(lpad(hex(pmod(pmod(xxhash64(media_id * 131072 + i), 16384) - 8192, 65536)), 4, '0'), 1, 2))), '')))"""))
+    val out = graft.sources.Multimodal.decodeWavPcm(media, "bytes")
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        graft.sources.Multimodal.audioHash64(col("pcm")).as("ahash"))
+    ordered(out)
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2607,6 +2641,7 @@ object Queries {
     "qm3_perceptual_neardup" -> qm3PerceptualNeardup,
     "qm4_frame_sample" -> qm4FrameSample,
     "qm5_frame_sample_ragged" -> qm5FrameSampleRagged,
+    "qm6_audio_fingerprint" -> qm6AudioFingerprint,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -2903,6 +2938,27 @@ ${xxh64Ctes(Seq("doc_id", "nf", "f", "g"), "src")},
 pxv AS (SELECT doc_id, nf, f, g, 1 + ((h % 100) + 100) % 100 AS b FROM hs),
 fx AS (SELECT doc_id, nf, f, string_agg(lpad(lower(hex(b)), 2, '0'), '' ORDER BY g) AS frame_hex FROM pxv GROUP BY 1, 2, 3)
 SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, frame_hex FROM fx ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-M6 oracle: the audio fingerprint replayed WITHOUT parsing —
+    * sample values from the shared XXH64 chain, frame energies as
+    * integer sums of squares (65 frames × 4 samples at n = 260),
+    * comparison bits via a self-join on adjacent frames, the 64-bit
+    * signature assembled from the ql52 HUGEINT power table and wrapped
+    * to signed.
+    */
+  private def qm6Sql: String = {
+    val powVals = (0 until 64).map(b =>
+      s"($b, ${java.math.BigInteger.valueOf(2L).pow(b)}::HUGEINT)").mkString(", ")
+    s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, 259)) AS i FROM documents),
+src AS (SELECT doc_id, i, CAST(doc_id * 131072 + i AS HUGEINT) AS v FROM px),
+${xxh64Ctes(Seq("doc_id", "i"), "src")},
+sm AS (SELECT doc_id, i, ((h % 16384) + 16384) % 16384 - 8192 AS s FROM hs),
+fr AS (SELECT doc_id, CAST(i // 4 AS INT) AS k, SUM(s * s) AS e FROM sm GROUP BY 1, 2),
+bt AS (SELECT a.doc_id, a.k AS kk, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.k = a.k + 1 WHERE a.k < 64),
+pw(b, p) AS (VALUES $powVals),
+uh AS (SELECT doc_id, SUM(CASE WHEN bit = 1 THEN p ELSE 0::HUGEINT END) AS u FROM bt JOIN pw ON pw.b = bt.kk GROUP BY 1)
+SELECT doc_id AS media_id, CAST(16000 AS INT) AS sample_rate, CAST(260 AS INT) AS n_samples, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS ahash FROM uh ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+  }
 
   /** Q-L67/Q-L67B oracle: the Okapi BM25 expression tree replayed
     * verbatim — every factor is IEEE double arithmetic over exact
@@ -3491,6 +3547,9 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     "qm4_frame_sample" -> qm4Sql,
     // qm5: ragged frame spans replayed with window-sum offsets
     "qm5_frame_sample_ragged" -> qm5Sql,
+    // qm6: WAV decode + audio hash — oracle recomputes frame energies
+    // and bits from the closed form, never parsing bytes
+    "qm6_audio_fingerprint" -> qm6Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -274,6 +274,147 @@ object Multimodal {
     Some((w, h, gray))
   }
 
+  /** Decode REAL WAV (RIFF/PCM) bytes to canonical mono 16-bit LE
+    * samples — the AUDIO half of the codec boundary made real (round
+    * 17): PCM needs no external codec library, exactly as PNG needed
+    * none for images in round 16 — RIFF chunk walking, sign extension,
+    * and channel mixing are plain integer work. Appends (`rateCol` INT,
+    * `channelsCol` INT, `nSamplesCol` INT, `pcmCol` BINARY — mono-mixed
+    * 16-bit LE) to the input row; undecodable bytes (bad magic,
+    * truncated chunks, non-PCM format codes, unsupported bit depths)
+    * yield NULL in all four — the [[decodeImage]] filterable-NULL
+    * contract. Compressed codecs (MP3/AAC/Opus) remain the documented
+    * external boundary; a real pipeline transcodes to PCM upstream and
+    * this is the shape it lands in.
+    *
+    * Supported on the wire: PCM format 1, 8-bit unsigned or 16-bit
+    * signed, any channel count (channels mix by integer average — the
+    * standard mono downmix, deterministic); `fmt`/`data` chunks in any
+    * order with word-aligned skipping of foreign chunks (LIST, fact…).
+    *
+    * Scale shape: decode runs inside `mapPartitions` (the
+    * [[extractFeatures]] codec boundary), audio bytes never ride an
+    * Exchange, and the output feeds [[graft.functions.AudioHash64]] →
+    * [[perceptualNearDupPairs]] exactly like the image path.
+    */
+  def decodeWavPcm(df: DataFrame, bytesCol: String,
+                   rateCol: String = "sample_rate",
+                   channelsCol: String = "channels",
+                   nSamplesCol: String = "n_samples",
+                   pcmCol: String = "pcm"): DataFrame = {
+    val clash = Seq(rateCol, channelsCol, nSamplesCol, pcmCol)
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"decodeWavPcm output column(s) ${clash.mkString(", ")} already exist — rename or drop them first")
+    val outSchema = df.schema
+      .add(rateCol, IntegerType).add(channelsCol, IntegerType)
+      .add(nSamplesCol, IntegerType).add(pcmCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r.getAs[Array[Byte]](idx)) match {
+          case Some((rate, ch, n, pcm)) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(rate, ch, n, pcm))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** The per-blob parse [[decodeWavPcm]] distributes: RIFF/WAVE bytes →
+    * (sample_rate, channels, n_samples, mono 16-bit LE pcm), None when
+    * unreadable. Exposed for tests and driver-side probes.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, len)
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = u32(off + 4)
+      if (sz < 0 || off + 8 + sz > bytes.length) return None // truncated chunk
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        if (u16(off + 8) != 1) return None // PCM only; compressed = codec boundary
+        fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      } else if (id == "data" && data.isEmpty) data = Some((off + 8, sz.toInt))
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((doff, dlen)))
+          if ch >= 1 && rate > 0 && (bits == 16 || bits == 8) =>
+        val bytesPerSample = bits / 8
+        val frameBytes = ch * bytesPerSample
+        val n = dlen / frameBytes // a trailing partial frame is dropped
+        if (n.toLong * 2 > Int.MaxValue) return None
+        val out = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          // mono downmix: integer average across channels; 8-bit PCM is
+          // unsigned around 128 and widens to the 16-bit lattice
+          var acc = 0L
+          var c = 0
+          while (c < ch) {
+            val so = doff + i * frameBytes + c * bytesPerSample
+            val s =
+              if (bits == 16) ((bytes(so + 1) << 8) | (bytes(so) & 0xff)).toShort.toInt
+              else ((bytes(so) & 0xff) - 128) << 8
+            acc += s
+            c += 1
+          }
+          val m = (acc / ch).toInt
+          out(2 * i) = (m & 0xff).toByte
+          out(2 * i + 1) = ((m >> 8) & 0xff).toByte
+          i += 1
+        }
+        Some((rate, ch, n, out))
+      case _ => None
+    }
+  }
+
+  /** 64-bit energy-envelope hash of decoded mono PCM — see
+    * [[graft.functions.AudioHash64]]. The audio analog of [[dHash64]]:
+    * the signature that lets the banded candidate machinery find
+    * RE-LEVELED or re-encoded copies the exact byte fingerprint (Q-M2)
+    * cannot see.
+    */
+  def audioHash64(pcm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.AudioHash.audioHash64(pcm)
+
+  /** One-call perceptual dedup over REAL WAV bytes:
+    * [[decodeWavPcm]] → [[audioHash64]] → [[perceptualNearDupPairs]] →
+    * keep-best — [[dedupImagesPerceptual]] for the audio modality, same
+    * contracts: decode touches only the narrow (id, bytes) projection,
+    * survivors join back to the RAW media, undecodable rows survive
+    * untouched (NULL hash never pairs), and the bands=0 sizing count
+    * runs on the raw frame, never downstream of the decode barrier.
+    */
+  def dedupAudioPerceptual(media: DataFrame, idCol: String, bytesCol: String,
+                           scoreCol: String, bands: Int = 0,
+                           maxHamming: Int = 3,
+                           corpusSize: Option[Long] = None): DataFrame = {
+    val sizing =
+      if (bands == 0) Some(corpusSize.getOrElse(media.select(col(idCol)).count()))
+      else None
+    val decoded = decodeWavPcm(media.select(col(idCol), col(bytesCol)), bytesCol,
+      rateCol = "_dec_rate", channelsCol = "_dec_ch",
+      nSamplesCol = "_dec_n", pcmCol = "_dec_pcm")
+    val hashed = decoded.withColumn("_ahash", audioHash64(col("_dec_pcm")))
+    val pairs = perceptualNearDupPairs(hashed, idCol, "_ahash", bands, maxHamming,
+        corpusSize = sizing)
+      .select(col("doc_a"), col("doc_b"))
+    graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
+  }
+
   /** One-call perceptual dedup over REAL image bytes:
     * [[decodeImage]] → [[dedupMediaPerceptual]] — keeps the best-scored
     * survivor per near-dup cluster exactly like the grid-column entry,

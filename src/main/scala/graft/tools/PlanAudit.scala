@@ -110,6 +110,11 @@ object PlanAudit {
       "frame is a substring slice INSIDE the Generate stage -- zero shuffles beyond the " +
       "harness ORDER BY, and the container bytes never enter an Exchange (the slice " +
       "projects before anything wide could shuffle)"),
+    "qm6_audio_fingerprint" -> ("REAL WAV decode + energy-envelope fingerprint: the " +
+      "fixture WAV builds in a scan-riding projection (constant header + LE16 sample " +
+      "hex), the RIFF parser runs inside the mapPartitions codec boundary (audio bytes " +
+      "never enter an Exchange), and audiohash64 is a codegen'd unary expression over " +
+      "the mono PCM -- one scan, zero shuffles beyond the harness ORDER BY"),
     "qm5_frame_sample_ragged" -> ("RAGGED frame sampling (per-frame offset/length index, " +
       "the real-extractor shape): identical plan family to qm4 -- the sampled index " +
       "explodes in a Generate, each frame is an element_at + substring projection riding " +
@@ -491,6 +496,9 @@ object PlanAudit {
     "qm4_frame_sample" -> Shape(1, maxScans = 1, forbid = noCross),
     // qm5: the ragged sibling — same one-scan explode+substring budget
     "qm5_frame_sample_ragged" -> Shape(1, maxScans = 1, forbid = noCross),
+    // qm6: one scan through the codec boundary, only the harness ORDER BY
+    "qm6_audio_fingerprint" -> Shape(1, maxScans = 1, forbid = noCross,
+      require = Seq("audiohash64")),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere

@@ -74,6 +74,10 @@ object ScaleBench {
     // Generate; the per-frame index adds two narrow array columns to the
     // projection and nothing to any Exchange, so the row must track qm4
     "qm5_frame_sample_ragged",
+    // qm6: in-plan WAV synthesis through the real RIFF parser + the
+    // codegen'd audiohash64 — per-row work (260 XXH64 chains + the RIFF
+    // parse per doc), must track the corpus scan with zero shuffle growth
+    "qm6_audio_fingerprint",
     // ql70: PMI collocations — generator count aggs grow with the
     // corpus but partial-combine into vocab-sized tables, so the row
     // must track the scan
@@ -209,6 +213,15 @@ object ScaleBench {
     // track planted copies (ids are collision-free at any scale), so the
     // row must track the decode scan, never pairs
     "image_dedup",
+    // audio_decode: REAL WAV bytes (setup-generated, planted 4x-volume +
+    // stereo re-encodes) through decodeWavPcm's RIFF parser + the
+    // codegen'd audiohash64 — the audio decode-throughput row; per-row
+    // work, must scale ~linearly
+    "audio_decode",
+    // audio_dedup: the one-call dedupAudioPerceptual over the same WAVs —
+    // parse + banded pair join + keep-best end to end; pairs track the
+    // planted copies, so the row must track the decode scan
+    "audio_dedup",
     // nightly_loop: the COMPOSED nightly lifecycle against a 10x
     // on-parquet CrawlState — load -> append(fixed batch) -> takedown
     // (fixed id list) -> write the advanced evidence + batch-sized
@@ -439,6 +452,35 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // audio rows: real WAV fixtures, setup-generated once per dir
+    val audioSetups = scala.collection.mutable.Map[String, (String, Long, Long)]()
+    def audioSetup(dir: String): (String, Long, Long) =
+      audioSetups.getOrElseUpdate(dir, {
+        val path = s"/tmp/graft_audio${dir.replace('/', '_')}"
+        if (!new java.io.File(s"$path/_DONE").exists()) {
+          generateAudio(spark, dir, path)
+          new java.io.File(s"$path/_DONE").createNewFile()
+        }
+        val agg = spark.read.parquet(path)
+          .agg(count(lit(1)), sum(length(col("bytes")))).head()
+        (path, agg.getLong(0), agg.getLong(1))
+      })
+    def runAudioDecode(dir: String): Unit = {
+      val (path, _, _) = audioSetup(dir)
+      val media = spark.read.parquet(path).select(col("media_id"), col("bytes"))
+      graft.sources.Multimodal.decodeWavPcm(media, "bytes")
+        .select(col("media_id"),
+          graft.sources.Multimodal.audioHash64(col("pcm")).as("ah"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def runAudioDedup(dir: String): Unit = {
+      val (path, n, _) = audioSetup(dir)
+      val media = spark.read.parquet(path)
+      graft.sources.Multimodal.dedupAudioPerceptual(media, "media_id", "bytes",
+        "score", corpusSize = Some(n))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // nightly_loop: state built + saved once per dir via the REAL
     // CrawlState.save API (untimed — the production state exists on disk
     // before any nightly run); the timed loop is load -> append ->
@@ -529,6 +571,8 @@ object ScaleBench {
       else if (q == "bm25_remove") runBm25Remove("/root/testdata/sf0.001")
       else if (q == "image_decode") runImageDecode("/root/testdata/sf0.001")
       else if (q == "image_dedup") runImageDedup("/root/testdata/sf0.001")
+      else if (q == "audio_decode") runAudioDecode("/root/testdata/sf0.001")
+      else if (q == "audio_dedup") runAudioDedup("/root/testdata/sf0.001")
       else if (q == "nightly_loop") runNightly("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
@@ -550,6 +594,9 @@ object ScaleBench {
     if (queries.contains("image_decode") || queries.contains("image_dedup")) {
       imageSetup(base1x); imageSetup(out)
     }
+    if (queries.contains("audio_decode") || queries.contains("audio_dedup")) {
+      audioSetup(base1x); audioSetup(out)
+    }
     if (queries.contains("nightly_loop")) {
       nightlySetup(base1x); nightlySetup(out)
       // the warm pass above timed nothing at this dir yet — clear the
@@ -567,6 +614,8 @@ object ScaleBench {
         else if (q == "bm25_remove") runBm25Remove(dir)
         else if (q == "image_decode") runImageDecode(dir)
         else if (q == "image_dedup") runImageDedup(dir)
+        else if (q == "audio_decode") runAudioDecode(dir)
+        else if (q == "audio_dedup") runAudioDedup(dir)
         else if (q == "nightly_loop") runNightly(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -598,6 +647,13 @@ object ScaleBench {
       val mbpsCore = bN / 1e6 / tN / cpus.toInt
       details += f""""image_decode_detail":{"images_1x":$n1,"mb_1x":${b1 / 1e6}%.1f,"images_${copies}x":$nN,"mb_${copies}x":${bN / 1e6}%.1f,"decode_mb_per_sec_per_core_${copies}x":$mbpsCore%.2f}"""
     }
+    if (rows.exists(_._1 == "audio_decode")) {
+      val (_, n1, b1) = audioSetup(base1x)
+      val (_, nN, bN) = audioSetup(out)
+      val tN = rows.find(_._1 == "audio_decode").get._3
+      val mbpsCore = bN / 1e6 / tN / cpus.toInt
+      details += f""""audio_decode_detail":{"clips_1x":$n1,"mb_1x":${b1 / 1e6}%.1f,"clips_${copies}x":$nN,"mb_${copies}x":${bN / 1e6}%.1f,"decode_mb_per_sec_per_core_${copies}x":$mbpsCore%.2f}"""
+    }
     if (nightlyPhases.nonEmpty) {
       def ph(dir: String, tag: String): String =
         Seq("load", "append", "takedown", "save_models").map { p =>
@@ -612,6 +668,59 @@ object ScaleBench {
         s""","copies":$copies,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"}""")
     println(json)
     spark.stop()
+  }
+
+  /** REAL WAV fixture: one 8,000-sample (0.5 s at 16 kHz) mono 16-bit
+    * clip per document id, plus planted re-encodes (4× volume for every
+    * 3rd id — sample magnitudes stay ≤ 8,000 so ×4 never clips, and the
+    * energy-envelope hash is exactly invariant under integer volume
+    * scaling; an L=R stereo re-encode for every 5th id — the mono
+    * downmix averages to the identical sample stream, so the hash is
+    * byte-equal). Sample values are a per-(id, i) avalanche hash, so
+    * distinct ids are independent. media_id = id·4 + variant (the qm3
+    * convention). Spec-pinned in `AudioSpec`'s fixture test; generation
+    * is SETUP, not measurement.
+    */
+  def generateAudio(spark: SparkSession, dir: String, out: String): Unit = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val n = 8000
+        def sample(i: Int): Int = {
+          var h = id * 2654435761L + i.toLong * 1315423911L
+          h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+          (((h % 16001) + 16001) % 16001).toInt - 8000 // [-8000, 8000]
+        }
+        def clip(scale: Int, stereo: Boolean): Array[Byte] = {
+          val ch = if (stereo) 2 else 1
+          val dataLen = n * 2 * ch
+          val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+          def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+          def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+          def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+          ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+          ascii("fmt "); le32(16); le16(1); le16(ch); le32(16000)
+          le32(16000 * ch * 2); le16(ch * 2); le16(16)
+          ascii("data"); le32(dataLen)
+          var i = 0
+          while (i < n) {
+            val s = sample(i) * scale
+            var c = 0
+            while (c < ch) { le16(s & 0xffff); c += 1 }
+            i += 1
+          }
+          bos.toByteArray
+        }
+        val rows = scala.collection.mutable.ArrayBuffer((id * 4, clip(1, stereo = false)))
+        if (id % 3 == 0) rows += ((id * 4 + 1, clip(4, stereo = false)))
+        if (id % 5 == 0) rows += ((id * 4 + 2, clip(1, stereo = true)))
+        rows
+      }
+    }.toDF("media_id", "bytes")
+      .withColumn("score", pmod(col("media_id"), lit(997)).cast("double"))
+    media.repartition(32).write.mode("overwrite").parquet(out)
   }
 
   /** REAL encoded-image fixture: one 72×64 grayscale-content PNG per
