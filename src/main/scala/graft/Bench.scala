@@ -102,7 +102,10 @@ object Bench {
     // qm6: real WAV decode + audio fingerprint (round 17) — in-plan
     // container synthesis (the qm4 convention) through the mapPartitions
     // RIFF parser and the codegen'd audiohash64; one scan, no shuffles
-    "qm6_audio_fingerprint"
+    "qm6_audio_fingerprint",
+    // qm7: real AVI demux (round 17) — in-plan container through the
+    // RIFF walker, ragged slice of the recovered spans; one scan
+    "qm7_avi_demux"
   )
 
   /** Box-drift controls: stable scan+agg rows whose plans haven't changed

@@ -550,6 +550,53 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-M7 — REAL AVI container demux
+    * ([[graft.sources.Multimodal.indexAvi]] → [[graft.sources.Multimodal.sliceFramesRagged]]):
+    * every document becomes a byte-complete RIFF/AVI container built
+    * IN-PLAN — LIST hdrl (constant), LIST movi holding
+    * nf = 2 + pmod(doc_id, 4) `00dc` chunks of the Q-M5 ragged lengths
+    * (16 + pmod(doc_id + 7·f, 48), odd chunks word-padded per the AVI
+    * spec), payload byte j of frame f = 1 + pmod(xxhash64(doc_id·65536 +
+    * f·64 + j), 100) — the qm4 per-frame closed form. The REAL RIFF
+    * walker inside the mapPartitions boundary recovers the frame spans,
+    * the ragged slicer samples every 2nd frame, and the oracle rebuilds
+    * each sampled frame's hex from the closed form WITHOUT any container
+    * arithmetic — so every size field, list nesting, pad byte, and
+    * offset the engine computes is covered by the hash: a one-byte slip
+    * anywhere shifts a payload and breaks it.
+    */
+  val qm7AviDemux: Q = (s, dir) => {
+    def le32e(x: String) =
+      s"concat(substring(lpad(hex($x), 8, '0'), 7, 2), substring(lpad(hex($x), 8, '0'), 5, 2), " +
+        s"substring(lpad(hex($x), 8, '0'), 3, 2), substring(lpad(hex($x), 8, '0'), 1, 2))"
+    def asciiHex(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    // LIST(68: "hdrl" + avih(56 zero bytes)) — constant header metadata
+    // the indexer skips; frame truth lives in movi
+    val hdrlHex = asciiHex("LIST") + "44000000" + asciiHex("hdrl") +
+      asciiHex("avih") + "38000000" + ("00" * 56)
+    val videos = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("lens", expr(
+        "transform(sequence(0, int(1 + pmod(media_id, 4))), f -> int(16 + pmod(media_id + 7 * f, 48)))"))
+      .withColumn("chunks", expr(
+        s"""array_join(transform(lens, (l, f) -> concat('${asciiHex("00dc")}', ${le32e("l")},
+          array_join(transform(sequence(0, l - 1), j ->
+            lpad(hex(1 + pmod(xxhash64(media_id * 65536 + f * 64 + j), 100)), 2, '0')), ''),
+          if(pmod(l, 2) = 1, '00', ''))), '')"""))
+      .withColumn("movi_size", expr(
+        "4 + aggregate(lens, 0, (a, l) -> a + 8 + l + int(pmod(l, 2)))"))
+      .withColumn("riff_size", expr("4 + 76 + 8 + movi_size"))
+      .withColumn("bytes", expr(
+        s"""unhex(concat('${asciiHex("RIFF")}', ${le32e("riff_size")}, '${asciiHex("AVI ")}',
+          '$hdrlHex', '${asciiHex("LIST")}', ${le32e("movi_size")}, '${asciiHex("movi")}', chunks))"""))
+      .select(col("media_id"), col("bytes"))
+    val out = graft.sources.Multimodal.sliceFramesRagged(
+      graft.sources.Multimodal.indexAvi(videos, "bytes"),
+      "media_id", "bytes", "frame_offsets", "frame_lengths", everyK = 2)
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+        lower(hex(col("frame"))).as("frame_hex"))
+    ordered(out)
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2642,6 +2689,7 @@ object Queries {
     "qm4_frame_sample" -> qm4FrameSample,
     "qm5_frame_sample_ragged" -> qm5FrameSampleRagged,
     "qm6_audio_fingerprint" -> qm6AudioFingerprint,
+    "qm7_avi_demux" -> qm7AviDemux,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -2959,6 +3007,22 @@ pw(b, p) AS (VALUES $powVals),
 uh AS (SELECT doc_id, SUM(CASE WHEN bit = 1 THEN p ELSE 0::HUGEINT END) AS u FROM bt JOIN pw ON pw.b = bt.kk GROUP BY 1)
 SELECT doc_id AS media_id, CAST(16000 AS INT) AS sample_rate, CAST(260 AS INT) AS n_samples, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS ahash FROM uh ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
   }
+
+  /** Q-M7 oracle: sampled frame bytes from the qm4 per-frame closed form
+    * (doc_id·65536 + f·64 + j), lengths from the qm5 closed form — ZERO
+    * container arithmetic on this side, so the engine's header sizes,
+    * list nesting, pads, and offsets are all under the hash.
+    */
+  private def qm7Sql: String =
+    s"""WITH base AS (SELECT doc_id, 2 + ((doc_id % 4) + 4) % 4 AS nf FROM documents),
+fr AS (SELECT doc_id, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f FROM base),
+ln AS (SELECT doc_id, nf, f, 16 + (((doc_id + 7 * f) % 48) + 48) % 48 AS l FROM fr),
+px AS (SELECT doc_id, nf, f, unnest(generate_series(0, CAST(l - 1 AS BIGINT))) AS j FROM ln),
+src AS (SELECT doc_id, nf, f, j, CAST(doc_id * 65536 + f * 64 + j AS HUGEINT) AS v FROM px),
+${xxh64Ctes(Seq("doc_id", "nf", "f", "j"), "src")},
+pxv AS (SELECT doc_id, nf, f, j, 1 + ((h % 100) + 100) % 100 AS b FROM hs),
+fx AS (SELECT doc_id, nf, f, string_agg(lpad(lower(hex(b)), 2, '0'), '' ORDER BY j) AS frame_hex FROM pxv GROUP BY 1, 2, 3)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, frame_hex FROM fx ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
 
   /** Q-L67/Q-L67B oracle: the Okapi BM25 expression tree replayed
     * verbatim — every factor is IEEE double arithmetic over exact
@@ -3550,6 +3614,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // qm6: WAV decode + audio hash — oracle recomputes frame energies
     // and bits from the closed form, never parsing bytes
     "qm6_audio_fingerprint" -> qm6Sql,
+    // qm7: AVI demux — oracle rebuilds sampled payloads with zero
+    // container arithmetic; every engine-computed size/pad/offset is
+    // under the hash
+    "qm7_avi_demux" -> qm7Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -381,6 +381,91 @@ object Multimodal {
     }
   }
 
+  /** Index the frame spans of a REAL AVI container (RIFF/AVI `movi`
+    * chunks) — the VIDEO container made real without any codec (round
+    * 17): demuxing is plain RIFF work, and an MJPEG AVI's frame payloads
+    * are ordinary JPEGs that [[decodeImage]] already decodes, so the
+    * full chain container → ragged spans → [[sliceFramesRagged]] →
+    * per-frame [[decodeImage]] → [[dHash64]] is real end to end for
+    * MJPEG (spec-pinned); inter-frame codecs (H.264…) remain the
+    * documented external boundary.
+    *
+    * Appends (`offsetsCol` ARRAY<INT>, `lengthsCol` ARRAY<INT>) — the
+    * exact input shape [[sliceFramesRagged]] consumes — indexing every
+    * video stream chunk (`##dc` compressed / `##db` uncompressed DIB,
+    * any stream number) inside `LIST movi`, including nested `LIST
+    * rec ` groups, with word-aligned skipping of audio (`##wb`) and
+    * foreign chunks. Non-AVI, truncated, or chunk-corrupt bytes yield
+    * NULL arrays — the [[decodeWavPcm]] filterable-NULL contract. A
+    * valid AVI with an empty `movi` yields empty arrays (no frames is
+    * data, not corruption).
+    */
+  def indexAvi(df: DataFrame, bytesCol: String,
+               offsetsCol: String = "frame_offsets",
+               lengthsCol: String = "frame_lengths"): DataFrame = {
+    val clash = Seq(offsetsCol, lengthsCol).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"indexAvi output column(s) ${clash.mkString(", ")} already exist — rename or drop them first")
+    val outSchema = df.schema
+      .add(offsetsCol, ArrayType(IntegerType)).add(lengthsCol, ArrayType(IntegerType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        indexAviFrames(r.getAs[Array[Byte]](idx)) match {
+          case Some((offs, lens)) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(offs.toSeq, lens.toSeq))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** The per-blob demux [[indexAvi]] distributes: AVI bytes →
+    * (payload offsets, payload lengths) of every video frame chunk in
+    * stream order, None when unreadable. Exposed for tests and
+    * driver-side probes.
+    */
+  def indexAviFrames(bytes: Array[Byte]): Option[(Array[Int], Array[Int])] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "db" || id.substring(2) == "dc")
+    // walk a chunk run in [from, end); collect inside movi/rec lists
+    def walk(from: Long, end: Long, inMovi: Boolean): Boolean = {
+      var off = from
+      while (off + 8 <= end) {
+        val id = tag(off.toInt)
+        val sz = u32(off.toInt + 4)
+        if (off + 8 + sz > end) return false // truncated chunk
+        if (id == "LIST") {
+          if (sz < 4) return false
+          val listType = tag(off.toInt + 8)
+          val descend = listType == "movi" || listType == "rec "
+          // hdrl/strl/odml lists hold metadata this indexer doesn't need;
+          // only movi (and its rec groups) carry frame chunks
+          if (descend && !walk(off + 12, off + 8 + sz, inMovi = true)) return false
+        } else if (inMovi && isVideoChunk(id)) {
+          offs += (off + 8).toInt
+          lens += sz.toInt
+        }
+        off += 8 + sz + (sz & 1) // word-aligned
+      }
+      true
+    }
+    if (!walk(12, riffEnd, inMovi = false)) return None
+    Some((offs.toArray, lens.toArray))
+  }
+
   /** 64-bit energy-envelope hash of decoded mono PCM — see
     * [[graft.functions.AudioHash64]]. The audio analog of [[dHash64]]:
     * the signature that lets the banded candidate machinery find

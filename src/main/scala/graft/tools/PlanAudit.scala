@@ -110,6 +110,11 @@ object PlanAudit {
       "frame is a substring slice INSIDE the Generate stage -- zero shuffles beyond the " +
       "harness ORDER BY, and the container bytes never enter an Exchange (the slice " +
       "projects before anything wide could shuffle)"),
+    "qm7_avi_demux" -> ("REAL AVI container demux: the fixture container (LIST nesting, " +
+      "word pads, little-endian sizes) builds in a scan-riding projection, the RIFF " +
+      "walker recovers frame spans inside the mapPartitions boundary, and the sampled " +
+      "frames slice out in the same Generate+substring plan as qm5 -- one scan, zero " +
+      "shuffles beyond the harness ORDER BY, container bytes never in an Exchange"),
     "qm6_audio_fingerprint" -> ("REAL WAV decode + energy-envelope fingerprint: the " +
       "fixture WAV builds in a scan-riding projection (constant header + LE16 sample " +
       "hex), the RIFF parser runs inside the mapPartitions codec boundary (audio bytes " +
@@ -499,6 +504,8 @@ object PlanAudit {
     // qm6: one scan through the codec boundary, only the harness ORDER BY
     "qm6_audio_fingerprint" -> Shape(1, maxScans = 1, forbid = noCross,
       require = Seq("audiohash64")),
+    // qm7: one scan, demux + slice projections, only the harness ORDER BY
+    "qm7_avi_demux" -> Shape(1, maxScans = 1, forbid = noCross),
     "ql33_knn_graph" -> Shape(require = Seq("partial_topkbysim")),
     // ql29: line-hash aggs + anti join + reassembly agg — no corpus-wide
     // window anywhere

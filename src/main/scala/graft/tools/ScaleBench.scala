@@ -78,6 +78,9 @@ object ScaleBench {
     // codegen'd audiohash64 — per-row work (260 XXH64 chains + the RIFF
     // parse per doc), must track the corpus scan with zero shuffle growth
     "qm6_audio_fingerprint",
+    // qm7: in-plan AVI synthesis through the real container walker +
+    // ragged slice — per-row work, must track the corpus scan
+    "qm7_avi_demux",
     // ql70: PMI collocations — generator count aggs grow with the
     // corpus but partial-combine into vocab-sized tables, so the row
     // must track the scan

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-AVI container demux (round 17). The AVI writer here is
+  * test-local and independent of the engine indexer, so a parse bug
+  * cannot cancel a write bug. The MJPEG test closes the loop: an AVI of
+  * REAL JPEG frames demuxes → slices → decodes → hashes identically to
+  * decoding the same JPEG bytes directly — video real end to end for
+  * the intra-frame codec, no external library anywhere.
+  */
+class AviSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+    ascii(id) ++ le32(payload.length) ++ payload ++
+      (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def list(typ: String, children: Array[Byte]): Array[Byte] =
+    chunk("LIST", ascii(typ) ++ children)
+  private def avi(moviChildren: Array[Byte]): Array[Byte] = {
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", moviChildren)
+    val body = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("indexAvi: ragged spans round-trip; audio and foreign chunks skip; odd sizes pad") {
+    val f0 = Array[Byte](1, 2, 3) // odd → padded
+    val f1 = Array[Byte](4, 5, 6, 7, 8)
+    val f2 = Array[Byte](9, 10, 11, 12)
+    val bytes = avi(
+      chunk("00dc", f0) ++ chunk("01wb", Array[Byte](99, 98)) ++ // audio skipped
+        chunk("00dc", f1) ++ chunk("JUNK", Array[Byte](0, 0)) ++ // foreign skipped
+        chunk("00db", f2)) // uncompressed DIB collected too
+    val Some((offs, lens)) = Multimodal.indexAviFrames(bytes)
+    assert(lens.toSeq == Seq(3, 5, 4))
+    assert(offs.toSeq.map(o => bytes.slice(o, o + 1).head) == Seq(1.toByte, 4.toByte, 9.toByte))
+    // the composed slice recovers the exact payloads (the ragged-span
+    // contract, through the distributed faces)
+    val media = Seq((7L, bytes)).toDF("media_id", "bytes")
+    val sliced = Multimodal.sliceFramesRagged(
+      Multimodal.indexAvi(media, "bytes"), "media_id", "bytes",
+      "frame_offsets", "frame_lengths")
+      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](3).toSeq)).toSeq.sortBy(_._1)
+    assert(sliced == Seq((0, f0.toSeq), (1, f1.toSeq), (2, f2.toSeq)))
+  }
+
+  test("indexAvi: nested 'rec ' groups collect in stream order; empty movi is data") {
+    val f0 = Array[Byte](1, 1)
+    val f1 = Array[Byte](2, 2)
+    val f2 = Array[Byte](3, 3)
+    val bytes = avi(chunk("00dc", f0) ++
+      list("rec ", chunk("00dc", f1) ++ chunk("01wb", Array[Byte](0))) ++
+      chunk("00dc", f2))
+    val Some((offs, lens)) = Multimodal.indexAviFrames(bytes)
+    assert(lens.toSeq == Seq(2, 2, 2))
+    assert(offs.toSeq.map(o => bytes(o)) == Seq(1.toByte, 2.toByte, 3.toByte))
+    val Some((o2, l2)) = Multimodal.indexAviFrames(avi(Array.empty))
+    assert(o2.isEmpty && l2.isEmpty, "an empty movi has nothing to sample, not an error")
+  }
+
+  test("indexAvi: garbage, truncation, and non-AVI RIFF are None (NULL arrays end to end)") {
+    assert(Multimodal.indexAviFrames(null).isEmpty)
+    assert(Multimodal.indexAviFrames(Array.fill[Byte](24)(7)).isEmpty) // bad magic
+    val good = avi(chunk("00dc", Array[Byte](1, 2, 3, 4)))
+    assert(Multimodal.indexAviFrames(good.take(good.length - 2)).isEmpty) // truncated chunk
+    val wav = ascii("RIFF") ++ le32(4) ++ ascii("WAVE") // RIFF but not AVI
+    assert(Multimodal.indexAviFrames(wav).isEmpty)
+    val df = Seq((1L, good), (2L, Array.fill[Byte](24)(7))).toDF("media_id", "bytes")
+    val out = Multimodal.indexAvi(df, "bytes")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!out(1L) && out(2L))
+  }
+
+  test("MJPEG end to end: demux -> slice -> REAL JPEG decode -> dHash equals direct decode") {
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val v = (x * 7 + y * 13 + seed * 31) % 200
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpeg(1), jpeg(2), jpeg(3))
+    val container = avi(frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val media = Seq((1L, container)).toDF("media_id", "bytes")
+    val viaAvi = Multimodal.decodeImage(
+        Multimodal.sliceFramesRagged(
+          Multimodal.indexAvi(media, "bytes"), "media_id", "bytes",
+          "frame_offsets", "frame_lengths")
+          .select(col("frame_idx"), col("frame")), "frame")
+      .select(col("frame_idx"),
+        Multimodal.dHash64(col("gray"), col("width"), col("height")).as("dh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = frames.zipWithIndex.map { case (j, i) =>
+      val df = Seq((i, j)).toDF("i", "jb")
+      i -> Multimodal.decodeImage(df, "jb")
+        .select(Multimodal.dHash64(col("gray"), col("width"), col("height")))
+        .head().getLong(0)
+    }.toMap
+    assert(viaAvi == direct,
+      "a frame demuxed out of the container must decode and hash exactly like the raw JPEG")
+    assert(viaAvi.values.toSet.size == 3, "distinct frames must hash distinctly")
+  }
+}
