@@ -105,7 +105,11 @@ object Bench {
     "qm6_audio_fingerprint",
     // qm7: real AVI demux (round 17) — in-plan container through the
     // RIFF walker, ragged slice of the recovered spans; one scan
-    "qm7_avi_demux"
+    "qm7_avi_demux",
+    // qm8: video near-dup by shared perceptual frames (round 17) — the
+    // demuxed raw-DIB frames dHash on the slice projection, then the
+    // qm3-family banded self-join at video level
+    "qm8_video_neardup"
   )
 
   /** Box-drift controls: stable scan+agg rows whose plans haven't changed

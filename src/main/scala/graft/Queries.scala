@@ -597,6 +597,54 @@ object Queries {
     ordered(out)
   }
 
+  /** Q-M8 — video near-dup by shared perceptual frames, oracle-hashed
+    * end to end ([[graft.sources.Multimodal.indexAvi]] →
+    * [[graft.sources.Multimodal.sliceFramesRagged]] → raw-DIB
+    * [[graft.sources.Multimodal.dHash64]] →
+    * [[graft.sources.Multimodal.videoNearDupPairsFromHashes]]): every
+    * document becomes a 2-frame RIFF/AVI of raw `00db` 18×16 grayscale
+    * grids (pixel p of frame f = 1 + pmod(xxhash64(base·8192 + f·4096 +
+    * x·64 + y), 100) — the qm3 closed form with a frame axis), and every
+    * 3rd document gets a +10-brightness COPY video (dHash-exactly
+    * invariant, the qm3 proof) — so each planted pair shares both frames
+    * at Hamming 0 and survives `minSharedFrames = 2`. The REAL demux
+    * recovers the frames, the raw-DIB path hashes them without an image
+    * codec (uncompressed `00db` IS the decoded form), and the oracle
+    * replays grids → block sums → bits → 16-bit band slices → frame
+    * pairs → the per-video-pair count. Organic collisions are hash-level
+    * and identical in both engines.
+    */
+  val qm8VideoNeardup: Q = (s, dir) => {
+    def asciiHex(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    def le32hex(v: Int) =
+      f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >>> 24) & 0xff}%02x"
+    // nf = 2 frames of 288 bytes (even — no pads): movi = 4 + 2·(8+288),
+    // riff = "AVI " + LIST hdrl(76 total) + movi chunk header + movi
+    val hdrlHex = asciiHex("LIST") + le32hex(68) + asciiHex("hdrl") +
+      asciiHex("avih") + le32hex(56) + ("00" * 56)
+    val headerHex = asciiHex("RIFF") + le32hex(684) + asciiHex("AVI ") + hdrlHex +
+      asciiHex("LIST") + le32hex(596) + asciiHex("movi")
+    def payload(f: Int, br: Int) =
+      s"""array_join(transform(sequence(0, 287), p -> lpad(hex(1 + pmod(xxhash64(base_id * 8192 + ${f * 4096} + pmod(p, 18) * 64 + (p div 18)), 100) + $br), 2, '0')), '')"""
+    def videoBytes(br: Int) = expr(s"""unhex(concat('$headerHex',
+      '${asciiHex("00db")}', '${le32hex(288)}', ${payload(0, br)},
+      '${asciiHex("00db")}', '${le32hex(288)}', ${payload(1, br)}))""")
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select((col("base_id") * 2).as("media_id"),
+      videoBytes(0).as("bytes"))
+    val copy = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select((col("base_id") * 2 + 1).as("media_id"), videoBytes(10).as("bytes"))
+    val media = orig.unionByName(copy)
+    val frames = graft.sources.Multimodal.sliceFramesRagged(
+      graft.sources.Multimodal.indexAvi(media, "bytes"),
+      "media_id", "bytes", "frame_offsets", "frame_lengths")
+    val fh = frames.select(col("media_id"), col("frame_idx"),
+      graft.sources.Multimodal.dHash64(col("frame"), lit(18), lit(16)).as("dhash"))
+    val pairs = graft.sources.Multimodal.videoNearDupPairsFromHashes(
+      fh, "media_id", bands = 4, maxHamming = 3, minSharedFrames = 2)
+    ordered(pairs)
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2690,6 +2738,7 @@ object Queries {
     "qm5_frame_sample_ragged" -> qm5FrameSampleRagged,
     "qm6_audio_fingerprint" -> qm6AudioFingerprint,
     "qm7_avi_demux" -> qm7AviDemux,
+    "qm8_video_neardup" -> qm8VideoNeardup,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3023,6 +3072,29 @@ ${xxh64Ctes(Seq("doc_id", "nf", "f", "j"), "src")},
 pxv AS (SELECT doc_id, nf, f, j, 1 + ((h % 100) + 100) % 100 AS b FROM hs),
 fx AS (SELECT doc_id, nf, f, string_agg(lpad(lower(hex(b)), 2, '0'), '' ORDER BY j) AS frame_hex FROM pxv GROUP BY 1, 2, 3)
 SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, frame_hex FROM fx ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+
+  /** Q-M8 oracle: the qm3 dHash machinery with a frame axis — grids →
+    * block sums (uniform 2×2 blocks, plain sum compare ≡ the engine's
+    * cross-multiplied means) → bit strings → 16-bit band slices →
+    * frame-level collisions at video level (a.mid < b.mid) → exact
+    * string Hamming ≤ 3 → distinct frame pairs → per-video-pair count
+    * ≥ 2. Zero container arithmetic: the engine's demux/slice is under
+    * the hash via the payload values.
+    */
+  private def qm8Sql: String =
+    s"""WITH vids AS (SELECT doc_id AS base, doc_id * 2 AS mid, 0 AS br FROM documents UNION ALL SELECT doc_id, doc_id * 2 + 1, 10 FROM documents WHERE doc_id % 3 = 0),
+fset(f) AS (VALUES (0), (1)),
+pos(p) AS (SELECT unnest(range(0, 288))),
+px AS (SELECT mid, f, br, p, CAST(base * 8192 + f * 4096 + (p % 18) * 64 + (p // 18) AS HUGEINT) AS v FROM vids CROSS JOIN fset CROSS JOIN pos),
+${xxh64Ctes(Seq("mid", "f", "br", "p"), "px")},
+pv AS (SELECT mid, f, p, ((h % 100) + 100) % 100 + 1 + br AS pxv FROM hs),
+blk AS (SELECT mid, f, (p // 18) // 2 AS r, (p % 18) // 2 AS c, SUM(pxv) AS sm FROM pv GROUP BY 1, 2, 3, 4),
+bits AS (SELECT l.mid, l.f, l.r * 8 + l.c AS b, CASE WHEN l.sm > r2.sm THEN '1' ELSE '0' END AS bit FROM blk l JOIN blk r2 ON l.mid = r2.mid AND l.f = r2.f AND l.r = r2.r AND r2.c = l.c + 1 WHERE l.c < 8),
+sig AS (SELECT mid, f, string_agg(bit, '' ORDER BY b) AS s FROM bits GROUP BY 1, 2),
+bd AS (SELECT mid, f, s, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)),
+fp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.f AS fa, b.f AS fb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
+grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_frames FROM fp GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames FROM grp WHERE shared_frames >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
   /** Q-L67/Q-L67B oracle: the Okapi BM25 expression tree replayed
     * verbatim — every factor is IEEE double arithmetic over exact
@@ -3618,6 +3690,9 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // container arithmetic; every engine-computed size/pad/offset is
     // under the hash
     "qm7_avi_demux" -> qm7Sql,
+    // qm8: video near-dup — the qm3 dHash replay with a frame axis,
+    // frame pairs grouped to the per-video-pair shared count
+    "qm8_video_neardup" -> qm8Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

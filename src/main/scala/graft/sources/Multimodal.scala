@@ -466,6 +466,124 @@ object Multimodal {
     Some((offs.toArray, lens.toArray))
   }
 
+  /** Per-frame perceptual hashes of an AVI video corpus: [[indexAvi]] →
+    * [[sliceFramesRagged]] (sampled at `everyK`, capped at `maxFrames`)
+    * → [[decodeImage]] → [[dHash64]]. Output: (idCol, frame_idx,
+    * dhash LONG); frames whose payload doesn't decode (inter-frame
+    * codecs, corrupt chunks) drop — for MJPEG every frame is a plain
+    * JPEG and decodes (the AviSpec end-to-end pin). The video analog of
+    * hashing every sampled still.
+    */
+  def videoFrameHashes(media: DataFrame, idCol: String, bytesCol: String,
+                       everyK: Int = 1,
+                       maxFrames: Int = Int.MaxValue): DataFrame = {
+    val indexed = indexAvi(media.select(col(idCol), col(bytesCol)), bytesCol,
+      offsetsCol = "_vfh_off", lengthsCol = "_vfh_len")
+    val frames = sliceFramesRagged(indexed, idCol, bytesCol,
+      "_vfh_off", "_vfh_len", everyK, maxFrames)
+    val decoded = decodeImage(
+      frames.select(col(idCol), col("frame_idx"), col("frame")), "frame",
+      widthCol = "_dec_w", heightCol = "_dec_h", grayCol = "_dec_gray")
+    decoded.select(col(idCol), col("frame_idx"),
+        dHash64(col("_dec_gray"), col("_dec_w"), col("_dec_h")).as("dhash"))
+      .filter(col("dhash").isNotNull)
+  }
+
+  /** Video near-dup pairs by SHARED PERCEPTUAL FRAMES — the standard
+    * frame-sampling recipe: two videos are near-duplicates when at least
+    * `minSharedFrames` of their sampled frames match perceptually
+    * (banded Hamming ≤ `maxHamming` on the per-frame [[dHash64]]). A
+    * re-muxed, re-encoded, or re-leveled copy of the same footage shares
+    * its frame structure even though every container byte differs.
+    * Output: (doc_a, doc_b, shared_frames) with doc_a < doc_b, where
+    * shared_frames counts DISTINCT matched (frame_a, frame_b) pairs.
+    *
+    * Scale: only narrow (video, frame, hash) rows enter the banded
+    * self-join — video bytes never shuffle (decode runs once inside the
+    * pair stage's reused Exchange, the [[perceptualNearDupPairs]]
+    * argument); frames of the SAME video never pair (`doc_a < doc_b` is
+    * video-level); the per-pair agg is bounded by the sampled frame cap.
+    * `bands = 0` derives the band count from the VIDEO count (`corpusSize`
+    * skips the count) — frame multiplicity is bounded by `maxFrames` and
+    * the pigeonhole clamp keeps the Hamming-recall guarantee regardless
+    * of the estimate, so band sizing only tunes collision noise.
+    */
+  def videoNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
+                        everyK: Int = 1, maxFrames: Int = 32,
+                        bands: Int = 0, maxHamming: Int = 3,
+                        minSharedFrames: Int = 1,
+                        corpusSize: Option[Long] = None): DataFrame = {
+    require(minSharedFrames >= 1, s"minSharedFrames must be >= 1, got $minSharedFrames")
+    val b0 =
+      if (bands == 0) {
+        val sizeBound = math.max(
+          corpusSize.getOrElse(media.select(col(idCol)).count()), 1L)
+        val derived = graft.llm.Dedup.autoBands(sizeBound)
+        val floor = Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1)
+          .getOrElse(64)
+        math.max(derived, floor)
+      } else bands
+    require(b0 > 0 && 64 % b0 == 0, s"bands must divide 64, got $b0")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val width = 64 / b0
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    val fh = videoFrameHashes(media, idCol, bytesCol, everyK, maxFrames)
+    videoNearDupPairsFromHashes(fh, idCol, b0, maxHamming, minSharedFrames)
+  }
+
+  /** The banding + frame-pairing half of [[videoNearDupPairs]] over ANY
+    * (idCol, frame_idx, dhash) frame-hash frame — the raw-DIB path
+    * (`##db` frames hashed directly via [[dHash64]], no image codec) and
+    * custom samplers feed this. `bands` must be explicit here (callers
+    * own the sizing — this function can't see the raw corpus).
+    */
+  def videoNearDupPairsFromHashes(frameHashes: DataFrame, idCol: String,
+                                  bands: Int, maxHamming: Int = 3,
+                                  minSharedFrames: Int = 1): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(minSharedFrames >= 1, s"minSharedFrames must be >= 1, got $minSharedFrames")
+    val width = 64 / bands
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    val fh = frameHashes
+      .select(col(idCol).as("vid"), col("frame_idx").as("fidx"), col("dhash").as("h"))
+      .filter(col("h").isNotNull)
+    val banded = fh.select(col("vid"), col("fidx"), col("h"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("h"), b * width).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val a = banded.hint("shuffle_hash").as("a")
+    val b = banded.hint("shuffle_hash").as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("doc_a"), col("b.vid").as("doc_b"),
+        col("a.fidx").as("frame_a"), col("b.fidx").as("frame_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b", "frame_a", "frame_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
+  /** One-call perceptual video dedup: [[videoNearDupPairs]] → keep-best
+    * ([[graft.llm.Dedup.dedupKeepBest]]) — the media-dedup entry for the
+    * video modality, same contracts as the image/audio one-calls:
+    * survivors join back to the RAW media, videos with no decodable
+    * frames survive untouched (no hash rows, never pair).
+    */
+  def dedupVideoPerceptual(media: DataFrame, idCol: String, bytesCol: String,
+                           scoreCol: String, everyK: Int = 1,
+                           maxFrames: Int = 32, bands: Int = 0,
+                           maxHamming: Int = 3, minSharedFrames: Int = 1,
+                           corpusSize: Option[Long] = None): DataFrame = {
+    val pairs = videoNearDupPairs(media, idCol, bytesCol, everyK, maxFrames,
+        bands, maxHamming, minSharedFrames,
+        corpusSize = Some(corpusSize.getOrElse(media.select(col(idCol)).count())))
+      .select(col("doc_a"), col("doc_b"))
+    graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
+  }
+
   /** 64-bit energy-envelope hash of decoded mono PCM — see
     * [[graft.functions.AudioHash64]]. The audio analog of [[dHash64]]:
     * the signature that lets the banded candidate machinery find

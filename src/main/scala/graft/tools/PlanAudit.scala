@@ -110,6 +110,12 @@ object PlanAudit {
       "frame is a substring slice INSIDE the Generate stage -- zero shuffles beyond the " +
       "harness ORDER BY, and the container bytes never enter an Exchange (the slice " +
       "projects before anything wide could shuffle)"),
+    "qm8_video_neardup" -> ("video near-dup by shared perceptual frames: the real demux " +
+      "recovers raw-DIB frames inside the mapPartitions boundary, dhash64 rides the " +
+      "slice projection (container bytes never in an Exchange -- typed gate), the " +
+      "banded self-join keys 8-byte (band, slice) rows at VIDEO level (never " +
+      "all-pairs, same-video frames never pair), and the per-pair shared-frame agg " +
+      "is bounded by the sampled frame cap"),
     "qm7_avi_demux" -> ("REAL AVI container demux: the fixture container (LIST nesting, " +
       "word pads, little-endian sizes) builds in a scan-riding projection, the RIFF " +
       "walker recovers frame spans inside the mapPartitions boundary, and the sampled " +
@@ -454,6 +460,11 @@ object PlanAudit {
     // the typed check together pin that media bytes exist only inside
     // scan-riding expressions, never in any Exchange
     "qm3_perceptual_neardup" -> Shape(4, forbid = noCross ++ noSmj,
+      require = Seq("ShuffledHashJoin", "dhash64"), noWideShuffle = true),
+    // qm8: the video sibling — banded frame-hash self-join at video
+    // level; container bytes exist only upstream of the mapPartitions
+    // demux, frame hashes are the only wide content (noWideShuffle)
+    "qm8_video_neardup" -> Shape(forbid = noCross ++ noSmj,
       require = Seq("ShuffledHashJoin", "dhash64"), noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the
     // "<=k rows per map task enter the shuffle" claim

@@ -81,6 +81,11 @@ object ScaleBench {
     // qm7: in-plan AVI synthesis through the real container walker +
     // ragged slice — per-row work, must track the corpus scan
     "qm7_avi_demux",
+    // qm8: the banded frame-hash join — media ids are base·2(+1)
+    // (collision-free at the 10x id range), per-video frame hashes are
+    // id-derived so cross-copy candidates are noise-level; the chain
+    // must scale ~linearly like qm3
+    "qm8_video_neardup",
     // ql70: PMI collocations — generator count aggs grow with the
     // corpus but partial-combine into vocab-sized tables, so the row
     // must track the scan

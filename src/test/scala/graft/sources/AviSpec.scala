@@ -77,6 +77,47 @@ class AviSpec extends SparkSpec {
     assert(!out(1L) && out(2L))
   }
 
+  test("videoNearDupPairs/dedupVideoPerceptual: re-encoded MJPEG copies collapse, distinct footage survives") {
+    def frame(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val v = (x * 5 + y * 3 + seed * 40) % 180
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def jpegOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // RE-ENCODE: decode the jpeg and compress again — every byte differs,
+    // the light/dark structure doesn't (the dHash invariance class)
+    def reencode(j: Array[Byte]): Array[Byte] = jpegOf(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j)))
+    val fa = Seq(jpegOf(frame(0)), jpegOf(frame(1)), jpegOf(frame(2)))
+    val videoA = avi(fa.map(chunk("00dc", _)).reduce(_ ++ _))
+    // B: the same footage re-encoded AND re-muxed (audio chunk inserted)
+    val videoB = avi(chunk("01wb", Array[Byte](9, 9)) ++
+      fa.map(j => chunk("00dc", reencode(j))).reduce(_ ++ _))
+    // C: distinct footage
+    val videoC = avi(Seq(jpegOf(frame(7)), jpegOf(frame(8)), jpegOf(frame(9)))
+      .map(chunk("00dc", _)).reduce(_ ++ _))
+    assert(videoA.toSeq != videoB.toSeq, "the copy must differ byte-wise everywhere")
+    val media = Seq((1L, videoA, 0.5), (2L, videoB, 0.9), (3L, videoC, 0.4))
+      .toDF("media_id", "bytes", "score")
+    val pairs = Multimodal.videoNearDupPairs(media, "media_id", "bytes",
+        bands = 4, minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)),
+      s"A and B share all 3 frames perceptually, C pairs with neither: ${pairs.toSeq}")
+    val kept = Multimodal.dedupVideoPerceptual(media, "media_id", "bytes",
+        "score", bands = 4, minSharedFrames = 2)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"keep-best keeps the higher-scored copy: $kept")
+  }
+
   test("MJPEG end to end: demux -> slice -> REAL JPEG decode -> dHash equals direct decode") {
     def jpeg(seed: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(36, 32,
