@@ -645,6 +645,50 @@ object Queries {
     ordered(pairs)
   }
 
+  /** Q-M9 — audio near-dup by SHARED SEGMENT HASHES, oracle-hashed end
+    * to end ([[graft.sources.Multimodal.decodeWavPcm]] →
+    * [[graft.sources.Multimodal.audioSegmentHashes]] →
+    * [[graft.sources.Multimodal.audioNearDupPairsFromHashes]]): every
+    * document becomes a 390-sample WAV (3 windows of 130 samples; sample
+    * g = pmod(xxhash64(doc_id·524288 + g), 16384) − 8192 — the qm6
+    * closed form with a wider index domain), and every 3rd document gets
+    * a TRIMMED copy — the same recording minus its first hop (samples
+    * 130…389, so copy window k IS original window k+1) — the
+    * offset-copy shape the whole-clip hash (qm6) provably cannot
+    * collapse and the segment axis exists to catch (the qm8 recipe
+    * transplanted from frames to time slices). Each planted pair shares
+    * both surviving windows at Hamming 0 and survives
+    * `minSharedSegments = 2`. The oracle recomputes per-window energies
+    * (65 frames × 2 samples), comparison bits, 16-bit band slices, and
+    * the distinct-segment-pair count per clip pair from the same closed
+    * form — the full synthesize → pack → RIFF parse → window slice →
+    * hash → band join → agg chain is under the hash.
+    */
+  val qm9AudioNeardup: Q = (s, dir) => {
+    def le16(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    def le32(v: Int) = le16(v & 0xffff) + le16(v >>> 16)
+    def ascii(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    def header(n: Int) = ascii("RIFF") + le32(36 + 2 * n) + ascii("WAVE") +
+      ascii("fmt ") + le32(16) + le16(1) + le16(1) + le32(16000) +
+      le32(32000) + le16(2) + le16(16) + ascii("data") + le32(2 * n)
+    def wavBytes(n: Int, off: Int) = expr(
+      s"""unhex(concat('${header(n)}', array_join(transform(sequence(0, ${n - 1}), i ->
+        concat(substring(lpad(hex(pmod(pmod(xxhash64(base_id * 524288 + i + $off), 16384) - 8192, 65536)), 4, '0'), 3, 2),
+               substring(lpad(hex(pmod(pmod(xxhash64(base_id * 524288 + i + $off), 16384) - 8192, 65536)), 4, '0'), 1, 2))), '')))""")
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select((col("base_id") * 2).as("media_id"),
+      wavBytes(390, 0).as("bytes"))
+    val copy = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select((col("base_id") * 2 + 1).as("media_id"), wavBytes(260, 130).as("bytes"))
+    val media = orig.unionByName(copy)
+    val segs = graft.sources.Multimodal.audioSegmentHashes(
+      graft.sources.Multimodal.decodeWavPcm(media, "bytes"),
+      "media_id", "pcm", windowSamples = 130, hopSamples = 130)
+    val pairs = graft.sources.Multimodal.audioNearDupPairsFromHashes(
+      segs, "media_id", bands = 4, maxHamming = 3, minSharedSegments = 2)
+    ordered(pairs)
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2185,15 +2229,36 @@ object Queries {
       .select(col("doc_id").as("query_id"), col("text"))
     // v1 layout stamp: a later round changing tokenization or the index
     // schema must bump it, or stale /tmp state would fail the oracle
-    // confusingly instead of rebuilding
+    // confusingly instead of rebuilding. The doc count joins the key as a
+    // CONTENT fingerprint (a cheap row-group-stats parquet count):
+    // regenerated fixture data at the same dir rebuilds instead of
+    // serving a stale index until the oracle mismatch surfaces it.
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val table = s"graft_bm25_serve_v1$safe"
-    val path = s"/tmp/graft_bm25_serve_v1$safe"
+    val key = s"v1${safe}_n${docs.count()}"
+    val table = s"graft_bm25_serve_$key"
+    val path = s"/tmp/graft_bm25_serve_$key"
     if (!new java.io.File(s"$path/_DONE").exists()) {
+      // build under a process-unique temp dir, then ONE atomic directory
+      // rename: a concurrent process can never read a half-written
+      // layout (the r17 check-then-act marker raced exactly that way).
+      // The rename loser deletes its temp build and serves the winner's.
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = s"$path.tmp.$nonce"
       graft.llm.TextAnalysis.Bm25Index.saveBucketed(
         graft.llm.TextAnalysis.Bm25Index.build(docs, "doc_id", "text"),
-        table, path, numBuckets = 32)
-      new java.io.File(s"$path/_DONE").createNewFile()
+        s"${table}_tmp_$nonce", tmp, numBuckets = 32)
+      // the build registered the temp location; drop it — loadBucketed
+      // re-registers the FINAL path from the _bucketspec sidecar
+      s.sql(s"DROP TABLE IF EXISTS ${table}_tmp_$nonce")
+      new java.io.File(s"$tmp/_DONE").createNewFile()
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(tmp))
+        require(new java.io.File(s"$path/_DONE").exists(),
+          s"qlBm25Serve: cache rename to $path failed with no winning layout present")
+      }
     }
     val idx = graft.llm.TextAnalysis.Bm25Index.loadBucketed(s, table, path)
     val out = graft.llm.TextAnalysis.Bm25Index.search(idx, queries,
@@ -2739,6 +2804,7 @@ object Queries {
     "qm6_audio_fingerprint" -> qm6AudioFingerprint,
     "qm7_avi_demux" -> qm7AviDemux,
     "qm8_video_neardup" -> qm8VideoNeardup,
+    "qm9_audio_neardup" -> qm9AudioNeardup,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3095,6 +3161,30 @@ bd AS (SELECT mid, f, s, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JOIN 
 fp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.f AS fa, b.f AS fb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
 grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_frames FROM fp GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames FROM grp WHERE shared_frames >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
+  /** Q-M9 oracle: the qm6 energy machinery with a WINDOW axis — samples
+    * from the shared XXH64 chain, per-window frame energies (window k =
+    * samples [130k, 130(k+1)), 65 frames × 2 samples), comparison bits →
+    * 64-char bit strings → 16-bit band slices → segment-level collisions
+    * at clip level (a.mid < b.mid) → exact string Hamming ≤ 3 → DISTINCT
+    * segment pairs → per-clip-pair count ≥ 2. The trimmed copy's
+    * segments ARE the original's windows 1..2 (k−1 shift), so ZERO
+    * trim/pack/parse arithmetic happens on this side — the engine's RIFF
+    * walk, hop slicing, and hash are all under the hash.
+    */
+  private def qm9Sql: String =
+    s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, 389)) AS g FROM documents),
+src AS (SELECT doc_id, g, CAST(doc_id * 524288 + g AS HUGEINT) AS v FROM px),
+${xxh64Ctes(Seq("doc_id", "g"), "src")},
+sm AS (SELECT doc_id, g, ((h % 16384) + 16384) % 16384 - 8192 AS s FROM hs),
+fr AS (SELECT doc_id, CAST(g // 130 AS INT) AS k, CAST((g % 130) // 2 AS INT) AS j, SUM(s * s) AS e FROM sm GROUP BY 1, 2, 3),
+bt AS (SELECT a.doc_id, a.k, a.j AS jj, CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND a.k = b.k AND b.j = a.j + 1 WHERE a.j < 64),
+sig AS (SELECT doc_id, k, string_agg(bit, '' ORDER BY jj) AS s FROM bt GROUP BY 1, 2),
+segs AS (SELECT doc_id * 2 AS mid, k AS seg, s FROM sig UNION ALL SELECT doc_id * 2 + 1, k - 1, s FROM sig WHERE doc_id % 3 = 0 AND k >= 1),
+bd AS (SELECT mid, seg, s, j, substr(s, j * 16 + 1, 16) AS bh FROM segs CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)),
+fp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.seg AS sa, b.seg AS sb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
+grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_segments FROM fp GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared_segments AS BIGINT) AS shared_segments FROM grp WHERE shared_segments >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
   /** Q-L67/Q-L67B oracle: the Okapi BM25 expression tree replayed
     * verbatim — every factor is IEEE double arithmetic over exact
@@ -3693,6 +3783,9 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // qm8: video near-dup — the qm3 dHash replay with a frame axis,
     // frame pairs grouped to the per-video-pair shared count
     "qm8_video_neardup" -> qm8Sql,
+    // qm9: audio segment near-dup — the qm6 energy replay with a window
+    // axis, segment pairs grouped to the per-clip-pair shared count
+    "qm9_audio_neardup" -> qm9Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -83,6 +83,10 @@ object Signals {
   // join's df-cut actually dropped hot shingles — the result is
   // approximate, and silently so without this signal.
   val JaccardDfCut = "jaccard.df_cut"
+  // The batch perceptual band joins' arrival-rank cut fired: saturated
+  // (band, bh) buckets dropped arrivals past maxBucketSize — recall in
+  // those buckets is partial, and silently so without this signal.
+  val PerceptualBucketCut = "perceptual.bucket_cut"
 
   /** The reference's documented default severities
     * (`docs/2.learn/5.hooks.md:37-40`): Error = failures needing
@@ -97,7 +101,7 @@ object Signals {
       Signal.Error
     case BreakerHalfOpen | RateLimitWait | WorkerPoolSaturated |
         RetryAttempt | FallbackTriggered | BackoffWaiting | SwitchNoRoute |
-        ContestNoWinner | RaceLost | JaccardDfCut =>
+        ContestNoWinner | RaceLost | JaccardDfCut | PerceptualBucketCut =>
       Signal.Warn
     case _ => Signal.Info
   }

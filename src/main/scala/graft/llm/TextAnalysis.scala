@@ -500,12 +500,19 @@ object TextAnalysis {
       */
     def remove(index: Bm25Index, removeIds: DataFrame,
                broadcastIdLimit: Long = 1000000L): Bm25Index = {
+      require(removeIds.columns.length == 1,
+        s"Bm25Index.remove expects a single id column, got ${removeIds.columns.length} " +
+          s"(${removeIds.columns.mkString(", ")}) — select the id column first")
+      require(broadcastIdLimit >= 0,
+        s"broadcastIdLimit must be >= 0, got $broadcastIdLimit")
       val ids = removeIds.toDF("id").select(col("id")).distinct()
       // takedown lists are dim-sized and broadcast; a rebuild-scale
       // "removal" falls back to the shuffle joins (the append guard's
-      // size-guarded pattern — never collect a multi-GB id set)
-      val fits = ids.limit(math.min(broadcastIdLimit + 1, Int.MaxValue.toLong).toInt)
-        .count() <= broadcastIdLimit
+      // size-guarded pattern — never collect a multi-GB id set). The
+      // probe asks for limit+1 rows; clamp BEFORE adding one so a
+      // Long.MaxValue limit can't overflow the probe negative
+      val probe = (math.min(broadcastIdLimit, Int.MaxValue.toLong - 1) + 1).toInt
+      val fits = ids.limit(probe).count() <= broadcastIdLimit
       val idSide = if (fits) broadcast(ids) else ids
       // sufficient statistics of the REMOVED docs, from the index itself:
       // dl repeats per posting row of a doc, so per-doc first(dl) then sum

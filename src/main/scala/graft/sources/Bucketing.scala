@@ -102,7 +102,7 @@ object Bucketing {
     // silent wrong rows; callers wanting both layouts use distinct names.
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = spark.sessionState.catalog.getTableMetadata(ident).location
-    require(sameLocation(loc, path),
+    require(sameLocation(spark, loc, path),
       s"readBucketedOrRegister: catalog entry '$table' points at $loc, " +
         s"not the requested $path — a stale registration from another " +
         "dataset; drop the table or use a per-path table name")
@@ -110,21 +110,26 @@ object Bucketing {
   }
 
   /** Location equality tolerant of scheme/normalization differences
-    * (`file:/a/b` vs `/a/b` vs `/a/b/`): local paths compare canonical
-    * file paths, non-local URIs compare string forms sans trailing slash.
+    * (`file:/a/b` vs `/a/b` vs `/a/b/`): the requested path is first
+    * QUALIFIED against the session's default filesystem (the catalog
+    * stores fully-qualified URIs, so on an hdfs://-or-s3a:// defaultFS a
+    * scheme-less request would never string-match the catalog entry and
+    * the guard above would reject the very table it just created); local
+    * paths then compare canonical file paths, non-local URIs compare
+    * string forms sans trailing slash.
     */
-  private[sources] def sameLocation(loc: java.net.URI, path: String): Boolean = {
-    def norm(s: String, scheme: String): String =
-      if (scheme == null || scheme == "file")
-        try new java.io.File(s).getCanonicalPath
-        catch { case _: java.io.IOException => s.stripSuffix("/") }
-      else s.stripSuffix("/")
-    val want = java.net.URI.create(
-      new org.apache.hadoop.fs.Path(path).toUri.toString)
-    norm(if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
-         else loc.toString, loc.getScheme) ==
-      norm(if (want.getScheme == null || want.getScheme == "file") want.getPath
-           else want.toString, want.getScheme)
+  private[sources] def sameLocation(spark: SparkSession, loc: java.net.URI,
+                                    path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val want =
+      try p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toUri
+      catch { case scala.util.control.NonFatal(_) => p.toUri }
+    def norm(u: java.net.URI): String =
+      if (u.getScheme == null || u.getScheme == "file")
+        try new java.io.File(u.getPath).getCanonicalPath
+        catch { case _: java.io.IOException => u.getPath.stripSuffix("/") }
+      else u.toString.stripSuffix("/")
+    norm(loc) == norm(want)
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —

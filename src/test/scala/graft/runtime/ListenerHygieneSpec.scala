@@ -31,6 +31,18 @@ class ListenerHygieneSpec extends SparkSpec {
       s"df-cut bridge leaked: $after1 -> ${Dedup.dfCutBridgedCount}")
   }
 
+  test("repeated capped perceptual joins register exactly one bucket-cut bridge per session") {
+    import org.apache.spark.sql.functions.col
+    val media = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "h")
+    def run(): Unit = graft.sources.Multimodal.perceptualNearDupPairs(
+      media, "id", "h", bands = 4, maxBucketSize = 2).count()
+    run()
+    val after1 = graft.sources.Multimodal.bucketCutBridgedCount
+    (1 to 5).foreach(_ => run())
+    assert(graft.sources.Multimodal.bucketCutBridgedCount == after1,
+      s"bucket-cut bridge leaked: $after1 -> ${graft.sources.Multimodal.bucketCutBridgedCount}")
+  }
+
   test("detach removes the bridge so per-pipeline buses can be torn down") {
     val bus = new graft.core.SignalBus(64)
     RowSignals.attach(spark, bus)

@@ -135,4 +135,72 @@ class AudioSpec extends SparkSpec {
     assert(kept == Set(11L, 20L, 30L),
       s"keep-best must keep the higher-scored copy, singletons, and corrupt rows: $kept")
   }
+
+  /** LE 16-bit packing of a sample window — independent of the engine's
+    * substring slicing, so a hop/offset arithmetic bug cannot cancel.
+    */
+  private def le16Bytes(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  test("audioSegmentHashes: window slicing is sample-exact; short clips emit nothing") {
+    // 300 samples, window 130, hop 65 → segs at samples 0/65/130
+    val s = Array.tabulate[Short](300)(i => ((i * 37 + 11) % 151 - 75).toShort)
+    val df = Multimodal.decodeWavPcm(Seq((1L, wav(s))).toDF("media_id", "bytes"), "bytes")
+    val got = Multimodal.audioSegmentHashes(df, "media_id", "pcm",
+        windowSamples = 130, hopSamples = 65)
+      .select("seg_idx", "n_segs", "ahash")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val expect = (0 to 2).map { k =>
+      graft.functions.AudioHash64(null)
+        .route(le16Bytes(s.slice(k * 65, k * 65 + 130))).longValue()
+    }
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2) && got.forall(_._2 == 3))
+    assert(got.map(_._3).toSeq == expect,
+      "each segment hash must equal the whole-clip hash of the hand-sliced window")
+    // a clip shorter than one window has nothing to fingerprint
+    val short = Multimodal.decodeWavPcm(
+      Seq((2L, wav(s.take(129)))).toDF("media_id", "bytes"), "bytes")
+    assert(Multimodal.audioSegmentHashes(short, "media_id", "pcm", 130, 65).count() == 0)
+    intercept[IllegalArgumentException](
+      Multimodal.audioSegmentHashes(df, "media_id", "pcm", 64, 65))
+  }
+
+  test("segment near-dup collapses a TRIMMED copy the whole-clip hash provably misses") {
+    // base clip of 390 samples; the copy drops the first hop (130
+    // samples) — the offset-copy shape VERDICT r17 names: the whole-clip
+    // envelope grid shifts (different n), so audioHash64 diverges, but
+    // the copy's segments ARE the base's segments 1..2
+    val base = Array.tabulate[Short](390)(i => ((i * 53 + 7) % 163 - 81).toShort)
+    val trimmed = base.drop(130)
+    val other = Array.tabulate[Short](390)(i => ((i * 29 + 3) % 157 - 78).toShort)
+    val media = Seq((1L, wav(base), 0.9), (2L, wav(trimmed), 0.5),
+      (3L, wav(other), 0.7)).toDF("media_id", "bytes", "score")
+    // the gap, machine-checked: the whole-clip one-call keeps all three
+    val wholeClip = Multimodal.dedupAudioPerceptual(media, "media_id", "bytes",
+      "score", bands = 4).count()
+    assert(wholeClip == 3, "whole-clip hashes must NOT collapse a trimmed copy " +
+      "(if this starts passing the segment path is redundant — re-judge)")
+    // the segment path closes it
+    val pairs = Multimodal.audioNearDupPairs(media, "media_id", "bytes",
+        windowSamples = 130, hopSamples = 130, bands = 4, maxHamming = 0,
+        minSharedSegments = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+      s"trimmed copy must share exactly its 2 aligned segments: ${pairs.toSeq}")
+    val kept = Multimodal.dedupAudioBySegments(media, "media_id", "bytes",
+        "score", windowSamples = 130, hopSamples = 130, bands = 4,
+        maxHamming = 0, minSharedSegments = 2)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"keep-best must keep the higher-scored original: $kept")
+    // pinned bands ⇒ no sizing pass consumer; bands=0 derives and still finds the pair
+    val auto = Multimodal.audioNearDupPairs(media, "media_id", "bytes",
+      windowSamples = 130, hopSamples = 130, maxHamming = 0, minSharedSegments = 2)
+    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
 }

@@ -64,6 +64,41 @@ class AviSpec extends SparkSpec {
     assert(o2.isEmpty && l2.isEmpty, "an empty movi has nothing to sample, not an error")
   }
 
+  test("indexAvi: a two-video-stream container selects ONE stream, never an interleaved merge") {
+    // stream 00 and stream 01 video chunks interleaved the way a real
+    // muxer emits them — the r17 indexer merged both into one span list,
+    // silently corrupting frame_idx for every downstream consumer
+    val s0f0 = Array[Byte](10, 10)
+    val s1f0 = Array[Byte](20, 20)
+    val s0f1 = Array[Byte](11, 11)
+    val s1f1 = Array[Byte](21, 21)
+    val bytes = avi(chunk("00dc", s0f0) ++ chunk("01dc", s1f0) ++
+      chunk("00db", s0f1) ++ chunk("01db", s1f1))
+    // default = PRIMARY (lowest stream number present): stream 00 only
+    val Some((offs0, lens0)) = Multimodal.indexAviFrames(bytes)
+    assert(lens0.toSeq == Seq(2, 2) &&
+      offs0.toSeq.map(bytes(_)) == Seq(10.toByte, 11.toByte),
+      "default must index exactly the primary stream's frames in order")
+    // explicit stream selection reaches the secondary stream
+    val Some((offs1, lens1)) = Multimodal.indexAviFrames(bytes, streamId = 1)
+    assert(lens1.toSeq == Seq(2, 2) &&
+      offs1.toSeq.map(bytes(_)) == Seq(20.toByte, 21.toByte))
+    // a stream with no chunks is data, not corruption
+    val Some((offs9, _)) = Multimodal.indexAviFrames(bytes, streamId = 9)
+    assert(offs9.isEmpty)
+    // primary selection when the lowest stream number isn't 0
+    val hi = avi(chunk("02dc", s1f0) ++ chunk("05dc", s0f0) ++ chunk("02dc", s1f1))
+    val Some((offsHi, _)) = Multimodal.indexAviFrames(hi)
+    assert(offsHi.toSeq.map(hi(_)) == Seq(20.toByte, 21.toByte),
+      "primary = lowest-numbered stream present, not literally stream 00")
+    // the distributed face routes streamId through
+    val media = Seq((1L, bytes)).toDF("media_id", "bytes")
+    val viaDf = Multimodal.indexAvi(media, "bytes", streamId = 1)
+      .select("frame_lengths").head().getSeq[Int](0)
+    assert(viaDf == Seq(2, 2))
+    intercept[IllegalArgumentException](Multimodal.indexAviFrames(bytes, streamId = 100))
+  }
+
   test("indexAvi: garbage, truncation, and non-AVI RIFF are None (NULL arrays end to end)") {
     assert(Multimodal.indexAviFrames(null).isEmpty)
     assert(Multimodal.indexAviFrames(Array.fill[Byte](24)(7)).isEmpty) // bad magic

@@ -162,4 +162,114 @@ class MultimodalSpec extends SparkSpec {
     assert(hashed((1L, 0)) == hashed((2L, 0)), "shared frame must hash equal")
     assert(hashed((2L, 0)) == hashed((2L, 1)), "identical frames within a video too")
   }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("maxBucketSize df-cuts saturated perceptual buckets; under-cap buckets keep full recall") {
+    import spark.implicits._
+    // 40 media rows with the SAME hash (black frames / solid color: all 4
+    // band slices identical → every bucket saturates) + a cold near-dup
+    // pair in its own buckets + a singleton
+    val hot = (1L to 40L).map(i => (i, 0x5a5a5a5a5a5a5a5aL))
+    val cold = Seq((201L, 0x0f0f0f0f12345678L), (202L, 0x0f0f0f0f12345679L))
+    val media = (hot ++ cold :+ ((900L, 0x7777777700000001L))).toDF("id", "h")
+    val full = pairSet(Multimodal.perceptualNearDupPairs(
+      media, "id", "h", bands = 4, maxHamming = 3))
+    val capped = pairSet(Multimodal.perceptualNearDupPairs(
+      media, "id", "h", bands = 4, maxHamming = 3, maxBucketSize = 5))
+    // batchCut ⊆ full, always
+    assert(capped.subsetOf(full), s"cut emitted pairs the uncapped form lacks: ${capped -- full}")
+    // arrival-rank semantics: the hot bucket keeps its first 5 ids' pairs
+    val hotPairs = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    assert(capped == hotPairs.toSet + ((201L, 202L)),
+      s"expected first-5 hot pairs + the cold under-cap pair at full recall, got $capped")
+    // pair volume is bounded by cap²/2 per bucket, not corpus²
+    assert(full.size == 40 * 39 / 2 + 1)
+    // a cap at/above the largest bucket is EXACTLY the uncapped result
+    val loose = pairSet(Multimodal.perceptualNearDupPairs(
+      media, "id", "h", bands = 4, maxHamming = 3, maxBucketSize = 40))
+    assert(loose == full, "cap >= max bucket must change nothing")
+    intercept[IllegalArgumentException](Multimodal.perceptualNearDupPairs(
+      media, "id", "h", bands = 4, maxBucketSize = 0).collect())
+  }
+
+  test("maxBucketSize on the frame axis: saturated frame buckets cut, planted video pairs survive") {
+    import spark.implicits._
+    // 30 videos whose frame 0 is a black frame (identical hash — the
+    // saturated bucket) and whose frame 1 is per-video; videos 1/2 are a
+    // planted pair sharing BOTH distinct frames
+    val black = 0x1111111111111111L
+    def fh(v: Long): Seq[(Long, Int, Long)] =
+      Seq((v, 0, black), (v, 1, v * 0x9e3779b97f4a7c15L | 1L))
+    val rows = (1L to 30L).flatMap(fh) ++
+      Seq((101L, 0, 0x2222222233334444L), (101L, 1, 0x00ff00ff00ff00ffL),
+        (102L, 0, 0x2222222233334444L), (102L, 1, 0x00ff00ff00ff00ffL))
+    val frames = rows.toDF("media_id", "frame_idx", "dhash")
+    val full = Multimodal.videoNearDupPairsFromHashes(frames, "media_id",
+      bands = 4, maxHamming = 0, minSharedFrames = 1)
+    val capped = Multimodal.videoNearDupPairsFromHashes(frames, "media_id",
+      bands = 4, maxHamming = 0, minSharedFrames = 1, maxBucketSize = 4)
+    val fullSet = pairSet(full)
+    val cappedSet = pairSet(capped)
+    assert(cappedSet.subsetOf(fullSet))
+    // the black frame paired all 30 videos uncapped; capped keeps only
+    // the first 4 arrivals' pairs — and the under-cap planted pair
+    assert(fullSet.size == 30 * 29 / 2 + 1)
+    assert(cappedSet == (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet
+      + ((101L, 102L)), s"got $cappedSet")
+    // the planted pair's shared count is the DISTINCT frame-pair count
+    val shared = capped.filter(col("doc_a") === 101L).select("shared_frames")
+      .head().getLong(0)
+    assert(shared == 2L)
+  }
+
+  test("capBuckets: the rank window's Exchange IS the join's — the cap adds ZERO shuffles") {
+    import spark.implicits._
+    def stats(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      val finalSection = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(finalSection.contains("isFinalPlan=true"), "adaptive plan did not finalize")
+      ("Exchange hashpartitioning".r.findAllIn(finalSection).size,
+        "ReusedExchange".r.findAllIn(finalSection).size)
+    }
+    // adjacent ids share a hash so pairs EXIST — an empty result lets
+    // AQE collapse the whole plan to EmptyRelation and there is nothing
+    // to count (measured: 200 distinct hashes → zero stages executed)
+    val media = (1L to 200L).map(i => (i, (i / 2) * 0x9e3779b97f4a7c15L)).toDF("id", "h")
+    val (plain, plainReused) = stats(Multimodal.perceptualNearDupPairs(
+      media, "id", "h", bands = 4, maxHamming = 3))
+    val (capped, cappedReused) = stats(Multimodal.perceptualNearDupPairs(
+      media, "id", "h", bands = 4, maxHamming = 3, maxBucketSize = 10))
+    // the window hash-partitions on (band, bh) — the join's own
+    // distribution — so capping must not change the shuffle count, and
+    // the second join side must still read the ReusedExchange (the
+    // decode/hash chain still computes once)
+    assert(capped == plain,
+      s"maxBucketSize added a shuffle: $plain uncapped vs $capped capped")
+    assert(plainReused >= 1 && cappedReused >= 1,
+      s"banded self-join sides stopped sharing the Exchange: $plainReused/$cappedReused")
+  }
+
+  test("bucket cuts are observable: perceptual.bucket_cut fires iff rows were dropped") {
+    import graft.core.{SignalBus, Signals}
+    import spark.implicits._
+    def sigs(cap: String) = SignalBus.global.emitted(Signals.PerceptualBucketCut)
+      .filter(_.fields.get("max_bucket_size").contains(cap))
+    // caps 37/38 are unique to this test (the LlmSpec df-cut convention)
+    val hot = (1L to 50L).map(i => (i, 0x1234123412341234L)).toDF("id", "h")
+    Multimodal.perceptualNearDupPairs(hot, "id", "h", bands = 4,
+      maxBucketSize = 37).count()
+    val quiet = (1L to 5L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("id", "h")
+    Multimodal.perceptualNearDupPairs(quiet, "id", "h", bands = 4,
+      maxBucketSize = 38).count()
+    val deadline = System.currentTimeMillis() + 30000
+    while (sigs("37").isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val fired = sigs("37")
+    assert(fired.nonEmpty, "bucket cut dropped rows but no perceptual.bucket_cut signal fired")
+    // 50 rows × 4 bands, 37 kept per bucket → 13 dropped per band
+    assert(fired.last.fields("dropped_rows").toLong == 4L * 13L)
+    assert(sigs("38").isEmpty, "a cap that dropped nothing must stay silent")
+  }
 }

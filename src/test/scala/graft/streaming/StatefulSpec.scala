@@ -394,6 +394,117 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audio hashes stream through the generic perceptual bucket operator (whole-clip axis)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      // REAL WAV bytes → decodeWavPcm → audioHash64 produce the (id,
+      // hash) rows; the stream op is generic over any 64-bit signature,
+      // which this pin makes a contract instead of an accident (VERDICT
+      // r17 next-round #3). Every 3rd clip has a 2x-volume re-encode —
+      // hash-identical by the AudioSpec invariance pin.
+      def wav(samples: Array[Short]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+        def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+        def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+        ascii("RIFF"); le32(36 + samples.length * 2); ascii("WAVE")
+        ascii("fmt "); le32(16); le16(1); le16(1); le32(16000)
+        le32(32000); le16(2); le16(16); ascii("data"); le32(samples.length * 2)
+        samples.foreach(s => le16(s & 0xffff))
+        bos.toByteArray
+      }
+      def tone(seed: Long, scale: Int): Array[Short] =
+        Array.tabulate[Short](260)(i => (((i * 31 + seed) % 89 - 44) * scale).toShort)
+      val media = ((1L to 30L).map(id => (id, wav(tone(id, 1)))) ++
+        (1L to 30L).filter(_ % 3 == 0).map(id => (id + 1000L, wav(tone(id, 2)))))
+        .toDF("media_id", "bytes")
+      val hashes = graft.sources.Multimodal.decodeWavPcm(media, "bytes")
+        .select(col("media_id"),
+          graft.sources.Multimodal.audioHash64(col("pcm")).as("ah"))
+        .as[(Long, Long)].collect().toSeq
+      val stream = MemoryStream[(Long, Long)]
+      val pairs = Stateful.perceptualNearDupPairsStream(stream.toDS())
+        .toDF("doc_a", "doc_b", "hamming")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        }.start()
+      try {
+        val (b1, b2) = hashes.splitAt(hashes.length / 2)
+        stream.addData(b1: _*)
+        q.processAllAvailable()
+        stream.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val want = graft.sources.Multimodal.perceptualNearDupPairs(
+        hashes.toDF("id", "h"), "id", "h", bands = 4, maxHamming = 3)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.asScala.toSet == want, s"streamed ${got.size} != batch ${want.size}")
+      assert(want.size >= 10, s"every planted re-level must pair: $want")
+    }
+  }
+
+  test("frame/segment axes stream via composite ids; the batch tail recovers shared counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      // The documented streaming pattern for the FRAME-axis families
+      // (video qm8 / audio segments): stream (item·K + position, hash)
+      // composite rows through the generic bucket operator — candidates
+      // emit at frame level as buckets fill — and the per-pair
+      // minShared aggregation runs as a batch tail in foreachBatch.
+      // This pin is the `shared count == batch operator` contract.
+      val K = 1000L
+      // 8 items × 3 positions; items 1/2 share positions 0 and 1; item 3
+      // shares position 2 with item 1 (below a minShared=2 cut)
+      def h(item: Long, pos: Long): Long = (item * 31L + pos) * 0x9e3779b97f4a7c15L
+      val rows = (1L to 8L).flatMap { item =>
+        (0L to 2L).map { pos =>
+          val hash =
+            if (item == 2L && pos <= 1L) h(1L, pos)
+            else if (item == 3L && pos == 2L) h(1L, 2L)
+            else h(item, pos)
+          (item * K + pos, hash)
+        }
+      }
+      val stream = MemoryStream[(Long, Long)]
+      val pairs = Stateful.perceptualNearDupPairsStream(stream.toDS(),
+        bands = 4, maxHamming = 0).toDF("cid_a", "cid_b", "hamming")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Long, Long)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add(
+            (r.getLong(0) / K, r.getLong(0) % K, r.getLong(1) / K, r.getLong(1) % K)))
+        }.start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        stream.addData(b1: _*); q.processAllAvailable()
+        stream.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      // batch tail: drop same-item pairs (composite ids pair them; the
+      // batch operator's item-level a < b never does), orient by item,
+      // count distinct position pairs per item pair, cut at minShared
+      val shared = got.asScala.toSet[(Long, Long, Long, Long)]
+        .filter { case (ia, _, ib, _) => ia != ib }
+        .map { case (ia, pa, ib, pb) =>
+          if (ia < ib) (ia, ib, pa, pb) else (ib, ia, pb, pa) }
+        .groupBy { case (ia, ib, _, _) => (ia, ib) }
+        .view.mapValues(_.size.toLong).toMap
+      val minShared2 = shared.filter(_._2 >= 2L)
+      val want = graft.sources.Multimodal.videoNearDupPairsFromHashes(
+        rows.map { case (cid, hash) => (cid / K, (cid % K).toInt, hash) }
+          .toDF("media_id", "frame_idx", "dhash"),
+        "media_id", bands = 4, maxHamming = 0, minSharedFrames = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(minShared2 == want,
+        s"streamed tail $minShared2 != batch operator $want")
+      assert(want == Map((1L, 2L) -> 2L), s"planted pair must survive the cut: $want")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact (Q-A2 bench contract)") {
     val orders = Tables.load(spark, sf, "orders")
     val exact = orders.agg(countDistinct(col("o_custkey"))).head().getLong(0)

@@ -173,7 +173,11 @@ class PlanShapeSpec extends SparkSpec {
       // three fixture branches (orig/upscale/brightness) each scan the
       // docs table; the pair stage's banded self-join reads ONE reused
       // Exchange so the decode+hash never runs per side
-      "qm3_perceptual_neardup" -> 3)
+      "qm3_perceptual_neardup" -> 3,
+      // two fixture branches (orig/trimmed copy) scan the docs table;
+      // the segment-banded self-join reads ONE reused Exchange so the
+      // WAV parse + window hashing never runs per side
+      "qm9_audio_neardup" -> 2)
     val failures = budgets.flatMap { case (q, maxScans) =>
       val (scans, reused) = finalPlanStats(q)
       val over = if (scans > maxScans)
