@@ -106,6 +106,11 @@ object Bench {
     // qm7: real AVI demux (round 17) — in-plan container through the
     // RIFF walker, ragged slice of the recovered spans; one scan
     "qm7_avi_demux",
+    // qm9: segment-level audio near-dup (round 18) — in-plan WAV
+    // synthesis through the real RIFF parser, windowed segment hashes,
+    // then the banded shared-segment join (qm8's frame-axis shape on the
+    // audio axis); synthesis dominates like qm6/qm8
+    "qm9_audio_neardup",
     // qm8: video near-dup by shared perceptual frames (round 17) — the
     // demuxed raw-DIB frames dHash on the slice projection, then the
     // qm3-family banded self-join at video level

@@ -375,4 +375,98 @@ object Stateful {
       new PerceptualBucketPairs(maxHamming, maxBucketSize, ttl),
       timeModeFor(ttl), OutputMode.Update())
   }
+
+  /** Streaming FRAME/SEGMENT-axis near-dup candidates over
+    * `(item, position, hash64)` rows — the crawl-ingest twin of the
+    * front half of
+    * [[graft.sources.Multimodal.videoNearDupPairsFromHashes]] /
+    * `audioNearDupPairsFromHashes` (round 18, the VERDICT r17 #3
+    * pattern promoted to a first-class surface): positions fold into a
+    * composite id (`item * posLimit + position`), the generic
+    * [[perceptualNearDupPairsStream]] banding + bucket state emits
+    * matches as buckets fill, and the output decodes back to
+    * `(item_a, pos_a, item_b, pos_b, hamming)` with same-item matches
+    * dropped (composite ids would pair a video's own frames; the batch
+    * operator's item-level `a < b` never does) and pairs oriented
+    * `item_a < item_b`.
+    *
+    * The per-pair `minShared` aggregation is the BATCH TAIL
+    * ([[frameAxisSharedCounts]]): candidate frame pairs accumulate
+    * across triggers (sink them from `foreachBatch`), and the tail
+    * counts DISTINCT position pairs over the accumulated table — pairs
+    * may emit once per colliding band (the
+    * [[minHashLshCandidatePairsStream]] contract), which the tail's
+    * distinct absorbs. Spec-pinned equal to the batch operator's shared
+    * counts after replay (`StatefulSpec`).
+    *
+    * Bounded state: same `maxBucketSize` df-cut + `ttl` eviction knobs
+    * as every bucket stream — a hot bucket here is black frames /
+    * silence windows, exactly the saturation the batch `maxBucketSize`
+    * cuts. `posLimit` must exceed every position (guarded in-plan via
+    * `raise_error`, since a silently wrapped composite id would
+    * mis-attribute frames across items); items must be non-negative and
+    * under `Long.MaxValue / posLimit` (same guard).
+    */
+  def frameAxisNearDupPairsStream(segs: Dataset[(Long, Int, Long)],
+                                  bands: Int = 4,
+                                  maxHamming: Int = 3,
+                                  posLimit: Long = 1L << 21,
+                                  maxBucketSize: Int = Int.MaxValue,
+                                  ttl: TTLConfig = TTLConfig.NONE): Dataset[(Long, Int, Long, Int, Int)] = {
+    import segs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    require(posLimit >= 2, s"posLimit must be >= 2, got $posLimit")
+    val maxItem = Long.MaxValue / posLimit
+    val composite = segs.toDF("item", "pos", "h")
+      .select(
+        when(col("item") < 0L || col("item") >= maxItem,
+          raise_error(concat(lit(s"frameAxisNearDupPairsStream: item out of [0, $maxItem): "),
+            col("item").cast("string"))))
+          .when(col("pos") < 0 || col("pos") >= posLimit,
+            raise_error(concat(lit(s"frameAxisNearDupPairsStream: position out of [0, $posLimit): "),
+              col("pos").cast("string"))))
+          .otherwise(col("item") * posLimit + col("pos")).as("cid"),
+        col("h"))
+      .as[(Long, Long)]
+    perceptualNearDupPairsStream(composite, bands, maxHamming, maxBucketSize, ttl)
+      .toDF("cid_a", "cid_b", "hamming")
+      // `div`, not `/`: Column./ on longs is DOUBLE division, which goes
+      // inexact past 2^53 — a composite id near the item bound would
+      // decode to the wrong item
+      .select(expr(s"cid_a div ${posLimit}L").as("item_a"),
+        pmod(col("cid_a"), lit(posLimit)).cast("int").as("pos_a"),
+        expr(s"cid_b div ${posLimit}L").as("item_b"),
+        pmod(col("cid_b"), lit(posLimit)).cast("int").as("pos_b"),
+        col("hamming"))
+      .filter(col("item_a") =!= col("item_b"))
+      .select(
+        when(col("item_a") < col("item_b"), col("item_a")).otherwise(col("item_b")).as("item_a2"),
+        when(col("item_a") < col("item_b"), col("pos_a")).otherwise(col("pos_b")).as("pos_a2"),
+        when(col("item_a") < col("item_b"), col("item_b")).otherwise(col("item_a")).as("item_b2"),
+        when(col("item_a") < col("item_b"), col("pos_b")).otherwise(col("pos_a")).as("pos_b2"),
+        col("hamming"))
+      .toDF("item_a", "pos_a", "item_b", "pos_b", "hamming")
+      .as[(Long, Int, Long, Int, Int)]
+  }
+
+  /** The batch tail of [[frameAxisNearDupPairsStream]]: per-item-pair
+    * shared counts over ACCUMULATED candidate frame pairs (any frame
+    * with `item_a, pos_a, item_b, pos_b` columns — e.g. the parquet sink
+    * a `foreachBatch` appends to). Counts DISTINCT matched position
+    * pairs (band re-emissions and trigger replays collapse — one
+    * partial-combining `collect_set` agg, the
+    * [[graft.sources.Multimodal.videoNearDupPairsFromHashes]] tail
+    * shape) and cuts at `minShared`. Output:
+    * `(item_a, item_b, shared_positions)`.
+    */
+  def frameAxisSharedCounts(framePairs: org.apache.spark.sql.DataFrame,
+                            minShared: Int = 1): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    framePairs
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(size(collect_set(struct(col("pos_a"), col("pos_b"))))
+        .cast("long").as("shared_positions"))
+      .filter(col("shared_positions") >= minShared)
+  }
 }

@@ -261,7 +261,34 @@ object ScaleBench {
     // removed docs' (N, Σdl) from the index's own postings, the
     // anti-join narrows the postings, stats subtract — index-sized terms
     // are narrow scans, so the 10× ratio must stay far under 10
-    "bm25_remove")
+    "bm25_remove",
+    // qm9: segment-level audio near-dup — in-plan WAV synthesis through
+    // the real RIFF parser, windowed segment hashes (a Generate +
+    // substring projection riding the scan), then the banded
+    // shared-segment join; ids are base·2(+1) (collision-free at the 10x
+    // id range) and per-clip samples are id-derived, so cross-copy
+    // candidates are noise-level — the chain must scale ~linearly like
+    // qm8 (its frame-axis sibling)
+    "qm9_audio_neardup",
+    // perceptual_cap: the BOUNDED-BUCKET row VERDICT r17 #1 names — real
+    // PNGs with 10% planted SOLID-COLOR images (every solid image, any
+    // gray level, dHashes to the same all-zero signature: block means are
+    // equal so every comparison bit is 0 — the black-frame/silence
+    // saturation a real crawl is full of). The timed run is the one-call
+    // dedupImagesPerceptual with maxBucketSize = 4: the df-cut bounds the
+    // saturated bucket to its first 4 arrivals, so pairs and wall-clock
+    // must track the corpus (~linear), while the UNCAPPED pair count in
+    // the detail object grows ~quadratically in the solid set (the
+    // StreamStateBench 100.2x blowup, now measured on the BATCH path)
+    "perceptual_cap",
+    // audio_segment_dedup: the one-call dedupAudioBySegments over the
+    // SAME real-WAV fixture audio_dedup uses — decode + windowed segment
+    // hashes (7 windows/clip at 2000/1000 over the 8000-sample clips) +
+    // banded shared-segment join + keep-best end to end; planted
+    // re-levels/stereo re-encodes are sample-stream-identical so every
+    // window realigns; pairs track the planted copies, so the row must
+    // track the decode scan like audio_dedup
+    "audio_segment_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -488,6 +515,35 @@ object ScaleBench {
         "score", corpusSize = Some(n))
         .write.format("noop").mode("overwrite").save()
     }
+    def runAudioSegDedup(dir: String): Unit = {
+      val (path, n, _) = audioSetup(dir)
+      val media = spark.read.parquet(path)
+      graft.sources.Multimodal.dedupAudioBySegments(media, "media_id", "bytes",
+        "score", windowSamples = 2000, hopSamples = 1000, corpusSize = Some(n))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // perceptual_cap: saturated-bucket fixture (real PNGs, 10% solid
+    // color), setup-generated once per dir like the image rows
+    val satSetups = scala.collection.mutable.Map[String, (String, Long)]()
+    def satSetup(dir: String): (String, Long) = satSetups.getOrElseUpdate(dir, {
+      val path = s"/tmp/graft_satimages${dir.replace('/', '_')}"
+      if (!new java.io.File(s"$path/_DONE").exists()) {
+        generateSaturatedImages(spark, dir, path)
+        new java.io.File(s"$path/_DONE").createNewFile()
+      }
+      (path, spark.read.parquet(path).count())
+    })
+    // bands pinned to 4 so the band structure is IDENTICAL at 1x and 10x:
+    // the only variable across scales is the bucket cap's effect (auto
+    // bands would widen at 10x and conflate two mechanisms)
+    def runPerceptualCap(dir: String): Unit = {
+      val (path, _) = satSetup(dir)
+      val media = spark.read.parquet(path)
+      graft.sources.Multimodal.dedupImagesPerceptual(media, "media_id", "bytes",
+        "score", bands = 4, maxBucketSize = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // nightly_loop: state built + saved once per dir via the REAL
     // CrawlState.save API (untimed — the production state exists on disk
@@ -581,6 +637,8 @@ object ScaleBench {
       else if (q == "image_dedup") runImageDedup("/root/testdata/sf0.001")
       else if (q == "audio_decode") runAudioDecode("/root/testdata/sf0.001")
       else if (q == "audio_dedup") runAudioDedup("/root/testdata/sf0.001")
+      else if (q == "audio_segment_dedup") runAudioSegDedup("/root/testdata/sf0.001")
+      else if (q == "perceptual_cap") runPerceptualCap("/root/testdata/sf0.001")
       else if (q == "nightly_loop") runNightly("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
@@ -602,9 +660,11 @@ object ScaleBench {
     if (queries.contains("image_decode") || queries.contains("image_dedup")) {
       imageSetup(base1x); imageSetup(out)
     }
-    if (queries.contains("audio_decode") || queries.contains("audio_dedup")) {
+    if (queries.contains("audio_decode") || queries.contains("audio_dedup") ||
+        queries.contains("audio_segment_dedup")) {
       audioSetup(base1x); audioSetup(out)
     }
+    if (queries.contains("perceptual_cap")) { satSetup(base1x); satSetup(out) }
     if (queries.contains("nightly_loop")) {
       nightlySetup(base1x); nightlySetup(out)
       // the warm pass above timed nothing at this dir yet — clear the
@@ -624,6 +684,8 @@ object ScaleBench {
         else if (q == "image_dedup") runImageDedup(dir)
         else if (q == "audio_decode") runAudioDecode(dir)
         else if (q == "audio_dedup") runAudioDedup(dir)
+        else if (q == "audio_segment_dedup") runAudioSegDedup(dir)
+        else if (q == "perceptual_cap") runPerceptualCap(dir)
         else if (q == "nightly_loop") runNightly(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -661,6 +723,30 @@ object ScaleBench {
       val tN = rows.find(_._1 == "audio_decode").get._3
       val mbpsCore = bN / 1e6 / tN / cpus.toInt
       details += f""""audio_decode_detail":{"clips_1x":$n1,"mb_1x":${b1 / 1e6}%.1f,"clips_${copies}x":$nN,"mb_${copies}x":${bN / 1e6}%.1f,"decode_mb_per_sec_per_core_${copies}x":$mbpsCore%.2f}"""
+    }
+    if (rows.exists(_._1 == "perceptual_cap")) {
+      // pair-volume evidence (UNTIMED — decode once per dir, then count
+      // candidates on the narrow hash frame): the uncapped count is the
+      // quadratic saturated-bucket blowup the cap exists to bound; the
+      // capped count must track the corpus. Solid-image and planted-pair
+      // tallies make the fixture's structure auditable from the artifact.
+      def capDetail(dir: String, tag: String): String = {
+        val (path, _) = satSetup(dir)
+        val media = spark.read.parquet(path).select(col("media_id"), col("bytes"))
+        val dec = graft.sources.Multimodal.decodeImage(media, "bytes")
+        val hashes = dec.select(col("media_id"),
+            graft.sources.Multimodal.dHash64(col("gray"), col("width"), col("height"))
+              .as("dh"))
+          .persist()
+        val solid = hashes.filter(col("dh") === 0L).count()
+        val uncapped = graft.sources.Multimodal.perceptualNearDupPairs(
+          hashes, "media_id", "dh", bands = 4).count()
+        val capped = graft.sources.Multimodal.perceptualNearDupPairs(
+          hashes, "media_id", "dh", bands = 4, maxBucketSize = 4).count()
+        hashes.unpersist()
+        s""""solid_$tag":$solid,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
+      }
+      details += s""""perceptual_cap_detail":{${capDetail(base1x, "1x")},${capDetail(out, s"${copies}x")}}"""
     }
     if (nightlyPhases.nonEmpty) {
       def ph(dir: String, tag: String): String =
@@ -774,6 +860,63 @@ object ScaleBench {
         if (id % 3 == 0) rows += ((id * 4 + 1, png(144, 128, 2, 0)))
         if (id % 5 == 0) rows += ((id * 4 + 2, png(72, 64, 1, 10)))
         rows
+      }
+    }.toDF("media_id", "bytes")
+      .withColumn("score", pmod(col("media_id"), lit(997)).cast("double"))
+    media.repartition(32).write.mode("overwrite").parquet(out)
+  }
+
+  /** Saturated-bucket fixture for the `perceptual_cap` row: one PNG per
+    * document id. Every 10th id is a SOLID-COLOR image (gray level varies
+    * by id, but every solid image of any level dHashes to the all-zero
+    * signature — equal block means make every comparison bit 0), so 10%
+    * of the corpus lands in ONE (band, slice) bucket per band: the
+    * black-frame/solid-thumbnail saturation VERDICT r17 #1 names. The
+    * rest are avalanche-textured (independent hashes), with a planted
+    * dHash-invariant 2x upscale for every 3rd non-solid id (36 and 72
+    * divide by 9, 32 and 64 by 8 — uniform blocks) so capped recall on
+    * NON-saturated buckets stays auditable. media_id = id·4 (+1 for the
+    * upscale); generation is SETUP, not measurement.
+    */
+  def generateSaturatedImages(spark: SparkSession, dir: String, out: String): Unit = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        def png(w: Int, h: Int, scale: Int, solid: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = if (solid >= 0) solid else {
+                var hsh = id * 1315423911L + (x / scale).toLong * 2654435761L +
+                  (y / scale).toLong * 97531L
+                hsh ^= hsh >>> 33
+                hsh *= -49064778989728563L
+                hsh ^= hsh >>> 33
+                (((hsh % 200) + 200) % 200).toInt
+              }
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        if (id % 10 == 0)
+          Seq((id * 4, png(36, 32, 1, ((id * 31) % 200).toInt)))
+        else {
+          val rows = scala.collection.mutable.ArrayBuffer(
+            (id * 4, png(36, 32, 1, -1)))
+          if (id % 3 == 0) rows += ((id * 4 + 1, png(72, 64, 2, -1)))
+          rows
+        }
       }
     }.toDF("media_id", "bytes")
       .withColumn("score", pmod(col("media_id"), lit(997)).cast("double"))

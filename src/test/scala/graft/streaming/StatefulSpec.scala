@@ -447,36 +447,38 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
-  test("frame/segment axes stream via composite ids; the batch tail recovers shared counts") {
+  test("frame/segment axes stream first-class; the batch tail recovers shared counts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     withRocksDb {
-      // The documented streaming pattern for the FRAME-axis families
-      // (video qm8 / audio segments): stream (item·K + position, hash)
-      // composite rows through the generic bucket operator — candidates
-      // emit at frame level as buckets fill — and the per-pair
-      // minShared aggregation runs as a batch tail in foreachBatch.
-      // This pin is the `shared count == batch operator` contract.
-      val K = 1000L
+      // The FRAME-axis streaming surface (video qm8 / audio segments):
+      // frameAxisNearDupPairsStream folds (item, position, hash) into
+      // composite ids through the generic bucket operator — candidates
+      // emit at frame level as buckets fill, decoded and oriented with
+      // same-item matches dropped — and frameAxisSharedCounts runs the
+      // per-pair minShared aggregation as a batch tail over the
+      // accumulated candidates. This pin is the
+      // `shared count == batch operator` contract.
       // 8 items × 3 positions; items 1/2 share positions 0 and 1; item 3
       // shares position 2 with item 1 (below a minShared=2 cut)
-      def h(item: Long, pos: Long): Long = (item * 31L + pos) * 0x9e3779b97f4a7c15L
+      def h(item: Long, pos: Int): Long = (item * 31L + pos) * 0x9e3779b97f4a7c15L
       val rows = (1L to 8L).flatMap { item =>
-        (0L to 2L).map { pos =>
+        (0 to 2).map { pos =>
           val hash =
-            if (item == 2L && pos <= 1L) h(1L, pos)
-            else if (item == 3L && pos == 2L) h(1L, 2L)
+            if (item == 2L && pos <= 1) h(1L, pos)
+            else if (item == 3L && pos == 2) h(1L, 2)
             else h(item, pos)
-          (item * K + pos, hash)
+          (item, pos, hash)
         }
       }
-      val stream = MemoryStream[(Long, Long)]
-      val pairs = Stateful.perceptualNearDupPairsStream(stream.toDS(),
-        bands = 4, maxHamming = 0).toDF("cid_a", "cid_b", "hamming")
-      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Long, Long)]()
+      val stream = MemoryStream[(Long, Int, Long)]
+      val pairs = Stateful.frameAxisNearDupPairsStream(stream.toDS(),
+        bands = 4, maxHamming = 0)
+        .toDF("item_a", "pos_a", "item_b", "pos_b", "hamming")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int, Long, Int)]()
       val q = pairs.writeStream.outputMode("update")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           batch.collect().foreach(r => got.add(
-            (r.getLong(0) / K, r.getLong(0) % K, r.getLong(1) / K, r.getLong(1) % K)))
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))))
         }.start()
       try {
         val (b1, b2) = rows.splitAt(rows.length / 2)
@@ -484,24 +486,50 @@ class StatefulSpec extends SparkSpec {
         stream.addData(b2: _*); q.processAllAvailable()
       } finally q.stop()
       import scala.jdk.CollectionConverters._
-      // batch tail: drop same-item pairs (composite ids pair them; the
-      // batch operator's item-level a < b never does), orient by item,
-      // count distinct position pairs per item pair, cut at minShared
-      val shared = got.asScala.toSet[(Long, Long, Long, Long)]
-        .filter { case (ia, _, ib, _) => ia != ib }
-        .map { case (ia, pa, ib, pb) =>
-          if (ia < ib) (ia, ib, pa, pb) else (ib, ia, pb, pa) }
-        .groupBy { case (ia, ib, _, _) => (ia, ib) }
-        .view.mapValues(_.size.toLong).toMap
-      val minShared2 = shared.filter(_._2 >= 2L)
+      // the operator already dropped same-item matches and oriented
+      // item_a < item_b — the pins that used to live in the hand-rolled
+      // tail
+      val emitted = got.asScala.toSet
+      assert(emitted.forall { case (ia, _, ib, _) => ia < ib },
+        s"pairs must orient item_a < item_b: $emitted")
+      val shared = Stateful.frameAxisSharedCounts(
+        emitted.toSeq.toDF("item_a", "pos_a", "item_b", "pos_b"), minShared = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
       val want = graft.sources.Multimodal.videoNearDupPairsFromHashes(
-        rows.map { case (cid, hash) => (cid / K, (cid % K).toInt, hash) }
-          .toDF("media_id", "frame_idx", "dhash"),
+        rows.toDF("media_id", "frame_idx", "dhash"),
         "media_id", bands = 4, maxHamming = 0, minSharedFrames = 2)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-      assert(minShared2 == want,
-        s"streamed tail $minShared2 != batch operator $want")
+      assert(shared == want,
+        s"streamed tail $shared != batch operator $want")
       assert(want == Map((1L, 2L) -> 2L), s"planted pair must survive the cut: $want")
+    }
+  }
+
+  test("frameAxisNearDupPairsStream: out-of-range items/positions raise instead of wrapping") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      // a silently wrapped composite id would mis-attribute frames
+      // across items — the guard must be loud, in-plan
+      def run(rows: (Long, Int, Long)*): Unit = {
+        val stream = MemoryStream[(Long, Int, Long)]
+        val q = Stateful.frameAxisNearDupPairsStream(stream.toDS(),
+            bands = 4, posLimit = 8L)
+          .writeStream.outputMode("update").format("noop").start()
+        try {
+          stream.addData(rows: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      run((1L, 7, 42L)) // in range: fine
+      def chainHas(t: Throwable, want: String): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .exists(c => Option(c.getMessage).exists(_.contains(want)))
+      val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        run((1L, 8, 42L))) // pos == posLimit
+      assert(chainHas(e1, "position out of"), s"unexpected failure: $e1")
+      val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        run((-1L, 0, 42L))) // negative item
+      assert(chainHas(e2, "item out of"), s"unexpected failure: $e2")
     }
   }
 
