@@ -87,6 +87,11 @@ object Signals {
   // (band, bh) buckets dropped arrivals past maxBucketSize — recall in
   // those buckets is partial, and silently so without this signal.
   val PerceptualBucketCut = "perceptual.bucket_cut"
+  // The batch MinHash/SimHash band joins' arrival-rank cut fired: the
+  // text-signature twin of the perceptual cut (mass-duplicated or
+  // near-empty docs collapse whole band buckets) — same partial-recall
+  // disclosure.
+  val LshBucketCut = "lsh.bucket_cut"
 
   /** The reference's documented default severities
     * (`docs/2.learn/5.hooks.md:37-40`): Error = failures needing
@@ -101,7 +106,8 @@ object Signals {
       Signal.Error
     case BreakerHalfOpen | RateLimitWait | WorkerPoolSaturated |
         RetryAttempt | FallbackTriggered | BackoffWaiting | SwitchNoRoute |
-        ContestNoWinner | RaceLost | JaccardDfCut | PerceptualBucketCut =>
+        ContestNoWinner | RaceLost | JaccardDfCut | PerceptualBucketCut |
+        LshBucketCut =>
       Signal.Warn
     case _ => Signal.Info
   }

@@ -117,7 +117,8 @@ object Dedup {
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 64, bands: Int = 8,
                            minJaccard: Double = 0.0,
-                           hashedTokenIds: Boolean = false): DataFrame = {
+                           hashedTokenIds: Boolean = false,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val banded = bandedSignatures(df, idCol, textCol, numHashes, bands, hashedTokenIds)
     // (1) score INSIDE the band join (fused agreement expression — 64
@@ -133,7 +134,7 @@ object Dedup {
     // (2) default bands=8 → r=8: collision prob j^8 per band keeps the
     //     S-curve knee near j≈0.75 — candidates stay near-duplicates
     //     instead of exploding quadratically on small-vocabulary corpora.
-    val scored = candidatePairsFromBands(banded, numHashes)
+    val scored = candidatePairsFromBands(banded, numHashes, maxBucketSize)
     // no threshold → no filter: callers that prune est_jaccard then pay
     // nothing for scoring (an always-true filter would block column pruning)
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
@@ -149,8 +150,9 @@ object Dedup {
     * set without ever re-signing.
     */
   def minHashLshCandidatesFromIndex(index: DataFrame, numHashes: Int = 64,
-                                    minJaccard: Double = 0.0): DataFrame = {
-    val scored = candidatePairsFromBands(index, numHashes)
+                                    minJaccard: Double = 0.0,
+                                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val scored = candidatePairsFromBands(index, numHashes, maxBucketSize)
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
   }
 
@@ -191,8 +193,41 @@ object Dedup {
     * collisions scored inside the join (see [[minHashLshCandidates]] for
     * the why), deduped to one `(doc_a, doc_b, est_jaccard)` row per pair.
     */
-  private def candidatePairsFromBands(banded: DataFrame,
-                                      numHashes: Int): DataFrame = {
+  /** Arrival-rank df-cut of saturated (band, bh) SIGNATURE buckets — the
+    * [[graft.sources.Multimodal]] perceptual `maxBucketSize` convention
+    * on the text axis, and the batch twin of the streaming
+    * [[graft.streaming.Stateful]] bucket caps (round 18): a corpus full
+    * of mass-duplicated or near-empty documents collapses whole band
+    * buckets onto one key, and the banded self-join goes quadratic in
+    * them (`StreamStateBench` measured a 100.2× pair blowup at 10× on
+    * exactly this construction). Keep each bucket's first
+    * `maxBucketSize` rows in id order, drop later arrivals; the rank
+    * window hash-partitions on (band, bh) — the SAME distribution the
+    * pair self-join needs — so the window's Exchange IS the join's
+    * (zero added shuffles, the Multimodal capBuckets argument). Cuts are
+    * observable via the `lsh.bucket_cut` signal, never silent.
+    * Contracts (spec-pinned): capped pairs ⊆ uncapped; a cap at or above
+    * the largest bucket returns the EXACT uncapped result.
+    */
+  private def capBandBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) banded
+    else {
+      require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+      bridgeDfCut(banded.sparkSession)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh")).orderBy(col("id"))
+      banded.withColumn("_arrival", row_number().over(w))
+        .observe(s"$LshBucketCutMetric.${lshBucketCutSeq.incrementAndGet()}",
+          sum(when(col("_arrival") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
+          max(lit(maxBucketSize)).as("cap"))
+        .filter(col("_arrival") <= maxBucketSize)
+        .drop("_arrival")
+    }
+
+  private def candidatePairsFromBands(banded0: DataFrame,
+                                      numHashes: Int,
+                                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = capBandBuckets(banded0, maxBucketSize)
     // shuffle_hash, not the planner's default broadcast: both sides of
     // the self-join then want the SAME Exchange(hashpartitioning(band,
     // bh)) and AQE reuses it, so the signature chain (tokenize → ids →
@@ -391,7 +426,8 @@ object Dedup {
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         tokensOf: Column => Column = tokens,
                         bands: Int = 0,
-                        corpusSize: Option[Long] = None): DataFrame = {
+                        corpusSize: Option[Long] = None,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val b0 =
       if (bands == 0) autoBands(math.max(corpusSize.getOrElse(df.count()), 1L))
       else bands
@@ -401,11 +437,12 @@ object Dedup {
       .select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("bits", simHashBits(col("toks")))
-    val banded = withBits.select(
+    val banded = capBandBuckets(withBits.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(b0 - 1)),
         b => xxhash64(slice(col("bits"), b * width + 1, lit(width))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh"),
+      maxBucketSize)
     // shuffle_hash → one reused Exchange for both sides: the simhash
     // bit-vote chain computes once, not once per side (see
     // candidatePairsFromBands)
@@ -546,6 +583,12 @@ object Dedup {
     */
   private[graft] val DfCutMetric = "graft.jaccard.df_cut"
   private val dfCutSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** Observed-metric prefix for the batch LSH band-bucket cut
+    * ([[capBandBuckets]]) — forwarded by the same once-per-session
+    * bridge listener as the jaccard df-cut.
+    */
+  private[graft] val LshBucketCutMetric = "graft.lsh.bucket_cut"
+  private val lshBucketCutSeq = new java.util.concurrent.atomic.AtomicLong()
   // weak keys: sessions come and go in long-lived drivers (newSession per
   // job/tenant); a strong set would pin every stopped session AND its
   // registered listener for the life of the JVM
@@ -584,6 +627,18 @@ object Dedup {
                   s"jaccardSimilarityJoin df-cut dropped ${fields("dropped_shingles")} hot " +
                     s"shingles (${fields("dropped_occurrences")} occurrences, cap " +
                     s"${fields("max_shingle_doc_freq")}): similarities are approximate")
+              }
+            } else if (name.startsWith(LshBucketCutMetric)) {
+              val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+              if (dropped > 0L) {
+                val fields = Map(
+                  "dropped_rows" -> dropped.toString,
+                  "max_bucket_size" -> (if (row.isNullAt(1)) "?" else row.getInt(1).toString))
+                SignalBus.global.emit(Signal(Signals.LshBucketCut,
+                  StageId("minHashLshCandidates"), fields))
+                org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+                  s"lsh bucket cut dropped ${fields("dropped_rows")} banded rows past " +
+                    s"cap ${fields("max_bucket_size")}: saturated buckets have partial recall")
               }
             }
           }

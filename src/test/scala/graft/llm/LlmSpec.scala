@@ -180,6 +180,80 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain at least one exact dup pair")
   }
 
+  test("minHashLshCandidates maxBucketSize df-cuts mass-duplicated docs; under-cap buckets keep full recall") {
+    // 40 docs with IDENTICAL text (every band bucket saturates — the
+    // mass-duplicate / boilerplate-only class) + a cold identical pair in
+    // its own buckets + a singleton
+    val hotText = "the quick brown fox jumps over the lazy dog again"
+    val coldText = "completely different words entirely unique content here now"
+    val corpus = ((1L to 40L).map(i => (i, hotText)) ++
+      Seq((201L, coldText), (202L, coldText), (900L, "singleton text island alone")))
+      .toDF("doc_id", "text")
+    def pairs(maxBucketSize: Int): Set[(Long, Long)] =
+      Dedup.minHashLshCandidates(corpus, "doc_id", "text",
+        maxBucketSize = maxBucketSize).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Int.MaxValue)
+    val capped = pairs(5)
+    // batchCut ⊆ full, always
+    assert(capped.subsetOf(full), s"cut emitted pairs the uncapped form lacks: ${capped -- full}")
+    // arrival-rank semantics: the hot buckets keep their first 5 ids' pairs
+    val hotPrefix = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+    assert(capped == hotPrefix + ((201L, 202L)),
+      s"expected first-5 hot pairs + the cold under-cap pair at full recall, got $capped")
+    // pair volume is bounded by cap²/2 per bucket, not corpus²
+    assert(full.size == 40 * 39 / 2 + 1)
+    // a cap at/above the largest bucket is EXACTLY the uncapped result
+    assert(pairs(40) == full, "cap >= max bucket must change nothing")
+    intercept[IllegalArgumentException](
+      Dedup.minHashLshCandidates(corpus, "doc_id", "text", maxBucketSize = 0).collect())
+    // the SimHash sibling rides the same helper: same contracts
+    def shPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shFull = shPairs(Dedup.simHashCandidates(corpus, "doc_id", "text", bands = 4))
+    val shCapped = shPairs(Dedup.simHashCandidates(corpus, "doc_id", "text", bands = 4,
+      maxBucketSize = 5))
+    assert(shCapped.subsetOf(shFull))
+    assert(shCapped == hotPrefix + ((201L, 202L)),
+      s"simhash cut must keep the same first-5 prefix + cold pair, got $shCapped")
+  }
+
+  test("LSH bucket cap: the rank window's Exchange IS the band join's — zero added shuffles; cuts signal") {
+    import graft.core.{SignalBus, Signals}
+    def stats(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val finalSection = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(finalSection.contains("isFinalPlan=true"), "adaptive plan did not finalize")
+      "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    }
+    // adjacent ids share text so pairs EXIST (an empty result lets AQE
+    // collapse the plan to EmptyRelation — the MultimodalSpec argument)
+    val corpus = (1L to 200L).map(i => (i, s"shared body of copy number ${i / 2} here"))
+      .toDF("doc_id", "text")
+    val plain = stats(Dedup.minHashLshCandidates(corpus, "doc_id", "text"))
+    val capped = stats(Dedup.minHashLshCandidates(corpus, "doc_id", "text",
+      maxBucketSize = 10))
+    assert(capped == plain,
+      s"maxBucketSize added a shuffle: $plain uncapped vs $capped capped")
+    // observability: lsh.bucket_cut fires iff rows were dropped (caps
+    // 33/34 unique to this test — the df-cut signal convention)
+    def sigs(cap: String) = SignalBus.global.emitted(Signals.LshBucketCut)
+      .filter(_.fields.get("max_bucket_size").contains(cap))
+    val hot = (1L to 50L).map(i => (i, "all fifty docs share this exact text"))
+      .toDF("doc_id", "text")
+    Dedup.minHashLshCandidates(hot, "doc_id", "text", maxBucketSize = 33).count()
+    Dedup.minHashLshCandidates(hot.limit(5), "doc_id", "text", maxBucketSize = 34).count()
+    // the observed-metric bridge forwards asynchronously (listener bus)
+    val deadline = System.currentTimeMillis() + 30000
+    while (sigs("33").isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val fired = sigs("33")
+    assert(fired.nonEmpty, "a saturating run must emit lsh.bucket_cut")
+    // 50 identical docs × 8 bands, 33 kept per bucket → 17 dropped per band
+    assert(fired.last.fields("dropped_rows").toLong == 8L * 17L)
+    assert(sigs("34").isEmpty, "an under-cap run must stay silent")
+  }
+
   test("removeRepeatedSpans drops only tokens covered by a corpus-repeated window") {
     val span = "a b c d e f" // 6 tokens, spanTokens=5 -> 2 windows inside
     val docs = Seq(

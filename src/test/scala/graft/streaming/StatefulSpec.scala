@@ -243,6 +243,16 @@ class StatefulSpec extends SparkSpec {
         .select("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamed.subsetOf(uncut), s"streamed pairs not in batch: ${streamed -- uncut}")
+      // and the BATCH maxBucketSize form (round 18) equals the streamed
+      // result EXACTLY on this replay: the stream admits in arrival
+      // order, the batch rank window in id order — identical here by
+      // construction, so the two caps pin each other
+      val batchCut = graft.llm.Dedup.minHashLshCandidates(
+        (hot ++ cold).toDF("doc_id", "text"), "doc_id", "text", maxBucketSize = 4)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchCut == streamed,
+        s"batch cap $batchCut != streamed cap $streamed on the id-ordered replay")
     }
   }
 
