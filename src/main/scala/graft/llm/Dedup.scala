@@ -330,13 +330,15 @@ object Dedup {
                                   index: DataFrame, numHashes: Int = 64, bands: Int = 8,
                                   minJaccard: Double = 0.0,
                                   withinNew: Boolean = true,
-                                  hashedTokenIds: Boolean = false): DataFrame = {
+                                  hashedTokenIds: Boolean = false,
+                                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // hashedTokenIds: MUST match the index's build setting (and the batch
     // runs the union contract compares against) — mixed bases silently
     // produce disjoint signatures and zero cross candidates
     val nb = bandedSignatures(newDocs, idCol, textCol, numHashes, bands, hashedTokenIds)
-    minHashLshCandidatesAgainstIndex(nb, index, numHashes, minJaccard, withinNew)
+    minHashLshCandidatesAgainstIndex(nb, index, numHashes, minJaccard, withinNew,
+      maxBucketSize)
   }
 
   /** The index-vs-index core of [[minHashLshCandidatesAgainst]]: cross
@@ -351,10 +353,18 @@ object Dedup {
   def minHashLshCandidatesAgainstIndex(newIndex: DataFrame, index: DataFrame,
                                        numHashes: Int = 64,
                                        minJaccard: Double = 0.0,
-                                       withinNew: Boolean = true): DataFrame = {
-    val nb = newIndex
+                                       withinNew: Boolean = true,
+                                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // the cap applies to EACH side independently (a saturated INDEX
+    // bucket — a crawl state full of silence-class text — otherwise
+    // pairs every batch arrival against its whole membership: m_index ×
+    // m_batch cross pairs per bucket). The exact union contract vs a
+    // from-scratch batch run holds at the default (uncapped) setting
+    // ONLY: capped, the index keeps its first-cap ids per bucket while
+    // a union run would rank old and new ids together.
+    val nb = capBandBuckets(newIndex, maxBucketSize)
     val a = nb.as("a")
-    val b = index.as("b")
+    val b = capBandBuckets(index, maxBucketSize).as("b")
     // least/greatest = the batch form's a.id < b.id orientation, reachable
     // from either side of the cross join
     val cross = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

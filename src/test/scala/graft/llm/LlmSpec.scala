@@ -218,6 +218,28 @@ class LlmSpec extends SparkSpec {
       s"simhash cut must keep the same first-5 prefix + cold pair, got $shCapped")
   }
 
+  test("incremental LSH cap: a saturated INDEX bucket pairs each batch arrival against only its first-cap ids") {
+    // the appendCrawlBatch shape: a crawl state whose index holds 50
+    // identical docs (the silence class), a 2-doc batch of the same text
+    val hotText = "every crawl is full of this exact boilerplate text body"
+    val indexed = (1L to 50L).map(i => (i, hotText)).toDF("doc_id", "text")
+    val batch = Seq((1001L, hotText), (1002L, hotText)).toDF("doc_id", "text")
+    val index = Dedup.BandIndex.build(indexed, "doc_id", "text")
+    def pairs(maxBucketSize: Int): Set[(Long, Long)] =
+      Dedup.minHashLshCandidatesAgainst(batch, "doc_id", "text", index,
+        maxBucketSize = maxBucketSize).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Int.MaxValue)
+    assert(full.size == 2 * 50 + 1, s"uncapped cross must pair both batch docs with all 50: ${full.size}")
+    val capped = pairs(5)
+    assert(capped.subsetOf(full))
+    // index buckets keep ids 1..5; batch buckets (2 members) are under-cap
+    val want = (for (i <- 1L to 5L; b <- Seq(1001L, 1002L)) yield (i, b)).toSet + ((1001L, 1002L))
+    assert(capped == want, s"expected first-5 index ids x batch + intra pair, got $capped")
+    // cap >= every bucket == exactly uncapped (the union contract's home)
+    assert(pairs(50) == full)
+  }
+
   test("LSH bucket cap: the rank window's Exchange IS the band join's — zero added shuffles; cuts signal") {
     import graft.core.{SignalBus, Signals}
     def stats(df: org.apache.spark.sql.DataFrame): Int = {
