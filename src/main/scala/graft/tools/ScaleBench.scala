@@ -288,7 +288,16 @@ object ScaleBench {
     // re-levels/stereo re-encodes are sample-stream-identical so every
     // window realigns; pairs track the planted copies, so the row must
     // track the decode scan like audio_dedup
-    "audio_segment_dedup")
+    "audio_segment_dedup",
+    // lsh_cap: the perceptual_cap construction on the TEXT axis — every
+    // 10th doc's text replaced in-plan by ONE shared boilerplate string
+    // (the mass-duplicate class; the plant survives the 10x token
+    // salting, so the hot bucket grows with the corpus: 500 -> 5,000
+    // members in one signature bucket per band). Timed run =
+    // minHashLshCandidates with maxBucketSize = 8: pairs and wall-clock
+    // must track the corpus; the UNCAPPED pair counts in the detail
+    // object grow ~quadratically in the hot set
+    "lsh_cap")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -523,6 +532,20 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // lsh_cap: the documents table with every 10th doc's text replaced
+    // in-plan by one shared boilerplate string — no fixture needed
+    def lshCapDocs(dir: String): DataFrame =
+      graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            lit("this exact boilerplate body repeats across the whole crawl " +
+              "verbatim every time"))
+            .otherwise(col("text")).as("text"))
+    def runLshCap(dir: String): Unit =
+      graft.llm.Dedup.minHashLshCandidates(lshCapDocs(dir), "doc_id", "text",
+          maxBucketSize = 8)
+        .write.format("noop").mode("overwrite").save()
+
     // perceptual_cap: saturated-bucket fixture (real PNGs, 10% solid
     // color), setup-generated once per dir like the image rows
     val satSetups = scala.collection.mutable.Map[String, (String, Long)]()
@@ -639,6 +662,7 @@ object ScaleBench {
       else if (q == "audio_dedup") runAudioDedup("/root/testdata/sf0.001")
       else if (q == "audio_segment_dedup") runAudioSegDedup("/root/testdata/sf0.001")
       else if (q == "perceptual_cap") runPerceptualCap("/root/testdata/sf0.001")
+      else if (q == "lsh_cap") runLshCap("/root/testdata/sf0.001")
       else if (q == "nightly_loop") runNightly("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
@@ -686,6 +710,7 @@ object ScaleBench {
         else if (q == "audio_dedup") runAudioDedup(dir)
         else if (q == "audio_segment_dedup") runAudioSegDedup(dir)
         else if (q == "perceptual_cap") runPerceptualCap(dir)
+        else if (q == "lsh_cap") runLshCap(dir)
         else if (q == "nightly_loop") runNightly(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -747,6 +772,20 @@ object ScaleBench {
         s""""solid_$tag":$solid,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
       }
       details += s""""perceptual_cap_detail":{${capDetail(base1x, "1x")},${capDetail(out, s"${copies}x")}}"""
+    }
+    if (rows.exists(_._1 == "lsh_cap")) {
+      // pair-volume evidence (UNTIMED): uncapped = the quadratic hot-set
+      // blowup; capped must track the corpus. The hot count makes the
+      // planted structure auditable from the artifact.
+      def lshDetail(dir: String, tag: String): String = {
+        val docs = lshCapDocs(dir)
+        val hot = docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+        val uncapped = graft.llm.Dedup.minHashLshCandidates(docs, "doc_id", "text").count()
+        val capped = graft.llm.Dedup.minHashLshCandidates(docs, "doc_id", "text",
+          maxBucketSize = 8).count()
+        s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
+      }
+      details += s""""lsh_cap_detail":{${lshDetail(base1x, "1x")},${lshDetail(out, s"${copies}x")}}"""
     }
     if (nightlyPhases.nonEmpty) {
       def ph(dir: String, tag: String): String =
