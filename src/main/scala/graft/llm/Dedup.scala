@@ -217,7 +217,7 @@ object Dedup {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bh")).orderBy(col("id"))
       banded.withColumn("_arrival", row_number().over(w))
-        .observe(s"$LshBucketCutMetric.${lshBucketCutSeq.incrementAndGet()}",
+        .observe(lshCutObserveName(),
           sum(when(col("_arrival") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
           max(lit(maxBucketSize)).as("cap"))
         .filter(col("_arrival") <= maxBucketSize)
@@ -599,6 +599,15 @@ object Dedup {
     */
   private[graft] val LshBucketCutMetric = "graft.lsh.bucket_cut"
   private val lshBucketCutSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** Fresh observe-node name for an LSH-family bucket cut — shared with
+    * other modules' band joins (the hyperplane tables in
+    * [[graft.llm.Similarity]]) so every cut forwards through ONE bridge.
+    */
+  private[graft] def lshCutObserveName(): String =
+    s"$LshBucketCutMetric.${lshBucketCutSeq.incrementAndGet()}"
+  /** Register the cut-forwarding listener for callers outside this file. */
+  private[graft] def bridgeCuts(spark: org.apache.spark.sql.SparkSession): Unit =
+    bridgeDfCut(spark)
   // weak keys: sessions come and go in long-lived drivers (newSession per
   // job/tenant); a strong set would pin every stopped session AND its
   // registered listener for the life of the JVM

@@ -629,12 +629,14 @@ object Similarity {
     * `tables` recover the recall the finer bucketing costs.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, threshold: Double,
-                         planes: Int, dim: Int, tables: Int = 4): DataFrame = {
+                         planes: Int, dim: Int, tables: Int = 4,
+                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val base = df.select(col(idCol).as("id"), col("embedding"))
     val perTable = (0 until tables).map { tbl =>
-      val sig = base.withColumn("bucket",
-        hyperplaneSignature(col("embedding"), planes, dim, planeOffset = tbl * planes))
+      val sig = capTableBuckets(base.withColumn("bucket",
+        hyperplaneSignature(col("embedding"), planes, dim, planeOffset = tbl * planes)),
+        maxBucketSize)
       val a = sig.as("a")
       val b = sig.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -646,6 +648,32 @@ object Similarity {
     // sim — the dedup is on the narrow projected rows only
     perTable.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Arrival-rank df-cut of a saturated hyperplane bucket — the
+    * [[graft.llm.Dedup]] `capBandBuckets` convention on the EMBEDDING
+    * axis (round 18): identical vectors (failed-encode zeros, default
+    * embeddings, exact re-encodes of the same content) collide in EVERY
+    * table at ANY planes — the very property the ql32 recall oracle pins
+    * — so the occupancy math that keeps organic buckets ≈ targetBucket
+    * cannot bound them, and each table's self-join goes quadratic in the
+    * identical set. Keep each bucket's first `maxBucketSize` ids, drop
+    * later arrivals; the rank window hash-partitions on `bucket` — the
+    * join's own key — so capping adds ZERO shuffles. Cuts forward
+    * through the shared `lsh.bucket_cut` bridge, never silent.
+    */
+  private def capTableBuckets(sig: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) sig
+    else {
+      require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+      graft.llm.Dedup.bridgeCuts(sig.sparkSession)
+      val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      sig.withColumn("_arrival", row_number().over(w))
+        .observe(graft.llm.Dedup.lshCutObserveName(),
+          sum(when(col("_arrival") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
+          max(lit(maxBucketSize)).as("cap"))
+        .filter(col("_arrival") <= maxBucketSize)
+        .drop("_arrival")
+    }
 
   /** `planes` sized for the corpus: ceil(log2(n / targetBucket)), clamped
     * to [pMin, pMax]. Keeps expected bucket occupancy ≈ `targetBucket` as
@@ -680,13 +708,15 @@ object Similarity {
   def cosineNearDupPairsAuto(df: DataFrame, idCol: String, threshold: Double,
                              dim: Int, tables: Int = 4,
                              targetBucket: Long = 1024L,
-                             corpusSize: Option[Long] = None): DataFrame = {
+                             corpusSize: Option[Long] = None,
+                             maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // max(n, 1): an EMPTY corpus derives pMin planes and every bucket
     // join is empty — the operator returns an empty pair set instead of
     // autoPlanes throwing on 0 (siblings like duplicateClusters also
     // no-op on empty input)
     val n = math.max(corpusSize.getOrElse(df.count()), 1L)
-    cosineNearDupPairs(df, idCol, threshold, autoPlanes(n, targetBucket), dim, tables)
+    cosineNearDupPairs(df, idCol, threshold, autoPlanes(n, targetBucket), dim, tables,
+      maxBucketSize)
   }
 
   /** Exact k-NN graph: every corpus vector's top-k cosine neighbors —

@@ -297,7 +297,15 @@ object ScaleBench {
     // minHashLshCandidates with maxBucketSize = 8: pairs and wall-clock
     // must track the corpus; the UNCAPPED pair counts in the detail
     // object grow ~quadratically in the hot set
-    "lsh_cap")
+    "lsh_cap",
+    // emb_cap: the same construction on the EMBEDDING axis — every 10th
+    // vector replaced in-plan by ONE constant vector (the failed-encode /
+    // default-embedding class: identical vectors collide in EVERY
+    // hyperplane table at ANY planes, so auto-planes occupancy math
+    // cannot bound the bucket). Timed run = cosineNearDupPairsAuto with
+    // maxBucketSize = 8: wall-clock must track the corpus; uncapped pair
+    // counts in the detail grow ~quadratically in the hot set
+    "emb_cap")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -546,6 +554,25 @@ object ScaleBench {
           maxBucketSize = 8)
         .write.format("noop").mode("overwrite").save()
 
+    // emb_cap: the embeddings table with every 10th vector replaced
+    // in-plan by one constant vector — identical across the salted
+    // copies, so the hot hyperplane bucket grows with the corpus
+    val embCapConst = array((1 to 64).map(j =>
+      lit((((j * 13) % 17) - 8).toFloat / 8f)): _*)
+    def embCapVecs(dir: String): (DataFrame, Long) = {
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(10)) === 0, embCapConst)
+            .otherwise(col("embedding")).as("embedding"))
+      (emb, emb.count())
+    }
+    def runEmbCap(dir: String): Unit = {
+      val (emb, n) = embCapVecs(dir)
+      graft.llm.Similarity.cosineNearDupPairsAuto(emb, "vec_id",
+          threshold = 0.9, dim = 64, corpusSize = Some(n), maxBucketSize = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // perceptual_cap: saturated-bucket fixture (real PNGs, 10% solid
     // color), setup-generated once per dir like the image rows
     val satSetups = scala.collection.mutable.Map[String, (String, Long)]()
@@ -663,6 +690,7 @@ object ScaleBench {
       else if (q == "audio_segment_dedup") runAudioSegDedup("/root/testdata/sf0.001")
       else if (q == "perceptual_cap") runPerceptualCap("/root/testdata/sf0.001")
       else if (q == "lsh_cap") runLshCap("/root/testdata/sf0.001")
+      else if (q == "emb_cap") runEmbCap("/root/testdata/sf0.001")
       else if (q == "nightly_loop") runNightly("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
@@ -711,6 +739,7 @@ object ScaleBench {
         else if (q == "audio_segment_dedup") runAudioSegDedup(dir)
         else if (q == "perceptual_cap") runPerceptualCap(dir)
         else if (q == "lsh_cap") runLshCap(dir)
+        else if (q == "emb_cap") runEmbCap(dir)
         else if (q == "nightly_loop") runNightly(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -786,6 +815,18 @@ object ScaleBench {
         s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
       }
       details += s""""lsh_cap_detail":{${lshDetail(base1x, "1x")},${lshDetail(out, s"${copies}x")}}"""
+    }
+    if (rows.exists(_._1 == "emb_cap")) {
+      def embDetail(dir: String, tag: String): String = {
+        val (emb, n) = embCapVecs(dir)
+        val hot = emb.filter(pmod(col("vec_id"), lit(10)) === 0).count()
+        val uncapped = graft.llm.Similarity.cosineNearDupPairsAuto(emb, "vec_id",
+          threshold = 0.9, dim = 64, corpusSize = Some(n)).count()
+        val capped = graft.llm.Similarity.cosineNearDupPairsAuto(emb, "vec_id",
+          threshold = 0.9, dim = 64, corpusSize = Some(n), maxBucketSize = 8).count()
+        s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
+      }
+      details += s""""emb_cap_detail":{${embDetail(base1x, "1x")},${embDetail(out, s"${copies}x")}}"""
     }
     if (nightlyPhases.nonEmpty) {
       def ph(dir: String, tag: String): String =

@@ -794,6 +794,35 @@ class LlmSpec extends SparkSpec {
     assert(multi >= 0.4, s"multi-table recall $multi below the 4-table S-curve floor")
   }
 
+  test("embedding cap: identical vectors saturate every table; maxBucketSize keeps the first-cap prefix") {
+    // 40 IDENTICAL embeddings (the failed-encode / default-vector class:
+    // they collide in EVERY table at ANY planes — the ql32 recall
+    // property turned quadratic) + a cold identical pair + a singleton
+    val dim = 8
+    val hotVec = Array(1f, 2f, -1f, 0.5f, 3f, -2f, 1f, 0.25f)
+    val coldVec = Array(-3f, 1f, 2f, -0.5f, 1f, 4f, -1f, 2f)
+    val loneVec = Array(0.1f, -7f, 2f, 3f, -1f, 0.2f, 5f, -2f)
+    val df = ((1L to 40L).map(i => (i, hotVec)) ++
+      Seq((201L, coldVec), (202L, coldVec), (900L, loneVec)))
+      .toDF("vec_id", "embedding")
+    def pairs(maxBucketSize: Int): Set[(Long, Long)] =
+      Similarity.cosineNearDupPairs(df, "vec_id", threshold = 0.999,
+        planes = 8, dim = dim, tables = 4, maxBucketSize = maxBucketSize)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Int.MaxValue)
+    assert(full.size == 40 * 39 / 2 + 1, s"uncapped must pair the hot set + cold pair: ${full.size}")
+    val capped = pairs(5)
+    assert(capped.subsetOf(full))
+    val hotPrefix = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+    assert(capped == hotPrefix + ((201L, 202L)),
+      s"expected first-5 hot pairs + the cold under-cap pair at full recall, got $capped")
+    assert(pairs(40) == full, "cap >= max bucket must change nothing")
+    intercept[IllegalArgumentException](
+      Similarity.cosineNearDupPairs(df, "vec_id", 0.999, 8, dim,
+        maxBucketSize = 0).collect())
+  }
+
   test("autoPlanes keeps bucket occupancy ~constant as the corpus grows") {
     // target 1024/bucket: below target -> floor; 1M rows -> 2^10 buckets
     assert(Similarity.autoPlanes(1000) == 4)
