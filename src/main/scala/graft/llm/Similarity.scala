@@ -1257,11 +1257,19 @@ object Similarity {
   }
 
   def ivfNearDupPairs(df: DataFrame, idCol: String, index: IvfIndex,
-                      threshold: Double, nprobe: Int = 2): DataFrame = {
+                      threshold: Double, nprobe: Int = 2,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(nprobe >= 1 && nprobe <= index.k,
       s"nprobe must be in [1, ${index.k}], got $nprobe")
-    val assigned = df.select(col(idCol).as("id"), col("embedding"))
-      .withColumn("bucket", explode(index.probes(col("embedding"), nprobe)))
+    // maxBucketSize: the capTableBuckets contract on the IVF cell key —
+    // cells ∝ corpus bound ORGANIC occupancy, but identical vectors
+    // (failed encodes, defaults) all share one nearest centroid at any
+    // k, so the within-cell self-join goes quadratic in them exactly
+    // like a saturated hyperplane bucket. First-cap ids per probed cell.
+    val assigned = capTableBuckets(
+      df.select(col(idCol).as("id"), col("embedding"))
+        .withColumn("bucket", explode(index.probes(col("embedding"), nprobe))),
+      maxBucketSize)
     val a = assigned.as("a")
     val b = assigned.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -305,7 +305,14 @@ object ScaleBench {
     // cannot bound the bucket). Timed run = cosineNearDupPairsAuto with
     // maxBucketSize = 8: wall-clock must track the corpus; uncapped pair
     // counts in the detail grow ~quadratically in the hot set
-    "emb_cap")
+    "emb_cap",
+    // ivf_cap: the IVF-cell sibling of emb_cap — the same 10% constant
+    // vectors all share ONE nearest centroid at any k (cells bound
+    // ORGANIC occupancy only), so the within-cell self-join goes
+    // quadratic in the hot set. Index train is SETUP (cached per dir —
+    // a production index exists before any dedup pass); timed run =
+    // ivfNearDupPairs with maxBucketSize = 8
+    "ivf_cap")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -572,6 +579,21 @@ object ScaleBench {
           threshold = 0.9, dim = 64, corpusSize = Some(n), maxBucketSize = 8)
         .write.format("noop").mode("overwrite").save()
     }
+    // ivf_cap: index trained once per dir over the planted frame (setup,
+    // untimed); k ∝ √n — the ql30 assignment/pair-work optimum
+    val ivfCapSetups = scala.collection.mutable.Map[String,
+      (DataFrame, Long, graft.llm.Similarity.IvfIndex)]()
+    def ivfCapSetup(dir: String) = ivfCapSetups.getOrElseUpdate(dir, {
+      val (emb, n) = embCapVecs(dir)
+      val k = math.max(16, math.min(1024, 2 * math.ceil(math.sqrt(n.toDouble)).toInt))
+      (emb, n, graft.llm.Similarity.IvfIndex.train(emb, "vec_id", k = k))
+    })
+    def runIvfCap(dir: String): Unit = {
+      val (emb, _, index) = ivfCapSetup(dir)
+      graft.llm.Similarity.ivfNearDupPairs(emb, "vec_id", index,
+          threshold = 0.9, maxBucketSize = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // perceptual_cap: saturated-bucket fixture (real PNGs, 10% solid
     // color), setup-generated once per dir like the image rows
@@ -691,6 +713,7 @@ object ScaleBench {
       else if (q == "perceptual_cap") runPerceptualCap("/root/testdata/sf0.001")
       else if (q == "lsh_cap") runLshCap("/root/testdata/sf0.001")
       else if (q == "emb_cap") runEmbCap("/root/testdata/sf0.001")
+      else if (q == "ivf_cap") runIvfCap("/root/testdata/sf0.001")
       else if (q == "nightly_loop") runNightly("/root/testdata/sf0.001")
       else graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
@@ -717,6 +740,9 @@ object ScaleBench {
       audioSetup(base1x); audioSetup(out)
     }
     if (queries.contains("perceptual_cap")) { satSetup(base1x); satSetup(out) }
+    // the IVF index is setup: train BEFORE the timed loop so sample 1
+    // never pays the Lloyd iterations
+    if (queries.contains("ivf_cap")) { ivfCapSetup(base1x); ivfCapSetup(out) }
     if (queries.contains("nightly_loop")) {
       nightlySetup(base1x); nightlySetup(out)
       // the warm pass above timed nothing at this dir yet — clear the
@@ -740,6 +766,7 @@ object ScaleBench {
         else if (q == "perceptual_cap") runPerceptualCap(dir)
         else if (q == "lsh_cap") runLshCap(dir)
         else if (q == "emb_cap") runEmbCap(dir)
+        else if (q == "ivf_cap") runIvfCap(dir)
         else if (q == "nightly_loop") runNightly(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -827,6 +854,18 @@ object ScaleBench {
         s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
       }
       details += s""""emb_cap_detail":{${embDetail(base1x, "1x")},${embDetail(out, s"${copies}x")}}"""
+    }
+    if (rows.exists(_._1 == "ivf_cap")) {
+      def ivfDetail(dir: String, tag: String): String = {
+        val (emb, _, index) = ivfCapSetup(dir)
+        val hot = emb.filter(pmod(col("vec_id"), lit(10)) === 0).count()
+        val uncapped = graft.llm.Similarity.ivfNearDupPairs(emb, "vec_id", index,
+          threshold = 0.9).count()
+        val capped = graft.llm.Similarity.ivfNearDupPairs(emb, "vec_id", index,
+          threshold = 0.9, maxBucketSize = 8).count()
+        s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
+      }
+      details += s""""ivf_cap_detail":{${ivfDetail(base1x, "1x")},${ivfDetail(out, s"${copies}x")}}"""
     }
     if (nightlyPhases.nonEmpty) {
       def ph(dir: String, tag: String): String =

@@ -823,6 +823,33 @@ class LlmSpec extends SparkSpec {
         maxBucketSize = 0).collect())
   }
 
+  test("IVF cap: identical vectors share one nearest cell; maxBucketSize keeps the first-cap prefix") {
+    // well-separated clusters so Lloyd gives each its own centroid:
+    // 40 identical hot vectors, a far-away identical cold pair, a lone
+    // vector; nprobe = 1 keeps membership = exactly the nearest cell
+    val dim = 8
+    val hotVec = Array(10f, 10f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val coldVec = Array(0f, 0f, -10f, 10f, 0f, 0f, 0f, 0f)
+    val loneVec = Array(0f, 0f, 0f, 0f, 10f, -10f, 0f, 0f)
+    val df = ((1L to 40L).map(i => (i, hotVec)) ++
+      Seq((201L, coldVec), (202L, coldVec), (900L, loneVec)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.IvfIndex.train(df, "vec_id", k = 4)
+    def pairs(maxBucketSize: Int): Set[(Long, Long)] =
+      Similarity.ivfNearDupPairs(df, "vec_id", index, threshold = 0.999,
+        nprobe = 1, maxBucketSize = maxBucketSize)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Int.MaxValue)
+    assert(full.size == 40 * 39 / 2 + 1, s"uncapped must pair the hot cell + cold pair: ${full.size}")
+    val capped = pairs(5)
+    assert(capped.subsetOf(full))
+    val hotPrefix = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+    assert(capped == hotPrefix + ((201L, 202L)),
+      s"expected first-5 hot pairs + the cold under-cap pair at full recall, got $capped")
+    assert(pairs(40) == full, "cap >= max cell must change nothing")
+  }
+
   test("autoPlanes keeps bucket occupancy ~constant as the corpus grows") {
     // target 1024/bucket: below target -> floor; 1M rows -> 2^10 buckets
     assert(Similarity.autoPlanes(1000) == 4)
