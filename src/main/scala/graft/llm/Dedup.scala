@@ -527,13 +527,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        numHashes: Int = 64, bands: Int = 8): DataFrame = {
+                        numHashes: Int = 64, bands: Int = 8,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val shingleIds = tokenIds64(wordNgrams(col(textCol), n))
     val shingled = df.select(col(idCol).as("id"), shingleIds.as("sh"))
     val banded = bandedFromTokens(
       shingled.select(col("id"), col("sh").as("toks")), numHashes, bands)
-    val cands = candidatePairsFromBands(banded, numHashes)
+    val cands = candidatePairsFromBands(banded, numHashes, maxBucketSize)
     // Both rescore join-backs consume the SAME unrenamed (id, sh)
     // projection keyed on id, so their Exchanges canonicalize
     // identically and AQE plans the second as a ReusedExchange — the
@@ -889,9 +890,10 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, scoreCol: String,
                     index: graft.llm.Similarity.IvfIndex,
-                    threshold: Double, nprobe: Int = 2): DataFrame = {
+                    threshold: Double, nprobe: Int = 2,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val pairs = graft.llm.Similarity
-      .ivfNearDupPairs(df, idCol, index, threshold, nprobe)
+      .ivfNearDupPairs(df, idCol, index, threshold, nprobe, maxBucketSize)
       .select(col("doc_a"), col("doc_b"))
     dedupKeepBest(df, idCol, pairs, scoreCol)
   }

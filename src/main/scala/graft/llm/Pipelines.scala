@@ -126,12 +126,16 @@ object Pipelines {
                      minJaccard: Double = 0.7,
                      dropTail: Boolean = false,
                      materialize: Boolean = true,
-                     hashedTokenIds: Boolean = false): DataFrame = {
+                     hashedTokenIds: Boolean = false,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val (scrubbed, qualityOk) = stageDocs(docs, idCol, textCol, useC4Lines)
 
-    // 4. fuzzy dedup, keep the best-scored copy
+    // 4. fuzzy dedup, keep the best-scored copy (maxBucketSize df-cuts
+    // saturated signature buckets — mass-duplicated crawl boilerplate —
+    // the Dedup.capBandBuckets contract; default uncapped = exact)
     val pairs = Dedup.minHashLshCandidates(scrubbed, idCol, textCol,
-      minJaccard = minJaccard, hashedTokenIds = hashedTokenIds)
+      minJaccard = minJaccard, hashedTokenIds = hashedTokenIds,
+      maxBucketSize = maxBucketSize)
     val deduped = Dedup.dedupKeepBest(scrubbed, idCol, pairs, "score")
 
     // 5. per-language buckets
@@ -159,7 +163,8 @@ object Pipelines {
                                langCol: String = "lang", useC4Lines: Boolean = true,
                                minJaccard: Double = 0.7,
                                hashedTokenIds: Boolean = false,
-                               numHashes: Int = 64, bands: Int = 8)
+                               numHashes: Int = 64, bands: Int = 8,
+                               maxBucketSize: Int = Int.MaxValue)
 
   /** The incremental pre-training corpus state — everything a crawl
     * pipeline must carry between batches so that NO batch ever re-reads
@@ -243,9 +248,10 @@ object Pipelines {
       import spark.implicits._
       Seq((params.idCol, params.textCol, params.langCol, params.useC4Lines,
         params.minJaccard, params.hashedTokenIds, params.numHashes,
-        params.bands, indexTable.orNull))
+        params.bands, params.maxBucketSize, indexTable.orNull))
         .toDF("id_col", "text_col", "lang_col", "use_c4_lines", "min_jaccard",
-          "hashed_token_ids", "num_hashes", "bands", "index_table")
+          "hashed_token_ids", "num_hashes", "bands", "max_bucket_size",
+          "index_table")
         .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     }
 
@@ -293,7 +299,13 @@ object Pipelines {
         minJaccard = meta.getAs[Double]("min_jaccard"),
         hashedTokenIds = meta.getAs[Boolean]("hashed_token_ids"),
         numHashes = meta.getAs[Int]("num_hashes"),
-        bands = meta.getAs[Int]("bands"))
+        bands = meta.getAs[Int]("bands"),
+        // states saved before round 18 lack the column — uncapped is
+        // the exact-semantics default they were built with
+        maxBucketSize =
+          if (meta.schema.fieldNames.contains("max_bucket_size"))
+            meta.getAs[Int]("max_bucket_size")
+          else Int.MaxValue)
       // path-aware loadBucketed: a fresh application's in-memory catalog
       // has no `index_table` entry — re-register from the _bucketspec
       // sidecar so the nightly load → append → save loop works across
@@ -320,7 +332,8 @@ object Pipelines {
     val (staged, gateCache) = stageDocs(docs, idCol, textCol, useC4Lines)
     val index = Dedup.BandIndex.build(staged, idCol, textCol,
       numHashes, bands, hashedTokenIds)
-    val pairs = Dedup.minHashLshCandidatesFromIndex(index, numHashes, minJaccard)
+    val pairs = Dedup.minHashLshCandidatesFromIndex(index, numHashes, minJaccard,
+        maxBucketSize)
       .select(col("doc_a"), col("doc_b"))
     CrawlState(params, staged, index, pairs,
       TextAnalysis.lmEstimate(staged.select(col(langCol), col(textCol)),
@@ -391,7 +404,7 @@ object Pipelines {
           " — the convergence contract needs disjoint ids (dedup or re-key the batch)")
     }
     val newPairs = Dedup.minHashLshCandidatesAgainstIndex(newIdx, state.index,
-      numHashes, minJaccard, withinNew = true)
+      numHashes, minJaccard, withinNew = true, maxBucketSize = maxBucketSize)
       .select(col("doc_a"), col("doc_b"))
     CrawlState(state.params,
       staged = state.staged.unionByName(stagedBatch),

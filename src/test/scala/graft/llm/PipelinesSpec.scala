@@ -259,7 +259,10 @@ class PipelinesSpec extends SparkSpec {
       (50 to 52).map(i => (i.toLong, goodDoc(i), "en"))).toDF("doc_id", "text", "lang")
     val dir = java.nio.file.Files.createTempDirectory("crawl_state").toString
     spark.sqlContext.clearCache()
-    val params = Pipelines.CrawlParams(hashedTokenIds = true, numHashes = 32, bands = 4)
+    // maxBucketSize = 7 ≥ every bucket here (7 docs), so semantics stay
+    // exact while the FIELD itself is pinned through the meta round-trip
+    val params = Pipelines.CrawlParams(hashedTokenIds = true, numHashes = 32,
+      bands = 4, maxBucketSize = 7)
     Pipelines.initCrawlState(docsA, params).save(s"$dir/plain")
     // save owns write-then-release: no cached blocks survive it
     assert(spark.sharedState.cacheManager.isEmpty,
@@ -330,6 +333,25 @@ class PipelinesSpec extends SparkSpec {
     reloadedFresh.release()
     spark.sql("DROP TABLE IF EXISTS crawl_idx_spec")
     spark.sqlContext.clearCache()
+  }
+
+  test("CrawlState.load defaults maxBucketSize uncapped for states saved before the field existed") {
+    import spark.implicits._
+    val docs = (60 to 64).map(i => (i.toLong, goodDoc(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("crawl_legacy").toString
+    Pipelines.initCrawlState(docs).save(dir)
+    // rewrite the meta frame WITHOUT the round-18 column — the on-disk
+    // shape every pre-existing production state has
+    val meta = spark.read.parquet(s"$dir/meta").drop("max_bucket_size")
+    val rows = meta.collect().toSeq
+    val schema = meta.schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val loaded = Pipelines.CrawlState.load(spark, dir)
+    assert(loaded.params.maxBucketSize == Int.MaxValue,
+      "a legacy state must load with the exact (uncapped) semantics it was built with")
   }
 
   test("checkpoint() bounds gateCaches across a 12-append session (no unbounded growth)") {
