@@ -111,6 +111,10 @@ object Bench {
     // then the banded shared-segment join (qm8's frame-axis shape on the
     // audio axis); synthesis dominates like qm6/qm8
     "qm9_audio_neardup",
+    // qm10: image near-dup by shared tile hashes (round 18) — the frame
+    // axis transplanted to SPACE (crop-robust image matching); in-plan
+    // grid synthesis + per-tile dHash + the banded shared-tile join
+    "qm10_image_tile_neardup",
     // qm8: video near-dup by shared perceptual frames (round 17) — the
     // demuxed raw-DIB frames dHash on the slice projection, then the
     // qm3-family banded self-join at video level

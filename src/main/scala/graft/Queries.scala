@@ -689,6 +689,42 @@ object Queries {
     ordered(pairs)
   }
 
+  /** Q-M10 — image near-dup by shared TILE hashes, oracle-hashed end to
+    * end (round 18): the qm8 frame axis transplanted from time to SPACE.
+    * Every document becomes a 36×32 closed-form grayscale image (pixel =
+    * 1 + pmod(xxhash64(base_id·4096 + x·64 + y), 100) — the qm3 basis),
+    * and every 3rd doc gets a planted CROP: the bottom half (36×16,
+    * pixel (x, y) = original pixel (x, y+16)), whose whole-image dHash
+    * provably diverges (the global 8×9 block grid changes) but whose 2
+    * tiles are PIXEL-IDENTICAL to the original's bottom tiles. The grid
+    * flows through [[graft.sources.Multimodal.imageTileHashes]] (18×16
+    * tiles — the qm8 frame dimensions, so the oracle's block arithmetic
+    * is the proven 2×2 form) and the banded shared-tile join (bands = 4
+    * pinned for replay, maxHamming = 3, minSharedTiles = 2). The oracle
+    * recomputes per-tile block sums, comparison bits, band slices, exact
+    * string Hamming, the zero-hash tile cut, and the distinct-tile-pair
+    * count per image pair from the same closed form — the full
+    * synthesize → tile slice → hash → band join → agg chain is under
+    * the hash.
+    */
+  val qm10ImageTileNeardup: Q = (s, dir) => {
+    def grid(w: Int, h: Int, y0: Int) = expr(
+      s"""unhex(array_join(transform(sequence(0, ${w * h - 1}), p ->
+        lpad(hex(1 + pmod(xxhash64(base_id * 4096 + (p % $w) * 64 + ((p div $w) + $y0)), 100)),
+        2, '0')), ''))""")
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select((col("base_id") * 4).as("media_id"),
+      grid(36, 32, 0).as("gray"), lit(36).as("w"), lit(32).as("h"))
+    val crop = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select((col("base_id") * 4 + 1).as("media_id"),
+        grid(36, 16, 16).as("gray"), lit(36).as("w"), lit(16).as("h"))
+    val media = orig.unionByName(crop)
+    val tiles = graft.sources.Multimodal.imageTileHashes(media, "media_id",
+      "gray", "w", "h", tileW = 18, tileH = 16)
+    ordered(graft.sources.Multimodal.imageNearDupPairsByTilesFromHashes(
+      tiles, "media_id", bands = 4, maxHamming = 3, minSharedTiles = 2))
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2805,6 +2841,7 @@ object Queries {
     "qm7_avi_demux" -> qm7AviDemux,
     "qm8_video_neardup" -> qm8VideoNeardup,
     "qm9_audio_neardup" -> qm9AudioNeardup,
+    "qm10_image_tile_neardup" -> qm10ImageTileNeardup,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3279,6 +3316,29 @@ SELECT doc_a, doc_b, resemblance FROM sc WHERE resemblance >= 0.5 ORDER BY 1 NUL
     * rescore — byte-identical to the engine's integer-only
     * `bit_count(xor)` on the packed long.
     */
+  /** Q-M10 oracle: the qm8 tail with a TILE axis — per (image, tile)
+    * pixel values from the shared XXH64 chain (absolute coords = tile
+    * origin + local position + the crop's y-offset), 2×2 block sums,
+    * comparison bits → 64-char bit strings, the zero-hash tile cut
+    * (dropZeroTiles — `s <> repeat('0', 64)`), 16-bit band slices,
+    * image-level collisions (a.mid < b.mid), exact string Hamming ≤ 3,
+    * DISTINCT tile pairs, per-image-pair count ≥ 2.
+    */
+  private def qm10Sql: String =
+    s"""WITH imgs AS (SELECT doc_id AS base, doc_id * 4 AS mid, 4 AS nt, 0 AS y0 FROM documents UNION ALL SELECT doc_id, doc_id * 4 + 1, 2, 16 FROM documents WHERE doc_id % 3 = 0),
+tset(t) AS (VALUES (0), (1), (2), (3)),
+pos(p) AS (SELECT unnest(range(0, 288))),
+px AS (SELECT mid, t, p, CAST(base * 4096 + ((t % 2) * 18 + (p % 18)) * 64 + ((t // 2) * 16 + (p // 18) + y0) AS HUGEINT) AS v FROM imgs JOIN tset ON t < nt CROSS JOIN pos),
+${xxh64Ctes(Seq("mid", "t", "p"), "px")},
+pv AS (SELECT mid, t, p, ((h % 100) + 100) % 100 + 1 AS pxv FROM hs),
+blk AS (SELECT mid, t, (p // 18) // 2 AS r, (p % 18) // 2 AS c, SUM(pxv) AS sm FROM pv GROUP BY 1, 2, 3, 4),
+bits AS (SELECT l.mid, l.t, l.r * 8 + l.c AS b, CASE WHEN l.sm > r2.sm THEN '1' ELSE '0' END AS bit FROM blk l JOIN blk r2 ON l.mid = r2.mid AND l.t = r2.t AND l.r = r2.r AND r2.c = l.c + 1 WHERE l.c < 8),
+sig AS (SELECT mid, t, string_agg(bit, '' ORDER BY b) AS s FROM bits GROUP BY 1, 2),
+bd AS (SELECT mid, t, s, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) tj(j) WHERE s <> repeat('0', 64)),
+tp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.t AS ta, b.t AS tb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
+grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_tiles FROM tp GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared_tiles AS BIGINT) AS shared_tiles FROM grp WHERE shared_tiles >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
   private def qm3Sql: String =
     s"""WITH imgs AS (SELECT doc_id AS base, doc_id * 4 AS mid, 18 AS w, 16 AS ht, 1 AS sc, 0 AS br FROM documents UNION ALL SELECT doc_id, doc_id * 4 + 1, 36, 32, 2, 0 FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id, doc_id * 4 + 2, 18, 16, 1, 10 FROM documents WHERE doc_id % 5 = 0),
 pos(p) AS (SELECT unnest(range(0, 1152))),
@@ -3786,6 +3846,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // qm9: audio segment near-dup — the qm6 energy replay with a window
     // axis, segment pairs grouped to the per-clip-pair shared count
     "qm9_audio_neardup" -> qm9Sql,
+    // qm10: image tile near-dup — the qm3 pixel closed form with a TILE
+    // axis (18×16 tiles = the qm8 frame dims, so blk is the proven 2×2
+    // block arithmetic); the crop's pixels replay with the y+16 offset
+    "qm10_image_tile_neardup" -> qm10Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

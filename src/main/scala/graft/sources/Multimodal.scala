@@ -845,6 +845,138 @@ object Multimodal {
               height: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.PerceptualHash.dHash64(bytes, width, height)
 
+  /** Per-TILE dHashes over a decoded grayscale grid — the SPATIAL frame
+    * axis (round 18): the whole-image dHash collapses re-encodes but a
+    * CROPPED, letterboxed, or watermark-padded copy of the same picture
+    * changes the global 8×9 block grid and never matches — exactly the
+    * gap the frame axis closed for video (qm8) and the segment axis for
+    * audio (qm9), transplanted from time to space. The image splits into
+    * a grid of `tileW`×`tileH` tiles (row-major `tile_idx`; edge
+    * remainders beyond the last full tile are dropped — partial tiles
+    * have no stable block grid, the documented contract), each tile is
+    * dHashed independently, and two images are near-dups when ≥
+    * `minSharedTiles` tiles match perceptually through the qm8
+    * shared-signature join — a crop aligned to the tile grid realigns
+    * exactly (positions are distinctness markers, not required equal, so
+    * the crop's tile 0 matching the original's tile 3 counts).
+    *
+    * `dropZeroTiles` (default true) drops tiles whose hash is exactly 0
+    * — a UNIFORM tile (flat background, letterbox bars) has every block
+    * comparison false and hashes to 0, and at corpus scale every white
+    * background would otherwise collide into one saturated bucket of
+    * spurious matches (the solid-image class, tile-sized). A legitimate
+    * non-uniform tile hashing to exactly 0 is a 2^-64-class accident.
+    *
+    * Output: (idCol, tile_idx INT, n_tiles INT, thash LONG). Images with
+    * NULL gray or smaller than one tile emit no rows.
+    *
+    * Scale: the tile index explodes in a Generate and each tile is an
+    * `aggregate`-of-substrings projection riding the scan — zero
+    * shuffles, the gray grid never enters an Exchange (the sliceFrames
+    * plan family); only narrow (id, tile, hash) rows reach the join.
+    */
+  def imageTileHashes(images: DataFrame, idCol: String, grayCol: String,
+                      widthCol: String, heightCol: String,
+                      tileW: Int, tileH: Int,
+                      dropZeroTiles: Boolean = true): DataFrame = {
+    require(tileW >= 9, s"tileW must be >= 9 (dhash64 needs 9 block columns), got $tileW")
+    require(tileH >= 8, s"tileH must be >= 8 (dhash64 needs 8 block rows), got $tileH")
+    val tiled = images
+      .select(col(idCol), col(grayCol).as("_gray"),
+        col(widthCol).cast("int").as("_w"), col(heightCol).cast("int").as("_h"))
+      .filter(col("_gray").isNotNull && col("_w") >= tileW && col("_h") >= tileH)
+      // div yields LONG — cast back so the declared (tile_idx INT,
+      // n_tiles INT) contract holds (the audioSegmentHashes convention)
+      .withColumn("_tx", expr(s"_w div $tileW").cast("int"))
+      .withColumn("_nt", expr(s"(_w div $tileW) * (_h div $tileH)").cast("int"))
+      .select(col(idCol), col("_gray"), col("_w"), col("_tx"), col("_nt"),
+        explode(sequence(lit(0), col("_nt") - 1)).as("tile_idx"))
+      .select(col(idCol), col("tile_idx"), col("_nt").as("n_tiles"),
+        dHash64(
+          expr(s"""aggregate(transform(sequence(0, ${tileH - 1}),
+            r -> substring(_gray,
+              cast(((tile_idx div _tx) * $tileH + r) * _w +
+                (tile_idx % _tx) * $tileW + 1 as int),
+              $tileW)),
+            cast('' as binary), (acc, x) -> concat(acc, x))"""),
+          lit(tileW), lit(tileH)).as("thash"))
+    if (dropZeroTiles) tiled.filter(col("thash") =!= 0L) else tiled
+  }
+
+  /** The banding + tile-pairing half of [[imageNearDupPairsByTiles]] over
+    * ANY (idCol, tile_idx, thash) tile-hash frame — the
+    * [[videoNearDupPairsFromHashes]] twin for the spatial axis (custom
+    * tilers and pre-decoded corpora feed this). `bands` must be explicit
+    * here (callers own the sizing). Output: (doc_a, doc_b, shared_tiles),
+    * doc_a < doc_b, counting DISTINCT matched (tile_a, tile_b) pairs.
+    */
+  def imageNearDupPairsByTilesFromHashes(tileHashes: DataFrame, idCol: String,
+                                         bands: Int, maxHamming: Int = 3,
+                                         minSharedTiles: Int = 2,
+                                         maxBucketSize: Int = Int.MaxValue): DataFrame =
+    sharedSignaturePairs(
+      tileHashes.select(col(idCol), col("tile_idx"), col("thash")),
+      idCol, "tile_idx", "thash", bands, maxHamming, minSharedTiles,
+      maxBucketSize, "shared_tiles")
+
+  /** Image near-dup pairs by SHARED TILE HASHES over real encoded bytes —
+    * [[videoNearDupPairs]] for the spatial axis: [[decodeImage]] →
+    * [[imageTileHashes]] → the banded shared-signature join. Catches the
+    * copy classes the whole-image dHash provably misses: crops aligned
+    * to the tile grid, watermark/banner additions outside the surviving
+    * tiles, letterboxing (the bars are uniform tiles, dropped). Output:
+    * (doc_a, doc_b, shared_tiles) with doc_a < doc_b.
+    *
+    * Scale: decode touches only the narrow (id, bytes) projection inside
+    * the pair stage's reused Exchange; only (id, tile, hash) rows
+    * shuffle; `bands = 0` sizes from the IMAGE count (tile multiplicity
+    * is grid-bounded — the [[videoNearDupPairs]] argument);
+    * `maxBucketSize` bounds any residual saturated bucket.
+    */
+  def imageNearDupPairsByTiles(media: DataFrame, idCol: String, bytesCol: String,
+                               tileW: Int = 36, tileH: Int = 32,
+                               bands: Int = 0, maxHamming: Int = 3,
+                               minSharedTiles: Int = 2,
+                               dropZeroTiles: Boolean = true,
+                               maxBucketSize: Int = Int.MaxValue,
+                               corpusSize: Option[Long] = None): DataFrame = {
+    val b0 =
+      if (bands == 0)
+        derivedBands(corpusSize.getOrElse(media.select(col(idCol)).count()), maxHamming)
+      else bands
+    val decoded = decodeImage(media.select(col(idCol), col(bytesCol)), bytesCol,
+      widthCol = "_dec_w", heightCol = "_dec_h", grayCol = "_dec_gray")
+    val tiles = imageTileHashes(decoded, idCol, "_dec_gray", "_dec_w", "_dec_h",
+      tileW, tileH, dropZeroTiles)
+    imageNearDupPairsByTilesFromHashes(tiles, idCol, b0, maxHamming,
+      minSharedTiles, maxBucketSize)
+  }
+
+  /** One-call TILE-level image dedup: [[imageNearDupPairsByTiles]] →
+    * keep-best ([[graft.llm.Dedup.dedupKeepBest]]) — the
+    * [[dedupImagesPerceptual]] upgrade for cropped/padded copies, same
+    * contracts: survivors join back to the RAW media, undecodable rows
+    * and sub-tile images survive untouched (no tile rows, never pair),
+    * and the bands=0 sizing count runs on the raw frame, never
+    * downstream of the decode barrier.
+    */
+  def dedupImagesByTiles(media: DataFrame, idCol: String, bytesCol: String,
+                         scoreCol: String, tileW: Int = 36, tileH: Int = 32,
+                         bands: Int = 0, maxHamming: Int = 3,
+                         minSharedTiles: Int = 2,
+                         dropZeroTiles: Boolean = true,
+                         maxBucketSize: Int = Int.MaxValue,
+                         corpusSize: Option[Long] = None): DataFrame = {
+    val sizing =
+      if (bands == 0) Some(corpusSize.getOrElse(media.select(col(idCol)).count()))
+      else corpusSize
+    val pairs = imageNearDupPairsByTiles(media, idCol, bytesCol, tileW, tileH,
+        bands, maxHamming, minSharedTiles, dropZeroTiles, maxBucketSize,
+        corpusSize = sizing)
+      .select(col("doc_a"), col("doc_b"))
+    graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
+  }
+
   /** Near-duplicate media pairs from a 64-bit perceptual hash column —
     * the [[graft.llm.Dedup.simHashCandidates]] shape on a LongType
     * signature: the hash splits into `bands` contiguous bit slices, docs

@@ -124,6 +124,13 @@ object PlanAudit {
       "never in an Exchange -- typed gate), audiohash64 is codegen'd per window, the " +
       "banded self-join keys 8-byte (band, slice) rows at CLIP level, and the " +
       "distinct-segment-pair count is the same ONE collect_set agg as qm8"),
+    "qm10_image_tile_neardup" -> ("image near-dup by shared TILE hashes (the qm8 recipe " +
+      "on the SPATIAL axis -- crop-robust matching): tile slicing is a Generate + " +
+      "aggregate-of-substrings projection riding the scan (the gray grid never in an " +
+      "Exchange -- typed gate), dhash64 is codegen'd per 18x16 tile, the banded " +
+      "self-join keys 8-byte (band, slice) rows at IMAGE level (same-image tiles " +
+      "never pair), and the distinct-tile-pair count is the same ONE collect_set " +
+      "agg as qm8/qm9"),
     "qm7_avi_demux" -> ("REAL AVI container demux: the fixture container (LIST nesting, " +
       "word pads, little-endian sizes) builds in a scan-riding projection, the RIFF " +
       "walker recovers frame spans inside the mapPartitions boundary, and the sampled " +
@@ -483,6 +490,12 @@ object PlanAudit {
     // collect_set pair agg + harness ORDER BY; PCM never in an Exchange
     "qm9_audio_neardup" -> Shape(4, forbid = noCross ++ noSmj,
       require = Seq("ShuffledHashJoin", "audiohash64", "partial_collect_set"),
+      noWideShuffle = true),
+    // qm10: the spatial axis — same budget: band-join sides + ONE
+    // collect_set pair agg + harness ORDER BY; the gray grid never in
+    // an Exchange
+    "qm10_image_tile_neardup" -> Shape(4, forbid = noCross ++ noSmj,
+      require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
       noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the
     // "<=k rows per map task enter the shuffle" claim

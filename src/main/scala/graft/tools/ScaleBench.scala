@@ -262,6 +262,13 @@ object ScaleBench {
     // anti-join narrows the postings, stats subtract — index-sized terms
     // are narrow scans, so the 10× ratio must stay far under 10
     "bm25_remove",
+    // qm10: image near-dup by shared tile hashes — in-plan grid
+    // synthesis, per-tile dHash (a Generate + aggregate-of-substrings
+    // projection riding the scan), then the banded shared-tile join; ids
+    // are base·4(+1) (collision-free at the 10x id range) and pixels are
+    // id-derived, so cross-copy candidates are noise-level — the chain
+    // must scale ~linearly like qm8/qm9 (its temporal siblings)
+    "qm10_image_tile_neardup",
     // qm9: segment-level audio near-dup — in-plan WAV synthesis through
     // the real RIFF parser, windowed segment hashes (a Generate +
     // substring projection riding the scan), then the banded

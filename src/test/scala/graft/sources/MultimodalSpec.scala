@@ -272,4 +272,122 @@ class MultimodalSpec extends SparkSpec {
     assert(fired.last.fields("dropped_rows").toLong == 4L * 13L)
     assert(sigs("38").isEmpty, "a cap that dropped nothing must stay silent")
   }
+
+  /** Deterministic avalanche gray grid (row-major w×h bytes). */
+  private def avGrid(seed: Long, w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h) { p =>
+      var hs = seed * 2654435761L + (p % w).toLong * 1315423911L + (p / w).toLong * 97531L
+      hs ^= hs >>> 33; hs *= -49064778989728563L; hs ^= hs >>> 33
+      ((((hs % 200) + 200) % 200) + 1).toByte
+    }
+
+  test("imageTileHashes: tile slicing is pixel-exact; edge remainders drop; sub-tile images emit nothing") {
+    import spark.implicits._
+    // 37×33 image with 18×16 tiles → 2×2 = 4 full tiles; the 37th
+    // column and 33rd row are remainder pixels, dropped by contract
+    val (w, h) = (37, 33)
+    val g = avGrid(5L, w, h)
+    val df = Seq((1L, g, w, h)).toDF("media_id", "gray", "w", "h")
+    val got = Multimodal.imageTileHashes(df, "media_id", "gray", "w", "h",
+        tileW = 18, tileH = 16, dropZeroTiles = false)
+      .select("tile_idx", "n_tiles", "thash")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    def handTile(tr: Int, tc: Int): Array[Byte] = {
+      val out = new Array[Byte](18 * 16)
+      for (r <- 0 until 16; c <- 0 until 18)
+        out(r * 18 + c) = g((tr * 16 + r) * w + tc * 18 + c)
+      out
+    }
+    val expect = (0 until 4).map { idx =>
+      graft.functions.DHash64(null, null, null)
+        .route(handTile(idx / 2, idx % 2), 18, 16).longValue()
+    }
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3) && got.forall(_._2 == 4))
+    assert(got.map(_._3).toSeq == expect,
+      "each tile hash must equal dhash64 of the hand-sliced tile bytes")
+    // narrower than one tile → nothing to hash
+    val thin = Seq((2L, avGrid(6L, 17, 33), 17, 33)).toDF("media_id", "gray", "w", "h")
+    assert(Multimodal.imageTileHashes(thin, "media_id", "gray", "w", "h", 18, 16).count() == 0)
+    intercept[IllegalArgumentException](
+      Multimodal.imageTileHashes(df, "media_id", "gray", "w", "h", 8, 16))
+  }
+
+  test("tile near-dup collapses a CROPPED copy the whole-image dHash provably misses") {
+    import spark.implicits._
+    // base 36×32; the copy is the BOTTOM HALF (36×16) — the crop class
+    // VERDICT-style gap analysis names: the whole-image 8×9 block grid
+    // shifts, but the crop's 2 tiles are pixel-identical to the base's
+    val (w, h) = (36, 32)
+    val base = avGrid(11L, w, h)
+    val crop = base.slice(16 * w, 32 * w)
+    val other = avGrid(29L, w, h)
+    val media = Seq((1L, base, w, h), (2L, crop, w, 16), (3L, other, w, h))
+      .toDF("media_id", "gray", "w", "h")
+    // the gap, machine-checked: whole-image dHashes do NOT pair the crop
+    val whole = Multimodal.perceptualNearDupPairs(
+      media.withColumn("dh", Multimodal.dHash64(col("gray"), col("w"), col("h"))),
+      "media_id", "dh", bands = 4, maxHamming = 3).count()
+    assert(whole == 0, "whole-image hashes must NOT collapse a crop " +
+      "(if this starts passing the tile path is redundant — re-judge)")
+    // the tile path closes it
+    val tiles = Multimodal.imageTileHashes(media, "media_id", "gray", "w", "h",
+      tileW = 18, tileH = 16)
+    val pairs = Multimodal.imageNearDupPairsByTilesFromHashes(tiles, "media_id",
+        bands = 4, maxHamming = 0, minSharedTiles = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)),
+      s"crop must share exactly its 2 aligned tiles: ${pairs.toSeq}")
+  }
+
+  test("dedupImagesByTiles: a real-PNG crop collapses keep-best; corrupt rows survive") {
+    import spark.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    def png(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = gray(y * w + x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val (w, h) = (36, 32)
+    val base = avGrid(41L, w, h)
+    val media = Seq(
+      (10L, png(base, w, h), 0.9),
+      (11L, png(base.slice(16 * w, 32 * w), w, 16), 0.5), // bottom-half crop
+      (20L, png(avGrid(43L, w, h), w, h), 0.4),           // distinct image
+      (30L, Array.fill[Byte](7)(3), 0.1)                  // corrupt blob
+    ).toDF("media_id", "bytes", "score")
+    val kept = Multimodal.dedupImagesByTiles(media, "media_id", "bytes", "score",
+        tileW = 18, tileH = 16, bands = 4, maxHamming = 0)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L, 30L),
+      s"keep-best must keep the higher-scored original, singletons, corrupt rows: $kept")
+  }
+
+  test("dropZeroTiles: uniform tiles never manufacture pairs; disabled, they do") {
+    import spark.implicits._
+    // two images sharing ONLY a solid-white tile region (uniform → tile
+    // hash exactly 0); their textured tiles are unrelated
+    val (w, h) = (36, 16)
+    def withSolidLeft(seed: Long): Array[Byte] = {
+      val g = avGrid(seed, w, h)
+      for (r <- 0 until 16; c <- 0 until 18) g(r * w + c) = -1 // 0xff left tile
+      g
+    }
+    val media = Seq((1L, withSolidLeft(51L), w, h), (2L, withSolidLeft(53L), w, h))
+      .toDF("media_id", "gray", "w", "h")
+    def shared(drop: Boolean): Long =
+      Multimodal.imageNearDupPairsByTilesFromHashes(
+        Multimodal.imageTileHashes(media, "media_id", "gray", "w", "h",
+          18, 16, dropZeroTiles = drop),
+        "media_id", bands = 4, maxHamming = 0, minSharedTiles = 1).count()
+    assert(shared(drop = true) == 0,
+      "a shared flat background must not make two unrelated images near-dups")
+    assert(shared(drop = false) == 1,
+      "with the guard off the uniform tiles pair (proving the guard is what blocks them)")
+  }
 }
