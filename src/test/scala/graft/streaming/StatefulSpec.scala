@@ -515,6 +515,55 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("image TILES stream through frameAxisNearDupPairsStream (spatial axis — the qm10 contract)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      // real tile hashes from imageTileHashes: a base image and its
+      // bottom-half crop (pixel-identical bottom tiles) + a distinct
+      // image — the streamed candidates + batch tail must equal the
+      // batch operator exactly (the audio whole-clip pin's sibling)
+      def grid(seed: Long, w: Int, h: Int): Array[Byte] =
+        Array.tabulate(w * h) { p =>
+          var hs = seed * 2654435761L + (p % w).toLong * 1315423911L + (p / w).toLong * 97531L
+          hs ^= hs >>> 33; hs *= -49064778989728563L; hs ^= hs >>> 33
+          ((((hs % 200) + 200) % 200) + 1).toByte
+        }
+      val base = grid(7L, 36, 32)
+      val media = Seq((1L, base, 36, 32),
+        (2L, base.slice(16 * 36, 32 * 36), 36, 16), (3L, grid(9L, 36, 32), 36, 32))
+        .toDF("media_id", "gray", "w", "h")
+      val tiles = graft.sources.Multimodal.imageTileHashes(media, "media_id",
+          "gray", "w", "h", tileW = 18, tileH = 16)
+        .select("media_id", "tile_idx", "thash")
+        .as[(Long, Int, Long)].collect().toSeq
+      val stream = MemoryStream[(Long, Int, Long)]
+      val pairs = Stateful.frameAxisNearDupPairsStream(stream.toDS(),
+        bands = 4, maxHamming = 0)
+        .toDF("item_a", "pos_a", "item_b", "pos_b", "hamming")
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int, Long, Int)]()
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add(
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))))
+        }.start()
+      try {
+        val (b1, b2) = tiles.splitAt(tiles.length / 2)
+        stream.addData(b1: _*); q.processAllAvailable()
+        stream.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val shared = Stateful.frameAxisSharedCounts(
+        got.asScala.toSeq.toDF("item_a", "pos_a", "item_b", "pos_b"), minShared = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val want = graft.sources.Multimodal.imageNearDupPairsByTilesFromHashes(
+        tiles.toDF("media_id", "tile_idx", "thash"), "media_id",
+        bands = 4, maxHamming = 0, minSharedTiles = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(shared == want, s"streamed tail $shared != batch operator $want")
+      assert(want == Map((1L, 2L) -> 2L), s"the crop's 2 tiles must survive the cut: $want")
+    }
+  }
+
   test("frameAxisNearDupPairsStream: out-of-range items/positions raise instead of wrapping") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     withRocksDb {
