@@ -977,6 +977,22 @@ object Multimodal {
     graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
   }
 
+  /** Derived band count for a 64-bit signature, shared by every banded
+    * media pair join: [[graft.llm.Dedup.autoBands]] over the corpus size
+    * (occupancy-constant collision noise), CLAMPED to the pigeonhole
+    * floor — `maxHamming` differing bits can split across at most
+    * maxHamming+1 contiguous slices, so fewer bands than that silently
+    * drops true pairs (autoBands can return 2 for large corpora while
+    * the default maxHamming is 3). The clamp trades band-collision noise
+    * (more candidates into the exact rescore) for the documented recall
+    * guarantee, never the reverse.
+    */
+  private[graft] def derivedBands(sizeBound: Long, maxHamming: Int): Int = {
+    val derived = graft.llm.Dedup.autoBands(math.max(sizeBound, 1L))
+    val floor = Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).getOrElse(64)
+    math.max(derived, floor)
+  }
+
   /** Near-duplicate media pairs from a 64-bit perceptual hash column —
     * the [[graft.llm.Dedup.simHashCandidates]] shape on a LongType
     * signature: the hash splits into `bands` contiguous bit slices, docs
@@ -995,22 +1011,6 @@ object Multimodal {
     * A pinned `bands` stays available for oracle replay (the Q-L52
     * convention; Q-M3 pins 4).
     */
-  /** Derived band count for a 64-bit signature, shared by every banded
-    * media pair join: [[graft.llm.Dedup.autoBands]] over the corpus size
-    * (occupancy-constant collision noise), CLAMPED to the pigeonhole
-    * floor — `maxHamming` differing bits can split across at most
-    * maxHamming+1 contiguous slices, so fewer bands than that silently
-    * drops true pairs (autoBands can return 2 for large corpora while
-    * the default maxHamming is 3). The clamp trades band-collision noise
-    * (more candidates into the exact rescore) for the documented recall
-    * guarantee, never the reverse.
-    */
-  private[graft] def derivedBands(sizeBound: Long, maxHamming: Int): Int = {
-    val derived = graft.llm.Dedup.autoBands(math.max(sizeBound, 1L))
-    val floor = Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).getOrElse(64)
-    math.max(derived, floor)
-  }
-
   def perceptualNearDupPairs(media: DataFrame, idCol: String, hashCol: String,
                              bands: Int = 0, maxHamming: Int = 3,
                              maxBucketSize: Int = Int.MaxValue,
