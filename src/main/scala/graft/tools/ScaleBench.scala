@@ -269,6 +269,12 @@ object ScaleBench {
     // id-derived, so cross-copy candidates are noise-level — the chain
     // must scale ~linearly like qm8/qm9 (its temporal siblings)
     "qm10_image_tile_neardup",
+    // qm11: video soundtrack near-dup — in-plan two-stream AVI synthesis
+    // through the real hdrl walk + wb-span concat + PCM downmix, then the
+    // qm9 segment chain; ids are base·2(+1) and samples are id-derived,
+    // so cross-copy candidates are noise-level — must scale ~linearly
+    // like qm9 (same join family, same synthesis dominance)
+    "qm11_video_soundtrack_neardup",
     // qm9: segment-level audio near-dup — in-plan WAV synthesis through
     // the real RIFF parser, windowed segment hashes (a Generate +
     // substring projection riding the scan), then the banded
@@ -573,13 +579,19 @@ object ScaleBench {
     // copies, so the hot hyperplane bucket grows with the corpus
     val embCapConst = array((1 to 64).map(j =>
       lit((((j * 13) % 17) - 8).toFloat / 8f)): _*)
-    def embCapVecs(dir: String): (DataFrame, Long) = {
-      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"),
-          when(pmod(col("vec_id"), lit(10)) === 0, embCapConst)
-            .otherwise(col("embedding")).as("embedding"))
-      (emb, emb.count())
-    }
+    // per-dir cached (ADVICE r18): the corpus count is SETUP — it exists
+    // precisely so cosineNearDupPairsAuto skips its own sizing pass, and
+    // paying it inside the timed window made emb_cap measure a full
+    // extra scan per iteration
+    val embCapSetups = scala.collection.mutable.Map[String, (DataFrame, Long)]()
+    def embCapVecs(dir: String): (DataFrame, Long) =
+      embCapSetups.getOrElseUpdate(dir, {
+        val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(10)) === 0, embCapConst)
+              .otherwise(col("embedding")).as("embedding"))
+        (emb, emb.count())
+      })
     def runEmbCap(dir: String): Unit = {
       val (emb, n) = embCapVecs(dir)
       graft.llm.Similarity.cosineNearDupPairsAuto(emb, "vec_id",
@@ -747,6 +759,7 @@ object ScaleBench {
       audioSetup(base1x); audioSetup(out)
     }
     if (queries.contains("perceptual_cap")) { satSetup(base1x); satSetup(out) }
+    if (queries.contains("emb_cap")) { embCapVecs(base1x); embCapVecs(out) }
     // the IVF index is setup: train BEFORE the timed loop so sample 1
     // never pays the Lloyd iterations
     if (queries.contains("ivf_cap")) { ivfCapSetup(base1x); ivfCapSetup(out) }
@@ -756,8 +769,25 @@ object ScaleBench {
       // phase minima it recorded at sf0.001 only (keyed by dir, so no-op)
     }
 
+    // MAX-TASK evidence (VERDICT r18 #1): the map-side bucket pre-cut
+    // claims the saturated bucket's single reducer task stays bounded —
+    // flat wall-clock alone can hide a straggler behind 31 idle cores,
+    // so record the longest task of each timed sample and report it for
+    // the cap rows (maxtask_sec_* in the detail objects)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) {
+          val d = e.taskInfo.duration
+          var cur = maxTaskMs.get()
+          while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+        }
+    })
+    val maxTaskSec = scala.collection.mutable.Map[(String, String), Double]()
+    val timeMin = scala.collection.mutable.Map[(String, String), Double]()
     def time(q: String, dir: String): Double =
       (1 to 2).map { _ =>
+        maxTaskMs.set(0L)
         val t0 = System.nanoTime()
         if (q == "ql50_pretrain_sink") runSink(dir)
         else if (q == "knn_insert") runKnnInsert(dir)
@@ -777,7 +807,14 @@ object ScaleBench {
         else if (q == "nightly_loop") runNightly(dir)
         else graft.SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // keep the max-task of the FASTEST sample (the one the row reports)
+        val k = (q, dir)
+        if (sec <= timeMin.getOrElse(k, Double.MaxValue)) {
+          maxTaskSec(k) = maxTaskMs.get() / 1e3
+          timeMin(k) = sec
+        }
+        sec
       }.min
 
     // loadavg bookends (the Bench.scala round-11 convention): three
@@ -834,7 +871,9 @@ object ScaleBench {
         hashes.unpersist()
         s""""solid_$tag":$solid,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
       }
-      details += s""""perceptual_cap_detail":{${capDetail(base1x, "1x")},${capDetail(out, s"${copies}x")}}"""
+      def mt(dir: String, tag: String): String =
+        f""""maxtask_sec_$tag":${maxTaskSec.getOrElse(("perceptual_cap", dir), -1.0)}%.2f"""
+      details += s""""perceptual_cap_detail":{${capDetail(base1x, "1x")},${capDetail(out, s"${copies}x")},${mt(base1x, "1x")},${mt(out, s"${copies}x")}}"""
     }
     if (rows.exists(_._1 == "lsh_cap")) {
       // pair-volume evidence (UNTIMED): uncapped = the quadratic hot-set

@@ -222,8 +222,13 @@ class StatefulSpec extends SparkSpec {
           batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
         }.start()
       try {
-        stream.addData(hot.take(4): _*) // exactly the cap — all admitted
-        q.processAllAvailable()
+        // ONE doc per trigger (ADVICE r18): Spark does not guarantee
+        // row order per key after the shuffle into the stateful
+        // operator, so feeding 4 docs in one trigger made "which 4 the
+        // cap admits" order-dependent — per-row triggers make arrival
+        // order = id order by construction, which the batch-equality
+        // pin below depends on
+        hot.take(4).foreach { d => stream.addData(d); q.processAllAvailable() }
         stream.addData(hot.drop(4): _*) // saturated — all dropped
         q.processAllAvailable()
         stream.addData(cold: _*)
