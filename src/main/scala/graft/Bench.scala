@@ -118,7 +118,11 @@ object Bench {
     // qm8: video near-dup by shared perceptual frames (round 17) — the
     // demuxed raw-DIB frames dHash on the slice projection, then the
     // qm3-family banded self-join at video level
-    "qm8_video_neardup"
+    "qm8_video_neardup",
+    // qm11: video near-dup by SOUNDTRACK (round 19) — two-stream AVI
+    // synthesis through the real hdrl/wb demux + PCM downmix, windowed
+    // segment hashes, the qm9 banded join; synthesis dominates like qm9
+    "qm11_video_soundtrack_neardup"
   )
 
   /** Box-drift controls: stable scan+agg rows whose plans haven't changed

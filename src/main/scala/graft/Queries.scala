@@ -725,6 +725,67 @@ object Queries {
       tiles, "media_id", bands = 4, maxHamming = 3, minSharedTiles = 2))
   }
 
+
+  /** Q-M11 — video near-dup by SOUNDTRACK, oracle-hashed end to end
+    * (round 19: [[graft.sources.Multimodal.extractAviAudio]] →
+    * [[graft.sources.Multimodal.audioSegmentHashes]] →
+    * [[graft.sources.Multimodal.audioNearDupPairsFromHashes]] via the
+    * one-call [[graft.sources.Multimodal.videoSoundtrackNearDupPairs]]):
+    * every document becomes a byte-complete two-stream RIFF/AVI built
+    * IN-PLAN — a real hdrl stream table (strl 0 = vids, strl 1 = auds
+    * with a PCM WAVEFORMATEX), one 288-byte video frame whose pixels are
+    * keyed by MEDIA id (so the copy is a different render, sharing zero
+    * video bytes), and a 390-sample soundtrack keyed by BASE id split
+    * across TWO `01wb` chunks (sample g = pmod(xxhash64(base_id·2^20 +
+    * g), 16384) − 8192 — the qm6 closed form on a fresh index domain).
+    * Every 3rd document gets a copy with the SAME soundtrack under the
+    * different render — the class every frame axis provably misses
+    * (AviSpec pins the miss) and the soundtrack axis exists to catch.
+    * The oracle replays window energies → bits → band slices → segment
+    * pairs → per-video-pair counts from the closed form with ZERO
+    * container arithmetic, so the engine's stream table walk, wb-span
+    * concatenation across chunks, PCM downmix, window slicing, hashing,
+    * and band join are all under the hash.
+    */
+  val qm11VideoSoundtrackNeardup: Q = (s, dir) => {
+    def le16(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    def le32(v: Int) = le16(v & 0xffff) + le16(v >>> 16)
+    def ascii(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    // hdrl stream table: strl 0 = vids (strh + 40-byte strf), strl 1 =
+    // auds (strh + 16-byte PCM WAVEFORMATEX: tag 1, mono, 16 kHz, 16-bit)
+    val strlVid = ascii("LIST") + le32(116) + ascii("strl") +
+      ascii("strh") + le32(56) + ascii("vids") + ("00" * 52) +
+      ascii("strf") + le32(40) + ("00" * 40)
+    val strlAud = ascii("LIST") + le32(92) + ascii("strl") +
+      ascii("strh") + le32(56) + ascii("auds") + ("00" * 52) +
+      ascii("strf") + le32(16) + le16(1) + le16(1) + le32(16000) +
+      le32(32000) + le16(2) + le16(16)
+    val hdrl = ascii("LIST") + le32(292) + ascii("hdrl") +
+      ascii("avih") + le32(56) + ("00" * 56) + strlVid + strlAud
+    def sampleHex(g: String) =
+      s"concat(substring(lpad(hex(pmod(pmod(xxhash64(base_id * 1048576 + $g), 16384) - 8192, 65536)), 4, '0'), 3, 2), " +
+        s"substring(lpad(hex(pmod(pmod(xxhash64(base_id * 1048576 + $g), 16384) - 8192, 65536)), 4, '0'), 1, 2))"
+    def wbHex(from: Int, until: Int) =
+      s"array_join(transform(sequence($from, ${until - 1}), g -> ${sampleHex("g")}), '')"
+    // the render: keyed by media_id, so orig and copy share NO video byte
+    val vidHex =
+      "array_join(transform(sequence(0, 287), j -> lpad(hex(1 + pmod(xxhash64(media_id * 65536 + j), 100)), 2, '0')), '')"
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select(col("base_id"), (col("base_id") * 2).as("media_id"))
+    val copy = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select(col("base_id"), (col("base_id") * 2 + 1).as("media_id"))
+    val media = orig.unionByName(copy).withColumn("bytes", expr(
+      s"""unhex(concat('${ascii("RIFF")}', '${le32(1408)}', '${ascii("AVI ")}', '$hdrl',
+        '${ascii("LIST")}', '${le32(1096)}', '${ascii("movi")}',
+        '${ascii("00db")}', '${le32(288)}', $vidHex,
+        '${ascii("01wb")}', '${le32(400)}', ${wbHex(0, 200)},
+        '${ascii("01wb")}', '${le32(380)}', ${wbHex(200, 390)}))"""))
+      .select(col("media_id"), col("bytes"))
+    ordered(graft.sources.Multimodal.videoSoundtrackNearDupPairs(
+      media, "media_id", "bytes", windowSamples = 130, hopSamples = 130,
+      bands = 4, maxHamming = 3, minSharedSegments = 2))
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2842,6 +2903,7 @@ object Queries {
     "qm8_video_neardup" -> qm8VideoNeardup,
     "qm9_audio_neardup" -> qm9AudioNeardup,
     "qm10_image_tile_neardup" -> qm10ImageTileNeardup,
+    "qm11_video_soundtrack_neardup" -> qm11VideoSoundtrackNeardup,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3218,6 +3280,27 @@ fr AS (SELECT doc_id, CAST(g // 130 AS INT) AS k, CAST((g % 130) // 2 AS INT) AS
 bt AS (SELECT a.doc_id, a.k, a.j AS jj, CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND a.k = b.k AND b.j = a.j + 1 WHERE a.j < 64),
 sig AS (SELECT doc_id, k, string_agg(bit, '' ORDER BY jj) AS s FROM bt GROUP BY 1, 2),
 segs AS (SELECT doc_id * 2 AS mid, k AS seg, s FROM sig UNION ALL SELECT doc_id * 2 + 1, k - 1, s FROM sig WHERE doc_id % 3 = 0 AND k >= 1),
+bd AS (SELECT mid, seg, s, j, substr(s, j * 16 + 1, 16) AS bh FROM segs CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)),
+fp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.seg AS sa, b.seg AS sb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
+grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_segments FROM fp GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared_segments AS BIGINT) AS shared_segments FROM grp WHERE shared_segments >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
+
+  /** Q-M11 oracle: the qm9 energy machinery on the soundtrack axis —
+    * the copy's windows ARE the original's (same base closed form,
+    * UNSHIFTED: same audio, different render), so zero container, span,
+    * or downmix arithmetic happens on this side; the engine's hdrl
+    * walk, wb concatenation, and PCM mix are all under the hash.
+    */
+  private def qm11Sql: String =
+    s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, 389)) AS g FROM documents),
+src AS (SELECT doc_id, g, CAST(doc_id * 1048576 + g AS HUGEINT) AS v FROM px),
+${xxh64Ctes(Seq("doc_id", "g"), "src")},
+sm AS (SELECT doc_id, g, ((h % 16384) + 16384) % 16384 - 8192 AS s FROM hs),
+fr AS (SELECT doc_id, CAST(g // 130 AS INT) AS k, CAST((g % 130) // 2 AS INT) AS j, SUM(s * s) AS e FROM sm GROUP BY 1, 2, 3),
+bt AS (SELECT a.doc_id, a.k, a.j AS jj, CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND a.k = b.k AND b.j = a.j + 1 WHERE a.j < 64),
+sig AS (SELECT doc_id, k, string_agg(bit, '' ORDER BY jj) AS s FROM bt GROUP BY 1, 2),
+segs AS (SELECT doc_id * 2 AS mid, k AS seg, s FROM sig UNION ALL SELECT doc_id * 2 + 1, k, s FROM sig WHERE doc_id % 3 = 0),
 bd AS (SELECT mid, seg, s, j, substr(s, j * 16 + 1, 16) AS bh FROM segs CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)),
 fp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.seg AS sa, b.seg AS sb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
 grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_segments FROM fp GROUP BY 1, 2)
@@ -3850,6 +3933,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // axis (18×16 tiles = the qm8 frame dims, so blk is the proven 2×2
     // block arithmetic); the crop's pixels replay with the y+16 offset
     "qm10_image_tile_neardup" -> qm10Sql,
+    // qm11: video soundtrack near-dup — the qm9 energy replay,
+    // unshifted copy (same audio, different render); the AVI stream
+    // table, wb spans, and downmix live only on the engine side
+    "qm11_video_soundtrack_neardup" -> qm11Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

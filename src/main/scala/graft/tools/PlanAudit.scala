@@ -131,6 +131,12 @@ object PlanAudit {
       "self-join keys 8-byte (band, slice) rows at IMAGE level (same-image tiles " +
       "never pair), and the distinct-tile-pair count is the same ONE collect_set " +
       "agg as qm8/qm9"),
+    "qm11_video_soundtrack_neardup" -> ("video near-dup by SOUNDTRACK (the cross-modal " +
+      "axis): the two-stream AVI fixture builds in a scan-riding projection, the hdrl " +
+      "stream-table walk + wb-span concatenation + PCM downmix run inside the " +
+      "mapPartitions codec boundary (container bytes never in an Exchange -- typed " +
+      "gate), window slicing/audiohash64/banded join are qm9's chain verbatim, and " +
+      "the distinct-segment-pair count is the same ONE collect_set agg"),
     "qm7_avi_demux" -> ("REAL AVI container demux: the fixture container (LIST nesting, " +
       "word pads, little-endian sizes) builds in a scan-riding projection, the RIFF " +
       "walker recovers frame spans inside the mapPartitions boundary, and the sampled " +
@@ -496,6 +502,11 @@ object PlanAudit {
     // an Exchange
     "qm10_image_tile_neardup" -> Shape(4, forbid = noCross ++ noSmj,
       require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
+      noWideShuffle = true),
+    // qm11: the soundtrack axis — qm9's budget (demux+downmix ride the
+    // scan inside the codec boundary; only (id, seg, hash) rows shuffle)
+    "qm11_video_soundtrack_neardup" -> Shape(4, forbid = noCross ++ noSmj,
+      require = Seq("ShuffledHashJoin", "audiohash64", "partial_collect_set"),
       noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the
     // "<=k rows per map task enter the shuffle" claim

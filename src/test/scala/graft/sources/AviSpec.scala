@@ -186,4 +186,137 @@ class AviSpec extends SparkSpec {
       "a frame demuxed out of the container must decode and hash exactly like the raw JPEG")
     assert(viaAvi.values.toSet.size == 3, "distinct frames must hash distinctly")
   }
+
+  // ---- round 19: stream-table-aware builders for the soundtrack axis ----
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def waveFmt(tag: Int, ch: Int, rate: Int, bits: Int): Array[Byte] =
+    le16(tag) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch * bits / 8) ++
+      le16(ch * bits / 8) ++ le16(bits)
+  private def strl(fcc: String, strf: Option[Array[Byte]]): Array[Byte] =
+    list("strl", chunk("strh", ascii(fcc) ++ new Array[Byte](52)) ++
+      strf.map(chunk("strf", _)).getOrElse(Array.empty[Byte]))
+  /** AVI with a real hdrl stream table (the Nth strl = stream N). */
+  private def aviS(strls: Array[Byte], moviChildren: Array[Byte]): Array[Byte] = {
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++ strls)
+    val movi = list("movi", moviChildren)
+    val body = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+  private def pcmBytes(samples: Array[Short]): Array[Byte] =
+    samples.flatMap(v => le16(v & 0xffff))
+  private def wavOf(tag: Int, ch: Int, rate: Int, bits: Int,
+                    data: Array[Byte]): Array[Byte] = {
+    val body = ascii("WAVE") ++ chunk("fmt ", waveFmt(tag, ch, rate, bits)) ++
+      chunk("data", data)
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("extractAviAudioPcm: ##wb spans concatenate across chunks and rec groups, downmix = decodeWav exactly") {
+    val samples = Array.tabulate[Short](390)(i => ((i * 37 + 11) % 3001 - 1500).toShort)
+    val raw = pcmBytes(samples)
+    val (h1, rest) = raw.splitAt(400)
+    // audio interleaved with video chunks the way a real muxer lays them
+    // out, one span inside a rec group — stream order must be preserved
+    val movi = chunk("00dc", Array[Byte](1, 2)) ++ chunk("01wb", h1) ++
+      list("rec ", chunk("00dc", Array[Byte](3, 4)) ++ chunk("01wb", rest.take(100))) ++
+      chunk("01wb", rest.drop(100))
+    val bytes = aviS(strl("vids", None) ++ strl("auds", Some(waveFmt(1, 1, 16000, 16))), movi)
+    val Some((rate, ch, n, pcm)) = Multimodal.extractAviAudioPcm(bytes)
+    assert((rate, ch, n) == (16000, 1, 390))
+    assert(pcm.toSeq == raw.toSeq, "mono 16-bit spans must concatenate byte-exact")
+    // STEREO downmix is decodeWav's arithmetic, pinned against the WAV
+    // decoder on the identical raw frame data (one mixer, cannot drift)
+    val st = Array.tabulate[Short](200)(i =>
+      (if (i % 2 == 0) (i * 13 % 701) else -(i * 29 % 997)).toShort)
+    val stRaw = pcmBytes(st)
+    val aviStereo = aviS(strl("auds", Some(waveFmt(1, 2, 8000, 16))),
+      chunk("00wb", stRaw))
+    val Some((r2, c2, n2, p2)) = Multimodal.extractAviAudioPcm(aviStereo)
+    val Some((rw, cw, nw, pw)) = Multimodal.decodeWav(wavOf(1, 2, 8000, 16, stRaw))
+    assert((r2, c2, n2) == (rw, cw, nw) && p2.toSeq == pw.toSeq,
+      "AVI soundtrack downmix must equal the WAV decoder on the same frames")
+  }
+
+  test("extractAviAudio: stream selection, no-soundtrack NULLs, and the codec boundary") {
+    val sA = pcmBytes(Array.tabulate[Short](100)(i => (i * 3).toShort))
+    val sB = pcmBytes(Array.tabulate[Short](100)(i => (i * 7 + 1).toShort))
+    // streams: 0 = video, 1 + 2 = audio — default must pick stream 1
+    val two = aviS(strl("vids", None) ++
+      strl("auds", Some(waveFmt(1, 1, 16000, 16))) ++
+      strl("auds", Some(waveFmt(1, 1, 22050, 16))),
+      chunk("01wb", sA) ++ chunk("02wb", sB))
+    assert(Multimodal.extractAviAudioPcm(two).get._4.toSeq == sA.toSeq,
+      "primary = lowest-numbered auds stream")
+    val viaTwo = Multimodal.extractAviAudioPcm(two, streamId = 2).get
+    assert(viaTwo._1 == 22050 && viaTwo._4.toSeq == sB.toSeq)
+    // selected stream is VIDEO -> None (not an interleaved guess)
+    assert(Multimodal.extractAviAudioPcm(two, streamId = 0).isEmpty)
+    // no audio stream at all -> None (no soundtrack, never pairs)
+    assert(Multimodal.extractAviAudioPcm(
+      aviS(strl("vids", None), chunk("00dc", Array[Byte](1, 2)))).isEmpty)
+    // legacy header without a stream table -> None (untyped streams)
+    assert(Multimodal.extractAviAudioPcm(
+      avi(chunk("01wb", sA))).isEmpty)
+    // compressed audio (MP3 tag 0x55) is the codec boundary -> None
+    assert(Multimodal.extractAviAudioPcm(
+      aviS(strl("auds", Some(waveFmt(0x55, 1, 16000, 16))),
+        chunk("00wb", sA))).isEmpty)
+    // a PCM stream with zero wb chunks is DATA: 0 samples, not NULL
+    val silent = Multimodal.extractAviAudioPcm(
+      aviS(strl("auds", Some(waveFmt(1, 1, 16000, 16))), Array.empty[Byte])).get
+    assert(silent._3 == 0 && silent._4.isEmpty)
+    // truncation -> None
+    val good = aviS(strl("auds", Some(waveFmt(1, 1, 16000, 16))), chunk("00wb", sA))
+    assert(Multimodal.extractAviAudioPcm(good.take(good.length - 3)).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.extractAviAudioPcm(good, streamId = 100))
+    // the distributed face: NULL columns for undecodable rows
+    val df = Seq((1L, good), (2L, Array.fill[Byte](30)(9))).toDF("media_id", "bytes")
+    val out = Multimodal.extractAviAudio(df, "bytes")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(5)).toMap
+    assert(!out(1L) && out(2L))
+  }
+
+  test("soundtrack axis: a re-encoded render with ZERO shared frames collapses by audio; the frame axis provably misses") {
+    def noiseJpeg(seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var h = seed
+      for (y <- 0 until 32; x <- 0 until 36) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        val v = ((h >>> 33) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val track = pcmBytes(Array.tabulate[Short](390)(i => ((i * 53 + 7) % 2801 - 1400).toShort))
+    val other = pcmBytes(Array.tabulate[Short](390)(i => ((i * 91 + 3) % 2731 - 1365).toShort))
+    def video(frameSeed: Long, pcm: Array[Byte]): Array[Byte] =
+      aviS(strl("vids", None) ++ strl("auds", Some(waveFmt(1, 1, 16000, 16))),
+        chunk("00dc", noiseJpeg(frameSeed)) ++ chunk("01wb", pcm) ++
+          chunk("00dc", noiseJpeg(frameSeed * 31 + 5)))
+    // A and B: the SAME soundtrack under entirely different renders
+    // (independent noise frames — no frame pair survives any Hamming 3)
+    val media = Seq((1L, video(100L, track), 0.5), (2L, video(200L, track), 0.9),
+      (3L, video(300L, other), 0.7)).toDF("media_id", "bytes", "score")
+    // re-judge tripwire: the frame axis MUST miss the different-render
+    // copy (if this starts passing, the soundtrack axis is redundant)
+    val frameAxis = Multimodal.videoNearDupPairs(media, "media_id", "bytes",
+      bands = 4, minSharedFrames = 1).count()
+    assert(frameAxis == 0,
+      "frame axis caught a different-render copy — soundtrack axis redundant; re-judge")
+    val pairs = Multimodal.videoSoundtrackNearDupPairs(media, "media_id", "bytes",
+        windowSamples = 130, hopSamples = 130, bands = 4, maxHamming = 0,
+        minSharedSegments = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)),
+      s"same soundtrack must share all 3 windows: ${pairs.toSeq}")
+    val kept = Multimodal.dedupVideoBySoundtrack(media, "media_id", "bytes",
+        "score", windowSamples = 130, hopSamples = 130, bands = 4,
+        maxHamming = 0, minSharedSegments = 2)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"keep-best keeps the higher-scored render: $kept")
+  }
 }

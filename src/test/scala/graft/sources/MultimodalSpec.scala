@@ -390,4 +390,115 @@ class MultimodalSpec extends SparkSpec {
     assert(shared(drop = false) == 1,
       "with the guard off the uniform tiles pair (proving the guard is what blocks them)")
   }
+
+  test("pinned bands run ZERO jobs at plan-build time on every media pair operator") {
+    import spark.implicits._
+    // the shared dedupSizing rule (round 19): the bands=0 sizing count is
+    // the ONLY job a pair operator may run eagerly, so with bands pinned,
+    // merely BUILDING the pair plan must launch no Spark job on any
+    // modality axis — if this fires, a sizing (or other eager) pass
+    // leaked back into a pinned-bands path. (The dedup ONE-calls add
+    // duplicateClusters, whose connected-components loop is eagerly
+    // iterative by design — the sizing contract is pinned here, at the
+    // pair layer the one-calls delegate their bands handling to.)
+    val media = Seq((1L, Array[Byte](1, 2, 3), 0.5), (2L, Array[Byte](4, 5), 0.9))
+      .toDF("media_id", "bytes", "score")
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Multimodal.perceptualNearDupPairs(media.withColumn("h", lit(1L)),
+        "media_id", "h", bands = 4)
+      Multimodal.videoNearDupPairs(media, "media_id", "bytes", bands = 4)
+      Multimodal.audioNearDupPairs(media, "media_id", "bytes", bands = 4)
+      Multimodal.imageNearDupPairsByTiles(media, "media_id", "bytes", bands = 4)
+      Multimodal.videoSoundtrackNearDupPairs(media, "media_id", "bytes", bands = 4)
+      Thread.sleep(2000) // listener events are async — let stragglers land
+      assert(jobs == 0,
+        s"pinned-bands pair operator ran $jobs job(s) at build time — a sizing pass leaked in")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("strided tiles: an off-grid crop collapses under hop < tile; the default grid provably misses it") {
+    import spark.implicits._
+    // rows 8..23 of a 36x32 image: a crop at y-offset 8 — inside the
+    // first default tile row, so NO non-overlapping 16-row tile of the
+    // original is pixel-identical to any crop tile
+    val full = avGrid(7L, 36, 32)
+    val crop = full.slice(8 * 36, 24 * 36)
+    val media = Seq((1L, full, 36, 32), (2L, crop, 36, 16))
+      .toDF("media_id", "gray", "w", "h")
+    def pairs(hopH: Int): Set[(Long, Long)] = {
+      val tiles = Multimodal.imageTileHashes(media, "media_id", "gray", "w", "h",
+        tileW = 18, tileH = 16, tileHopH = hopH)
+      Multimodal.imageNearDupPairsByTilesFromHashes(tiles, "media_id", bands = 4,
+        maxHamming = 0, minSharedTiles = 2)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // re-judge tripwire: the non-overlapping default MUST miss the
+    // off-grid crop (if this starts passing, the hop knob is redundant)
+    assert(pairs(0).isEmpty,
+      "default tile grid caught an off-grid crop — hop knob redundant; re-judge")
+    // hop 8 strides origins through y = 8: both x-tiles there are
+    // pixel-identical to the crop's two tiles — the pair collapses
+    assert(pairs(8) == Set((1L, 2L)),
+      s"hop < tile must realign the hop-multiple crop, got ${pairs(8)}")
+    // the default (hop = 0 = tile) is byte-identical to the explicit
+    // tile-sized hop AND to the r18 grid semantics
+    val defTiles = Multimodal.imageTileHashes(media, "media_id", "gray", "w", "h",
+      tileW = 18, tileH = 16)
+    val hopTiles = Multimodal.imageTileHashes(media, "media_id", "gray", "w", "h",
+      tileW = 18, tileH = 16, tileHopW = 18, tileHopH = 16)
+    assert(rowsOf(defTiles) == rowsOf(hopTiles))
+    // n_tiles accounting on the strided grid: 2 x-origins x 3 y-origins
+    val nt = Multimodal.imageTileHashes(media.filter(col("media_id") === 1L),
+      "media_id", "gray", "w", "h", tileW = 18, tileH = 16, tileHopH = 8)
+      .select("n_tiles").head().getInt(0)
+    assert(nt == 6, s"strided origin grid must count ((36-18)/18+1)*((32-16)/8+1)=6, got $nt")
+  }
+
+  test("FromHashes adapter seam: externally-decoded (id, pos, hash64) frames drive all three axes identically") {
+    import spark.implicits._
+    // the declared external-decoder contract (round 19): a production
+    // pipeline with real codecs (H.264, AAC, HEIC) decodes/samples/hashes
+    // OUTSIDE the engine and hands over narrow signature rows — no bytes
+    // anywhere. One externally-shaped frame set must drive all three
+    // batch axes to the same pair with the axis-specific count column.
+    val rows = Seq(
+      (10L, 0, 0x1111222233334444L), (10L, 1, 0x5555666677778888L),
+      (20L, 0, 0x1111222233334444L), (20L, 1, 0x5555666677778888L),
+      (30L, 0, 0x0f0f0f0f0f0f0f0fL))
+    def run(df: org.apache.spark.sql.DataFrame,
+            f: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame,
+            countCol: String): Seq[(Long, Long, Long)] = {
+      val out = f(df, "media_id")
+      assert(out.columns.toSeq == Seq("doc_a", "doc_b", countCol),
+        s"adapter output schema drifted: ${out.columns.toSeq}")
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    }
+    val expect = Seq((10L, 20L, 2L))
+    assert(run(rows.toDF("media_id", "frame_idx", "dhash"),
+      (df, id) => Multimodal.videoNearDupPairsFromHashes(df, id, bands = 4,
+        maxHamming = 0, minSharedFrames = 2), "shared_frames") == expect)
+    assert(run(rows.toDF("media_id", "seg_idx", "ahash"),
+      (df, id) => Multimodal.audioNearDupPairsFromHashes(df, id, bands = 4,
+        maxHamming = 0, minSharedSegments = 2), "shared_segments") == expect)
+    assert(run(rows.toDF("media_id", "tile_idx", "thash"),
+      (df, id) => Multimodal.imageNearDupPairsByTilesFromHashes(df, id, bands = 4,
+        maxHamming = 0, minSharedTiles = 2), "shared_tiles") == expect)
+    // positions are distinctness markers, never required equal: an
+    // external sampler with its own position numbering still pairs
+    val offset = Seq((10L, 0, 0x1111222233334444L), (10L, 1, 0x5555666677778888L),
+      (20L, 7, 0x1111222233334444L), (20L, 9, 0x5555666677778888L))
+      .toDF("media_id", "frame_idx", "dhash")
+    assert(run(offset, (df, id) => Multimodal.videoNearDupPairsFromHashes(df, id,
+      bands = 4, maxHamming = 0, minSharedFrames = 2), "shared_frames") == expect)
+    // the seam owns no sizing: a band count that cannot slice 64 bits
+    // raises loudly instead of guessing
+    intercept[IllegalArgumentException](Multimodal.videoNearDupPairsFromHashes(
+      offset, "media_id", bands = 5))
+  }
 }
