@@ -50,11 +50,15 @@ private[graft] object BucketCap {
     * correctness: anything this pass drops provably sits below its
     * partition's local top-cap and is unreachable in the global
     * top-cap. Partitions dominated by distinct buckets therefore
-    * degrade to pass-through with bounded buffering, not OOM.
+    * degrade to pass-through with bounded buffering, not OOM. The
+    * default (128k rows) is sized for the heaviest rider — Dedup's
+    * 64-slot MinHash signatures at ~0.5 KB/row ≈ 64 MB/task — while
+    * saturated buckets (the rows this pass exists for) keep cutting
+    * within every flush window regardless.
     */
   def preCut(df: DataFrame, bucketCols: Seq[String], orderCols: Seq[String],
              cap: Int, droppedCol: String,
-             maxTrackedRows: Int = 1 << 20): DataFrame = {
+             maxTrackedRows: Int = 1 << 17): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     require(!df.columns.contains(droppedCol),
       s"preCut output column $droppedCol already exists")
