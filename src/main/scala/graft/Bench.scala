@@ -119,6 +119,10 @@ object Bench {
     // demuxed raw-DIB frames dHash on the slice projection, then the
     // qm3-family banded self-join at video level
     "qm8_video_neardup",
+    // qm12: exact area-average resize (round 19) — in-plan grid
+    // synthesis through the codegen'd resize projection + dHash of the
+    // normalized grid; one scan, zero shuffles
+    "qm12_resize_gray",
     // qm11: video near-dup by SOUNDTRACK (round 19) — two-stream AVI
     // synthesis through the real hdrl/wb demux + PCM downmix, windowed
     // segment hashes, the qm9 banded join; synthesis dominates like qm9

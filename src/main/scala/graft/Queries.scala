@@ -786,6 +786,32 @@ object Queries {
       bands = 4, maxHamming = 3, minSharedSegments = 2))
   }
 
+
+  /** Q-M12 — exact integer area-average resize, oracle-hashed end to
+    * end (round 19: [[graft.functions.ResizeGray]] via
+    * [[graft.sources.Multimodal.resizeGray]]): every document becomes
+    * the qm3 closed-form 36x32 grayscale grid, resized to 9x8 (uniform
+    * 4x4 boxes) AND to 7x5 (non-divisible — fractional overlap weights,
+    * the hard arithmetic), plus the dHash of the 9x8 normalization (the
+    * normalize-then-hash composition an embedding pipeline runs). The
+    * oracle recomputes every output pixel from the same closed form —
+    * overlap widths in outW/outH-scaled integer units, weighted sums,
+    * the +area/2 half-up rounding — so any off-by-one in box bounds,
+    * weight clamping, rounding, or byte packing breaks the hex hash.
+    */
+  val qm12ResizeGray: Q = (s, dir) => {
+    val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("gray", expr(
+        """unhex(array_join(transform(sequence(0, 1151), p ->
+          lpad(hex(1 + pmod(xxhash64(media_id * 4096 + (p % 36) * 64 + (p div 36)), 100)), 2, '0')), ''))"""))
+    val r98 = graft.sources.Multimodal.resizeGray(col("gray"), lit(36), lit(32), 9, 8)
+    val r75 = graft.sources.Multimodal.resizeGray(col("gray"), lit(36), lit(32), 7, 5)
+    ordered(media.select(col("media_id"),
+      lower(hex(r98)).as("r98_hex"),
+      graft.sources.Multimodal.dHash64(r98, lit(9), lit(8)).as("dh98"),
+      lower(hex(r75)).as("r75_hex")))
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2904,6 +2930,7 @@ object Queries {
     "qm9_audio_neardup" -> qm9AudioNeardup,
     "qm10_image_tile_neardup" -> qm10ImageTileNeardup,
     "qm11_video_soundtrack_neardup" -> qm11VideoSoundtrackNeardup,
+    "qm12_resize_gray" -> qm12ResizeGray,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3305,6 +3332,42 @@ bd AS (SELECT mid, seg, s, j, substr(s, j * 16 + 1, 16) AS bh FROM segs CROSS JO
 fp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.seg AS sa, b.seg AS sb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
 grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_segments FROM fp GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(shared_segments AS BIGINT) AS shared_segments FROM grp WHERE shared_segments >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
+
+  /** Q-M12 oracle: the resize arithmetic replayed exactly — source
+    * pixels from the shared XXH64 chain, overlap weights as integer
+    * LEAST/GREATEST spans in target-scaled units, weighted sums rounded
+    * half-up by (+ area/2) // area, hex-packed row-major; the 9x8
+    * normalization's dHash is the single-pixel-block compare packed
+    * through the qm6 power table.
+    */
+  private def qm12Sql: String = {
+    val powVals = (0 until 64).map(b =>
+      s"($b, ${java.math.BigInteger.valueOf(2L).pow(b)}::HUGEINT)").mkString(", ")
+    s"""WITH pxi AS (SELECT doc_id, unnest(generate_series(0, 1151)) AS p FROM documents),
+src AS (SELECT doc_id, p, CAST(doc_id * 4096 + (p % 36) * 64 + (p // 36) AS HUGEINT) AS v FROM pxi),
+${xxh64Ctes(Seq("doc_id", "p"), "src")},
+g AS (SELECT doc_id, CAST(p % 36 AS INT) AS sx, CAST(p // 36 AS INT) AS sy, 1 + ((h % 100) + 100) % 100 AS pv FROM hs),
+dims(tag, ow, oh) AS (VALUES ('a', 9, 8), ('b', 7, 5)),
+cx AS (SELECT tag, ow, oh, unnest(generate_series(0, CAST(ow - 1 AS BIGINT))) AS ox FROM dims),
+cxy AS (SELECT tag, ow, oh, ox, unnest(generate_series(0, CAST(oh - 1 AS BIGINT))) AS oy FROM cx),
+ov AS (SELECT g.doc_id, c.tag, c.oy, c.ox, g.pv,
+  LEAST((c.ox + 1) * 36, (g.sx + 1) * c.ow) - GREATEST(c.ox * 36, g.sx * c.ow) AS wx,
+  LEAST((c.oy + 1) * 32, (g.sy + 1) * c.oh) - GREATEST(c.oy * 32, g.sy * c.oh) AS wy
+  FROM cxy c CROSS JOIN g
+  WHERE LEAST((c.ox + 1) * 36, (g.sx + 1) * c.ow) > GREATEST(c.ox * 36, g.sx * c.ow)
+    AND LEAST((c.oy + 1) * 32, (g.sy + 1) * c.oh) > GREATEST(c.oy * 32, g.sy * c.oh)),
+opx AS (SELECT doc_id, tag, oy, ox, CAST((SUM(pv * wx * wy) + 576) // 1152 AS INT) AS v FROM ov GROUP BY 1, 2, 3, 4),
+hx AS (SELECT doc_id, tag, string_agg(lpad(lower(hex(v)), 2, '0'), '' ORDER BY oy, ox) AS hxs FROM opx GROUP BY 1, 2),
+bt AS (SELECT a.doc_id, CAST(a.oy * 8 + a.ox AS INT) AS b, CASE WHEN a.v > r2.v THEN 1 ELSE 0 END AS bit FROM opx a JOIN opx r2 ON a.doc_id = r2.doc_id AND r2.oy = a.oy AND r2.ox = a.ox + 1 WHERE a.tag = 'a' AND r2.tag = 'a' AND a.ox < 8),
+pw(b, p) AS (VALUES $powVals),
+uh AS (SELECT doc_id, SUM(CASE WHEN bit = 1 THEN p ELSE 0::HUGEINT END) AS u FROM bt JOIN pw USING (b) GROUP BY 1)
+SELECT a.doc_id AS media_id, a.hxs AS r98_hex,
+  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS dh98,
+  b.hxs AS r75_hex
+FROM hx a JOIN hx b ON a.doc_id = b.doc_id AND a.tag = 'a' AND b.tag = 'b' JOIN uh ON uh.doc_id = a.doc_id
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
+  }
 
   /** Q-L67/Q-L67B oracle: the Okapi BM25 expression tree replayed
     * verbatim — every factor is IEEE double arithmetic over exact
@@ -3937,6 +4000,10 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // unshifted copy (same audio, different render); the AVI stream
     // table, wb spans, and downmix live only on the engine side
     "qm11_video_soundtrack_neardup" -> qm11Sql,
+    // qm12: exact area-average resize — every output pixel recomputed
+    // from integer overlap spans + half-up rounding; the 9x8
+    // normalization's dHash rides the qm6 power table
+    "qm12_resize_gray" -> qm12Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** EXACT integer area-average resize of a decoded grayscale grid — the
+  * "resize" step of the multimodal pipeline made real (the class doc of
+  * [[graft.sources.Multimodal]] promises decode / feature-extract /
+  * resize / frame-sample plumbing; decode and the feature extractors
+  * landed in rounds 16–18, this is the missing quarter): every vision
+  * encoder wants a FIXED input size, so the normalize-before-embed step
+  * of a 100 TB image/video pipeline is a resize of each decoded grid —
+  * and a resize that is bit-identical across engines, or the embeddings
+  * (and every similarity decision downstream) silently drift between a
+  * Spark backfill and any other runtime.
+  *
+  * Construction (the standard box filter, exact): output pixel (ox, oy)
+  * covers the source box [ox·w/outW, (ox+1)·w/outW) × [oy·h/outH,
+  * (oy+1)·h/outH); its value is the AREA-WEIGHTED mean of the source
+  * pixels it overlaps, computed entirely in integers — coordinates are
+  * scaled by outW/outH so every overlap width is an integer, the total
+  * weight per output pixel is exactly w·h, and the mean rounds half-up:
+  * v = (Σ p·wx·wy + w·h/2) / (w·h). Downscale, upscale, identity, and
+  * non-divisible ratios are all the same formula (identity is exact:
+  * each box overlaps exactly one pixel with full weight — spec-pinned;
+  * the Q-M12 oracle replays the arithmetic closed-form in DuckDB).
+  *
+  * `outW`/`outH` are CONSTRUCTOR constants, not child expressions — a
+  * pipeline resizes a corpus to ONE target size; a malformed target is
+  * a build error (loud `require`), while malformed per-row INPUT
+  * (w < 1, h < 1, or fewer than w·h bytes) returns NULL — the
+  * [[DHash64]] filterable-NULL contract, so one truncated blob never
+  * kills the job.
+  *
+  * Overflow: per-term p·wx·wy ≤ 255·min(w,outW)·min(h,outH) and the
+  * per-pixel accumulator is bounded by 255·w·h ≤ 255·2³¹ — Long-safe
+  * for any image Spark can hold in one BinaryType value.
+  */
+case class ResizeGray(first: Expression, second: Expression, third: Expression,
+                      outW: Int, outH: Int) extends TernaryExpression {
+  require(outW >= 1 && outH >= 1,
+    s"resize_gray target must be >= 1x1, got ${outW}x$outH")
+  require(outW.toLong * outH <= Int.MaxValue,
+    s"resize_gray target ${outW}x$outH overflows a byte array")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "resize_gray"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"resize_gray expects (BINARY, INT, INT), got (${a.sql}, ${b.sql}, ${c.sql})")
+    }
+
+  override def nullSafeEval(bytes: Any, w: Any, h: Any): Any =
+    route(bytes.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  /** Nullable so codegen assigns null through the same path. */
+  def route(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (w < 1 || h < 1 || bytes.length < w.toLong * h) return null
+    val out = new Array[Byte](outW * outH)
+    val area = w.toLong * h
+    var oy = 0
+    while (oy < outH) {
+      // box y-extent in outH-scaled units: [oy·h, (oy+1)·h); src row sy
+      // covers [sy·outH, (sy+1)·outH)
+      val byLo = oy.toLong * h
+      val byHi = byLo + h
+      val syLo = (byLo / outH).toInt
+      val syHi = ((byHi + outH - 1) / outH).toInt
+      var ox = 0
+      while (ox < outW) {
+        val bxLo = ox.toLong * w
+        val bxHi = bxLo + w
+        val sxLo = (bxLo / outW).toInt
+        val sxHi = ((bxHi + outW - 1) / outW).toInt
+        var acc = 0L
+        var sy = syLo
+        while (sy < syHi) {
+          val wy = math.min(byHi, (sy + 1).toLong * outH) -
+            math.max(byLo, sy.toLong * outH)
+          val base = sy * w
+          var sx = sxLo
+          while (sx < sxHi) {
+            val wx = math.min(bxHi, (sx + 1).toLong * outW) -
+              math.max(bxLo, sx.toLong * outW)
+            acc += (bytes(base + sx) & 0xff).toLong * wx * wy
+            sx += 1
+          }
+          sy += 1
+        }
+        out(oy * outW + ox) = ((acc + area / 2) / area).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("rg", this, classOf[ResizeGray].getName)
+    nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+      byte[] ${ev.value}Out = $ref.route($b, $w, $h);
+      if (${ev.value}Out == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Out; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+                                                 newSecond: Expression,
+                                                 newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Resize {
+  /** Column face: `resizeGray(gray, width, height, outW, outH)` — dims
+    * may vary per row (media tables carry them in metadata); the target
+    * is the pipeline constant.
+    */
+  def resizeGray(gray: Column, width: Column, height: Column,
+                 outW: Int, outH: Int): Column =
+    Bridge.column(ResizeGray(Bridge.expression(gray),
+      Bridge.expression(width.cast("int")), Bridge.expression(height.cast("int")),
+      outW, outH))
+}

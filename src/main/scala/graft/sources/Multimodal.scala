@@ -1071,6 +1071,22 @@ object Multimodal {
               height: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.PerceptualHash.dHash64(bytes, width, height)
 
+  /** EXACT integer area-average resize of a decoded grayscale grid —
+    * see [[graft.functions.ResizeGray]]. The normalize-before-embed
+    * step of the multimodal pipeline: every vision encoder wants ONE
+    * fixed input size, and this resize is bit-identical across engines
+    * (all-integer arithmetic, Q-M12 oracle-replayed), so embeddings
+    * never drift between a Spark backfill and any other runtime.
+    * Composes scan-side with [[decodeImage]] upstream and [[dHash64]] /
+    * [[imageTileHashes]] / feature extractors downstream — a
+    * codegen'd projection, zero shuffles.
+    */
+  def resizeGray(gray: org.apache.spark.sql.Column,
+                 width: org.apache.spark.sql.Column,
+                 height: org.apache.spark.sql.Column,
+                 outW: Int, outH: Int): org.apache.spark.sql.Column =
+    graft.functions.Resize.resizeGray(gray, width, height, outW, outH)
+
   /** Per-TILE dHashes over a decoded grayscale grid — the SPATIAL frame
     * axis (round 18): the whole-image dHash collapses re-encodes but a
     * CROPPED, letterboxed, or watermark-padded copy of the same picture

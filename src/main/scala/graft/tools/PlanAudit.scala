@@ -131,6 +131,10 @@ object PlanAudit {
       "self-join keys 8-byte (band, slice) rows at IMAGE level (same-image tiles " +
       "never pair), and the distinct-tile-pair count is the same ONE collect_set " +
       "agg as qm8/qm9"),
+    "qm12_resize_gray" -> ("exact integer area-average resize: the grid synthesizes in a " +
+      "scan-riding projection, resize_gray + dhash64 are codegen'd expressions in the " +
+      "same projection (gray bytes never in an Exchange -- the typed gate), and the only " +
+      "Exchange is the harness ORDER BY -- the normalize-before-embed step costs one scan"),
     "qm11_video_soundtrack_neardup" -> ("video near-dup by SOUNDTRACK (the cross-modal " +
       "axis): the two-stream AVI fixture builds in a scan-riding projection, the hdrl " +
       "stream-table walk + wb-span concatenation + PCM downmix run inside the " +
@@ -507,6 +511,11 @@ object PlanAudit {
     // scan inside the codec boundary; only (id, seg, hash) rows shuffle)
     "qm11_video_soundtrack_neardup" -> Shape(4, forbid = noCross ++ noSmj,
       require = Seq("ShuffledHashJoin", "audiohash64", "partial_collect_set"),
+      noWideShuffle = true),
+    // qm12: a pure scan-riding projection — the harness sort is the
+    // only Exchange; both media expressions stay in the projection
+    "qm12_resize_gray" -> Shape(1, forbid = noCross ++ noSmj,
+      require = Seq("resize_gray", "dhash64"),
       noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the
     // "<=k rows per map task enter the shuffle" claim

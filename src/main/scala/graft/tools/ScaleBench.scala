@@ -269,6 +269,10 @@ object ScaleBench {
     // id-derived, so cross-copy candidates are noise-level — the chain
     // must scale ~linearly like qm8/qm9 (its temporal siblings)
     "qm10_image_tile_neardup",
+    // qm12: exact area-average resize — in-plan grid synthesis through
+    // the codegen'd resize projection (one scan, no shuffles beyond the
+    // harness sort); must scale ~linearly with the corpus
+    "qm12_resize_gray",
     // qm11: video soundtrack near-dup — in-plan two-stream AVI synthesis
     // through the real hdrl walk + wb-span concat + PCM downmix, then the
     // qm9 segment chain; ids are base·2(+1) and samples are id-derived,

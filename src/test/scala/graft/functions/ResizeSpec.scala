@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the exact integer area-average resize (round 19): the
+  * closed-form arithmetic the Q-M12 oracle replays, the exactness
+  * identities that make the operator trustworthy as an
+  * embedding-normalization step, and the NULL contract.
+  */
+class ResizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resize(gray: Array[Byte], w: Int, h: Int,
+                     ow: Int, oh: Int): Array[Byte] = {
+    val rows = Seq((1L, gray, w, h)).toDF("id", "g", "w", "h")
+      .select(graft.sources.Multimodal.resizeGray(col("g"), col("w"), col("h"), ow, oh).as("r"))
+      .collect()
+    rows.head.getAs[Array[Byte]](0)
+  }
+
+  test("identity resize is byte-exact; 2x pixel-doubling round-trips") {
+    val img = Array.tabulate[Byte](36 * 32)(i => ((i * 37 + 11) % 251).toByte)
+    assert(resize(img, 36, 32, 36, 32).toSeq == img.toSeq,
+      "same-size resize must be the identity")
+    // pixel-double then area-average back down: each 2x2 block holds one
+    // source value, so the box mean is exactly that value
+    val doubled = new Array[Byte](72 * 64)
+    for (y <- 0 until 64; x <- 0 until 72)
+      doubled(y * 72 + x) = img((y / 2) * 36 + x / 2)
+    assert(resize(doubled, 72, 64, 36, 32).toSeq == img.toSeq,
+      "integer-upscale then downscale must round-trip exactly")
+  }
+
+  test("non-divisible ratio: hand-computed fractional overlap weights, rounded half-up") {
+    // 3x1 -> 2x1 with pixels [10, 20, 30]: box 0 covers [0,3) in 2-units
+    // = all of p0 (w=2) + half of p1 (w=1); area = w*h = 3
+    // v0 = (2*10 + 1*20 + 1) / 3 = 41/3 = 13; v1 = (1*20 + 2*30 + 1)/3 = 27
+    val out = resize(Array[Byte](10, 20, 30), 3, 1, 2, 1)
+    assert(out.toSeq == Seq[Byte](13, 27), s"got ${out.toSeq}")
+    // upscale 1x1 -> 2x2: every box overlaps the single pixel fully
+    assert(resize(Array[Byte](77), 1, 1, 2, 2).toSeq == Seq[Byte](77, 77, 77, 77))
+    // full-image average down to 1x1 (unsigned bytes: 200 > 127 must not
+    // sign-poison the mean): (200+100+200+100+2)/4 = 150
+    val avg = resize(Array[Byte](200.toByte, 100, 100, 200.toByte), 2, 2, 1, 1)
+    assert((avg.head & 0xff) == 150, s"got ${avg.head & 0xff}")
+  }
+
+  test("NULL contract: malformed input rows filter, malformed targets fail the build") {
+    val rows = Seq(
+      (1L, Array.tabulate[Byte](12)(_.toByte), 4, 3), // well-formed
+      (2L, Array[Byte](1, 2), 4, 3), // short buffer
+      (3L, null.asInstanceOf[Array[Byte]], 4, 3), // null bytes
+      (4L, Array[Byte](1), 0, 1) // degenerate dims
+    ).toDF("id", "g", "w", "h")
+    val out = rows.select(col("id"),
+        graft.sources.Multimodal.resizeGray(col("g"), col("w"), col("h"), 2, 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+    intercept[IllegalArgumentException](
+      graft.sources.Multimodal.resizeGray(col("g"), col("w"), col("h"), 0, 8))
+  }
+
+  test("composes scan-side with dHash: a resized copy collapses with its original") {
+    // dHash is invariant under EXACT integer upscales; an area-average
+    // resize back to the original size reproduces the original grid, so
+    // normalize-then-hash maps both renditions to one signature
+    val img = Array.tabulate[Byte](18 * 16)(i => ((i * 91 + 5) % 240).toByte)
+    val up = new Array[Byte](36 * 32)
+    for (y <- 0 until 32; x <- 0 until 36)
+      up(y * 36 + x) = img((y / 2) * 18 + x / 2)
+    val rows = Seq((1L, img, 18, 16), (2L, up, 36, 32)).toDF("id", "g", "w", "h")
+    val hashed = rows.select(col("id"), graft.sources.Multimodal.dHash64(
+        graft.sources.Multimodal.resizeGray(col("g"), col("w"), col("h"), 18, 16),
+        lit(18), lit(16)).as("dh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) == hashed(2L),
+      "normalize-to-fixed-size then hash must collapse the two renditions")
+  }
+}
