@@ -119,6 +119,10 @@ object Bench {
     // demuxed raw-DIB frames dHash on the slice projection, then the
     // qm3-family banded self-join at video level
     "qm8_video_neardup",
+    // qm13: strided tile near-dup (round 19) — the qm10 chain with hop
+    // origins; the Generate fans 9 tiles/image instead of 4 (the priced
+    // hop-factor growth), join family unchanged
+    "qm13_image_tile_strided",
     // qm12: exact area-average resize (round 19) — in-plan grid
     // synthesis through the codegen'd resize projection + dHash of the
     // normalized grid; one scan, zero shuffles

@@ -812,6 +812,38 @@ object Queries {
       lower(hex(r75)).as("r75_hex")))
   }
 
+
+  /** Q-M13 — STRIDED tile near-dup, oracle-hashed end to end (round 19:
+    * the `tileHopW`/`tileHopH` arithmetic under the DuckDB hash, not
+    * just the ScalaTest pin): the qm10 fixture with an OFF-GRID crop —
+    * the bottom 36x16 at y-offset 8, which the non-overlapping default
+    * grid provably misses (MultimodalSpec's tripwire) — tiled at
+    * 18x16 with hop 9x8, so the original's strided origin row at y = 8
+    * is pixel-identical to the crop's tiles and the pair collapses with
+    * 3 shared tiles. The oracle recomputes every strided origin
+    * ((t % 3)·9, (t div 3)·8), tile pixels at absolute coordinates,
+    * block sums, bits, the zero-hash cut, band slices, string Hamming,
+    * and the distinct-tile-pair count — any off-by-one in the hop
+    * origin math breaks the hash.
+    */
+  val qm13ImageTileStrided: Q = (s, dir) => {
+    def grid(w: Int, h: Int, y0: Int) = expr(
+      s"""unhex(array_join(transform(sequence(0, ${w * h - 1}), p ->
+        lpad(hex(1 + pmod(xxhash64(base_id * 4096 + (p % $w) * 64 + ((p div $w) + $y0)), 100)),
+        2, '0')), ''))""")
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select((col("base_id") * 4).as("media_id"),
+      grid(36, 32, 0).as("gray"), lit(36).as("w"), lit(32).as("h"))
+    val crop = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select((col("base_id") * 4 + 1).as("media_id"),
+        grid(36, 16, 8).as("gray"), lit(36).as("w"), lit(16).as("h"))
+    val media = orig.unionByName(crop)
+    val tiles = graft.sources.Multimodal.imageTileHashes(media, "media_id",
+      "gray", "w", "h", tileW = 18, tileH = 16, tileHopW = 9, tileHopH = 8)
+    ordered(graft.sources.Multimodal.imageNearDupPairsByTilesFromHashes(
+      tiles, "media_id", bands = 4, maxHamming = 3, minSharedTiles = 2))
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2931,6 +2963,7 @@ object Queries {
     "qm10_image_tile_neardup" -> qm10ImageTileNeardup,
     "qm11_video_soundtrack_neardup" -> qm11VideoSoundtrackNeardup,
     "qm12_resize_gray" -> qm12ResizeGray,
+    "qm13_image_tile_strided" -> qm13ImageTileStrided,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3368,6 +3401,28 @@ SELECT a.doc_id AS media_id, a.hxs AS r98_hex,
 FROM hx a JOIN hx b ON a.doc_id = b.doc_id AND a.tag = 'a' AND b.tag = 'b' JOIN uh ON uh.doc_id = a.doc_id
 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
   }
+
+
+  /** Q-M13 oracle: the qm10 tail with STRIDED origins — tile t of an
+    * image with tx x-origins starts at ((t % tx)·hopW, (t // tx)·hopH),
+    * pixels at absolute coordinates (+ the crop's y-offset); the rest
+    * is the proven qm10 machinery (2x2 block sums, bits, zero-hash cut,
+    * band slices, string Hamming, distinct-tile-pair count >= 2).
+    */
+  private def qm13Sql: String =
+    s"""WITH imgs AS (SELECT doc_id AS base, doc_id * 4 AS mid, 9 AS nt, 0 AS y0 FROM documents UNION ALL SELECT doc_id, doc_id * 4 + 1, 3, 8 FROM documents WHERE doc_id % 3 = 0),
+tset(t) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8)),
+pos(p) AS (SELECT unnest(range(0, 288))),
+px AS (SELECT mid, t, p, CAST(base * 4096 + ((t % 3) * 9 + (p % 18)) * 64 + ((t // 3) * 8 + (p // 18) + y0) AS HUGEINT) AS v FROM imgs JOIN tset ON t < nt CROSS JOIN pos),
+${xxh64Ctes(Seq("mid", "t", "p"), "px")},
+pv AS (SELECT mid, t, p, ((h % 100) + 100) % 100 + 1 AS pxv FROM hs),
+blk AS (SELECT mid, t, (p // 18) // 2 AS r, (p % 18) // 2 AS c, SUM(pxv) AS sm FROM pv GROUP BY 1, 2, 3, 4),
+bits AS (SELECT l.mid, l.t, l.r * 8 + l.c AS b, CASE WHEN l.sm > r2.sm THEN '1' ELSE '0' END AS bit FROM blk l JOIN blk r2 ON l.mid = r2.mid AND l.t = r2.t AND l.r = r2.r AND r2.c = l.c + 1 WHERE l.c < 8),
+sig AS (SELECT mid, t, string_agg(bit, '' ORDER BY b) AS s FROM bits GROUP BY 1, 2),
+bd AS (SELECT mid, t, s, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) tj(j) WHERE s <> repeat('0', 64)),
+tp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.t AS ta, b.t AS tb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
+grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_tiles FROM tp GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared_tiles AS BIGINT) AS shared_tiles FROM grp WHERE shared_tiles >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
   /** Q-L67/Q-L67B oracle: the Okapi BM25 expression tree replayed
     * verbatim — every factor is IEEE double arithmetic over exact
@@ -4004,6 +4059,9 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // from integer overlap spans + half-up rounding; the 9x8
     // normalization's dHash rides the qm6 power table
     "qm12_resize_gray" -> qm12Sql,
+    // qm13: strided tile near-dup — the qm10 replay with hop origins
+    // and an off-grid crop the default grid provably misses
+    "qm13_image_tile_strided" -> qm13Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -131,6 +131,11 @@ object PlanAudit {
       "self-join keys 8-byte (band, slice) rows at IMAGE level (same-image tiles " +
       "never pair), and the distinct-tile-pair count is the same ONE collect_set " +
       "agg as qm8/qm9"),
+    "qm13_image_tile_strided" -> ("strided tile near-dup (hop < tile): the qm10 plan " +
+      "family verbatim -- per-tile dHash rides the scan as a Generate + " +
+      "aggregate-of-substrings projection (origins now hop-strided, 9 tiles/image vs " +
+      "4 -- the priced row growth), banded ShuffledHashJoin sides + ONE " +
+      "partial-combining collect_set pair agg; the gray grid never in an Exchange"),
     "qm12_resize_gray" -> ("exact integer area-average resize: the grid synthesizes in a " +
       "scan-riding projection, resize_gray + dhash64 are codegen'd expressions in the " +
       "same projection (gray bytes never in an Exchange -- the typed gate), and the only " +
@@ -516,6 +521,11 @@ object PlanAudit {
     // only Exchange; both media expressions stay in the projection
     "qm12_resize_gray" -> Shape(1, forbid = noCross ++ noSmj,
       require = Seq("resize_gray", "dhash64"),
+      noWideShuffle = true),
+    // qm13: the qm10 budget with strided origins — band-join sides +
+    // ONE collect_set pair agg + harness ORDER BY
+    "qm13_image_tile_strided" -> Shape(4, forbid = noCross ++ noSmj,
+      require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
       noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the
     // "<=k rows per map task enter the shuffle" claim

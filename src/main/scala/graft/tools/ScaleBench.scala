@@ -269,6 +269,10 @@ object ScaleBench {
     // id-derived, so cross-copy candidates are noise-level — the chain
     // must scale ~linearly like qm8/qm9 (its temporal siblings)
     "qm10_image_tile_neardup",
+    // qm13: strided tile near-dup — qm10's chain at hop = tile/2 (9 vs
+    // 4 tiles/image, the priced hop-factor row growth); planted pairs
+    // are id-keyed so the chain must scale ~linearly like qm10
+    "qm13_image_tile_strided",
     // qm12: exact area-average resize — in-plan grid synthesis through
     // the codegen'd resize projection (one scan, no shuffles beyond the
     // harness sort); must scale ~linearly with the corpus
