@@ -844,6 +844,142 @@ object Queries {
       tiles, "media_id", bands = 4, maxHamming = 3, minSharedTiles = 2))
   }
 
+
+  /** Q-M14 — RATE-NORMALIZED audio near-dup, oracle-hashed end to end
+    * (round 20, VERDICT r19 #1: [[graft.functions.ResamplePcm]] threaded
+    * through [[graft.sources.Multimodal.audioNearDupPairs]] via
+    * `targetRate`): every document becomes a byte-complete RIFF/WAV of
+    * the SAME soundtrack at TWO sample rates — the 16 kHz master (780
+    * samples, the qm11 closed form s(g) = pmod(xxhash64(base_id·2^20 +
+    * g), 16384) − 8192) and, for every 3rd document, an 8 kHz re-render
+    * whose 390 samples are the exact box-filter downsample
+    * floorDiv(s(2g) + s(2g+1) + 1, 2), built in-plan by independent SQL
+    * arithmetic (shiftright = floor division — an engine resample bug
+    * cannot cancel itself). The pipeline runs with `targetRate = 8000`:
+    * the ENGINE resamples every master 2:1 (the arithmetic under the
+    * hash) while the re-render passes through the provable identity, so
+    * all 3 windows realign — the collapse the un-normalized axis
+    * provably misses (AudioSpec's tripwire pins the miss). The oracle
+    * replays downsample → window energies → bits → band slices →
+    * segment pairs → per-clip-pair counts from the same closed form
+    * with ZERO container arithmetic, so the engine's RIFF walk,
+    * resample kernel, window slicing, hashing, and band join are all
+    * under the hash.
+    */
+  val qm14AudioRateNeardup: Q = (s, dir) => {
+    def le16(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    def le32(v: Int) = le16(v & 0xffff) + le16(v >>> 16)
+    def ascii(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    def wavHdr(rate: Int, dataLen: Int) =
+      ascii("RIFF") + le32(36 + dataLen) + ascii("WAVE") +
+        ascii("fmt ") + le32(16) + le16(1) + le16(1) + le32(rate) +
+        le32(rate * 2) + le16(2) + le16(16) + ascii("data") + le32(dataLen)
+    def sVal(g: String) = s"(pmod(xxhash64(base_id * 1048576 + ($g)), 16384) - 8192)"
+    def le16Hex(v: String) =
+      s"concat(substring(lpad(hex(pmod($v, 65536)), 4, '0'), 3, 2), " +
+        s"substring(lpad(hex(pmod($v, 65536)), 4, '0'), 1, 2))"
+    val origHex =
+      s"array_join(transform(sequence(0, 779), g -> ${le16Hex(sVal("g"))}), '')"
+    // the 8 kHz re-render: exact box-filter downsample (floor division
+    // via arithmetic shiftright), independent of ResamplePcm
+    val downHex = s"array_join(transform(sequence(0, 389), g -> " +
+      s"${le16Hex(s"shiftright(${sVal("2 * g")} + ${sVal("2 * g + 1")} + 1, 1)")}), '')"
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select((col("base_id") * 2).as("media_id"),
+      expr(s"unhex(concat('${wavHdr(16000, 1560)}', $origHex))").as("bytes"))
+    val copy = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select((col("base_id") * 2 + 1).as("media_id"),
+        expr(s"unhex(concat('${wavHdr(8000, 780)}', $downHex))").as("bytes"))
+    val media = orig.unionByName(copy)
+    ordered(graft.sources.Multimodal.audioNearDupPairs(
+      media, "media_id", "bytes", windowSamples = 130, hopSamples = 130,
+      bands = 4, maxHamming = 3, minSharedSegments = 2, targetRate = 8000))
+  }
+
+
+  /** Q-M15 — exact integer RGB resize, oracle-hashed end to end (round
+    * 20, VERDICT r19 #2: [[graft.functions.ResizeRgb]] via
+    * [[graft.sources.Multimodal.resizeRgb]]): every document becomes a
+    * closed-form 18x16 INTERLEAVED RGB grid (byte q of the 864-byte
+    * grid — pixel q/3, channel q%3 — is 1 + pmod(xxhash64(media_id·1024
+    * + q), 100)), resized to 9x8 (divisible boxes) AND to 7x5
+    * (fractional overlap weights) — the qm12 battery with three
+    * channels riding one kernel. The oracle recomputes every output
+    * byte from the same closed form — per-channel weighted sums over
+    * the identical integer overlap spans, +area/2 half-up rounding,
+    * interleaved hex packing ordered (oy, ox, channel) — so any
+    * off-by-one in the channel stride, box bounds, or rounding breaks
+    * the hex hash.
+    */
+  val qm15ResizeRgb: Q = (s, dir) => {
+    val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("rgb", expr(
+        """unhex(array_join(transform(sequence(0, 863), q ->
+          lpad(hex(1 + pmod(xxhash64(media_id * 1024 + q), 100)), 2, '0')), ''))"""))
+    val r98 = graft.sources.Multimodal.resizeRgb(col("rgb"), lit(18), lit(16), 9, 8)
+    val r75 = graft.sources.Multimodal.resizeRgb(col("rgb"), lit(18), lit(16), 7, 5)
+    ordered(media.select(col("media_id"),
+      lower(hex(r98)).as("r98_hex"),
+      lower(hex(r75)).as("r75_hex")))
+  }
+
+
+  /** Q-M16 — CROP-ROBUST video near-dup (frame x tile), oracle-hashed
+    * end to end (round 20, VERDICT r19 #4:
+    * [[graft.sources.Multimodal.videoFrameTileHashesFromGray]] → the
+    * banded shared-tile join): every document becomes a byte-complete
+    * RIFF/AVI of TWO raw 36x32 grid frames (pixel (f, x, y) = 1 +
+    * pmod(xxhash64(base_id·2^14 + f·2^12 + x·64 + y), 100) — absolute
+    * coordinates, so a crop shares pixel VALUES), and every 3rd
+    * document gets a copy whose frames are CROPPED to the bottom 36x16
+    * — the class that defeats the whole-frame axis (every frame hash
+    * changes) and carries no soundtrack for qm11 to catch. Frames tile
+    * at 18x16 through the (video, frame·2³²+tile) composite position
+    * and pair through the qm10 machinery (bands = 4, maxHamming = 3,
+    * minSharedTiles = 2): per frame the crop's 2 tiles ARE the
+    * master's bottom tile row, so the pair collapses with 4 shared
+    * (frame, tile) matches. The oracle recomputes container-free from
+    * the closed form — per-(frame, tile) block sums at absolute
+    * coordinates, bits, the zero-hash cut, band slices, string
+    * Hamming, distinct (frame, tile)-pair counts — so the engine's
+    * demux, ragged slice, per-frame tiling, composite positions, and
+    * band join are all under the hash.
+    */
+  val qm16VideoTileNeardup: Q = (s, dir) => {
+    def asciiHex(t: String) = t.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    def le32hex(v: Int) =
+      f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >>> 24) & 0xff}%02x"
+    val hdrlHex = asciiHex("LIST") + le32hex(68) + asciiHex("hdrl") +
+      asciiHex("avih") + le32hex(56) + ("00" * 56)
+    // sizes: movi = 4 + 2*(8 + frameLen); riff = 88 + movi (the qm8 form)
+    def headerHex(frameLen: Int) = {
+      val movi = 4 + 2 * (8 + frameLen)
+      asciiHex("RIFF") + le32hex(88 + movi) + asciiHex("AVI ") + hdrlHex +
+        asciiHex("LIST") + le32hex(movi) + asciiHex("movi")
+    }
+    def payload(f: Int, y0: Int, hh: Int) =
+      s"""array_join(transform(sequence(0, ${36 * hh - 1}), p -> lpad(hex(1 + pmod(xxhash64(base_id * 16384 + ${f * 4096} + pmod(p, 36) * 64 + ((p div 36) + $y0)), 100)), 2, '0')), '')"""
+    def videoBytes(y0: Int, hh: Int) = expr(s"""unhex(concat('${headerHex(36 * hh)}',
+      '${asciiHex("00db")}', '${le32hex(36 * hh)}', ${payload(0, y0, hh)},
+      '${asciiHex("00db")}', '${le32hex(36 * hh)}', ${payload(1, y0, hh)}))""")
+    val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
+    val orig = docs.select((col("base_id") * 2).as("media_id"),
+      videoBytes(0, 32).as("bytes"))
+    val copy = docs.filter(pmod(col("base_id"), lit(3)) === 0)
+      .select((col("base_id") * 2 + 1).as("media_id"), videoBytes(16, 16).as("bytes"))
+    val media = orig.unionByName(copy)
+    val frames = graft.sources.Multimodal.sliceFramesRagged(
+      graft.sources.Multimodal.indexAvi(media, "bytes"),
+      "media_id", "bytes", "frame_offsets", "frame_lengths")
+      .select(col("media_id"), col("frame_idx"), col("frame").as("gray"),
+        lit(36).as("w"), expr("cast(length(frame) div 36 as int)").as("h"))
+    val tiles = graft.sources.Multimodal.videoFrameTileHashesFromGray(
+      frames, "media_id", "frame_idx", "gray", "w", "h", tileW = 18, tileH = 16)
+    ordered(graft.sources.Multimodal.imageNearDupPairsByTilesFromHashes(
+      tiles.select(col("media_id"), col("tile_idx"), col("thash")),
+      "media_id", bands = 4, maxHamming = 3, minSharedTiles = 2))
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -2964,6 +3100,9 @@ object Queries {
     "qm11_video_soundtrack_neardup" -> qm11VideoSoundtrackNeardup,
     "qm12_resize_gray" -> qm12ResizeGray,
     "qm13_image_tile_strided" -> qm13ImageTileStrided,
+    "qm14_audio_rate_neardup" -> qm14AudioRateNeardup,
+    "qm15_resize_rgb" -> qm15ResizeRgb,
+    "qm16_video_tile_neardup" -> qm16VideoTileNeardup,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3367,6 +3506,32 @@ grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_segments FROM fp GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(shared_segments AS BIGINT) AS shared_segments FROM grp WHERE shared_segments >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
 
+
+  /** Q-M14 oracle: the qm9/qm11 energy machinery with the RESAMPLE
+    * arithmetic replayed closed-form — d(gg) = (s(2gg) + s(2gg+1) + 1)
+    * // 2 (DuckDB `//` is floor division, exactly ResamplePcm's
+    * floorDiv), then window energies → bits → band slices → segment
+    * pairs at clip level → counts. The copy's windows ARE the
+    * downsampled master's (same d, UNSHIFTED), so zero container or
+    * header arithmetic happens on this side; the engine's RIFF walk,
+    * 2:1 resample, window slicing, and band join are all under the
+    * hash.
+    */
+  private def qm14Sql: String =
+    s"""WITH px AS (SELECT doc_id, unnest(generate_series(0, 779)) AS g FROM documents),
+src AS (SELECT doc_id, g, CAST(doc_id * 1048576 + g AS HUGEINT) AS v FROM px),
+${xxh64Ctes(Seq("doc_id", "g"), "src")},
+sm AS (SELECT doc_id, g, ((h % 16384) + 16384) % 16384 - 8192 AS s FROM hs),
+ds AS (SELECT doc_id, g // 2 AS gg, (SUM(s) + 1) // 2 AS d FROM sm GROUP BY 1, 2),
+fr AS (SELECT doc_id, CAST(gg // 130 AS INT) AS k, CAST((gg % 130) // 2 AS INT) AS j, SUM(d * d) AS e FROM ds GROUP BY 1, 2, 3),
+bt AS (SELECT a.doc_id, a.k, a.j AS jj, CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND a.k = b.k AND b.j = a.j + 1 WHERE a.j < 64),
+sig AS (SELECT doc_id, k, string_agg(bit, '' ORDER BY jj) AS s FROM bt GROUP BY 1, 2),
+segs AS (SELECT doc_id * 2 AS mid, k AS seg, s FROM sig UNION ALL SELECT doc_id * 2 + 1, k, s FROM sig WHERE doc_id % 3 = 0),
+bd AS (SELECT mid, seg, s, j, substr(s, j * 16 + 1, 16) AS bh FROM segs CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)),
+fp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.seg AS sa, b.seg AS sb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
+grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_segments FROM fp GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared_segments AS BIGINT) AS shared_segments FROM grp WHERE shared_segments >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
   /** Q-M12 oracle: the resize arithmetic replayed exactly — source
     * pixels from the shared XXH64 chain, overlap weights as integer
     * LEAST/GREATEST spans in target-scaled units, weighted sums rounded
@@ -3402,6 +3567,59 @@ FROM hx a JOIN hx b ON a.doc_id = b.doc_id AND a.tag = 'a' AND b.tag = 'b' JOIN 
 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST"""
   }
 
+
+
+  /** Q-M15 oracle: the qm12 resize replay with a CHANNEL axis — source
+    * bytes from the shared XXH64 chain at interleaved offsets (pixel
+    * q//3, channel q%3), per-(output-pixel, channel) weighted sums over
+    * the same LEAST/GREATEST integer spans, half-up by (+144) // 288,
+    * hex-packed in (oy, ox, channel) order — the engine's interleaved
+    * layout under the hash.
+    */
+  private def qm15Sql: String =
+    s"""WITH pxi AS (SELECT doc_id, unnest(generate_series(0, 863)) AS q FROM documents),
+src AS (SELECT doc_id, q, CAST(doc_id * 1024 + q AS HUGEINT) AS v FROM pxi),
+${xxh64Ctes(Seq("doc_id", "q"), "src")},
+g AS (SELECT doc_id, CAST((q // 3) % 18 AS INT) AS sx, CAST((q // 3) // 18 AS INT) AS sy, CAST(q % 3 AS INT) AS ch, 1 + ((h % 100) + 100) % 100 AS pv FROM hs),
+dims(tag, ow, oh) AS (VALUES ('a', 9, 8), ('b', 7, 5)),
+cx AS (SELECT tag, ow, oh, unnest(generate_series(0, CAST(ow - 1 AS BIGINT))) AS ox FROM dims),
+cxy AS (SELECT tag, ow, oh, ox, unnest(generate_series(0, CAST(oh - 1 AS BIGINT))) AS oy FROM cx),
+ov AS (SELECT g.doc_id, c.tag, c.oy, c.ox, g.ch, g.pv,
+  LEAST((c.ox + 1) * 18, (g.sx + 1) * c.ow) - GREATEST(c.ox * 18, g.sx * c.ow) AS wx,
+  LEAST((c.oy + 1) * 16, (g.sy + 1) * c.oh) - GREATEST(c.oy * 16, g.sy * c.oh) AS wy
+  FROM cxy c CROSS JOIN g
+  WHERE LEAST((c.ox + 1) * 18, (g.sx + 1) * c.ow) > GREATEST(c.ox * 18, g.sx * c.ow)
+    AND LEAST((c.oy + 1) * 16, (g.sy + 1) * c.oh) > GREATEST(c.oy * 16, g.sy * c.oh)),
+opx AS (SELECT doc_id, tag, oy, ox, ch, CAST((SUM(pv * wx * wy) + 144) // 288 AS INT) AS vv FROM ov GROUP BY 1, 2, 3, 4, 5),
+hx AS (SELECT doc_id, tag, string_agg(lpad(lower(hex(vv)), 2, '0'), '' ORDER BY oy, ox, ch) AS hxs FROM opx GROUP BY 1, 2)
+SELECT a.doc_id AS media_id, a.hxs AS r98_hex, b.hxs AS r75_hex
+FROM hx a JOIN hx b ON a.doc_id = b.doc_id AND a.tag = 'a' AND b.tag = 'b'
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
+
+  /** Q-M16 oracle: the qm13/qm10 tile machinery with a FRAME axis —
+    * per-(frame, tile) block sums at ABSOLUTE pixel coordinates (the
+    * crop's y-offset baked into the closed form), bits, zero-hash cut,
+    * band slices, string Hamming, distinct (frame, tile)-pair counts at
+    * video level. Zero container arithmetic: the engine's demux, slice,
+    * composite positions, and tiling are under the hash via the pixel
+    * values.
+    */
+  private def qm16Sql: String =
+    s"""WITH imgs AS (SELECT doc_id AS base, doc_id * 2 AS mid, 4 AS nt, 0 AS y0 FROM documents UNION ALL SELECT doc_id, doc_id * 2 + 1, 2, 16 FROM documents WHERE doc_id % 3 = 0),
+fset(f) AS (VALUES (0), (1)),
+tset(t) AS (VALUES (0), (1), (2), (3)),
+pos(p) AS (SELECT unnest(range(0, 288))),
+px AS (SELECT mid, f, t, p, CAST(base * 16384 + f * 4096 + ((t % 2) * 18 + (p % 18)) * 64 + ((t // 2) * 16 + (p // 18) + y0) AS HUGEINT) AS v FROM imgs JOIN tset ON t < nt CROSS JOIN fset CROSS JOIN pos),
+${xxh64Ctes(Seq("mid", "f", "t", "p"), "px")},
+pv AS (SELECT mid, f, t, p, ((h % 100) + 100) % 100 + 1 AS pxv FROM hs),
+blk AS (SELECT mid, f, t, (p // 18) // 2 AS r, (p % 18) // 2 AS c, SUM(pxv) AS sm FROM pv GROUP BY 1, 2, 3, 4, 5),
+bits AS (SELECT l.mid, l.f, l.t, l.r * 8 + l.c AS b, CASE WHEN l.sm > r2.sm THEN '1' ELSE '0' END AS bit FROM blk l JOIN blk r2 ON l.mid = r2.mid AND l.f = r2.f AND l.t = r2.t AND l.r = r2.r AND r2.c = l.c + 1 WHERE l.c < 8),
+sig AS (SELECT mid, f, t, string_agg(bit, '' ORDER BY b) AS s FROM bits GROUP BY 1, 2, 3),
+bd AS (SELECT mid, f, t, s, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) tj(j) WHERE s <> repeat('0', 64)),
+tp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.f AS fa, a.t AS ta, b.f AS fb, b.t AS tb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
+grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_tiles FROM tp GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(shared_tiles AS BIGINT) AS shared_tiles FROM grp WHERE shared_tiles >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
   /** Q-M13 oracle: the qm10 tail with STRIDED origins — tile t of an
     * image with tx x-origins starts at ((t % tx)·hopW, (t // tx)·hopH),
@@ -4062,6 +4280,15 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // qm13: strided tile near-dup — the qm10 replay with hop origins
     // and an off-grid crop the default grid provably misses
     "qm13_image_tile_strided" -> qm13Sql,
+    // qm14: rate-normalized audio near-dup — the qm9 replay on the
+    // closed-form 2:1 box-filter downsample (floor-division exact)
+    "qm14_audio_rate_neardup" -> qm14Sql,
+    // qm15: RGB resize — qm12's arithmetic with the channel stride
+    // under the hash
+    "qm15_resize_rgb" -> qm15Sql,
+    // qm16: crop-robust video near-dup — the qm13 tile replay with a
+    // frame axis and composite (frame, tile) positions
+    "qm16_video_tile_neardup" -> qm16Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** Bounded-bucket primitives shared by every banded self-join axis
   * (perceptual media, text MinHash/SimHash, hyperplane embedding tables,
@@ -37,6 +37,57 @@ import org.apache.spark.sql.types.LongType
   */
 private[graft] object BucketCap {
 
+  /** Per-type value comparator matching SPARK's sort order, not Java's
+    * (ADVICE r19): `String.compareTo` is UTF-16 code-unit order while
+    * Spark sorts StringType by UTF-8 bytes — they disagree for
+    * supplementary-plane characters (an emoji sorts BELOW U+E000..U+FFFF
+    * in Java but above in Spark) — and Java orders -0.0 < 0.0 where SQL
+    * treats them equal. A pre-cut comparator that disagrees with the
+    * finishing window's comparator can drop a row the window would keep,
+    * silently breaking the byte-identical contract — so strings compare
+    * through [[org.apache.spark.unsafe.types.UTF8String]] and floats
+    * through [[org.apache.spark.sql.catalyst.util.SQLOrderingUtil]] (the
+    * exact implementations the window's sort uses), BinaryType compares
+    * unsigned-lexicographic (Spark's binary order), and every other
+    * supported type's natural `Comparable` provably agrees with Spark.
+    * Unsupported order-col types (arrays, structs, maps) are rejected at
+    * PLAN BUILD time — a loud `require`, not a mid-job ClassCastException.
+    */
+  private def fieldComparator(dt: DataType, name: String): (Any, Any) => Int =
+    dt match {
+      case StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+      case DoubleType => (a, b) =>
+        org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(
+          a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case FloatType => (a, b) =>
+        org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(
+          a.asInstanceOf[Float], b.asInstanceOf[Float])
+      case BinaryType => (a, b) => {
+        val x = a.asInstanceOf[Array[Byte]]
+        val y = b.asInstanceOf[Array[Byte]]
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var c = 0
+        while (c == 0 && i < n) {
+          c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          i += 1
+        }
+        if (c != 0) c else java.lang.Integer.compare(x.length, y.length)
+      }
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           DateType | TimestampType | TimestampNTZType | _: DecimalType =>
+        // integral/boolean/decimal/datetime externals (java.lang boxes,
+        // BigDecimal, sql.Date/Timestamp or their java.time twins) all
+        // have a natural order identical to Spark's internal encoding
+        (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      case other => throw new IllegalArgumentException(
+        s"preCut order column $name has unsupported type ${other.sql} — " +
+          "only atomic orderable types (numeric, string, binary, boolean, " +
+          "date/timestamp, decimal) can drive the map-side cut")
+    }
+
   /** Map-side pre-cut: per input partition, keep each bucket's first
     * `cap` rows by `orderCols` (ascending, NULLs first — the window's
     * default order) and append `droppedCol` LONG carrying the number of
@@ -44,28 +95,39 @@ private[graft] object BucketCap {
     * 0 elsewhere).
     *
     * Memory: one size-≤`cap` heap per distinct bucket seen in the
-    * partition. When the total buffered rows exceed `maxTrackedRows`
-    * the structure flushes (emits everything and restarts) — a flush
-    * only weakens the pre-cut (more rows reach the window), NEVER
-    * correctness: anything this pass drops provably sits below its
-    * partition's local top-cap and is unreachable in the global
-    * top-cap. Partitions dominated by distinct buckets therefore
-    * degrade to pass-through with bounded buffering, not OOM. The
-    * default (128k rows) is sized for the heaviest rider — Dedup's
-    * 64-slot MinHash signatures at ~0.5 KB/row ≈ 64 MB/task — while
-    * saturated buckets (the rows this pass exists for) keep cutting
-    * within every flush window regardless.
+    * partition, in a plain (NON-spillable) JVM map — so the buffer is
+    * bounded in BYTES, not just rows (ADVICE r19: the r19 row-count
+    * bound was sized for ~0.5 KB MinHash rows, but the embedding axis
+    * routes rows carrying the full vector — tens of KB at dim 4096 —
+    * through the same cut). Row width is sampled with
+    * [[org.apache.spark.util.SizeEstimator]] on a log schedule (rows 1,
+    * 2, 4, … — a handful of object-graph walks per partition, never
+    * per-row) and the structure flushes (emits everything and restarts)
+    * when EITHER `maxTrackedRows` rows or `maxTrackedBytes` estimated
+    * bytes are buffered. A flush only weakens the pre-cut (more rows
+    * reach the window), NEVER correctness: anything this pass drops
+    * provably sits below its partition's local top-cap and is
+    * unreachable in the global top-cap. Partitions dominated by distinct
+    * buckets therefore degrade to pass-through with bounded buffering,
+    * not OOM, at ANY row width.
     */
   def preCut(df: DataFrame, bucketCols: Seq[String], orderCols: Seq[String],
              cap: Int, droppedCol: String,
-             maxTrackedRows: Int = 1 << 17): DataFrame = {
+             maxTrackedRows: Int = 1 << 17,
+             maxTrackedBytes: Long = 64L << 20): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(maxTrackedBytes >= (1L << 20),
+      s"maxTrackedBytes must be >= 1 MB, got $maxTrackedBytes")
     require(!df.columns.contains(droppedCol),
       s"preCut output column $droppedCol already exists")
     val outSchema = df.schema.add(droppedCol, LongType, nullable = false)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val bIdx = bucketCols.map(df.schema.fieldIndex).toArray
     val oIdx = orderCols.map(df.schema.fieldIndex).toArray
+    // plan-build-time type gate + Spark-semantics comparators (ADVICE r19)
+    val fieldCmps = orderCols.map { c =>
+      fieldComparator(df.schema(df.schema.fieldIndex(c)).dataType, c)
+    }.toArray
     df.mapPartitions { rows =>
       // ascending, NULLs first — exactly Window.orderBy(col, ...)'s default
       val cmp = new java.util.Comparator[Row] {
@@ -78,7 +140,7 @@ private[graft] object BucketCap {
               if (a == null && b == null) 0
               else if (a == null) -1
               else if (b == null) 1
-              else a.asInstanceOf[Comparable[Any]].compareTo(b)
+              else fieldCmps(i)(a, b)
             if (c != 0) return c
             i += 1
           }
@@ -94,6 +156,12 @@ private[graft] object BucketCap {
         private val buckets =
           new java.util.HashMap[scala.collection.immutable.ArraySeq[Any], Bucket]()
         private var held = 0
+        // bytes bound: sampled row width (max seen) x held rows. The
+        // estimate starts at 64 B and only grows, so wide rows can
+        // overshoot the budget by at most one sampling gap — and the
+        // first sample lands on row 1, before anything accumulates.
+        private var rowWidth = 64L
+        private var nextSample = 1
         private var out: Iterator[Row] = Iterator.empty
         private def flush(): Iterator[Row] = {
           val emitted = new scala.collection.mutable.ArrayBuffer[Row](held)
@@ -109,11 +177,18 @@ private[graft] object BucketCap {
           held = 0
           emitted.iterator
         }
+        private var arrivals = 0L
         @annotation.tailrec
         private def advance(): Boolean =
           if (out.hasNext) true
           else if (rows.hasNext) {
             val r = rows.next()
+            arrivals += 1L
+            if (arrivals == nextSample) {
+              rowWidth = math.max(rowWidth,
+                org.apache.spark.util.SizeEstimator.estimate(r))
+              nextSample = math.min(Int.MaxValue.toLong, nextSample * 2L).toInt
+            }
             val key = scala.collection.immutable.ArraySeq
               .unsafeWrapArray(bIdx.map(r.get))
             var b = buckets.get(key)
@@ -127,7 +202,8 @@ private[graft] object BucketCap {
               if (cmp.compare(r, b.heap.peek()) < 0) { b.heap.poll(); b.heap.add(r) }
               b.dropped += 1L
             }
-            if (held > maxTrackedRows) out = flush()
+            if (held > maxTrackedRows || held.toLong * rowWidth > maxTrackedBytes)
+              out = flush()
             advance()
           } else if (!buckets.isEmpty) { out = flush(); out.hasNext }
           else false
@@ -146,10 +222,17 @@ private[graft] object BucketCap {
     * drops, `cap`) → filter. Output: the input schema, restricted to
     * each bucket's global first-`cap` rows — byte-identical to a plain
     * rank window over the uncut input.
+    *
+    * `maxTrackedBytes` bounds the map-side buffer (ADVICE r19: the
+    * embedding axis rides full vectors through this cut — callers whose
+    * rows are wide can pass a tighter budget; the sampled-width flush
+    * makes even the default safe at any row width).
     */
   def capByRank(df: DataFrame, bucketCols: Seq[String], orderCols: Seq[String],
-                cap: Int, observeName: String): DataFrame = {
-    val pre = preCut(df, bucketCols, orderCols, cap, "_bcap_pd")
+                cap: Int, observeName: String,
+                maxTrackedBytes: Long = 64L << 20): DataFrame = {
+    val pre = preCut(df, bucketCols, orderCols, cap, "_bcap_pd",
+      maxTrackedBytes = maxTrackedBytes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)

@@ -120,6 +120,112 @@ case class ResizeGray(first: Expression, second: Expression, third: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** [[ResizeGray]]'s exact integer box filter on an interleaved RGB grid
+  * (3 bytes per pixel, row-major, R then G then B — the
+  * `decodeImageRgb` layout) — round 20, VERDICT r19 #2: the
+  * normalize-before-embed argument is [[ResizeGray]]'s, but CLIP-class
+  * vision encoders consume fixed-size RGB, not luma, so a gray-only
+  * resize leaves the embedding side of the multimodal story needing an
+  * external (and engine-divergent) decode+resize. Each channel runs the
+  * IDENTICAL per-plane arithmetic — coordinates scaled by outW/outH so
+  * overlap widths are integers, total weight exactly w·h, half-up
+  * rounding — so resizing the R plane alone through [[ResizeGray]]
+  * byte-matches channel 0 of this output (spec-pinned), and the Q-M15
+  * oracle replays all three channels closed-form.
+  *
+  * Contracts are [[ResizeGray]]'s verbatim: `outW`/`outH` constructor
+  * constants (loud `require`), malformed per-row input (w < 1, h < 1,
+  * fewer than 3·w·h bytes) returns NULL, per-pixel accumulators
+  * Long-safe at any decodable size.
+  */
+case class ResizeRgb(first: Expression, second: Expression, third: Expression,
+                     outW: Int, outH: Int) extends TernaryExpression {
+  require(outW >= 1 && outH >= 1,
+    s"resize_rgb target must be >= 1x1, got ${outW}x$outH")
+  require(outW.toLong * outH * 3 <= Int.MaxValue,
+    s"resize_rgb target ${outW}x$outH overflows a byte array")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "resize_rgb"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"resize_rgb expects (BINARY, INT, INT), got (${a.sql}, ${b.sql}, ${c.sql})")
+    }
+
+  override def nullSafeEval(bytes: Any, w: Any, h: Any): Any =
+    route(bytes.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  /** Nullable so codegen assigns null through the same path. */
+  def route(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (w < 1 || h < 1 || bytes.length < 3L * w * h) return null
+    val out = new Array[Byte](outW * outH * 3)
+    val area = w.toLong * h
+    var oy = 0
+    while (oy < outH) {
+      val byLo = oy.toLong * h
+      val byHi = byLo + h
+      val syLo = (byLo / outH).toInt
+      val syHi = ((byHi + outH - 1) / outH).toInt
+      var ox = 0
+      while (ox < outW) {
+        val bxLo = ox.toLong * w
+        val bxHi = bxLo + w
+        val sxLo = (bxLo / outW).toInt
+        val sxHi = ((bxHi + outW - 1) / outW).toInt
+        var accR = 0L
+        var accG = 0L
+        var accB = 0L
+        var sy = syLo
+        while (sy < syHi) {
+          val wy = math.min(byHi, (sy + 1).toLong * outH) -
+            math.max(byLo, sy.toLong * outH)
+          val base = sy * w
+          var sx = sxLo
+          while (sx < sxHi) {
+            val wx = math.min(bxHi, (sx + 1).toLong * outW) -
+              math.max(bxLo, sx.toLong * outW)
+            val wxy = wx * wy
+            val p = (base + sx) * 3
+            accR += (bytes(p) & 0xff).toLong * wxy
+            accG += (bytes(p + 1) & 0xff).toLong * wxy
+            accB += (bytes(p + 2) & 0xff).toLong * wxy
+            sx += 1
+          }
+          sy += 1
+        }
+        val o = (oy * outW + ox) * 3
+        out(o) = ((accR + area / 2) / area).toByte
+        out(o + 1) = ((accG + area / 2) / area).toByte
+        out(o + 2) = ((accB + area / 2) / area).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("rc", this, classOf[ResizeRgb].getName)
+    nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+      byte[] ${ev.value}Out = $ref.route($b, $w, $h);
+      if (${ev.value}Out == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Out; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+                                                 newSecond: Expression,
+                                                 newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object Resize {
   /** Column face: `resizeGray(gray, width, height, outW, outH)` — dims
     * may vary per row (media tables carry them in metadata); the target
@@ -128,6 +234,15 @@ object Resize {
   def resizeGray(gray: Column, width: Column, height: Column,
                  outW: Int, outH: Int): Column =
     Bridge.column(ResizeGray(Bridge.expression(gray),
+      Bridge.expression(width.cast("int")), Bridge.expression(height.cast("int")),
+      outW, outH))
+
+  /** Column face: `resizeRgb(rgb, width, height, outW, outH)` over the
+    * interleaved 3-channel grid `decodeImageRgb` emits.
+    */
+  def resizeRgb(rgb: Column, width: Column, height: Column,
+                outW: Int, outH: Int): Column =
+    Bridge.column(ResizeRgb(Bridge.expression(rgb),
       Bridge.expression(width.cast("int")), Bridge.expression(height.cast("int")),
       outW, outH))
 }

@@ -669,9 +669,14 @@ object Similarity {
       graft.llm.Dedup.bridgeCuts(sig.sparkSession)
       // round 19: map-side pre-cut before the rank window (VERDICT r18
       // #1) — the saturated bucket's reducer input is bounded at
-      // cap x numPartitions, byte-identical output (BucketCapSpec)
+      // cap x numPartitions, byte-identical output (BucketCapSpec).
+      // Round 20 (ADVICE r19): these rows carry the FULL embedding
+      // vector (several KB to tens of KB at dim 768-4096), so the
+      // map-side buffer gets a tight byte budget — the sampled-width
+      // flush turns it into a hard bound, not a row-count guess
       graft.analytics.BucketCap.capByRank(sig, Seq("bucket"), Seq("id"),
-        maxBucketSize, graft.llm.Dedup.lshCutObserveName(stage))
+        maxBucketSize, graft.llm.Dedup.lshCutObserveName(stage),
+        maxTrackedBytes = 16L << 20)
     }
 
   /** `planes` sized for the corpus: ceil(log2(n / targetBucket)), clamped

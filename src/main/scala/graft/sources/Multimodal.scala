@@ -274,6 +274,92 @@ object Multimodal {
     Some((w, h, gray))
   }
 
+  /** [[decodeImage]]'s 3-CHANNEL twin (round 20, VERDICT r19 #2):
+    * appends (`widthCol` INT, `heightCol` INT, `rgbCol` BINARY — the
+    * row-major INTERLEAVED RGB grid, 3 bytes/pixel, R then G then B).
+    * The gray path is the right input for perceptual hashing, but the
+    * class doc's normalize-before-EMBED promise points at vision
+    * encoders, and CLIP-class encoders consume fixed-size RGB — so
+    * without an in-engine RGB decode a user must decode externally and
+    * lose the bit-identical-normalization guarantee [[resizeRgb]]
+    * exists to give. Contracts are [[decodeImage]]'s verbatim:
+    * mapPartitions codec boundary, bytes never ride an Exchange,
+    * undecodable rows yield NULL in all three columns (filterable-NULL),
+    * single-channel sources replicate the rescaled sample into all
+    * three channels (R=G=B — how an encoder sees a grayscale image).
+    */
+  def decodeImageRgb(df: DataFrame, bytesCol: String,
+                     widthCol: String = "width", heightCol: String = "height",
+                     rgbCol: String = "rgb"): DataFrame = {
+    val clash = Seq(widthCol, heightCol, rgbCol).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"decodeImageRgb output column(s) ${clash.mkString(", ")} already exist — rename or drop them first")
+    val outSchema = df.schema
+      .add(widthCol, IntegerType).add(heightCol, IntegerType).add(rgbCol, BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        decodeToRgb(r.getAs[Array[Byte]](idx)) match {
+          case Some((w, h, rgb)) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(w, h, rgb))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** The per-blob decode [[decodeImageRgb]] distributes: bytes →
+    * (width, height, row-major interleaved 8-bit RGB), None when
+    * unreadable. Single-channel sources rescale by bit depth exactly as
+    * [[decodeToGray]] (same maxVal arithmetic — one rule, cannot drift)
+    * and replicate into R=G=B. Exposed for tests and driver-side probes.
+    */
+  def decodeToRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) return None
+    val rgb = new Array[Byte](3 * w * h)
+    if (img.getColorModel.getNumComponents == 1) {
+      val raster = img.getRaster
+      val bits = raster.getSampleModel.getSampleSize(0)
+      if (bits <= 0 || bits > 31) return None
+      val maxVal = (1L << bits) - 1L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val sv = raster.getSample(x, y, 0).toLong
+          val b8 =
+            if (bits == 8) sv.toByte
+            else ((sv * 255L + maxVal / 2) / maxVal).toByte
+          val p = (y * w + x) * 3
+          rgb(p) = b8; rgb(p + 1) = b8; rgb(p + 2) = b8
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < argb.length) {
+        val v = argb(i)
+        rgb(3 * i) = ((v >>> 16) & 0xff).toByte
+        rgb(3 * i + 1) = ((v >>> 8) & 0xff).toByte
+        rgb(3 * i + 2) = (v & 0xff).toByte
+        i += 1
+      }
+    }
+    Some((w, h, rgb))
+  }
+
   /** Decode REAL WAV (RIFF/PCM) bytes to canonical mono 16-bit LE
     * samples — the AUDIO half of the codec boundary made real (round
     * 17): PCM needs no external codec library, exactly as PNG needed
@@ -859,21 +945,53 @@ object Multimodal {
     * NULL cannot occur (every window has exactly `windowSamples` ≥ 65
     * samples by construction).
     *
+    * RATE NORMALIZATION (round 20, VERDICT r19 #1): windows are fixed
+    * SAMPLE counts, so the same soundtrack re-encoded at a different
+    * sample rate (44.1 vs 48 kHz — the most common render difference
+    * after volume) shifts every window boundary and provably defeats
+    * this axis. Pass `targetRate` (> 0) with `rateCol` (the decoders
+    * emit it) and every clip is first resampled to the ONE pipeline
+    * rate through [[graft.functions.ResamplePcm]] — the exact-integer
+    * box filter, [[resizeGray]]'s construction on the time axis — so a
+    * rate re-render realigns exactly (spec-pinned: a 2:1 re-encode
+    * collapses with `targetRate` set while the default provably misses
+    * it). `targetRate = 0` (default) is byte-identical to the
+    * pre-round-20 form. The resample rides the same scan-side
+    * projection (codegen'd, zero shuffles); the window count is derived
+    * arithmetically from the input length, never by re-evaluating the
+    * resample.
+    *
     * Scale: the segment index explodes in a Generate and each window is a
     * substring projection riding the scan — zero shuffles, PCM bytes never
     * enter an Exchange (the [[sliceFrames]] plan family); the downstream
     * banded join sees only narrow (id, seg, hash) rows.
     */
   def audioSegmentHashes(audio: DataFrame, idCol: String, pcmCol: String,
-                         windowSamples: Int, hopSamples: Int): DataFrame = {
+                         windowSamples: Int, hopSamples: Int,
+                         rateCol: String = "", targetRate: Int = 0): DataFrame = {
     require(windowSamples >= 65,
       s"windowSamples must be >= 65 (audiohash64 needs 65 energy frames), got $windowSamples")
     require(windowSamples <= (Int.MaxValue - 1) / 2,
       s"windowSamples overflows the byte substring, got $windowSamples")
     require(hopSamples >= 1, s"hopSamples must be >= 1, got $hopSamples")
-    audio.select(col(idCol), col(pcmCol).as("_pcm"),
-        (coalesce(length(col(pcmCol)).cast("long"), lit(0L)) / lit(2L))
-          .cast("long").as("_n"))
+    require(targetRate == 0 || rateCol.nonEmpty,
+      "targetRate needs the source-rate column: pass rateCol (decoders emit it)")
+    val pcmIn =
+      if (targetRate == 0) col(pcmCol)
+      else resamplePcm(col(pcmCol), col(rateCol), targetRate)
+    // the sample count is derived ARITHMETICALLY from the input length
+    // (floor(n·target/src) — exactly ResamplePcm's output count), never
+    // by length(_pcm): re-evaluating the resample for its length would
+    // double the decode-stage work. Rows where the resample itself
+    // returns NULL (malformed pcm/rate) carry a bogus _n and are dropped
+    // by the _pcm filter regardless.
+    val nIn =
+      if (targetRate == 0)
+        (coalesce(length(col(pcmCol)).cast("long"), lit(0L)) / lit(2L)).cast("long")
+      else
+        expr(s"cast(coalesce(length(`$pcmCol`), 0) as bigint) div 2 " +
+          s"* ${targetRate}L div cast(`$rateCol` as bigint)")
+    audio.select(col(idCol), pcmIn.as("_pcm"), nIn.cast("long").as("_n"))
       .filter(col("_pcm").isNotNull && col("_n") >= windowSamples)
       .withColumn("_nsegs",
         (((col("_n") - windowSamples) / lit(hopSamples.toLong)).cast("long") + 1L)
@@ -927,7 +1045,8 @@ object Multimodal {
                         bands: Int = 0, maxHamming: Int = 3,
                         minSharedSegments: Int = 2,
                         maxBucketSize: Int = Int.MaxValue,
-                        corpusSize: Option[Long] = None): DataFrame = {
+                        corpusSize: Option[Long] = None,
+                        targetRate: Int = 0): DataFrame = {
     val b0 =
       if (bands == 0)
         derivedBands(corpusSize.getOrElse(media.select(col(idCol)).count()), maxHamming)
@@ -936,7 +1055,7 @@ object Multimodal {
       rateCol = "_dec_rate", channelsCol = "_dec_ch",
       nSamplesCol = "_dec_n", pcmCol = "_dec_pcm")
     val seg = audioSegmentHashes(decoded, idCol, "_dec_pcm",
-      windowSamples, hopSamples)
+      windowSamples, hopSamples, rateCol = "_dec_rate", targetRate = targetRate)
     audioNearDupPairsFromHashes(seg, idCol, b0, maxHamming, minSharedSegments,
       maxBucketSize)
   }
@@ -954,11 +1073,12 @@ object Multimodal {
                            hopSamples: Int = 2000, bands: Int = 0,
                            maxHamming: Int = 3, minSharedSegments: Int = 2,
                            maxBucketSize: Int = Int.MaxValue,
-                           corpusSize: Option[Long] = None): DataFrame = {
+                           corpusSize: Option[Long] = None,
+                           targetRate: Int = 0): DataFrame = {
     val sizing = dedupSizing(bands, corpusSize, media, idCol)
     val pairs = audioNearDupPairs(media, idCol, bytesCol, windowSamples,
         hopSamples, bands, maxHamming, minSharedSegments, maxBucketSize,
-        corpusSize = sizing)
+        corpusSize = sizing, targetRate = targetRate)
       .select(col("doc_a"), col("doc_b"))
     graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
   }
@@ -991,7 +1111,8 @@ object Multimodal {
                                   minSharedSegments: Int = 2,
                                   maxBucketSize: Int = Int.MaxValue,
                                   corpusSize: Option[Long] = None,
-                                  streamId: Int = -1): DataFrame = {
+                                  streamId: Int = -1,
+                                  targetRate: Int = 0): DataFrame = {
     val b0 =
       if (bands == 0)
         derivedBands(corpusSize.getOrElse(media.select(col(idCol)).count()), maxHamming)
@@ -1000,7 +1121,7 @@ object Multimodal {
       rateCol = "_dec_rate", channelsCol = "_dec_ch",
       nSamplesCol = "_dec_n", pcmCol = "_dec_pcm", streamId = streamId)
     val seg = audioSegmentHashes(decoded, idCol, "_dec_pcm",
-      windowSamples, hopSamples)
+      windowSamples, hopSamples, rateCol = "_dec_rate", targetRate = targetRate)
     audioNearDupPairsFromHashes(seg, idCol, b0, maxHamming, minSharedSegments,
       maxBucketSize)
   }
@@ -1019,11 +1140,13 @@ object Multimodal {
                              maxHamming: Int = 3, minSharedSegments: Int = 2,
                              maxBucketSize: Int = Int.MaxValue,
                              corpusSize: Option[Long] = None,
-                             streamId: Int = -1): DataFrame = {
+                             streamId: Int = -1,
+                             targetRate: Int = 0): DataFrame = {
     val sizing = dedupSizing(bands, corpusSize, media, idCol)
     val pairs = videoSoundtrackNearDupPairs(media, idCol, bytesCol,
         windowSamples, hopSamples, bands, maxHamming, minSharedSegments,
-        maxBucketSize, corpusSize = sizing, streamId = streamId)
+        maxBucketSize, corpusSize = sizing, streamId = streamId,
+        targetRate = targetRate)
       .select(col("doc_a"), col("doc_b"))
     graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
   }
@@ -1086,6 +1209,35 @@ object Multimodal {
                  height: org.apache.spark.sql.Column,
                  outW: Int, outH: Int): org.apache.spark.sql.Column =
     graft.functions.Resize.resizeGray(gray, width, height, outW, outH)
+
+  /** EXACT integer area-average resize of an interleaved RGB grid —
+    * see [[graft.functions.ResizeRgb]]: the [[resizeGray]] kernel per
+    * channel, closing the embedding-side normalization (vision encoders
+    * consume fixed-size RGB; Q-M15 oracle-replays all three channels).
+    * Composes scan-side with [[decodeImageRgb]] upstream — a codegen'd
+    * projection, zero shuffles.
+    */
+  def resizeRgb(rgb: org.apache.spark.sql.Column,
+                width: org.apache.spark.sql.Column,
+                height: org.apache.spark.sql.Column,
+                outW: Int, outH: Int): org.apache.spark.sql.Column =
+    graft.functions.Resize.resizeRgb(rgb, width, height, outW, outH)
+
+  /** EXACT integer sample-rate conversion of mono 16-bit LE PCM — see
+    * [[graft.functions.ResamplePcm]]. The normalize-before-hash step of
+    * the audio pipeline ([[resizeGray]]'s argument on the time axis): a
+    * re-render at a different sample rate defeats every fixed-sample
+    * window axis until clips are resampled to ONE pipeline rate, and
+    * the conversion is bit-identical across engines (all-integer box
+    * filter, Q-M14 oracle-replayed). Composes scan-side with
+    * [[decodeWavPcm]] / [[extractAviAudio]] upstream and
+    * [[audioHash64]] / [[audioSegmentHashes]] downstream — a codegen'd
+    * projection, zero shuffles.
+    */
+  def resamplePcm(pcm: org.apache.spark.sql.Column,
+                  srcRate: org.apache.spark.sql.Column,
+                  targetRate: Int): org.apache.spark.sql.Column =
+    graft.functions.Resample.resamplePcm(pcm, srcRate, targetRate)
 
   /** Per-TILE dHashes over a decoded grayscale grid — the SPATIAL frame
     * axis (round 18): the whole-image dHash collapses re-encodes but a
@@ -1239,6 +1391,137 @@ object Multimodal {
     val pairs = imageNearDupPairsByTiles(media, idCol, bytesCol, tileW, tileH,
         bands, maxHamming, minSharedTiles, dropZeroTiles, maxBucketSize,
         corpusSize = sizing, tileHopW = tileHopW, tileHopH = tileHopH)
+      .select(col("doc_a"), col("doc_b"))
+    graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
+  }
+
+  /** Per-(frame, tile) dHashes over ANY decoded frame grid — the
+    * CROP-ROBUST video axis's hashing half (round 20, VERDICT r19 #4):
+    * a cropped + re-encoded + re-dubbed copy of the same footage
+    * defeats all three earlier video axes at once (whole-frame dHash
+    * changes under the crop, qm8/qm10; the soundtrack is replaced,
+    * qm11) — exactly the gap the tile axis closed for stills,
+    * transplanted to every sampled frame. Input: one row per decoded
+    * frame (`idCol`, `frameIdxCol` INT, `grayCol`, `wCol`, `hCol` — the
+    * [[videoFrameHashes]] decode shape, or any external decoder through
+    * the FromHashes convention); each frame tiles through
+    * [[imageTileHashes]] (same grid/hop/zero-tile contracts) keyed by
+    * the (video, frame) composite. Output: (idCol, frame_idx INT,
+    * tile_idx LONG — the composite position frame·2³² + tile, a
+    * distinctness marker exactly like the still axis's tile index —
+    * thash LONG); positions are NOT required to match for two videos to
+    * pair, so a crop realigning at a different (frame, tile) still
+    * counts.
+    *
+    * Scale: one Generate per frame row, every tile an
+    * aggregate-of-substrings projection riding the scan (the
+    * [[imageTileHashes]] plan family) — zero shuffles here; only
+    * narrow (id, pos, hash) rows reach the banded join.
+    */
+  def videoFrameTileHashesFromGray(frames: DataFrame, idCol: String,
+                                   frameIdxCol: String, grayCol: String,
+                                   wCol: String, hCol: String,
+                                   tileW: Int, tileH: Int,
+                                   dropZeroTiles: Boolean = true,
+                                   tileHopW: Int = 0, tileHopH: Int = 0): DataFrame = {
+    val keyed = frames.select(
+      struct(col(idCol).as("vid"), col(frameIdxCol).cast("int").as("fidx")).as("_vt_key"),
+      col(grayCol).as("_vt_gray"), col(wCol).as("_vt_w"), col(hCol).as("_vt_h"))
+    val tiles = imageTileHashes(keyed, "_vt_key", "_vt_gray", "_vt_w", "_vt_h",
+      tileW, tileH, dropZeroTiles, tileHopW, tileHopH)
+    tiles.select(col("_vt_key.vid").as(idCol),
+      col("_vt_key.fidx").as("frame_idx"),
+      (col("_vt_key.fidx").cast("long") * lit(4294967296L) +
+        col("tile_idx").cast("long")).as("tile_idx"),
+      col("thash"))
+  }
+
+  /** [[videoFrameTileHashesFromGray]] over real AVI containers:
+    * [[indexAvi]] → [[sliceFramesRagged]] (sampled at `everyK`, capped
+    * at `maxFrames`) → [[decodeImage]] → per-frame tiling. Frames whose
+    * payload doesn't decode drop (the [[videoFrameHashes]] contract);
+    * for MJPEG every frame decodes.
+    */
+  def videoFrameTileHashes(media: DataFrame, idCol: String, bytesCol: String,
+                           tileW: Int, tileH: Int,
+                           everyK: Int = 1, maxFrames: Int = Int.MaxValue,
+                           dropZeroTiles: Boolean = true,
+                           tileHopW: Int = 0, tileHopH: Int = 0,
+                           streamId: Int = -1): DataFrame = {
+    val indexed = indexAvi(media.select(col(idCol), col(bytesCol)), bytesCol,
+      offsetsCol = "_vth_off", lengthsCol = "_vth_len", streamId = streamId)
+    val frames = sliceFramesRagged(indexed, idCol, bytesCol,
+      "_vth_off", "_vth_len", everyK, maxFrames)
+    val decoded = decodeImage(
+      frames.select(col(idCol), col("frame_idx"), col("frame")), "frame",
+      widthCol = "_dec_w", heightCol = "_dec_h", grayCol = "_dec_gray")
+    videoFrameTileHashesFromGray(
+      decoded.filter(col("_dec_gray").isNotNull),
+      idCol, "frame_idx", "_dec_gray", "_dec_w", "_dec_h",
+      tileW, tileH, dropZeroTiles, tileHopW, tileHopH)
+  }
+
+  /** Video near-dup pairs by SHARED FRAME-TILE HASHES — the crop-robust
+    * video axis (round 20, VERDICT r19 #4): [[videoFrameTileHashes]] →
+    * the banded shared-signature join on the (video, frame·2³²+tile,
+    * hash) frame. Two videos pair when ≥ `minSharedTiles` (frame, tile)
+    * positions match perceptually — a cropped re-render keeps every
+    * surviving tile's pixel block intact, so it realigns tile-for-tile
+    * even though no whole-frame hash and no container byte survives,
+    * and a replaced soundtrack is irrelevant to this axis. Run all
+    * three video axes on a real crawl: frames catch re-encodes,
+    * soundtrack catches silent-frame renders, tiles catch crops.
+    * Output: (doc_a, doc_b, shared_tiles) with doc_a < doc_b.
+    *
+    * Scale: decode runs once inside the pair stage's reused Exchange on
+    * the narrow (id, bytes) projection; only (id, pos, hash) rows
+    * shuffle; `bands = 0` sizes from the VIDEO count (frame×tile
+    * multiplicity is bounded by `maxFrames` and the grid — the
+    * [[videoNearDupPairs]] argument); `maxBucketSize` bounds saturated
+    * buckets (letterbox bars are zero tiles, already cut).
+    */
+  def videoNearDupPairsByTiles(media: DataFrame, idCol: String, bytesCol: String,
+                               tileW: Int = 36, tileH: Int = 32,
+                               everyK: Int = 1, maxFrames: Int = 32,
+                               bands: Int = 0, maxHamming: Int = 3,
+                               minSharedTiles: Int = 2,
+                               dropZeroTiles: Boolean = true,
+                               maxBucketSize: Int = Int.MaxValue,
+                               corpusSize: Option[Long] = None,
+                               tileHopW: Int = 0, tileHopH: Int = 0,
+                               streamId: Int = -1): DataFrame = {
+    val b0 =
+      if (bands == 0)
+        derivedBands(corpusSize.getOrElse(media.select(col(idCol)).count()), maxHamming)
+      else bands
+    val tiles = videoFrameTileHashes(media, idCol, bytesCol, tileW, tileH,
+      everyK, maxFrames, dropZeroTiles, tileHopW, tileHopH, streamId)
+    imageNearDupPairsByTilesFromHashes(
+      tiles.select(col(idCol), col("tile_idx"), col("thash")),
+      idCol, b0, maxHamming, minSharedTiles, maxBucketSize)
+  }
+
+  /** One-call CROP-ROBUST video dedup: [[videoNearDupPairsByTiles]] →
+    * keep-best — [[dedupImagesByTiles]] for the video modality, same
+    * contracts: survivors join back to the RAW media, videos that
+    * don't demux/decode survive untouched (no tile rows, never pair),
+    * the bands=0 sizing count runs on the raw frame.
+    */
+  def dedupVideoByTiles(media: DataFrame, idCol: String, bytesCol: String,
+                        scoreCol: String, tileW: Int = 36, tileH: Int = 32,
+                        everyK: Int = 1, maxFrames: Int = 32,
+                        bands: Int = 0, maxHamming: Int = 3,
+                        minSharedTiles: Int = 2,
+                        dropZeroTiles: Boolean = true,
+                        maxBucketSize: Int = Int.MaxValue,
+                        corpusSize: Option[Long] = None,
+                        tileHopW: Int = 0, tileHopH: Int = 0,
+                        streamId: Int = -1): DataFrame = {
+    val sizing = dedupSizing(bands, corpusSize, media, idCol)
+    val pairs = videoNearDupPairsByTiles(media, idCol, bytesCol, tileW, tileH,
+        everyK, maxFrames, bands, maxHamming, minSharedTiles, dropZeroTiles,
+        maxBucketSize, corpusSize = sizing, tileHopW = tileHopW,
+        tileHopH = tileHopH, streamId = streamId)
       .select(col("doc_a"), col("doc_b"))
     graft.llm.Dedup.dedupKeepBest(media, idCol, pairs, scoreCol)
   }

