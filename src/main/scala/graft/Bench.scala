@@ -130,7 +130,19 @@ object Bench {
     // qm11: video near-dup by SOUNDTRACK (round 19) — two-stream AVI
     // synthesis through the real hdrl/wb demux + PCM downmix, windowed
     // segment hashes, the qm9 banded join; synthesis dominates like qm9
-    "qm11_video_soundtrack_neardup"
+    "qm11_video_soundtrack_neardup",
+    // qm14: rate-normalized audio near-dup (round 20) — two-rate WAV
+    // synthesis through the RIFF parse + codegen'd 2:1 resample +
+    // windowed segment hashes + the qm9 banded join
+    "qm14_audio_rate_neardup",
+    // qm15: exact RGB resize (round 20) — in-plan interleaved-grid
+    // synthesis through the codegen'd per-channel resize projection;
+    // one scan, zero shuffles (the qm12 plan, three channels)
+    "qm15_resize_rgb",
+    // qm16: crop-robust video near-dup (round 20) — two-frame AVI
+    // synthesis through the demux + per-frame tiling at composite
+    // (frame, tile) positions + the qm10 banded join
+    "qm16_video_tile_neardup"
   )
 
   /** Box-drift controls: stable scan+agg rows whose plans haven't changed

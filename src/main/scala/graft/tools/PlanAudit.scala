@@ -146,6 +146,26 @@ object PlanAudit {
       "mapPartitions codec boundary (container bytes never in an Exchange -- typed " +
       "gate), window slicing/audiohash64/banded join are qm9's chain verbatim, and " +
       "the distinct-segment-pair count is the same ONE collect_set agg"),
+    "qm14_audio_rate_neardup" -> ("RATE-NORMALIZED audio near-dup: the two-rate WAV " +
+      "fixture builds in a scan-riding projection, the RIFF parse runs inside the " +
+      "mapPartitions codec boundary, resample_pcm is a codegen'd expression in the " +
+      "same scan-side projection as the window substrings (the 2:1 resample of every " +
+      "master costs one pass over its PCM, no extra stage, and the window count " +
+      "derives arithmetically from the input length so the resample is never " +
+      "evaluated twice), PCM bytes never in an Exchange (typed gate), and the " +
+      "banded join + distinct-segment-pair agg are qm9's chain verbatim"),
+    "qm15_resize_rgb" -> ("exact integer RGB resize: the interleaved grid synthesizes " +
+      "in a scan-riding projection, both resize_rgb targets are codegen'd expressions " +
+      "in the same projection (RGB bytes never in an Exchange -- the typed gate), and " +
+      "the only Exchange is the harness ORDER BY -- the qm12 plan with three channels " +
+      "riding one kernel"),
+    "qm16_video_tile_neardup" -> ("crop-robust video near-dup (frame x tile): the " +
+      "two-frame AVI fixture builds in a scan-riding projection, demux + ragged slice " +
+      "run inside the codec boundary, per-frame tiling is the qm10/qm13 Generate + " +
+      "aggregate-of-substrings projection keyed by the (video, frame) composite " +
+      "struct (frame bytes never in an Exchange -- typed gate), composite positions " +
+      "are a codegen'd long projection, and the banded ShuffledHashJoin + ONE " +
+      "partial-combining collect_set pair agg are the qm10 tail verbatim"),
     "qm7_avi_demux" -> ("REAL AVI container demux: the fixture container (LIST nesting, " +
       "word pads, little-endian sizes) builds in a scan-riding projection, the RIFF " +
       "walker recovers frame spans inside the mapPartitions boundary, and the sampled " +
@@ -525,6 +545,24 @@ object PlanAudit {
     // qm13: the qm10 budget with strided origins — band-join sides +
     // ONE collect_set pair agg + harness ORDER BY
     "qm13_image_tile_strided" -> Shape(4, forbid = noCross ++ noSmj,
+      require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
+      noWideShuffle = true),
+    // qm14: the qm9 budget with the resample riding the decode stage —
+    // band-join sides + ONE collect_set pair agg + harness ORDER BY;
+    // resample_pcm must sit in the projection, PCM never in an Exchange
+    "qm14_audio_rate_neardup" -> Shape(4, forbid = noCross ++ noSmj,
+      require = Seq("ShuffledHashJoin", "audiohash64", "resample_pcm",
+        "partial_collect_set"),
+      noWideShuffle = true),
+    // qm15: the qm12 budget — one scan-riding projection holding both
+    // resize_rgb targets; the harness sort is the only Exchange
+    "qm15_resize_rgb" -> Shape(1, forbid = noCross ++ noSmj,
+      require = Seq("resize_rgb"),
+      noWideShuffle = true),
+    // qm16: the qm10/qm13 budget with the frame axis — band-join sides
+    // + ONE collect_set pair agg + harness ORDER BY; the frame grid
+    // never in an Exchange
+    "qm16_video_tile_neardup" -> Shape(4, forbid = noCross ++ noSmj,
       require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
       noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the

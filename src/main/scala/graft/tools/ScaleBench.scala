@@ -283,6 +283,16 @@ object ScaleBench {
     // so cross-copy candidates are noise-level — must scale ~linearly
     // like qm9 (same join family, same synthesis dominance)
     "qm11_video_soundtrack_neardup",
+    // qm14: rate-normalized audio near-dup — the qm9 chain with the
+    // codegen'd resample in the decode projection; rows are id-keyed so
+    // the chain must scale ~linearly like qm9/qm11
+    "qm14_audio_rate_neardup",
+    // qm15: RGB resize — the qm12 scan-riding projection with 3x the
+    // synthesized bytes per doc; must scale ~linearly like qm12
+    "qm15_resize_rgb",
+    // qm16: crop-robust video near-dup — the qm10 tile chain behind the
+    // AVI demux with a frame axis (8 tiles/video + 4/crop); ~linear
+    "qm16_video_tile_neardup",
     // qm9: segment-level audio near-dup — in-plan WAV synthesis through
     // the real RIFF parser, windowed segment hashes (a Generate +
     // substring projection riding the scan), then the banded

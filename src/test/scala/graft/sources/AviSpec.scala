@@ -320,6 +320,37 @@ class AviSpec extends SparkSpec {
     assert(kept == Set(2L, 3L), s"keep-best keeps the higher-scored render: $kept")
   }
 
+  test("soundtrack axis + targetRate: a 2:1-rate soundtrack re-render collapses only when normalized") {
+    // the SAME soundtrack muxed at 16 kHz and, in the copy, at 8 kHz —
+    // the 8 kHz samples are the test-local box-filter downsample (the
+    // AudioSpec construction behind a container wall)
+    val base16 = Array.tabulate[Short](780)(i => ((i * 53 + 7) % 163 - 81).toShort)
+    val copy8 = Array.tabulate[Short](390) { g =>
+      Math.floorDiv(base16(2 * g) + base16(2 * g + 1) + 1, 2).toShort
+    }
+    def video(rate: Int, pcm: Array[Byte]): Array[Byte] =
+      aviS(strl("vids", None) ++ strl("auds", Some(waveFmt(1, 1, rate, 16))),
+        chunk("00dc", Array[Byte](1, 2)) ++ chunk("01wb", pcm))
+    val media = Seq((1L, video(16000, pcmBytes(base16)), 0.9),
+      (2L, video(8000, pcmBytes(copy8)), 0.5)).toDF("media_id", "bytes", "score")
+    // un-normalized: the window grids differ — no pair (re-judge tripwire)
+    assert(Multimodal.videoSoundtrackNearDupPairs(media, "media_id", "bytes",
+      windowSamples = 130, hopSamples = 130, bands = 4, maxHamming = 0,
+      minSharedSegments = 2).count() == 0,
+      "a rate re-render must NOT collapse without normalization — re-judge")
+    // normalized to the pipeline rate: all 3 windows realign
+    val pairs = Multimodal.videoSoundtrackNearDupPairs(media, "media_id", "bytes",
+        windowSamples = 130, hopSamples = 130, bands = 4, maxHamming = 0,
+        minSharedSegments = 2, targetRate = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)), s"got: ${pairs.toSeq}")
+    val kept = Multimodal.dedupVideoBySoundtrack(media, "media_id", "bytes",
+        "score", windowSamples = 130, hopSamples = 130, bands = 4,
+        maxHamming = 0, minSharedSegments = 2, targetRate = 8000)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"keep-best must keep the 16 kHz master: $kept")
+  }
+
   test("tile axis: a CROPPED+re-encoded+re-dubbed copy collapses; frame AND soundtrack axes provably miss") {
     // PNG frames (lossless) so the cropped pixels are byte-exact — the
     // crop copy class, not the compression-noise class (qm8 owns that)
