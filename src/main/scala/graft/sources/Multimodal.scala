@@ -926,8 +926,11 @@ object Multimodal {
 
   /** One-call perceptual dedup over REAL WAV bytes:
     * [[decodeWavPcm]] → [[audioHash64]] → [[perceptualNearDupPairs]] →
-    * keep-best — [[dedupImagesPerceptual]] for the audio modality, same
-    * contracts: decode touches only the narrow (id, bytes) projection,
+    * keep-best — [[dedupImagesPerceptual]] for the audio modality.
+    * `targetRate` (round 20) resamples every clip to ONE pipeline rate
+    * before hashing ([[resamplePcm]]) — a same-soundtrack re-render at
+    * a different sample rate hashes byte-equal instead of diverging on
+    * the length-relative envelope grid (spec-pinned). Same contracts: decode touches only the narrow (id, bytes) projection,
     * survivors join back to the RAW media, undecodable rows survive
     * untouched (NULL hash never pairs), and the bands=0 sizing count
     * runs on the raw frame, never downstream of the decode barrier.
@@ -936,12 +939,20 @@ object Multimodal {
                            scoreCol: String, bands: Int = 0,
                            maxHamming: Int = 3,
                            maxBucketSize: Int = Int.MaxValue,
-                           corpusSize: Option[Long] = None): DataFrame = {
+                           corpusSize: Option[Long] = None,
+                           targetRate: Int = 0): DataFrame = {
     val sizing = dedupSizing(bands, corpusSize, media, idCol)
     val decoded = decodeWavPcm(media.select(col(idCol), col(bytesCol)), bytesCol,
       rateCol = "_dec_rate", channelsCol = "_dec_ch",
       nSamplesCol = "_dec_n", pcmCol = "_dec_pcm")
-    val hashed = decoded.withColumn("_ahash", audioHash64(col("_dec_pcm")))
+    // round 20: the whole-clip axis needs the rate normalization too —
+    // its envelope grid is length-relative, so a rate re-render shifts
+    // every frame boundary; resampling to ONE pipeline rate makes the
+    // two renders' PCM (and therefore the hash) exactly equal
+    val pcmIn =
+      if (targetRate == 0) col("_dec_pcm")
+      else resamplePcm(col("_dec_pcm"), col("_dec_rate"), targetRate)
+    val hashed = decoded.withColumn("_ahash", audioHash64(pcmIn))
     val pairs = perceptualNearDupPairs(hashed, idCol, "_ahash", bands, maxHamming,
         maxBucketSize, corpusSize = sizing)
       .select(col("doc_a"), col("doc_b"))

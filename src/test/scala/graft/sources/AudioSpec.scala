@@ -237,5 +237,17 @@ class AudioSpec extends SparkSpec {
         maxHamming = 0, minSharedSegments = 2, targetRate = 8000)
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L), s"keep-best must keep the higher-scored 16 kHz master: $kept")
+    // the WHOLE-CLIP axis (round 20): its envelope grid is
+    // length-relative, so the un-normalized one-call keeps all three;
+    // under targetRate the two renders' PCM is byte-equal and the
+    // whole-clip hashes collapse exactly
+    assert(Multimodal.dedupAudioPerceptual(media, "media_id", "bytes",
+      "score", bands = 4).count() == 3,
+      "whole-clip axis must NOT collapse a rate re-render un-normalized — re-judge")
+    val keptWhole = Multimodal.dedupAudioPerceptual(media, "media_id", "bytes",
+        "score", bands = 4, targetRate = 8000)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(keptWhole == Set(1L, 3L),
+      s"rate-normalized whole-clip hash must collapse the re-render: $keptWhole")
   }
 }
