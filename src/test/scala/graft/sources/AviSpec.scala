@@ -407,5 +407,21 @@ class AviSpec extends SparkSpec {
         tileW = 18, tileH = 16, bands = 4, maxHamming = 0, minSharedTiles = 2)
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L), s"keep-best must keep the higher-scored master: $kept")
+    // STRIDED tiles reach the video axis (the qm13 story per frame): an
+    // OFF-GRID crop (y-offset 8, inside the first tile row) never
+    // realigns on the default grid but collapses at hop 9x8
+    val videoOff = video(fr.map(pngOf(_, 8, 16)), trackB)
+    val mediaOff = Seq((1L, videoA, 0.9), (4L, videoOff, 0.5))
+      .toDF("media_id", "bytes", "score")
+    assert(Multimodal.videoNearDupPairsByTiles(mediaOff, "media_id", "bytes",
+      tileW = 18, tileH = 16, bands = 4, maxHamming = 0, minSharedTiles = 2)
+      .count() == 0,
+      "default grid caught an off-grid crop — strided tiles redundant; re-judge")
+    val strided = Multimodal.videoNearDupPairsByTiles(mediaOff, "media_id", "bytes",
+        tileW = 18, tileH = 16, bands = 4, maxHamming = 0, minSharedTiles = 2,
+        tileHopW = 9, tileHopH = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strided.toSeq == Seq((1L, 4L)),
+      s"hop 9x8 must realign the off-grid crop: ${strided.toSeq}")
   }
 }
