@@ -133,6 +133,20 @@ class BucketCapSpec extends SparkSpec {
       == Set(0x01, 0x7f))
   }
 
+  test("double order cols treat -0.0 and 0.0 as EQUAL, like SQL (ADVICE r19)") {
+    import spark.implicits._
+    // Java's Double.compareTo orders -0.0 < 0.0; SQL treats them equal
+    // and falls through to the tiebreaker. With cap 1 on one partition
+    // the pre-cut picks the kept row itself: a Java-ordered comparator
+    // keeps (d=-0.0, id=2) while the window's order keeps (0.0, id=1).
+    val df = Seq((0.0d, 1L), (-0.0d, 2L), (1.0d, 3L))
+      .toDF("d", "id").withColumn("bh", lit(0L)).repartition(1)
+    val got = BucketCap.capByRank(df, Seq("bh"), Seq("d", "id"), 1, "graft.test.bcap.zero")
+    val want = referenceCap(df, Seq("bh"), Seq("d", "id"), 1)
+    assert(rowsOf(got) == rowsOf(want), "-0.0 < 0.0 comparator divergence")
+    assert(got.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("unsupported order-col types fail loud at plan build, not mid-job (ADVICE r19)") {
     import spark.implicits._
     val df = Seq((Seq(1, 2), 0L)).toDF("arr", "bh")
