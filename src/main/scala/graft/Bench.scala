@@ -142,7 +142,11 @@ object Bench {
     // qm16: crop-robust video near-dup (round 20) — two-frame AVI
     // synthesis through the demux + per-frame tiling at composite
     // (frame, tile) positions + the qm10 banded join
-    "qm16_video_tile_neardup"
+    "qm16_video_tile_neardup",
+    // qm17: pooled image embedding (round 20) — grid synthesis through
+    // the codegen'd resize + strided-mean pooling projection; one scan,
+    // one explode, zero shuffles
+    "qm17_pooled_embedding"
   )
 
   /** Box-drift controls: stable scan+agg rows whose plans haven't changed

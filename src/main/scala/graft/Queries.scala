@@ -980,6 +980,35 @@ object Queries {
       "media_id", bands = 4, maxHamming = 3, minSharedTiles = 2))
   }
 
+
+  /** Q-M17 — in-engine pooled image embedding, oracle-hashed end to end
+    * (round 20: [[graft.sources.Multimodal.pooledFeaturesRgb]] over the
+    * [[graft.sources.Multimodal.resizeRgb]] normalization — the embed
+    * step that completes decode → resize → EMBED → ANN): the qm15
+    * closed-form 18x16 interleaved RGB grid normalizes to 9x8 and pools
+    * into 16 strided-mean features (feature j = mean of resized bytes
+    * at positions ≡ j mod 16 — stripes of 14 and 13 bytes, the
+    * non-divisible case), emitted as the ANN surface's ARRAY<FLOAT>
+    * and exploded to (media_id, feature_idx, feature) scalars. The
+    * oracle replays grid → integer resize → stripe sums → the IEEE
+    * double→float32 rounding — so the resize arithmetic, interleave
+    * stride, pooling bounds, and float rounding are all under the
+    * hash.
+    */
+  val qm17PooledEmbedding: Q = (s, dir) => {
+    val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      .withColumn("rgb", expr(
+        """unhex(array_join(transform(sequence(0, 863), q ->
+          lpad(hex(1 + pmod(xxhash64(media_id * 1024 + q), 100)), 2, '0')), ''))"""))
+    val emb = graft.sources.Multimodal.pooledFeaturesRgb(
+      graft.sources.Multimodal.resizeRgb(col("rgb"), lit(18), lit(16), 9, 8),
+      9, 8, 16)
+    ordered(media.select(col("media_id"),
+        posexplode(emb).as(Seq("feature_idx", "feature")))
+      .select(col("media_id"), col("feature_idx"),
+        col("feature").cast("double").as("feature")))
+  }
+
   /** Q-M3 — perceptual media near-dup pairs, oracle-hashed end to end:
     * every document becomes a synthetic grayscale image (pixel = 1 +
     * `pmod(xxhash64(doc_id·4096 + x·64 + y), 100)` — one closed-form
@@ -3103,6 +3132,7 @@ object Queries {
     "qm14_audio_rate_neardup" -> qm14AudioRateNeardup,
     "qm15_resize_rgb" -> qm15ResizeRgb,
     "qm16_video_tile_neardup" -> qm16VideoTileNeardup,
+    "qm17_pooled_embedding" -> qm17PooledEmbedding,
     "qa1_grouped_agg" -> qa1GroupedAgg,
     "qa2_count_distinct" -> qa2CountDistinct,
     "qa3_rollup" -> qa3Rollup,
@@ -3620,6 +3650,32 @@ bd AS (SELECT mid, f, t, s, j, substr(s, j * 16 + 1, 16) AS bh FROM sig CROSS JO
 tp AS (SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b, a.f AS fa, a.t AS ta, b.f AS fb, b.t AS tb FROM bd a JOIN bd b ON a.j = b.j AND a.bh = b.bh AND a.mid < b.mid WHERE hamming(a.s, b.s) <= 3),
 grp AS (SELECT doc_a, doc_b, COUNT(*) AS shared_tiles FROM tp GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(shared_tiles AS BIGINT) AS shared_tiles FROM grp WHERE shared_tiles >= 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
+
+
+  /** Q-M17 oracle: the qm15 resize replay (tag 'a' only) with the
+    * pooling tail — interleaved byte position p = (oy·9 + ox)·3 + ch,
+    * stripe j = p % 16, per-stripe integer sums and exact counts, then
+    * the engine's exact float path: CAST(sum::DOUBLE / cnt AS FLOAT)
+    * back to DOUBLE for the emitted column (IEEE round-to-nearest on
+    * both engines).
+    */
+  private def qm17Sql: String =
+    s"""WITH pxi AS (SELECT doc_id, unnest(generate_series(0, 863)) AS q FROM documents),
+src AS (SELECT doc_id, q, CAST(doc_id * 1024 + q AS HUGEINT) AS v FROM pxi),
+${xxh64Ctes(Seq("doc_id", "q"), "src")},
+g AS (SELECT doc_id, CAST((q // 3) % 18 AS INT) AS sx, CAST((q // 3) // 18 AS INT) AS sy, CAST(q % 3 AS INT) AS ch, 1 + ((h % 100) + 100) % 100 AS pv FROM hs),
+cx AS (SELECT unnest(generate_series(0, 8)) AS ox),
+cxy AS (SELECT ox, unnest(generate_series(0, 7)) AS oy FROM cx),
+ov AS (SELECT g.doc_id, c.oy, c.ox, g.ch, g.pv,
+  LEAST((c.ox + 1) * 18, (g.sx + 1) * 9) - GREATEST(c.ox * 18, g.sx * 9) AS wx,
+  LEAST((c.oy + 1) * 16, (g.sy + 1) * 8) - GREATEST(c.oy * 16, g.sy * 8) AS wy
+  FROM cxy c CROSS JOIN g
+  WHERE LEAST((c.ox + 1) * 18, (g.sx + 1) * 9) > GREATEST(c.ox * 18, g.sx * 9)
+    AND LEAST((c.oy + 1) * 16, (g.sy + 1) * 8) > GREATEST(c.oy * 16, g.sy * 8)),
+opx AS (SELECT doc_id, oy, ox, ch, CAST((SUM(pv * wx * wy) + 144) // 288 AS INT) AS vv FROM ov GROUP BY 1, 2, 3, 4),
+ft AS (SELECT doc_id, CAST(((oy * 9 + ox) * 3 + ch) % 16 AS INT) AS j, SUM(vv) AS sm, COUNT(*) AS cnt FROM opx GROUP BY 1, 2)
+SELECT doc_id AS media_id, j AS feature_idx, CAST(CAST(CAST(sm AS DOUBLE) / cnt AS FLOAT) AS DOUBLE) AS feature
+FROM ft ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"""
 
   /** Q-M13 oracle: the qm10 tail with STRIDED origins — tile t of an
     * image with tx x-origins starts at ((t % tx)·hopW, (t // tx)·hopH),
@@ -4289,6 +4345,9 @@ SELECT doc_id, lang, score, CASE WHEN rig * 3 <= ng THEN 'head' WHEN rig * 3 <= 
     // qm16: crop-robust video near-dup — the qm13 tile replay with a
     // frame axis and composite (frame, tile) positions
     "qm16_video_tile_neardup" -> qm16Sql,
+    // qm17: pooled embedding — the qm15 resize replay with stripe-mean
+    // pooling and the IEEE float32 rounding under the hash
+    "qm17_pooled_embedding" -> qm17Sql,
     // ql53: ql6 candidate replay + exact trigram-Jaccard re-score
     "ql53_ngram_jaccard" -> ql53Sql,
     // ql47: ql8's replicated score, ranked per language with doc_id

@@ -1267,6 +1267,82 @@ object Multimodal {
                   targetRate: Int): org.apache.spark.sql.Column =
     graft.functions.Resample.resamplePcm(pcm, srcRate, targetRate)
 
+  /** Deterministic POOLED FEATURES over a normalized RGB grid — the
+    * in-engine embed step that completes the normalize-before-embed
+    * chain (round 20): decode → resize → EMBED → ANN now runs end to
+    * end inside the engine. Feature j of `dim` is the mean of the
+    * resized grid's bytes at positions ≡ j (mod dim) — a strided
+    * average-pooling projection: crude as a semantic encoder (a real
+    * vision encoder is the documented EXTERNAL boundary, exactly like
+    * compressed codecs — its output enters through the embedding
+    * column the ANN surface already consumes), but a REAL, exact,
+    * engine-replayable projection, so the full pipeline plumbing —
+    * schema, normalization guarantee, ANN compatibility — is testable
+    * and oracle-hashable without any library. Because the resize
+    * upstream is exact and rendition-invariant, two renditions of the
+    * same picture produce IDENTICAL vectors (spec-pinned through real
+    * PNG bytes), which is precisely the property a 100 TB semantic
+    * dedup needs from its normalize-before-embed stage.
+    *
+    * Emits ARRAY<FLOAT> — the [[graft.llm.Similarity]] embedding shape
+    * — with IEEE double→float32 rounding replayed by the Q-M17 oracle.
+    * NULL or wrong-length grid → ONE NULL embedding (the filterable contract). Pure SQL
+    * expressions (one lambda-bound hex + strided `aggregate` sums):
+    * rides the scan as one projection, zero shuffles, no new JVM code.
+    */
+  def pooledFeaturesRgb(rgb: org.apache.spark.sql.Column,
+                        outW: Int, outH: Int, dim: Int): org.apache.spark.sql.Column = {
+    val n = outW * outH * 3
+    require(dim >= 1 && dim <= n,
+      s"dim must be in [1, $n] (= outW*outH*3 pooled bytes), got $dim")
+    // per stripe j: sum bytes at positions j, j+dim, … (the stripe is
+    // shorter by one when dim does not divide n). Higher-order
+    // functions are NOT whole-stage-codegen'd, so an identical
+    // hex(grid) subtree in every stripe would be RE-EVALUATED dim
+    // times — including the resize and anything upstream (measured:
+    // 16× the scan cost on the qm17 fixture). Binding the hex as a
+    // one-element transform's LAMBDA VARIABLE forces exactly one
+    // evaluation per row, stripes included.
+    val pooled = transform(array(hex(rgb)), hxv =>
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val sum = aggregate(
+          sequence(j, lit(n - 1), lit(dim)),
+          lit(0L),
+          (acc, p) =>
+            acc + conv(hxv.substr(p.cast("int") * lit(2) + lit(1), lit(2)), 16, 10)
+              .cast("long"))
+        // stripe length (n - j + dim - 1) div dim, as exact double
+        val cnt = floor((lit((n - 1).toDouble) - j.cast("double")) / lit(dim.toDouble)) + lit(1.0d)
+        (sum.cast("double") / cnt).cast("float")
+      }))
+    // the filterable-NULL contract: a NULL or wrong-length grid (an
+    // undecodable row riding through, or a caller skipping the resize)
+    // yields ONE NULL embedding, never an array of NULL features
+    when(rgb.isNotNull && length(rgb) === lit(n), element_at(pooled, 1))
+  }
+
+  /** One-call in-engine image embedding: [[decodeImageRgb]] →
+    * [[resizeRgb]] (the exact normalization) → [[pooledFeaturesRgb]] —
+    * emits (idCol, `embeddingCol` ARRAY<FLOAT>), the exact input shape
+    * of [[graft.llm.Similarity]]'s ANN surface (cosine top-k,
+    * hyperplane LSH, IVF/PQ, k-NN graph, semantic dedup). Renditions of
+    * the same picture (integer re-scales, re-encodes) embed IDENTICALLY
+    * because the resize normalizes first (spec-pinned on real PNG
+    * bytes); undecodable rows carry NULL embeddings and never pair. A
+    * production vision encoder replaces ONLY the pooling step — decode,
+    * normalize, schema, and the ANN contract stay exactly this.
+    */
+  def imageEmbeddingsRgb(media: DataFrame, idCol: String, bytesCol: String,
+                         outW: Int, outH: Int, dim: Int,
+                         embeddingCol: String = "embedding"): DataFrame = {
+    val decoded = decodeImageRgb(media.select(col(idCol), col(bytesCol)), bytesCol,
+      widthCol = "_dec_w", heightCol = "_dec_h", rgbCol = "_dec_rgb")
+    decoded.select(col(idCol),
+      pooledFeaturesRgb(
+        resizeRgb(col("_dec_rgb"), col("_dec_w"), col("_dec_h"), outW, outH),
+        outW, outH, dim).as(embeddingCol))
+  }
+
   /** Per-TILE dHashes over a decoded grayscale grid — the SPATIAL frame
     * axis (round 18): the whole-image dHash collapses re-encodes but a
     * CROPPED, letterboxed, or watermark-padded copy of the same picture

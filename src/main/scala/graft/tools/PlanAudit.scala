@@ -166,6 +166,14 @@ object PlanAudit {
       "struct (frame bytes never in an Exchange -- typed gate), composite positions " +
       "are a codegen'd long projection, and the banded ShuffledHashJoin + ONE " +
       "partial-combining collect_set pair agg are the qm10 tail verbatim"),
+    "qm17_pooled_embedding" -> ("in-engine pooled image embedding: the interleaved grid " +
+      "synthesizes and resize_rgb runs codegen'd in ONE scan-riding projection; the " +
+      "strided-mean pooling is a higher-order-function expression (interpreted -- HOFs " +
+      "are CodegenFallback), so the hex of the resized grid binds ONCE as a lambda " +
+      "variable: an identical-subtree form re-evaluated the resize per stripe (measured " +
+      "2.2x slower, fixed round 20); RGB bytes never in an Exchange (typed gate), the " +
+      "feature explode is one Generate, and the only Exchange is the harness ORDER BY " +
+      "over narrow (id, idx, feature) rows"),
     "qm7_avi_demux" -> ("REAL AVI container demux: the fixture container (LIST nesting, " +
       "word pads, little-endian sizes) builds in a scan-riding projection, the RIFF " +
       "walker recovers frame spans inside the mapPartitions boundary, and the sampled " +
@@ -564,6 +572,11 @@ object PlanAudit {
     // never in an Exchange
     "qm16_video_tile_neardup" -> Shape(4, forbid = noCross ++ noSmj,
       require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
+      noWideShuffle = true),
+    // qm17: the qm12/qm15 budget with a Generate tail — one scan-riding
+    // projection (resize + pooling), one posexplode, harness sort only
+    "qm17_pooled_embedding" -> Shape(1, forbid = noCross ++ noSmj,
+      require = Seq("resize_rgb", "conv"),
       noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the
     // "<=k rows per map task enter the shuffle" claim

@@ -293,6 +293,9 @@ object ScaleBench {
     // qm16: crop-robust video near-dup — the qm10 tile chain behind the
     // AVI demux with a frame axis (8 tiles/video + 4/crop); ~linear
     "qm16_video_tile_neardup",
+    // qm17: pooled embedding — the qm15 scan-riding projection with the
+    // pooling aggregates + one explode; must scale ~linearly like qm15
+    "qm17_pooled_embedding",
     // qm9: segment-level audio near-dup — in-plan WAV synthesis through
     // the real RIFF parser, windowed segment hashes (a Generate +
     // substring projection riding the scan), then the banded

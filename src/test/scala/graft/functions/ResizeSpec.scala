@@ -132,6 +132,53 @@ class ResizeSpec extends SparkSpec {
       "RGB and gray decodes must agree pixel-for-pixel through the luma formula")
   }
 
+  test("pooledFeaturesRgb: hand-computed strided means, float-exact; loud dim guard") {
+    // 1x1 RGB [10, 20, 30] at dim 2: stripe 0 = positions {0, 2} ->
+    // (10+30)/2 = 20.0f; stripe 1 = {1} -> 20.0f (uneven stripes)
+    val rows = Seq((1L, Array[Byte](10, 20, 30))).toDF("id", "rgb")
+    val got = rows.select(graft.sources.Multimodal.pooledFeaturesRgb(
+        col("rgb"), 1, 1, 2).as("f"))
+      .head().getSeq[Float](0).toList
+    assert(got == List(20.0f, 20.0f), s"got $got")
+    // unsigned read: byte 0xFF pools as 255, not -1
+    val hot = Seq((1L, Array[Byte](0xff.toByte, 0, 0))).toDF("id", "rgb")
+    val gotHot = hot.select(graft.sources.Multimodal.pooledFeaturesRgb(
+        col("rgb"), 1, 1, 3).as("f"))
+      .head().getSeq[Float](0).toList
+    assert(gotHot == List(255.0f, 0.0f, 0.0f), s"got $gotHot")
+    intercept[IllegalArgumentException](
+      graft.sources.Multimodal.pooledFeaturesRgb(col("rgb"), 1, 1, 4))
+  }
+
+  test("imageEmbeddingsRgb: renditions embed IDENTICALLY; undecodable rows carry NULL") {
+    // the normalize-before-embed guarantee on REAL bytes: a pixel-doubled
+    // re-encode of the color fixture must produce the SAME vector,
+    // because the exact resize collapses the renditions before pooling
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/images/$name")
+      require(in != null, s"missing fixture /images/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val base = fixture("rgb_36x16.png")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val up = new java.awt.image.BufferedImage(72, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 72)
+      up.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(up, "png", bos)
+    val media = Seq((1L, base), (2L, bos.toByteArray),
+      (3L, base.take(40).toArray)).toDF("id", "bytes")
+    val out = graft.sources.Multimodal.imageEmbeddingsRgb(
+        media, "id", "bytes", outW = 9, outH = 8, dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Float](1).toList)).toMap
+    assert(out(1L) != null && out(1L).length == 16)
+    assert(out(1L) == out(2L),
+      "a pixel-doubled rendition must embed identically (resize normalizes first)")
+    assert(out(3L) == null, "undecodable bytes carry a NULL embedding")
+  }
+
   test("composes scan-side with dHash: a resized copy collapses with its original") {
     // dHash is invariant under EXACT integer upscales; an area-average
     // resize back to the original size reproduces the original grid, so
