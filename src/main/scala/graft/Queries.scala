@@ -38,6 +38,15 @@ object Queries {
     */
   private def emit(c: Column): Column = c.cast("double")
 
+  /** Hex constant → BinaryType literal: the media fixtures' constant
+    * container scaffolding (RIFF headers, chunk tags, size fields)
+    * decodes ONCE at plan build instead of per row through
+    * `unhex(concat(...))` — round-21 optimization, paired with the
+    * native [[graft.functions.Synth]] payload synthesis.
+    */
+  private def binLit(hx: String): Column =
+    lit(hx.grouped(2).map(s => Integer.parseInt(s, 16).toByte).toArray)
+
   /** Total order over the projected columns, NULLS FIRST (§2.5.3). */
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
@@ -475,8 +484,10 @@ object Queries {
   val qm4FrameSample: Q = (s, dir) => {
     val videos = t(s, dir, "documents").select(
       col("doc_id").as("media_id"),
-      expr("""unhex(array_join(transform(sequence(bigint(0), (2 + pmod(doc_id, 4)) * 64 - 1), g ->
-        lpad(hex(1 + pmod(xxhash64(doc_id * 65536 + g), 100)), 2, '0')), ''))""").as("bytes"))
+      // native synthesis of the same closed form (SynthSpec pins equality
+      // with the round-20 HOF expression this replaces — r21 optimization)
+      graft.functions.Synth.grayBytes(col("doc_id") * 65536,
+        (lit(2) + pmod(col("doc_id"), lit(4))) * 64).as("bytes"))
     val out = graft.sources.Multimodal.sliceFrames(videos, "media_id", "bytes",
       frameBytes = 64, everyK = 2)
       .select(col("media_id"), col("frame_idx"), col("n_frames"),
@@ -506,9 +517,8 @@ object Queries {
         "transform(sequence(0, int(1 + pmod(media_id, 4))), f -> int(16 + pmod(media_id + 7 * f, 48)))"))
       .withColumn("offs", expr(
         "transform(sequence(0, int(1 + pmod(media_id, 4))), f -> int(aggregate(slice(lens, 1, f), 0, (a, x) -> a + x)))"))
-      .withColumn("bytes", expr(
-        """unhex(array_join(transform(sequence(0, aggregate(lens, 0, (a, x) -> a + x) - 1), g ->
-          lpad(hex(1 + pmod(xxhash64(media_id * 65536 + g), 100)), 2, '0')), ''))"""))
+      .withColumn("bytes", graft.functions.Synth.grayBytes(
+        col("media_id") * 65536, expr("aggregate(lens, 0, (a, x) -> a + x)")))
     val out = graft.sources.Multimodal.sliceFramesRagged(videos, "media_id",
       "bytes", "offs", "lens", everyK = 2)
       .select(col("media_id"), col("frame_idx"), col("n_frames"),
@@ -540,10 +550,10 @@ object Queries {
       ascii("fmt ") + le32(16) + le16(1) + le16(1) + le32(16000) +
       le32(32000) + le16(2) + le16(16) + ascii("data") + le32(2 * n)
     val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
-      .withColumn("bytes", expr(
-        s"""unhex(concat('$header', array_join(transform(sequence(0, ${n - 1}), i ->
-          concat(substring(lpad(hex(pmod(pmod(xxhash64(media_id * 131072 + i), 16384) - 8192, 65536)), 4, '0'), 3, 2),
-                 substring(lpad(hex(pmod(pmod(xxhash64(media_id * 131072 + i), 16384) - 8192, 65536)), 4, '0'), 1, 2))), '')))"""))
+      // native synthesis of the same closed form (SynthSpec-pinned
+      // bit-equal to the round-20 HOF hex-pair-swap — r21 optimization)
+      .withColumn("bytes", concat(binLit(header),
+        graft.functions.Synth.pcm16(col("media_id") * 131072, lit(n))))
     val out = graft.sources.Multimodal.decodeWavPcm(media, "bytes")
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         graft.sources.Multimodal.audioHash64(col("pcm")).as("ahash"))
@@ -577,11 +587,17 @@ object Queries {
     val videos = t(s, dir, "documents").select(col("doc_id").as("media_id"))
       .withColumn("lens", expr(
         "transform(sequence(0, int(1 + pmod(media_id, 4))), f -> int(16 + pmod(media_id + 7 * f, 48)))"))
-      .withColumn("chunks", expr(
-        s"""array_join(transform(lens, (l, f) -> concat('${asciiHex("00dc")}', ${le32e("l")},
-          array_join(transform(sequence(0, l - 1), j ->
-            lpad(hex(1 + pmod(xxhash64(media_id * 65536 + f * 64 + j), 100)), 2, '0')), ''),
-          if(pmod(l, 2) = 1, '00', ''))), '')"""))
+      // frame payloads via the native synth (SynthSpec-pinned bit-equal
+      // to the per-byte HOF form — r21 optimization); the per-FRAME
+      // scaffolding (tag, LE32 size, pad) stays a ≤5-element lambda
+      .withColumn("chunks", array_join(transform(col("lens"), (l, f) => {
+        val hx = lpad(hex(l), 8, "0")
+        concat(lit(asciiHex("00dc")),
+          hx.substr(7, 2), hx.substr(5, 2), hx.substr(3, 2), hx.substr(1, 2),
+          hex(graft.functions.Synth.grayBytes(
+            col("media_id") * 65536 + f.cast("long") * 64, l)),
+          when(pmod(l, lit(2)) === 1, lit("00")).otherwise(lit("")))
+      }), ""))
       .withColumn("movi_size", expr(
         "4 + aggregate(lens, 0, (a, l) -> a + 8 + l + int(pmod(l, 2)))"))
       .withColumn("riff_size", expr("4 + 76 + 8 + movi_size"))
@@ -624,11 +640,15 @@ object Queries {
       asciiHex("avih") + le32hex(56) + ("00" * 56)
     val headerHex = asciiHex("RIFF") + le32hex(684) + asciiHex("AVI ") + hdrlHex +
       asciiHex("LIST") + le32hex(596) + asciiHex("movi")
+    // native per-frame payload synthesis (SynthSpec-pinned bit-equal to
+    // the round-20 per-byte HOF form — r21 optimization); the constant
+    // container scaffolding decodes once at plan build
     def payload(f: Int, br: Int) =
-      s"""array_join(transform(sequence(0, 287), p -> lpad(hex(1 + pmod(xxhash64(base_id * 8192 + ${f * 4096} + pmod(p, 18) * 64 + (p div 18)), 100) + $br), 2, '0')), '')"""
-    def videoBytes(br: Int) = expr(s"""unhex(concat('$headerHex',
-      '${asciiHex("00db")}', '${le32hex(288)}', ${payload(0, br)},
-      '${asciiHex("00db")}', '${le32hex(288)}', ${payload(1, br)}))""")
+      graft.functions.Synth.grayBytes(col("base_id") * 8192 + f * 4096,
+        lit(288), w = 18, valueBase = 1 + br)
+    def videoBytes(br: Int) = concat(
+      binLit(headerHex + asciiHex("00db") + le32hex(288)), payload(0, br),
+      binLit(asciiHex("00db") + le32hex(288)), payload(1, br))
     val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
     val orig = docs.select((col("base_id") * 2).as("media_id"),
       videoBytes(0).as("bytes"))
@@ -671,10 +691,10 @@ object Queries {
     def header(n: Int) = ascii("RIFF") + le32(36 + 2 * n) + ascii("WAVE") +
       ascii("fmt ") + le32(16) + le16(1) + le16(1) + le32(16000) +
       le32(32000) + le16(2) + le16(16) + ascii("data") + le32(2 * n)
-    def wavBytes(n: Int, off: Int) = expr(
-      s"""unhex(concat('${header(n)}', array_join(transform(sequence(0, ${n - 1}), i ->
-        concat(substring(lpad(hex(pmod(pmod(xxhash64(base_id * 524288 + i + $off), 16384) - 8192, 65536)), 4, '0'), 3, 2),
-               substring(lpad(hex(pmod(pmod(xxhash64(base_id * 524288 + i + $off), 16384) - 8192, 65536)), 4, '0'), 1, 2))), '')))""")
+    // native PCM synthesis (SynthSpec-pinned bit-equal to the round-20
+    // hex-pair-swap HOF form, offset included — r21 optimization)
+    def wavBytes(n: Int, off: Int) = concat(binLit(header(n)),
+      graft.functions.Synth.pcm16(col("base_id") * 524288, lit(n), offset = off))
     val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
     val orig = docs.select((col("base_id") * 2).as("media_id"),
       wavBytes(390, 0).as("bytes"))
@@ -708,10 +728,11 @@ object Queries {
     * the hash.
     */
   val qm10ImageTileNeardup: Q = (s, dir) => {
-    def grid(w: Int, h: Int, y0: Int) = expr(
-      s"""unhex(array_join(transform(sequence(0, ${w * h - 1}), p ->
-        lpad(hex(1 + pmod(xxhash64(base_id * 4096 + (p % $w) * 64 + ((p div $w) + $y0)), 100)),
-        2, '0')), ''))""")
+    // native grid synthesis (SynthSpec-pinned bit-equal to the round-20
+    // per-byte HOF form — r21 optimization)
+    def grid(w: Int, h: Int, y0: Int) =
+      graft.functions.Synth.grayBytes(col("base_id") * 4096, lit(w * h),
+        w = w, y0 = y0)
     val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
     val orig = docs.select((col("base_id") * 4).as("media_id"),
       grid(36, 32, 0).as("gray"), lit(36).as("w"), lit(32).as("h"))
@@ -762,24 +783,24 @@ object Queries {
       le32(32000) + le16(2) + le16(16)
     val hdrl = ascii("LIST") + le32(292) + ascii("hdrl") +
       ascii("avih") + le32(56) + ("00" * 56) + strlVid + strlAud
-    def sampleHex(g: String) =
-      s"concat(substring(lpad(hex(pmod(pmod(xxhash64(base_id * 1048576 + $g), 16384) - 8192, 65536)), 4, '0'), 3, 2), " +
-        s"substring(lpad(hex(pmod(pmod(xxhash64(base_id * 1048576 + $g), 16384) - 8192, 65536)), 4, '0'), 1, 2))"
-    def wbHex(from: Int, until: Int) =
-      s"array_join(transform(sequence($from, ${until - 1}), g -> ${sampleHex("g")}), '')"
-    // the render: keyed by media_id, so orig and copy share NO video byte
-    val vidHex =
-      "array_join(transform(sequence(0, 287), j -> lpad(hex(1 + pmod(xxhash64(media_id * 65536 + j), 100)), 2, '0')), '')"
+    // native payload synthesis (SynthSpec-pinned bit-equal to the
+    // round-20 per-byte HOF forms — r21 optimization): the render keyed
+    // by media_id (orig and copy share NO video byte), the soundtrack
+    // keyed by base_id split across two 01wb chunks at sample offsets
+    // 0 and 200; all constant scaffolding decodes once at plan build
     val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
     val orig = docs.select(col("base_id"), (col("base_id") * 2).as("media_id"))
     val copy = docs.filter(pmod(col("base_id"), lit(3)) === 0)
       .select(col("base_id"), (col("base_id") * 2 + 1).as("media_id"))
-    val media = orig.unionByName(copy).withColumn("bytes", expr(
-      s"""unhex(concat('${ascii("RIFF")}', '${le32(1408)}', '${ascii("AVI ")}', '$hdrl',
-        '${ascii("LIST")}', '${le32(1096)}', '${ascii("movi")}',
-        '${ascii("00db")}', '${le32(288)}', $vidHex,
-        '${ascii("01wb")}', '${le32(400)}', ${wbHex(0, 200)},
-        '${ascii("01wb")}', '${le32(380)}', ${wbHex(200, 390)}))"""))
+    val media = orig.unionByName(copy).withColumn("bytes", concat(
+        binLit(ascii("RIFF") + le32(1408) + ascii("AVI ") + hdrl +
+          ascii("LIST") + le32(1096) + ascii("movi") +
+          ascii("00db") + le32(288)),
+        graft.functions.Synth.grayBytes(col("media_id") * 65536, lit(288)),
+        binLit(ascii("01wb") + le32(400)),
+        graft.functions.Synth.pcm16(col("base_id") * 1048576, lit(200)),
+        binLit(ascii("01wb") + le32(380)),
+        graft.functions.Synth.pcm16(col("base_id") * 1048576, lit(190), offset = 200)))
       .select(col("media_id"), col("bytes"))
     ordered(graft.sources.Multimodal.videoSoundtrackNearDupPairs(
       media, "media_id", "bytes", windowSamples = 130, hopSamples = 130,
@@ -801,9 +822,9 @@ object Queries {
     */
   val qm12ResizeGray: Q = (s, dir) => {
     val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
-      .withColumn("gray", expr(
-        """unhex(array_join(transform(sequence(0, 1151), p ->
-          lpad(hex(1 + pmod(xxhash64(media_id * 4096 + (p % 36) * 64 + (p div 36)), 100)), 2, '0')), ''))"""))
+      // native grid synthesis (SynthSpec-pinned — r21 optimization)
+      .withColumn("gray",
+        graft.functions.Synth.grayBytes(col("media_id") * 4096, lit(1152), w = 36))
     val r98 = graft.sources.Multimodal.resizeGray(col("gray"), lit(36), lit(32), 9, 8)
     val r75 = graft.sources.Multimodal.resizeGray(col("gray"), lit(36), lit(32), 7, 5)
     ordered(media.select(col("media_id"),
@@ -827,10 +848,10 @@ object Queries {
     * origin math breaks the hash.
     */
   val qm13ImageTileStrided: Q = (s, dir) => {
-    def grid(w: Int, h: Int, y0: Int) = expr(
-      s"""unhex(array_join(transform(sequence(0, ${w * h - 1}), p ->
-        lpad(hex(1 + pmod(xxhash64(base_id * 4096 + (p % $w) * 64 + ((p div $w) + $y0)), 100)),
-        2, '0')), ''))""")
+    // native grid synthesis (SynthSpec-pinned — r21 optimization)
+    def grid(w: Int, h: Int, y0: Int) =
+      graft.functions.Synth.grayBytes(col("base_id") * 4096, lit(w * h),
+        w = w, y0 = y0)
     val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
     val orig = docs.select((col("base_id") * 4).as("media_id"),
       grid(36, 32, 0).as("gray"), lit(36).as("w"), lit(32).as("h"))
@@ -874,22 +895,21 @@ object Queries {
       ascii("RIFF") + le32(36 + dataLen) + ascii("WAVE") +
         ascii("fmt ") + le32(16) + le16(1) + le16(1) + le32(rate) +
         le32(rate * 2) + le16(2) + le16(16) + ascii("data") + le32(dataLen)
-    def sVal(g: String) = s"(pmod(xxhash64(base_id * 1048576 + ($g)), 16384) - 8192)"
-    def le16Hex(v: String) =
-      s"concat(substring(lpad(hex(pmod($v, 65536)), 4, '0'), 3, 2), " +
-        s"substring(lpad(hex(pmod($v, 65536)), 4, '0'), 1, 2))"
-    val origHex =
-      s"array_join(transform(sequence(0, 779), g -> ${le16Hex(sVal("g"))}), '')"
-    // the 8 kHz re-render: exact box-filter downsample (floor division
-    // via arithmetic shiftright), independent of ResamplePcm
-    val downHex = s"array_join(transform(sequence(0, 389), g -> " +
-      s"${le16Hex(s"shiftright(${sVal("2 * g")} + ${sVal("2 * g + 1")} + 1, 1)")}), '')"
+    // native PCM synthesis (SynthSpec-pinned bit-equal to the round-20
+    // hex forms — r21 optimization). The 8 kHz re-render stays an exact
+    // box-filter downsample computed INDEPENDENTLY of ResamplePcm
+    // (floorDiv(s(2g) + s(2g+1) + 1, 2) inside SynthPcm16's down mode,
+    // the same closed form the oracle replays — an engine resample bug
+    // still cannot cancel itself)
     val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
     val orig = docs.select((col("base_id") * 2).as("media_id"),
-      expr(s"unhex(concat('${wavHdr(16000, 1560)}', $origHex))").as("bytes"))
+      concat(binLit(wavHdr(16000, 1560)),
+        graft.functions.Synth.pcm16(col("base_id") * 1048576, lit(780))).as("bytes"))
     val copy = docs.filter(pmod(col("base_id"), lit(3)) === 0)
       .select((col("base_id") * 2 + 1).as("media_id"),
-        expr(s"unhex(concat('${wavHdr(8000, 780)}', $downHex))").as("bytes"))
+        concat(binLit(wavHdr(8000, 780)),
+          graft.functions.Synth.pcm16(col("base_id") * 1048576, lit(390),
+            down = true)).as("bytes"))
     val media = orig.unionByName(copy)
     ordered(graft.sources.Multimodal.audioNearDupPairs(
       media, "media_id", "bytes", windowSamples = 130, hopSamples = 130,
@@ -913,9 +933,9 @@ object Queries {
     */
   val qm15ResizeRgb: Q = (s, dir) => {
     val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
-      .withColumn("rgb", expr(
-        """unhex(array_join(transform(sequence(0, 863), q ->
-          lpad(hex(1 + pmod(xxhash64(media_id * 1024 + q), 100)), 2, '0')), ''))"""))
+      // native linear-grid synthesis (SynthSpec-pinned — r21 optimization)
+      .withColumn("rgb",
+        graft.functions.Synth.grayBytes(col("media_id") * 1024, lit(864)))
     val r98 = graft.sources.Multimodal.resizeRgb(col("rgb"), lit(18), lit(16), 9, 8)
     val r75 = graft.sources.Multimodal.resizeRgb(col("rgb"), lit(18), lit(16), 7, 5)
     ordered(media.select(col("media_id"),
@@ -957,11 +977,16 @@ object Queries {
       asciiHex("RIFF") + le32hex(88 + movi) + asciiHex("AVI ") + hdrlHex +
         asciiHex("LIST") + le32hex(movi) + asciiHex("movi")
     }
+    // native per-frame grid synthesis (SynthSpec-pinned — r21
+    // optimization); constant scaffolding decodes once at plan build
     def payload(f: Int, y0: Int, hh: Int) =
-      s"""array_join(transform(sequence(0, ${36 * hh - 1}), p -> lpad(hex(1 + pmod(xxhash64(base_id * 16384 + ${f * 4096} + pmod(p, 36) * 64 + ((p div 36) + $y0)), 100)), 2, '0')), '')"""
-    def videoBytes(y0: Int, hh: Int) = expr(s"""unhex(concat('${headerHex(36 * hh)}',
-      '${asciiHex("00db")}', '${le32hex(36 * hh)}', ${payload(0, y0, hh)},
-      '${asciiHex("00db")}', '${le32hex(36 * hh)}', ${payload(1, y0, hh)}))""")
+      graft.functions.Synth.grayBytes(col("base_id") * 16384 + f * 4096,
+        lit(36 * hh), w = 36, y0 = y0)
+    def videoBytes(y0: Int, hh: Int) = concat(
+      binLit(headerHex(36 * hh) + asciiHex("00db") + le32hex(36 * hh)),
+      payload(0, y0, hh),
+      binLit(asciiHex("00db") + le32hex(36 * hh)),
+      payload(1, y0, hh))
     val docs = t(s, dir, "documents").select(col("doc_id").as("base_id"))
     val orig = docs.select((col("base_id") * 2).as("media_id"),
       videoBytes(0, 32).as("bytes"))
@@ -997,9 +1022,9 @@ object Queries {
     */
   val qm17PooledEmbedding: Q = (s, dir) => {
     val media = t(s, dir, "documents").select(col("doc_id").as("media_id"))
-      .withColumn("rgb", expr(
-        """unhex(array_join(transform(sequence(0, 863), q ->
-          lpad(hex(1 + pmod(xxhash64(media_id * 1024 + q), 100)), 2, '0')), ''))"""))
+      // native linear-grid synthesis (SynthSpec-pinned — r21 optimization)
+      .withColumn("rgb",
+        graft.functions.Synth.grayBytes(col("media_id") * 1024, lit(864)))
     val emb = graft.sources.Multimodal.pooledFeaturesRgb(
       graft.sources.Multimodal.resizeRgb(col("rgb"), lit(18), lit(16), 9, 8),
       9, 8, 16)
@@ -1029,11 +1054,10 @@ object Queries {
     * possible but identical in both engines.
     */
   val qm3PerceptualNeardup: Q = (s, dir) => {
+    // native scaled-grid synthesis (SynthSpec-pinned — r21 optimization)
     def grid(w: Int, h: Int, scale: Int, bright: Int): Column =
-      expr(s"""unhex(array_join(transform(sequence(0, ${w * h - 1}), p ->
-        lpad(hex(${1 + bright} + pmod(xxhash64(base_id * 4096 +
-          ((p % $w) div $scale) * 64 + ((p div $w) div $scale)), 100)),
-        2, '0')), ''))""")
+      graft.functions.Synth.grayBytes(col("base_id") * 4096, lit(w * h),
+        w = w, sx = scale, sy = scale, valueBase = 1 + bright)
     // media_id = base_id * 4 + variant (0 original, 1 upscale, 2
     // brightness): collision-free at ANY corpus size (the additive
     // +100000/+200000 offsets collided past 100k docs — at which point

@@ -180,7 +180,8 @@ object PlanAudit {
       "frames slice out in the same Generate+substring plan as qm5 -- one scan, zero " +
       "shuffles beyond the harness ORDER BY, container bytes never in an Exchange"),
     "qm6_audio_fingerprint" -> ("REAL WAV decode + energy-envelope fingerprint: the " +
-      "fixture WAV builds in a scan-riding projection (constant header + LE16 sample " +
+      "fixture WAV builds in a scan-riding projection (constant-header binary literal + " +
+      "the codegen'd synth_pcm16 -- round 21 replaced the interpreted per-sample HOF " +
       "hex), the RIFF parser runs inside the mapPartitions codec boundary (audio bytes " +
       "never enter an Exchange), and audiohash64 is a codegen'd unary expression over " +
       "the mono PCM -- one scan, zero shuffles beyond the harness ORDER BY"),
