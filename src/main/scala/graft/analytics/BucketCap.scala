@@ -185,8 +185,13 @@ private[graft] object BucketCap {
             val r = rows.next()
             arrivals += 1L
             if (arrivals == nextSample) {
+              // estimate the row's VALUES, not the schema-bearing Row
+              // (ADVICE r20 #2): SizeEstimator on a GenericRowWithSchema
+              // walks the shared StructType object graph too, inflating
+              // the sampled width of narrow rows by the schema's size
+              // and triggering premature flushes that weaken the pre-cut
               rowWidth = math.max(rowWidth,
-                org.apache.spark.util.SizeEstimator.estimate(r))
+                org.apache.spark.util.SizeEstimator.estimate(r.toSeq))
               nextSample = math.min(Int.MaxValue.toLong, nextSample * 2L).toInt
             }
             val key = scala.collection.immutable.ArraySeq

@@ -1265,13 +1265,19 @@ object Dedup {
     val withCluster = df
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("_cl", coalesce(col("cluster"), col(idCol))) // singleton = own cluster
+    // round 21 (guide §3.1): both survivor joins key the FULL-WIDTH
+    // corpus rows against tiny per-cluster aggregates ((_cl, score) /
+    // (_cl, id) — bounded by the cluster count, ~16 B rows); the default
+    // SortMergeJoin sorted the wide side twice for nothing. shuffle_hash
+    // builds the aggregate side per partition and STREAMS the wide rows
+    // — identical rows out, two wide-side Sorts gone.
     val bestScore = withCluster.groupBy(col("_cl"))
-      .agg(max(col(scoreCol)).as("_ms"))
+      .agg(max(col(scoreCol)).as("_ms")).hint("shuffle_hash")
     // null-safe <=>: a cluster whose scores are ALL null must still keep
     // a survivor (min id) — plain === would silently drop the whole group
     val keep = withCluster.join(bestScore, Seq("_cl"))
       .filter(col(scoreCol) <=> col("_ms"))
-      .groupBy(col("_cl")).agg(min(col(idCol)).as("_keep"))
+      .groupBy(col("_cl")).agg(min(col(idCol)).as("_keep")).hint("shuffle_hash")
     withCluster.join(keep, Seq("_cl"))
       .filter(col(idCol) === col("_keep"))
       .drop("_cl", "cluster", "_keep")

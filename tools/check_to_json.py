@@ -18,7 +18,7 @@ for line in sys.stdin:
     if m:
         rows[m.group(1)] = {"status": "pass", "rows": int(m.group(2))}
         continue
-    m = re.match(r"FAIL (\S+):? ?(.*)", line.strip())
+    m = re.match(r"FAIL ([^:\s]+):? ?(.*)", line.strip())
     if m:
         rows[m.group(1)] = {"status": "fail", "detail": m.group(2)[:200]}
         continue
