@@ -72,15 +72,27 @@ case class ExplodeNgrams(child: Expression, n: Expression)
   * directly off the scan — the aggregation is per-document, so no shuffle
   * is ever needed to compute it. Emission order is first occurrence
   * (deterministic, though downstream aggs don't depend on it).
+  *
+  * `withDl` (optimization round 21) adds a third generated column `dl` =
+  * the document's TOTAL token count (Σ tf — identical to
+  * `size(Dedup.tokens(text))`, spec-pinned): the BM25 build used to
+  * compute `dl` as a separate `size(tokens)` projection, which the
+  * optimizer placed ABOVE this generator — re-tokenizing the document
+  * once per POSTING row instead of once per document (the r21 ql67 plan
+  * read: a ~20x redundant tokenize at the fixture's vocabulary). The
+  * generator already holds the total, so emitting it is free.
   */
-case class ExplodeTermCounts(child: Expression)
+case class ExplodeTermCounts(child: Expression, withDl: Boolean = false)
     extends Generator with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(child)
 
-  override def elementSchema: StructType = StructType(Seq(
-    StructField("term", StringType, nullable = false),
-    StructField("tf", LongType, nullable = false)))
+  override def elementSchema: StructType = {
+    val base = Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))
+    StructType(if (withDl) base :+ StructField("dl", LongType, nullable = false) else base)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -94,17 +106,20 @@ case class ExplodeTermCounts(child: Expression)
     if (text == null) Iterator.empty
     else {
       val counts = new java.util.LinkedHashMap[String, Long]()
+      var total = 0L
       val it = text.asInstanceOf[UTF8String].toString.split(' ').iterator
       while (it.hasNext) {
         val t = it.next()
-        if (t.nonEmpty) counts.merge(t, 1L, (a, b) => a + b)
+        if (t.nonEmpty) { counts.merge(t, 1L, (a, b) => a + b); total += 1L }
       }
+      val dl = total
       val entries = counts.entrySet().iterator()
       new Iterator[InternalRow] {
         def hasNext: Boolean = entries.hasNext
         def next(): InternalRow = {
           val e = entries.next()
-          InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+          if (withDl) InternalRow(UTF8String.fromString(e.getKey), e.getValue, dl)
+          else InternalRow(UTF8String.fromString(e.getKey), e.getValue)
         }
       }
     }
@@ -125,6 +140,12 @@ object Generators {
     */
   def termCounts(text: Column): Column =
     Bridge.column(ExplodeTermCounts(Bridge.expression(text)))
+
+  /** [[ExplodeTermCounts]] with the per-document total as a third column —
+    * `.as(Seq("term", "tf", "dl"))`.
+    */
+  def termCountsWithDl(text: Column): Column =
+    Bridge.column(ExplodeTermCounts(Bridge.expression(text), withDl = true))
 
   /** SQL registration (`SELECT explode_ngrams(text, 2) FROM t`). */
   def register(spark: SparkSession): Unit = {

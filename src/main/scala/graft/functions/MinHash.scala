@@ -365,10 +365,92 @@ case class MinHashAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First band index (0-based) on which two signatures' band hashes agree,
+  * or -1 when none does — `bands` equal-width slices, each hashed with the
+  * xxhash64-over-ARRAY chain the banding projection uses
+  * (`xxhash64(slice(mh, b*r+1, r))`: fold from seed 42, null slots
+  * skipped), so "agrees on band b" here is EXACTLY the band join's
+  * `a.bh = b.bh` condition (optimization round 21, guide §2.4).
+  *
+  * Why it exists: a pair whose signatures collide in k bands came out of
+  * the LSH band self-join k times, and the batch path deduplicated those
+  * copies with `dropDuplicates(doc_a, doc_b)` — a full Exchange plus two
+  * HashAggregates over every collision row (MetricsProbe at sf0.1: the
+  * measured majority of ql6 after the scan). All k copies are IDENTICAL
+  * rows, and each carries both full signatures — so each row can decide
+  * locally whether ITS band is the pair's first agreeing band and only
+  * that one survive: same single row per pair, zero shuffle. Equivalence
+  * requires every agreeing band's collision row to actually exist, which
+  * holds exactly on the UNCAPPED path (a capped bucket may have dropped
+  * the first-agreeing band's row) — callers keep the dedup when capping.
+  */
+case class MinHashFirstBand(left: Expression, right: Expression, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "minhash_first_band"
+  // null on length mismatch / non-divisible length — impossible for
+  // signatures from one MinHashSignature call, but a filterable NULL
+  // beats a wrong band index if mixed-parameter frames ever meet
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) if bands >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_first_band expects two ARRAY<BIGINT> signatures and bands >= 1, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql} with bands=$bands")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    route(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Boxed so codegen can assign null through one path. */
+  def route(x: ArrayData, y: ArrayData): java.lang.Integer = {
+    val n = x.numElements()
+    if (n != y.numElements() || n % bands != 0) return null
+    val r = n / bands
+    var b = 0
+    while (b < bands) {
+      var ha = 42L
+      var hb = 42L
+      var j = b * r
+      val end = j + r
+      while (j < end) {
+        // xxhash64-over-array parity: a null slot leaves the hash unchanged
+        if (!x.isNullAt(j)) ha = XXH64.hashLong(x.getLong(j), ha)
+        if (!y.isNullAt(j)) hb = XXH64.hashLong(y.getLong(j), hb)
+        j += 1
+      }
+      if (ha == hb) return Integer.valueOf(b)
+      b += 1
+    }
+    Integer.valueOf(-1)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("fb", this, classOf[MinHashFirstBand].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Integer ${ev.value}Out = $ref.route($a, $b);
+      if (${ev.value}Out == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Out.intValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHash {
   /** Column face. */
   def signature(tokens: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+
+  /** Column face for the first agreeing band index. */
+  def firstBand(a: Column, b: Column, bands: Int): Column =
+    Bridge.column(MinHashFirstBand(Bridge.expression(a), Bridge.expression(b), bands))
 
   /** Column face for the fused agreement count. */
   def agreement(a: Column, b: Column): Column =

@@ -19,8 +19,19 @@ object Dedup {
   def exact(name: String, cols: String*): Stage =
     Stage(StageId(name))(_.dropDuplicates(cols))
 
-  /** Normalized token array of a text column. */
-  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+  /** Normalized token array of a text column — the fused native
+    * tokenizer (`functions/Tokens.scala` `TokensWs`, one byte pass, real
+    * codegen); [[tokensHof]] is the reference HOF form it must bit-match
+    * (`TokensSpec`). Tokenization rides the scan of every text query, so
+    * the interpreted `filter` lambda here was the widest per-row cost in
+    * the LLM surface (optimization round 21).
+    */
+  def tokens(text: Column): Column = graft.functions.Tokens.tokensWs(text)
+
+  /** Reference HOF form (regex split + interpreted empty-filter; kept for
+    * the bit-exactness spec).
+    */
+  def tokensHof(text: Column): Column = filter(split(text, " "), t => t =!= "")
 
   /** Canonical token-set signature: md5 of the sorted distinct tokens
     * joined — two docs share it iff their token *sets* are identical
@@ -134,7 +145,7 @@ object Dedup {
     // (2) default bands=8 → r=8: collision prob j^8 per band keeps the
     //     S-curve knee near j≈0.75 — candidates stay near-duplicates
     //     instead of exploding quadratically on small-vocabulary corpora.
-    val scored = candidatePairsFromBands(banded, numHashes, maxBucketSize)
+    val scored = candidatePairsFromBands(banded, numHashes, maxBucketSize, bands)
     // no threshold → no filter: callers that prune est_jaccard then pay
     // nothing for scoring (an always-true filter would block column pruning)
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
@@ -151,8 +162,9 @@ object Dedup {
     */
   def minHashLshCandidatesFromIndex(index: DataFrame, numHashes: Int = 64,
                                     minJaccard: Double = 0.0,
-                                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val scored = candidatePairsFromBands(index, numHashes, maxBucketSize)
+                                    maxBucketSize: Int = Int.MaxValue,
+                                    bands: Int = 8): DataFrame = {
+    val scored = candidatePairsFromBands(index, numHashes, maxBucketSize, bands)
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
   }
 
@@ -228,7 +240,9 @@ object Dedup {
 
   private def candidatePairsFromBands(banded0: DataFrame,
                                       numHashes: Int,
-                                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                                      maxBucketSize: Int = Int.MaxValue,
+                                      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val banded = capBandBuckets(banded0, maxBucketSize, "minHashLshCandidates")
     // shuffle_hash, not the planner's default broadcast: both sides of
     // the self-join then want the SAME Exchange(hashpartitioning(band,
@@ -241,11 +255,32 @@ object Dedup {
     // BandIndex row format).
     val a = banded.hint("shuffle_hash").as("a")
     val b = banded.hint("shuffle_hash").as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    val joined = a.join(b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
+    // A pair colliding in k bands exits the join k times as IDENTICAL
+    // rows. UNCAPPED, every agreeing band's collision row exists, so each
+    // row can decide locally whether ITS band is the pair's first
+    // agreeing band ([[graft.functions.MinHashFirstBand]] replays the
+    // banding's exact xxhash64-over-slice chain) and only that one
+    // survive — the same one-row-per-pair result as the old
+    // dropDuplicates, minus its Exchange + two HashAggregates over every
+    // collision row (the measured majority of ql6 after the scan; guide
+    // §2.4 "remove shuffles outright"). CAPPED, a cut bucket may have
+    // dropped the first-agreeing band's row, so the local rule could
+    // discard a pair the join still found — keep the dedup there
+    // (equivalence spec-pinned uncapped in `MinHashSpec`).
+    if (maxBucketSize == Int.MaxValue)
+      joined
+        .filter(col("a.band") ===
+          graft.functions.MinHash.firstBand(col("a.mh"), col("b.mh"), bands))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
+    else
+      joined
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
+        .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Persistable LSH band index — the INCREMENTAL entry to the near-dup
@@ -536,7 +571,7 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"), shingleIds.as("sh"))
     val banded = bandedFromTokens(
       shingled.select(col("id"), col("sh").as("toks")), numHashes, bands)
-    val cands = candidatePairsFromBands(banded, numHashes, maxBucketSize)
+    val cands = candidatePairsFromBands(banded, numHashes, maxBucketSize, bands)
     // Both rescore join-backs consume the SAME unrenamed (id, sh)
     // projection keyed on id, so their Exchanges canonicalize
     // identically and AQE plans the second as a ReusedExchange — the

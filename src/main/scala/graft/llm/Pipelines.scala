@@ -333,7 +333,7 @@ object Pipelines {
     val index = Dedup.BandIndex.build(staged, idCol, textCol,
       numHashes, bands, hashedTokenIds)
     val pairs = Dedup.minHashLshCandidatesFromIndex(index, numHashes, minJaccard,
-        maxBucketSize)
+        maxBucketSize, bands)
       .select(col("doc_a"), col("doc_b"))
     CrawlState(params, staged, index, pairs,
       TextAnalysis.lmEstimate(staged.select(col(langCol), col(textCol)),

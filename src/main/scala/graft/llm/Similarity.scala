@@ -742,7 +742,21 @@ object Similarity {
     require(probe <= maxRows,
       s"knnGraphExact is O(n^2): corpus exceeds maxRows=$maxRows; " +
         "use knnGraphDescent for corpus-scale graphs, or raise maxRows explicitly")
-    val a = corpus.select(col(idCol).as("query_id"), col("embedding").as("q_emb"))
+    // Spread the streamed side across the session's shuffle parallelism
+    // BEFORE the n² blowup (optimization round 21, guide §2.5/§2.6): the
+    // bounded corpus typically arrives as one or two scan partitions
+    // (one small file / one row group), so the cartesian's n² cosine
+    // work — and the top-k aggregation over it — otherwise runs on 1-2
+    // cores while the rest idle; the partial ObjectHashAggregate then
+    // also holds EVERY query's buffer in those tasks, tripping the
+    // >128-group sort fallback (MetricsProbe: numTasksFallBacked>0). The
+    // round-robin exchange moves only the ≤maxRows input rows — O(n)
+    // bytes to parallelize O(n²) compute, favorable at ANY scale of this
+    // bounded operator — and drops groups-per-task under the hash-agg
+    // threshold.
+    val lanes = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val a = corpus.repartition(lanes)
+      .select(col(idCol).as("query_id"), col("embedding").as("q_emb"))
     val b = corpus.select(col(idCol).as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = a.crossJoin(b)
       .filter(col("query_id") =!= col("neighbor_id"))

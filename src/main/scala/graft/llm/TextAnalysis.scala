@@ -174,7 +174,7 @@ object TextAnalysis {
     * scan, no shuffle.
     */
   def dupLineFrac(text: Column): Column = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val lines = graft.functions.TextStats.linesNonEmpty(text)
     when(size(lines) <= 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
@@ -377,9 +377,14 @@ object TextAnalysis {
   object Bm25Index {
     def build(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
       Bm25Index(
+        // dl comes FROM the generator (r21): as a separate size(tokens)
+        // projection the optimizer hoisted it ABOVE the generate and
+        // re-tokenized the document once per POSTING row; the generator
+        // already holds the total (dl = sum of tf), so every document
+        // tokenizes exactly once for the postings branch
         docs.select(col(idCol).as("id"),
-          size(Dedup.tokens(col(textCol))).as("dl"),
-          graft.functions.Generators.termCounts(col(textCol)).as(Seq("term", "tf")))
+          graft.functions.Generators.termCountsWithDl(col(textCol))
+            .as(Seq("term", "tf", "dl")))
           .select(col("term"), col("id"), col("tf"), col("dl")),
         docs.agg(count(lit(1)).as("n_docs"),
           sum(size(Dedup.tokens(col(textCol)))).as("sum_dl")))
@@ -775,8 +780,14 @@ object TextAnalysis {
     * ≤30% of lines ellipsis-ended ('...' or '…'); ≥80% of tokens contain
     * an alphabetic character.
     */
-  def gopherQualityFlags(text: Column): Column = {
-    val toks = Dedup.tokens(text)
+  def gopherQualityFlags(text: Column): Column =
+    graft.functions.TextStats.gopherFlags(text)
+
+  /** Reference HOF form (interpreted lambdas + a regex Matcher per token;
+    * kept for the bit-exactness spec — `TextStatsSpec`).
+    */
+  def gopherQualityFlagsHof(text: Column): Column = {
+    val toks = Dedup.tokensHof(text)
     val nTok = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
     val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
@@ -850,8 +861,10 @@ object TextAnalysis {
           sum(col("c") - 1L).as(s"dup_$pfx"),
           sum((col("c") - 1L) * col("len")).as(s"dup_${pfx}_chars"))
 
-    val lineArr = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
-    val paraArr = filter(transform(split(col("text"), "\n\n+"), p => trim(p)), p => p =!= "")
+    // native line/paragraph arrays (TextStatsSpec pins both against the
+    // HOF split+trim+filter forms) — the explode/agg shape is unchanged
+    val lineArr = graft.functions.TextStats.linesNonEmpty(col("text"))
+    val paraArr = graft.functions.TextStats.parasNonEmpty(col("text"))
     val lines = dupStats(lineArr, "lines")
     val paras = dupStats(paraArr, "paras")
 
@@ -927,7 +940,13 @@ object TextAnalysis {
     * caller-supplied list (same broadcast-dim shape as
     * [[filterByDomainBlocklist]]).
     */
-  def c4CleanLines(text: Column, minWords: Int = 5): Column = {
+  def c4CleanLines(text: Column, minWords: Int = 5): Column =
+    graft.functions.TextStats.c4CleanLines(text, minWords)
+
+  /** Reference HOF form (a nested interpreted lambda battery per line;
+    * kept for the bit-exactness spec — `TextStatsSpec`).
+    */
+  def c4CleanLinesHof(text: Column, minWords: Int = 5): Column = {
     val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
     val kept = filter(lines, l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&

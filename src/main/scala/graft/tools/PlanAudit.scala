@@ -33,7 +33,11 @@ object PlanAudit {
     "ql12_ivf_topk" -> ("nearest-centroid bucket join (nprobe/k scan cut, centroid matrix an expression " +
       "field), then the same partial_topkbysim bounded tail as ql11 -- one k-bounded Exchange, " +
       "embeddings never shuffled"),
-    "ql6_minhash_candidates" -> "band-hash equi-join (no cross join anywhere); fused MinHashSignature projection",
+    "ql6_minhash_candidates" -> ("band-hash equi-join (no cross join anywhere); fused " +
+      "MinHashSignature over the native tokens_ws projection; pair dedup is the LOCAL " +
+      "minhash_first_band filter (r21) -- the old (doc_a, doc_b) dropDuplicates Exchange + " +
+      "two HashAggregates over every collision row are GONE from the uncapped plan " +
+      "(runtime-pinned in LlmSpec; the capped path keeps the narrow dedup Exchange)"),
     "ql19_decontaminate" -> "benchmark grams broadcast -- corpus side joins with no Exchange before the join",
     "ql15_hash_sample" -> ("pure hash filter riding the parquet scan inside one WholeStageCodegen " +
       "span -- no shuffle, no extra job (the sample is a projection-time predicate)"),
@@ -211,7 +215,10 @@ object PlanAudit {
       "scored in-join, narrow (doc_a, doc_b, sim) union + dedup -- no embedding in the dedup Exchange"),
     "ql33_knn_graph" -> ("the exact corpus-vs-corpus baseline: cartesian scoring (documented O(n^2) " +
       "exactness tool) collapsed straight into the partial_topkbysim bounded tail -- the ONLY " +
-      "Exchange after scoring carries <=k narrow rows per query"),
+      "Exchange after scoring carries <=k narrow rows per query; the streamed side round-robins " +
+      "across the session's shuffle lanes BEFORE the blowup (r21: a one-file corpus otherwise " +
+      "ran the n^2 work on 1-2 scan partitions and tripped the partial agg's >128-group sort " +
+      "fallback -- O(n) exchange to parallelize O(n^2) compute)"),
     "ql34_knn_descent" -> ("NN-Descent build: auto-planes bucket init joins, then per-iteration " +
       "id-only 2-hop candidate joins + two embedding fetch equi-joins, exact cosine in-join, " +
       "k-bounded partial_topkbysim tails -- per-iteration work O(n*buildK^2*dim), nothing O(n^2)"),
@@ -224,8 +231,10 @@ object PlanAudit {
       "deliberately not count-distinct -- no Expand) -> non-keeper starts join back on the " +
       "16-byte hash -> same fused remove_spans coverage; occurrences never pair, so no " +
       "hot-gram quadratic blowup is possible (total work O(spanTokens x corpus tokens))"),
-    "ql37_gopher_flags" -> ("the whole rule battery as scan-riding projections in one " +
-      "WholeStageCodegen span -- integer-arithmetic comparisons, no shuffle in the operator " +
+    "ql37_gopher_flags" -> ("the whole rule battery is ONE fused native expression " +
+      "(gopher_text_flags, real codegen -- r21: the HOF form paid interpreted lambdas plus a " +
+      "regex Matcher per token) riding the scan in one WholeStageCodegen span -- " +
+      "integer-arithmetic comparisons, no shuffle in the operator " +
       "(the only Exchange is the harness ORDER BY)"),
     "ql38_linear_score" -> ("exploded tokens BroadcastHashJoin the weights dim (never a map " +
       "literal in the plan), DECIMAL partial+final sum per doc -- one narrow Exchange keyed by id"),
@@ -240,16 +249,20 @@ object PlanAudit {
       "in the operator (the only Exchange is the harness ORDER BY)"),
     "ql45_gopher_repetition" -> ("n-gram battery is ONE fused native expression " +
       "(gopher_gram_stats, real codegen) riding the scan -- zero shuffle for grams; " +
-      "lines/paragraphs explode + hash-agg on (doc, md5(item)) so document text never " +
-      "shuffles, and their tiny per-doc stats BROADCAST back to the gram projection"),
+      "lines/paragraphs come from the native lines_nonempty/paras_nonempty expressions " +
+      "(r21, replacing interpreted split+trim+filter HOFs), then explode + hash-agg on " +
+      "(doc, md5(item)) so document text never shuffles, and their tiny per-doc stats " +
+      "BROADCAST back to the gram projection"),
     "ql46_pii_redact" -> ("four codegen'd regex passes riding the scan in ONE " +
       "WholeStageCodegen span -- no shuffle in the operator (the only Exchange is the " +
       "harness ORDER BY)"),
     "ql47_percentile_buckets" -> ("score rides the scan; ONE sort Exchange partitioned by " +
       "lang for the exact rank window (the documented skew boundary -- the approx form " +
       "replaces it with a broadcast cuts dim); bucket cuts are integer arithmetic"),
-    "ql48_c4_filters" -> ("line battery + page flags as pure column expressions riding " +
-      "the scan -- no shuffle in the operator (the only Exchange is the harness ORDER BY)"),
+    "ql48_c4_filters" -> ("line battery is the native c4_clean_lines expression (r21: one " +
+      "byte pass replacing the nested per-line HOF battery) + page flags as pure column " +
+      "expressions riding the scan -- no shuffle in the operator (the only Exchange is the " +
+      "harness ORDER BY)"),
     "ql49_pack_sequences" -> ("two-phase prefix sum: per-bucket windows in parallel " +
       "(bucket ids are literal quantile cuts), driver-side running sum over <=32 bucket " +
       "totals broadcast back -- NO single-task global window; span explode is bounded " +
@@ -451,17 +464,17 @@ object PlanAudit {
     "qc1_sequence" -> Shape(1),
     "qf1_scalars" -> Shape(1),
     "qf2_dates" -> Shape(2), // date agg + ORDER BY
-    "ql7_token_count" -> Shape(1),
+    "ql7_token_count" -> Shape(1, require = Seq("tokens_ws")),
     "ql8_quality" -> Shape(1),
     "ql9_fingerprint" -> Shape(1),
     "ql24_normalize" -> Shape(1),
     "ql28_token_chunks" -> Shape(1),
     "ql36_url_canonical" -> Shape(1),
-    "ql37_gopher_flags" -> Shape(1),
+    "ql37_gopher_flags" -> Shape(1, require = Seq("gopher_text_flags")),
     "ql40_bpe_encode" -> Shape(1),
     "ql64_bpe_decode" -> Shape(1, maxScans = 1),
     "ql46_pii_redact" -> Shape(1),
-    "ql48_c4_filters" -> Shape(1),
+    "ql48_c4_filters" -> Shape(1, require = Seq("c4_clean_lines")),
     "ql51_winnowing" -> Shape(1),
     "qx12_jsonl_roundtrip" -> Shape(1),
     "qx13_csv_roundtrip" -> Shape(1),
@@ -481,7 +494,8 @@ object PlanAudit {
     "ql57_ccnet_buckets" -> Shape(require = bhj),
     // "never all-pairs" claims (exact baselines ql4/ql27/ql33 excluded —
     // their cartesian IS the documented design)
-    "ql6_minhash_candidates" -> Shape(forbid = noCross),
+    "ql6_minhash_candidates" -> Shape(forbid = noCross,
+      require = Seq("minhash_first_band", "tokens_ws")),
     "ql11_ann_topk" -> Shape(forbid = noCross),
     "ql12_ivf_topk" -> Shape(forbid = noCross),
     "ql30_ivf_neardup" -> Shape(forbid = noCross),

