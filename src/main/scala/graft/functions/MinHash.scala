@@ -443,10 +443,153 @@ case class MinHashFirstBand(left: Expression, right: Expression, bands: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused LSH banding projection: element b = xxhash64 of the signature's
+  * b-th equal-width slice — bit-identical to the HOF form
+  * `transform(sequence(0, bands-1), b => xxhash64(slice(sig, b*r+1, r)))`
+  * (`Dedup.bandHashesHof`, the bit-exactness spec; fold from seed 42,
+  * null slots skipped — the XxHash64-over-array chain), but one tight
+  * loop per row instead of `bands` interpreted lambdas each allocating
+  * an r-element slice (optimization round 22, guide §4).
+  *
+  * Emitting the band-hash ARRAY (instead of only posexploding it away)
+  * is what lets the collision rows downstream decide the pair's first
+  * agreeing band with an O(bands) array comparison
+  * ([[FirstEqualSlot]]) instead of re-hashing both full signatures per
+  * collision row ([[MinHashFirstBand]] — up to 2×numHashes XXH64 calls
+  * per row, the measured ql53 round-21 regression).
+  *
+  * Accepts ARRAY<BIGINT> (MinHash signatures; hashLong chain) or
+  * ARRAY<INT> (SimHash bit vectors; hashInt chain). The signature length
+  * must divide evenly into `bands` — mixed-parameter frames fail LOUDLY
+  * (ADVICE r21 #2: a filterable NULL on the dedup-critical path silently
+  * dropped pairs).
+  */
+case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) if bands >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"band_hashes expects ARRAY<BIGINT> or ARRAY<INT> and bands >= 1, " +
+        s"got ${child.dataType.sql} with bands=$bands")
+  }
+
+  private lazy val intElems: Boolean = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    route(input.asInstanceOf[ArrayData])
+
+  def route(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n % bands != 0)
+      throw new IllegalArgumentException(
+        s"band_hashes: signature length $n is not divisible by bands=$bands " +
+          "(frame built with different banding parameters)")
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var j = 0
+    while (b < bands) {
+      var h = 42L
+      val end = j + r
+      while (j < end) {
+        // xxhash64-over-array parity: a null slot leaves the hash unchanged
+        if (!arr.isNullAt(j)) {
+          h = if (intElems) XXH64.hashInt(arr.getInt(j), h)
+              else XXH64.hashLong(arr.getLong(j), h)
+        }
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bhs", this, classOf[BandHashes].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.route($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** First index (0-based) where two band-hash arrays agree, or -1 when none
+  * does — the O(bands) companion of [[BandHashes]]: with both sides'
+  * band-hash arrays carried through the band self-join,
+  * `a.band === first_equal_slot(a.bha, b.bha)` keeps exactly one
+  * collision row per pair (the first agreeing band's), replacing both the
+  * `dropDuplicates` Exchange AND [[MinHashFirstBand]]'s per-collision-row
+  * re-hashing of the full signatures.
+  *
+  * Null slots never agree (band hashes from [[BandHashes]] are non-null;
+  * the guard covers SQL-registered misuse). Mismatched lengths fail
+  * LOUDLY — two frames banded with different parameters meeting in one
+  * join is a pipeline bug, and a silently filterable result would drop
+  * pairs (ADVICE r21 #1/#2).
+  */
+case class FirstEqualSlot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_equal_slot"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"first_equal_slot expects two ARRAY<BIGINT>, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    route(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def route(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"first_equal_slot: mismatched band counts ($n vs ${y.numElements()}) " +
+          "— banded frames built with different parameters")
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("fes", this, classOf[FirstEqualSlot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.route($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHash {
   /** Column face. */
   def signature(tokens: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+
+  /** Column face for the fused banding projection. */
+  def bandHashes(sig: Column, bands: Int): Column =
+    Bridge.column(BandHashes(Bridge.expression(sig), bands))
+
+  /** Column face for the first agreeing slot of two band-hash arrays. */
+  def firstEqualSlot(a: Column, b: Column): Column =
+    Bridge.column(FirstEqualSlot(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column face for the first agreeing band index. */
   def firstBand(a: Column, b: Column, bands: Int): Column =

@@ -168,9 +168,15 @@ object Dedup {
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
   }
 
-  /** Shared banding projection: `(id, mh, band, bh)` — one row per (doc,
-    * band), `bh` = xxhash64 of the band's signature slice. The join key of
-    * every LSH candidate path and the ROW FORMAT of [[BandIndex]].
+  /** Shared banding projection: `(id, mh, bha, band, bh)` — one row per
+    * (doc, band), `bha` = the signature's band-hash ARRAY (fused
+    * [[graft.functions.BandHashes]] — one loop per doc, round 22),
+    * `(band, bh)` = posexplode(bha). The join key of every LSH candidate
+    * path and the ROW FORMAT of [[BandIndex]]. Carrying `bha` (bands × 8
+    * bytes next to the ~numHashes × 8-byte signature) is what lets the
+    * uncapped pair tail keep one collision row per pair with an O(bands)
+    * array comparison instead of re-hashing both signatures per
+    * collision row — the measured ql53 round-21 regression.
     */
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
                                numHashes: Int, bands: Int,
@@ -190,15 +196,22 @@ object Dedup {
     * instead of round-tripping through a text column.
     */
   private def bandedFromTokens(projected: DataFrame,
-                               numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
+                               numHashes: Int, bands: Int): DataFrame =
     projected
       .filter(size(col("toks")) > 0)
       .withColumn("mh", minHash(col("toks"), numHashes))
-      .select(col("id"), col("mh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("mh"), b * lit(r) + 1, lit(r))))))
+      .withColumn("bha", graft.functions.MinHash.bandHashes(col("mh"), bands))
+      .select(col("id"), col("mh"), col("bha"), posexplode(col("bha")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+
+  /** Reference HOF banding form (interpreted `bands` lambdas, each
+    * allocating an r-element slice; kept for the bit-exactness spec —
+    * [[graft.functions.BandHashes]] must match it exactly).
+    */
+  private[graft] def bandHashesHof(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * lit(r) + 1, lit(r))))
   }
 
   /** Candidate-pair join over a banded-signature table: band-key
@@ -243,7 +256,18 @@ object Dedup {
                                       maxBucketSize: Int = Int.MaxValue,
                                       bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val banded = capBandBuckets(banded0, maxBucketSize, "minHashLshCandidates")
+    // the local first-band rule needs every agreeing band's collision row
+    // (uncapped) AND the banding's own band-hash arrays on the rows; a
+    // legacy persisted index without `bha` takes the dropDuplicates tail,
+    // which is banding-agnostic — so a wrong `bands` argument can no
+    // longer silently drop pairs (ADVICE r21 #1)
+    val localFirstBand =
+      maxBucketSize == Int.MaxValue && banded0.columns.contains("bha")
+    // the capped/legacy tail never reads `bha` — don't ship it through
+    // the cap window's Exchange
+    val banded = capBandBuckets(
+      if (localFirstBand) banded0 else dropIfPresent(banded0, "bha"),
+      maxBucketSize, "minHashLshCandidates")
     // shuffle_hash, not the planner's default broadcast: both sides of
     // the self-join then want the SAME Exchange(hashpartitioning(band,
     // bh)) and AQE reuses it, so the signature chain (tokenize → ids →
@@ -261,19 +285,21 @@ object Dedup {
     // A pair colliding in k bands exits the join k times as IDENTICAL
     // rows. UNCAPPED, every agreeing band's collision row exists, so each
     // row can decide locally whether ITS band is the pair's first
-    // agreeing band ([[graft.functions.MinHashFirstBand]] replays the
-    // banding's exact xxhash64-over-slice chain) and only that one
-    // survive — the same one-row-per-pair result as the old
-    // dropDuplicates, minus its Exchange + two HashAggregates over every
-    // collision row (the measured majority of ql6 after the scan; guide
-    // §2.4 "remove shuffles outright"). CAPPED, a cut bucket may have
-    // dropped the first-agreeing band's row, so the local rule could
-    // discard a pair the join still found — keep the dedup there
-    // (equivalence spec-pinned uncapped in `MinHashSpec`).
-    if (maxBucketSize == Int.MaxValue)
+    // agreeing band and only that one survive — the same one-row-per-pair
+    // result as the old dropDuplicates, minus its Exchange + two
+    // HashAggregates over every collision row (the measured majority of
+    // ql6 after the scan; guide §2.4 "remove shuffles outright"). The
+    // comparison is O(bands) over the CARRIED band-hash arrays
+    // ([[graft.functions.FirstEqualSlot]]) — round 21 re-hashed both full
+    // signatures per collision row (up to 2×numHashes XXH64 calls), the
+    // measured ql53 regression. CAPPED, a cut bucket may have dropped the
+    // first-agreeing band's row, so the local rule could discard a pair
+    // the join still found — keep the dedup there (equivalence
+    // spec-pinned uncapped in `MinHashSpec`).
+    if (localFirstBand)
       joined
         .filter(col("a.band") ===
-          graft.functions.MinHash.firstBand(col("a.mh"), col("b.mh"), bands))
+          graft.functions.MinHash.firstEqualSlot(col("a.bha"), col("b.bha")))
         .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
           minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
     else
@@ -282,6 +308,10 @@ object Dedup {
           minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
         .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** `drop` that tolerates the column's absence (legacy banded frames). */
+  private def dropIfPresent(df: DataFrame, c: String): DataFrame =
+    if (df.columns.contains(c)) df.drop(c) else df
 
   /** Persistable LSH band index — the INCREMENTAL entry to the near-dup
     * pipeline. A 100 TB corpus is not re-signed on every ingest: build the
@@ -399,26 +429,47 @@ object Dedup {
     // from-scratch batch run holds at the default (uncapped) setting
     // ONLY: capped, the index keeps its first-cap ids per bucket while
     // a union run would rank old and new ids together.
-    val nb = capBandBuckets(newIndex, maxBucketSize, "minHashLshCandidatesAgainst")
+    // the local first-band rule (candidatePairsFromBands) applies here
+    // too when uncapped and BOTH frames carry their band-hash arrays: a
+    // cross/intra pair's collision rows exist for every agreeing band,
+    // so `a.band === first_equal_slot(a.bha, b.bha)` keeps exactly one —
+    // and cross (one old id) and intra (both new) are disjoint pair
+    // sets, so with both deduped locally the union needs NO
+    // dropDuplicates Exchange at all. A legacy index without `bha`
+    // keeps the dedup tail (banding-agnostic — ADVICE r21 #1).
+    val localFirstBand = maxBucketSize == Int.MaxValue &&
+      newIndex.columns.contains("bha") && index.columns.contains("bha")
+    val nb = capBandBuckets(
+      if (localFirstBand) newIndex else dropIfPresent(newIndex, "bha"),
+      maxBucketSize, "minHashLshCandidatesAgainst")
     val a = nb.as("a")
-    val b = capBandBuckets(index, maxBucketSize, "minHashLshCandidatesAgainst").as("b")
+    val b = capBandBuckets(
+      if (localFirstBand) index else dropIfPresent(index, "bha"),
+      maxBucketSize, "minHashLshCandidatesAgainst").as("b")
     // least/greatest = the batch form's a.id < b.id orientation, reachable
     // from either side of the cross join
-    val cross = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    val crossJoined = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") =!= col("b.id"))
+    val cross = (if (localFirstBand)
+        crossJoined.filter(col("a.band") ===
+          graft.functions.MinHash.firstEqualSlot(col("a.bha"), col("b.bha")))
+      else crossJoined)
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"),
         minHashSimilarity(col("a.mh"), col("b.mh"), numHashes).as("est_jaccard"))
     val x = nb.as("x")
     val y = nb.as("y")
-    val intra = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+    val intraJoined = x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
+    val intra = (if (localFirstBand)
+        intraJoined.filter(col("x.band") ===
+          graft.functions.MinHash.firstEqualSlot(col("x.bha"), col("y.bha")))
+      else intraJoined)
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         minHashSimilarity(col("x.mh"), col("y.mh"), numHashes).as("est_jaccard"))
-    // cross (one old id) and intra (both new) are disjoint pair sets —
-    // one dedup over the union suffices
-    val scored = (if (withinNew) cross.union(intra) else cross)
-      .dropDuplicates("doc_a", "doc_b")
+    val unioned = if (withinNew) cross.union(intra) else cross
+    val scored =
+      if (localFirstBand) unioned else unioned.dropDuplicates("doc_a", "doc_b")
     if (minJaccard > 0) scored.filter(col("est_jaccard") >= minJaccard) else scored
   }
 
@@ -479,26 +530,43 @@ object Dedup {
       if (bands == 0) autoBands(math.max(corpusSize.getOrElse(df.count()), 1L))
       else bands
     require(b0 > 0 && 64 % b0 == 0, s"bands must divide 64, got $b0")
-    val width = 64 / b0
     val withBits = df
       .select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("bits", simHashBits(col("toks")))
-    val banded = capBandBuckets(withBits.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(b0 - 1)),
-        b => xxhash64(slice(col("bits"), b * width + 1, lit(width))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh"),
-      maxBucketSize, "simHashCandidates")
+    // fused banding over the bit vector (one loop — the hashInt chain of
+    // xxhash64 over ARRAY<INT> slices, bit-equality spec-pinned) + the
+    // carried band-hash array for the uncapped local pair dedup below
+    // (the candidatePairsFromBands design, round 22)
+    val uncapped = maxBucketSize == Int.MaxValue
+    val withBha = withBits
+      .withColumn("bha", graft.functions.MinHash.bandHashes(col("bits"), b0))
+    val exploded = withBha
+      .select(col("id") +: (if (uncapped) Seq(col("bha")) else Nil) :+
+        posexplode(col("bha")): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = capBandBuckets(exploded, maxBucketSize, "simHashCandidates")
     // shuffle_hash → one reused Exchange for both sides: the simhash
     // bit-vote chain computes once, not once per side (see
     // candidatePairsFromBands)
     val a = banded.hint("shuffle_hash").as("a")
     val b = banded.hint("shuffle_hash").as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    val joined = a.join(b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // uncapped: one collision row per pair survives LOCALLY (first
+    // agreeing band — every agreeing band's row exists), removing the
+    // dropDuplicates Exchange + HashAggregates over the collision rows;
+    // capped buckets keep the dedup (candidatePairsFromBands argument)
+    if (uncapped)
+      joined
+        .filter(col("a.band") ===
+          graft.functions.MinHash.firstEqualSlot(col("a.bha"), col("b.bha")))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    else
+      joined
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
   }
 
   /** SimHash `bands` sized for the corpus (the [[Similarity.autoPlanes]]

@@ -34,9 +34,13 @@ object PlanAudit {
       "field), then the same partial_topkbysim bounded tail as ql11 -- one k-bounded Exchange, " +
       "embeddings never shuffled"),
     "ql6_minhash_candidates" -> ("band-hash equi-join (no cross join anywhere); fused " +
-      "MinHashSignature over the native tokens_ws projection; pair dedup is the LOCAL " +
-      "minhash_first_band filter (r21) -- the old (doc_a, doc_b) dropDuplicates Exchange + " +
-      "two HashAggregates over every collision row are GONE from the uncapped plan " +
+      "MinHashSignature over the native tokens_ws projection; banding is the fused " +
+      "band_hashes array projection (r22 -- one loop per doc, replacing bands " +
+      "interpreted xxhash64-over-slice lambdas); pair dedup is the LOCAL " +
+      "first_equal_slot filter over the CARRIED band-hash arrays (r22 -- O(bands) " +
+      "compares per collision row, replacing r21's minhash_first_band re-hash of both " +
+      "full signatures) -- the old (doc_a, doc_b) dropDuplicates Exchange + two " +
+      "HashAggregates over every collision row remain GONE from the uncapped plan " +
       "(runtime-pinned in LlmSpec; the capped path keeps the narrow dedup Exchange)"),
     "ql19_decontaminate" -> "benchmark grams broadcast -- corpus side joins with no Exchange before the join",
     "ql15_hash_sample" -> ("pure hash filter riding the parquet scan inside one WholeStageCodegen " +
@@ -279,8 +283,11 @@ object PlanAudit {
       "deque, real codegen) riding the scan -- no shuffle in the operator (the only " +
       "Exchange is the harness ORDER BY)"),
     "ql52_simhash_candidates" -> ("one-hash-per-token fused simhash_bits projection " +
-      "riding the scan; 4-band explode to narrow (id, band, bh) rows, band equi-self-join " +
-      "-- never all-pairs; only narrow pair rows reach any Exchange"),
+      "riding the scan; fused band_hashes over the bit vector posexplodes to narrow " +
+      "(id, bha, band, bh) rows, band equi-self-join -- never all-pairs; pair dedup is " +
+      "the LOCAL first_equal_slot filter over the carried band-hash arrays (r22 -- the " +
+      "dropDuplicates Exchange over collision rows is gone from the uncapped plan); " +
+      "only narrow pair rows reach any Exchange"),
     "ql53_ngram_jaccard" -> ("shingle-id minhash signatures (banding at the SAME " +
       "granularity the rescore measures), band equi-self-join to narrow candidate pairs, " +
       "then the exact-Jaccard rescore joins shingle-ID arrays (8-byte ids, never shingle " +
@@ -495,14 +502,16 @@ object PlanAudit {
     // "never all-pairs" claims (exact baselines ql4/ql27/ql33 excluded —
     // their cartesian IS the documented design)
     "ql6_minhash_candidates" -> Shape(forbid = noCross,
-      require = Seq("minhash_first_band", "tokens_ws")),
+      require = Seq("first_equal_slot", "band_hashes", "tokens_ws")),
     "ql11_ann_topk" -> Shape(forbid = noCross),
     "ql12_ivf_topk" -> Shape(forbid = noCross),
     "ql30_ivf_neardup" -> Shape(forbid = noCross),
     "ql32_neardup_autoplanes" -> Shape(forbid = noCross),
     "ql42_semantic_dedup" -> Shape(forbid = noCross),
-    "ql52_simhash_candidates" -> Shape(forbid = noCross),
-    "ql53_ngram_jaccard" -> Shape(forbid = noCross),
+    "ql52_simhash_candidates" -> Shape(forbid = noCross,
+      require = Seq("first_equal_slot", "band_hashes")),
+    "ql53_ngram_jaccard" -> Shape(forbid = noCross,
+      require = Seq("first_equal_slot", "band_hashes")),
     "ql61_nb_classify" -> Shape(forbid = noSmj, require = bhj),
     "ql62_winnow_pairs" -> Shape(forbid = noCross),
     // one-pass keep-best: the canonicalization chain runs at most twice

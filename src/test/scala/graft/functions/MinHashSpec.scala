@@ -163,6 +163,71 @@ class MinHashSpec extends SparkSpec {
     assert(self.filter(col("fb") =!= 0).count() == 0)
   }
 
+  test("band_hashes is bit-exact vs the xxhash64-over-slice HOF (long and int bases)") {
+    // the fused banding projection must replay the band join's exact
+    // collision keys: xxhash64(slice(sig, b*r+1, r)) per band, fold from
+    // seed 42, null slots skipped
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(300)
+      .select(Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    for (bands <- Seq(4, 8, 16)) {
+      val sigs = docs.select(Dedup.minHash(col("toks"), 64).as("mh"))
+      val both = sigs.select(
+        MinHash.bandHashes(col("mh"), bands).as("native"),
+        Dedup.bandHashesHof(col("mh"), 64, bands).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0,
+        s"bands=$bands long basis")
+    }
+    // INT basis (the simhash bit vectors): xxhash64 over ARRAY<INT>
+    // slices chains hashInt per element
+    val bits = docs.select(Dedup.simHashBits(col("toks")).as("bits"))
+    for (bands <- Seq(4, 8)) {
+      val w = 64 / bands
+      val hof = transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("bits"), b * w + 1, lit(w))))
+      val both = bits.select(
+        MinHash.bandHashes(col("bits"), bands).as("native"), hof.as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0,
+        s"bands=$bands int basis")
+    }
+  }
+
+  test("first_equal_slot over carried band hashes equals minhash_first_band") {
+    val bands = 8
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(300)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id").as("id"), Dedup.minHash(col("toks"), 64).as("mh"))
+      .withColumn("bha", MinHash.bandHashes(col("mh"), bands))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    val pairs = a.crossJoin(b).filter(col("a.id") < col("b.id"))
+      .select(
+        MinHash.firstEqualSlot(col("a.bha"), col("b.bha")).as("fes"),
+        MinHash.firstBand(col("a.mh"), col("b.mh"), bands).as("fb"))
+    assert(pairs.filter(not(col("fes") <=> col("fb"))).count() == 0)
+    // identical arrays agree at slot 0
+    val self = docs.select(MinHash.firstEqualSlot(col("bha"), col("bha")).as("s"))
+    assert(self.filter(col("s") =!= 0).count() == 0)
+  }
+
+  test("mixed-parameter banded frames fail loudly (no silent pair drop)") {
+    // ADVICE r21: a length mismatch on the dedup-critical path must raise,
+    // not produce a filterable value
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L))).toDF("x", "y")
+    val ex = intercept[Exception] {
+      df.select(MinHash.firstEqualSlot(col("x"), col("y"))).collect()
+    }
+    assert(ex.getMessage != null)
+    // non-divisible signature length raises too
+    val ex2 = intercept[Exception] {
+      Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("mh")
+        .select(MinHash.bandHashes(col("mh"), 2)).collect()
+    }
+    assert(ex2.getMessage != null)
+  }
+
   test("first-band filtered candidates equal the dropDuplicates form (uncapped)") {
     // the candidatePairsFromBands rewrite's end-to-end pin: one row per
     // (doc_a, doc_b) with the identical est_jaccard, exactly the old
