@@ -56,11 +56,12 @@ object Pipelines {
   /** The gate prefix shared by [[pretrainCorpus]] and the incremental
     * [[appendCrawlBatch]] — steps 1–3 of the recipe: normalize → page
     * gates (persisted cut) → repetition semi-join → optional C4 line
-    * clean → PII scrub → quality score. Returns (staged rows, the
-    * persisted gate handle) so the caller owns the cache lifecycle.
+    * clean → PII scrub → quality score (persisted cut). Returns
+    * (staged rows, the persisted handles) so the caller owns the cache
+    * lifecycle.
     */
   private def stageDocs(docs: DataFrame, idCol: String, textCol: String,
-                        useC4Lines: Boolean): (DataFrame, DataFrame) = {
+                        useC4Lines: Boolean): (DataFrame, Seq[DataFrame]) = {
     // 1. normalize. The C4 LINE rules apply to survivors AFTER the page
     // gates — the gates must see the RAW page (a brace or "lorem ipsum"
     // on a line the line rules would drop still condemns the page, per
@@ -98,11 +99,21 @@ object Pipelines {
       if (useC4Lines) gated.withColumn(textCol, TextAnalysis.c4CleanLines(col(textCol)))
       else gated
 
-    // 3. PII scrub + score — cheap projections over the cached survivors
+    // 3. PII scrub + score over the cached survivors. The STAGED rows are
+    // the second persisted boundary (optimization round 22 — guide §5
+    // "cache when reused AND recompute is expensive"): downstream reads
+    // them repeatedly — the LSH banding side, keep-best's THREE survivor
+    // joins, the bucket window, and (incrementally) the lm/nb trainers —
+    // and each uncached read re-ran the repetition semi-join + the C4
+    // line battery + four redactPii regex passes + the quality score on
+    // top of the gate cache (the Ql50Probe-measured majority of the
+    // pipeline's final pass). Survivor-sized like the gate cut,
+    // MEMORY_AND_DISK so a large survivor set spills instead of OOMing.
     val scrubbed = lined
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .withColumn("score", TextAnalysis.qualityScore(col(textCol)))
-    (scrubbed, qualityOk)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (scrubbed, Seq(scrubbed, qualityOk))
   }
 
   /** Step 5 of the recipe (shared with [[emitPretrainCorpus]]):
@@ -128,7 +139,7 @@ object Pipelines {
                      materialize: Boolean = true,
                      hashedTokenIds: Boolean = false,
                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val (scrubbed, qualityOk) = stageDocs(docs, idCol, textCol, useC4Lines)
+    val (scrubbed, gateCaches) = stageDocs(docs, idCol, textCol, useC4Lines)
 
     // 4. fuzzy dedup, keep the best-scored copy (maxBucketSize df-cuts
     // saturated signature buckets — mass-duplicated crawl boilerplate —
@@ -149,7 +160,7 @@ object Pipelines {
     // convention: write the result to parquet, then clear the cache).
     if (materialize) {
       val out = result.localCheckpoint(true)
-      qualityOk.unpersist(blocking = false)
+      gateCaches.foreach(_.unpersist(blocking = false))
       out
     } else result
   }
@@ -329,7 +340,7 @@ object Pipelines {
   def initCrawlState(docs: DataFrame,
                      params: CrawlParams = CrawlParams()): CrawlState = {
     import params._
-    val (staged, gateCache) = stageDocs(docs, idCol, textCol, useC4Lines)
+    val (staged, gateCaches) = stageDocs(docs, idCol, textCol, useC4Lines)
     val index = Dedup.BandIndex.build(staged, idCol, textCol,
       numHashes, bands, hashedTokenIds)
     val pairs = Dedup.minHashLshCandidatesFromIndex(index, numHashes, minJaccard,
@@ -339,7 +350,7 @@ object Pipelines {
       TextAnalysis.lmEstimate(staged.select(col(langCol), col(textCol)),
         textCol, minCount = 1L, groupCols = Seq(langCol)),
       Classify.nbTrain(staged, langCol, textCol),
-      gateCaches = Seq(gateCache))
+      gateCaches = gateCaches)
   }
 
   /** Advance the corpus state by one crawl batch at BATCH cost — the
@@ -387,7 +398,7 @@ object Pipelines {
   def appendCrawlBatch(state: CrawlState, batch: DataFrame,
                        assumeDisjointIds: Boolean = true): CrawlState = {
     import state.params._
-    val (stagedBatch, gateCache) = stageDocs(batch, idCol, textCol, useC4Lines)
+    val (stagedBatch, batchGateCaches) = stageDocs(batch, idCol, textCol, useC4Lines)
     // signed and banded exactly ONCE: the same banded frame is the pair
     // join's new side AND the index increment
     val newIdx = Dedup.BandIndex.build(stagedBatch, idCol, textCol,
@@ -420,7 +431,7 @@ object Pipelines {
         groupCols = Seq(langCol)).localCheckpoint(true),
       nbModel = Classify.nbMerge(state.nbModel,
         Classify.nbTrain(stagedBatch, langCol, textCol)).localCheckpoint(true),
-      gateCaches = state.gateCaches :+ gateCache)
+      gateCaches = state.gateCaches ++ batchGateCaches)
   }
 
   /** Retract documents from the corpus state at REMOVED-SET cost — the

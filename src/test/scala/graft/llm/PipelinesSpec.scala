@@ -170,10 +170,11 @@ class PipelinesSpec extends SparkSpec {
     // junk gated out of both sides
     assert(!ids.contains(22L) && !ids.contains(23L) && !ids.contains(43L))
 
-    // cache lifecycle: one gate cache per staging pass, all released by
-    // release() — dropping the state without it would leak one
-    // non-evictable survivor-set copy per batch for the life of the app
-    assert(incremental.gateCaches.size == 2 && scratch.gateCaches.size == 1)
+    // cache lifecycle: TWO persisted boundaries per staging pass (gate
+    // cut + staged rows, round 22), all released by release() — dropping
+    // the state without it would leak non-evictable survivor-set copies
+    // per batch for the life of the app
+    assert(incremental.gateCaches.size == 4 && scratch.gateCaches.size == 2)
     incremental.release(); scratch.release()
 
     // the disjoint-ids precondition is loud on request: a batch
@@ -378,7 +379,8 @@ class PipelinesSpec extends SparkSpec {
       }
     }
     // the session never held more than init + one checkpoint interval
-    assert(maxCaches <= 4, s"gateCaches grew to $maxCaches — unbounded growth")
+    // (two persisted boundaries per staging pass since round 22)
+    assert(maxCaches <= 8, s"gateCaches grew to $maxCaches — unbounded growth")
     assert(spark.sharedState.cacheManager.isEmpty,
       "every gate cache must be unpersisted after the final checkpoint")
     // and the checkpointed chain still converges to the from-scratch run

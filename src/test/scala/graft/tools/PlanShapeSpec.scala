@@ -49,15 +49,16 @@ class PlanShapeSpec extends SparkSpec {
       assertNoEmbeddingInExchange(graft.SparkEntry.queries(name)(spark, sf))
   }
 
-  test("ql50's lazy form persists exactly ONE gate boundary that downstream branches share") {
+  test("ql50's lazy form persists boundaries that downstream branches share") {
     // the registry query localCheckpoints (materialize = true), which
     // collapses the plan to an ExistingRDD scan — the persist-cut claim
     // is only visible on the lazy form, so gate it directly: the corpus
-    // gate prefix closes at a cached boundary and BOTH the repetition
-    // branch and the main flow (plus the dedup self-join sides and the
-    // bucket window downstream) read InMemoryTableScan, never the raw
-    // scan chain. A refactor that silently drops the persist returns the
-    // measured 10x recompute fan-out (66 s -> 6 s at sf0.1, BASELINE.md).
+    // gate prefix closes at a cached boundary read by the repetition
+    // branch AND (round 22) the scrubbed/scored STAGED rows close at a
+    // second one read by the dedup self-join sides and the bucket window
+    // — never the raw scan chain. A refactor that silently drops the
+    // persists returns the measured 10x recompute fan-out (66 s -> 6 s
+    // at sf0.1, BASELINE.md).
     spark.sqlContext.clearCache()
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id"),
