@@ -152,7 +152,7 @@ object JsonLines {
     val errCol = graft.core.ErrorChannel.errValue(
       StageId(stage), concat(lit("malformed jsonl: "), col("value")))
     spark.read.text(path)
-      .withColumn("_parsed", parsed)
+      .withColumn("_parsed", CsvLines.parseOnce(parsed))
       .withColumn(graft.core.ErrorChannel.ColName,
         when(col(s"_parsed.$corrupt").isNotNull || col("_parsed").isNull, errCol)
           .otherwise(lit(null).cast(graft.core.ErrorChannel.errType)))
@@ -180,6 +180,25 @@ final case class CsvSink(id: StageId, path: String, mode: String = "overwrite",
 }
 
 object CsvLines {
+  /** Pin an expensive parse expression to ONE evaluation per row
+    * (optimization round 22, guide §4.4 — the duplicated-evaluation
+    * problem, here with a builtin instead of a UDF): consumers of the
+    * error-channel readers immediately filter on `_err IS NULL`, and the
+    * optimizer pushes that filter below the parse projection with the
+    * full `from_csv`/`from_json` SUBSTITUTED into the Filter condition —
+    * the qx13 plan showed the parse running 2–3× per line (twice in the
+    * Filter, once in the field Project). Wrapping the parse in an
+    * always-true nondeterministic guard (`monotonically_increasing_id()`
+    * is never negative) blocks both predicate pushdown and project
+    * collapse through the projection, so the parse evaluates exactly
+    * once and every downstream reference is an attribute read. Value is
+    * bit-identical — the guard never takes the null branch.
+    */
+  private[sources] def parseOnce(parsed: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(monotonically_increasing_id() >= 0, parsed)
+  }
+
   /** CSV source with the row-level ERROR CHANNEL attached — the
     * [[JsonLines.readWithErrors]] contract for the other interchange
     * format tabular corpora ship in: well-formed lines parse against the
@@ -206,7 +225,7 @@ object CsvLines {
     val errCol = graft.core.ErrorChannel.errValue(
       StageId(stage), concat(lit("malformed csv: "), col("value")))
     spark.read.text(path)
-      .withColumn("_parsed", parsed)
+      .withColumn("_parsed", parseOnce(parsed))
       .withColumn(graft.core.ErrorChannel.ColName,
         when(col(s"_parsed.$corrupt").isNotNull || col("_parsed").isNull, errCol)
           .otherwise(lit(null).cast(graft.core.ErrorChannel.errType)))
