@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * min/max, in long format `(col_name, metric, value)` so downstream
   * checks can diff profiles across snapshots without schema churn.
   *
-  * Scale shape: ALL metrics for ALL columns ride ONE aggregation over ONE
-  * scan — a single partial+final agg, no per-column jobs, no driver-side
-  * loop over `collect()`. Exact distinct counts plan an Expand (one
-  * duplicated pass per column inside the same stage); at the 100 TB scale
-  * that multiplication matters, so `approxDistinct = true` swaps in
-  * HyperLogLog sketches (`approx_count_distinct`) — same single pass, no
-  * Expand, rsd ~2%. The exact form is the oracle-checked default at test
-  * scale; the approx form is the fleet setting.
+  * Scale shape: counts/nulls/min/max/quantiles for ALL columns ride ONE
+  * aggregation over ONE scan — a single partial+final agg, no driver-side
+  * loop over `collect()`. EXACT distinct counts each run as their own
+  * narrow column-pruned aggregation joined back onto the base row
+  * (round 22 — the shared-agg form rewrote k distincts into an Expand
+  * that multiplied every row (k+1)x and shuffled wide null-padded rows;
+  * per-column aggs shuffle only each column's distinct values, and under
+  * a columnar format the pruned scans together decode the same bytes the
+  * one wide scan did). `approxDistinct = true` swaps in HyperLogLog
+  * sketches (`approx_count_distinct`) riding the single base agg — no
+  * extra scans at all, rsd ~2%. The exact form is the oracle-checked
+  * default at test scale; the approx form is the fleet setting.
   *
   * Reference analog: the observability/metrics surface
   * (reference/metrics.go:30-52) — per-stage counters exposed as data.
@@ -56,23 +60,42 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0, 1], got $quantiles")
-    val distinctOf: String => Column =
-      if (approxDistinct) n => approx_count_distinct(c(n), rsd = 0.02).cast("double")
-      else n => count_distinct(c(n)).cast("double")
     val aggs = count(lit(1)).cast("double").as("__rows") +: cols.zipWithIndex.flatMap {
       case (n, i) =>
         // min/max keep their native type here; the cast to the long-format
         // double happens below via try_cast so a string column profiles to
         // NULL min/max instead of an ANSI cast error
         Seq(count(c(n)).cast("double").as(s"__cnt_$i"),
-          distinctOf(n).as(s"__dst_$i"),
           min(c(n)).as(s"__min_$i"),
           max(c(n)).as(s"__max_$i")) ++
+          (if (approxDistinct)
+            Seq(approx_count_distinct(c(n), rsd = 0.02).cast("double").as(s"__dst_$i"))
+           else Nil) ++
           (if (quantiles.isEmpty) Nil
            else Seq(percentile_approx(tryDouble(n),
              array(quantiles.map(lit): _*), lit(accuracy)).as(s"__qtl_$i")))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    // EXACT distinct counts run as ONE NARROW AGGREGATION PER COLUMN
+    // instead of riding the shared agg (optimization round 22, guide
+    // §2.3/§6): k exact distincts in one Aggregate rewrite to an Expand
+    // that multiplies every row (k+1)x and shuffles (gid, all k columns,
+    // every regular-agg buffer) — measured on qx10 (4 columns over
+    // lineitem): 600k rows -> 3M expanded, a 111 MB partial-distinct
+    // Exchange, avgHashProbe=128 in the merge agg, ~3 s. Per-column
+    // aggregations shuffle each column's DISTINCT VALUES alone (narrow,
+    // single-column rows), and under a columnar format the k pruned
+    // scans together read the same bytes the one wide scan did (each
+    // column decoded exactly once) — 8.5 MB -> ~0.6 MB shuffled here.
+    // The 1-row results broadcast-crossjoin back onto the base row (the
+    // nbTrain dim convention). The HLL path keeps the one-pass shape:
+    // sketches add no Expand and no per-value shuffle.
+    val one =
+      if (approxDistinct) base
+      else cols.zipWithIndex.foldLeft(base) { case (acc, (n, i)) =>
+        acc.crossJoin(broadcast(
+          df.agg(count_distinct(c(n)).cast("double").as(s"__dst_$i"))))
+      }
     // decimal formatting: (0.07 * 100) is 7.000000000000001 in doubles —
     // metric names must come out as "p7", not float garbage
     def pName(q: Double): String =

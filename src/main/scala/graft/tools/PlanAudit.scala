@@ -203,8 +203,12 @@ object PlanAudit {
       "explodes in a Generate, each frame is an element_at + substring projection riding " +
       "the scan, the span guards are when/raise_error expressions in the same projection, " +
       "zero shuffles beyond the harness ORDER BY, container bytes never enter an Exchange"),
-    "qx10_profile" -> ("ONE HashAggregate pass (Expand only for the exact count_distinct form) " +
-      "over ONE scan, then a generate/explode of the 1-row result -- no per-column jobs"),
+    "qx10_profile" -> ("counts/nulls/min/max ride ONE HashAggregate pass over ONE scan; " +
+      "each exact count_distinct is its own NARROW column-pruned aggregation " +
+      "broadcast-crossjoined onto the base row (r22 -- the shared-agg form's Expand " +
+      "multiplied every row 5x and shuffled 111 MB of wide null-padded partial rows " +
+      "for a 10 MB input; per-column aggs shuffle only each column's distinct values), " +
+      "then a generate/explode of the 1-row result -- no Expand anywhere, no driver loop"),
     "ql28_token_chunks" -> ("Generate (explode) directly over the scan projection -- chunks are " +
       "slices of one token array; the ONLY Exchange is the harness's total ORDER BY " +
       "(rangepartitioning), none in the operator itself"),
@@ -692,8 +696,12 @@ object PlanAudit {
     "ql16_jaccard_pairs" -> Shape(8, forbid = noCross, require = bhj),
     "qx2_cube" -> Shape(2, require = Seq("Expand")),
     "qx5_grouping_sets" -> Shape(2, require = Seq("Expand")),
-    // the whole profile in ONE scan (Expand only for exact distinct)
-    "qx10_profile" -> Shape(2, maxScans = 1, require = Seq("Expand", "Generate")),
+    // base metrics in ONE scan + one narrow scan per exact distinct
+    // (4 profiled columns = 5 scans); the Expand rewrite is FORBIDDEN —
+    // its reappearance would mean the distincts fused back into the
+    // shared agg (the r22 111-MB-shuffle regression)
+    "qx10_profile" -> Shape(12, maxScans = 5,
+      forbid = Seq("Expand"), require = Seq("Generate")),
     // binary payloads shuffle exactly once (the byte-budget placement)
     "qm2_media_fingerprint" -> Shape(1),
     "ql45_gopher_repetition" -> Shape(5, maxScans = 3, forbid = noSmj,
