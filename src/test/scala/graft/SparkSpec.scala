@@ -21,6 +21,12 @@ object TestSession {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   lazy val sf: String = "/root/testdata/sf0.001"
+  /** The mid-size fixture root for suites whose pins need the larger
+    * corpus (the TextStats/Tokens adversarial-coverage suites) — derived
+    * next to [[sf]] so a moved fixture root breaks exactly one line
+    * (ADVICE r21 #3).
+    */
+  lazy val sf01: String = "/root/testdata/sf0.01"
 
   def rowsOf(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet

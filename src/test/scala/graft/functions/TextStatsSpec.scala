@@ -52,7 +52,7 @@ class TextStatsSpec extends SparkSpec {
     val bad = fixtures.select(native.as("a"), hof.as("b"))
       .filter(not(col("a") <=> col("b"))).count()
     assert(bad == 0, s"$what drifted from the HOF form on fixtures")
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val docs = graft.sources.Tables.load(spark, sf01, "documents")
     val badDocs = docs.select(native.as("a"), hof.as("b"))
       .filter(not(col("a") <=> col("b"))).count()
     assert(badDocs == 0, s"$what drifted from the HOF form on corpus text")

@@ -44,7 +44,7 @@ class TokensSpec extends SparkSpec {
   }
 
   test("native tokens_ws equals the HOF form on real corpus text") {
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val docs = graft.sources.Tables.load(spark, sf01, "documents")
     val bad = docs.select(
         graft.llm.Dedup.tokens(col("text")).as("a"),
         graft.llm.Dedup.tokensHof(col("text")).as("b"))
