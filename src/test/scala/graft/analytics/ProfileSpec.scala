@@ -57,12 +57,25 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(rows("p99") - 990.0) <= 10.0, s"p99=${rows("p99")}")
   }
 
-  test("quantile columns add no second pass (still one aggregate over one scan)") {
+  test("quantile columns add no second pass (they ride the base aggregation)") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
-    val plan = Profile.profile(li, Seq("l_quantity"), quantiles = Seq(0.5, 0.99))
+    // HLL path: the original one-aggregation-over-one-scan claim holds
+    // verbatim — quantile sketches and approx distincts all ride the base
+    // agg, no join/union of extra jobs
+    val approx = Profile.profile(li, Seq("l_quantity"),
+      approxDistinct = true, quantiles = Seq(0.5, 0.99))
       .queryExecution.executedPlan.toString
-    // one aggregate pair (partial+final), no join/union of extra jobs
-    assert(!plan.contains("Union") && !plan.contains("Join"), plan)
+    assert(!approx.contains("Union") && !approx.contains("Join"), approx)
+    // exact path (round 22): each exact distinct is its own NARROW
+    // column-pruned aggregation crossjoined onto the base row — quantiles
+    // still add no scan of their own (scans = 1 base + 1 per distinct),
+    // and the Expand rewrite (the 111-MB-shuffle shape this replaced)
+    // must never come back
+    val exact = Profile.profile(li, Seq("l_quantity"), quantiles = Seq(0.5, 0.99))
+      .queryExecution.executedPlan.toString
+    assert(!exact.contains("Expand"), exact)
+    val scans = "FileScan parquet".r.findAllIn(exact).size
+    assert(scans == 2, s"expected base + one distinct scan, got $scans:\n$exact")
   }
 
   test("profile survives column names with dots and spaces (positional aliases)") {
