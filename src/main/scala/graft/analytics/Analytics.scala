@@ -58,76 +58,12 @@ object Joins {
       override protected def kind: String = "AsOfJoin"
     }
 
-  /** Hash-aggregable (time, key) encoding — the as-of fast path
-    * (optimization round 22, guide §1.2 step 2): `max_by(payload,
-    * struct(time, tiebreak))` carries a STRUCT aggregation buffer, which
-    * HashAggregate cannot hold (struct buffers are not mutable-field
-    * types), so every as-of aggregation planned as SortAggregate with a
-    * full Sort of the joined candidate table before BOTH phases
-    * (MetricsProbe on qx1: the 1M-row candidate sort + SortAggregate was
-    * the dominant post-join cost). When the payload is a single integral
-    * column that IS the tie-break — every declared as-of query — the
-    * ordering `(time, key)` encodes EXACTLY into one DECIMAL(38,0):
-    * `enc = time_enc · 10¹⁹ + key` with `time_enc` = days (DATE) or
-    * micros (TIMESTAMP) since epoch and `0 ≤ key < 10¹⁸` (loud-guarded),
-    * so lexicographic (time, key) order ≡ numeric enc order (key's range
-    * can never borrow into the time digits, any time sign). DECIMAL is a
-    * mutable buffer type: the aggregate becomes a plain hash-aggregable
-    * MAX/MIN — no candidate Sort anywhere — and the key decodes back as
-    * `pmod(enc, 10¹⁹)` (exact for any time sign). Equality with the
-    * max_by form is spec-pinned (`AnalyticsSpec`).
-    */
-  private val AsOfEncBase = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(19))
-  private val AsOfKeyMax = new java.math.BigDecimal(java.math.BigInteger.TEN.pow(18))
-
-  private def asOfEncoded(joined: DataFrame, leftPk: Seq[String],
-                          rightTime: Column, payload: Seq[(String, Column)],
-                          rightTieBreak: Column,
-                          forward: Boolean): Option[DataFrame] = {
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types._
-    if (payload.length != 1) return None
-    val (keyName, keyCol) = payload.head
-    val kExpr = Bridge.expression(keyCol)
-    val tbExpr = Bridge.expression(rightTieBreak)
-    val tExpr = Bridge.expression(rightTime)
-    if (!kExpr.resolved || !tbExpr.resolved || !tExpr.resolved) return None
-    if (!kExpr.semanticEquals(tbExpr)) return None
-    val keyType = kExpr.dataType
-    if (!Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType)) return None
-    val timeEnc: Column = tExpr.dataType match {
-      case DateType => datediff(rightTime, to_date(lit("1970-01-01")))
-        .cast("decimal(38,0)")
-      case TimestampType => unix_micros(rightTime).cast("decimal(38,0)")
-      // NTZ → Timestamp is value-preserving under the library's mandatory
-      // UTC session (the Tables.loadEvents convention)
-      case TimestampNTZType =>
-        unix_micros(rightTime.cast(TimestampType)).cast("decimal(38,0)")
-      case _ => return None
-    }
-    // loud guard: a key outside [0, 10^18) would corrupt the encoding —
-    // raise instead of silently mis-joining (the nbTrain convention).
-    // Rides the one key read inside the aggregate input, no extra pass.
-    val keyDec = keyCol.cast("decimal(38,0)")
-    val guarded = when(keyDec < 0 || keyDec >= lit(AsOfKeyMax),
-      raise_error(concat(lit(s"asOf encoded fast path: $keyName must be in " +
-        "[0, 10^18), got "), keyCol.cast("string"))).cast("decimal(38,0)"))
-      .otherwise(keyDec)
-    val enc = timeEnc * lit(AsOfEncBase) + guarded
-    val best = (if (forward) min(enc) else max(enc)).as("_enc")
-    Some(joined.groupBy(leftPk.map(col): _*).agg(best)
-      .select(leftPk.map(col) :+
-        pmod(col("_enc"), lit(AsOfEncBase)).cast(keyType).as(keyName): _*))
-  }
-
   /** As-of join, aggregation form: when only specific right-side values are
     * needed, `max_by(payload, struct(time, tiebreak))` replaces the window
     * — partial aggregation combines map-side BEFORE the shuffle, so the
     * post-join shuffle carries one row per (left-pk, partial) instead of
     * every joined candidate. Prefer this at scale; the window form when the
-    * whole right row must survive. Single-integral-key payloads take the
-    * hash-aggregable [[asOfEncoded]] fast path (same rows, no candidate
-    * Sort).
+    * whole right row must survive.
     */
   def asOfBackwardAgg(name: String, right: DataFrame, leftKey: Column, rightKey: Column,
                       leftTime: Column, rightTime: Column, leftPk: Seq[String],
@@ -136,13 +72,10 @@ object Joins {
       val id: StageId = StageId(name)
       def apply(df: DataFrame): DataFrame = {
         val joined = df.join(right, leftKey === rightKey && rightTime <= leftTime, "inner")
-        asOfEncoded(joined, leftPk, rightTime, payload, rightTieBreak,
-          forward = false).getOrElse {
-          val ord = struct(rightTime, rightTieBreak)
-          joined.groupBy(leftPk.map(col): _*)
-            .agg(max_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
-            .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
-        }
+        val ord = struct(rightTime, rightTieBreak)
+        joined.groupBy(leftPk.map(col): _*)
+          .agg(max_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
+          .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
       }
       override protected def kind: String = "AsOfJoinAgg"
     }
@@ -165,13 +98,10 @@ object Joins {
       def apply(df: DataFrame): DataFrame = {
         val joined = df.join(right, leftKey === rightKey &&
           rightTime <= leftTime && rightTime > leftTime - lookback, "inner")
-        asOfEncoded(joined, leftPk, rightTime, payload, rightTieBreak,
-          forward = false).getOrElse {
-          val ord = struct(rightTime, rightTieBreak)
-          joined.groupBy(leftPk.map(col): _*)
-            .agg(max_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
-            .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
-        }
+        val ord = struct(rightTime, rightTieBreak)
+        joined.groupBy(leftPk.map(col): _*)
+          .agg(max_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
+          .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
       }
       override protected def kind: String = "AsOfJoinAggWithin"
     }
@@ -188,13 +118,10 @@ object Joins {
       val id: StageId = StageId(name)
       def apply(df: DataFrame): DataFrame = {
         val joined = df.join(right, leftKey === rightKey && rightTime >= leftTime, "inner")
-        asOfEncoded(joined, leftPk, rightTime, payload, rightTieBreak,
-          forward = true).getOrElse {
-          val ord = struct(rightTime, rightTieBreak)
-          joined.groupBy(leftPk.map(col): _*)
-            .agg(min_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
-            .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
-        }
+        val ord = struct(rightTime, rightTieBreak)
+        joined.groupBy(leftPk.map(col): _*)
+          .agg(min_by(struct(payload.map { case (n, c) => c.as(n) }: _*), ord).as("_asof"))
+          .select(leftPk.map(col) ++ payload.map { case (n, _) => col(s"_asof.$n").as(n) }: _*)
       }
       override protected def kind: String = "AsOfJoinForwardAgg"
     }

@@ -23,11 +23,8 @@ object PlanAudit {
     "qa1_grouped_agg" -> ("partial_ + final HashAggregate around one Exchange; " +
       "the shipdate filter pushed to the parquet scan"),
     "qj1_join_broadcast" -> "BroadcastHashJoin on the nation dim -- no shuffle of the fact side for the join",
-    "qx1_asof_join" -> ("aggregation form: partial aggregate combines candidates " +
-      "map-side BEFORE the shuffle (the windowed form would shuffle every joined " +
-      "candidate); r22: the (time, key) ordering rides ONE DECIMAL(38,0) encoding so " +
-      "the aggregate is a plain hash-aggregable MAX -- the max_by struct buffer forced " +
-      "SortAggregate with a full Sort of the joined candidate table before both phases"),
+    "qx1_asof_join" -> ("max_by aggregation form: partial aggregate combines candidates " +
+      "map-side BEFORE the shuffle (the windowed form would shuffle every joined candidate)"),
     "ql4_cosine_topk" -> "ObjectHashAggregate partial_+final for TopKBySim -- <=k rows per map task enter the shuffle",
     "ql11_ann_topk" -> ("LSH bucket join (corpus scan pruned to matching buckets, queries broadcast), " +
       "then partial_topkbysim + final around ONE k-bounded Exchange; embeddings projected away " +
@@ -543,17 +540,15 @@ object PlanAudit {
     // the typed check pins that whole embeddings never ride an Exchange
     "ql58_mean_embedding" -> Shape(3, require = Seq("partial_sum"),
       noWideShuffle = true),
-    // qx14: bounded as-of — the partial MAX over the DECIMAL (time, key)
-    // encoding combines candidates map-side (<=1 row per key per task
-    // into the ONE keyed Exchange); a windowed or sort-merge form would
-    // shuffle every candidate, and the max_by struct form re-planted the
-    // SortAggregate candidate Sort (r22 — forbidden)
+    // qx14: bounded as-of — the partial max_by combines candidates
+    // map-side (<=1 row per key per task into the ONE keyed Exchange);
+    // a windowed or sort-merge form would shuffle every candidate
     "qx14_asof_tolerance" -> Shape(2,
-      forbid = Seq("Window [", "SortMergeJoin", "SortAggregate"),
-      require = Seq("partial_max", "BroadcastHashJoin")),
+      forbid = Seq("Window [", "SortMergeJoin"),
+      require = Seq("partial_max_by", "BroadcastHashJoin")),
     // qx1 carries the same claim without the tolerance residual
-    "qx1_asof_join" -> Shape(forbid = Seq("Window [", "SortAggregate"),
-      require = Seq("partial_max")),
+    "qx1_asof_join" -> Shape(forbid = Seq("Window ["),
+      require = Seq("partial_max_by")),
     // qm3: banded 8-byte-key self-join (shuffle_hash, never all-pairs,
     // never a broadcast of the corpus); the fused dhash64 projection and
     // the typed check together pin that media bytes exist only inside

@@ -60,62 +60,6 @@ class AnalyticsSpec extends SparkSpec {
     assert(rowsOf(wide(trades)) == rowsOf(unbounded(trades)))
   }
 
-  test("encoded as-of fast path equals the max_by form (date times, key ties)") {
-    // single integral payload == tiebreak + DATE right time → the
-    // DECIMAL(38,0) (time, key) encoding replaces the struct max_by
-    // (round 22); pin row-equality against a payload that defeats the
-    // fast path (extra column) on a fixture with same-date key ties
-    val orders = Seq(
-      (100L, 1L, "2020-01-05"), (101L, 1L, "2020-01-05"), // tie on date → max key
-      (102L, 1L, "2020-01-01"),
-      (103L, 2L, "2020-03-01")
-    ).toDF("okey", "cust", "d").withColumn("d", to_date(col("d")))
-    val probes = Seq(
-      (1L, 1L, "2020-02-01"), (2L, 2L, "2020-02-01"), (3L, 3L, "2020-02-01")
-    ).toDF("pid", "pcust", "pd").withColumn("pd", to_date(col("pd")))
-    val fast = Joins.asOfBackwardAgg("asof", orders,
-      leftKey = col("pcust"), rightKey = orders("cust"),
-      leftTime = col("pd"), rightTime = orders("d"),
-      leftPk = Seq("pid"), rightTieBreak = orders("okey"),
-      "match_key" -> orders("okey"))
-    // slow form: payload carries a second column, so the struct max_by
-    // path plans; project down to the same columns for comparison
-    val slow = Joins.asOfBackwardAgg("asof_slow", orders,
-      leftKey = col("pcust"), rightKey = orders("cust"),
-      leftTime = col("pd"), rightTime = orders("d"),
-      leftPk = Seq("pid"), rightTieBreak = orders("okey"),
-      "match_key" -> orders("okey"), "d2" -> orders("d"))
-    val f = rowsOf(fast(probes))
-    val s = rowsOf(slow(probes).select("pid", "match_key"))
-    assert(f == s && f == Set(Seq(1L, 101L)),
-      s"fast=$f slow=$s — tie on 2020-01-05 must keep key 101, probe 2/3 unmatched")
-    // the fast path must actually be hash-aggregable: no SortAggregate
-    val plan = fast(probes).queryExecution.executedPlan.toString
-    assert(!plan.contains("SortAggregate") && !plan.contains("max_by"),
-      s"fast path did not engage:\n$plan")
-    // forward form: min over the encoding (earliest time, ties → lower
-    // key) — probe 2020-01-02 lands on the tied 2020-01-05 pair
-    val fwdProbes = Seq((1L, 1L, "2020-01-02"), (2L, 2L, "2020-02-01"))
-      .toDF("pid", "pcust", "pd").withColumn("pd", to_date(col("pd")))
-    val fwd = Joins.asOfForwardAgg("asof_fwd", orders,
-      leftKey = col("pcust"), rightKey = orders("cust"),
-      leftTime = col("pd"), rightTime = orders("d"),
-      leftPk = Seq("pid"), rightTieBreak = orders("okey"),
-      "match_key" -> orders("okey"))
-    assert(rowsOf(fwd(fwdProbes)) == Set(Seq(1L, 100L), Seq(2L, 103L)),
-      "forward tie on 2020-01-05 must keep the LOWER key 100")
-    // loud guard: a negative key would corrupt the encoding — must raise
-    val neg = Seq((-7L, 1L, "2020-01-05")).toDF("okey", "cust", "d")
-      .withColumn("d", to_date(col("d")))
-    val bad = Joins.asOfBackwardAgg("asof_bad", neg,
-      leftKey = col("pcust"), rightKey = neg("cust"),
-      leftTime = col("pd"), rightTime = neg("d"),
-      leftPk = Seq("pid"), rightTieBreak = neg("okey"),
-      "match_key" -> neg("okey"))
-    val ex = intercept[Exception] { bad(probes).collect() }
-    assert(ex.getMessage != null)
-  }
-
   test("asOfForwardAgg picks the earliest right row at-or-after the left time") {
     val quotes = Seq(
       ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
